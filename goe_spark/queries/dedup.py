@@ -94,22 +94,35 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = shingled.select(
         "doc_id", "lang", "source", F.size("shingles").cast("long").alias("n_sh")
     )
+    # Group key is the shingle *hash* (xxhash64, internal only):
+    # 8 bytes through the shuffle instead of the string.
     exploded = shingled.select(
-        "doc_id", "lang", "source", F.explode("shingles").alias("sh")
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+        ).alias("sh"),
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    # Instead of a self-join of two exploded tables (quadratic shuffle
+    # on both sides), group doc_ids per (bucket, shingle) and emit the
+    # i<j pairs in-group: one shuffle in, pair rows out.
+    grouped = exploded.groupBy("lang", "source", "sh").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("ids")
+    )
+    n = F.size("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, n - i - 1),
+                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+            ),
+        )
+    )
     common = (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
-        )
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col("doc_id").alias("id1"), F.col("n_sh").alias("n1"))
