@@ -25,10 +25,17 @@ class QuerySpec:
 
 
 def all_queries() -> list[QuerySpec]:
-    from goe_spark.queries import dedup, relational, similarity, text, validation
+    from goe_spark.queries import (
+        dedup,
+        offload,
+        relational,
+        similarity,
+        text,
+        validation,
+    )
 
     specs: list[QuerySpec] = []
-    for mod in (relational, validation, dedup, text, similarity):
+    for mod in (relational, validation, offload, dedup, text, similarity):
         specs.extend(mod.QUERIES)
     names = [s.name for s in specs]
     dupes = {n for n in names if names.count(n) > 1}
