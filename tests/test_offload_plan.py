@@ -1,0 +1,167 @@
+"""Partition selection, chunking, metadata store, and the end-to-end
+offload pipeline on the sf0.001 fixtures (the reference's
+test_offload_basic / test_offload_rpa shapes)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from goe_spark.plans.chunker import chunk_partitions
+from goe_spark.plans.metadata import MetadataStore, OffloadMetadata
+from goe_spark.plans.offload import (
+    OffloadConfig,
+    OffloadPipeline,
+    OffloadValidationError,
+    PartitionSpec,
+)
+from goe_spark.plans.partitions import (
+    PartitionSelectionError,
+    SourcePartition,
+    hwm_of,
+    select_full,
+    select_list,
+    select_range,
+)
+from tests.conftest import SF_SMALL
+
+P = SourcePartition
+
+
+def parts():
+    return [
+        P("p2012_01", "2012-01", 4 * 1024**3, 100),
+        P("p2012_02", "2012-02", 4 * 1024**3, 100),
+        P("p2012_03", "2012-03", 4 * 1024**3, 100),
+        P("p2012_03b", "2012-03", 1 * 1024**3, 10),
+        P("p2012_04", "2012-04", 4 * 1024**3, 100),
+        P("pmax", "MAXVALUE", 1 * 1024**3, 5),
+    ]
+
+
+def test_select_full():
+    assert len(select_full(parts())) == 6
+
+
+def test_select_range():
+    got = select_range(parts(), new_hwm="2012-03")
+    assert [p.name for p in got] == ["p2012_01", "p2012_02", "p2012_03", "p2012_03b"]
+    # Incremental append from a prior HWM.
+    got = select_range(parts(), new_hwm="2012-04", prior_hwm="2012-02")
+    assert [p.name for p in got] == ["p2012_03", "p2012_03b", "p2012_04"]
+    # MAXVALUE partition never joins a range append.
+    got = select_range(parts(), new_hwm=None)
+    assert "pmax" not in [p.name for p in got]
+    assert hwm_of(got) == "2012-04"
+
+
+def test_select_list():
+    got = select_list(parts(), requested_names=["p2012_02", "p2012_04"])
+    assert [p.name for p in got] == ["p2012_02", "p2012_04"]
+    got = select_list(parts(), requested_values=["2012-03"])
+    assert [p.name for p in got] == ["p2012_03", "p2012_03b"]
+    got = select_list(
+        parts(), requested_values=["2012-03"], offloaded_values=["2012-03"]
+    )
+    assert got == []
+    with pytest.raises(PartitionSelectionError):
+        select_list(parts(), requested_names=["nope"])
+
+
+def test_chunker_caps_and_hwm_closure():
+    chunks = list(chunk_partitions(parts(), max_bytes=8 * 1024**3, max_count=100))
+    # 4+4 fits, next 4 would overflow -> new chunk; p2012_03b shares
+    # the 2012-03 HWM so it must stay with p2012_03.
+    names = [[p.name for p in c] for c in chunks]
+    assert names == [
+        ["p2012_01", "p2012_02"],
+        ["p2012_03", "p2012_03b"],
+        ["p2012_04", "pmax"],
+    ]
+    # Count cap of 1 still keeps HWM-sharing partitions together.
+    chunks = list(chunk_partitions(parts(), max_count=1))
+    names = [[p.name for p in c] for c in chunks]
+    assert ["p2012_03", "p2012_03b"] in names
+
+
+def test_metadata_store(tmp_path):
+    store = MetadataStore(str(tmp_path))
+    assert store.get("sh", "sales") is None
+    md = OffloadMetadata(owner="sh", table_name="sales")
+    md.incremental_high_value = "2012-03"
+    store.save(md)
+    got = store.get("sh", "sales")
+    assert got.incremental_high_value == "2012-03"
+    assert got.offload_version == 1
+    store.save(got)
+    assert store.get("sh", "sales").offload_version == 2
+    store.delete("sh", "sales")
+    assert store.get("sh", "sales") is None
+
+
+# --- end-to-end pipeline ---------------------------------------------------
+
+
+def _cfg(tmp_path, **kw):
+    base = dict(
+        owner="tpch",
+        table_name="lineitem",
+        target_dir=str(tmp_path / "final"),
+        staging_dir=str(tmp_path / "staging"),
+        metadata_dir=str(tmp_path / "meta"),
+        partition=PartitionSpec(source_column="l_shipdate", kind="date", granularity="M"),
+    )
+    base.update(kw)
+    return OffloadConfig(**base)
+
+
+def test_offload_full_table(spark, tmp_path):
+    src = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    cfg = _cfg(tmp_path)
+    result = OffloadPipeline(spark, cfg).run(src)
+    assert result.rows_staged == src.count()
+    assert result.rows_final == result.rows_staged
+    assert "VALIDATE_STAGED_DATA" in result.steps
+    final = spark.read.parquet(cfg.target_dir)
+    # Partition pruning works on the synthetic column.
+    one_month = result.partitions_written[0]
+    pruned = final.where(F.col("goe_part_key") == one_month)
+    assert pruned.count() > 0
+    # Values survive the staging->cast round trip.
+    assert final.agg(F.sum("l_quantity")).collect()[0][0] == pytest.approx(
+        src.agg(F.sum("l_quantity")).collect()[0][0]
+    )
+
+
+def test_offload_incremental_range(spark, tmp_path):
+    src = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    cfg1 = _cfg(tmp_path, hwm="1997-12")
+    r1 = OffloadPipeline(spark, cfg1).run(src)
+    assert max(r1.partitions_written) <= "1997-12"
+
+    # Second run appends only partitions after the stored HWM.
+    cfg2 = _cfg(tmp_path, hwm="2001-12")
+    r2 = OffloadPipeline(spark, cfg2).run(src)
+    assert min(r2.partitions_written) > "1997-12"
+    assert r1.rows_staged + r2.rows_staged == src.count()
+    final = spark.read.parquet(cfg1.target_dir)
+    assert final.count() == src.count()
+
+    md = MetadataStore(cfg1.metadata_dir).get("tpch", "lineitem")
+    assert md.incremental_high_value == "2001-12"
+    assert md.offload_type == "RANGE"
+
+
+def test_offload_predicate_dedupe(spark, tmp_path):
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    cfg = _cfg(
+        tmp_path,
+        table_name="orders",
+        partition=None,
+        offload_predicate='column(o_orderpriority) = string("1-URGENT")',
+    )
+    r = OffloadPipeline(spark, cfg).run(src)
+    assert r.rows_final > 0
+    # Re-offloading the same predicate is rejected.
+    with pytest.raises(OffloadValidationError):
+        OffloadPipeline(spark, cfg).run(src)
