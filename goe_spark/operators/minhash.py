@@ -1,0 +1,154 @@
+"""MinHash + LSH and SimHash signature builders (cross-engine).
+
+Everything is built-in column expressions over the cross-engine
+md5-derived base hash (goe_spark.functions.hashing) so the DuckDB
+oracle can recompute identical signatures. No Python in the row path:
+at 100 TB the signature computation is map-side codegen; the only
+shuffles are the LSH band bucketing and the candidate-pair distinct.
+
+MinHash: h_i(doc) = min over shingles s of (a_i*hash31(s)+b_i) mod p.
+LSH: split the K minhash values into B bands of R rows; docs sharing
+any band signature become candidate pairs; estimated Jaccard =
+matching minhash components / K.
+
+SimHash: bit_j = [ sum over tokens of (2*bit_j(hash31(t))-1) >= 0 ];
+near-dups have small hamming distance between signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from goe_spark.functions.hashing import MERSENNE_P, minhash_coeffs
+
+K_MINHASH = 16
+LSH_BANDS = 4
+LSH_ROWS = 4
+SIMHASH_BITS = 16
+
+COEFFS = minhash_coeffs(K_MINHASH)
+
+
+def hash31_lambda(s: Column) -> Column:
+    """hash31 usable inside higher-order-function lambdas."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        F.lit(MERSENNE_P),
+    )
+
+
+def hash31_lambda_sql(expr: str) -> str:
+    return (
+        f"(cast(concat('0x', substr(md5({expr}), 1, 15)) as bigint) % {MERSENNE_P})"
+    )
+
+
+def shingle_hashes(shingles: Column) -> Column:
+    return F.transform(shingles, lambda s: hash31_lambda(s))
+
+
+def shingle_hashes_sql(expr: str) -> str:
+    return f"list_transform({expr}, s -> {hash31_lambda_sql('s')})"
+
+
+def _perm(a: int, b: int):
+    # Single-arg lambda factory: a default-arg closure would raise the
+    # lambda arity and PySpark would bind extra lambda variables.
+    return lambda x: F.pmod(x * F.lit(a) + F.lit(b), F.lit(MERSENNE_P))
+
+
+def minhash_signature(hashes: Column) -> Column:
+    """Array of K minhash values from an array of shingle hashes."""
+    return F.array(
+        *[F.array_min(F.transform(hashes, _perm(a, b))) for a, b in COEFFS]
+    )
+
+
+def minhash_signature_sql(expr: str) -> str:
+    mins = [
+        f"list_min(list_transform({expr}, x -> (x * {a} + {b}) % {MERSENNE_P}))"
+        for a, b in COEFFS
+    ]
+    return "[" + ", ".join(mins) + "]"
+
+
+def band_structs(mh: Column) -> Column:
+    """Array of (band, signature-string) structs for LSH bucketing."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ":",
+                    F.transform(
+                        F.slice(mh, b * LSH_ROWS + 1, LSH_ROWS),
+                        lambda x: x.cast("string"),
+                    ),
+                ).alias("sig"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+
+
+def band_rows_sql(mh_expr: str) -> str:
+    """SQL rows (band, sig) via UNION ALL over the band index."""
+    parts = [
+        f"SELECT doc_id, {b} AS band, "
+        f"array_to_string(list_slice({mh_expr}, {b * LSH_ROWS + 1}, {(b + 1) * LSH_ROWS}), ':') AS sig "
+        "FROM sigs"
+        for b in range(LSH_BANDS)
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def minhash_agreement(mh1: Column, mh2: Column) -> Column:
+    """Fraction of matching minhash components (Jaccard estimate)."""
+    return F.size(
+        F.filter(F.zip_with(mh1, mh2, lambda x, y: x == y), lambda v: v)
+    ) / F.lit(float(K_MINHASH))
+
+
+def minhash_agreement_sql(a: str, b: str) -> str:
+    return (
+        f"(len(list_filter(list_zip({a}, {b}), p -> p[1] = p[2])) "
+        f"/ cast({K_MINHASH} as double))"
+    )
+
+
+def _bit_vote(j: int):
+    return lambda acc, x: acc + (
+        F.shiftright(x, j).bitwiseAND(F.lit(1)) * 2 - 1
+    )
+
+
+def simhash_signature(token_hashes: Column) -> Column:
+    """16-bit simhash from an array of token hashes."""
+    bits = []
+    for j in range(SIMHASH_BITS):
+        vote = F.aggregate(token_hashes, F.lit(0).cast("long"), _bit_vote(j))
+        bits.append(F.when(vote >= 0, F.lit(2**j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def simhash_signature_sql(hashes_expr: str) -> str:
+    terms = []
+    for j in range(SIMHASH_BITS):
+        vote = (
+            f"list_reduce(list_transform({hashes_expr}, "
+            f"x -> ((x >> {j}) & 1) * 2 - 1), (a, b) -> a + b)"
+        )
+        terms.append(f"(CASE WHEN {vote} >= 0 THEN {2**j} ELSE 0 END)")
+    return "cast((" + " + ".join(terms) + ") as bigint)"
+
+
+def hamming(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b)).cast("int")
+
+
+def hamming_sql(a: str, b: str) -> str:
+    return f"cast(bit_count(xor({a}, {b})) as int)"

@@ -30,12 +30,21 @@ def all_queries() -> list[QuerySpec]:
         offload,
         relational,
         similarity,
+        streaming_batch,
         text,
         validation,
     )
 
     specs: list[QuerySpec] = []
-    for mod in (relational, validation, offload, dedup, text, similarity):
+    for mod in (
+        relational,
+        validation,
+        offload,
+        dedup,
+        text,
+        similarity,
+        streaming_batch,
+    ):
         specs.extend(mod.QUERIES)
     names = [s.name for s in specs]
     dupes = {n for n in names if names.count(n) > 1}

@@ -1,0 +1,206 @@
+"""Structured Streaming over the events table.
+
+Additive scope (SURVEY §2.9: the reference is batch-only). Two
+operators:
+
+- windowed_event_counts: tumbling-window aggregate via readStream ->
+  groupBy(window(...)) -> memory sink. Run with the availableNow
+  trigger it drains the backlog and stops — the batch-equivalent
+  result, which is exactly what the DuckDB oracle recomputes. On a
+  live cluster the same plan runs unbounded with a watermark bounding
+  state.
+
+- sessionize (applyInPandasWithState): custom stateful operator
+  assigning gap-based sessions per user. The streaming path keeps one
+  small state row per user; the batch twin (sessionization_stats in
+  queries/streaming_batch.py) is the lag/cumsum window formulation
+  the oracle verifies.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_GAP_MIN = 30
+
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the nanos->timestamp
+    conversion applied (same normalization as catalog.load_table)."""
+    # The fixture is a single file, but the streaming file source
+    # needs a directory: point basePath at sf_dir and glob-filter to
+    # the events file only (the other tables have different schemas).
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    window_duration: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling-window counts per event_type, drained with
+    availableNow into a memory sink; returns the sink as a DataFrame.
+
+    Complete output mode emits every window on the final drain, so the
+    finite-input result equals the batch group-by (the oracle).
+    """
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    sink = f"win_counts_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts", LongType()),
+        StructField("start_ts", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+def _sessionize_fn(key, pdf_iter, state):
+    """applyInPandasWithState update function: gap-based sessions.
+
+    State carries (last_ts, start_ts, n, total). Events arrive sorted
+    per key within the batch (we sort); a gap > SESSION_GAP_MIN closes
+    the current session and emits it.
+    """
+    import pandas as pd
+
+    gap = SESSION_GAP_MIN * 60 * 1_000_000
+    (user_id,) = key
+    if state.exists:
+        last_ts, start_ts, n, total = state.get
+    else:
+        last_ts = start_ts = None
+        n, total = 0, 0.0
+
+    out = []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values("ts")
+        for ts, value in zip(pdf["ts"], pdf["value"]):
+            t = round(ts.timestamp() * 1_000_000)  # integer micros
+            if last_ts is not None and t - last_ts > gap:
+                out.append((user_id, start_ts, last_ts, n, total))
+                start_ts, n, total = t, 0, 0.0
+            if start_ts is None:
+                start_ts = t
+            last_ts = t
+            n += 1
+            total += float(value)
+
+    if state.hasTimedOut:
+        if n:
+            out.append((user_id, start_ts, last_ts, n, total))
+        state.remove()
+    else:
+        state.update((last_ts, start_ts, n, total))
+        state.setTimeoutDuration(60 * 1000)
+
+    if out:
+        yield pd.DataFrame(
+            {
+                "user_id": [r[0] for r in out],
+                "session_start": [
+                    pd.Timestamp(r[1], unit="us", tz="UTC") for r in out
+                ],
+                "session_end": [
+                    pd.Timestamp(r[2], unit="us", tz="UTC") for r in out
+                ],
+                "n_events": [r[3] for r in out],
+                "total_value": [round(r[4], 2) for r in out],
+            }
+        )
+
+
+def sessionize_stream(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Gap-based sessionization as a custom stateful streaming
+    operator. Returns the memory-sink table of CLOSED sessions (open
+    sessions remain in state — correct streaming semantics)."""
+    stream = events_stream(spark, sf_dir)
+    sessions = (
+        stream.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="ProcessingTimeTimeout",
+        )
+    )
+    sink = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
