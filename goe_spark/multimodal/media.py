@@ -1,0 +1,208 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Additive scope for the training-data pipeline (no reference analog —
+SURVEY.md §2.9/§2.10 note GOE is flat-relational). Design:
+
+- media is a table of (media_id, kind, content: binary, meta struct) —
+  the engine never interprets the binary in the JVM; all decode /
+  feature-extract / resize / frame-sample run as Arrow-batched
+  ``mapInPandas`` UDFs so each Python worker sees columnar batches of
+  raw bytes, never row-at-a-time.
+- the actual codecs (PIL/librosa/av) are NOT in this container, so the
+  real decode raises ``NotImplementedError`` and the pipeline runs a
+  clearly-marked deterministic fake that derives features from the
+  byte length alone. The *plumbing* — schema, Arrow batch shape,
+  partitioning — is real and what the tests pin down.
+
+Scale notes: content bytes dominate width — the column is only
+selected in the decode stage, so Parquet column pruning keeps every
+other stage metadata-only. Feature extraction is embarrassingly
+parallel (mapInPandas, no shuffle); ``spark.sql.files.maxPartitionBytes``
+bounds per-task memory with large payloads. Batches arrive in
+``spark.sql.execution.arrow.maxRecordsPerBatch`` chunks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+KINDS = ("image", "audio", "video")
+
+MEDIA_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+
+def attach_media(documents: DataFrame) -> DataFrame:
+    """Documents → media table with an opaque binary content column.
+
+    The payload is the UTF-8 encoding of the text (deterministic, so
+    the DuckDB oracle can recompute byte lengths via encode()); kind
+    round-robins by doc_id. In production this column is real
+    image/audio/video bytes read from object storage.
+    """
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in KINDS]),
+        (F.col("doc_id") % len(KINDS) + 1).cast("int"),
+    )
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+
+
+def decode_image(content: bytes) -> object:
+    """REAL image decode — requires an imaging library not present in
+    this container. The distributed plumbing calls the deterministic
+    fake instead; swap this in when PIL/opencv is available."""
+    raise NotImplementedError(
+        "image codec not available in this environment; "
+        "decode_media_features(fake=True) provides the deterministic stub"
+    )
+
+
+def _fake_features(media_id: int, kind: str, n_bytes: int) -> tuple:
+    """Deterministic fake decode: features derived from byte length
+    only, so correctness is oracle-checkable. CLEARLY A STUB — real
+    decode populates these from the codec."""
+    width = height = sample_rate = duration_ms = n_frames = None
+    if kind == "image":
+        width = 32 + n_bytes % 640
+        height = 32 + (n_bytes * 7) % 480
+    elif kind == "audio":
+        sample_rate = 16000
+        duration_ms = 100 + n_bytes % 10_000
+    else:  # video
+        width = 32 + n_bytes % 1920
+        height = 32 + (n_bytes * 3) % 1080
+        n_frames = 1 + n_bytes % 240
+        duration_ms = 100 + n_bytes % 60_000
+    return (media_id, kind, n_bytes, width, height, sample_rate, duration_ms, n_frames)
+
+
+def decode_media_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Feature-extract over binary content via mapInPandas.
+
+    Arrow delivers columnar batches of (media_id, kind, content); the
+    worker emits one feature row per input row. With fake=False the
+    real codec path raises NotImplementedError (not available here).
+    """
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, kind, content in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"]
+            ):
+                b = bytes(content)
+                if not fake:
+                    decode_image(b)  # raises: codec not in container
+                rows.append(_fake_features(int(mid), kind, len(b)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_FEATURE_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(extract, schema=MEDIA_FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes_out", LongType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Resize stub: real path re-encodes pixels; the stub models the
+    output contract (fixed target dims, deterministic output size =
+    min(n_bytes, target_w*target_h*3)) through the same mapInPandas
+    plumbing a real resizer uses."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cap = target_w * target_h * 3
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "width": target_w,
+                    "height": target_h,
+                    "n_bytes_out": [
+                        min(len(bytes(c)), cap) for c in pdf["content"]
+                    ],
+                }
+            )
+            out["width"] = out["width"].astype("int32")
+            out["height"] = out["height"].astype("int32")
+            yield out
+
+    return media.where(F.col("kind") == "image").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_offset_bytes", LongType()),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """Frame-sampling stub for video: emits one row per sampled frame
+    (index + byte offset). Real path seeks the container format; the
+    stub divides the payload evenly across the fake frame count so the
+    fan-out shape (1 input row → many output rows) is exercised."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, offs = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                n = len(bytes(content))
+                n_frames = 1 + n % 240
+                per = max(1, n // n_frames)
+                for i in range(0, n_frames, every_n):
+                    ids.append(int(mid))
+                    idxs.append(i)
+                    offs.append(i * per)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_offset_bytes": pd.Series(offs, dtype="int64"),
+                }
+            )
+
+    return media.where(F.col("kind") == "video").mapInPandas(
+        run, schema=FRAME_SCHEMA
+    )

@@ -27,6 +27,7 @@ class QuerySpec:
 def all_queries() -> list[QuerySpec]:
     from goe_spark.queries import (
         dedup,
+        multimodal,
         offload,
         relational,
         similarity,
@@ -44,6 +45,7 @@ def all_queries() -> list[QuerySpec]:
         text,
         similarity,
         streaming_batch,
+        multimodal,
     ):
         specs.extend(mod.QUERIES)
     names = [s.name for s in specs]

@@ -162,9 +162,71 @@ WHERE round({DOT_SQL.format(a='a.embedding', b='b.embedding')} / sqrt(a.nrm * b.
 """
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (operators/ivf): probe 2 of 8 coarse cells
+    instead of scanning every candidate — the 100 TB scale path where
+    brute force is the floor."""
+    from goe_spark.operators.ivf import ivf_topk
+
+    return ivf_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        n_queries=N_QUERIES,
+        top_k=TOP_K,
+    )
+
+
+ANN_IVF_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, embedding, {NORM2_SQL.format(a='embedding')} AS vnorm2
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS cell, embedding AS cvec, vnorm2 AS cnorm2
+  FROM emb WHERE vec_id < 8
+), assigned AS (
+  SELECT vec_id, cell, embedding, vnorm2 FROM (
+    SELECT e.vec_id, c.cell, e.embedding, e.vnorm2,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round({DOT_SQL.format(a='e.embedding', b='c.cvec')} / sqrt(e.vnorm2 * c.cnorm2), 6) DESC,
+                      c.cell ASC
+           ) AS rk
+    FROM emb e CROSS JOIN cents c
+  ) WHERE rk = 1
+), qry AS (
+  SELECT vec_id AS qid, embedding AS qvec, vnorm2 AS qnorm2
+  FROM emb WHERE vec_id < {N_QUERIES}
+), probes AS (
+  SELECT qid, cell FROM (
+    SELECT q.qid, c.cell,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY round({DOT_SQL.format(a='q.qvec', b='c.cvec')} / sqrt(q.qnorm2 * c.cnorm2), 6) DESC,
+                      c.cell ASC
+           ) AS rk
+    FROM qry q CROSS JOIN cents c
+  ) WHERE rk <= 2
+), scored AS (
+  SELECT q.qid, a.vec_id,
+         round({DOT_SQL.format(a='q.qvec', b='a.embedding')} / sqrt(q.qnorm2 * a.vnorm2), 6) AS cosine
+  FROM probes p
+  JOIN assigned a ON a.cell = p.cell
+  JOIN qry q ON q.qid = p.qid
+  WHERE a.vec_id != q.qid
+)
+SELECT qid, vec_id, cosine, cast(rank AS int) AS rank
+FROM (
+  SELECT qid, vec_id, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = [
     QuerySpec("ann_bruteforce_topk", ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     QuerySpec(
         "embedding_near_dup_pairs", embedding_near_dup_pairs, NEAR_DUP_SQL
     ),
+    QuerySpec("ann_ivf_topk", ann_ivf_topk, ANN_IVF_SQL),
 ]

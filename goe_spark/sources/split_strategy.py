@@ -1,0 +1,211 @@
+"""Scan-parallelization planner: how to split one big table scan.
+
+The reference decides per-table how to parallelize the frontend read
+(``get_transport_split_type``,
+src/goe/offload/oracle/oracle_offload_transport_rdbms_api.py:537-634):
+by (sub)partition, by ROWID extent, by MOD over a hash, or by an id
+range — then renders one row-source branch per batch. Spark's JDBC
+source natively supports exactly two shapes:
+
+- ``predicates=[...]`` — one WHERE fragment per Spark partition
+  (covers PARTITION and MOD splits), and
+- ``partitionColumn/lowerBound/upperBound/numPartitions`` — numeric
+  range striping (covers ID_RANGE and NATIVE_RANGE).
+
+So the planner here emits those shapes directly; the Oracle-physical
+EXTENT split (rowid ranges via a pipelined PL/SQL function) is
+deliberately dropped — hash-mod gives the same balanced-batch property
+without engine-private addressing (SURVEY.md §2.1 S3).
+
+Everything in this module is pure logic (no SparkSession): it is the
+part of the engine that must be unit-testable the way the reference
+unit-tests its transport SQL text (tests/unit/offload/
+test_offload_transport*.py).
+
+Scale notes: a split plan bounds per-task row volume, so transport
+parallelism scales linearly with executors until the source DB's
+concurrent-cursor limit; fetchsize (reference default 5000,
+src/goe/config/orchestration_defaults.py:760-762) bounds round-trips.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+# Reference defaults (src/goe/config/orchestration_defaults.py).
+DEFAULT_FETCH_SIZE = 5000
+DEFAULT_PARALLELISM = 2
+
+SPLIT_BY_PARTITION = "PARTITION"
+SPLIT_BY_MOD = "MOD"
+SPLIT_BY_ID_RANGE = "ID_RANGE"
+SPLIT_BY_NATIVE_RANGE = "NATIVE_RANGE"
+
+
+@dataclass(frozen=True)
+class SplitPlan:
+    """A fully decided parallel-scan plan for one table."""
+
+    split_type: str
+    # predicates-shaped plans (PARTITION / MOD)
+    predicates: tuple[str, ...] = ()
+    # range-shaped plans (ID_RANGE / NATIVE_RANGE)
+    partition_column: str | None = None
+    lower_bound: int | None = None
+    upper_bound: int | None = None
+    num_partitions: int | None = None
+    fetch_size: int = DEFAULT_FETCH_SIZE
+    session_init_statement: str | None = None
+    snapshot_clause: str | None = None  # e.g. "AS OF SCN 123" pass-through
+    notes: tuple[str, ...] = ()
+
+
+def partition_split_predicates(
+    partition_names: list[str],
+    parallelism: int,
+    quote: str = '"',
+) -> list[str]:
+    """One predicate per batch, each covering partition i % parallelism.
+
+    The reference emits one UNION ALL branch per partition with a
+    ``batch = i % parallelism`` routing column
+    (oracle_offload_transport_rdbms_api.py:685-719); with Spark the
+    same routing is the ``predicates`` array — each array element
+    becomes one Spark partition, so we group partitions round-robin
+    into ``parallelism`` disjoint IN-lists.
+    """
+    if parallelism < 1:
+        raise ValueError("parallelism must be >= 1")
+    batches: list[list[str]] = [[] for _ in range(min(parallelism, len(partition_names)))]
+    for i, p in enumerate(partition_names):
+        batches[i % len(batches)].append(p)
+    col = f"{quote}GOE_PARTITION_NAME{quote}"
+    return [
+        col + " IN (" + ", ".join(f"'{p}'" for p in batch) + ")"
+        for batch in batches
+        if batch
+    ]
+
+
+def mod_split_predicates(
+    column: str,
+    parallelism: int,
+    hash_template: str = "MOD(ABS(HASH({col})), {n})",
+) -> list[str]:
+    """Hash-mod batch predicates: one per batch k.
+
+    Mirrors the MOD split (oracle_offload_transport_rdbms_api.py:
+    754-775) where the batch column is ``MOD(ORA_HASH(col), degree)``.
+    The hash expression is dialect-templated because it runs inside the
+    source database, not in Spark.
+    """
+    if parallelism < 1:
+        raise ValueError("parallelism must be >= 1")
+    expr = hash_template.format(col=column, n=parallelism)
+    return [f"{expr} = {k}" for k in range(parallelism)]
+
+
+def id_range_split(
+    column: str,
+    min_value: int,
+    max_value: int,
+    parallelism: int,
+) -> SplitPlan:
+    """Numeric range striping with known bounds.
+
+    Matches the reference's ID_RANGE (min/max queried up front,
+    oracle_offload_transport_rdbms_api.py:776-811). Spark's JDBC
+    range partitioning makes the upper bound exclusive-ish (rows >=
+    upperBound all land in the last stripe), so like the reference's
+    ``upperBound+1`` adjustment (offload_transport.py:1527-1535) we
+    pad the top to keep stripes balanced.
+    """
+    return SplitPlan(
+        split_type=SPLIT_BY_ID_RANGE,
+        partition_column=column,
+        lower_bound=int(min_value),
+        upper_bound=int(max_value) + 1,
+        num_partitions=max(1, parallelism),
+    )
+
+
+def native_range_split(column: str, parallelism: int) -> SplitPlan:
+    """Range striping where bounds are discovered by the engine.
+
+    NATIVE_RANGE in the reference defers min/max discovery to Spark
+    (offload_transport.py:1578-1604); bounds are filled in by the
+    caller after a cheap ``SELECT MIN(col), MAX(col)`` — represented
+    here as a plan with unresolved bounds.
+    """
+    return SplitPlan(
+        split_type=SPLIT_BY_NATIVE_RANGE,
+        partition_column=column,
+        num_partitions=max(1, parallelism),
+        notes=("bounds unresolved: run SELECT MIN/MAX before binding",),
+    )
+
+
+@dataclass(frozen=True)
+class TableScanMeta:
+    """What the planner needs to know about the source table."""
+
+    partition_names: tuple[str, ...] = ()
+    numeric_id_column: str | None = None
+    id_bounds: tuple[int, int] | None = None  # (min, max) if known
+    id_nullable: bool = True
+    any_column: str | None = None  # fallback column for MOD hashing
+
+
+def choose_split_strategy(
+    meta: TableScanMeta,
+    parallelism: int = DEFAULT_PARALLELISM,
+    fetch_size: int = DEFAULT_FETCH_SIZE,
+    snapshot_clause: str | None = None,
+) -> SplitPlan:
+    """Decide the split type for a table, reference-priority order.
+
+    Priority (get_transport_split_type, oracle_offload_transport_
+    rdbms_api.py:537-634, minus the Oracle-physical EXTENT option):
+
+    1. partitioned table → PARTITION split (aligns transport batches
+       with pruning and with incremental-offload chunks);
+    2. non-null numeric id with known bounds → ID_RANGE;
+    3. non-null numeric id, bounds unknown → NATIVE_RANGE (Spark
+       discovers bounds);
+    4. otherwise → MOD over a hash of any stable column (null-safe:
+       hash(NULL) lands in one batch rather than being dropped, which
+       is why MOD is the fallback when the id column is nullable —
+       range striping silently drops NULL ids).
+    """
+    base = dict(fetch_size=fetch_size, snapshot_clause=snapshot_clause)
+    if meta.partition_names:
+        return SplitPlan(
+            split_type=SPLIT_BY_PARTITION,
+            predicates=tuple(
+                partition_split_predicates(list(meta.partition_names), parallelism)
+            ),
+            **base,
+        )
+    if meta.numeric_id_column and not meta.id_nullable:
+        if meta.id_bounds is not None:
+            lo, hi = meta.id_bounds
+            plan = id_range_split(meta.numeric_id_column, lo, hi, parallelism)
+        else:
+            plan = native_range_split(meta.numeric_id_column, parallelism)
+        return SplitPlan(
+            split_type=plan.split_type,
+            partition_column=plan.partition_column,
+            lower_bound=plan.lower_bound,
+            upper_bound=plan.upper_bound,
+            num_partitions=plan.num_partitions,
+            notes=plan.notes,
+            **base,
+        )
+    col = meta.numeric_id_column or meta.any_column
+    if not col:
+        raise ValueError("no splittable column available")
+    return SplitPlan(
+        split_type=SPLIT_BY_MOD,
+        predicates=tuple(mod_split_predicates(col, parallelism)),
+        **base,
+    )

@@ -120,12 +120,18 @@ _STATE_SCHEMA = StructType(
 )
 
 
-def _sessionize_fn(key, pdf_iter, state):
+def _sessionize_fn(key, pdf_iter, state, use_timeout: bool = False):
     """applyInPandasWithState update function: gap-based sessions.
 
     State carries (last_ts, start_ts, n, total). Events arrive sorted
     per key within the batch (we sort); a gap > SESSION_GAP_MIN closes
     the current session and emits it.
+
+    ``use_timeout`` governs idle-session flushing on a live stream
+    (ProcessingTimeTimeout). It must stay False for finite availableNow
+    drains: pending processing-time timeouts keep the trigger loop
+    alive ("no new data but cleaning up state") and the drain never
+    terminates — open sessions correctly stay in state instead.
     """
     import pandas as pd
 
@@ -151,13 +157,14 @@ def _sessionize_fn(key, pdf_iter, state):
             n += 1
             total += float(value)
 
-    if state.hasTimedOut:
+    if use_timeout and state.hasTimedOut:
         if n:
             out.append((user_id, start_ts, last_ts, n, total))
         state.remove()
     else:
         state.update((last_ts, start_ts, n, total))
-        state.setTimeoutDuration(60 * 1000)
+        if use_timeout:
+            state.setTimeoutDuration(60 * 1000)
 
     if out:
         yield pd.DataFrame(
@@ -176,21 +183,32 @@ def _sessionize_fn(key, pdf_iter, state):
 
 
 def sessionize_stream(
-    spark: SparkSession, sf_dir: str, checkpoint_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    use_timeout: bool = False,
 ) -> DataFrame:
     """Gap-based sessionization as a custom stateful streaming
     operator. Returns the memory-sink table of CLOSED sessions (open
-    sessions remain in state — correct streaming semantics)."""
+    sessions remain in state — correct streaming semantics).
+
+    ``use_timeout=True`` adds idle-session flushing for a live
+    unbounded deployment; it must stay off for availableNow drains
+    (see _sessionize_fn)."""
+    import functools
+
     stream = events_stream(spark, sf_dir)
     sessions = (
         stream.select("user_id", "ts", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _sessionize_fn,
+            functools.partial(_sessionize_fn, use_timeout=use_timeout),
             outputStructType=SESSION_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf="ProcessingTimeTimeout",
+            timeoutConf=(
+                "ProcessingTimeTimeout" if use_timeout else "NoTimeout"
+            ),
         )
     )
     sink = f"sessions_{uuid.uuid4().hex[:8]}"

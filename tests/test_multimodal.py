@@ -1,0 +1,86 @@
+"""Multimodal plumbing: schema, Arrow batch shape, determinism, and
+the clearly-marked real-codec stub."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from goe_spark.catalog import load_table
+from goe_spark.multimodal import (
+    MEDIA_FEATURE_SCHEMA,
+    attach_media,
+    decode_media_features,
+    frame_sample,
+    resize_images,
+)
+from goe_spark.multimodal.media import decode_image
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return attach_media(load_table(spark, SF_SMALL, "documents")).cache()
+
+
+def test_media_schema_is_opaque_binary(media):
+    kinds = dict(media.groupBy("kind").count().collect())
+    assert set(kinds) == {"image", "audio", "video"}
+    assert dict(media.dtypes)["content"] == "binary"
+
+
+def test_decode_features_schema_and_rows(media):
+    feats = decode_media_features(media)
+    assert feats.schema == MEDIA_FEATURE_SCHEMA
+    assert feats.count() == media.count()
+    img = feats.where("kind = 'image'").first()
+    assert img.width is not None and img.sample_rate is None
+    aud = feats.where("kind = 'audio'").first()
+    assert aud.sample_rate == 16000 and aud.width is None
+
+
+def test_decode_is_deterministic(media):
+    a = sorted(map(tuple, decode_media_features(media).collect()))
+    b = sorted(map(tuple, decode_media_features(media).collect()))
+    assert a == b
+
+
+def test_n_bytes_matches_utf8_length(media, spark):
+    feats = decode_media_features(media)
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.octet_length(F.encode("text", "UTF-8")).alias("expect"),
+    )
+    bad = (
+        feats.join(docs, "media_id")
+        .where(F.col("n_bytes") != F.col("expect"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_real_codec_is_stubbed():
+    with pytest.raises(NotImplementedError, match="codec not available"):
+        decode_image(b"\x89PNG")
+
+
+def test_resize_contract(media):
+    out = resize_images(media, 224, 224)
+    rows = out.collect()
+    assert all(r.width == 224 and r.height == 224 for r in rows)
+    assert all(r.n_bytes_out <= 224 * 224 * 3 for r in rows)
+    assert len(rows) == media.where("kind = 'image'").count()
+
+
+def test_frame_sample_fanout(media):
+    frames = frame_sample(media, every_n=30)
+    per_media = frames.groupBy("media_id").count()
+    # every video yields >= 1 frame row; offsets are increasing
+    assert per_media.where("count < 1").count() == 0
+    one = (
+        frames.orderBy("media_id", "frame_idx")
+        .where(F.col("media_id") == per_media.first().media_id)
+        .collect()
+    )
+    offs = [r.frame_offset_bytes for r in one]
+    assert offs == sorted(offs)

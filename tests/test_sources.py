@@ -1,0 +1,196 @@
+"""Sources layer: split planner, JDBC option binding, staging sinks.
+
+Planner tests are pure (the reference's transport-SQL-text test style,
+tests/unit/offload/test_offload_transport*.py); the predicate-replay
+tests prove each plan's batches are disjoint and complete by running
+them as filters over the parquet fixtures.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from goe_spark.sources import (
+    FileSource,
+    choose_split_strategy,
+    id_range_split,
+    jdbc_reader_options,
+    mod_split_predicates,
+    partition_split_predicates,
+    read_staging,
+    write_staging,
+)
+from goe_spark.sources.split_strategy import (
+    SPLIT_BY_ID_RANGE,
+    SPLIT_BY_MOD,
+    SPLIT_BY_NATIVE_RANGE,
+    SPLIT_BY_PARTITION,
+    TableScanMeta,
+)
+from tests.conftest import SF_SMALL
+
+
+class TestPlannerChoice:
+    def test_partitioned_table_wins(self):
+        meta = TableScanMeta(
+            partition_names=("P1", "P2", "P3"),
+            numeric_id_column="id",
+            id_nullable=False,
+            id_bounds=(1, 100),
+        )
+        plan = choose_split_strategy(meta, parallelism=2)
+        assert plan.split_type == SPLIT_BY_PARTITION
+        assert len(plan.predicates) == 2
+
+    def test_id_range_when_bounds_known(self):
+        meta = TableScanMeta(
+            numeric_id_column="o_orderkey", id_nullable=False, id_bounds=(1, 6000)
+        )
+        plan = choose_split_strategy(meta, parallelism=4)
+        assert plan.split_type == SPLIT_BY_ID_RANGE
+        assert (plan.lower_bound, plan.upper_bound) == (1, 6001)  # +1 pad
+        assert plan.num_partitions == 4
+
+    def test_native_range_when_bounds_unknown(self):
+        meta = TableScanMeta(numeric_id_column="id", id_nullable=False)
+        plan = choose_split_strategy(meta, parallelism=4)
+        assert plan.split_type == SPLIT_BY_NATIVE_RANGE
+        assert plan.lower_bound is None
+
+    def test_mod_fallback_for_nullable_id(self):
+        # range striping drops NULL ids; MOD keeps them
+        meta = TableScanMeta(numeric_id_column="id", id_nullable=True)
+        plan = choose_split_strategy(meta, parallelism=3)
+        assert plan.split_type == SPLIT_BY_MOD
+        assert len(plan.predicates) == 3
+
+    def test_no_splittable_column_raises(self):
+        with pytest.raises(ValueError):
+            choose_split_strategy(TableScanMeta())
+
+
+class TestPredicateShapes:
+    def test_partition_batches_round_robin(self):
+        preds = partition_split_predicates(["a", "b", "c", "d", "e"], 2)
+        assert preds[0].count("'") == 6  # a, c, e
+        assert preds[1].count("'") == 4  # b, d
+        assert all("GOE_PARTITION_NAME" in p for p in preds)
+
+    def test_more_parallelism_than_partitions(self):
+        preds = partition_split_predicates(["a"], 8)
+        assert len(preds) == 1
+
+    def test_mod_covers_all_residues(self):
+        preds = mod_split_predicates("cust_id", 4)
+        assert preds == [
+            f"MOD(ABS(HASH(cust_id)), 4) = {k}" for k in range(4)
+        ]
+
+
+class TestJdbcBinding:
+    def test_range_options(self):
+        plan = id_range_split("o_orderkey", 1, 100, 4)
+        opts = jdbc_reader_options(
+            "jdbc:x", "sales.orders", plan, columns=["a", "b"], where="a > 0"
+        )
+        assert opts["partitionColumn"] == "o_orderkey"
+        assert (opts["lowerBound"], opts["upperBound"]) == ("1", "101")
+        assert opts["numPartitions"] == "4"
+        assert opts["fetchsize"] == "5000"
+        assert opts["dbtable"] == "(SELECT a, b FROM sales.orders WHERE a > 0) goe_src"
+
+    def test_snapshot_clause_passthrough(self):
+        meta = TableScanMeta(
+            numeric_id_column="id", id_nullable=False, id_bounds=(0, 9)
+        )
+        plan = choose_split_strategy(meta, snapshot_clause="AS OF SCN 42")
+        opts = jdbc_reader_options("jdbc:x", "t", plan)
+        assert "t AS OF SCN 42" in opts["dbtable"]
+
+    def test_unresolved_bounds_rejected(self):
+        meta = TableScanMeta(numeric_id_column="id", id_nullable=False)
+        plan = choose_split_strategy(meta)
+        with pytest.raises(ValueError, match="unresolved"):
+            jdbc_reader_options("jdbc:x", "t", plan)
+
+
+class TestPredicateReplay:
+    """Prove plans partition the data: disjoint batches, complete union.
+
+    The predicates are written for the source database's SQL dialect;
+    replaying them through Spark SQL filters over parquet checks the
+    partitioning *algebra* (every row lands in exactly one batch).
+    """
+
+    def test_mod_split_partitions_orders(self, spark):
+        orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        orders.createOrReplaceTempView("t_orders_split")
+        n = 4
+        # pmod(hash(col), n) is the Spark-dialect binding of the MOD
+        # split template (hash() can return INT_MIN, where ABS is a
+        # no-op — pmod sidesteps that).
+        preds = mod_split_predicates(
+            "o_custkey", n, hash_template="pmod(hash({col}), {n})"
+        )
+        total = orders.count()
+        batch_counts = [
+            spark.sql(f"SELECT count(*) c FROM t_orders_split WHERE {p}").first().c
+            for p in preds
+        ]
+        assert sum(batch_counts) == total
+        assert all(c > 0 for c in batch_counts)
+
+    def test_id_range_split_covers_orders(self, spark):
+        orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        row = orders.selectExpr(
+            "min(o_orderkey) lo", "max(o_orderkey) hi", "count(*) n"
+        ).first()
+        plan = id_range_split("o_orderkey", row.lo, row.hi, 4)
+        # Replicate Spark's JDBC stripe arithmetic: stride-based, first
+        # and last stripes unbounded.
+        lo, hi, np_ = plan.lower_bound, plan.upper_bound, plan.num_partitions
+        stride = (hi - lo) // np_
+        bounds = [lo + stride * i for i in range(1, np_)]
+        clauses = []
+        prev = None
+        for b in bounds:
+            if prev is None:
+                clauses.append(f"o_orderkey < {b}")
+            else:
+                clauses.append(f"o_orderkey >= {prev} AND o_orderkey < {b}")
+            prev = b
+        clauses.append(f"o_orderkey >= {prev}")
+        orders.createOrReplaceTempView("t_orders_range")
+        counts = [
+            spark.sql(f"SELECT count(*) c FROM t_orders_range WHERE {cl}").first().c
+            for cl in clauses
+        ]
+        assert sum(counts) == row.n
+
+
+class TestStaging:
+    def test_roundtrip_and_view(self, spark, tmp_path):
+        src = FileSource(SF_SMALL)
+        df = src.read(spark, "region")
+        out = str(tmp_path / "stage_region")
+        write_staging(df, out, fmt="parquet", max_records_per_file=2)
+        back = read_staging(spark, out, view="load_region")
+        assert back.count() == df.count()
+        assert spark.table("load_region").columns == df.columns
+
+    def test_partitioned_staging(self, spark, tmp_path):
+        src = FileSource(SF_SMALL)
+        df = src.read(spark, "nation")
+        out = str(tmp_path / "stage_nation")
+        write_staging(df, out, partition_by=["n_regionkey"])
+        back = read_staging(spark, out)
+        assert back.count() == 25
+        # partition pruning: the filter resolves against the partition
+        # directory, not row data
+        assert back.where("n_regionkey = 0").count() == 5
+
+    def test_bad_format_rejected(self, spark):
+        src = FileSource(SF_SMALL)
+        df = src.read(spark, "region")
+        with pytest.raises(ValueError):
+            write_staging(df, "/tmp/x", fmt="xml")
