@@ -26,17 +26,25 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_regional_revenue",
+    "q6_forecast_revenue",
+    "q9_product_profit",
     "q10_returned_items",
+    "q13_customer_distribution",
+    "q18_large_orders",
     "window_top_orders_per_customer",
     "agg_validate_lineitem",
     "staged_validation_scan",
     "dedup_exact_keep_first",
     "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
     "token_stats_by_lang",
     "quality_scores_by_source",
     "doc_fingerprints",
     "ann_bruteforce_topk",
+    "ann_ivf_topk",
     "embedding_near_dup_pairs",
+    "media_decode_features",
+    "sessionization_stats",
 ]
 
 

@@ -30,6 +30,7 @@ def all_queries() -> list[QuerySpec]:
         multimodal,
         offload,
         relational,
+        relational2,
         similarity,
         streaming_batch,
         text,
@@ -39,6 +40,7 @@ def all_queries() -> list[QuerySpec]:
     specs: list[QuerySpec] = []
     for mod in (
         relational,
+        relational2,
         validation,
         offload,
         dedup,
