@@ -62,47 +62,70 @@ GROUP BY lang
 """
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word 3-gram Jaccard near-dup: shingle each doc, explode, and
-    count per-pair common shingles via a bucket-local self-join;
-    Jaccard = |∩| / (|A| + |B| - |∩|). Buckets are (lang, source) so
-    the quadratic term is bounded per bucket — at 100 TB the bucket
-    key would be an LSH band (see minhash_lsh_candidates), same plan.
+def _shingle_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, source, sh): arithmetic word-3-gram shingle
+    hashes, built through TWO bound-column projections (token hashes,
+    then shingle hashes) so no array expression is re-evaluated per
+    element — see operators.minhash.arith_shingle_hashes."""
+    from goe_spark.operators import minhash as MH
 
-    Output: doc pairs with jaccard >= 0.1 (id1 < id2).
-    """
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "text"
     )
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    shingled = d.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - 3),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(toks, i + 1),
-                    F.element_at(toks, i + 2),
-                    F.element_at(toks, i + 3),
-                ),
-            )
-        ).alias("shingles"),
+    tok_hashed = d.select(
+        "doc_id", "lang", "source", MH.token_hashes(toks).alias("th")
     ).where(F.size(toks) >= 3)
-    sizes = shingled.select(
-        "doc_id", "lang", "source", F.size("shingles").cast("long").alias("n_sh")
-    )
-    # Group key is the shingle *hash* (xxhash64, internal only):
-    # 8 bytes through the shuffle instead of the string.
-    exploded = shingled.select(
+    return tok_hashed.select(
         "doc_id",
         "lang",
         "source",
-        F.explode(
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
-        ).alias("sh"),
+        MH.arith_shingle_hashes(F.col("th")).alias("sh"),
+    )
+
+
+def _shingle_hashed_sql() -> str:
+    from goe_spark.operators import minhash as MH
+
+    toks_sql = r"regexp_split_to_array(trim(text), '\s+')"
+    th_sql = MH.token_hashes_sql(toks_sql)
+    sh_sql = MH.arith_shingle_hashes_sql("th")
+    return f"""
+  SELECT doc_id, lang, source, {sh_sql} AS sh
+  FROM (SELECT doc_id, lang, source,
+               {th_sql} AS th
+        FROM documents)
+  WHERE len(th) >= 3
+"""
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word 3-gram Jaccard near-dup: shingle-hash each doc, explode,
+    and count per-pair common shingles bucket-locally;
+    Jaccard = |∩| / (|A| + |B| - |∩|). Buckets are (lang, source) so
+    the quadratic term is bounded per bucket — at 100 TB the bucket
+    key would be an LSH band (see minhash_lsh_pairs), same plan.
+
+    Shingles are 64-bit arithmetic hashes (operators.minhash), never
+    strings: distinct/explode/shuffle all move 8 bytes per shingle,
+    and both engines compute identical hashes so the oracle agrees.
+
+    Output: doc pairs with jaccard >= 0.1 (id1 < id2).
+    """
+    shingled = _shingle_hashed(spark, sf_dir).select(
+        "doc_id", "lang", "source", F.array_distinct("sh").alias("shd")
+    )
+    sizes = shingled.select(
+        "doc_id", F.size("shd").cast("long").alias("n_sh")
+    )
+    # explode_outer, NOT explode: plain explode lets the optimizer
+    # infer a size(shd) > 0 filter and push it below the projections,
+    # inlining the whole shingle-hash expression into the filter where
+    # element_at re-evaluates the token transform per element (~60x
+    # slower, measured). Arrays here are provably non-empty (token
+    # filter upstream), so outer semantics are identical.
+    exploded = shingled.select(
+        "doc_id", "lang", "source", F.explode_outer("shd").alias("sh")
     )
     # Instead of a self-join of two exploded tables (quadratic shuffle
     # on both sides), group doc_ids per (bucket, shingle) and emit the
@@ -120,8 +143,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # n >= 2 guard is load-bearing with explode_outer: an empty pair
+    # array would otherwise emit a (NULL, NULL) row.
     common = (
-        grouped.select(F.explode(pair_structs).alias("p"))
+        grouped.where(n >= 2)
+        .select(F.explode_outer(pair_structs).alias("p"))
         .groupBy(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -143,19 +169,15 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NGRAM_JACCARD_SQL = """
-WITH toks AS (
-  SELECT doc_id, lang, source, regexp_split_to_array(trim(text), '\\s+') AS t
-  FROM documents
-), shingled AS (
-  SELECT doc_id, lang, source,
-         list_distinct(list_transform(range(len(t) - 2),
-             i -> concat(t[i+1], ' ', t[i+2], ' ', t[i+3]))) AS shingles
-  FROM toks WHERE len(t) >= 3
+def _ngram_jaccard_sql() -> str:
+    return f"""
+WITH shingled AS (
+  SELECT doc_id, lang, source, list_distinct(sh) AS shd
+  FROM ({_shingle_hashed_sql()})
 ), sizes AS (
-  SELECT doc_id, len(shingles) AS n_sh FROM shingled
+  SELECT doc_id, len(shd) AS n_sh FROM shingled
 ), exploded AS (
-  SELECT doc_id, lang, source, unnest(shingles) AS sh FROM shingled
+  SELECT doc_id, lang, source, unnest(shd) AS sh FROM shingled
 ), common AS (
   SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
   FROM exploded a JOIN exploded b
@@ -172,103 +194,63 @@ WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.1
 """
 
 
-def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id, lang, source + distinct word 3-gram shingles."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source", "text"
-    )
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    return d.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - 3),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(toks, i + 1),
-                    F.element_at(toks, i + 2),
-                    F.element_at(toks, i + 3),
-                ),
-            )
-        ).alias("shingles"),
-    ).where(F.size(toks) >= 3)
-
-
-_SHINGLED_SQL = r"""
-  SELECT doc_id, lang, source,
-         list_distinct(list_transform(range(len(t) - 2),
-             i -> concat(t[i+1], ' ', t[i+2], ' ', t[i+3]))) AS shingles
-  FROM (SELECT doc_id, lang, source,
-               regexp_split_to_array(trim(text), '\s+') AS t
-        FROM documents)
-  WHERE len(t) >= 3
-"""
+NGRAM_JACCARD_SQL = _ngram_jaccard_sql()
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates with verified agreement.
 
     Plan: signatures are map-side (md5 + modular arithmetic inside
-    codegen); one shuffle buckets docs by (band, band-signature); the
-    in-bucket pair expansion mirrors ngram_jaccard_pairs; a broadcast
-    join re-attaches the K-value signatures to score candidates. At
-    100 TB the band signature is the ONLY blocking key — no quadratic
-    term outside genuinely colliding buckets.
+    codegen) and computed ONCE — the full K-value signature rides the
+    band explode as a payload, so in-bucket pair expansion scores
+    est_jaccard inline with zero signature re-joins (an earlier
+    formulation recomputed the signature lineage three times and was
+    2.5x slower). Shuffles: one groupBy on (band, band-signature) —
+    the only blocking key at 100 TB, no quadratic term outside
+    genuinely colliding buckets — plus the cross-band dedup distinct.
     """
     from goe_spark.operators import minhash as MH
 
-    sigs = (
-        _shingled(spark, sf_dir)
-        .select(
-            "doc_id",
-            MH.minhash_signature(MH.shingle_hashes(F.col("shingles"))).alias("mh"),
-        )
+    sigs = _shingle_hashed(spark, sf_dir).select(
+        "doc_id", MH.minhash_signature(F.col("sh")).alias("mh")
     )
     bands = sigs.select(
-        "doc_id", F.explode(MH.band_structs(F.col("mh"))).alias("bs")
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+        F.struct("doc_id", "mh").alias("doc"),
+        F.explode(MH.band_structs(F.col("mh"))).alias("bs"),
+    ).select("doc", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     grouped = bands.groupBy("band", "sig").agg(
-        F.sort_array(F.collect_set("doc_id")).alias("ids")
+        F.array_sort(F.collect_set("doc")).alias("docs")
     )
-    n = F.size("ids")
+    n = F.size("docs")
     pair_structs = F.flatten(
         F.transform(
-            F.col("ids"),
+            F.col("docs"),
             lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, n - i - 1),
-                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+                F.slice(F.col("docs"), i + 2, n - i - 1),
+                lambda y: F.struct(
+                    x["doc_id"].alias("id1"),
+                    y["doc_id"].alias("id2"),
+                    F.round(
+                        MH.minhash_agreement(x["mh"], y["mh"]), 6
+                    ).alias("est_jaccard"),
+                ),
             ),
         )
     )
-    cands = (
-        grouped.where(n >= 2)
-        .select(F.explode(pair_structs).alias("p"))
-        .select("p.id1", "p.id2")
-        .distinct()
-    )
-    s1 = sigs.select(F.col("doc_id").alias("id1"), F.col("mh").alias("mh1"))
-    s2 = sigs.select(F.col("doc_id").alias("id2"), F.col("mh").alias("mh2"))
     return (
-        cands.join(s1, "id1")
-        .join(s2, "id2")
-        .select(
-            "id1",
-            "id2",
-            F.round(MH.minhash_agreement(F.col("mh1"), F.col("mh2")), 6).alias(
-                "est_jaccard"
-            ),
-        )
+        grouped.where(n >= 2)
+        .select(F.explode_outer(pair_structs).alias("p"))
+        .select("p.id1", "p.id2", "p.est_jaccard")
+        .distinct()
     )
 
 
 def _minhash_lsh_sql() -> str:
     from goe_spark.operators import minhash as MH
 
-    mh_expr = MH.minhash_signature_sql(MH.shingle_hashes_sql("shingles"))
+    mh_expr = MH.minhash_signature_sql("sh")
     return f"""
-WITH shingled AS ({_SHINGLED_SQL}),
+WITH shingled AS ({_shingle_hashed_sql()}),
 sigs AS (
   SELECT doc_id, {mh_expr} AS mh FROM shingled
 ),
@@ -300,13 +282,17 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", "text"
     )
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    sigs = d.select(
+    # Bind token hashes before the 16 bit-vote aggregates — each
+    # aggregate re-evaluates a computed array argument (16x md5 cost)
+    # but reads a bound column once.
+    tok_hashed = d.select(
+        "doc_id", "lang", "source", MH.token_hashes(toks).alias("th")
+    )
+    sigs = tok_hashed.select(
         "doc_id",
         "lang",
         "source",
-        MH.simhash_signature(
-            F.transform(toks, lambda t: MH.hash31_lambda(t))
-        ).alias("simhash"),
+        MH.simhash_signature(F.col("th")).alias("simhash"),
     )
     a = sigs.alias("a")
     b = sigs.alias("b")
@@ -329,14 +315,14 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _simhash_sql() -> str:
     from goe_spark.operators import minhash as MH
 
-    sig = MH.simhash_signature_sql(
-        "list_transform(t, tk -> " + MH.hash31_lambda_sql("tk") + ")"
-    )
-    return rf"""
+    sig = MH.simhash_signature_sql("th")
+    toks_sql = r"regexp_split_to_array(trim(text), '\s+')"
+    th_sql = MH.token_hashes_sql(toks_sql)
+    return f"""
 WITH sigs AS (
   SELECT doc_id, lang, source, {sig} AS simhash
   FROM (SELECT doc_id, lang, source,
-               regexp_split_to_array(trim(text), '\s+') AS t
+               {th_sql} AS th
         FROM documents)
 )
 SELECT a.doc_id AS id1, b.doc_id AS id2,
