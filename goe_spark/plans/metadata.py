@@ -65,3 +65,13 @@ class MetadataStore:
         path = self._path(owner, table_name)
         if os.path.exists(path):
             os.unlink(path)
+
+    def list_tables(self) -> list[tuple[str, str]]:
+        """All (owner, table_name) pairs with saved metadata."""
+        out = []
+        for name in sorted(os.listdir(self.root)):
+            if name.endswith(".json"):
+                owner, _, table = name[: -len(".json")].partition(".")
+                if table:
+                    out.append((owner, table))
+        return out

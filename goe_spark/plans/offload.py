@@ -98,6 +98,15 @@ class OffloadPipeline:
     # -- steps (named like the reference's command_steps) ------------------
 
     def run(self, source_df: DataFrame) -> OffloadResult:
+        """Execute the offload under the per-table orchestration lock
+        (O6): two concurrent offloads of one table would race the HWM
+        bookkeeping, so the second caller fails fast instead."""
+        from goe_spark.plans.locks import TableLock
+
+        with TableLock(self.cfg.metadata_dir, self.cfg.owner, self.cfg.table_name):
+            return self._run_locked(source_df)
+
+    def _run_locked(self, source_df: DataFrame) -> OffloadResult:
         cfg = self.cfg
         steps: list[str] = []
         md = self.store.get(cfg.owner, cfg.table_name) or OffloadMetadata(
