@@ -1,0 +1,190 @@
+"""Command-line shell — the reference's bin/ entry points re-shaped.
+
+Subcommands mirror the reference product surface (SURVEY §3):
+
+- offload:      run the offload pipeline for one table
+                (bin/offload → offload_table, goe.py:2666-2926)
+- agg-validate: cross-system aggregate validation
+                (bin/agg_validate → CrossDbValidator)
+- status:       offload status report (offload_status_report.py)
+- schema-sync:  additive schema evolution (schema_sync/)
+- query:        run any registered query by name (the SELECT surface
+                the reference never had; ours comes free from Spark)
+
+Usage: python -m goe_spark.cli <subcommand> [options]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(app: str):
+    from goe_spark.session import get_spark
+
+    s = get_spark(app)
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def cmd_offload(args) -> int:
+    from goe_spark.plans.offload import (
+        OffloadConfig,
+        OffloadPipeline,
+        PartitionSpec,
+    )
+    from goe_spark.sources.files import FileSource
+
+    spark = _spark("goe-offload")
+    src = FileSource(args.source_dir)
+    df = src.read(spark, args.table)
+    part = None
+    if args.partition_column:
+        part = PartitionSpec(
+            source_column=args.partition_column,
+            kind=args.partition_kind,
+            granularity=(
+                int(args.granularity)
+                if args.partition_kind in ("number", "string")
+                else args.granularity
+            ),
+        )
+    cfg = OffloadConfig(
+        owner=args.owner,
+        table_name=args.table,
+        target_dir=args.target_dir,
+        staging_dir=args.staging_dir,
+        metadata_dir=args.metadata_dir,
+        partition=part,
+        offload_predicate=args.predicate,
+        hwm=args.hwm,
+    )
+    res = OffloadPipeline(spark, cfg).run(df)
+    print(
+        json.dumps(
+            {
+                "rows_staged": res.rows_staged,
+                "rows_final": res.rows_final,
+                "partitions": [str(p) for p in res.partitions_written],
+                "steps": res.steps,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_agg_validate(args) -> int:
+    from pyspark.sql import functions as F
+
+    spark = _spark("goe-agg-validate")
+    front = spark.read.parquet(args.frontend_path)
+    back = spark.read.parquet(args.backend_path)
+    cols = args.columns.split(",") if args.columns else front.columns[:5]
+    f = front.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        *[F.min(c).alias(f"min_{c}") for c in cols],
+        *[F.max(c).alias(f"max_{c}") for c in cols],
+    ).first()
+    b = back.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        *[F.min(c).alias(f"min_{c}") for c in cols],
+        *[F.max(c).alias(f"max_{c}") for c in cols],
+    ).first()
+    diffs = {
+        k: {"frontend": f[k], "backend": b[k]}
+        for k in f.asDict()
+        if f[k] != b[k]
+    }
+    ok = not diffs
+    print(json.dumps({"match": ok, "diffs": {k: {s: str(v) for s, v in d.items()} for k, d in diffs.items()}}))
+    return 0 if ok else 1
+
+
+def cmd_status(args) -> int:
+    from goe_spark.plans.metadata import MetadataStore
+    from goe_spark.plans.status_report import status_report
+
+    spark = _spark("goe-status")
+    rpt = status_report(spark, MetadataStore(args.metadata_dir))
+    for row in rpt.collect():
+        print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
+def cmd_schema_sync(args) -> int:
+    from goe_spark.plans.schema_sync import diff_schemas, schema_sync_ddl
+
+    spark = _spark("goe-schema-sync")
+    front = spark.read.parquet(args.frontend_path).schema
+    back = spark.read.parquet(args.backend_path).schema
+    delta = diff_schemas(front, back)
+    ddl = schema_sync_ddl(args.table, delta)
+    print(json.dumps({"new_columns": [f.name for f in delta.new_columns], "ddl": ddl}))
+    return 0
+
+
+def cmd_query(args) -> int:
+    from goe_spark.queries import queries_dict
+
+    spark = _spark("goe-query")
+    qs = queries_dict()
+    if args.name not in qs:
+        print(f"unknown query {args.name!r}; known: {sorted(qs)}", file=sys.stderr)
+        return 2
+    df = qs[args.name](spark, args.sf_dir)
+    for row in df.limit(args.limit).collect():
+        print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="goe_spark", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    o = sub.add_parser("offload", help="offload one table")
+    o.add_argument("--owner", default="default")
+    o.add_argument("--table", required=True)
+    o.add_argument("--source-dir", required=True)
+    o.add_argument("--target-dir", required=True)
+    o.add_argument("--staging-dir", required=True)
+    o.add_argument("--metadata-dir", required=True)
+    o.add_argument("--partition-column")
+    o.add_argument("--partition-kind", default="date", choices=["date", "number", "string"])
+    o.add_argument("--granularity", default="M")
+    o.add_argument("--predicate", help="offload predicate DSL")
+    o.add_argument("--hwm", help="incremental high-water mark")
+    o.set_defaults(fn=cmd_offload)
+
+    v = sub.add_parser("agg-validate", help="front-vs-back aggregate compare")
+    v.add_argument("--frontend-path", required=True)
+    v.add_argument("--backend-path", required=True)
+    v.add_argument("--columns", help="comma-separated; default first 5")
+    v.set_defaults(fn=cmd_agg_validate)
+
+    s = sub.add_parser("status", help="offload status report")
+    s.add_argument("--metadata-dir", required=True)
+    s.set_defaults(fn=cmd_status)
+
+    y = sub.add_parser("schema-sync", help="diff schemas, emit additive DDL")
+    y.add_argument("--table", required=True)
+    y.add_argument("--frontend-path", required=True)
+    y.add_argument("--backend-path", required=True)
+    y.set_defaults(fn=cmd_schema_sync)
+
+    q = sub.add_parser("query", help="run a registered query")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--limit", type=int, default=20)
+    q.set_defaults(fn=cmd_query)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -41,6 +41,29 @@ def status_report(
     when present the report adds physical row/byte/partition counts
     (one cheap count(*) per table — metadata-only on parquet).
     """
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("owner", StringType()),
+            StructField("table_name", StringType()),
+            StructField("offload_type", StringType()),
+            StructField("incremental_key", StringType()),
+            StructField("incremental_high_value", StringType()),
+            StructField("n_offloaded_predicates", IntegerType()),
+            StructField("offload_version", IntegerType()),
+            StructField("updated_utc", StringType()),
+            StructField("backend_rows", LongType()),
+            StructField("backend_bytes", LongType()),
+            StructField("backend_files", LongType()),
+        ]
+    )
     rows = []
     for owner, table_name in store.list_tables():
         md = store.get(owner, table_name)
@@ -66,29 +89,6 @@ def status_report(
                 backend_files=n_files,
             )
         )
-    if not rows:
-        from pyspark.sql.types import (
-            IntegerType,
-            LongType,
-            StringType,
-            StructField,
-            StructType,
-        )
-
-        empty_schema = StructType(
-            [
-                StructField("owner", StringType()),
-                StructField("table_name", StringType()),
-                StructField("offload_type", StringType()),
-                StructField("incremental_key", StringType()),
-                StructField("incremental_high_value", StringType()),
-                StructField("n_offloaded_predicates", IntegerType()),
-                StructField("offload_version", IntegerType()),
-                StructField("updated_utc", StringType()),
-                StructField("backend_rows", LongType()),
-                StructField("backend_bytes", LongType()),
-                StructField("backend_files", LongType()),
-            ]
-        )
-        return spark.createDataFrame([], empty_schema)
-    return spark.createDataFrame(rows)
+    # Explicit schema always: inference cannot type all-NULL physical
+    # stats (no table_paths mapped) or an empty store.
+    return spark.createDataFrame(rows, schema)

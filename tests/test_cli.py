@@ -1,0 +1,104 @@
+"""CLI shell: each subcommand end-to-end over the parquet fixtures.
+
+Runs in-process (main(argv)) against the shared session rather than
+subprocess so the suite doesn't pay a JVM start per command.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from goe_spark.cli import main
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(autouse=True)
+def _use_shared_session(spark, monkeypatch):
+    # get_spark returns the active session, so commands reuse `spark`;
+    # silence their own log-level churn.
+    yield
+
+
+def test_offload_and_status_roundtrip(tmp_path, capsys):
+    rc = main(
+        [
+            "offload",
+            "--owner",
+            "sh",
+            "--table",
+            "orders",
+            "--source-dir",
+            SF_SMALL,
+            "--target-dir",
+            str(tmp_path / "final"),
+            "--staging-dir",
+            str(tmp_path / "stage"),
+            "--metadata-dir",
+            str(tmp_path / "md"),
+            "--partition-column",
+            "o_orderdate",
+            "--partition-kind",
+            "date",
+            "--granularity",
+            "M",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows_staged"] == out["rows_final"] > 0
+    assert "FINAL_LOAD" in out["steps"]
+
+    rc = main(["status", "--metadata-dir", str(tmp_path / "md")])
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (line["owner"], line["table_name"]) == ("sh", "orders")
+    assert line["offload_type"] == "FULL"
+
+
+def test_agg_validate_match_and_mismatch(tmp_path, capsys, spark):
+    src = f"{SF_SMALL}/region.parquet"
+    rc = main(["agg-validate", "--frontend-path", src, "--backend-path", src])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out.strip())["match"] is True
+
+    broken = str(tmp_path / "broken")
+    spark.read.parquet(src).limit(3).write.parquet(broken)
+    rc = main(["agg-validate", "--frontend-path", src, "--backend-path", broken])
+    assert rc == 1
+    res = json.loads(capsys.readouterr().out.strip())
+    assert res["match"] is False and "row_count" in res["diffs"]
+
+
+def test_schema_sync_command(tmp_path, capsys, spark):
+    front = str(tmp_path / "front")
+    back = str(tmp_path / "back")
+    df = spark.read.parquet(f"{SF_SMALL}/region.parquet")
+    df.write.parquet(back)
+    df.selectExpr("*", "cast(1 as int) AS new_col").write.parquet(front)
+    rc = main(
+        [
+            "schema-sync",
+            "--table",
+            "db.region",
+            "--frontend-path",
+            front,
+            "--backend-path",
+            back,
+        ]
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip())
+    assert res["new_columns"] == ["new_col"]
+    assert res["ddl"] == ["ALTER TABLE db.region ADD COLUMNS (new_col int)"]
+
+
+def test_query_command(capsys):
+    rc = main(["query", "q6_forecast_revenue", "--sf-dir", SF_SMALL])
+    assert rc == 0
+    row = json.loads(capsys.readouterr().out.strip())
+    assert "revenue" in row
+
+    rc = main(["query", "not_a_query"])
+    assert rc == 2
