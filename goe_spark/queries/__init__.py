@@ -31,6 +31,7 @@ def all_queries() -> list[QuerySpec]:
         offload,
         relational,
         relational2,
+        relational3,
         similarity,
         streaming_batch,
         text,
@@ -41,6 +42,7 @@ def all_queries() -> list[QuerySpec]:
     for mod in (
         relational,
         relational2,
+        relational3,
         validation,
         offload,
         dedup,
