@@ -30,7 +30,9 @@ HEADLINE = [
     "q9_product_profit",
     "q10_returned_items",
     "q13_customer_distribution",
+    "q15_top_supplier",
     "q18_large_orders",
+    "q21_waiting_suppliers",
     "window_top_orders_per_customer",
     "agg_validate_lineitem",
     "staged_validation_scan",

@@ -123,29 +123,45 @@ WHERE rank <= {TOP_K}
 
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: pairs with cosine >= 0.25 inside the
-    same label cell (IVF-style coarse partition bounds the join)."""
+    same label cell (IVF-style coarse partition bounds the join).
+
+    One applyInPandas per label cell: the whole cell's pairwise cosine
+    matrix is one float64 BLAS matmul, ~50x faster than exploding the
+    self-join into per-pair interpreted array folds. At 100 TB the
+    label (coarse-quantizer cell) keeps each group's pair count
+    bounded; skewed cells are the thing to watch, not total rows.
+    """
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", "embedding", _norm2(F.col("embedding")).alias("nrm")
+        "vec_id", "label", "embedding"
     )
-    a = emb.alias("a")
-    b = emb.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        V = np.asarray(
+            [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]],
+            dtype=np.float64,
+        )[order]
+        nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
+        C = (V @ V.T) / np.outer(nrm, nrm)
+        i, j = np.triu_indices(len(ids), k=1)
+        cos = np.round(C[i, j], 6)
+        keep = cos >= 0.25
+        return pd.DataFrame(
+            {
+                "label": np.full(int(keep.sum()), pdf["label"].iloc[0]),
+                "id1": ids[i[keep]],
+                "id2": ids[j[keep]],
+                "cosine": cos[keep],
+            }
         )
-        .select(
-            F.col("a.label").alias("label"),
-            F.col("a.vec_id").alias("id1"),
-            F.col("b.vec_id").alias("id2"),
-            F.round(
-                _dot(F.col("a.embedding"), F.col("b.embedding"))
-                / F.sqrt(F.col("a.nrm") * F.col("b.nrm")),
-                6,
-            ).alias("cosine"),
-        )
-        .where(F.col("cosine") >= 0.25)
+
+    return emb.groupBy("label").applyInPandas(
+        cell_pairs, "label int, id1 long, id2 long, cosine double"
     )
 
 
