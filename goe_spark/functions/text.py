@@ -43,6 +43,24 @@ def token_count_sql(expr: str) -> str:
     return f"len({tokens_sql(expr)})"
 
 
+# BPE-ish subword segmentation: letter runs, digit runs, and
+# non-alphanumeric runs each count as one token — the GPT-2 pretoken
+# pattern minus the contraction special cases, kept portable between
+# Java regex (Spark) and RE2 (DuckDB).
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PATTERN), F.lit(0))).cast(
+        "long"
+    )
+
+
+def bpe_token_count_sql(expr: str) -> str:
+    return f"len(regexp_extract_all({expr}, '{BPE_PATTERN}'))"
+
+
 def _isin_pred(words: tuple[str, ...]):
     """Single-arg lambda factory — a default-arg closure would give the
     lambda arity 2 and PySpark would bind a second lambda variable."""

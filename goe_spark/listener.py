@@ -1,0 +1,171 @@
+"""Listener REST API (SURVEY §2.11 O9) — the reference's FastAPI
+service (src/goe/listener/api/routes/orchestration.py:39-166)
+re-shaped onto the standard library so it carries no extra
+dependencies. Routes:
+
+- GET  /api/queries                      registered query names
+- GET  /api/query/{name}?sf_dir=&limit=  run a query, JSON rows
+- GET  /api/status?metadata_dir=         offload status report rows
+- POST /api/offload                      run one offload (JSON body =
+                                         OffloadConfig fields; the
+                                         reference runs this in the
+                                         background — here it is
+                                         synchronous and the response
+                                         is the completed result)
+
+The server shares the driver's SparkSession: requests are thin
+wrappers over the same functions the CLI calls, so there is exactly
+one code path per operation. Run with
+``python -m goe_spark.listener [port]``.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+
+def _json_rows(df, limit: int) -> list[dict]:
+    return [
+        {k: (str(v) if not isinstance(v, (int, float, bool, type(None))) else v)
+         for k, v in row.asDict().items()}
+        for row in df.limit(limit).collect()
+    ]
+
+
+def make_handler(spark):
+    """Build the request-handler class bound to one SparkSession."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet: structured responses only
+            pass
+
+        def _reply(self, code: int, payload) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self) -> None:  # noqa: N802 (http.server API)
+            url = urlparse(self.path)
+            qs = {k: v[0] for k, v in parse_qs(url.query).items()}
+            try:
+                if url.path == "/api/queries":
+                    from goe_spark.queries import queries_dict
+
+                    self._reply(200, {"queries": sorted(queries_dict())})
+                elif url.path.startswith("/api/query/"):
+                    from goe_spark.queries import queries_dict
+
+                    name = url.path.rsplit("/", 1)[1]
+                    qd = queries_dict()
+                    if name not in qd:
+                        self._reply(404, {"error": f"unknown query {name!r}"})
+                        return
+                    df = qd[name](
+                        spark, qs.get("sf_dir", "/root/testdata/sf0.001")
+                    )
+                    self._reply(
+                        200, {"rows": _json_rows(df, int(qs.get("limit", "20")))}
+                    )
+                elif url.path == "/api/status":
+                    from goe_spark.plans.metadata import MetadataStore
+                    from goe_spark.plans.status_report import status_report
+
+                    rpt = status_report(
+                        spark, MetadataStore(qs["metadata_dir"])
+                    )
+                    self._reply(200, {"tables": _json_rows(rpt, 1000)})
+                else:
+                    self._reply(404, {"error": "not found"})
+            except Exception as e:  # surface the failure as JSON, keep serving
+                self._reply(500, {"error": str(e)[:500]})
+
+        def do_POST(self) -> None:  # noqa: N802
+            url = urlparse(self.path)
+            if url.path != "/api/offload":
+                self._reply(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                spec = json.loads(self.rfile.read(n) or b"{}")
+                from goe_spark.plans.offload import (
+                    OffloadConfig,
+                    OffloadPipeline,
+                    PartitionSpec,
+                )
+                from goe_spark.sources.files import FileSource
+
+                part = None
+                if spec.get("partition_column"):
+                    kind = spec.get("partition_kind", "date")
+                    gran = spec.get("granularity", "M")
+                    part = PartitionSpec(
+                        source_column=spec["partition_column"],
+                        kind=kind,
+                        granularity=(
+                            int(gran) if kind in ("number", "string") else gran
+                        ),
+                    )
+                cfg = OffloadConfig(
+                    owner=spec.get("owner", "default"),
+                    table_name=spec["table"],
+                    target_dir=spec["target_dir"],
+                    staging_dir=spec["staging_dir"],
+                    metadata_dir=spec["metadata_dir"],
+                    partition=part,
+                    offload_predicate=spec.get("predicate"),
+                    hwm=spec.get("hwm"),
+                )
+                df = FileSource(spec["source_dir"]).read(spark, spec["table"])
+                res = OffloadPipeline(spark, cfg).run(df)
+                self._reply(
+                    200,
+                    {
+                        "rows_staged": res.rows_staged,
+                        "rows_final": res.rows_final,
+                        "partitions": [str(p) for p in res.partitions_written],
+                        "steps": res.steps,
+                    },
+                )
+            except KeyError as e:
+                self._reply(400, {"error": f"missing field {e}"})
+            except Exception as e:
+                self._reply(500, {"error": str(e)[:500]})
+
+    return Handler
+
+
+def serve(spark, port: int = 0) -> ThreadingHTTPServer:
+    """Start the listener on ``port`` (0 = ephemeral); returns the
+    running server (serve_forever on a daemon thread)."""
+    httpd = ThreadingHTTPServer(("127.0.0.1", port), make_handler(spark))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    return httpd
+
+
+def main(argv: list[str] | None = None) -> int:
+    import sys
+
+    from goe_spark.session import get_spark
+
+    args = argv if argv is not None else sys.argv[1:]
+    port = int(args[0]) if args else 8085
+    spark = get_spark("goe-listener")
+    spark.sparkContext.setLogLevel("ERROR")
+    httpd = serve(spark, port)
+    print(f"listener on http://127.0.0.1:{httpd.server_address[1]}")
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        httpd.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

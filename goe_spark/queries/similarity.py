@@ -6,8 +6,8 @@ Beyond-reference scope (BASELINE.json north star).
   (broadcast); candidates stream through a map-side dot product with
   zero shuffle until the final per-query top-k (TakeOrdered via
   window + filter). At 100 TB this is the "scan everything once"
-  floor; the LSH-bucketed variant (ann_lsh_topk, operators/similarity)
-  cuts the candidate set by bucketing on random hyperplane signs.
+  floor; the LSH-bucketed variant (ann_lsh_topk, operators/lsh)
+  cuts the candidate set by bucketing on hyperplane sign bits.
 - embedding near-dup: cosine >= threshold pairs within a label bucket
   (label plays the role of an IVF/coarse-quantizer cell).
 
@@ -239,10 +239,58 @@ WHERE rank <= {TOP_K}
 """
 
 
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (operators/lsh): score only candidates
+    sharing the query's 4-bit hyperplane signature — the bucket-join
+    scale path where even IVF's nprobe cells are too many rows."""
+    from goe_spark.operators.lsh import lsh_topk
+
+    return lsh_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        n_queries=N_QUERIES,
+        top_k=TOP_K,
+    )
+
+
+ANN_LSH_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, embedding, {NORM2_SQL.format(a='embedding')} AS vnorm2
+  FROM embeddings
+), planes AS (
+  SELECT vec_id AS plane, embedding AS pvec FROM embeddings WHERE vec_id < 4
+), sigs AS (
+  SELECT e.vec_id,
+         cast(sum(CASE WHEN round({DOT_SQL.format(a='e.embedding', b='p.pvec')}, 6) >= 0
+                       THEN (1 << plane) ELSE 0 END) AS BIGINT) AS bucket
+  FROM emb e CROSS JOIN planes p
+  GROUP BY e.vec_id
+), signed AS (
+  SELECT e.vec_id, e.embedding, e.vnorm2, s.bucket
+  FROM emb e JOIN sigs s USING (vec_id)
+), qry AS (
+  SELECT vec_id AS qid, embedding AS qvec, vnorm2 AS qnorm2, bucket AS qbucket
+  FROM signed WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.qid, c.vec_id,
+         round({DOT_SQL.format(a='q.qvec', b='c.embedding')} / sqrt(q.qnorm2 * c.vnorm2), 6) AS cosine
+  FROM signed c JOIN qry q ON c.bucket = q.qbucket
+  WHERE c.vec_id != q.qid
+)
+SELECT qid, vec_id, cosine, cast(rank AS int) AS rank
+FROM (
+  SELECT qid, vec_id, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = [
     QuerySpec("ann_bruteforce_topk", ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     QuerySpec(
         "embedding_near_dup_pairs", embedding_near_dup_pairs, NEAR_DUP_SQL
     ),
     QuerySpec("ann_ivf_topk", ann_ivf_topk, ANN_IVF_SQL),
+    QuerySpec("ann_lsh_topk", ann_lsh_topk, ANN_LSH_SQL),
 ]

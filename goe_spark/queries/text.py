@@ -184,8 +184,46 @@ GROUP BY event_type
 """
 
 
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword counting next to whitespace counting, rolled up
+    by language — the tokenizer-budget view of a corpus. Same
+    single-scan codegen-only plan as token_stats_by_lang."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "lang",
+            T.token_count("text").alias("ws_tokens"),
+            T.bpe_token_count("text").alias("bpe_tokens"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").alias("total_ws_tokens"),
+            F.sum("bpe_tokens").alias("total_bpe_tokens"),
+            F.round(
+                F.avg(F.col("bpe_tokens") / F.col("ws_tokens")), 4
+            ).alias("avg_fertility"),
+        )
+    )
+
+
+BPE_TOKEN_SQL = f"""
+SELECT lang,
+       count(*)                          AS n_docs,
+       cast(sum(ws_tokens) AS bigint)    AS total_ws_tokens,
+       cast(sum(bpe_tokens) AS bigint)   AS total_bpe_tokens,
+       round(avg(bpe_tokens / cast(ws_tokens AS double)), 4) AS avg_fertility
+FROM (SELECT lang,
+             {T.token_count_sql('text')} AS ws_tokens,
+             {T.bpe_token_count_sql('text')} AS bpe_tokens
+      FROM documents)
+GROUP BY lang
+"""
+
+
 QUERIES = [
     QuerySpec("token_stats_by_lang", token_stats_by_lang, TOKEN_STATS_SQL),
+    QuerySpec("bpe_token_stats", bpe_token_stats, BPE_TOKEN_SQL),
     QuerySpec("quality_scores_by_source", quality_scores_by_source, QUALITY_SQL),
     QuerySpec("lang_id_confusion", lang_id_confusion, _lang_id_sql()),
     QuerySpec("doc_fingerprints", doc_fingerprints, FINGERPRINT_SQL),

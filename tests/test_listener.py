@@ -1,0 +1,82 @@
+"""Listener REST API: every route end-to-end over the shared session."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from goe_spark.listener import serve
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def base_url(spark):
+    httpd = serve(spark, port=0)
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post(url: str, payload: dict):
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_list_queries(base_url):
+    status, body = _get(f"{base_url}/api/queries")
+    assert status == 200
+    assert "q1_pricing_summary" in body["queries"]
+    assert "ann_lsh_topk" in body["queries"]
+
+
+def test_run_query(base_url):
+    status, body = _get(
+        f"{base_url}/api/query/q6_forecast_revenue?sf_dir={SF_SMALL}"
+    )
+    assert status == 200
+    assert "revenue" in body["rows"][0]
+
+
+def test_unknown_query_404(base_url):
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _get(f"{base_url}/api/query/not_a_query")
+    assert exc.value.code == 404
+
+
+def test_offload_then_status(base_url, tmp_path):
+    status, body = _post(
+        f"{base_url}/api/offload",
+        {
+            "owner": "sh",
+            "table": "region",
+            "source_dir": SF_SMALL,
+            "target_dir": str(tmp_path / "final"),
+            "staging_dir": str(tmp_path / "stage"),
+            "metadata_dir": str(tmp_path / "md"),
+        },
+    )
+    assert status == 200
+    assert body["rows_staged"] == body["rows_final"] > 0
+
+    status, body = _get(f"{base_url}/api/status?metadata_dir={tmp_path / 'md'}")
+    assert status == 200
+    assert [(t["owner"], t["table_name"]) for t in body["tables"]] == [
+        ("sh", "region")
+    ]
+
+
+def test_offload_missing_field_400(base_url):
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(f"{base_url}/api/offload", {"owner": "sh"})
+    assert exc.value.code == 400
