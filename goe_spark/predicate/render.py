@@ -151,3 +151,44 @@ def predicate_to_sql(node) -> str:
     if isinstance(node, NullTest):
         return f"{node.column.name} IS {'NOT ' if node.negated else ''}NULL"
     raise PredicateParseError(f"unknown AST node: {node!r}")
+
+
+def _dsl_value(value: Value) -> str:
+    if value.kind == "numeric":
+        return f"numeric({value.value})"
+    if value.kind == "datetime":
+        v = value.value
+        assert isinstance(v, _dt.datetime)
+        if v.microsecond:
+            return f"datetime({v.strftime('%Y-%m-%d %H:%M:%S.%f')})"
+        return f"datetime({v.strftime('%Y-%m-%d %H:%M:%S')})"
+    body = str(value.value).replace("\\", "\\\\").replace('"', '\\"')
+    return f'{value.kind}("{body}")'
+
+
+def _dsl_column(col) -> str:
+    if col.alias:
+        return f"column({col.alias}.{col.name})"
+    return f"column({col.name})"
+
+
+def predicate_to_dsl(node) -> str:
+    """Render the AST back to DSL text (reference:
+    GenericPredicateToDSL, predicate_offload.py:501-531). Inverse of
+    parse_predicate_dsl: parse(predicate_to_dsl(ast)) == ast, which is
+    property-tested in tests/test_predicate_properties.py."""
+    if isinstance(node, Group):
+        parts = [
+            f"({predicate_to_dsl(i)})" if isinstance(i, Group) else predicate_to_dsl(i)
+            for i in node.items
+        ]
+        return f" {node.op} ".join(parts)
+    if isinstance(node, Comparison):
+        return f"{_dsl_column(node.column)} {node.op} {_dsl_value(node.value)}"
+    if isinstance(node, InList):
+        vals = ", ".join(_dsl_value(v) for v in node.values)
+        op = "NOT IN" if node.negated else "IN"
+        return f"{_dsl_column(node.column)} {op} ({vals})"
+    if isinstance(node, NullTest):
+        return f"{_dsl_column(node.column)} IS {'NOT ' if node.negated else ''}NULL"
+    raise PredicateParseError(f"unknown AST node: {node!r}")
