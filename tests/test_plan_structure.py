@@ -1,0 +1,86 @@
+"""Physical-plan structure guards.
+
+Correctness tests prove the numbers; these prove the PLAN — that
+filters reach the parquet scan, dimensions broadcast, and scan-agg
+queries don't grow extra shuffles. A regression here is invisible at
+sf0.01 but fatal at 100 TB, which is exactly why it's pinned.
+AQE is left on (as in production): assertions target the pre-AQE
+physical plan markers that survive replanning.
+"""
+
+from __future__ import annotations
+
+import re
+
+from tests.conftest import SF_SMALL
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            mode
+        )
+    )
+
+
+def test_q6_filters_pushed_and_columns_pruned(spark):
+    from goe_spark.queries.relational2 import q6_forecast_revenue
+
+    plan = _plan(q6_forecast_revenue(spark, SF_SMALL))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or re.search(
+        r"PushedFilters: \[.*l_shipdate", plan
+    )
+    # only the 3 needed columns reach the scan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_q6_single_aggregate_no_join_shuffle(spark):
+    from goe_spark.queries.relational2 import q6_forecast_revenue
+
+    # simple mode: each operator appears once, so Exchange is countable
+    plan = _plan(q6_forecast_revenue(spark, SF_SMALL), "simple")
+    # scalar agg: partial+final HashAggregate, no join operators at all
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1  # the single partial->final merge
+
+
+def test_q3_broadcasts_customer_dimension(spark):
+    from goe_spark.queries.relational import q3_shipping_priority
+
+    plan = _plan(q3_shipping_priority(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-10 without a global sort
+
+
+def test_q5_all_dimensions_broadcast(spark):
+    from goe_spark.queries.relational import q5_regional_revenue
+
+    plan = _plan(q5_regional_revenue(spark, SF_SMALL))
+    # region/nation/customer/supplier all build broadcast sides;
+    # no SortMergeJoin should survive at any SF for the dim joins
+    assert plan.count("BroadcastExchange") >= 3
+
+
+def test_q1_partial_aggregation_before_exchange(spark):
+    from goe_spark.queries.relational import q1_pricing_summary
+
+    plan = _plan(q1_pricing_summary(spark, SF_SMALL))
+    # map-side combine: a partial HashAggregate must appear below the
+    # exchange (formatted mode lists partial_sum functions)
+    assert "partial_sum" in plan or "partial_" in plan
+
+
+def test_dedup_exact_sorts_are_partition_local(spark):
+    from goe_spark.queries.dedup import dedup_exact_keep_first
+
+    plan = _plan(dedup_exact_keep_first(spark, SF_SMALL), "simple")
+    # keep-first runs a window keyed on the content fingerprint: the
+    # sort under it must be partition-local ("false" global flag), and
+    # the window partition spec must be fp (never an empty spec, which
+    # would serialize the whole table through one task)
+    for m in re.finditer(r"Sort \[[^\]]*\], (\w+),", plan):
+        assert m.group(1) == "false", plan
+    assert "windowspecdefinition(fp" in plan
