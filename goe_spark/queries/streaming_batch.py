@@ -16,11 +16,31 @@ from pyspark.sql import functions as F
 
 from goe_spark.catalog import load_table
 from goe_spark.queries import QuerySpec
-from goe_spark.streaming.events import SESSION_GAP_MIN, windowed_event_counts
+from goe_spark.streaming.events import (
+    SESSION_GAP_MIN,
+    dedup_event_counts,
+    windowed_event_counts,
+)
 
 
 def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_counts(spark, sf_dir)
+
+
+def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once under double delivery: the oracle is the PLAIN
+    batch group-by — it matches only if the streaming dedup dropped
+    every one of the injected duplicates."""
+    return dedup_event_counts(spark, sf_dir)
+
+
+STREAMING_DEDUP_SQL = """
+SELECT event_type,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY event_type
+"""
 
 
 STREAMING_WINDOW_SQL = """
@@ -121,6 +141,9 @@ GROUP BY ROLLUP (event_type, day)
 QUERIES = [
     QuerySpec(
         "streaming_window_counts", streaming_window_counts, STREAMING_WINDOW_SQL
+    ),
+    QuerySpec(
+        "streaming_dedup_counts", streaming_dedup_counts, STREAMING_DEDUP_SQL
     ),
     QuerySpec("sessionization_stats", sessionization_stats, SESSIONIZATION_SQL),
     QuerySpec("event_type_rollup", event_type_rollup, EVENT_ROLLUP_SQL),

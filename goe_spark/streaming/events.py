@@ -222,3 +222,42 @@ def sessionize_stream(
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+def dedup_event_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exactly-once dedup: the input stream is unioned with
+    itself (every event delivered twice — the at-least-once redelivery
+    case), then dropDuplicatesWithinWatermark on event_id collapses it
+    back. State holds one key per event inside the watermark horizon,
+    so memory is bounded by arrival rate x watermark, not by history —
+    the property that matters on an unbounded 100 TB/day stream.
+
+    Returns per-type counts over the drained sink; equal to the plain
+    batch group-by iff dedup removed every redelivery.
+    """
+    stream = events_stream(spark, sf_dir)
+    doubled = stream.union(events_stream(spark, sf_dir))
+    deduped = doubled.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    sink = f"dedup_events_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
