@@ -1,0 +1,73 @@
+"""As-of (point-in-time) join — a custom operator Spark lacks.
+
+For every left row, attach the right row with the greatest right_time
+<= left_time within the same key (the time-series "latest known
+value" join; DuckDB/kdb call it ASOF JOIN).
+
+Spark-native formulation — no per-key loops, no range cross join:
+
+1. union both sides into one stream of (key, time, marker, payload)
+   rows, right rows carrying the payload and left rows NULLs;
+2. one window per key ordered by (time, marker) with an unbounded-
+   preceding frame: ``last(payload, ignorenulls=True)`` forwards the
+   most recent right payload onto every subsequent row;
+3. keep the left rows.
+
+Cost at 100 TB: ONE shuffle of left+right on the key and a
+partition-local sort — the same price as a sort-merge join, with no
+risk of a range-condition falling back to BroadcastNestedLoopJoin.
+Right rows sort BEFORE left rows at equal times (marker 0 < 1), which
+makes the match inclusive (right_time == left_time is visible).
+
+The right side must be unique per (key, time) — pre-reduce with
+max_by if it is not, otherwise "which tied row wins" is undefined in
+any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Left as-of join: every ``left`` row + the latest ``right``
+    payload at or before its time. Payload columns are NULL when no
+    right row precedes the left row."""
+    l_tagged = left.select(
+        F.col(on).alias("__key"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__marker"),
+        *[F.col(c) for c in left.columns],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload_cols],
+    )
+    r_tagged = right.select(
+        F.col(right_on).alias("__key"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__marker"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
+        *[F.col(c) for c in payload_cols],
+    )
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(F.col("__t").asc(), F.col("__marker").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    forwarded = r_tagged.unionByName(l_tagged).select(
+        "__marker",
+        *[F.col(c) for c in left.columns],
+        *[
+            F.last(F.col(c), ignorenulls=True).over(w).alias(c)
+            for c in payload_cols
+        ],
+    )
+    return forwarded.where(F.col("__marker") == 1).drop("__marker")

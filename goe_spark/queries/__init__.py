@@ -26,6 +26,7 @@ class QuerySpec:
 
 def all_queries() -> list[QuerySpec]:
     from goe_spark.queries import (
+        asof,
         dedup,
         multimodal,
         offload,
@@ -40,6 +41,7 @@ def all_queries() -> list[QuerySpec]:
 
     specs: list[QuerySpec] = []
     for mod in (
+        asof,
         relational,
         relational2,
         relational3,

@@ -1,0 +1,69 @@
+"""As-of join query: each event annotated with the customer's latest
+order at event time, rolled up per event type. The DuckDB oracle uses
+its NATIVE ASOF JOIN — two independent formulations of the same
+semantics must agree row-for-row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goe_spark.catalog import load_table
+from goe_spark.operators.asof import asof_join
+from goe_spark.queries import QuerySpec
+
+
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: for every event, the most recent
+    order of that user at or before the event timestamp, aggregated
+    per event type. The right side is reduced to one row per
+    (custkey, orderdate) with max_by so tie-breaks are deterministic
+    in both engines."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+            F.max("o_orderkey").alias("o_orderkey"),
+        )
+    )
+    joined = asof_join(
+        events,
+        orders,
+        on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload_cols=["o_orderkey", "o_totalprice"],
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("o_orderkey").alias("n_matched"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_attached"),
+    )
+
+
+ASOF_SQL = """
+WITH ords AS (
+  SELECT o_custkey, o_orderdate,
+         max_by(o_totalprice, o_orderkey) AS o_totalprice,
+         max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT event_type,
+       count(*)                 AS n_events,
+       count(o_orderkey)        AS n_matched,
+       round(sum(o_totalprice), 2) AS total_attached
+FROM events ASOF LEFT JOIN ords
+  ON events.user_id = ords.o_custkey AND events.ts >= ords.o_orderdate
+GROUP BY event_type
+"""
+
+
+QUERIES = [
+    QuerySpec("asof_latest_order", asof_latest_order, ASOF_SQL, "as-of join"),
+]

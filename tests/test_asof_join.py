@@ -1,0 +1,74 @@
+"""As-of join edge semantics on hand-built data, plus plan shape."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from goe_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-10T00:00:00"), "before_any"),
+            (1, _ts("2024-01-15T00:00:00"), "exact_tie"),
+            (1, _ts("2024-01-20T00:00:00"), "after_two"),
+            (2, _ts("2024-01-05T00:00:00"), "other_key"),
+            (3, _ts("2024-01-05T00:00:00"), "no_right_rows"),
+        ],
+        "k long, t timestamp, label string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-12T00:00:00"), 100),
+            (1, _ts("2024-01-15T00:00:00"), 150),
+            (2, _ts("2024-01-01T00:00:00"), 200),
+            (2, _ts("2024-01-06T00:00:00"), 999),  # after left row: invisible
+        ],
+        "k long, t timestamp, v int",
+    )
+    return left, right
+
+
+def test_asof_semantics(spark):
+    left, right = _frames(spark)
+    out = {
+        r.label: r.v
+        for r in asof_join(
+            left, right, on="k", right_on="k", left_time="t",
+            right_time="t", payload_cols=["v"],
+        ).collect()
+    }
+    assert out["before_any"] is None  # no right row at or before
+    assert out["exact_tie"] == 150  # right_time == left_time is visible
+    assert out["after_two"] == 150  # latest wins, not first
+    assert out["other_key"] == 200  # keys don't bleed; future row unseen
+    assert out["no_right_rows"] is None
+
+
+def test_asof_preserves_left_rowcount(spark):
+    left, right = _frames(spark)
+    joined = asof_join(
+        left, right, on="k", right_on="k", left_time="t",
+        right_time="t", payload_cols=["v"],
+    )
+    assert joined.count() == left.count()
+
+
+def test_asof_plan_is_single_shuffle(spark):
+    left, right = _frames(spark)
+    joined = asof_join(
+        left, right, on="k", right_on="k", left_time="t",
+        right_time="t", payload_cols=["v"],
+    )
+    plan = joined._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    # union + window, never a join operator (a range-condition join
+    # would risk BroadcastNestedLoop at scale)
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
