@@ -463,3 +463,45 @@ QUERIES = [
         "q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL, "TPC-H Q21 shape"
     ),
 ]
+
+
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by order priority through the skew-salted join
+    (operators/salting): the fact side salts on (orderkey, linenumber)
+    and orders replicates 8x, so one hot orderkey spreads over 8
+    reducers. The oracle is the PLAIN join — salting must change
+    where rows meet, never which rows meet.
+    """
+    from goe_spark.operators.salting import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = salted_join(
+        li,
+        orders,
+        "l_orderkey",
+        "o_orderkey",
+        salt_source=F.xxhash64("l_orderkey", "l_linenumber"),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+SALTED_JOIN_SQL = """
+SELECT o_orderpriority, count(*) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+QUERIES.append(
+    QuerySpec(
+        "salted_join_revenue", salted_join_revenue, SALTED_JOIN_SQL, "skew salting"
+    )
+)
