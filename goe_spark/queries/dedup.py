@@ -115,9 +115,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = _shingle_hashed(spark, sf_dir).select(
         "doc_id", "lang", "source", F.array_distinct("sh").alias("shd")
     )
-    sizes = shingled.select(
-        "doc_id", F.size("shd").cast("long").alias("n_sh")
-    )
+    # The doc's shingle count rides the explode as payload so Jaccard
+    # needs NO size lookup joins afterwards — the earlier two-join
+    # formulation also recomputed the whole shingle-hash lineage for
+    # the sizes branch (~30% of query time at sf0.1).
+    #
     # explode_outer, NOT explode: plain explode lets the optimizer
     # infer a size(shd) > 0 filter and push it below the projections,
     # inlining the whole shingle-hash expression into the filter where
@@ -125,21 +127,30 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slower, measured). Arrays here are provably non-empty (token
     # filter upstream), so outer semantics are identical.
     exploded = shingled.select(
-        "doc_id", "lang", "source", F.explode_outer("shd").alias("sh")
+        F.struct("doc_id", F.size("shd").cast("long").alias("n_sh")).alias("doc"),
+        "lang",
+        "source",
+        F.explode_outer("shd").alias("sh"),
     )
     # Instead of a self-join of two exploded tables (quadratic shuffle
-    # on both sides), group doc_ids per (bucket, shingle) and emit the
-    # i<j pairs in-group: one shuffle in, pair rows out.
+    # on both sides), group docs per (bucket, shingle) and emit the
+    # i<j pairs in-group: one shuffle in, pair rows out. sort_array on
+    # (doc_id, n_sh) structs orders by doc_id, preserving id1 < id2.
     grouped = exploded.groupBy("lang", "source", "sh").agg(
-        F.sort_array(F.collect_set("doc_id")).alias("ids")
+        F.sort_array(F.collect_set("doc")).alias("docs")
     )
-    n = F.size("ids")
+    n = F.size("docs")
     pair_structs = F.flatten(
         F.transform(
-            F.col("ids"),
+            F.col("docs"),
             lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, n - i - 1),
-                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+                F.slice(F.col("docs"), i + 2, n - i - 1),
+                lambda y: F.struct(
+                    x["doc_id"].alias("id1"),
+                    x["n_sh"].alias("n1"),
+                    y["doc_id"].alias("id2"),
+                    y["n_sh"].alias("n2"),
+                ),
             ),
         )
     )
@@ -148,25 +159,23 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     common = (
         grouped.where(n >= 2)
         .select(F.explode_outer(pair_structs).alias("p"))
-        .groupBy(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
+        .groupBy(
+            F.col("p.id1").alias("id1"),
+            F.col("p.id2").alias("id2"),
+            F.col("p.n1").alias("n1"),
+            F.col("p.n2").alias("n2"),
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("id1"), F.col("n_sh").alias("n1"))
-    sb = sizes.select(F.col("doc_id").alias("id2"), F.col("n_sh").alias("n2"))
-    return (
-        common.join(sa, "id1")
-        .join(sb, "id2")
-        .select(
-            "id1",
-            "id2",
-            F.round(
-                F.col("n_common")
-                / (F.col("n1") + F.col("n2") - F.col("n_common")),
-                6,
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= 0.1)
-    )
+    return common.select(
+        "id1",
+        "id2",
+        F.round(
+            F.col("n_common")
+            / (F.col("n1") + F.col("n2") - F.col("n_common")),
+            6,
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= 0.1)
 
 
 def _ngram_jaccard_sql() -> str:
