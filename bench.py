@@ -39,7 +39,9 @@ HEADLINE = [
     "dedup_exact_keep_first",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
+    "asof_latest_order",
     "token_stats_by_lang",
+    "bpe_token_stats",
     "quality_scores_by_source",
     "doc_fingerprints",
     "ann_bruteforce_topk",
