@@ -30,48 +30,23 @@ def _spark(app: str):
 
 
 def cmd_offload(args) -> int:
-    from goe_spark.plans.offload import (
-        OffloadConfig,
-        OffloadPipeline,
-        PartitionSpec,
-    )
-    from goe_spark.sources.files import FileSource
+    from goe_spark.plans.offload import offload_from_spec
 
     spark = _spark("goe-offload")
-    src = FileSource(args.source_dir)
-    df = src.read(spark, args.table)
-    part = None
-    if args.partition_column:
-        part = PartitionSpec(
-            source_column=args.partition_column,
-            kind=args.partition_kind,
-            granularity=(
-                int(args.granularity)
-                if args.partition_kind in ("number", "string")
-                else args.granularity
-            ),
-        )
-    cfg = OffloadConfig(
-        owner=args.owner,
-        table_name=args.table,
-        target_dir=args.target_dir,
-        staging_dir=args.staging_dir,
-        metadata_dir=args.metadata_dir,
-        partition=part,
-        offload_predicate=args.predicate,
-        hwm=args.hwm,
-    )
-    res = OffloadPipeline(spark, cfg).run(df)
-    print(
-        json.dumps(
-            {
-                "rows_staged": res.rows_staged,
-                "rows_final": res.rows_final,
-                "partitions": [str(p) for p in res.partitions_written],
-                "steps": res.steps,
-            }
-        )
-    )
+    spec = {
+        "owner": args.owner,
+        "table": args.table,
+        "source_dir": args.source_dir,
+        "target_dir": args.target_dir,
+        "staging_dir": args.staging_dir,
+        "metadata_dir": args.metadata_dir,
+        "partition_column": args.partition_column,
+        "partition_kind": args.partition_kind,
+        "granularity": args.granularity,
+        "predicate": args.predicate,
+        "hwm": args.hwm,
+    }
+    print(json.dumps(offload_from_spec(spark, spec)))
     return 0
 
 

@@ -82,6 +82,8 @@ def make_handler(spark):
                     self._reply(200, {"tables": _json_rows(rpt, 1000)})
                 else:
                     self._reply(404, {"error": "not found"})
+            except KeyError as e:  # missing query parameter = caller error
+                self._reply(400, {"error": f"missing parameter {e}"})
             except Exception as e:  # surface the failure as JSON, keep serving
                 self._reply(500, {"error": str(e)[:500]})
 
@@ -93,45 +95,9 @@ def make_handler(spark):
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 spec = json.loads(self.rfile.read(n) or b"{}")
-                from goe_spark.plans.offload import (
-                    OffloadConfig,
-                    OffloadPipeline,
-                    PartitionSpec,
-                )
-                from goe_spark.sources.files import FileSource
+                from goe_spark.plans.offload import offload_from_spec
 
-                part = None
-                if spec.get("partition_column"):
-                    kind = spec.get("partition_kind", "date")
-                    gran = spec.get("granularity", "M")
-                    part = PartitionSpec(
-                        source_column=spec["partition_column"],
-                        kind=kind,
-                        granularity=(
-                            int(gran) if kind in ("number", "string") else gran
-                        ),
-                    )
-                cfg = OffloadConfig(
-                    owner=spec.get("owner", "default"),
-                    table_name=spec["table"],
-                    target_dir=spec["target_dir"],
-                    staging_dir=spec["staging_dir"],
-                    metadata_dir=spec["metadata_dir"],
-                    partition=part,
-                    offload_predicate=spec.get("predicate"),
-                    hwm=spec.get("hwm"),
-                )
-                df = FileSource(spec["source_dir"]).read(spark, spec["table"])
-                res = OffloadPipeline(spark, cfg).run(df)
-                self._reply(
-                    200,
-                    {
-                        "rows_staged": res.rows_staged,
-                        "rows_final": res.rows_final,
-                        "partitions": [str(p) for p in res.partitions_written],
-                        "steps": res.steps,
-                    },
-                )
+                self._reply(200, offload_from_spec(spark, spec))
             except KeyError as e:
                 self._reply(400, {"error": f"missing field {e}"})
             except Exception as e:

@@ -43,19 +43,34 @@ def asof_join(
     """Left as-of join: every ``left`` row + the latest ``right``
     payload at or before its time. Payload columns are NULL when no
     right row precedes the left row."""
+    # The payload travels as ONE struct, not per-column: independent
+    # last(col, ignorenulls) calls would backfill a NULL field of the
+    # matched right row from an OLDER right row, stitching values from
+    # different rows together. A whole-row struct is NULL on left rows
+    # and atomic on right rows, so "latest right row" means one row.
+    payload_struct = F.struct(*[F.col(c) for c in payload_cols])
     l_tagged = left.select(
         F.col(on).alias("__key"),
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__marker"),
         *[F.col(c) for c in left.columns],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload_cols],
+        F.lit(None)
+        .cast(
+            "struct<"
+            + ",".join(
+                f"{c}:{right.schema[c].dataType.simpleString()}"
+                for c in payload_cols
+            )
+            + ">"
+        )
+        .alias("__payload"),
     )
     r_tagged = right.select(
         F.col(right_on).alias("__key"),
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__marker"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
-        *[F.col(c) for c in payload_cols],
+        payload_struct.alias("__payload"),
     )
     w = (
         Window.partitionBy("__key")
@@ -65,9 +80,12 @@ def asof_join(
     forwarded = r_tagged.unionByName(l_tagged).select(
         "__marker",
         *[F.col(c) for c in left.columns],
-        *[
-            F.last(F.col(c), ignorenulls=True).over(w).alias(c)
-            for c in payload_cols
-        ],
+        F.last(F.col("__payload"), ignorenulls=True).over(w).alias("__payload"),
     )
-    return forwarded.where(F.col("__marker") == 1).drop("__marker")
+    return (
+        forwarded.where(F.col("__marker") == 1)
+        .select(
+            *[F.col(c) for c in left.columns],
+            *[F.col(f"__payload.{c}").alias(c) for c in payload_cols],
+        )
+    )

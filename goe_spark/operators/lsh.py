@@ -34,20 +34,8 @@ from pyspark.sql.window import Window
 N_PLANES = 4
 
 
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-def _norm2(a: Column) -> Column:
-    return F.aggregate(
-        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+from goe_spark.operators.vector import dot as _dot  # noqa: E402
+from goe_spark.operators.vector import norm2 as _norm2  # noqa: E402
 
 
 def hyperplanes(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:

@@ -41,6 +41,16 @@ def salted_join(
     salted. ``salt_source`` is any per-row column with spread (a line
     number, an id) — hashed mod n_salt so a single hot ``fact_key``
     value fans out over ``n_salt`` partitions."""
+    # Replicating the dim side makes right/full outer joins emit every
+    # unmatched dim row n_salt times — only fact-preserving joins keep
+    # the row-identity contract.
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports fact-preserving joins {sorted(allowed)}, "
+            f"not {how!r}: dim replication would duplicate unmatched dim rows"
+        )
     src = F.col(salt_source) if isinstance(salt_source, str) else salt_source
     f = fact.withColumn("__salt", F.pmod(F.xxhash64(src), F.lit(n_salt)))
     d = dim.withColumn(

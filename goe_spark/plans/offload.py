@@ -232,3 +232,44 @@ class OffloadPipeline:
             partitions_written=sorted(partitions_written),
             steps=steps,
         )
+
+
+def offload_from_spec(spark: SparkSession, spec: dict) -> dict:
+    """Run one offload from a flat spec dict — THE code path behind
+    both the CLI (cli.cmd_offload) and the listener's POST
+    /api/offload, so field handling (granularity coercion, defaults,
+    result shape) can't drift between surfaces.
+
+    Required keys: table, source_dir, target_dir, staging_dir,
+    metadata_dir. Optional: owner, partition_column, partition_kind,
+    granularity, predicate, hwm.
+    """
+    from goe_spark.sources.files import FileSource
+
+    part = None
+    if spec.get("partition_column"):
+        kind = spec.get("partition_kind", "date")
+        gran = spec.get("granularity", "M")
+        part = PartitionSpec(
+            source_column=spec["partition_column"],
+            kind=kind,
+            granularity=(int(gran) if kind in ("number", "string") else gran),
+        )
+    cfg = OffloadConfig(
+        owner=spec.get("owner", "default"),
+        table_name=spec["table"],
+        target_dir=spec["target_dir"],
+        staging_dir=spec["staging_dir"],
+        metadata_dir=spec["metadata_dir"],
+        partition=part,
+        offload_predicate=spec.get("predicate"),
+        hwm=spec.get("hwm"),
+    )
+    df = FileSource(spec["source_dir"]).read(spark, cfg.table_name)
+    res = OffloadPipeline(spark, cfg).run(df)
+    return {
+        "rows_staged": res.rows_staged,
+        "rows_final": res.rows_final,
+        "partitions": [str(p) for p in res.partitions_written],
+        "steps": res.steps,
+    }

@@ -11,8 +11,15 @@ Beyond-reference scope (BASELINE.json north star).
 - embedding near-dup: cosine >= threshold pairs within a label bucket
   (label plays the role of an IVF/coarse-quantizer cell).
 
-All arithmetic is done in double with sequential list folds so the
-DuckDB oracle computes bit-identical sums, then rounded to 6.
+Arithmetic convention: the fold-based operators (brute force, IVF,
+LSH) use operators/vector's sequential double folds, which DuckDB's
+list_reduce reproduces bit-for-bit. embedding_near_dup_pairs is the
+one deliberate exception: it batches each cell through one BLAS
+matmul, whose blocked accumulation can differ from the sequential
+fold in the last float64 bits — after round(6) the oracle compare has
+held at every tested SF, but a cosine landing within ~1e-15 of a
+rounding boundary could in principle flip membership; that residual
+risk is the price of the ~6x speedup and is confined to that query.
 """
 
 from __future__ import annotations
@@ -27,31 +34,9 @@ N_QUERIES = 5
 TOP_K = 10
 
 
-def _dot(a: Column, b: Column) -> Column:
-    """Sequential double-precision dot product of two float arrays."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-def _norm2(a: Column) -> Column:
-    return F.aggregate(
-        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-DOT_SQL = (
-    "list_reduce(list_transform(range(len({a})), "
-    "i -> cast({a}[i+1] AS double) * cast({b}[i+1] AS double)), (x, y) -> x + y)"
-)
-NORM2_SQL = (
-    "list_reduce(list_transform({a}, x -> cast(x AS double) * cast(x AS double)), "
-    "(x, y) -> x + y)"
-)
+from goe_spark.operators.vector import DOT_SQL, NORM2_SQL
+from goe_spark.operators.vector import dot as _dot
+from goe_spark.operators.vector import norm2 as _norm2
 
 
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

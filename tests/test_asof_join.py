@@ -50,6 +50,29 @@ def test_asof_semantics(spark):
     assert out["no_right_rows"] is None
 
 
+def test_asof_null_payload_not_backfilled_from_older_row(spark):
+    """The matched right row's NULL field must stay NULL — forwarding
+    each payload column independently would stitch it from an older
+    right row."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-20T00:00:00"), "probe")],
+        "k long, t timestamp, label string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-10T00:00:00"), 2, 7),
+            (1, _ts("2024-01-15T00:00:00"), 5, None),  # latest: b is NULL
+        ],
+        "k long, t timestamp, a int, b int",
+    )
+    row = asof_join(
+        left, right, on="k", right_on="k", left_time="t",
+        right_time="t", payload_cols=["a", "b"],
+    ).first()
+    assert row.a == 5
+    assert row.b is None  # NOT 7
+
+
 def test_asof_preserves_left_rowcount(spark):
     left, right = _frames(spark)
     joined = asof_join(
