@@ -100,6 +100,48 @@ def cmd_schema_sync(args) -> int:
     return 0
 
 
+def cmd_connect(args) -> int:
+    """Environment validation (reference: bin/connect, O10): session
+    comes up, every source table answers a 1-row canary read, and the
+    staging/metadata dirs are writable."""
+    import os
+    import time
+
+    from goe_spark.sources.files import FileSource
+
+    checks = []
+    t0 = time.time()
+    spark = _spark("goe-connect")
+    checks.append({"check": "spark_session", "ok": True,
+                   "detail": f"{spark.version} in {time.time() - t0:.1f}s"})
+    src = FileSource(args.source_dir)
+    for tbl in args.tables.split(","):
+        t0 = time.time()
+        try:
+            src.read(spark, tbl).limit(1).collect()
+            checks.append({"check": f"read:{tbl}", "ok": True,
+                           "detail": f"{time.time() - t0:.1f}s"})
+        except Exception as e:
+            checks.append({"check": f"read:{tbl}", "ok": False,
+                           "detail": str(e)[:200]})
+    for label, d in (("staging", args.staging_dir), ("metadata", args.metadata_dir)):
+        if not d:
+            continue
+        try:
+            os.makedirs(d, exist_ok=True)
+            probe = os.path.join(d, ".goe_connect_probe")
+            with open(probe, "w") as f:
+                f.write("ok")
+            os.remove(probe)
+            checks.append({"check": f"writable:{label}", "ok": True, "detail": d})
+        except Exception as e:
+            checks.append({"check": f"writable:{label}", "ok": False,
+                           "detail": str(e)[:200]})
+    ok = all(c["ok"] for c in checks)
+    print(json.dumps({"ok": ok, "checks": checks}))
+    return 0 if ok else 1
+
+
 def cmd_query(args) -> int:
     from goe_spark.queries import queries_dict
 
@@ -147,6 +189,13 @@ def build_parser() -> argparse.ArgumentParser:
     y.add_argument("--frontend-path", required=True)
     y.add_argument("--backend-path", required=True)
     y.set_defaults(fn=cmd_schema_sync)
+
+    c = sub.add_parser("connect", help="validate the environment")
+    c.add_argument("--source-dir", required=True)
+    c.add_argument("--tables", default="region,nation,customer,supplier,part,orders,lineitem")
+    c.add_argument("--staging-dir")
+    c.add_argument("--metadata-dir")
+    c.set_defaults(fn=cmd_connect)
 
     q = sub.add_parser("query", help="run a registered query")
     q.add_argument("name")

@@ -94,6 +94,34 @@ def test_schema_sync_command(tmp_path, capsys, spark):
     assert res["ddl"] == ["ALTER TABLE db.region ADD COLUMNS (new_col int)"]
 
 
+def test_connect_command(tmp_path, capsys):
+    rc = main(
+        [
+            "connect",
+            "--source-dir",
+            SF_SMALL,
+            "--tables",
+            "region,orders",
+            "--staging-dir",
+            str(tmp_path / "stage"),
+            "--metadata-dir",
+            str(tmp_path / "md"),
+        ]
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip())
+    assert res["ok"] is True
+    assert {c["check"] for c in res["checks"]} == {
+        "spark_session", "read:region", "read:orders",
+        "writable:staging", "writable:metadata",
+    }
+
+    rc = main(["connect", "--source-dir", SF_SMALL, "--tables", "nope"])
+    assert rc == 1
+    res = json.loads(capsys.readouterr().out.strip())
+    assert res["ok"] is False
+
+
 def test_query_command(capsys):
     rc = main(["query", "q6_forecast_revenue", "--sf-dir", SF_SMALL])
     assert rc == 0
