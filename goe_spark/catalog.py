@@ -39,10 +39,15 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # ts is parquet TIMESTAMP(NANOS), which Spark rejects unless
+        # nanosAsLong is set. Set it here (runtime-settable) so the
+        # read works on ANY session, not just ours from session.py —
+        # the correctness driver builds its own unconfigured session.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS): read as long nanos (session
-        # config nanosAsLong) and truncate to microseconds, matching
+        # Read as long nanos and truncate to microseconds, matching
         # what micro-resolution engines (DuckDB included) see.
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType
