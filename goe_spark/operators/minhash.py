@@ -25,7 +25,21 @@ from goe_spark.functions.hashing import MERSENNE_P, minhash_coeffs
 K_MINHASH = 16
 LSH_BANDS = 4
 LSH_ROWS = 4
-SIMHASH_BITS = 16
+
+# 60-bit simhash split into 4 bands of 15 bits (Manku et al., WWW'07
+# "Detecting Near-Duplicates for Web Crawling"): any pair within
+# hamming distance SIMHASH_BANDS-1 agrees exactly on >= 1 band
+# (pigeonhole), so (band, band-value) bucketing is a LOSSLESS
+# candidate generator for hamming <= 3. 60 (not 64) keeps every
+# band weight and the full signature inside a positive int64 in both
+# engines. Token hashes are 31-bit, so the high 30 signature bits
+# vote on a second affine permutation of the token hash.
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+SIMHASH_HALF = 30
+SH2_A = 1_103_515_245
+SH2_B = 12_345
 
 COEFFS = minhash_coeffs(K_MINHASH)
 
@@ -182,27 +196,66 @@ def _bit_vote(j: int):
     )
 
 
+def _vote_bits(hashes: Column, nbits: int, base: int) -> Column:
+    """Signature bits [base, base+nbits) from per-bit majority votes."""
+    out = None
+    for j in range(nbits):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), _bit_vote(j))
+        term = F.when(vote >= 0, F.lit(2 ** (j + base))).otherwise(F.lit(0))
+        out = term if out is None else out + term
+    return out
+
+
+def _remix(x: Column) -> Column:
+    return F.pmod(x * F.lit(SH2_A) + F.lit(SH2_B), F.lit(MERSENNE_P))
+
+
 def simhash_signature(token_hashes: Column) -> Column:
-    """16-bit simhash from an array of token hashes."""
-    bits = []
-    for j in range(SIMHASH_BITS):
-        vote = F.aggregate(token_hashes, F.lit(0).cast("long"), _bit_vote(j))
-        bits.append(F.when(vote >= 0, F.lit(2**j)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("long")
+    """60-bit simhash from an array of 31-bit token hashes: low 30
+    bits vote on the hash itself, high 30 on an affine remix of it
+    (one 31-bit hash can't fill 60 independent signature bits).
+
+    ``token_hashes`` must be a bound column (md5 already paid once);
+    the remix is pure arithmetic so its per-aggregate re-evaluation
+    is cheap.
+    """
+    th2 = F.transform(token_hashes, _remix)
+    low = _vote_bits(token_hashes, SIMHASH_HALF, 0)
+    high = _vote_bits(th2, SIMHASH_HALF, SIMHASH_HALF)
+    return (low + high).cast("long")
 
 
 def simhash_signature_sql(hashes_expr: str) -> str:
+    th2 = (
+        f"list_transform({hashes_expr}, "
+        f"x -> (x * {SH2_A} + {SH2_B}) % {MERSENNE_P})"
+    )
     terms = []
-    for j in range(SIMHASH_BITS):
-        vote = (
-            f"list_reduce(list_transform({hashes_expr}, "
-            f"x -> ((x >> {j}) & 1) * 2 - 1), (a, b) -> a + b)"
-        )
-        terms.append(f"(CASE WHEN {vote} >= 0 THEN {2**j} ELSE 0 END)")
+    for base, src in ((0, hashes_expr), (SIMHASH_HALF, th2)):
+        for j in range(SIMHASH_HALF):
+            vote = (
+                f"list_reduce(list_transform({src}, "
+                f"x -> ((x >> {j}) & 1) * 2 - 1), (a, b) -> a + b)"
+            )
+            terms.append(f"(CASE WHEN {vote} >= 0 THEN {2 ** (j + base)} ELSE 0 END)")
     return "cast((" + " + ".join(terms) + ") as bigint)"
+
+
+def simhash_band_structs(sig: Column) -> Column:
+    """Array of (band, 15-bit band value) structs for lossless
+    hamming<=SIMHASH_BANDS-1 candidate bucketing."""
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(sig, b * SIMHASH_BAND_BITS)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
 
 
 def hamming(a: Column, b: Column) -> Column:

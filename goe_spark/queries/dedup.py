@@ -22,6 +22,20 @@ from goe_spark.catalog import load_table
 from goe_spark.functions.hashing import hash64, hash64_sql
 from goe_spark.queries import QuerySpec
 
+# Frequency caps that bound the in-bucket pair expansion: a shingle
+# shared by more than JACCARD_DF_CAP docs (a "stop shingle" — boiler-
+# plate, viral phrases) or an LSH band bucket larger than
+# LSH_BUCKET_CAP is dropped BEFORE pair emission. Without the cap one
+# viral shingle makes collect_set unbounded and the pair count
+# quadratic in its document frequency; with it the worst bucket emits
+# at most CAP*(CAP-1)/2 pairs. High-frequency shingles carry no
+# near-dup signal anyway (they don't discriminate), so recall loss is
+# negligible — the standard stop-word argument applied to shingles.
+# At 100 TB the cap would be sized from a df-quantile sample; the
+# constant keeps the oracle deterministic here.
+JACCARD_DF_CAP = 64
+LSH_BUCKET_CAP = 64
+
 
 def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup, keep-first semantics: survivors are rows whose
@@ -155,9 +169,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # n >= 2 guard is load-bearing with explode_outer: an empty pair
-    # array would otherwise emit a (NULL, NULL) row.
+    # array would otherwise emit a (NULL, NULL) row. The upper bound
+    # drops stop-shingles (see JACCARD_DF_CAP).
     common = (
-        grouped.where(n >= 2)
+        grouped.where((n >= 2) & (n <= JACCARD_DF_CAP))
         .select(F.explode_outer(pair_structs).alias("p"))
         .groupBy(
             F.col("p.id1").alias("id1"),
@@ -187,11 +202,18 @@ WITH shingled AS (
   SELECT doc_id, len(shd) AS n_sh FROM shingled
 ), exploded AS (
   SELECT doc_id, lang, source, unnest(shd) AS sh FROM shingled
+), capped AS (
+  -- stop-shingle cap: mirror of JACCARD_DF_CAP (exploded is distinct
+  -- per doc, so count(*) is the shingle's document frequency)
+  SELECT lang, source, sh
+  FROM exploded GROUP BY 1, 2, 3 HAVING count(*) <= {JACCARD_DF_CAP}
 ), common AS (
   SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
   FROM exploded a JOIN exploded b
     ON a.lang = b.lang AND a.source = b.source AND a.sh = b.sh
    AND a.doc_id < b.doc_id
+  JOIN capped c
+    ON c.lang = a.lang AND c.source = a.source AND c.sh = a.sh
   GROUP BY 1, 2
 )
 SELECT id1, id2,
@@ -247,7 +269,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        grouped.where(n >= 2)
+        grouped.where((n >= 2) & (n <= LSH_BUCKET_CAP))
         .select(F.explode_outer(pair_structs).alias("p"))
         .select("p.id1", "p.id2", "p.est_jaccard")
         .distinct()
@@ -264,10 +286,15 @@ sigs AS (
   SELECT doc_id, {mh_expr} AS mh FROM shingled
 ),
 bands AS ({MH.band_rows_sql("mh")}),
+ok_buckets AS (
+  -- band-bucket cap: mirror of LSH_BUCKET_CAP
+  SELECT band, sig FROM bands GROUP BY 1, 2 HAVING count(*) <= {LSH_BUCKET_CAP}
+),
 cands AS (
   SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  JOIN ok_buckets ok ON ok.band = a.band AND ok.sig = a.sig
 )
 SELECT id1, id2,
        round({MH.minhash_agreement_sql("s1.mh", "s2.mh")}, 6) AS est_jaccard
@@ -278,46 +305,60 @@ JOIN sigs s2 ON s2.doc_id = id2
 
 
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 16-bit signatures over token hashes, pairs
-    with hamming distance <= 6 inside a (lang, source) block.
+    """SimHash near-dup: 60-bit signatures over token hashes, all
+    pairs with hamming distance <= 3 (Manku et al., WWW'07).
 
-    The signature is a pure map-side expression; blocking bounds the
-    pair join (at 100 TB the block key would be a signature prefix —
-    same plan, different key).
+    The signature is a pure map-side expression. Candidate generation
+    bands the signature into 4 x 15-bit blocks: a pair within hamming
+    3 must agree exactly on >= 1 block (pigeonhole), so bucketing on
+    (band, band value) is LOSSLESS while the bucket key spreads over
+    the 15-bit value space — unlike the earlier (lang, source)
+    blocking, bucket size no longer scales with corpus-level slice
+    cardinality, so the in-bucket pair expansion stays bounded at
+    100 TB. Pairs are emitted group-locally (no exploded self-join);
+    the full signature rides the band explode so hamming is computed
+    inline with no signature re-join. The DuckDB oracle is the
+    brute-force all-pairs join — the hash match doubles as a proof
+    the banding lost no pair at test scale.
     """
     from goe_spark.operators import minhash as MH
 
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source", "text"
-    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    # Bind token hashes before the 16 bit-vote aggregates — each
-    # aggregate re-evaluates a computed array argument (16x md5 cost)
+    # Bind token hashes before the bit-vote aggregates — each
+    # aggregate re-evaluates a computed array argument (md5 cost)
     # but reads a bound column once.
-    tok_hashed = d.select(
-        "doc_id", "lang", "source", MH.token_hashes(toks).alias("th")
-    )
+    tok_hashed = d.select("doc_id", MH.token_hashes(toks).alias("th"))
     sigs = tok_hashed.select(
-        "doc_id",
-        "lang",
-        "source",
-        MH.simhash_signature(F.col("th")).alias("simhash"),
+        "doc_id", MH.simhash_signature(F.col("th")).alias("simhash")
     )
-    a = sigs.alias("a")
-    b = sigs.alias("b")
+    bands = sigs.select(
+        F.struct("doc_id", "simhash").alias("doc"),
+        F.explode(MH.simhash_band_structs(F.col("simhash"))).alias("bs"),
+    ).select("doc", F.col("bs.band").alias("band"), F.col("bs.val").alias("val"))
+    grouped = bands.groupBy("band", "val").agg(
+        F.array_sort(F.collect_set("doc")).alias("docs")
+    )
+    n = F.size("docs")
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, n - i - 1),
+                lambda y: F.struct(
+                    x["doc_id"].alias("id1"),
+                    y["doc_id"].alias("id2"),
+                    MH.hamming(x["simhash"], y["simhash"]).alias("hamming"),
+                ),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id1"),
-            F.col("b.doc_id").alias("id2"),
-            MH.hamming(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
-        )
-        .where(F.col("hamming") <= 6)
+        grouped.where(n >= 2)
+        .select(F.explode_outer(pair_structs).alias("p"))
+        .select("p.id1", "p.id2", "p.hamming")
+        .where(F.col("hamming") <= MH.SIMHASH_BANDS - 1)
+        .distinct()
     )
 
 
@@ -329,16 +370,16 @@ def _simhash_sql() -> str:
     th_sql = MH.token_hashes_sql(toks_sql)
     return f"""
 WITH sigs AS (
-  SELECT doc_id, lang, source, {sig} AS simhash
-  FROM (SELECT doc_id, lang, source,
+  SELECT doc_id, {sig} AS simhash
+  FROM (SELECT doc_id,
                {th_sql} AS th
         FROM documents)
 )
 SELECT a.doc_id AS id1, b.doc_id AS id2,
        {MH.hamming_sql("a.simhash", "b.simhash")} AS hamming
 FROM sigs a JOIN sigs b
-  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-WHERE {MH.hamming_sql("a.simhash", "b.simhash")} <= 6
+  ON a.doc_id < b.doc_id
+WHERE {MH.hamming_sql("a.simhash", "b.simhash")} <= {MH.SIMHASH_BANDS - 1}
 """
 
 

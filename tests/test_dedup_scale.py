@@ -1,0 +1,121 @@
+"""Scale-safety guards for the near-dup operators: frequency caps
+bound the in-bucket pair expansion, and the simhash banding is a
+lossless candidate generator for its hamming radius."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from goe_spark.operators import minhash as MH
+from goe_spark.queries.dedup import (
+    JACCARD_DF_CAP,
+    LSH_BUCKET_CAP,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+VIRAL_N = 100  # > both caps (64)
+
+
+@pytest.fixture(scope="module")
+def viral_sf_dir(spark, tmp_path_factory):
+    """A documents table where one shingle / one LSH bucket is shared
+    by VIRAL_N docs (above cap) plus one legitimate near-dup pair
+    (below cap)."""
+    assert VIRAL_N > JACCARD_DF_CAP and VIRAL_N > LSH_BUCKET_CAP
+    rows = [
+        # 100 identical docs: every shingle has df=100 (> JACCARD_DF_CAP)
+        # and every minhash band bucket holds all 100 (> LSH_BUCKET_CAP).
+        (i, "common alpha beta gamma delta", "en", "web", 29)
+        for i in range(VIRAL_N)
+    ]
+    base = "zeta eta theta iota kappa lamda mu nu xi"
+    rows += [
+        (1000, base + " end1", "en", "web", len(base) + 5),
+        (1001, base + " end2", "en", "web", len(base) + 5),
+    ]
+    d = tmp_path_factory.mktemp("viral")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_jaccard_viral_shingle_capped(spark, viral_sf_dir):
+    pairs = ngram_jaccard_pairs(spark, viral_sf_dir).collect()
+    ids = {(r.id1, r.id2) for r in pairs}
+    # The viral shingle would otherwise emit VIRAL_N*(VIRAL_N-1)/2
+    # pairs at jaccard 1/3; the cap drops them all...
+    assert not any(r.id1 < 1000 for r in pairs)
+    # ...while the legitimate below-cap near-dup pair survives.
+    assert (1000, 1001) in ids
+
+
+def test_minhash_viral_bucket_capped(spark, viral_sf_dir):
+    pairs = minhash_lsh_pairs(spark, viral_sf_dir).collect()
+    # The identical docs share one signature, so every band bucket
+    # holds all VIRAL_N of them — the bucket cap must stop the
+    # quadratic expansion (exact-dup clusters belong to exact dedup,
+    # not the near-dup pair generator).
+    assert not any(r.id1 < 1000 for r in pairs)
+    # The 8-shingle near-identical pair agrees on most minhash
+    # components, so some band still pairs them.
+    assert any((r.id1, r.id2) == (1000, 1001) for r in pairs)
+
+
+def test_simhash_band_pigeonhole():
+    """If hamming(a, b) <= SIMHASH_BANDS - 1, at least one 15-bit band
+    is identical — the losslessness the banded plan relies on."""
+    rng = random.Random(7)
+    mask = (1 << MH.SIMHASH_BAND_BITS) - 1
+
+    def bands(sig):
+        return [
+            (sig >> (b * MH.SIMHASH_BAND_BITS)) & mask
+            for b in range(MH.SIMHASH_BANDS)
+        ]
+
+    for _ in range(500):
+        a = rng.getrandbits(MH.SIMHASH_BITS)
+        flips = rng.sample(range(MH.SIMHASH_BITS), rng.randint(0, MH.SIMHASH_BANDS - 1))
+        b = a
+        for j in flips:
+            b ^= 1 << j
+        assert any(x == y for x, y in zip(bands(a), bands(b)))
+    # The bands exactly tile the signature width.
+    assert MH.SIMHASH_BANDS * MH.SIMHASH_BAND_BITS == MH.SIMHASH_BITS
+
+
+def test_simhash_bands_reassemble(spark):
+    """Spark-side band extraction is consistent with the signature:
+    the 4 shifted band values OR back into the original 60-bit sig."""
+    from goe_spark.catalog import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    th = d.select("doc_id", MH.token_hashes(toks).alias("th"))
+    sigs = th.select("doc_id", MH.simhash_signature(F.col("th")).alias("sig"))
+    rebuilt = None
+    for b in range(MH.SIMHASH_BANDS):
+        part = F.shiftleft(
+            F.element_at(MH.simhash_band_structs(F.col("sig")), b + 1)["val"],
+            b * MH.SIMHASH_BAND_BITS,
+        )
+        rebuilt = part if rebuilt is None else rebuilt + part
+    bad = sigs.where(
+        (rebuilt != F.col("sig"))
+        | (F.col("sig") < 0)
+        | (F.col("sig") >= 2**MH.SIMHASH_BITS)
+    )
+    assert bad.count() == 0
+
+
+def test_simhash_query_nonempty_and_within_radius(spark):
+    out = simhash_pairs(spark, "/root/testdata/sf0.01").collect()
+    assert len(out) > 0
+    assert all(0 <= r.hamming <= MH.SIMHASH_BANDS - 1 for r in out)
+    assert all(r.id1 < r.id2 for r in out)
