@@ -89,11 +89,35 @@ class OffloadResult:
     steps: list = field(default_factory=list)
 
 
+def _list_files(root: str) -> set[str]:
+    import os
+
+    out: set[str] = set()
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for f in filenames:
+            out.add(os.path.join(dirpath, f))
+    return out
+
+
+def _remove_files(paths: set[str]) -> None:
+    import os
+
+    for p in paths:
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+
+
 class OffloadPipeline:
     def __init__(self, spark: SparkSession, config: OffloadConfig):
         self.spark = spark
         self.cfg = config
         self.store = MetadataStore(config.metadata_dir)
+
+    def _verify_count(self, check_df: DataFrame) -> int:
+        """Seam for tests to inject a verification mismatch."""
+        return check_df.count()
 
     # -- steps (named like the reference's command_steps) ------------------
 
@@ -122,8 +146,10 @@ class OffloadPipeline:
 
         # FIND_OFFLOAD_DATA: predicate / HWM slicing.
         sliced = source_df
+        pred_ast = None
         if cfg.offload_predicate:
             ast = parse_predicate_dsl(cfg.offload_predicate)
+            pred_ast = ast
             sql_text = predicate_to_sql(ast)
             if sql_text in md.offloaded_predicates:
                 raise OffloadValidationError(
@@ -172,22 +198,39 @@ class OffloadPipeline:
         steps.append("VALIDATE_STAGED_DATA")
         steps.append("VALIDATE_CASTS")
 
-        # FINAL_LOAD: cast map -> partitioned final table.
+        # FINAL_LOAD: cast map -> partitioned final table. A full
+        # offload (no predicate, no HWM window) REPLACES the target —
+        # the reference drops and recreates the backend table for
+        # non-incremental offloads, and append semantics would make a
+        # re-offload duplicate every row. Incremental offloads append,
+        # and we snapshot the target's file set first so a failed
+        # verification can roll the append back (retryable failure
+        # instead of silently-committed bad rows).
+        full_replace = pred_ast is None and cfg.hwm is None
         cast_map = build_cast_map(canonical_cols)
         final_proj = [cast_map[c.name]["cast"] for c in canonical_cols]
+        pre_files = set() if full_replace else _list_files(cfg.target_dir)
         writer = staged.select(
             *final_proj,
             *( [F.col(SYNTHETIC_COL)] if cfg.partition is not None else [] ),
-        ).write.mode("append")
+        ).write.mode("overwrite" if full_replace else "append")
         if cfg.partition is not None:
             writer = writer.partitionBy(SYNTHETIC_COL)
         writer.parquet(cfg.target_dir)
         steps.append("FINAL_LOAD")
 
-        # VERIFY_EXPORTED_DATA: count ("minus") + aggregate validate.
+        # VERIFY_EXPORTED_DATA: count ("minus") validation, scoped to
+        # THIS run's slice — the reference passes the in-flight
+        # predicate into build_verification_clauses (goe.py
+        # verify_offload_by_backend_count) for the same reason: the
+        # final table holds every previously offloaded slice, so an
+        # unscoped count can only match on the very first offload.
         final_df = self.spark.read.parquet(cfg.target_dir)
+        check_df = final_df
+        if pred_ast is not None:
+            check_df = check_df.where(predicate_to_column(pred_ast, check_df))
         if cfg.partition is not None and cfg.hwm is not None:
-            check_df = final_df.where(
+            check_df = check_df.where(
                 (F.col(SYNTHETIC_COL) <= F.lit(cfg.hwm))
                 & (
                     F.col(SYNTHETIC_COL) > F.lit(md.incremental_high_value)
@@ -195,12 +238,13 @@ class OffloadPipeline:
                     else F.lit(True)
                 )
             )
-        else:
-            check_df = final_df
-        rows_final = check_df.count()
+        rows_final = self._verify_count(check_df)
         if rows_final != rows_staged:
+            if not full_replace:
+                _remove_files(_list_files(cfg.target_dir) - pre_files)
             raise OffloadValidationError(
-                f"count validation failed: staged={rows_staged} final={rows_final}"
+                f"count validation failed: staged={rows_staged} "
+                f"final={rows_final} (appended files rolled back)"
             )
         steps.append("VERIFY_EXPORTED_DATA")
 

@@ -152,6 +152,91 @@ def test_offload_incremental_range(spark, tmp_path):
     assert md.offload_type == "RANGE"
 
 
+def test_offload_full_reoffload_replaces(spark, tmp_path):
+    """A full (non-incremental) offload REPLACES the target: running
+    it twice must not duplicate rows (reference semantics: drop and
+    recreate the backend table)."""
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    cfg = _cfg(tmp_path, table_name="orders", partition=None)
+    OffloadPipeline(spark, cfg).run(src)
+    r2 = OffloadPipeline(spark, cfg).run(src)
+    assert r2.rows_final == src.count()
+    assert spark.read.parquet(cfg.target_dir).count() == src.count()
+
+
+def test_offload_two_predicates_scoped_verify(spark, tmp_path):
+    """Verification counts only the in-flight slice, so a second
+    offload with a different predicate passes even though the final
+    table already holds the first slice."""
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+
+    def cfg_for(pred):
+        return _cfg(
+            tmp_path,
+            table_name="orders",
+            partition=None,
+            offload_predicate=pred,
+        )
+
+    r1 = OffloadPipeline(
+        spark, cfg_for('column(o_orderpriority) = string("1-URGENT")')
+    ).run(src)
+    r2 = OffloadPipeline(
+        spark, cfg_for('column(o_orderpriority) = string("2-HIGH")')
+    ).run(src)
+    assert r1.rows_final > 0 and r2.rows_final > 0
+    final = spark.read.parquet(str(tmp_path / "final"))
+    assert final.count() == r1.rows_final + r2.rows_final
+
+
+def test_offload_failed_verify_rolls_back(spark, tmp_path):
+    """A count-verification failure removes the files this run
+    appended and skips the metadata save, so the same offload can be
+    retried without duplicating the slice."""
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    ok = OffloadPipeline(
+        spark,
+        _cfg(
+            tmp_path,
+            table_name="orders",
+            partition=None,
+            offload_predicate='column(o_orderpriority) = string("1-URGENT")',
+        ),
+    )
+    ok.run(src)
+    before = spark.read.parquet(str(tmp_path / "final")).count()
+
+    bad = OffloadPipeline(
+        spark,
+        _cfg(
+            tmp_path,
+            table_name="orders",
+            partition=None,
+            offload_predicate='column(o_orderpriority) = string("2-HIGH")',
+        ),
+    )
+    bad._verify_count = lambda df: -1
+    with pytest.raises(OffloadValidationError, match="rolled back"):
+        bad.run(src)
+    # Append rolled back, predicate not recorded.
+    assert spark.read.parquet(str(tmp_path / "final")).count() == before
+    md = MetadataStore(str(tmp_path / "meta")).get("tpch", "orders")
+    assert len(md.offloaded_predicates) == 1
+
+    # Retry with a healthy verifier succeeds and appends exactly once.
+    retry = OffloadPipeline(
+        spark,
+        _cfg(
+            tmp_path,
+            table_name="orders",
+            partition=None,
+            offload_predicate='column(o_orderpriority) = string("2-HIGH")',
+        ),
+    )
+    r = retry.run(src)
+    assert spark.read.parquet(str(tmp_path / "final")).count() == before + r.rows_final
+
+
 def test_offload_predicate_dedupe(spark, tmp_path):
     src = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
     cfg = _cfg(
