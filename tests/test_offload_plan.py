@@ -16,12 +16,17 @@ from goe_spark.plans.offload import (
     PartitionSpec,
 )
 from goe_spark.plans.partitions import (
+    SPLIT_90_10,
+    SPLIT_100_0,
+    SPLIT_100_10,
     PartitionSelectionError,
     SourcePartition,
     hwm_of,
     select_full,
     select_list,
+    select_list_as_range,
     select_range,
+    select_range_split,
 )
 from tests.conftest import SF_SMALL
 
@@ -66,6 +71,59 @@ def test_select_list():
     assert got == []
     with pytest.raises(PartitionSelectionError):
         select_list(parts(), requested_names=["nope"])
+
+
+def list_parts():
+    # LIST catalog order is arbitrary — selection must sort.
+    return [
+        P("p_c", "C", 1 * 1024**3, 10),
+        P("p_a", "A", 1 * 1024**3, 10),
+        P("p_default", "DEFAULT", 1 * 1024**3, 10),
+        P("p_b", "B", 1 * 1024**3, 10),
+        P("p_d", "D", 1 * 1024**3, 10),
+    ]
+
+
+def test_select_list_as_range_strict_boundary():
+    # LIST high values are partition CONTENT, so the filter is `<`.
+    got = select_list_as_range(list_parts(), new_hwm="C")
+    assert [p.name for p in got] == ["p_a", "p_b"]
+    # --equal-to-values variant is inclusive.
+    got = select_list_as_range(list_parts(), new_hwm="C", inclusive=True)
+    assert [p.name for p in got] == ["p_a", "p_b", "p_c"]
+    # Incremental append from a prior HWM; DEFAULT never moves.
+    got = select_list_as_range(list_parts(), new_hwm="Z", prior_hwm="B")
+    assert [p.name for p in got] == ["p_c", "p_d"]
+    assert hwm_of(got) == "D"
+
+
+def test_select_list_as_range_rejects_multi_value_partitions():
+    bad = list_parts() + [P("p_multi", ("X", "Y"), 1, 1)]
+    with pytest.raises(PartitionSelectionError, match="LIST_AS_RANGE"):
+        select_list_as_range(bad, new_hwm="Z")
+
+
+def test_select_range_splits():
+    # 90/10: classic incremental, boundary = max moved HV.
+    sel = select_range_split(parts(), SPLIT_90_10, new_hwm="2012-03")
+    assert [p.name for p in sel.partitions] == [
+        "p2012_01",
+        "p2012_02",
+        "p2012_03",
+        "p2012_03b",
+    ]
+    assert sel.hwm == "2012-03"
+    # 100/10: everything moves (MAXVALUE included), but the filter
+    # still defines the view boundary.
+    sel = select_range_split(parts(), SPLIT_100_10, new_hwm="2012-03")
+    assert len(sel.partitions) == 6
+    assert sel.hwm == "2012-03"
+    # 100/0: everything moves, no boundary.
+    sel = select_range_split(parts(), SPLIT_100_0)
+    assert len(sel.partitions) == 6
+    assert sel.hwm is None
+    with pytest.raises(PartitionSelectionError):
+        select_range_split(parts(), "95/5")
 
 
 def test_chunker_caps_and_hwm_closure():
