@@ -3,10 +3,13 @@
 Brute-force cosine scans every candidate per query; IVF bounds the
 scan to ``nprobe`` of ``n_cells`` coarse cells:
 
-1. centroids: a deterministic sample of the corpus (first ``n_cells``
-   vectors). Production swaps in sampled k-means; the *plan shape* —
-   tiny broadcast centroid table, map-side assignment — is identical,
-   and determinism is what makes the DuckDB oracle replayable.
+1. centroids: sampled k-means, seeded and fully deterministic —
+   seeds are the ``n_cells`` corpus vectors with the smallest
+   cross-engine md5 hash of their id (independent of row order and
+   of how ids happen to cluster), refined by one Lloyd step whose
+   centroid update is an element-wise exact DECIMAL sum (cosine is
+   scale-invariant, so the un-divided sum IS the mean direction and
+   exact arithmetic keeps the DuckDB oracle replayable bit-for-bit).
 2. assignment: every vector joins the broadcast centroids, keeps its
    argmax-cosine cell. One narrow shuffle to materialize (vec_id,
    cell); at 100 TB this is the index-build scan, written once and
@@ -16,8 +19,9 @@ scan to ``nprobe`` of ``n_cells`` coarse cells:
    cells, and scores exact cosine only against vectors assigned to
    those cells — the candidate set shrinks by ~n_cells/nprobe.
 
-All arithmetic is sequential double folds rounded to 6, matching the
-conventions in queries/similarity.py so both engines agree bitwise.
+All floating arithmetic is sequential double folds rounded to 6,
+matching the conventions in queries/similarity.py so both engines
+agree bitwise.
 """
 
 from __future__ import annotations
@@ -28,26 +32,69 @@ from pyspark.sql.window import Window
 
 N_CELLS = 8
 N_PROBE = 2
+DIM = 64
+# Exact per-element accumulator for the Lloyd centroid update. Ties
+# in float->decimal rounding cannot occur at scale 9 (a binary float
+# times 1e9 can never end exactly in .5), so both engines round the
+# float32 inputs to identical decimals.
+CENT_DEC = "decimal(20,9)"
 
 
+from goe_spark.functions.hashing import hash64  # noqa: E402
 from goe_spark.operators.vector import dot as _dot  # noqa: E402
 from goe_spark.operators.vector import norm2 as _norm2  # noqa: E402
 
 
-def centroids(emb: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
-    """Deterministic coarse quantizer: first n_cells vectors by id."""
-    return emb.where(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell"),
-        F.col("embedding").alias("cvec"),
-        _norm2(F.col("embedding")).alias("cnorm2"),
+def seed_centroids(emb: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
+    """k seed vectors: smallest hash64(vec_id) wins. orderBy+limit is
+    a distributed TakeOrdered — no global sort materializes; at 100 TB
+    you'd pre-filter with a cheap hash threshold first, same plan."""
+    seeds = (
+        emb.select(
+            hash64(F.col("vec_id").cast("string")).alias("h"),
+            "vec_id",
+            F.col("embedding").alias("cvec"),
+            _norm2(F.col("embedding")).alias("cnorm2"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(n_cells)
     )
+    w = Window.orderBy("h", "vec_id")
+    return seeds.withColumn("cell", F.row_number().over(w) - 1).select(
+        "cell", "cvec", "cnorm2"
+    )
+
+
+def centroids(emb: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
+    """Sampled k-means quantizer: hash-seeded sample + one Lloyd step.
+
+    Every seed cell is non-empty (the seed assigns to itself at
+    cosine 1), so no empty-cell repair is needed. The refined
+    centroid rides as the exact decimal per-element sum of the
+    cell's members, cast to double only at the end.
+    """
+    assigned = assign_cells(emb, seed_centroids(emb, n_cells))
+    sums = assigned.groupBy("cell").agg(
+        *[
+            F.sum(F.element_at("embedding", i + 1).cast(CENT_DEC)).alias(f"s{i}")
+            for i in range(DIM)
+        ]
+    )
+    cvec = F.array(*[F.col(f"s{i}").cast("double") for i in range(DIM)])
+    return sums.select(
+        "cell", cvec.alias("cvec")
+    ).select("cell", "cvec", _norm2(F.col("cvec")).alias("cnorm2"))
 
 
 def assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, cell, embedding, norm2): argmax-cosine cell per vector.
 
-    Broadcast the centroid table; the argmax is a window over the tiny
-    per-vector group (n_cells rows) — map-heavy, one shuffle out.
+    Broadcast the centroid table; the argmax is max_by over the
+    per-vector group — unlike a window row_number it partial-
+    aggregates map-side, so the shuffle carries one row per vector,
+    not n_cells. Ties break toward the lowest cell (max of
+    (ccos, -cell)), matching the oracle's ORDER BY ccos DESC,
+    cell ASC.
     """
     scored = (
         emb.select(
@@ -66,11 +113,17 @@ def assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
             ).alias("ccos"),
         )
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select("vec_id", "cell", "embedding", "vnorm2")
+    best = scored.groupBy("vec_id").agg(
+        F.expr(
+            "max_by(named_struct('cell', cell, 'embedding', embedding, "
+            "'vnorm2', vnorm2), named_struct('c', ccos, 'negcell', -cell))"
+        ).alias("b")
+    )
+    return best.select(
+        "vec_id",
+        F.col("b.cell").alias("cell"),
+        F.col("b.embedding").alias("embedding"),
+        F.col("b.vnorm2").alias("vnorm2"),
     )
 
 
@@ -103,7 +156,12 @@ def ivf_topk(
     nprobe: int = N_PROBE,
 ) -> DataFrame:
     """End-to-end IVF search: build index, probe, exact-rescore top-k."""
-    cents = centroids(emb, n_cells)
+    # The centroid table is 8 rows but its lineage is a full-corpus
+    # Lloyd pass; without a cache every consumer (assignment, probe)
+    # re-runs that pass. At 100 TB the index build would be persisted
+    # to storage once and reused across query batches — cache() is the
+    # single-session analog.
+    cents = centroids(emb, n_cells).cache()
     assigned = assign_cells(emb, cents)
     queries = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"),

@@ -164,9 +164,9 @@ WHERE round({DOT_SQL.format(a='a.embedding', b='b.embedding')} / sqrt(a.nrm * b.
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN (operators/ivf): probe 2 of 8 coarse cells
-    instead of scanning every candidate — the 100 TB scale path where
-    brute force is the floor."""
+    """IVF-bucketed ANN (operators/ivf): probe 2 of 8 sampled-k-means
+    cells instead of scanning every candidate — the 100 TB scale path
+    where brute force is the floor."""
     from goe_spark.operators.ivf import ivf_topk
 
     return ivf_topk(
@@ -176,13 +176,43 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ANN_IVF_SQL = f"""
+def _ann_ivf_sql() -> str:
+    from goe_spark.functions.hashing import hash64_sql
+    from goe_spark.operators.ivf import CENT_DEC, DIM, N_CELLS
+
+    sum_cols = ", ".join(
+        f"sum(CAST(embedding[{i + 1}] AS {CENT_DEC})) AS s{i}" for i in range(DIM)
+    )
+    cvec_list = "[" + ", ".join(f"CAST(s{i} AS DOUBLE)" for i in range(DIM)) + "]"
+    h = hash64_sql("cast(vec_id AS varchar)")
+    return f"""
 WITH emb AS (
   SELECT vec_id, embedding, {NORM2_SQL.format(a='embedding')} AS vnorm2
   FROM embeddings
+), seeds AS (
+  -- sampled k-means seeds: smallest cross-engine hash of the id
+  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell, cvec, cnorm2
+  FROM (
+    SELECT {h} AS h, vec_id, embedding AS cvec, vnorm2 AS cnorm2
+    FROM emb ORDER BY h, vec_id LIMIT {N_CELLS}
+  )
+), seed_assigned AS (
+  SELECT vec_id, cell, embedding FROM (
+    SELECT e.vec_id, s.cell, e.embedding,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round({DOT_SQL.format(a='e.embedding', b='s.cvec')} / sqrt(e.vnorm2 * s.cnorm2), 6) DESC,
+                      s.cell ASC
+           ) AS rk
+    FROM emb e CROSS JOIN seeds s
+  ) WHERE rk = 1
+), cent_sums AS (
+  -- one Lloyd step; exact decimal sums, cosine is scale-invariant
+  SELECT cell, {sum_cols}
+  FROM seed_assigned GROUP BY cell
 ), cents AS (
-  SELECT vec_id AS cell, embedding AS cvec, vnorm2 AS cnorm2
-  FROM emb WHERE vec_id < 8
+  SELECT cell, cvec, {NORM2_SQL.format(a='cvec')} AS cnorm2
+  FROM (SELECT cell, {cvec_list} AS cvec FROM cent_sums)
 ), assigned AS (
   SELECT vec_id, cell, embedding, vnorm2 FROM (
     SELECT e.vec_id, c.cell, e.embedding, e.vnorm2,
@@ -237,12 +267,16 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ANN_LSH_SQL = f"""
+def _ann_lsh_sql() -> str:
+    from goe_spark.operators.lsh import planes_sql
+
+    return f"""
 WITH emb AS (
   SELECT vec_id, embedding, {NORM2_SQL.format(a='embedding')} AS vnorm2
   FROM embeddings
 ), planes AS (
-  SELECT vec_id AS plane, embedding AS pvec FROM embeddings WHERE vec_id < 4
+  -- seeded pseudo-random normals, literal-identical in both engines
+  {planes_sql()}
 ), sigs AS (
   SELECT e.vec_id,
          cast(sum(CASE WHEN round({DOT_SQL.format(a='e.embedding', b='p.pvec')}, 6) >= 0
@@ -276,6 +310,6 @@ QUERIES = [
     QuerySpec(
         "embedding_near_dup_pairs", embedding_near_dup_pairs, NEAR_DUP_SQL
     ),
-    QuerySpec("ann_ivf_topk", ann_ivf_topk, ANN_IVF_SQL),
-    QuerySpec("ann_lsh_topk", ann_lsh_topk, ANN_LSH_SQL),
+    QuerySpec("ann_ivf_topk", ann_ivf_topk, _ann_ivf_sql()),
+    QuerySpec("ann_lsh_topk", ann_lsh_topk, _ann_lsh_sql()),
 ]
