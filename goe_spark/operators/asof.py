@@ -42,7 +42,23 @@ def asof_join(
 ) -> DataFrame:
     """Left as-of join: every ``left`` row + the latest ``right``
     payload at or before its time. Payload columns are NULL when no
-    right row precedes the left row."""
+    right row precedes the left row.
+
+    ``payload_cols`` must be disjoint from ``left``'s columns — the
+    output carries both sides by name, so a collision would emit
+    duplicate column names (breaking later access by name).
+
+    Left rows with a NULL ``left_time`` sort before every timed row
+    within their key (Spark windows order NULLs first), so they can
+    never see a right payload — they come out with NULL payload
+    columns, same as DuckDB's ASOF JOIN for NULL probe times.
+    """
+    clash = set(payload_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"payload_cols collide with left columns: {sorted(clash)}; "
+            "rename or prefix the payload columns"
+        )
     # The payload travels as ONE struct, not per-column: independent
     # last(col, ignorenulls) calls would backfill a NULL field of the
     # matched right row from an OLDER right row, stitching values from

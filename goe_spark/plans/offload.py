@@ -299,6 +299,13 @@ def offload_from_spec(spark: SparkSession, spec: dict) -> dict:
             kind=kind,
             granularity=(int(gran) if kind in ("number", "string") else gran),
         )
+    hwm = spec.get("hwm")
+    if hwm is not None and part is not None and part.kind == "number":
+        # CLI/REST deliver hwm as a string; comparing a long synthetic
+        # column to a string literal coerces through double (losing
+        # precision above 2^53) and would persist a string HWM in
+        # metadata — coerce like granularity above.
+        hwm = int(hwm)
     cfg = OffloadConfig(
         owner=spec.get("owner", "default"),
         table_name=spec["table"],
@@ -307,7 +314,7 @@ def offload_from_spec(spark: SparkSession, spec: dict) -> dict:
         metadata_dir=spec["metadata_dir"],
         partition=part,
         offload_predicate=spec.get("predicate"),
-        hwm=spec.get("hwm"),
+        hwm=hwm,
     )
     df = FileSource(spec["source_dir"]).read(spark, cfg.table_name)
     res = OffloadPipeline(spark, cfg).run(df)

@@ -9,6 +9,16 @@ The SQL renderer serves the JDBC pushdown path and the DuckDB
 correctness oracle (reference: GenericPredicateToSQL + the
 literal/bind template family, predicate_offload.py:469-587 — binds are
 unnecessary here because Spark JDBC pushes literal WHERE text).
+
+TRUST BOUNDARY: predicate DSL text is trusted OPERATOR input, exactly
+as in the reference (predicates arrive via the goe CLI run by a DBA).
+In particular ``literal(...)`` values render through ``F.expr`` —
+arbitrary Spark SQL expression evaluation by design, mirroring the
+reference passing literal text straight into generated SQL. Do NOT
+feed untrusted text into the DSL: the REST listener binds to
+127.0.0.1 only and inherits this same operator-trust assumption; any
+future remotely-reachable surface must restrict ``literal()`` (or
+drop it) before accepting predicates.
 """
 
 from __future__ import annotations

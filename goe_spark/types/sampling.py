@@ -46,8 +46,25 @@ class NumericSample:
     has_e_notation: bool = False
 
 
-def tighten_numeric(name: str, sample: NumericSample) -> CanonicalColumn:
-    """Sampled stats → canonical column, always unsafe (sampled)."""
+class SamplingTightenError(ValueError):
+    """The sampled magnitude/scale cannot fit the backend's decimal."""
+
+
+def tighten_numeric(
+    name: str, sample: NumericSample, allow_scale_rounding: bool = False
+) -> CanonicalColumn:
+    """Sampled stats → canonical column, always unsafe (sampled).
+
+    When observed magnitude + scale exceed the 38-digit decimal, the
+    offload is REJECTED rather than silently shrinking the integral
+    capacity below what the sample itself saw (which would try_cast
+    real values to NULL at final load). With
+    ``allow_scale_rounding=True`` — the reference's
+    --allow-decimal-scale-rounding flag
+    (offload_source_table.py check_backend_max_decimal_integral_
+    magnitude) — only the SCALE is reduced to make room; magnitude
+    beyond 38 digits is unconditionally rejected.
+    """
     if sample.has_e_notation:
         return CanonicalColumn(name, DOUBLE, safe_mapping=False)
     mag = max(1, sample.max_integral_magnitude)
@@ -55,8 +72,22 @@ def tighten_numeric(name: str, sample: NumericSample) -> CanonicalColumn:
         integral = frontend_decimal_to_integral_type(mag, 0, safe_mapping=False)
         if integral is not None:
             return CanonicalColumn(name, integral, safe_mapping=False)
-    precision = min(MAX_SUPPORTED_PRECISION, mag + sample.max_scale)
-    scale = min(sample.max_scale, precision)
+    if mag > MAX_SUPPORTED_PRECISION:
+        raise SamplingTightenError(
+            f"{name}: sampled integral magnitude {mag} exceeds the "
+            f"backend maximum of {MAX_SUPPORTED_PRECISION} digits"
+        )
+    scale = sample.max_scale
+    if mag + scale > MAX_SUPPORTED_PRECISION:
+        if not allow_scale_rounding:
+            raise SamplingTightenError(
+                f"{name}: sampled magnitude {mag} + scale {scale} "
+                f"exceeds DECIMAL({MAX_SUPPORTED_PRECISION}); re-run "
+                "with scale rounding explicitly allowed to truncate "
+                "fractional digits"
+            )
+        scale = MAX_SUPPORTED_PRECISION - mag
+    precision = mag + scale
     return CanonicalColumn(
         name,
         DECIMAL,

@@ -42,9 +42,24 @@ class TestDecisionMatrix:
         assert (col.data_precision, col.data_scale) == (12, 4)
         assert col.safe_mapping is False
 
-    def test_precision_caps_at_38(self):
-        col = tighten_numeric("c", NumericSample(36, 10))
-        assert (col.data_precision, col.data_scale) == (38, 10)
+    def test_overflow_rejected_unless_rounding_allowed(self):
+        # mag 36 + scale 10 can't fit DECIMAL(38): silently keeping
+        # scale 10 would leave only 28 integral digits — less than the
+        # sample itself observed, so real values would try_cast to
+        # NULL at final load. Reject instead.
+        import pytest
+
+        from goe_spark.types.sampling import SamplingTightenError
+
+        with pytest.raises(SamplingTightenError):
+            tighten_numeric("c", NumericSample(36, 10))
+        # The explicit opt-in (reference --allow-decimal-scale-rounding)
+        # sacrifices scale, never integral capacity.
+        col = tighten_numeric("c", NumericSample(36, 10), allow_scale_rounding=True)
+        assert (col.data_precision, col.data_scale) == (38, 2)
+        # Magnitude beyond 38 digits is unconditionally rejected.
+        with pytest.raises(SamplingTightenError):
+            tighten_numeric("c", NumericSample(40, 0), allow_scale_rounding=True)
 
     def test_e_notation_forces_double(self):
         assert (
