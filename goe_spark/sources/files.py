@@ -84,10 +84,21 @@ def read_staging(
     return df
 
 
-def staged_bytes(path: str) -> int:
+def staged_bytes(path: str, spark: SparkSession | None = None) -> int:
     """Total bytes under a staging path (reference counts transported
     bytes from DFS listings — src/goe/offload/offload_transport.py:
-    1349-1399). Local-FS walk; on a cluster this is a FileSystem call."""
+    1349-1399).
+
+    With a SparkSession, routes through the Hadoop FileSystem API
+    (sources/dfs.HadoopDfs) so the same call works for hdfs/gs/s3a/
+    abfss URIs; without one, falls back to a local walk (scheme-less
+    paths only)."""
+    if spark is not None or "://" in path:
+        from goe_spark.sources.dfs import HadoopDfs
+
+        if spark is None:
+            raise ValueError("a SparkSession is required for URI paths")
+        return HadoopDfs(spark).total_bytes(path)
     total = 0
     for root, _dirs, files in os.walk(path):
         for f in files:
