@@ -230,3 +230,54 @@ def test_roundtrip_frontend_to_backends():
     sy = canonical_to_synapse(col)
     assert (sf.backend_type, sf.data_precision, sf.data_scale) == ("NUMBER", 38, 0)
     assert (sy.backend_type, sy.data_precision, sy.data_scale) == ("NUMERIC", 38, 0)
+
+
+# --- Hive / Impala backend -------------------------------------------------
+
+
+def test_canonical_to_hive_matrix():
+    from goe_spark.types.hadoop import canonical_to_hive as h
+
+    assert h(CanonicalColumn("c", C.FIXED_STRING)).backend_type == "STRING"
+    assert h(CanonicalColumn("c", C.LARGE_STRING)).backend_type == "STRING"
+    assert h(CanonicalColumn("c", C.BINARY)).backend_type == "BINARY"
+    # native integer widths widen to BIGINT by default...
+    for it in (C.INTEGER_1, C.INTEGER_2, C.INTEGER_4, C.INTEGER_8):
+        assert h(CanonicalColumn("c", it)).backend_type == "BIGINT"
+    # ...but a user override honors the narrow width
+    assert h(CanonicalColumn("c", C.INTEGER_1), honor_integer_width=True).backend_type == "TINYINT"
+    assert h(CanonicalColumn("c", C.INTEGER_4), honor_integer_width=True).backend_type == "INT"
+    b = h(CanonicalColumn("c", C.INTEGER_38))
+    assert (b.backend_type, b.data_precision, b.data_scale) == ("DECIMAL", 38, 0)
+    assert h(CanonicalColumn("c", C.FLOAT)).backend_type == "FLOAT"
+    assert h(CanonicalColumn("c", C.DOUBLE)).backend_type == "DOUBLE"
+    assert h(CanonicalColumn("c", C.DATE)).backend_type == "DATE"
+    assert h(CanonicalColumn("c", C.TIME)).backend_type == "STRING"
+    assert h(CanonicalColumn("c", C.TIMESTAMP)).backend_type == "TIMESTAMP"
+    ts = h(CanonicalColumn("c", C.TIMESTAMP_TZ))
+    assert ts.backend_type == "TIMESTAMP" and ts.safe_mapping is False
+    assert h(CanonicalColumn("c", C.INTERVAL_DS)).backend_type == "STRING"
+    assert h(CanonicalColumn("c", C.BOOLEAN)).backend_type == "BOOLEAN"
+
+
+def test_canonical_to_impala_overrides():
+    from goe_spark.types.hadoop import canonical_to_impala as i
+
+    # Impala has no binary type and (pre-3.3) no DATE.
+    assert i(CanonicalColumn("c", C.BINARY)).backend_type == "STRING"
+    assert i(CanonicalColumn("c", C.LARGE_BINARY)).backend_type == "STRING"
+    assert i(CanonicalColumn("c", C.DATE)).backend_type == "TIMESTAMP"
+    assert i(CanonicalColumn("c", C.DATE), date_supported=True).backend_type == "DATE"
+
+
+def test_hadoop_decimal_udf_alignment():
+    from goe_spark.types.hadoop import align_decimal_to_udfs, canonical_to_hive as h
+
+    # odd scale rounds up to even, precision bumped, landed on 18/38
+    assert align_decimal_to_udfs(10, 3) == (18, 4)
+    assert align_decimal_to_udfs(18, 4) == (18, 4)
+    assert align_decimal_to_udfs(20, 5) == (38, 6)
+    assert align_decimal_to_udfs(38, 9) == (38, 9)  # at max precision: no scale bump
+    assert align_decimal_to_udfs(None, None) == (38, 18)
+    b = h(CanonicalColumn("c", C.DECIMAL, data_precision=10, data_scale=3))
+    assert (b.data_precision, b.data_scale, b.safe_mapping) == (18, 4, False)
