@@ -84,3 +84,50 @@ def test_dedup_exact_sorts_are_partition_local(spark):
     for m in re.finditer(r"Sort \[[^\]]*\], (\w+),", plan):
         assert m.group(1) == "false", plan
     assert "windowspecdefinition(fp" in plan
+
+
+def test_simhash_pairs_no_quadratic_join(spark):
+    """Round 1 blocked the simhash self-join on (lang, source) —
+    unbounded at corpus scale. The banded plan must contain NO join
+    operator at all: candidates come from a groupBy on the
+    (band, value) bucket key with group-local pair expansion."""
+    from goe_spark.queries.dedup import simhash_pairs
+
+    plan = _plan(simhash_pairs(spark, SF_SMALL), "simple")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_jaccard_and_minhash_no_self_join(spark):
+    """Pair emission is group-local for both near-dup operators —
+    an exploded self-join would shuffle the shingle table twice and
+    go quadratic inside hot buckets."""
+    from goe_spark.queries.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    for q in (ngram_jaccard_pairs, minhash_lsh_pairs):
+        plan = _plan(q(spark, SF_SMALL), "simple")
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_ivf_centroids_broadcast_and_cached(spark):
+    """The sampled-k-means centroid table must reach consumers as a
+    broadcast (8 rows) over a cached materialization — without the
+    cache every consumer re-runs the full-corpus Lloyd pass."""
+    from goe_spark.queries.similarity import ann_ivf_topk
+
+    plan = _plan(ann_ivf_topk(spark, SF_SMALL), "simple")
+    assert "BroadcastExchange" in plan
+    assert "InMemoryTableScan" in plan
+
+
+def test_asof_join_single_shuffle_no_range_join(spark):
+    """The as-of join is union + one keyed window — a range-condition
+    join would fall back to BroadcastNestedLoopJoin and explode."""
+    from goe_spark.queries.asof import asof_latest_order
+
+    plan = _plan(asof_latest_order(spark, SF_SMALL), "simple")
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
