@@ -89,20 +89,31 @@ class OffloadResult:
     steps: list = field(default_factory=list)
 
 
-def _list_files(root: str) -> set[str]:
+def _list_files(root: str, spark: SparkSession | None = None) -> set[str]:
+    """Recursive file listing; DFS URIs route through the Hadoop
+    FileSystem API so rollback works on hdfs/gs/s3a targets too."""
+    if "://" in root:
+        from goe_spark.sources.dfs import HadoopDfs
+
+        return set(HadoopDfs(spark).list_files_recursive(root))
     import os
 
-    out: set[str] = set()
+    out2: set[str] = set()
     for dirpath, _dirnames, filenames in os.walk(root):
         for f in filenames:
-            out.add(os.path.join(dirpath, f))
-    return out
+            out2.add(os.path.join(dirpath, f))
+    return out2
 
 
-def _remove_files(paths: set[str]) -> None:
+def _remove_files(paths: set[str], spark: SparkSession | None = None) -> None:
     import os
 
     for p in paths:
+        if "://" in p:
+            from goe_spark.sources.dfs import HadoopDfs
+
+            HadoopDfs(spark).delete(p)
+            continue
         try:
             os.remove(p)
         except OSError:

@@ -101,6 +101,18 @@ class HadoopDfs:
         statuses = self._fs(uri).listStatus(self._jpath(uri))
         return sorted(str(s.getPath()) for s in statuses)
 
+    def list_files_recursive(self, uri: str) -> list[str]:
+        """Every FILE under uri (directories excluded), any depth."""
+        fs = self._fs(uri)
+        p = self._jpath(uri)
+        if not fs.exists(p):
+            return []
+        it = fs.listFiles(p, True)
+        out = []
+        while it.hasNext():
+            out.append(str(it.next().getPath()))
+        return sorted(out)
+
     def total_bytes(self, uri: str) -> int:
         """Recursive byte count, skipping _SUCCESS/. markers — the
         transported-bytes accounting of offload_transport.py:1349-1399."""

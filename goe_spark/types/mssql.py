@@ -123,10 +123,9 @@ def _decimal_to_canonical(
             p = s
         elif s < 0:
             s = 0
+    # Precision overflowing the integral ladder (p > 38 at scale 0)
+    # returns None here and falls through to the DECIMAL path.
     integral = C.frontend_decimal_to_integral_type(p, s)
-    if s == 0 and not integral:
-        # Precision overflowing the integral ladder stays DECIMAL.
-        integral = None
     if integral:
         return C.CanonicalColumn(
             data_type=integral, data_precision=p, data_scale=0, **kw
