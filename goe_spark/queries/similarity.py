@@ -256,8 +256,9 @@ WHERE rank <= {TOP_K}
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN (operators/lsh): score only candidates
-    sharing the query's 4-bit hyperplane signature — the bucket-join
-    scale path where even IVF's nprobe cells are too many rows."""
+    in the query's 4-bit hyperplane bucket or its flip-1-bit
+    neighbours (deterministic multi-probe) — the bucket-join scale
+    path where even IVF's nprobe cells are too many rows."""
     from goe_spark.operators.lsh import lsh_topk
 
     return lsh_topk(
@@ -268,8 +269,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_lsh_sql() -> str:
-    from goe_spark.operators.lsh import planes_sql
+    from goe_spark.operators.lsh import planes_sql, probe_masks
 
+    masks = ", ".join(str(m) for m in probe_masks())
     return f"""
 WITH emb AS (
   SELECT vec_id, embedding, {NORM2_SQL.format(a='embedding')} AS vnorm2
@@ -289,10 +291,14 @@ WITH emb AS (
 ), qry AS (
   SELECT vec_id AS qid, embedding AS qvec, vnorm2 AS qnorm2, bucket AS qbucket
   FROM signed WHERE vec_id < {N_QUERIES}
+), probes AS (
+  -- multi-probe: own bucket (mask 0) plus every flip-1-bit bucket
+  SELECT qid, qvec, qnorm2, xor(qbucket, mask) AS pbucket
+  FROM qry CROSS JOIN (SELECT unnest([{masks}]) AS mask) m
 ), scored AS (
   SELECT q.qid, c.vec_id,
          round({DOT_SQL.format(a='q.qvec', b='c.embedding')} / sqrt(q.qnorm2 * c.vnorm2), 6) AS cosine
-  FROM signed c JOIN qry q ON c.bucket = q.qbucket
+  FROM signed c JOIN probes q ON c.bucket = q.pbucket
   WHERE c.vec_id != q.qid
 )
 SELECT qid, vec_id, cosine, cast(rank AS int) AS rank

@@ -31,8 +31,9 @@ def test_lsh_ranks_are_dense_and_ordered(spark):
 
 
 def test_lsh_recall_vs_bruteforce(spark):
-    """One 4-bit bucket (1/16 of the space on average) must still
-    recover a meaningful share of the exact top-10, never beat it."""
+    """The multi-probe bucket set (5/16 of the space on average) must
+    recover a meaningful share of the exact top-10, never beat it.
+    Measured 0.42 on this fixture; 0.3 is the regression floor."""
     exact = {
         (r.qid, r.vec_id)
         for r in ann_bruteforce_topk(spark, SF_SMALL).collect()
@@ -43,4 +44,4 @@ def test_lsh_recall_vs_bruteforce(spark):
         for r in lsh_topk(emb, n_queries=N_QUERIES, top_k=TOP_K).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert 0.2 <= recall <= 1.0, f"recall@10 = {recall}"
+    assert 0.3 <= recall <= 1.0, f"recall@10 = {recall}"
