@@ -26,17 +26,23 @@ agree bitwise.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import json
+import os
+import re
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 N_CELLS = 8
 N_PROBE = 2
 DIM = 64
-# Exact per-element accumulator for the Lloyd centroid update. Ties
-# in float->decimal rounding cannot occur at scale 9 (a binary float
-# times 1e9 can never end exactly in .5), so both engines round the
-# float32 inputs to identical decimals.
+# Exact per-element accumulator for the Lloyd centroid update. A
+# binary double times 1e9 CAN land exactly on .5 (any odd m * 2^-k,
+# k <= 10, e.g. 3/1024 * 1e9 = 2929687.5), but both engines cast
+# double->decimal with identical half-away-from-zero rounding
+# (pinned by tests/test_similarity_ivf.py::test_decimal_cast_ties_match_oracle),
+# so the tie resolves the same way on both sides.
 CENT_DEC = "decimal(20,9)"
 
 
@@ -148,28 +154,20 @@ def probe_cells(
     )
 
 
-def ivf_topk(
-    emb: DataFrame,
-    n_queries: int = 5,
-    top_k: int = 10,
-    n_cells: int = N_CELLS,
-    nprobe: int = N_PROBE,
-) -> DataFrame:
-    """End-to-end IVF search: build index, probe, exact-rescore top-k."""
-    # The centroid table is 8 rows but its lineage is a full-corpus
-    # Lloyd pass; without a cache every consumer (assignment, probe)
-    # re-runs that pass. At 100 TB the index build would be persisted
-    # to storage once and reused across query batches — cache() is the
-    # single-session analog.
-    cents = centroids(emb, n_cells).cache()
-    assigned = assign_cells(emb, cents)
-    queries = emb.where(F.col("vec_id") < n_queries).select(
+def _query_vectors(emb: DataFrame, n_queries: int) -> DataFrame:
+    """(qid, qvec, qnorm2) for the first n_queries vector ids."""
+    return emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qvec"),
         _norm2(F.col("embedding")).alias("qnorm2"),
     )
-    probes = probe_cells(queries, cents, nprobe)
-    cand = probes.join(assigned, "cell").where(F.col("vec_id") != F.col("qid"))
+
+
+def _exact_rescore_topk(
+    cand: DataFrame, queries: DataFrame, top_k: int
+) -> DataFrame:
+    """Exact cosine rescore of (qid, vec_id, embedding, vnorm2)
+    candidates against the broadcast query set; per-query top-k."""
     scored = cand.join(F.broadcast(queries), "qid").select(
         "qid",
         "vec_id",
@@ -185,3 +183,133 @@ def ivf_topk(
         .where(F.col("rank") <= top_k)
         .select("qid", "vec_id", "cosine", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 5,
+    top_k: int = 10,
+    n_cells: int = N_CELLS,
+    nprobe: int = N_PROBE,
+) -> DataFrame:
+    """End-to-end in-session IVF search: build index, probe,
+    exact-rescore top-k. For repeated query batches use
+    ensure_index + ivf_topk_indexed so the Lloyd pass is paid once."""
+    # The centroid table is 8 rows but its lineage is a full-corpus
+    # Lloyd pass; without a cache every consumer (assignment, probe)
+    # re-runs that pass. cache() is the single-session analog of the
+    # persisted index below.
+    cents = centroids(emb, n_cells).cache()
+    assigned = assign_cells(emb, cents)
+    queries = _query_vectors(emb, n_queries)
+    probes = probe_cells(queries, cents, nprobe)
+    cand = probes.join(assigned, "cell").where(F.col("vec_id") != F.col("qid"))
+    return _exact_rescore_topk(cand, queries, top_k)
+
+
+# --- materialized index -------------------------------------------------
+#
+# The 100 TB story: the index-build scan (k-means + full-corpus
+# assignment) is paid ONCE, written to storage partitioned by cell,
+# and every later query batch reads only centroids (n_cells rows)
+# plus the nprobe cells' files — partition pruning keeps the probe
+# I/O at ~nprobe/n_cells of the corpus. Reference analog: GOE stages
+# offloaded data once and serves many queries from it
+# (src/goe/offload/offload_transport.py staged-copy lifecycle);
+# here the staged artifact is the ANN index.
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+INDEX_ROOT = os.path.join(_REPO_ROOT, "spark-warehouse", "ivf_index")
+
+
+def _source_fingerprint(src_path: str) -> str:
+    """(name, size, mtime) of the source parquet file(s) — cheap
+    staleness probe, no data read."""
+    entries = []
+    if os.path.isdir(src_path):
+        names = sorted(os.listdir(src_path))
+    else:
+        src_path, names = os.path.dirname(src_path), [os.path.basename(src_path)]
+    for name in names:
+        st = os.stat(os.path.join(src_path, name))
+        entries.append([name, st.st_size, int(st.st_mtime)])
+    return json.dumps(entries)
+
+
+def build_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    index_dir: str,
+    n_cells: int = N_CELLS,
+) -> None:
+    """Materialize the IVF index: centroids.parquet (n_cells rows)
+    plus assigned/ partitioned by cell, so probes prune to the
+    nprobe cells' files."""
+    cents = centroids(emb, n_cells)
+    cents.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "centroids")
+    )
+    # Assign against the *persisted* centroids so index readers and
+    # the build agree bit-for-bit (double survives parquet exactly).
+    cents_r = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    assign_cells(emb, cents_r).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(os.path.join(index_dir, "assigned"))
+
+
+def ensure_index(
+    spark: SparkSession, sf_dir: str, n_cells: int = N_CELLS
+) -> str:
+    """Build the IVF index for sf_dir's embeddings table unless a
+    fresh one exists (source fingerprint match). Returns index_dir."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    slug = re.sub(r"[^A-Za-z0-9._-]+", "_", sf_dir.strip("/"))
+    index_dir = os.path.join(INDEX_ROOT, f"{slug}_k{n_cells}")
+    meta_path = os.path.join(index_dir, "_INDEX_META.json")
+    fp = _source_fingerprint(src)
+    if os.path.exists(meta_path):
+        try:
+            with open(meta_path) as f:
+                if json.load(f).get("fingerprint") == fp:
+                    return index_dir
+        except (OSError, ValueError):
+            pass
+    from goe_spark.catalog import load_table
+
+    build_index(spark, load_table(spark, sf_dir, "embeddings"), index_dir, n_cells)
+    os.makedirs(index_dir, exist_ok=True)
+    with open(meta_path, "w") as f:
+        json.dump({"source": src, "fingerprint": fp, "n_cells": n_cells}, f)
+    return index_dir
+
+
+def ivf_topk_indexed(
+    spark: SparkSession,
+    emb: DataFrame,
+    index_dir: str,
+    n_queries: int = 5,
+    top_k: int = 10,
+    nprobe: int = N_PROBE,
+) -> DataFrame:
+    """IVF probe against a materialized index: read centroids, pick
+    nprobe cells per query, scan ONLY those cells' files.
+
+    The probe-cell collect is bounded (n_queries * nprobe rows) and
+    turns the cell restriction into a static IN-list partition
+    filter, so the assigned/ scan prunes at file-listing time — no
+    dynamic-pruning dependency."""
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    queries = _query_vectors(emb, n_queries)
+    probes = probe_cells(queries, cents, nprobe)
+    cells = sorted({int(r["cell"]) for r in probes.collect()})
+    assigned = (
+        spark.read.parquet(os.path.join(index_dir, "assigned"))
+        .where(F.col("cell").isin(cells))
+        .select("vec_id", "cell", "embedding", "vnorm2")
+    )
+    cand = assigned.join(F.broadcast(probes), "cell").where(
+        F.col("vec_id") != F.col("qid")
+    )
+    return _exact_rescore_topk(cand, queries, top_k)

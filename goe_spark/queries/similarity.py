@@ -166,11 +166,20 @@ WHERE round({DOT_SQL.format(a='a.embedding', b='b.embedding')} / sqrt(a.nrm * b.
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN (operators/ivf): probe 2 of 8 sampled-k-means
     cells instead of scanning every candidate — the 100 TB scale path
-    where brute force is the floor."""
-    from goe_spark.operators.ivf import ivf_topk
+    where brute force is the floor.
 
-    return ivf_topk(
+    The k-means index is MATERIALIZED (ensure_index): the Lloyd pass
+    + full-corpus assignment are paid once per source fingerprint and
+    persisted partitioned by cell; this query only reads centroids
+    and the probed cells' files. Results are identical to the
+    in-session build — the oracle SQL below replays build+probe."""
+    from goe_spark.operators.ivf import ensure_index, ivf_topk_indexed
+
+    index_dir = ensure_index(spark, sf_dir)
+    return ivf_topk_indexed(
+        spark,
         load_table(spark, sf_dir, "embeddings"),
+        index_dir,
         n_queries=N_QUERIES,
         top_k=TOP_K,
     )

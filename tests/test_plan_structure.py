@@ -112,14 +112,35 @@ def test_jaccard_and_minhash_no_self_join(spark):
 
 
 def test_ivf_centroids_broadcast_and_cached(spark):
-    """The sampled-k-means centroid table must reach consumers as a
-    broadcast (8 rows) over a cached materialization — without the
-    cache every consumer re-runs the full-corpus Lloyd pass."""
-    from goe_spark.queries.similarity import ann_ivf_topk
+    """The in-session ivf_topk operator must broadcast the 8-row
+    centroid table over a cached materialization — without the cache
+    every consumer re-runs the full-corpus Lloyd pass."""
+    from goe_spark.catalog import load_table
+    from goe_spark.operators.ivf import ivf_topk
 
-    plan = _plan(ann_ivf_topk(spark, SF_SMALL), "simple")
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    plan = _plan(ivf_topk(emb, n_queries=3, top_k=5), "simple")
     assert "BroadcastExchange" in plan
     assert "InMemoryTableScan" in plan
+
+
+def test_ivf_query_probes_materialized_index(spark):
+    """The registry ann_ivf_topk must NOT pay the Lloyd pass: its
+    plan reads the persisted ivf_index parquet (centroid + assigned
+    cells, partition-pruned to the probed cells) instead of
+    recomputing k-means; the query set is the only broadcast."""
+    from goe_spark.queries.similarity import ann_ivf_topk
+
+    df = ann_ivf_topk(spark, SF_SMALL)
+    plan = _plan(df, "simple")
+    assert "ivf_index" in plan          # scans the persisted index
+    assert "BroadcastExchange" in plan  # tiny query/probe side
+    # the Lloyd pass's signature decimal(20,9) accumulators must be
+    # absent — the build is not in the query plan
+    assert "decimal(20,9)" not in plan
+    # partition pruning: the assigned/ scan carries a cell IN-list
+    formatted = _plan(df, "formatted")
+    assert "PartitionFilters" in formatted
 
 
 def test_asof_join_single_shuffle_no_range_join(spark):

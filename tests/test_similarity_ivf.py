@@ -130,6 +130,70 @@ def test_kmeans_centroids_beat_first_k_on_shuffled_ids(spark, tmp_path):
     assert new_recall >= 0.2
 
 
+def test_decimal_cast_ties_match_oracle(spark):
+    """CENT_DEC determinism: a double CAN land exactly on a .5 tie at
+    scale 9 (odd m * 2^-k, k <= 10); both engines must resolve it the
+    same way (half-away-from-zero) or the Lloyd sums diverge."""
+    import duckdb
+
+    ties = [3 / 1024, -3 / 1024, 5 / 1024, -5 / 1024, 2.5e-9, -2.5e-9]
+    df = spark.createDataFrame([(v,) for v in ties], "v double")
+    spark_dec = [
+        str(r.d)
+        for r in df.select(F.col("v").cast("decimal(20,9)").alias("d"))
+        .orderBy("v")
+        .collect()
+    ]
+    con = duckdb.connect()
+    duck_dec = [
+        str(con.execute(
+            f"SELECT CAST({v!r}::DOUBLE AS DECIMAL(20,9))"
+        ).fetchone()[0])
+        for v in sorted(ties)
+    ]
+    assert spark_dec == duck_dec
+
+
+def test_indexed_probe_matches_inline_build(spark, tmp_path):
+    """ivf_topk_indexed over a materialized index must return exactly
+    the rows the in-session build returns (same math, different cost
+    placement)."""
+    from goe_spark.operators.ivf import build_index, ivf_topk_indexed
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    index_dir = str(tmp_path / "ivf")
+    build_index(spark, emb, index_dir)
+    inline = {tuple(r) for r in ivf_topk(emb, n_queries=4, top_k=7).collect()}
+    indexed = {
+        tuple(r)
+        for r in ivf_topk_indexed(
+            spark, emb, index_dir, n_queries=4, top_k=7
+        ).collect()
+    }
+    assert inline == indexed
+
+
+def test_ensure_index_builds_once_and_rebuilds_on_change(spark, tmp_path, monkeypatch):
+    """ensure_index must no-op while the source fingerprint matches
+    and rebuild when it changes."""
+    import os
+
+    import goe_spark.operators.ivf as ivf_mod
+
+    monkeypatch.setattr(ivf_mod, "INDEX_ROOT", str(tmp_path / "root"))
+    d1 = ivf_mod.ensure_index(spark, SF_SMALL)
+    meta = os.path.join(d1, "_INDEX_META.json")
+    mtime1 = os.stat(meta).st_mtime_ns
+    assert ivf_mod.ensure_index(spark, SF_SMALL) == d1
+    assert os.stat(meta).st_mtime_ns == mtime1  # cache hit, no rebuild
+    # poison the fingerprint -> next call rebuilds
+    with open(meta, "w") as f:
+        f.write('{"fingerprint": "stale"}')
+    assert ivf_mod.ensure_index(spark, SF_SMALL) == d1
+    with open(meta) as f:
+        assert "stale" not in f.read()
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     """nprobe=2/8 cells must still recover a meaningful share of the
     exact top-10 — and can never *beat* exact search."""
