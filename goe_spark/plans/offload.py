@@ -89,10 +89,21 @@ class OffloadResult:
     steps: list = field(default_factory=list)
 
 
+def _is_dfs_uri(path: str) -> bool:
+    """True for scheme-qualified paths (file:/, hdfs://, gs://, ...).
+
+    Hadoop's Path.toString() normalizes ``file:///x`` to ``file:/x``
+    (single slash), so a literal ``"://" in p`` test misses the very
+    paths HadoopDfs just listed — match the scheme prefix instead."""
+    import re
+
+    return re.match(r"[A-Za-z][A-Za-z0-9+.\-]*:/", path) is not None
+
+
 def _list_files(root: str, spark: SparkSession | None = None) -> set[str]:
     """Recursive file listing; DFS URIs route through the Hadoop
     FileSystem API so rollback works on hdfs/gs/s3a targets too."""
-    if "://" in root:
+    if _is_dfs_uri(root):
         from goe_spark.sources.dfs import HadoopDfs
 
         return set(HadoopDfs(spark).list_files_recursive(root))
@@ -109,7 +120,7 @@ def _remove_files(paths: set[str], spark: SparkSession | None = None) -> None:
     import os
 
     for p in paths:
-        if "://" in p:
+        if _is_dfs_uri(p):
             from goe_spark.sources.dfs import HadoopDfs
 
             HadoopDfs(spark).delete(p)
@@ -220,7 +231,9 @@ class OffloadPipeline:
         full_replace = pred_ast is None and cfg.hwm is None
         cast_map = build_cast_map(canonical_cols)
         final_proj = [cast_map[c.name]["cast"] for c in canonical_cols]
-        pre_files = set() if full_replace else _list_files(cfg.target_dir)
+        pre_files = (
+            set() if full_replace else _list_files(cfg.target_dir, self.spark)
+        )
         writer = staged.select(
             *final_proj,
             *( [F.col(SYNTHETIC_COL)] if cfg.partition is not None else [] ),
@@ -252,7 +265,10 @@ class OffloadPipeline:
         rows_final = self._verify_count(check_df)
         if rows_final != rows_staged:
             if not full_replace:
-                _remove_files(_list_files(cfg.target_dir) - pre_files)
+                _remove_files(
+                    _list_files(cfg.target_dir, self.spark) - pre_files,
+                    self.spark,
+                )
             raise OffloadValidationError(
                 f"count validation failed: staged={rows_staged} "
                 f"final={rows_final} (appended files rolled back)"

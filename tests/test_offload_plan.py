@@ -295,6 +295,44 @@ def test_offload_failed_verify_rolls_back(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "final")).count() == before + r.rows_final
 
 
+def test_offload_dfs_target_rolls_back(spark, tmp_path):
+    """Rollback must also work when target_dir is a DFS URI: the
+    pre/post file snapshot and the delete route through HadoopDfs
+    (file:// here stands in for hdfs/gs/s3a — same FileSystem API).
+    Regression: the pipeline used to call _list_files without the
+    session, crashing with HadoopDfs(None) on any DFS target."""
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    dfs_target = "file://" + str(tmp_path / "final")
+
+    ok = OffloadPipeline(
+        spark,
+        _cfg(
+            tmp_path,
+            table_name="orders",
+            target_dir=dfs_target,
+            partition=None,
+            offload_predicate='column(o_orderpriority) = string("1-URGENT")',
+        ),
+    )
+    ok.run(src)
+    before = spark.read.parquet(dfs_target).count()
+
+    bad = OffloadPipeline(
+        spark,
+        _cfg(
+            tmp_path,
+            table_name="orders",
+            target_dir=dfs_target,
+            partition=None,
+            offload_predicate='column(o_orderpriority) = string("2-HIGH")',
+        ),
+    )
+    bad._verify_count = lambda df: -1
+    with pytest.raises(OffloadValidationError, match="rolled back"):
+        bad.run(src)
+    assert spark.read.parquet(dfs_target).count() == before
+
+
 def test_offload_predicate_dedupe(spark, tmp_path):
     src = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
     cfg = _cfg(
