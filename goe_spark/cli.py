@@ -45,6 +45,18 @@ def cmd_offload(args) -> int:
         "granularity": args.granularity,
         "predicate": args.predicate,
         "hwm": args.hwm,
+        "integer_1_columns": args.integer_1_columns,
+        "integer_2_columns": args.integer_2_columns,
+        "integer_4_columns": args.integer_4_columns,
+        "integer_8_columns": args.integer_8_columns,
+        "integer_38_columns": args.integer_38_columns,
+        "date_columns": args.date_columns,
+        "double_columns": args.double_columns,
+        "variable_string_columns": args.variable_string_columns,
+        "unicode_string_columns": args.unicode_string_columns,
+        "decimal_columns": args.decimal_columns,
+        "decimal_columns_type": args.decimal_columns_type,
+        "allow_floating_point_conversions": args.allow_floating_point_conversions,
     }
     print(json.dumps(offload_from_spec(spark, spec)))
     return 0
@@ -172,6 +184,34 @@ def build_parser() -> argparse.ArgumentParser:
     o.add_argument("--granularity", default="M")
     o.add_argument("--predicate", help="offload predicate DSL")
     o.add_argument("--hwm", help="incremental high-water mark")
+    # --<type>-columns control family (data_type_controls.py): force
+    # the canonical type of named columns; CSVs, * wildcards allowed.
+    o.add_argument("--integer-1-columns")
+    o.add_argument("--integer-2-columns")
+    o.add_argument("--integer-4-columns")
+    o.add_argument("--integer-8-columns")
+    o.add_argument("--integer-38-columns")
+    o.add_argument("--date-columns")
+    o.add_argument("--double-columns")
+    o.add_argument("--variable-string-columns")
+    o.add_argument("--unicode-string-columns")
+    o.add_argument(
+        "--decimal-columns",
+        action="append",
+        help="CSV of columns for one decimal spec; repeatable, pairs "
+        "with --decimal-columns-type positionally",
+    )
+    o.add_argument(
+        "--decimal-columns-type",
+        action="append",
+        help='"precision,scale" for the matching --decimal-columns',
+    )
+    o.add_argument(
+        "--allow-floating-point-conversions",
+        action="store_true",
+        help="permit FLOAT/DOUBLE columns to be forced into exact "
+        "numerics (lossy: NaN/Inf become NULL)",
+    )
     o.set_defaults(fn=cmd_offload)
 
     v = sub.add_parser("agg-validate", help="front-vs-back aggregate compare")

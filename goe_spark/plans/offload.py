@@ -79,6 +79,9 @@ class OffloadConfig:
     offload_predicate: str | None = None  # DSL text (PBO)
     hwm: object | None = None  # RANGE: offload up to this synthetic value
     verify_aggregates: bool = True
+    # User --<type>-columns controls (types/controls.ColumnControls);
+    # they take precedence over the automatic canonical mapping.
+    column_controls: object | None = None
 
 
 @dataclass
@@ -159,11 +162,19 @@ class OffloadPipeline:
             owner=cfg.owner, table_name=cfg.table_name
         )
 
-        # ANALYZE_DATA_TYPES: schema -> canonical columns.
+        # ANALYZE_DATA_TYPES: schema -> canonical columns, then the
+        # user's --<type>-columns overrides (reference
+        # data_type_controls.offload_source_to_canonical_mappings).
         canonical_cols = [
             spark_to_canonical(f.name, f.dataType, f.nullable)
             for f in source_df.schema.fields
         ]
+        if cfg.column_controls is not None:
+            from goe_spark.types.controls import source_to_canonical_mappings
+
+            canonical_cols = source_to_canonical_mappings(
+                canonical_cols, cfg.column_controls
+            )
         steps.append("ANALYZE_DATA_TYPES")
 
         # FIND_OFFLOAD_DATA: predicate / HWM slicing.
@@ -313,7 +324,11 @@ def offload_from_spec(spark: SparkSession, spec: dict) -> dict:
 
     Required keys: table, source_dir, target_dir, staging_dir,
     metadata_dir. Optional: owner, partition_column, partition_kind,
-    granularity, predicate, hwm.
+    granularity, predicate, hwm, and the --<type>-columns control
+    family (integer_1_columns .. integer_38_columns, date_columns,
+    double_columns, variable_string_columns, unicode_string_columns,
+    decimal_columns [list of CSVs], decimal_columns_type [parallel
+    list of "p,s" specs]).
     """
     from goe_spark.sources.files import FileSource
 
@@ -333,6 +348,39 @@ def offload_from_spec(spark: SparkSession, spec: dict) -> dict:
         # precision above 2^53) and would persist a string HWM in
         # metadata — coerce like granularity above.
         hwm = int(hwm)
+    controls = None
+    control_keys = (
+        "integer_1_columns",
+        "integer_2_columns",
+        "integer_4_columns",
+        "integer_8_columns",
+        "integer_38_columns",
+        "date_columns",
+        "double_columns",
+        "variable_string_columns",
+        "unicode_string_columns",
+        "decimal_columns",
+        "decimal_columns_type",
+    )
+    if any(spec.get(k) for k in control_keys):
+        from goe_spark.types.controls import ColumnControls
+
+        controls = ColumnControls(
+            integer_1_columns_csv=spec.get("integer_1_columns"),
+            integer_2_columns_csv=spec.get("integer_2_columns"),
+            integer_4_columns_csv=spec.get("integer_4_columns"),
+            integer_8_columns_csv=spec.get("integer_8_columns"),
+            integer_38_columns_csv=spec.get("integer_38_columns"),
+            date_columns_csv=spec.get("date_columns"),
+            double_columns_csv=spec.get("double_columns"),
+            variable_string_columns_csv=spec.get("variable_string_columns"),
+            unicode_string_columns_csv=spec.get("unicode_string_columns"),
+            decimal_columns_csv_list=spec.get("decimal_columns"),
+            decimal_columns_type_list=spec.get("decimal_columns_type"),
+            allow_floating_point_conversions=bool(
+                spec.get("allow_floating_point_conversions")
+            ),
+        )
     cfg = OffloadConfig(
         owner=spec.get("owner", "default"),
         table_name=spec["table"],
@@ -342,6 +390,7 @@ def offload_from_spec(spark: SparkSession, spec: dict) -> dict:
         partition=part,
         offload_predicate=spec.get("predicate"),
         hwm=hwm,
+        column_controls=controls,
     )
     df = FileSource(spec["source_dir"]).read(spark, cfg.table_name)
     res = OffloadPipeline(spark, cfg).run(df)

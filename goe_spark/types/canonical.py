@@ -117,6 +117,9 @@ class CanonicalColumn:
     # Name used in staging files when the real name has characters the
     # staging format can't carry (column_metadata.py:138-140,588-595).
     staging_name: str | None = None
+    # True when the type came from a user --<type>-columns control
+    # (column_metadata.py:612, from_override).
+    from_override: bool = False
 
     def __post_init__(self) -> None:
         if self.data_type not in CANONICAL_TYPES:
