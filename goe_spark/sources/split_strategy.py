@@ -37,9 +37,14 @@ DEFAULT_FETCH_SIZE = 5000
 DEFAULT_PARALLELISM = 2
 
 SPLIT_BY_PARTITION = "PARTITION"
+SPLIT_BY_SUBPARTITION = "SUBPARTITION"
 SPLIT_BY_MOD = "MOD"
 SPLIT_BY_ID_RANGE = "ID_RANGE"
 SPLIT_BY_NATIVE_RANGE = "NATIVE_RANGE"
+
+# Beyond this many UNION ALL branches the source DB's parser/optimizer
+# chokes (oracle_offload_transport_rdbms_api.py:75).
+MAX_UNION_ALL_SPLITS = 1024
 
 
 @dataclass(frozen=True)
@@ -80,6 +85,31 @@ def partition_split_predicates(
     for i, p in enumerate(partition_names):
         batches[i % len(batches)].append(p)
     col = f"{quote}GOE_PARTITION_NAME{quote}"
+    return [
+        col + " IN (" + ", ".join(f"'{p}'" for p in batch) + ")"
+        for batch in batches
+        if batch
+    ]
+
+
+def subpartition_split_predicates(
+    subpartition_names: list[str],
+    parallelism: int,
+    quote: str = '"',
+) -> list[str]:
+    """One predicate per batch over SUBPARTITION names — the second
+    half of S2. The reference renders ``SUBPARTITION ("name")`` row
+    sources (oracle_offload_transport_rdbms_api.py:685-719); the Spark
+    binding is the same round-robin IN-list grouping as PARTITION,
+    keyed on the subpartition name pseudo-column."""
+    if parallelism < 1:
+        raise ValueError("parallelism must be >= 1")
+    batches: list[list[str]] = [
+        [] for _ in range(min(parallelism, len(subpartition_names)))
+    ]
+    for i, p in enumerate(subpartition_names):
+        batches[i % len(batches)].append(p)
+    col = f"{quote}GOE_SUBPARTITION_NAME{quote}"
     return [
         col + " IN (" + ", ".join(f"'{p}'" for p in batch) + ")"
         for batch in batches
@@ -150,6 +180,13 @@ class TableScanMeta:
     """What the planner needs to know about the source table."""
 
     partition_names: tuple[str, ...] = ()
+    # Subpartition names, flattened across partitions. For a
+    # subpartition-RANGE offload the chunker stores one record per
+    # subpartition in partition_names instead (the reference does the
+    # same: oracle_offload_transport_rdbms_api.py:696-702), flagged by
+    # offload_by_subpartition.
+    subpartition_names: tuple[str, ...] = ()
+    offload_by_subpartition: bool = False
     numeric_id_column: str | None = None
     id_bounds: tuple[int, int] | None = None  # (min, max) if known
     id_nullable: bool = True
@@ -167,18 +204,58 @@ def choose_split_strategy(
     Priority (get_transport_split_type, oracle_offload_transport_
     rdbms_api.py:537-634, minus the Oracle-physical EXTENT option):
 
-    1. partitioned table → PARTITION split (aligns transport batches
-       with pruning and with incremental-offload chunks);
-    2. non-null numeric id with known bounds → ID_RANGE;
-    3. non-null numeric id, bounds unknown → NATIVE_RANGE (Spark
+    1. enough partitions (>= parallelism, <= MAX_UNION_ALL_SPLITS) →
+       PARTITION split — or SUBPARTITION when the offload itself is
+       subpartition-scoped (offload_by_subpartition, whose chunk
+       records ARE subpartitions);
+    2. too few partitions but enough subpartitions → SUBPARTITION
+       split (the reference's "fewer partitions than requested
+       parallelism" branch, :583-593);
+    3. non-null numeric id with known bounds → ID_RANGE;
+    4. non-null numeric id, bounds unknown → NATIVE_RANGE (Spark
        discovers bounds);
-    4. otherwise → MOD over a hash of any stable column (null-safe:
+    5. otherwise → MOD over a hash of any stable column (null-safe:
        hash(NULL) lands in one batch rather than being dropped, which
        is why MOD is the fallback when the id column is nullable —
-       range striping silently drops NULL ids).
+       range striping silently drops NULL ids); a partitioned table
+       with no splittable column falls back to one-batch-per-
+       partition rather than failing (the reference would use the
+       EXTENT split we dropped by design).
     """
     base = dict(fetch_size=fetch_size, snapshot_clause=snapshot_clause)
-    if meta.partition_names:
+    n_parts = len(meta.partition_names)
+    n_subparts = len(meta.subpartition_names)
+    if n_parts and parallelism <= n_parts <= MAX_UNION_ALL_SPLITS:
+        if meta.offload_by_subpartition:
+            # Subpartition-scoped offload: the chunk's "partitions"
+            # are subpartition names already.
+            return SplitPlan(
+                split_type=SPLIT_BY_SUBPARTITION,
+                predicates=tuple(
+                    subpartition_split_predicates(
+                        list(meta.partition_names), parallelism
+                    )
+                ),
+                **base,
+            )
+        return SplitPlan(
+            split_type=SPLIT_BY_PARTITION,
+            predicates=tuple(
+                partition_split_predicates(list(meta.partition_names), parallelism)
+            ),
+            **base,
+        )
+    if n_parts and parallelism <= n_subparts <= MAX_UNION_ALL_SPLITS:
+        return SplitPlan(
+            split_type=SPLIT_BY_SUBPARTITION,
+            predicates=tuple(
+                subpartition_split_predicates(
+                    list(meta.subpartition_names), parallelism
+                )
+            ),
+            **base,
+        )
+    if n_parts and not meta.numeric_id_column and not meta.any_column:
         return SplitPlan(
             split_type=SPLIT_BY_PARTITION,
             predicates=tuple(

@@ -25,7 +25,9 @@ from goe_spark.sources.split_strategy import (
     SPLIT_BY_MOD,
     SPLIT_BY_NATIVE_RANGE,
     SPLIT_BY_PARTITION,
+    SPLIT_BY_SUBPARTITION,
     TableScanMeta,
+    subpartition_split_predicates,
 )
 from tests.conftest import SF_SMALL
 
@@ -67,6 +69,49 @@ class TestPlannerChoice:
     def test_no_splittable_column_raises(self):
         with pytest.raises(ValueError):
             choose_split_strategy(TableScanMeta())
+
+    def test_subpartition_scoped_offload_splits_by_subpartition(self):
+        # offload_by_subpartition: chunk records ARE subpartitions
+        # (reference :693-699 stores their names as partition names)
+        meta = TableScanMeta(
+            partition_names=("P1_SP1", "P1_SP2", "P2_SP1", "P2_SP2"),
+            offload_by_subpartition=True,
+        )
+        plan = choose_split_strategy(meta, parallelism=2)
+        assert plan.split_type == SPLIT_BY_SUBPARTITION
+        assert len(plan.predicates) == 2
+        assert all("GOE_SUBPARTITION_NAME" in p for p in plan.predicates)
+
+    def test_subpartitions_rescue_low_partition_count(self):
+        # fewer partitions than parallelism, but plenty of
+        # subpartitions (reference :583-593)
+        meta = TableScanMeta(
+            partition_names=("P1", "P2"),
+            subpartition_names=tuple(
+                f"P{p}_SP{s}" for p in (1, 2) for s in range(4)
+            ),
+        )
+        plan = choose_split_strategy(meta, parallelism=4)
+        assert plan.split_type == SPLIT_BY_SUBPARTITION
+        assert len(plan.predicates) == 4
+
+    def test_few_partitions_with_id_fall_to_range(self):
+        # single partition + usable id: treated like non-partitioned
+        # (the reference's IOT/EXTENT region, minus EXTENT)
+        meta = TableScanMeta(
+            partition_names=("P1",),
+            numeric_id_column="id",
+            id_nullable=False,
+            id_bounds=(0, 99),
+        )
+        plan = choose_split_strategy(meta, parallelism=4)
+        assert plan.split_type == SPLIT_BY_ID_RANGE
+
+    def test_few_partitions_no_id_keep_partition_split(self):
+        meta = TableScanMeta(partition_names=("P1",))
+        plan = choose_split_strategy(meta, parallelism=4)
+        assert plan.split_type == SPLIT_BY_PARTITION
+        assert len(plan.predicates) == 1
 
 
 class TestPredicateShapes:
@@ -135,6 +180,38 @@ class TestPredicateReplay:
         total = orders.count()
         batch_counts = [
             spark.sql(f"SELECT count(*) c FROM t_orders_split WHERE {p}").first().c
+            for p in preds
+        ]
+        assert sum(batch_counts) == total
+        assert all(c > 0 for c in batch_counts)
+
+    def test_subpartition_split_partitions_orders(self, spark):
+        """Subpartition predicates are a partition of the table: model
+        partitions as o_orderpriority and subpartitions as a 3-way
+        hash within each, derive the composite subpartition name, and
+        replay the IN-list batches — disjoint, complete, all
+        non-empty."""
+        orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        named = orders.selectExpr(
+            "*",
+            "concat('P_', substr(o_orderpriority, 1, 1), '_SP_', "
+            "pmod(hash(o_orderkey), 3)) AS GOE_SUBPARTITION_NAME",
+        )
+        named.createOrReplaceTempView("t_orders_subpart")
+        subpart_names = sorted(
+            r[0]
+            for r in named.select("GOE_SUBPARTITION_NAME").distinct().collect()
+        )
+        assert len(subpart_names) == 15  # 5 priorities x 3 hash buckets
+        # backtick: Spark's identifier quote (double quotes are string
+        # literals in Spark SQL)
+        preds = subpartition_split_predicates(subpart_names, 4, quote="`")
+        assert len(preds) == 4
+        total = orders.count()
+        batch_counts = [
+            spark.sql(
+                f"SELECT count(*) c FROM t_orders_subpart WHERE {p}"
+            ).first().c
             for p in preds
         ]
         assert sum(batch_counts) == total
