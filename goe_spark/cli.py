@@ -57,6 +57,7 @@ def cmd_offload(args) -> int:
         "decimal_columns": args.decimal_columns,
         "decimal_columns_type": args.decimal_columns_type,
         "allow_floating_point_conversions": args.allow_floating_point_conversions,
+        "sort_columns": args.sort_columns,
     }
     print(json.dumps(offload_from_spec(spark, spec)))
     return 0
@@ -205,6 +206,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--decimal-columns-type",
         action="append",
         help='"precision,scale" for the matching --decimal-columns',
+    )
+    o.add_argument(
+        "--sort-columns",
+        help="CSV of columns to cluster the final table on "
+        '(sortWithinPartitions before write); "NONE" clears a '
+        "previous choice",
     )
     o.add_argument(
         "--allow-floating-point-conversions",

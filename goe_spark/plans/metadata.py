@@ -28,6 +28,9 @@ class OffloadMetadata:
     offloaded_high_values: list = field(default_factory=list)  # LIST strategy
     offloaded_predicates: list = field(default_factory=list)  # PBO strategy
     synthetic_partition: dict | None = None
+    # Cluster/sort columns in force on the backend table
+    # (metadata OFFLOAD_SORT_COLUMNS in the reference).
+    offload_sort_columns: list | None = None
     offload_version: int = 0
     updated_utc: str | None = None
 

@@ -82,6 +82,10 @@ class OffloadConfig:
     # User --<type>-columns controls (types/controls.ColumnControls);
     # they take precedence over the automatic canonical mapping.
     column_controls: object | None = None
+    # --sort-columns CSV: cluster the final table on these columns
+    # (plans/sort_columns.py). Default keeps the previous offload's
+    # choice; "NONE" clears it.
+    sort_columns_csv: str | None = None
 
 
 @dataclass
@@ -245,10 +249,25 @@ class OffloadPipeline:
         pre_files = (
             set() if full_replace else _list_files(cfg.target_dir, self.spark)
         )
-        writer = staged.select(
-            *final_proj,
-            *( [F.col(SYNTHETIC_COL)] if cfg.partition is not None else [] ),
-        ).write.mode("overwrite" if full_replace else "append")
+        # SORT_COLUMNS: cluster-on-write (plans/sort_columns.py) — a
+        # per-partition sort gives parquet row-group locality on the
+        # sort key, the Spark rendering of BigQuery CLUSTER BY.
+        from goe_spark.plans.sort_columns import (
+            apply_sort_on_write,
+            resolve_sort_columns,
+        )
+
+        sort_cols = resolve_sort_columns(
+            cfg.sort_columns_csv, md.offload_sort_columns, canonical_cols
+        )
+        final_df_out = apply_sort_on_write(
+            staged.select(
+                *final_proj,
+                *([F.col(SYNTHETIC_COL)] if cfg.partition is not None else []),
+            ),
+            sort_cols,
+        )
+        writer = final_df_out.write.mode("overwrite" if full_replace else "append")
         if cfg.partition is not None:
             writer = writer.partitionBy(SYNTHETIC_COL)
         writer.parquet(cfg.target_dir)
@@ -305,6 +324,7 @@ class OffloadPipeline:
             md.offloaded_predicates.append(
                 predicate_to_sql(parse_predicate_dsl(cfg.offload_predicate))
             )
+        md.offload_sort_columns = sort_cols
         self.store.save(md)
         steps.append("SAVE_METADATA")
 
@@ -391,6 +411,7 @@ def offload_from_spec(spark: SparkSession, spec: dict) -> dict:
         offload_predicate=spec.get("predicate"),
         hwm=hwm,
         column_controls=controls,
+        sort_columns_csv=spec.get("sort_columns"),
     )
     df = FileSource(spec["source_dir"]).read(spark, cfg.table_name)
     res = OffloadPipeline(spark, cfg).run(df)
