@@ -106,21 +106,53 @@ WHERE rank <= {TOP_K}
 """
 
 
+EMB_CELL_CAP = 128
+
+
+def sub_bucketed_cells(emb: DataFrame, cap: int = EMB_CELL_CAP) -> DataFrame:
+    """(vec_id, label, embedding, sub): label cells above ``cap`` rows
+    split into ceil(n/cap) sub-buckets by a secondary hash of vec_id;
+    cells at or under the cap keep sub = 0. The per-label count is a
+    10-row broadcast, so the only full-data shuffle stays the
+    downstream groupBy on (label, sub)."""
+    from goe_spark.functions.hashing import hash64
+
+    sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_cell"))
+    n_sub = F.expr(f"greatest(1, (n_cell + {cap} - 1) div {cap})")
+    return (
+        emb.join(F.broadcast(sizes), "label")
+        .withColumn("sub", F.pmod(hash64(F.col("vec_id").cast("string")), n_sub))
+        .select("vec_id", "label", "embedding", "sub")
+    )
+
+
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: pairs with cosine >= 0.25 inside the
     same label cell (IVF-style coarse partition bounds the join).
 
-    One applyInPandas per label cell: the whole cell's pairwise cosine
-    matrix is one float64 BLAS matmul, ~50x faster than exploding the
-    self-join into per-pair interpreted array folds. At 100 TB the
-    label (coarse-quantizer cell) keeps each group's pair count
-    bounded; skewed cells are the thing to watch, not total rows.
+    One applyInPandas per cell: the cell's pairwise cosine matrix is
+    one float64 BLAS matmul, ~50x faster than exploding the self-join
+    into per-pair interpreted array folds.
+
+    Cell-size bound: a skewed label cell is quadratic work and an
+    OOM-sized Arrow batch with nothing to stop it, so cells above
+    EMB_CELL_CAP are sub-bucketed by a secondary hash of vec_id into
+    ceil(n/EMB_CELL_CAP) slices — the same frequency-cap trade
+    JACCARD_DF_CAP / LSH_BUCKET_CAP make for shingles and bands:
+    pairs straddling two sub-buckets of an oversized cell are
+    forfeited, in exchange for a hard per-group bound that holds at
+    any skew. The sub-bucket arithmetic (hash64, pmod) is replayed
+    identically in the DuckDB oracle.
+
+    Plan: one tiny per-label count (broadcast back), one shuffle on
+    (label, sub); the count join adds no second full-data shuffle.
     """
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding"
     )
+    bucketed = sub_bucketed_cells(emb)
 
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -145,20 +177,31 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return emb.groupBy("label").applyInPandas(
+    return bucketed.groupBy("label", "sub").applyInPandas(
         cell_pairs, "label int, id1 long, id2 long, cosine double"
     )
 
 
-NEAR_DUP_SQL = f"""
-WITH emb AS (
-  SELECT vec_id, label, embedding,
-         {NORM2_SQL.format(a='embedding')} AS nrm
-  FROM embeddings
+def _near_dup_sql() -> str:
+    from goe_spark.functions.hashing import hash64_sql
+
+    h = hash64_sql("cast(vec_id AS varchar)")
+    cap = EMB_CELL_CAP
+    return f"""
+WITH sizes AS (
+  SELECT label, count(*) AS n_cell FROM embeddings GROUP BY label
+), emb AS (
+  -- sub-bucket oversized cells: ((h % k) + k) % k == Spark's pmod
+  SELECT e.vec_id, e.label, e.embedding,
+         {NORM2_SQL.format(a='embedding')} AS nrm,
+         (({h} % greatest(1, (s.n_cell + {cap} - 1) // {cap}))
+          + greatest(1, (s.n_cell + {cap} - 1) // {cap}))
+         % greatest(1, (s.n_cell + {cap} - 1) // {cap}) AS sub
+  FROM embeddings e JOIN sizes s USING (label)
 )
 SELECT a.label AS label, a.vec_id AS id1, b.vec_id AS id2,
        round({DOT_SQL.format(a='a.embedding', b='b.embedding')} / sqrt(a.nrm * b.nrm), 6) AS cosine
-FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
+FROM emb a JOIN emb b ON a.label = b.label AND a.sub = b.sub AND a.vec_id < b.vec_id
 WHERE round({DOT_SQL.format(a='a.embedding', b='b.embedding')} / sqrt(a.nrm * b.nrm), 6) >= 0.25
 """
 
@@ -323,7 +366,7 @@ WHERE rank <= {TOP_K}
 QUERIES = [
     QuerySpec("ann_bruteforce_topk", ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     QuerySpec(
-        "embedding_near_dup_pairs", embedding_near_dup_pairs, NEAR_DUP_SQL
+        "embedding_near_dup_pairs", embedding_near_dup_pairs, _near_dup_sql()
     ),
     QuerySpec("ann_ivf_topk", ann_ivf_topk, _ann_ivf_sql()),
     QuerySpec("ann_lsh_topk", ann_lsh_topk, _ann_lsh_sql()),

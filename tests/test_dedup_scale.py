@@ -67,6 +67,56 @@ def test_minhash_viral_bucket_capped(spark, viral_sf_dir):
     assert any((r.id1, r.id2) == (1000, 1001) for r in pairs)
 
 
+def test_embedding_cell_cap_bounds_group_size(spark, tmp_path):
+    """A skewed label cell (one label, 5x the cap) must be
+    sub-bucketed so no applyInPandas group — hence no Arrow batch and
+    no pairwise matmul — exceeds ~cap rows; small cells keep sub=0;
+    the operator still runs and only emits within-sub-bucket pairs."""
+    import random
+
+    from goe_spark.queries.similarity import (
+        EMB_CELL_CAP,
+        embedding_near_dup_pairs,
+        sub_bucketed_cells,
+    )
+
+    rng = random.Random(7)
+    n_skew = 5 * EMB_CELL_CAP
+    rows = [
+        (i, 0, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(n_skew)
+    ]
+    rows += [
+        (10_000 + i, 1, [rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(10)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    bucketed = sub_bucketed_cells(emb)
+    group_sizes = {
+        (r.label, r.sub): r.c
+        for r in bucketed.groupBy("label", "sub").agg(
+            F.count(F.lit(1)).alias("c")
+        ).collect()
+    }
+    skew_groups = {k: v for k, v in group_sizes.items() if k[0] == 0}
+    assert len(skew_groups) == 5  # ceil(640/128)
+    # hash spread is not perfectly even; 2x cap is the hard ceiling
+    assert max(skew_groups.values()) <= 2 * EMB_CELL_CAP
+    assert group_sizes[(1, 0)] == 10  # small cell untouched
+
+    d = str(tmp_path)
+    emb.coalesce(1).write.mode("overwrite").parquet(
+        f"{d}/embeddings.parquet"
+    )
+    pairs = embedding_near_dup_pairs(spark, d)
+    sub_of = {
+        r.vec_id: (r.label, r.sub) for r in bucketed.collect()
+    }
+    for r in pairs.collect():
+        assert sub_of[r.id1] == sub_of[r.id2]  # group-local pairs only
+
+
 def test_simhash_band_pigeonhole():
     """If hamming(a, b) <= SIMHASH_BANDS - 1, at least one 15-bit band
     is identical — the losslessness the banded plan relies on."""
