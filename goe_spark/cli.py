@@ -58,6 +58,7 @@ def cmd_offload(args) -> int:
         "decimal_columns_type": args.decimal_columns_type,
         "allow_floating_point_conversions": args.allow_floating_point_conversions,
         "sort_columns": args.sort_columns,
+        "ddl_file": args.ddl_file,
     }
     print(json.dumps(offload_from_spec(spark, spec)))
     return 0
@@ -206,6 +207,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--decimal-columns-type",
         action="append",
         help='"precision,scale" for the matching --decimal-columns',
+    )
+    o.add_argument(
+        "--ddl-file",
+        help="write the final table's CREATE TABLE text to this path "
+        '(or "AUTO" for a generated path) and stop without moving data',
     )
     o.add_argument(
         "--sort-columns",

@@ -86,6 +86,9 @@ class OffloadConfig:
     # (plans/sort_columns.py). Default keeps the previous offload's
     # choice; "NONE" clears it.
     sort_columns_csv: str | None = None
+    # --ddl-file: write CREATE TABLE text here (or AUTO) and stop
+    # without staging/loading any data (plans/ddl_file.py).
+    ddl_file: str | None = None
 
 
 @dataclass
@@ -181,6 +184,51 @@ class OffloadPipeline:
             )
         steps.append("ANALYZE_DATA_TYPES")
 
+        from goe_spark.plans.sort_columns import (
+            apply_sort_on_write,
+            resolve_sort_columns,
+        )
+
+        sort_cols = resolve_sort_columns(
+            cfg.sort_columns_csv, md.offload_sort_columns, canonical_cols
+        )
+
+        # CREATE_DDL_FILE: when --ddl-file is set, emit the CREATE
+        # TABLE text and STOP — nothing is staged or loaded and no
+        # metadata is saved (reference normalise_ddl_file forces
+        # execute=False; scenario test_ddl_file.py asserts the
+        # staging/load steps never ran).
+        if cfg.ddl_file is not None:
+            from goe_spark.plans.ddl_file import (
+                DDL_FILE_AUTO,
+                build_create_table_ddl,
+                generate_ddl_file_path,
+                validate_ddl_file,
+                write_ddl_file,
+            )
+
+            path = cfg.ddl_file.strip()
+            if path.upper() == DDL_FILE_AUTO:
+                path = generate_ddl_file_path(
+                    cfg.owner, cfg.table_name, cfg.metadata_dir
+                )
+            else:
+                validate_ddl_file(path)
+            ddl = build_create_table_ddl(
+                cfg.owner,
+                cfg.table_name,
+                canonical_cols,
+                cfg.target_dir,
+                partition_col=SYNTHETIC_COL if cfg.partition is not None else None,
+                sort_columns=sort_cols,
+            )
+            write_ddl_file(path, ddl)
+            steps.append("CREATE_DDL_FILE")
+            return OffloadResult(
+                rows_staged=0, rows_final=0, partitions_written=[path],
+                steps=steps,
+            )
+
         # FIND_OFFLOAD_DATA: predicate / HWM slicing.
         sliced = source_df
         pred_ast = None
@@ -252,14 +300,6 @@ class OffloadPipeline:
         # SORT_COLUMNS: cluster-on-write (plans/sort_columns.py) — a
         # per-partition sort gives parquet row-group locality on the
         # sort key, the Spark rendering of BigQuery CLUSTER BY.
-        from goe_spark.plans.sort_columns import (
-            apply_sort_on_write,
-            resolve_sort_columns,
-        )
-
-        sort_cols = resolve_sort_columns(
-            cfg.sort_columns_csv, md.offload_sort_columns, canonical_cols
-        )
         final_df_out = apply_sort_on_write(
             staged.select(
                 *final_proj,
@@ -412,6 +452,7 @@ def offload_from_spec(spark: SparkSession, spec: dict) -> dict:
         hwm=hwm,
         column_controls=controls,
         sort_columns_csv=spec.get("sort_columns"),
+        ddl_file=spec.get("ddl_file"),
     )
     df = FileSource(spec["source_dir"]).read(spark, cfg.table_name)
     res = OffloadPipeline(spark, cfg).run(df)
