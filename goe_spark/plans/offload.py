@@ -182,6 +182,14 @@ class OffloadPipeline:
             canonical_cols = source_to_canonical_mappings(
                 canonical_cols, cfg.column_controls
             )
+        # Identifier rules (types/identifiers.py): the backend table
+        # and every column must satisfy Spark's metastore rules —
+        # fail here, not mid-write.
+        from goe_spark.types.identifiers import backend_safe_identifier
+
+        backend_safe_identifier(cfg.table_name, "spark", "table")
+        for c in canonical_cols:
+            backend_safe_identifier(c.name, "spark", "column")
         steps.append("ANALYZE_DATA_TYPES")
 
         from goe_spark.plans.sort_columns import (

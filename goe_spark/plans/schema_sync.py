@@ -56,7 +56,19 @@ def diff_schemas(frontend: StructType, backend: StructType) -> SchemaDelta:
 
 
 def schema_sync_ddl(table: str, delta: SchemaDelta) -> list[str]:
-    """Render the ALTER statements for an additive delta."""
+    """Render the ALTER statements for an additive delta.
+
+    New column names go through the Spark identifier rules
+    (types/identifiers.py): case-folded to the metastore's lower
+    case, length/charset-validated, and backtick-enclosed in the
+    rendered DDL so a frontend name that needs quoting cannot produce
+    a broken ALTER."""
+    from goe_spark.types.identifiers import (
+        backend_safe_identifier,
+        enclose_identifier,
+        rules_for,
+    )
+
     if not delta.is_additive:
         raise SchemaSyncError(
             "only additive evolution is supported: "
@@ -65,8 +77,11 @@ def schema_sync_ddl(table: str, delta: SchemaDelta) -> list[str]:
         )
     if not delta.new_columns:
         return []
+    rules = rules_for("spark")
     cols = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in delta.new_columns
+        f"{enclose_identifier(backend_safe_identifier(f.name, 'spark', 'column'), rules)}"
+        f" {f.dataType.simpleString()}"
+        for f in delta.new_columns
     )
     return [f"ALTER TABLE {table} ADD COLUMNS ({cols})"]
 

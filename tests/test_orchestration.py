@@ -81,7 +81,9 @@ class TestSchemaSync:
         assert [f.name for f in delta.new_columns] == ["added_at", "score"]
         assert delta.is_additive
         ddl = schema_sync_ddl("db.t", delta)
-        assert ddl == ["ALTER TABLE db.t ADD COLUMNS (added_at string, score int)"]
+        assert ddl == [
+            "ALTER TABLE db.t ADD COLUMNS (`added_at` string, `score` int)"
+        ]
 
     def test_drop_and_retype_refused(self):
         front = StructType([StructField("id", StringType())])  # retyped + dropped
