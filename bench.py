@@ -1,6 +1,14 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+ONE JSON line: {"metric", "value", "unit", "queries", "sf", ...}.
+
+Measurement discipline: every query gets ONE untimed warm-up pass
+(JVM/codegen/Python-worker spin-up, IVF index build, file-listing
+caches) followed by BENCH_RUNS (default 3) timed passes. The headline
+"value" is the sum of per-query MEDIANS; "queries" carries the
+medians, "queries_min"/"queries_max" the spread, so machine-load
+noise (measured 33-50 s swing at n=1 in round 2) is distinguishable
+from real regression.
 
 Each query is materialized with the noop sink so we time full plan
 execution (scan → shuffle → aggregate) without collect() overhead on
@@ -12,12 +20,14 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_RUNS = max(1, int(os.environ.get("BENCH_RUNS", "3")))
 
 # Representative slice of the registry: scan-agg, broadcast star join,
 # fact-fact join + top-k, window, validation algebra, dedup, text,
@@ -68,16 +78,22 @@ def main() -> None:
     materialize(load_table(spark, SF_DIR, "lineitem").limit(1000))
 
     qs = queries_dict()
-    timings: dict[str, float] = {}
-    total = 0.0
+    med: dict[str, float] = {}
+    mins: dict[str, float] = {}
+    maxs: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        materialize(fn(spark, SF_DIR))
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+        materialize(fn(spark, SF_DIR))  # warm-up, untimed
+        runs = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            materialize(fn(spark, SF_DIR))
+            runs.append(time.perf_counter() - t0)
+        med[name] = round(statistics.median(runs), 3)
+        mins[name] = round(min(runs), 3)
+        maxs[name] = round(max(runs), 3)
 
+    total = sum(med.values())
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -89,7 +105,11 @@ def main() -> None:
                 "metric": "headline_queries_total_runtime",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": med,
+                "queries_min": mins,
+                "queries_max": maxs,
+                "runs_per_query": N_RUNS,
+                "warmup_runs": 1,
                 "sf": sf_val,
             }
         )
