@@ -93,12 +93,29 @@ def cmd_agg_validate(args) -> int:
 
 def cmd_status(args) -> int:
     from goe_spark.plans.metadata import MetadataStore
-    from goe_spark.plans.status_report import status_report
+    from goe_spark.plans.status_report import render_report, status_report
 
     spark = _spark("goe-status")
-    rpt = status_report(spark, MetadataStore(args.metadata_dir))
-    for row in rpt.collect():
-        print(json.dumps(row.asDict(), default=str))
+    store = MetadataStore(args.metadata_dir)
+    # Roots map tables by convention: <root>/<table>.
+    table_paths = source_paths = None
+    if args.target_root:
+        table_paths = {
+            (o, t): f"{args.target_root}/{t}" for o, t in store.list_tables()
+        }
+    if args.source_root:
+        source_paths = {
+            (o, t): f"{args.source_root}/{t}.parquet"
+            for o, t in store.list_tables()
+        }
+    rpt = status_report(
+        spark, store, table_paths=table_paths, source_paths=source_paths
+    )
+    if args.format == "json":
+        for row in rpt.collect():
+            print(json.dumps(row.asDict(), default=str))
+    else:
+        print(render_report(rpt, fmt=args.format, level=args.level), end="")
     return 0
 
 
@@ -235,6 +252,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     s = sub.add_parser("status", help="offload status report")
     s.add_argument("--metadata-dir", required=True)
+    s.add_argument("--format", default="json", choices=["json", "text", "csv"])
+    s.add_argument("--level", default="summary", choices=["summary", "detail"])
+    s.add_argument("--target-root", help="backend tables live at <root>/<table>")
+    s.add_argument(
+        "--source-root", help="frontend sources live at <root>/<table>.parquet"
+    )
     s.set_defaults(fn=cmd_status)
 
     y = sub.add_parser("schema-sync", help="diff schemas, emit additive DDL")

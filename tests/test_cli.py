@@ -91,7 +91,7 @@ def test_schema_sync_command(tmp_path, capsys, spark):
     assert rc == 0
     res = json.loads(capsys.readouterr().out.strip())
     assert res["new_columns"] == ["new_col"]
-    assert res["ddl"] == ["ALTER TABLE db.region ADD COLUMNS (new_col int)"]
+    assert res["ddl"] == ["ALTER TABLE db.region ADD COLUMNS (`new_col` int)"]
 
 
 def test_connect_command(tmp_path, capsys):

@@ -153,11 +153,114 @@ class TestStatusReport:
         assert [r.table_name for r in rows] == ["dim", "sales"]
         sales = rows[1]
         assert sales.offload_type == "RANGE"
-        assert sales.backend_rows == 5
-        assert sales.backend_bytes > 0
-        assert rows[0].backend_rows is None  # no path mapped
+        assert sales.offloaded_rows == 5
+        assert sales.offloaded_bytes > 0
+        assert rows[0].offloaded_rows is None  # no path mapped
 
     def test_empty_store(self, spark, tmp_path):
         rpt = status_report(spark, MetadataStore(str(tmp_path / "empty")))
         assert rpt.count() == 0
         assert "offload_type" in rpt.columns
+
+    def test_retained_reclaimable_split(self, spark, tmp_path):
+        """RANGE offload: source rows at/below the HWM are reclaimable
+        (already offloaded), rows above it retained; FULL offload:
+        whole source reclaimable; PREDICATE: split unknown (NULLs) —
+        offload_status_report.py:715-760."""
+        from goe_spark.plans.offload import (
+            OffloadConfig,
+            OffloadPipeline,
+            PartitionSpec,
+        )
+        from goe_spark.plans.status_report import (
+            render_report,
+            summarize_report,
+        )
+
+        src_path = f"{SF_SMALL}/orders.parquet"
+        src = spark.read.parquet(src_path)
+        cfg = OffloadConfig(
+            owner="sh",
+            table_name="orders",
+            target_dir=str(tmp_path / "final"),
+            staging_dir=str(tmp_path / "staging"),
+            metadata_dir=str(tmp_path / "md"),
+            partition=PartitionSpec(
+                source_column="o_orderdate", kind="date", granularity="M"
+            ),
+            hwm="1995-06",
+        )
+        res = OffloadPipeline(spark, cfg).run(src)
+        store = MetadataStore(str(tmp_path / "md"))
+        rpt = status_report(
+            spark,
+            store,
+            table_paths={("sh", "orders"): cfg.target_dir},
+            source_paths={("sh", "orders"): src_path},
+        )
+        row = rpt.first()
+        assert row.offloaded_rows == res.rows_final
+        assert row.offloaded_parts == len(res.partitions_written)
+        # the offloaded slice is exactly the reclaimable slice
+        assert row.reclaimable_rows == res.rows_final
+        assert row.retained_rows == src.count() - res.rows_final
+        assert row.retained_rows > 0 and row.reclaimable_rows > 0
+        assert row.retained_bytes + row.reclaimable_bytes > 0
+
+        summary = summarize_report(rpt)
+        assert summary["offloaded_tables"] == 1
+        assert summary["reclaimable_rows"] == res.rows_final
+
+        csv_summary = render_report(rpt, fmt="csv", level="summary")
+        assert csv_summary.splitlines()[0].startswith("offloaded_tables,")
+        assert str(res.rows_final) in csv_summary
+        csv_detail = render_report(rpt, fmt="csv", level="detail")
+        assert "owner,table_name" in csv_detail.splitlines()[0]
+        assert "sh,orders" in csv_detail
+        text = render_report(rpt, fmt="text", level="summary")
+        assert "reclaimable_rows" in text
+
+    def test_full_and_predicate_split(self, spark, tmp_path):
+        from goe_spark.plans.offload import OffloadConfig, OffloadPipeline
+
+        src_path = f"{SF_SMALL}/orders.parquet"
+        src = spark.read.parquet(src_path)
+        base = dict(
+            target_dir=str(tmp_path / "final"),
+            staging_dir=str(tmp_path / "staging"),
+            metadata_dir=str(tmp_path / "md"),
+            partition=None,
+        )
+        OffloadPipeline(
+            spark, OffloadConfig(owner="sh", table_name="orders", **base)
+        ).run(src)
+        store = MetadataStore(str(tmp_path / "md"))
+        row = status_report(
+            spark, store, source_paths={("sh", "orders"): src_path}
+        ).first()
+        # FULL: everything reclaimable, nothing retained
+        assert row.retained_rows == 0
+        assert row.reclaimable_rows == src.count()
+
+        OffloadPipeline(
+            spark,
+            OffloadConfig(
+                owner="sh",
+                table_name="orders2",
+                target_dir=str(tmp_path / "final2"),
+                staging_dir=str(tmp_path / "staging2"),
+                metadata_dir=str(tmp_path / "md"),
+                partition=None,
+                offload_predicate='column(o_orderpriority) = string("1-URGENT")',
+            ),
+        ).run(src)
+        row2 = (
+            status_report(
+                spark, store, source_paths={("sh", "orders2"): src_path}
+            )
+            .where("table_name = 'orders2'")
+            .first()
+        )
+        # PREDICATE: reclaimable not computable
+        assert row2.retained_rows is None
+        assert row2.reclaimable_rows is None
