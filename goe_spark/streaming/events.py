@@ -35,30 +35,49 @@ from pyspark.sql.types import (
 
 SESSION_GAP_MIN = 30
 
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_raw_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet with the nanos->timestamp
-    conversion applied (same normalization as catalog.load_table)."""
+    """readStream over the events parquet with the same ts
+    normalization as catalog.load_table.
+
+    The fixture's ts encoding has shipped both as parquet
+    TIMESTAMP(NANOS) (reads as long with nanosAsLong) and as
+    TIMESTAMP(MICROS) (reads natively), so sniff the batch schema
+    first and pick the matching stream schema — a hard-coded one
+    silently yields 1970-era timestamps when the encoding flips.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_ts = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .schema["ts"]
+        .dataType
+    )
+    ts_is_long = isinstance(batch_ts, LongType)
     # The fixture is a single file, but the streaming file source
     # needs a directory: point basePath at sf_dir and glob-filter to
     # the events file only (the other tables have different schemas).
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(
+            _events_raw_schema(LongType() if ts_is_long else TimestampType())
+        )
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_is_long:
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw
 
 
 def windowed_event_counts(
