@@ -81,14 +81,23 @@ def main() -> None:
     med: dict[str, float] = {}
     mins: dict[str, float] = {}
     maxs: dict[str, float] = {}
+    errs: dict[str, str] = {}
+    # Failure isolation: one query's analysis exception must not
+    # discard every other query's timings (round 3 lost its entire
+    # bench to a single broken query).
     for name in HEADLINE:
-        fn = qs[name]
-        materialize(fn(spark, SF_DIR))  # warm-up, untimed
-        runs = []
-        for _ in range(N_RUNS):
-            t0 = time.perf_counter()
-            materialize(fn(spark, SF_DIR))
-            runs.append(time.perf_counter() - t0)
+        try:
+            fn = qs[name]
+            materialize(fn(spark, SF_DIR))  # warm-up, untimed
+            runs = []
+            for _ in range(N_RUNS):
+                t0 = time.perf_counter()
+                materialize(fn(spark, SF_DIR))
+                runs.append(time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            errs[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench: {name} FAILED: {errs[name]}", file=sys.stderr)
+            continue
         med[name] = round(statistics.median(runs), 3)
         mins[name] = round(min(runs), 3)
         maxs[name] = round(max(runs), 3)
@@ -110,6 +119,8 @@ def main() -> None:
                 "queries_max": maxs,
                 "runs_per_query": N_RUNS,
                 "warmup_runs": 1,
+                "errors": errs,
+                "n_failed": len(errs),
                 "sf": sf_val,
             }
         )

@@ -36,24 +36,60 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# The events fixture's ts column has shipped both as parquet
+# TIMESTAMP(NANOS) (reads as long with nanosAsLong) and as
+# TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ). Sniff once per sf_dir —
+# the footer read costs a driver round-trip that dedup_event_counts
+# would otherwise pay four times per query.
+_EVENTS_TS_CACHE: dict[str, object] = {}
+
+
+def events_ts_type(spark: SparkSession, sf_dir: str):
+    """The raw (pre-normalization) Spark type of events.ts at sf_dir."""
+    if sf_dir not in _EVENTS_TS_CACHE:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _EVENTS_TS_CACHE[sf_dir] = (
+            spark.read.parquet(table_path(sf_dir, "events"))
+            .schema["ts"]
+            .dataType
+        )
+    return _EVENTS_TS_CACHE[sf_dir]
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to one canonical type: TimestampType at
+    microsecond resolution, whatever encoding the fixture shipped with.
+
+    - long nanos -> truncate to micros (what micro-resolution engines,
+      DuckDB included, see).
+    - TIMESTAMP_NTZ -> cast to TimestampType. The session timezone is
+      pinned UTC (session.py), so the instant is unchanged; downstream
+      consumers (unix_micros, window(), the streaming twin) then see a
+      single type.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(ts_type, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS), which Spark rejects unless
-        # nanosAsLong is set. Set it here (runtime-settable) so the
-        # read works on ANY session, not just ours from session.py —
-        # the correctness driver builds its own unconfigured session.
+        # ts may be parquet TIMESTAMP(NANOS), which Spark rejects
+        # unless nanosAsLong is set. Set it here (runtime-settable) so
+        # the read works on ANY session, not just ours from session.py
+        # — the correctness driver builds its own unconfigured session.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # Read as long nanos and truncate to microseconds, matching
-        # what micro-resolution engines (DuckDB included) see.
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
-
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        df = normalize_events_ts(df)
     return df
 
 

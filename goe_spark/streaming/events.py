@@ -19,7 +19,6 @@ operators:
 
 from __future__ import annotations
 
-import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -54,30 +53,26 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The fixture's ts encoding has shipped both as parquet
     TIMESTAMP(NANOS) (reads as long with nanosAsLong) and as
-    TIMESTAMP(MICROS) (reads natively), so sniff the batch schema
-    first and pick the matching stream schema — a hard-coded one
+    TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ), so sniff the batch
+    schema first (cached per sf_dir in catalog.events_ts_type) and use
+    the sniffed type verbatim in the stream schema — a hard-coded one
     silently yields 1970-era timestamps when the encoding flips.
+    Both encodings are then normalized to TimestampType by the same
+    helper the batch path uses, so stream-vs-batch comparisons never
+    mix TIMESTAMP with TIMESTAMP_NTZ.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_ts = (
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        .schema["ts"]
-        .dataType
-    )
-    ts_is_long = isinstance(batch_ts, LongType)
+    from goe_spark.catalog import events_ts_type, normalize_events_ts
+
+    batch_ts = events_ts_type(spark, sf_dir)
     # The fixture is a single file, but the streaming file source
     # needs a directory: point basePath at sf_dir and glob-filter to
     # the events file only (the other tables have different schemas).
     raw = (
-        spark.readStream.schema(
-            _events_raw_schema(LongType() if ts_is_long else TimestampType())
-        )
+        spark.readStream.schema(_events_raw_schema(batch_ts))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if ts_is_long:
-        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return raw
+    return normalize_events_ts(raw)
 
 
 def windowed_event_counts(

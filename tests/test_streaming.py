@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from goe_spark.catalog import load_table
 from goe_spark.queries.streaming_batch import sessionization_stats
 from goe_spark.streaming.events import sessionize_stream, windowed_event_counts
 from tests.conftest import SF_SMALL
@@ -13,9 +14,11 @@ from tests.conftest import SF_SMALL
 
 def test_windowed_counts_equal_batch(spark):
     got = windowed_event_counts(spark, SF_SMALL)
+    # Build the batch oracle from catalog.load_table so it follows the
+    # fixture's ts encoding (nanos-long vs TIMESTAMP_NTZ) instead of
+    # hard-coding one conversion.
     batch = (
-        spark.read.parquet(f"{SF_SMALL}/events.parquet")
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        load_table(spark, SF_SMALL, "events")
         .groupBy(
             F.date_trunc("hour", "ts").alias("window_start"), "event_type"
         )
