@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from goe_spark.plans.partitions import SourcePartition
+from goe_spark.plans.partitions import SourcePartition, hv_key
 
 MAX_CHUNK_BYTES = 16 * 1024**3  # reference default 16G
 MAX_CHUNK_COUNT = 100  # reference default 100 partitions
@@ -33,7 +33,11 @@ def chunk_partitions(
                 chunk_bytes + p.size_bytes > max_bytes
                 or len(chunk) + 1 > max_count
             )
-            same_hwm = p.high_value == chunk[-1].high_value
+            # hv_key equality so scalar/tuple/list spellings of the
+            # same HV (JSON round-trips tuples as lists) still close
+            # together, including at subpartition grain where HVs
+            # repeat across parents.
+            same_hwm = hv_key(p.high_value) == hv_key(chunk[-1].high_value)
             if over and not same_hwm:
                 yield chunk
                 chunk, chunk_bytes = [], 0

@@ -82,6 +82,24 @@ def _frontend_split(
         # reclaimable.
         return 0, 0, src_rows, src_bytes
 
+    if md.synthetic_partition is None:
+        # Native RANGE key (possibly multi-column, e.g. "year,month"):
+        # the boundary is the row-wise lexicographic comparison over
+        # the physical columns — MAXVALUE positions collapse to their
+        # prefix (plans/partitions.hv_boundary_filter).
+        from goe_spark.plans.partitions import hv_boundary_filter
+
+        cols = [c.strip() for c in md.incremental_key.split(",")]
+        reclaim_cond = hv_boundary_filter(cols, md.incremental_high_value)
+        reclaimable_rows = src.where(reclaim_cond).count()
+        retained_rows = src_rows - reclaimable_rows
+        if src_rows:
+            reclaimable_bytes = int(src_bytes * reclaimable_rows / src_rows)
+            retained_bytes = src_bytes - reclaimable_bytes
+        else:
+            reclaimable_bytes = retained_bytes = 0
+        return retained_rows, retained_bytes, reclaimable_rows, reclaimable_bytes
+
     sp = md.synthetic_partition or {}
     kind = sp.get("kind", "date")
     if kind == "date":
