@@ -5,9 +5,9 @@ Beyond-reference scope (BASELINE.json north star). Scale notes:
 - exact dedup: hash-groupBy on a 60-bit content fingerprint — one
   shuffle of (fp, doc_id), never the text payload. At 100 TB the
   shuffle carries ~16 bytes/row.
-- n-gram Jaccard: shingle → explode → self-join *within buckets*
-  (lang, source) so the candidate space is bucket-local, then
-  intersection/union counting. The bucket key bounds the join.
+- n-gram Jaccard: MinHash-LSH band buckets generate candidates
+  (bucket size tracks signature collisions, not corpus size), then
+  exact set intersection over the shingle arrays scores each pair.
 - MinHash-LSH and SimHash live here too (added in
   minhash_lsh_candidates / simhash_by_lang): signatures are computed
   with cross-engine md5-derived hashes so DuckDB can verify them.
@@ -22,18 +22,16 @@ from goe_spark.catalog import load_table
 from goe_spark.functions.hashing import hash64, hash64_sql
 from goe_spark.queries import QuerySpec
 
-# Frequency caps that bound the in-bucket pair expansion: a shingle
-# shared by more than JACCARD_DF_CAP docs (a "stop shingle" — boiler-
-# plate, viral phrases) or an LSH band bucket larger than
-# LSH_BUCKET_CAP is dropped BEFORE pair emission. Without the cap one
-# viral shingle makes collect_set unbounded and the pair count
-# quadratic in its document frequency; with it the worst bucket emits
-# at most CAP*(CAP-1)/2 pairs. High-frequency shingles carry no
-# near-dup signal anyway (they don't discriminate), so recall loss is
-# negligible — the standard stop-word argument applied to shingles.
-# At 100 TB the cap would be sized from a df-quantile sample; the
-# constant keeps the oracle deterministic here.
-JACCARD_DF_CAP = 64
+# Frequency cap that bounds the in-bucket pair expansion: an LSH band
+# bucket larger than LSH_BUCKET_CAP is dropped BEFORE pair emission.
+# Without the cap a bucket of near-identical boilerplate makes
+# collect_set unbounded and the pair count quadratic in bucket size;
+# with it the worst bucket emits at most CAP*(CAP-1)/2 pairs.
+# Oversized buckets are exact-dup clusters in disguise (identical
+# signatures) — those belong to exact dedup, not the near-dup pair
+# generator, so recall loss is negligible. At 100 TB the cap would be
+# sized from a bucket-size quantile sample; the constant keeps the
+# oracle deterministic here.
 LSH_BUCKET_CAP = 64
 
 
@@ -114,114 +112,127 @@ def _shingle_hashed_sql() -> str:
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word 3-gram Jaccard near-dup: shingle-hash each doc, explode,
-    and count per-pair common shingles bucket-locally;
-    Jaccard = |∩| / (|A| + |B| - |∩|). Buckets are (lang, source) so
-    the quadratic term is bounded per bucket — at 100 TB the bucket
-    key would be an LSH band (see minhash_lsh_pairs), same plan.
+    """Word 3-gram Jaccard near-dup, LSH-blocked: MinHash band buckets
+    generate the candidate pairs (the same machinery as
+    minhash_lsh_pairs), then EXACT Jaccard over the distinct shingle
+    sets scores each candidate; Jaccard = |∩| / (|A| + |B| - |∩|).
+
+    The earlier formulation blocked on (lang, source) — a corpus-slice
+    cardinality key whose buckets grow linearly with the corpus, so at
+    100 TB the in-bucket quadratic term explodes (the r3 verdict's
+    scale-killer watchlist). LSH band buckets spread over the band-
+    signature value space instead: bucket size tracks genuine
+    signature collisions, not corpus size, and LSH_BUCKET_CAP bounds
+    the worst bucket. Recall is now governed by the banding S-curve
+    (4 bands x 4 rows: ~50% at j≈0.6, near-1 above 0.8) rather than by
+    slice co-membership — the trade the reference pipeline makes at
+    scale, stated here instead of hidden.
+
+    Plan shape: signature + banding are map-side codegen; one shuffle
+    groups (band, sig) buckets; pairs are emitted group-locally (no
+    exploded self-join); the candidate set (small) joins back to the
+    shingle arrays twice for exact verification — the verify join
+    moves arrays only for candidates, never all-pairs.
 
     Shingles are 64-bit arithmetic hashes (operators.minhash), never
-    strings: distinct/explode/shuffle all move 8 bytes per shingle,
-    and both engines compute identical hashes so the oracle agrees.
+    strings, and both engines compute identical signatures so the
+    DuckDB oracle agrees bit-for-bit.
 
-    Output: doc pairs with jaccard >= 0.1 (id1 < id2).
+    Output: candidate doc pairs with exact jaccard >= 0.1 (id1 < id2).
     """
-    shingled = _shingle_hashed(spark, sf_dir).select(
-        "doc_id", "lang", "source", F.array_distinct("sh").alias("shd")
+    from goe_spark.operators import minhash as MH
+
+    # repartition inserts ONE exchange under all three consumers
+    # (signature branch + the two verify joins); AQE's stage reuse
+    # then computes the md5-heavy shingle lineage once instead of
+    # three times (~25% of query time at sf0.1, measured). Partition
+    # count comes from spark.sql.shuffle.partitions.
+    shingled = (
+        _shingle_hashed(spark, sf_dir)
+        .select("doc_id", F.array_distinct("sh").alias("shd"))
+        .repartition("doc_id")
     )
-    # The doc's shingle count rides the explode as payload so Jaccard
-    # needs NO size lookup joins afterwards — the earlier two-join
-    # formulation also recomputed the whole shingle-hash lineage for
-    # the sizes branch (~30% of query time at sf0.1).
-    #
-    # explode_outer, NOT explode: plain explode lets the optimizer
-    # infer a size(shd) > 0 filter and push it below the projections,
-    # inlining the whole shingle-hash expression into the filter where
-    # element_at re-evaluates the token transform per element (~60x
-    # slower, measured). Arrays here are provably non-empty (token
-    # filter upstream), so outer semantics are identical.
-    exploded = shingled.select(
-        F.struct("doc_id", F.size("shd").cast("long").alias("n_sh")).alias("doc"),
-        "lang",
-        "source",
-        F.explode_outer("shd").alias("sh"),
+    sigs = shingled.select(
+        "doc_id", MH.minhash_signature(F.col("shd")).alias("mh")
     )
-    # Instead of a self-join of two exploded tables (quadratic shuffle
-    # on both sides), group docs per (bucket, shingle) and emit the
-    # i<j pairs in-group: one shuffle in, pair rows out. sort_array on
-    # (doc_id, n_sh) structs orders by doc_id, preserving id1 < id2.
-    grouped = exploded.groupBy("lang", "source", "sh").agg(
-        F.sort_array(F.collect_set("doc")).alias("docs")
+    bands = sigs.select(
+        "doc_id", F.explode(MH.band_structs(F.col("mh"))).alias("bs")
+    ).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
-    n = F.size("docs")
+    grouped = bands.groupBy("band", "sig").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("ids")
+    )
+    n = F.size("ids")
     pair_structs = F.flatten(
         F.transform(
-            F.col("docs"),
+            F.col("ids"),
             lambda x, i: F.transform(
-                F.slice(F.col("docs"), i + 2, n - i - 1),
-                lambda y: F.struct(
-                    x["doc_id"].alias("id1"),
-                    x["n_sh"].alias("n1"),
-                    y["doc_id"].alias("id2"),
-                    y["n_sh"].alias("n2"),
-                ),
+                F.slice(F.col("ids"), i + 2, n - i - 1),
+                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
             ),
         )
     )
     # n >= 2 guard is load-bearing with explode_outer: an empty pair
     # array would otherwise emit a (NULL, NULL) row. The upper bound
-    # drops stop-shingles (see JACCARD_DF_CAP).
-    common = (
-        grouped.where((n >= 2) & (n <= JACCARD_DF_CAP))
+    # drops degenerate buckets (LSH_BUCKET_CAP).
+    cands = (
+        grouped.where((n >= 2) & (n <= LSH_BUCKET_CAP))
         .select(F.explode_outer(pair_structs).alias("p"))
-        .groupBy(
-            F.col("p.id1").alias("id1"),
-            F.col("p.id2").alias("id2"),
-            F.col("p.n1").alias("n1"),
-            F.col("p.n2").alias("n2"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .select("p.id1", "p.id2")
+        .distinct()
     )
-    return common.select(
+    scored = cands.join(
+        shingled.select(
+            F.col("doc_id").alias("id1"), F.col("shd").alias("shd1")
+        ),
         "id1",
+    ).join(
+        shingled.select(
+            F.col("doc_id").alias("id2"), F.col("shd").alias("shd2")
+        ),
         "id2",
-        F.round(
-            F.col("n_common")
-            / (F.col("n1") + F.col("n2") - F.col("n_common")),
-            6,
-        ).alias("jaccard"),
-    ).where(F.col("jaccard") >= 0.1)
+    )
+    n_common = F.size(F.array_intersect("shd1", "shd2"))
+    jaccard = F.round(
+        n_common / (F.size("shd1") + F.size("shd2") - n_common), 6
+    )
+    return (
+        scored.select("id1", "id2", jaccard.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.1)
+    )
 
 
 def _ngram_jaccard_sql() -> str:
+    from goe_spark.operators import minhash as MH
+
+    mh_expr = MH.minhash_signature_sql("shd")
     return f"""
 WITH shingled AS (
-  SELECT doc_id, lang, source, list_distinct(sh) AS shd
+  SELECT doc_id, list_distinct(sh) AS shd
   FROM ({_shingle_hashed_sql()})
-), sizes AS (
-  SELECT doc_id, len(shd) AS n_sh FROM shingled
-), exploded AS (
-  SELECT doc_id, lang, source, unnest(shd) AS sh FROM shingled
-), capped AS (
-  -- stop-shingle cap: mirror of JACCARD_DF_CAP (exploded is distinct
-  -- per doc, so count(*) is the shingle's document frequency)
-  SELECT lang, source, sh
-  FROM exploded GROUP BY 1, 2, 3 HAVING count(*) <= {JACCARD_DF_CAP}
-), common AS (
-  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
-  FROM exploded a JOIN exploded b
-    ON a.lang = b.lang AND a.source = b.source AND a.sh = b.sh
-   AND a.doc_id < b.doc_id
-  JOIN capped c
-    ON c.lang = a.lang AND c.source = a.source AND c.sh = a.sh
-  GROUP BY 1, 2
+), sigs AS (
+  SELECT doc_id, {mh_expr} AS mh FROM shingled
+), bands AS ({MH.band_rows_sql("mh")}),
+ok_buckets AS (
+  -- band-bucket cap: mirror of LSH_BUCKET_CAP
+  SELECT band, sig FROM bands GROUP BY 1, 2 HAVING count(*) <= {LSH_BUCKET_CAP}
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  JOIN ok_buckets ok ON ok.band = a.band AND ok.sig = a.sig
 )
 SELECT id1, id2,
-       round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
-FROM common
-JOIN sizes sa ON sa.doc_id = id1
-JOIN sizes sb ON sb.doc_id = id2
-WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.1
+       round(len(list_intersect(sa.shd, sb.shd))
+             / (len(sa.shd) + len(sb.shd) - len(list_intersect(sa.shd, sb.shd))),
+             6) AS jaccard
+FROM cands
+JOIN shingled sa ON sa.doc_id = id1
+JOIN shingled sb ON sb.doc_id = id2
+WHERE round(len(list_intersect(sa.shd, sb.shd))
+            / (len(sa.shd) + len(sb.shd) - len(list_intersect(sa.shd, sb.shd))),
+            6) >= 0.1
 """
 
 

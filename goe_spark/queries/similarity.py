@@ -138,7 +138,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     OOM-sized Arrow batch with nothing to stop it, so cells above
     EMB_CELL_CAP are sub-bucketed by a secondary hash of vec_id into
     ceil(n/EMB_CELL_CAP) slices — the same frequency-cap trade
-    JACCARD_DF_CAP / LSH_BUCKET_CAP make for shingles and bands:
+    LSH_BUCKET_CAP makes for band buckets:
     pairs straddling two sub-buckets of an oversized cell are
     forfeited, in exchange for a hard per-group bound that holds at
     any skew. The sub-bucket arithmetic (hash64, pmod) is replayed

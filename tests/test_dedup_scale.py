@@ -11,25 +11,23 @@ from pyspark.sql import functions as F
 
 from goe_spark.operators import minhash as MH
 from goe_spark.queries.dedup import (
-    JACCARD_DF_CAP,
     LSH_BUCKET_CAP,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
 
-VIRAL_N = 100  # > both caps (64)
+VIRAL_N = 100  # > the bucket cap (64)
 
 
 @pytest.fixture(scope="module")
 def viral_sf_dir(spark, tmp_path_factory):
-    """A documents table where one shingle / one LSH bucket is shared
-    by VIRAL_N docs (above cap) plus one legitimate near-dup pair
-    (below cap)."""
-    assert VIRAL_N > JACCARD_DF_CAP and VIRAL_N > LSH_BUCKET_CAP
+    """A documents table where one LSH bucket is shared by VIRAL_N
+    docs (above cap) plus one legitimate near-dup pair (below cap)."""
+    assert VIRAL_N > LSH_BUCKET_CAP
     rows = [
-        # 100 identical docs: every shingle has df=100 (> JACCARD_DF_CAP)
-        # and every minhash band bucket holds all 100 (> LSH_BUCKET_CAP).
+        # 100 identical docs: identical signatures, so every minhash
+        # band bucket holds all 100 (> LSH_BUCKET_CAP).
         (i, "common alpha beta gamma delta", "en", "web", 29)
         for i in range(VIRAL_N)
     ]
@@ -45,14 +43,18 @@ def viral_sf_dir(spark, tmp_path_factory):
     return str(d)
 
 
-def test_jaccard_viral_shingle_capped(spark, viral_sf_dir):
+def test_jaccard_viral_bucket_capped(spark, viral_sf_dir):
     pairs = ngram_jaccard_pairs(spark, viral_sf_dir).collect()
     ids = {(r.id1, r.id2) for r in pairs}
-    # The viral shingle would otherwise emit VIRAL_N*(VIRAL_N-1)/2
-    # pairs at jaccard 1/3; the cap drops them all...
+    # The viral docs share identical signatures, so every band bucket
+    # holds all VIRAL_N — the bucket cap drops the would-be
+    # VIRAL_N*(VIRAL_N-1)/2 candidate pairs...
     assert not any(r.id1 < 1000 for r in pairs)
-    # ...while the legitimate below-cap near-dup pair survives.
+    # ...while the legitimate below-cap near-dup pair survives with
+    # its exact Jaccard score.
     assert (1000, 1001) in ids
+    (pair,) = [r for r in pairs if (r.id1, r.id2) == (1000, 1001)]
+    assert pair.jaccard == round(7 / 9, 6)  # 7 common of 8+8 shingles
 
 
 def test_minhash_viral_bucket_capped(spark, viral_sf_dir):

@@ -102,13 +102,20 @@ def test_simhash_pairs_no_quadratic_join(spark):
 def test_jaccard_and_minhash_no_self_join(spark):
     """Pair emission is group-local for both near-dup operators —
     an exploded self-join would shuffle the shingle table twice and
-    go quadratic inside hot buckets."""
+    go quadratic inside hot buckets. minhash_lsh_pairs has no joins at
+    all; ngram_jaccard_pairs is allowed exactly its two verify joins
+    (candidates back to the shingle arrays), nothing quadratic."""
     from goe_spark.queries.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
-    for q in (ngram_jaccard_pairs, minhash_lsh_pairs):
-        plan = _plan(q(spark, SF_SMALL), "simple")
-        assert "SortMergeJoin" not in plan
-        assert "CartesianProduct" not in plan
+    plan = _plan(minhash_lsh_pairs(spark, SF_SMALL), "simple")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    plan = _plan(ngram_jaccard_pairs(spark, SF_SMALL), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    n_joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert n_joins <= 2, f"expected only the 2 verify joins, got:\n{plan}"
 
 
 def test_ivf_centroids_broadcast_and_cached(spark):
