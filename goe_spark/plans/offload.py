@@ -19,6 +19,7 @@ partition layout (partitionBy on the synthetic column).
 
 from __future__ import annotations
 
+import contextlib
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -163,6 +164,59 @@ class OffloadPipeline:
             return self._run_locked(source_df)
 
     def _run_locked(self, source_df: DataFrame) -> OffloadResult:
+        """Wrap the step sequence in a persisted command execution
+        (plans/history.py — the reference's start_command/end_command,
+        orchestration_runner.py:139-227): every step outcome is written
+        through to disk as it happens, so a crashed run leaves a
+        durable record for the status report and for resume."""
+        from goe_spark.plans.history import (
+            COMMAND_ERROR,
+            COMMAND_SUCCESS,
+            ExecutionHistoryStore,
+        )
+
+        cfg = self.cfg
+        self._history = ExecutionHistoryStore(cfg.metadata_dir)
+        self._exec = self._history.begin(
+            "OFFLOAD",
+            cfg.owner,
+            cfg.table_name,
+            command_input={
+                "target_dir": cfg.target_dir,
+                "partition": bool(cfg.partition),
+                "predicate": cfg.offload_predicate,
+                "hwm": str(cfg.hwm) if cfg.hwm is not None else None,
+            },
+        )
+        try:
+            res = self._run_steps(source_df)
+        except BaseException:
+            self._history.end(self._exec, COMMAND_ERROR)
+            raise
+        self._history.end(self._exec, COMMAND_SUCCESS)
+        return res
+
+    @contextlib.contextmanager
+    def _step(self, steps: list[str], name: str):
+        """Time one named step and persist its outcome immediately."""
+        import time
+
+        from goe_spark.plans.history import STEP_ERROR, STEP_OK
+
+        t0 = time.perf_counter()
+        try:
+            yield
+        except Exception as e:
+            self._history.record_step(
+                self._exec, name, STEP_ERROR, time.perf_counter() - t0, str(e)
+            )
+            raise
+        self._history.record_step(
+            self._exec, name, STEP_OK, time.perf_counter() - t0
+        )
+        steps.append(name)
+
+    def _run_steps(self, source_df: DataFrame) -> OffloadResult:
         cfg = self.cfg
         steps: list[str] = []
         md = self.store.get(cfg.owner, cfg.table_name) or OffloadMetadata(
@@ -172,25 +226,27 @@ class OffloadPipeline:
         # ANALYZE_DATA_TYPES: schema -> canonical columns, then the
         # user's --<type>-columns overrides (reference
         # data_type_controls.offload_source_to_canonical_mappings).
-        canonical_cols = [
-            spark_to_canonical(f.name, f.dataType, f.nullable)
-            for f in source_df.schema.fields
-        ]
-        if cfg.column_controls is not None:
-            from goe_spark.types.controls import source_to_canonical_mappings
+        with self._step(steps, "ANALYZE_DATA_TYPES"):
+            canonical_cols = [
+                spark_to_canonical(f.name, f.dataType, f.nullable)
+                for f in source_df.schema.fields
+            ]
+            if cfg.column_controls is not None:
+                from goe_spark.types.controls import (
+                    source_to_canonical_mappings,
+                )
 
-            canonical_cols = source_to_canonical_mappings(
-                canonical_cols, cfg.column_controls
-            )
-        # Identifier rules (types/identifiers.py): the backend table
-        # and every column must satisfy Spark's metastore rules —
-        # fail here, not mid-write.
-        from goe_spark.types.identifiers import backend_safe_identifier
+                canonical_cols = source_to_canonical_mappings(
+                    canonical_cols, cfg.column_controls
+                )
+            # Identifier rules (types/identifiers.py): the backend
+            # table and every column must satisfy Spark's metastore
+            # rules — fail here, not mid-write.
+            from goe_spark.types.identifiers import backend_safe_identifier
 
-        backend_safe_identifier(cfg.table_name, "spark", "table")
-        for c in canonical_cols:
-            backend_safe_identifier(c.name, "spark", "column")
-        steps.append("ANALYZE_DATA_TYPES")
+            backend_safe_identifier(cfg.table_name, "spark", "table")
+            for c in canonical_cols:
+                backend_safe_identifier(c.name, "spark", "column")
 
         from goe_spark.plans.sort_columns import (
             apply_sort_on_write,
@@ -215,81 +271,88 @@ class OffloadPipeline:
                 write_ddl_file,
             )
 
-            path = cfg.ddl_file.strip()
-            if path.upper() == DDL_FILE_AUTO:
-                path = generate_ddl_file_path(
-                    cfg.owner, cfg.table_name, cfg.metadata_dir
+            with self._step(steps, "CREATE_DDL_FILE"):
+                path = cfg.ddl_file.strip()
+                if path.upper() == DDL_FILE_AUTO:
+                    path = generate_ddl_file_path(
+                        cfg.owner, cfg.table_name, cfg.metadata_dir
+                    )
+                else:
+                    validate_ddl_file(path)
+                ddl = build_create_table_ddl(
+                    cfg.owner,
+                    cfg.table_name,
+                    canonical_cols,
+                    cfg.target_dir,
+                    partition_col=(
+                        SYNTHETIC_COL if cfg.partition is not None else None
+                    ),
+                    sort_columns=sort_cols,
                 )
-            else:
-                validate_ddl_file(path)
-            ddl = build_create_table_ddl(
-                cfg.owner,
-                cfg.table_name,
-                canonical_cols,
-                cfg.target_dir,
-                partition_col=SYNTHETIC_COL if cfg.partition is not None else None,
-                sort_columns=sort_cols,
-            )
-            write_ddl_file(path, ddl)
-            steps.append("CREATE_DDL_FILE")
+                write_ddl_file(path, ddl)
             return OffloadResult(
                 rows_staged=0, rows_final=0, partitions_written=[path],
                 steps=steps,
             )
 
         # FIND_OFFLOAD_DATA: predicate / HWM slicing.
-        sliced = source_df
-        pred_ast = None
-        if cfg.offload_predicate:
-            ast = parse_predicate_dsl(cfg.offload_predicate)
-            pred_ast = ast
-            sql_text = predicate_to_sql(ast)
-            if sql_text in md.offloaded_predicates:
-                raise OffloadValidationError(
-                    f"predicate already offloaded: {sql_text}"
-                )
-            sliced = sliced.where(predicate_to_column(ast, sliced))
-            md.offload_type = "PREDICATE"
-        if cfg.partition is not None:
-            sliced = sliced.withColumn(SYNTHETIC_COL, cfg.partition.expr())
-            if cfg.hwm is not None:
-                lower = md.incremental_high_value
-                cond = F.col(SYNTHETIC_COL) <= F.lit(cfg.hwm)
-                if lower is not None:
-                    cond = cond & (F.col(SYNTHETIC_COL) > F.lit(lower))
-                sliced = sliced.where(cond)
-                md.offload_type = "RANGE"
-                md.incremental_key = cfg.partition.source_column
-        steps.append("FIND_OFFLOAD_DATA")
+        with self._step(steps, "FIND_OFFLOAD_DATA"):
+            sliced = source_df
+            pred_ast = None
+            if cfg.offload_predicate:
+                ast = parse_predicate_dsl(cfg.offload_predicate)
+                pred_ast = ast
+                sql_text = predicate_to_sql(ast)
+                if sql_text in md.offloaded_predicates:
+                    raise OffloadValidationError(
+                        f"predicate already offloaded: {sql_text}"
+                    )
+                sliced = sliced.where(predicate_to_column(ast, sliced))
+                md.offload_type = "PREDICATE"
+            if cfg.partition is not None:
+                sliced = sliced.withColumn(SYNTHETIC_COL, cfg.partition.expr())
+                if cfg.hwm is not None:
+                    lower = md.incremental_high_value
+                    cond = F.col(SYNTHETIC_COL) <= F.lit(cfg.hwm)
+                    if lower is not None:
+                        cond = cond & (F.col(SYNTHETIC_COL) > F.lit(lower))
+                    sliced = sliced.where(cond)
+                    md.offload_type = "RANGE"
+                    md.incremental_key = cfg.partition.source_column
 
         # STAGING_TRANSPORT: write staging parquet with string-staged
         # exotics (the reference's Avro/Parquet staging schema).
-        staged_proj = [staging_expr(c) for c in canonical_cols]
-        if cfg.partition is not None:
-            staged_proj.append(F.col(SYNTHETIC_COL))
-        sliced.select(staged_proj).write.mode("overwrite").parquet(cfg.staging_dir)
-        staged = self.spark.read.parquet(cfg.staging_dir)
-        steps.append("STAGING_TRANSPORT")
+        with self._step(steps, "STAGING_TRANSPORT"):
+            staged_proj = [staging_expr(c) for c in canonical_cols]
+            if cfg.partition is not None:
+                staged_proj.append(F.col(SYNTHETIC_COL))
+            sliced.select(staged_proj).write.mode("overwrite").parquet(
+                cfg.staging_dir
+            )
+            staged = self.spark.read.parquet(cfg.staging_dir)
 
-        # VALIDATE_STAGED_DATA (A5): one aggregate pass.
-        not_null_cols = [c.name for c in canonical_cols if not c.nullable]
-        aggs = [F.count(F.lit(1)).alias("row_count")]
-        for name in not_null_cols:
-            aggs.append(
-                F.sum(F.when(F.col(name).isNull(), 1).otherwise(0))
-                .cast("long")
-                .alias(f"nn_{name}")
-            )
-        probe_aggs = corruption_probe_aggs(canonical_cols)
-        row = staged.agg(*aggs, *probe_aggs).collect()[0].asDict()
-        rows_staged = row.pop("row_count")
-        violations = {k: v for k, v in row.items() if v}
-        if violations:
-            raise OffloadValidationError(
-                f"staged-data validation failed: {violations}"
-            )
-        steps.append("VALIDATE_STAGED_DATA")
-        steps.append("VALIDATE_CASTS")
+        # VALIDATE_STAGED_DATA (A5): one aggregate pass (the cast-
+        # corruption probes ride the same aggregate, so VALIDATE_CASTS
+        # is recorded with it).
+        with self._step(steps, "VALIDATE_STAGED_DATA"):
+            not_null_cols = [c.name for c in canonical_cols if not c.nullable]
+            aggs = [F.count(F.lit(1)).alias("row_count")]
+            for name in not_null_cols:
+                aggs.append(
+                    F.sum(F.when(F.col(name).isNull(), 1).otherwise(0))
+                    .cast("long")
+                    .alias(f"nn_{name}")
+                )
+            probe_aggs = corruption_probe_aggs(canonical_cols)
+            row = staged.agg(*aggs, *probe_aggs).collect()[0].asDict()
+            rows_staged = row.pop("row_count")
+            violations = {k: v for k, v in row.items() if v}
+            if violations:
+                raise OffloadValidationError(
+                    f"staged-data validation failed: {violations}"
+                )
+        with self._step(steps, "VALIDATE_CASTS"):
+            pass  # probes evaluated in the shared aggregate above
 
         # FINAL_LOAD: cast map -> partitioned final table. A full
         # offload (no predicate, no HWM window) REPLACES the target —
@@ -300,26 +363,34 @@ class OffloadPipeline:
         # verification can roll the append back (retryable failure
         # instead of silently-committed bad rows).
         full_replace = pred_ast is None and cfg.hwm is None
-        cast_map = build_cast_map(canonical_cols)
-        final_proj = [cast_map[c.name]["cast"] for c in canonical_cols]
-        pre_files = (
-            set() if full_replace else _list_files(cfg.target_dir, self.spark)
-        )
-        # SORT_COLUMNS: cluster-on-write (plans/sort_columns.py) — a
-        # per-partition sort gives parquet row-group locality on the
-        # sort key, the Spark rendering of BigQuery CLUSTER BY.
-        final_df_out = apply_sort_on_write(
-            staged.select(
-                *final_proj,
-                *([F.col(SYNTHETIC_COL)] if cfg.partition is not None else []),
-            ),
-            sort_cols,
-        )
-        writer = final_df_out.write.mode("overwrite" if full_replace else "append")
-        if cfg.partition is not None:
-            writer = writer.partitionBy(SYNTHETIC_COL)
-        writer.parquet(cfg.target_dir)
-        steps.append("FINAL_LOAD")
+        with self._step(steps, "FINAL_LOAD"):
+            cast_map = build_cast_map(canonical_cols)
+            final_proj = [cast_map[c.name]["cast"] for c in canonical_cols]
+            pre_files = (
+                set()
+                if full_replace
+                else _list_files(cfg.target_dir, self.spark)
+            )
+            # SORT_COLUMNS: cluster-on-write (plans/sort_columns.py) —
+            # a per-partition sort gives parquet row-group locality on
+            # the sort key, the Spark rendering of BigQuery CLUSTER BY.
+            final_df_out = apply_sort_on_write(
+                staged.select(
+                    *final_proj,
+                    *(
+                        [F.col(SYNTHETIC_COL)]
+                        if cfg.partition is not None
+                        else []
+                    ),
+                ),
+                sort_cols,
+            )
+            writer = final_df_out.write.mode(
+                "overwrite" if full_replace else "append"
+            )
+            if cfg.partition is not None:
+                writer = writer.partitionBy(SYNTHETIC_COL)
+            writer.parquet(cfg.target_dir)
 
         # VERIFY_EXPORTED_DATA: count ("minus") validation, scoped to
         # THIS run's slice — the reference passes the in-flight
@@ -327,54 +398,56 @@ class OffloadPipeline:
         # verify_offload_by_backend_count) for the same reason: the
         # final table holds every previously offloaded slice, so an
         # unscoped count can only match on the very first offload.
-        final_df = self.spark.read.parquet(cfg.target_dir)
-        check_df = final_df
-        if pred_ast is not None:
-            check_df = check_df.where(predicate_to_column(pred_ast, check_df))
-        if cfg.partition is not None and cfg.hwm is not None:
-            check_df = check_df.where(
-                (F.col(SYNTHETIC_COL) <= F.lit(cfg.hwm))
-                & (
-                    F.col(SYNTHETIC_COL) > F.lit(md.incremental_high_value)
-                    if md.incremental_high_value is not None
-                    else F.lit(True)
+        with self._step(steps, "VERIFY_EXPORTED_DATA"):
+            final_df = self.spark.read.parquet(cfg.target_dir)
+            check_df = final_df
+            if pred_ast is not None:
+                check_df = check_df.where(
+                    predicate_to_column(pred_ast, check_df)
                 )
-            )
-        rows_final = self._verify_count(check_df)
-        if rows_final != rows_staged:
-            if not full_replace:
-                _remove_files(
-                    _list_files(cfg.target_dir, self.spark) - pre_files,
-                    self.spark,
+            if cfg.partition is not None and cfg.hwm is not None:
+                check_df = check_df.where(
+                    (F.col(SYNTHETIC_COL) <= F.lit(cfg.hwm))
+                    & (
+                        F.col(SYNTHETIC_COL) > F.lit(md.incremental_high_value)
+                        if md.incremental_high_value is not None
+                        else F.lit(True)
+                    )
                 )
-            raise OffloadValidationError(
-                f"count validation failed: staged={rows_staged} "
-                f"final={rows_final} (appended files rolled back)"
-            )
-        steps.append("VERIFY_EXPORTED_DATA")
+            rows_final = self._verify_count(check_df)
+            if rows_final != rows_staged:
+                if not full_replace:
+                    _remove_files(
+                        _list_files(cfg.target_dir, self.spark) - pre_files,
+                        self.spark,
+                    )
+                raise OffloadValidationError(
+                    f"count validation failed: staged={rows_staged} "
+                    f"final={rows_final} (appended files rolled back)"
+                )
 
         # SAVE_METADATA: HWM / predicate bookkeeping.
-        partitions_written = []
-        if cfg.partition is not None:
-            partitions_written = [
-                r[0]
-                for r in check_df.select(SYNTHETIC_COL).distinct().collect()
-            ]
-            if cfg.hwm is not None:
-                md.incremental_high_value = cfg.hwm
-            md.synthetic_partition = {
-                "source_column": cfg.partition.source_column,
-                "kind": cfg.partition.kind,
-                "granularity": cfg.partition.granularity,
-                "digits": cfg.partition.digits,
-            }
-        if cfg.offload_predicate:
-            md.offloaded_predicates.append(
-                predicate_to_sql(parse_predicate_dsl(cfg.offload_predicate))
-            )
-        md.offload_sort_columns = sort_cols
-        self.store.save(md)
-        steps.append("SAVE_METADATA")
+        with self._step(steps, "SAVE_METADATA"):
+            partitions_written = []
+            if cfg.partition is not None:
+                partitions_written = [
+                    r[0]
+                    for r in check_df.select(SYNTHETIC_COL).distinct().collect()
+                ]
+                if cfg.hwm is not None:
+                    md.incremental_high_value = cfg.hwm
+                md.synthetic_partition = {
+                    "source_column": cfg.partition.source_column,
+                    "kind": cfg.partition.kind,
+                    "granularity": cfg.partition.granularity,
+                    "digits": cfg.partition.digits,
+                }
+            if cfg.offload_predicate:
+                md.offloaded_predicates.append(
+                    predicate_to_sql(parse_predicate_dsl(cfg.offload_predicate))
+                )
+            md.offload_sort_columns = sort_cols
+            self.store.save(md)
 
         return OffloadResult(
             rows_staged=rows_staged,

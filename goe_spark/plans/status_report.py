@@ -214,6 +214,59 @@ def status_report(
     return spark.createDataFrame(rows, schema)
 
 
+def execution_report(
+    spark: SparkSession,
+    history,
+    owner: str | None = None,
+    table_name: str | None = None,
+) -> DataFrame:
+    """Per-execution step timings from a reloaded ExecutionHistoryStore
+    (plans/history.py) — the reference status report's command-
+    execution view over the repo's execution/step tables. One row per
+    recorded step, command-level columns repeated."""
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("execution_id", StringType()),
+            StructField("command_type", StringType()),
+            StructField("owner", StringType()),
+            StructField("table_name", StringType()),
+            StructField("status", StringType()),
+            StructField("started_utc", StringType()),
+            StructField("ended_utc", StringType()),
+            StructField("step", StringType()),
+            StructField("step_status", StringType()),
+            StructField("step_seconds", DoubleType()),
+            StructField("step_detail", StringType()),
+        ]
+    )
+    rows = []
+    for rec in history.list_executions(owner, table_name):
+        for s in rec.steps:
+            rows.append(
+                Row(
+                    execution_id=rec.execution_id,
+                    command_type=rec.command_type,
+                    owner=rec.owner,
+                    table_name=rec.table_name,
+                    status=rec.status,
+                    started_utc=rec.started_utc,
+                    ended_utc=rec.ended_utc,
+                    step=s["name"],
+                    step_status=s["status"],
+                    step_seconds=float(s["seconds"]),
+                    step_detail=s["detail"],
+                )
+            )
+    return spark.createDataFrame(rows, schema)
+
+
 def summarize_report(report: DataFrame) -> dict:
     """The reference's summary level: totals across tables
     (SUMMARY_KEYS, offload_status_report.py:143-154)."""

@@ -37,6 +37,13 @@ class StepRunner:
     injects a failure before the named step runs (reference:
     error_before_step), which is how chunk-restart semantics get
     tested without a real outage.
+
+    ``history``/``execution`` persist every step outcome to an
+    ExecutionHistoryStore as it happens (reference
+    start_command_step/end_command_step), so a crash leaves a durable
+    record of what completed. ``resume_done`` names steps recorded ok
+    by a prior failed execution (history.completed_steps) — they are
+    skipped with a "resumed" marker instead of re-running.
     """
 
     spark: object | None = None
@@ -44,15 +51,33 @@ class StepRunner:
     error_at: str | None = None
     results: list[StepResult] = field(default_factory=list)
     log: object = print
+    history: object | None = None  # ExecutionHistoryStore
+    execution: object | None = None  # ExecutionRecord
+    resume_done: set[str] = field(default_factory=set)
+
+    def _record(self, result: StepResult) -> None:
+        self.results.append(result)
+        if self.history is not None and self.execution is not None:
+            self.history.record_step(
+                self.execution,
+                result.name,
+                result.status,
+                result.seconds,
+                str(result.detail) if result.detail is not None else None,
+            )
 
     def run(self, name: str, fn, *args, **kwargs):
+        if name in self.resume_done:
+            self._record(StepResult(name, "skipped", detail="resumed"))
+            self.log(f"step {name}: skipped (completed by prior execution)")
+            return None
         if name in self.skip:
-            self.results.append(StepResult(name, "skipped"))
+            self._record(StepResult(name, "skipped"))
             self.log(f"step {name}: skipped")
             return None
         if self.error_at == name:
             err = RuntimeError(f"injected error before step {name}")
-            self.results.append(StepResult(name, "error", detail=str(err)))
+            self._record(StepResult(name, "error", detail=str(err)))
             raise StepError(name, err)
         if self.spark is not None:
             self.spark.sparkContext.setJobGroup(name, f"goe_spark step: {name}")
@@ -61,14 +86,14 @@ class StepRunner:
             out = fn(*args, **kwargs)
         except Exception as e:
             dt = time.perf_counter() - t0
-            self.results.append(StepResult(name, "error", dt, str(e)))
+            self._record(StepResult(name, "error", dt, str(e)))
             self.log(f"step {name}: ERROR after {dt:.2f}s: {e}")
             raise StepError(name, e) from e
         finally:
             if self.spark is not None:
                 self.spark.sparkContext.setJobGroup("", "")
         dt = time.perf_counter() - t0
-        self.results.append(StepResult(name, "ok", dt))
+        self._record(StepResult(name, "ok", dt))
         self.log(f"step {name}: ok ({dt:.2f}s)")
         return out
 
