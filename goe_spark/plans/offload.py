@@ -90,6 +90,11 @@ class OffloadConfig:
     # --ddl-file: write CREATE TABLE text here (or AUTO) and stop
     # without staging/loading any data (plans/ddl_file.py).
     ddl_file: str | None = None
+    # Backend write connector (sinks/backend_writer.py). None = the
+    # Spark-native parquet backend at target_dir; a FakeWarehouseWriter
+    # (or a real BigQuery/Snowflake writer) slots in here with the
+    # same step sequence.
+    backend_writer: object | None = None
 
 
 @dataclass
@@ -98,48 +103,6 @@ class OffloadResult:
     rows_final: int
     partitions_written: list = field(default_factory=list)
     steps: list = field(default_factory=list)
-
-
-def _is_dfs_uri(path: str) -> bool:
-    """True for scheme-qualified paths (file:/, hdfs://, gs://, ...).
-
-    Hadoop's Path.toString() normalizes ``file:///x`` to ``file:/x``
-    (single slash), so a literal ``"://" in p`` test misses the very
-    paths HadoopDfs just listed — match the scheme prefix instead."""
-    import re
-
-    return re.match(r"[A-Za-z][A-Za-z0-9+.\-]*:/", path) is not None
-
-
-def _list_files(root: str, spark: SparkSession | None = None) -> set[str]:
-    """Recursive file listing; DFS URIs route through the Hadoop
-    FileSystem API so rollback works on hdfs/gs/s3a targets too."""
-    if _is_dfs_uri(root):
-        from goe_spark.sources.dfs import HadoopDfs
-
-        return set(HadoopDfs(spark).list_files_recursive(root))
-    import os
-
-    out2: set[str] = set()
-    for dirpath, _dirnames, filenames in os.walk(root):
-        for f in filenames:
-            out2.add(os.path.join(dirpath, f))
-    return out2
-
-
-def _remove_files(paths: set[str], spark: SparkSession | None = None) -> None:
-    import os
-
-    for p in paths:
-        if _is_dfs_uri(p):
-            from goe_spark.sources.dfs import HadoopDfs
-
-            HadoopDfs(spark).delete(p)
-            continue
-        try:
-            os.remove(p)
-        except OSError:
-            pass
 
 
 class OffloadPipeline:
@@ -295,6 +258,24 @@ class OffloadPipeline:
                 steps=steps,
             )
 
+        # CREATE_TABLE: ensure the backend final table exists (the
+        # reference's create_backend_table; a no-op DDL emission for
+        # the parquet backend, a recorded CREATE TABLE for warehouse
+        # writers).
+        from goe_spark.sinks.backend_writer import ParquetBackendWriter
+
+        writer = cfg.backend_writer or ParquetBackendWriter(cfg.target_dir)
+        with self._step(steps, "CREATE_TABLE"):
+            writer.create_table(
+                cfg.owner,
+                cfg.table_name,
+                canonical_cols,
+                partition_col=(
+                    SYNTHETIC_COL if cfg.partition is not None else None
+                ),
+                cluster_columns=sort_cols,
+            )
+
         # FIND_OFFLOAD_DATA: predicate / HWM slicing.
         with self._step(steps, "FIND_OFFLOAD_DATA"):
             sliced = source_df
@@ -366,10 +347,8 @@ class OffloadPipeline:
         with self._step(steps, "FINAL_LOAD"):
             cast_map = build_cast_map(canonical_cols)
             final_proj = [cast_map[c.name]["cast"] for c in canonical_cols]
-            pre_files = (
-                set()
-                if full_replace
-                else _list_files(cfg.target_dir, self.spark)
+            pre_snapshot = (
+                None if full_replace else writer.snapshot(self.spark)
             )
             # SORT_COLUMNS: cluster-on-write (plans/sort_columns.py) —
             # a per-partition sort gives parquet row-group locality on
@@ -385,12 +364,25 @@ class OffloadPipeline:
                 ),
                 sort_cols,
             )
-            writer = final_df_out.write.mode(
-                "overwrite" if full_replace else "append"
+            # The incremental slice clause, recorded by warehouse
+            # writers as the INSERT's WHERE (the reference passes the
+            # same filter_clauses into load_final_table).
+            slice_clause = None
+            if pred_ast is not None:
+                slice_clause = predicate_to_sql(pred_ast)
+            elif cfg.partition is not None and cfg.hwm is not None:
+                lo = md.incremental_high_value
+                slice_clause = f"{SYNTHETIC_COL} <= {cfg.hwm!r}"
+                if lo is not None:
+                    slice_clause += f" AND {SYNTHETIC_COL} > {lo!r}"
+            writer.load_final(
+                final_df_out,
+                replace=full_replace,
+                partition_col=(
+                    SYNTHETIC_COL if cfg.partition is not None else None
+                ),
+                slice_clause=slice_clause,
             )
-            if cfg.partition is not None:
-                writer = writer.partitionBy(SYNTHETIC_COL)
-            writer.parquet(cfg.target_dir)
 
         # VERIFY_EXPORTED_DATA: count ("minus") validation, scoped to
         # THIS run's slice — the reference passes the in-flight
@@ -399,7 +391,7 @@ class OffloadPipeline:
         # final table holds every previously offloaded slice, so an
         # unscoped count can only match on the very first offload.
         with self._step(steps, "VERIFY_EXPORTED_DATA"):
-            final_df = self.spark.read.parquet(cfg.target_dir)
+            final_df = writer.read_final(self.spark)
             check_df = final_df
             if pred_ast is not None:
                 check_df = check_df.where(
@@ -417,10 +409,7 @@ class OffloadPipeline:
             rows_final = self._verify_count(check_df)
             if rows_final != rows_staged:
                 if not full_replace:
-                    _remove_files(
-                        _list_files(cfg.target_dir, self.spark) - pre_files,
-                        self.spark,
-                    )
+                    writer.rollback_to(pre_snapshot, self.spark)
                 raise OffloadValidationError(
                     f"count validation failed: staged={rows_staged} "
                     f"final={rows_final} (appended files rolled back)"
