@@ -95,6 +95,12 @@ class OffloadConfig:
     # (or a real BigQuery/Snowflake writer) slots in here with the
     # same step sequence.
     backend_writer: object | None = None
+    # Staging file format (S10/S11). The reference stages Avro by
+    # default (avro_staging_file.py:268-291); parquet is our default
+    # because the staging read-back is columnar. "avro" requires the
+    # spark-avro datasource on the classpath and fails fast when it is
+    # absent (capability probe), never mid-write.
+    staging_format: str = "parquet"
 
 
 @dataclass
@@ -301,16 +307,37 @@ class OffloadPipeline:
                     md.offload_type = "RANGE"
                     md.incremental_key = cfg.partition.source_column
 
-        # STAGING_TRANSPORT: write staging parquet with string-staged
-        # exotics (the reference's Avro/Parquet staging schema).
+        # STAGING_TRANSPORT: write staging files with string-staged
+        # exotics (the reference's Avro/Parquet staging schema,
+        # staging format per cfg.staging_format).
         with self._step(steps, "STAGING_TRANSPORT"):
+            from goe_spark.sources.files import (
+                avro_available,
+                read_staging,
+                write_staging,
+            )
+
+            if cfg.staging_format == "avro" and not avro_available(
+                self.spark
+            ):
+                raise OffloadValidationError(
+                    "avro staging requires the spark-avro datasource on "
+                    "the classpath (spark.jars.packages "
+                    "org.apache.spark:spark-avro); falling back silently "
+                    "would misreport what was staged — choose "
+                    "staging_format='parquet' instead"
+                )
             staged_proj = [staging_expr(c) for c in canonical_cols]
             if cfg.partition is not None:
                 staged_proj.append(F.col(SYNTHETIC_COL))
-            sliced.select(staged_proj).write.mode("overwrite").parquet(
-                cfg.staging_dir
+            write_staging(
+                sliced.select(staged_proj),
+                cfg.staging_dir,
+                fmt=cfg.staging_format,
             )
-            staged = self.spark.read.parquet(cfg.staging_dir)
+            staged = read_staging(
+                self.spark, cfg.staging_dir, fmt=cfg.staging_format
+            )
 
         # VALIDATE_STAGED_DATA (A5): one aggregate pass (the cast-
         # corruption probes ride the same aggregate, so VALIDATE_CASTS
@@ -523,6 +550,7 @@ def offload_from_spec(spark: SparkSession, spec: dict) -> dict:
         column_controls=controls,
         sort_columns_csv=spec.get("sort_columns"),
         ddl_file=spec.get("ddl_file"),
+        staging_format=spec.get("staging_format", "parquet"),
     )
     df = FileSource(spec["source_dir"]).read(spark, cfg.table_name)
     res = OffloadPipeline(spark, cfg).run(df)

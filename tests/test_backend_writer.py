@@ -124,6 +124,37 @@ class TestFakeWarehouseIncremental:
         assert any(c.startswith("-- ROLLBACK") for c in w.commands)
 
 
+class TestStagingFormat:
+    def test_orc_staging_end_to_end(self, spark, tmp_path):
+        """A non-default staging format flows through write_staging /
+        read_staging and the final load still verifies."""
+        src = spark.read.parquet(f"{SF_SMALL}/region.parquet")
+        res = OffloadPipeline(
+            spark, _cfg(tmp_path, staging_format="orc")
+        ).run(src)
+        assert res.rows_final == src.count()
+        import os
+
+        staged = os.listdir(tmp_path / "staging")
+        assert any(f.endswith(".orc") for f in staged)
+
+    def test_avro_staging_fails_fast_without_jar(self, spark, tmp_path):
+        """The reference stages Avro by default; without spark-avro on
+        the classpath the pipeline must fail BEFORE writing anything,
+        with an actionable message — not mid-write, not silently
+        falling back."""
+        from goe_spark.sources.files import avro_available
+
+        if avro_available(spark):  # pragma: no cover - jar present
+            pytest.skip("spark-avro present; gate not reachable")
+        src = spark.read.parquet(f"{SF_SMALL}/region.parquet")
+        with pytest.raises(OffloadValidationError, match="spark-avro"):
+            OffloadPipeline(
+                spark, _cfg(tmp_path, staging_format="avro")
+            ).run(src)
+        assert not (tmp_path / "staging").exists()
+
+
 class TestParquetWriterParity:
     def test_default_writer_unchanged_semantics(self, spark, tmp_path):
         """No backend_writer configured: identical behavior to the
