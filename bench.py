@@ -59,6 +59,9 @@ HEADLINE = [
     "embedding_near_dup_pairs",
     "media_decode_features",
     "sessionization_stats",
+    "dedup_clusters",
+    "stratified_sample_docs",
+    "token_pack_bins",
 ]
 
 

@@ -32,6 +32,9 @@ class QuerySpec:
 # round AND re-verified every pytest run by test_queries_oracle.py,
 # so losing their driver row costs the least.
 HEAD = (
+    "dedup_clusters",
+    "stratified_sample_docs",
+    "token_pack_bins",
     "ann_lsh_topk",
     "streaming_window_counts",
     "streaming_dedup_counts",
@@ -65,6 +68,7 @@ def all_queries() -> list[QuerySpec]:
         similarity,
         streaming_batch,
         text,
+        training,
         validation,
     )
 
@@ -78,6 +82,7 @@ def all_queries() -> list[QuerySpec]:
         offload,
         dedup,
         text,
+        training,
         similarity,
         streaming_batch,
         multimodal,

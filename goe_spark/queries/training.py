@@ -1,0 +1,232 @@
+"""Training-data pipeline operators over the documents table.
+
+Beyond-reference scope (BASELINE.json north star): the three steps a
+100 TB pretraining pipeline runs AFTER near-dup pair generation and
+text analysis — cluster resolution, deterministic sampling, and
+sequence packing.
+
+- dedup_clusters: connected components over the MinHash-LSH candidate
+  pairs (the step that turns pairwise near-dups into keep-one-per-
+  cluster decisions). Iterative min-label propagation: per round each
+  node takes the min label among itself and its neighbors; rounds
+  bounded by component diameter, and near-dup components are star-like
+  (a template plus its variants) so convergence is fast. Each round is
+  one join + one groupBy on the EDGE table only — the corpus payload
+  never enters the loop. At larger diameters the alternating
+  large-star/small-star variant (Kiveris et al., "Connected Components
+  in MapReduce", SoCC'14) halves diameter per round; simple
+  propagation keeps the oracle (a recursive CTE) exactly replayable.
+
+- stratified_sample_docs: per-language deterministic sampling by
+  bucketing a 60-bit content-independent hash of doc_id into 100
+  buckets — reproducible across runs/engines (no RNG state), map-side
+  only, and exactly mirrored by the DuckDB oracle.
+
+- token_pack_bins: greedy contiguous packing of documents into
+  fixed token budgets (the sequence-packing step that turns documents
+  into training rows). Deterministic: docs ordered by doc_id within
+  (lang, shard), exclusive-cumsum window assigns each doc the bin its
+  first token lands in. The shard key (hash of doc_id) is the scale
+  design: a window partitioned by lang alone would funnel an entire
+  language through one task at 100 TB, so packing is per (lang,
+  shard) — bins never cross shards, which is exactly what a training
+  loader wants (shards are its parallelism unit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goe_spark.catalog import load_table
+from goe_spark.functions import text as T
+from goe_spark.functions.hashing import hash64, hash64_sql
+from goe_spark.queries import QuerySpec
+from goe_spark.queries.dedup import _minhash_lsh_sql, minhash_lsh_pairs
+
+MAX_CC_ITERS = 20
+
+# Per-language sampling rates out of 100 (en kept at 3x the default —
+# the usual "downsample the dominant language" shape).
+SAMPLE_RATE_DEFAULT = 10
+SAMPLE_RATE_EN = 30
+
+PACK_BUDGET_TOKENS = 512
+PACK_SHARDS = 8
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve near-dup pairs into clusters; one row per cluster with
+    its min-doc_id label and size. Components have >= 2 docs by
+    construction (every node has an edge)."""
+    edges = (
+        minhash_lsh_pairs(spark, sf_dir)
+        .select("id1", "id2")
+        # The pair generator is itself a multi-stage job; checkpoint so
+        # the CC loop's 2xITERS references don't replay it every round.
+        .localCheckpoint(eager=True)
+    )
+    sym = edges.union(
+        edges.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
+    )
+    labels = (
+        sym.select(F.col("id1").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(MAX_CC_ITERS):
+        neighbor_min = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("id2"), F.col("label").alias("nl")
+                ),
+                "id2",
+            )
+            .groupBy(F.col("id1").alias("node"))
+            .agg(F.min("nl").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "label", F.coalesce("nmin", F.col("label"))
+                ).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("chg"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.where("chg").count()
+        labels = new_labels.drop("chg")
+        if changed == 0:
+            break
+    else:  # pragma: no cover - adversarial chain longer than the cap
+        raise RuntimeError(
+            f"connected components did not converge in {MAX_CC_ITERS} rounds"
+        )
+    return (
+        labels.groupBy(F.col("label").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.max("node").alias("max_doc_id"))
+    )
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE lsh_pairs AS (
+  SELECT id1, id2 FROM ({_minhash_lsh_sql()})
+), edges AS (
+  SELECT id1 AS src, id2 AS dst FROM lsh_pairs
+  UNION ALL
+  SELECT id2, id1 FROM lsh_pairs
+), reach(node, anc) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.anc FROM reach r JOIN edges e ON e.src = r.node
+), labels AS (
+  SELECT node, min(anc) AS cluster_id FROM reach GROUP BY node
+)
+SELECT cluster_id, count(*) AS n_docs, max(node) AS max_doc_id
+FROM labels GROUP BY cluster_id
+"""
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling audit: hash doc_id into 100
+    buckets, keep buckets below the language's rate. Output is the
+    per-(lang, source) sample accounting a pipeline run would log."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(hash64(F.col("doc_id").cast("string")), F.lit(100))
+    rate = F.when(F.col("lang") == "en", F.lit(SAMPLE_RATE_EN)).otherwise(
+        F.lit(SAMPLE_RATE_DEFAULT)
+    )
+    return (
+        d.select("lang", "source", (bucket < rate).alias("sampled"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("sampled").cast("long")).alias("n_sampled"),
+        )
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT lang, source,
+       count(*) AS n_total,
+       sum(CASE WHEN ({hash64_sql('cast(doc_id AS varchar)')} % 100) <
+                     (CASE WHEN lang = 'en' THEN {SAMPLE_RATE_EN}
+                           ELSE {SAMPLE_RATE_DEFAULT} END)
+                THEN 1 ELSE 0 END) AS n_sampled
+FROM documents
+GROUP BY lang, source
+"""
+
+
+def token_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sequence packing: per (lang, shard), docs in
+    doc_id order fill {PACK_BUDGET_TOKENS}-token bins; a doc belongs
+    to the bin its first token lands in. Output: per-language packing
+    accounting (bins, docs, fill)."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", T.token_count("text").alias("n_tokens")
+    )
+    shard = F.pmod(hash64(F.col("doc_id").cast("string")), F.lit(PACK_SHARDS))
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = (
+        d.withColumn("shard", shard)
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn(
+            "bin",
+            F.floor(
+                (F.col("cum") - F.col("n_tokens"))
+                / F.lit(PACK_BUDGET_TOKENS)
+            ),
+        )
+    )
+    per_bin = binned.groupBy("lang", "shard", "bin").agg(
+        F.count(F.lit(1)).alias("docs_in_bin"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )
+    return per_bin.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("docs_in_bin").alias("n_docs"),
+        F.max("bin_tokens").alias("max_bin_tokens"),
+        F.round(F.avg("bin_tokens"), 4).alias("avg_bin_tokens"),
+    )
+
+
+TOKEN_PACK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         {T.token_count_sql('text')} AS n_tokens,
+         ({hash64_sql('cast(doc_id AS varchar)')} % {PACK_SHARDS}) AS shard
+  FROM documents
+), binned AS (
+  SELECT lang, shard, n_tokens,
+         floor((sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tokens)
+               / {PACK_BUDGET_TOKENS}) AS bin
+  FROM toks
+), per_bin AS (
+  SELECT lang, shard, bin, count(*) AS docs_in_bin,
+         sum(n_tokens) AS bin_tokens
+  FROM binned GROUP BY 1, 2, 3
+)
+SELECT lang,
+       count(*)                       AS n_bins,
+       cast(sum(docs_in_bin) AS bigint)   AS n_docs,
+       max(bin_tokens)                AS max_bin_tokens,
+       round(avg(bin_tokens), 4)      AS avg_bin_tokens
+FROM per_bin GROUP BY lang
+"""
+
+
+QUERIES = [
+    QuerySpec("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_SQL),
+    QuerySpec(
+        "stratified_sample_docs", stratified_sample_docs, STRATIFIED_SAMPLE_SQL
+    ),
+    QuerySpec("token_pack_bins", token_pack_bins, TOKEN_PACK_SQL),
+]
