@@ -159,3 +159,31 @@ def test_asof_join_single_shuffle_no_range_join(spark):
     assert "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_token_pack_single_window_shuffle(spark):
+    """Packing is one window shuffle on (lang, shard) + aggregate
+    exchanges — no joins, and only the 3 needed columns reach the
+    scan (text is consumed by the token count, never shuffled)."""
+    from goe_spark.queries.training import token_pack_bins
+
+    plan = _plan(token_pack_bins(spark, SF_SMALL), "simple")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    full = _plan(token_pack_bins(spark, SF_SMALL))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", full)
+    assert m, full
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"doc_id", "lang", "text"}
+
+
+def test_stratified_sample_no_join_pruned_scan(spark):
+    """Sampling is map-side hash + one aggregate; doc text never read."""
+    from goe_spark.queries.training import stratified_sample_docs
+
+    plan = _plan(stratified_sample_docs(spark, SF_SMALL), "simple")
+    assert "Join" not in plan
+    full = _plan(stratified_sample_docs(spark, SF_SMALL))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", full)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert "text" not in cols, cols
