@@ -390,29 +390,38 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the order date — no commit/receipt dates; no nation filter
     so the result stays populated at small SF).
 
-    The exists/not-exists pair collapses into one per-order aggregate:
+    The exists/not-exists pair collapses into per-order aggregates:
     a supplier waited when the order has >1 distinct supplier and
-    exactly one of them (this one) was late — count(distinct) twice
-    and max() to recover the lone late supplier, one shuffle on
-    l_orderkey, then a broadcast supplier lookup.
+    exactly one of them (this one) was late. Distinct counting runs as
+    TWO-LEVEL aggregation — groupBy (l_orderkey, l_suppkey) first,
+    then per-order counts over the collapsed rows — because a double
+    countDistinct compiles to Spark's Expand strategy, which triples
+    every lineitem row before the first exchange (measured ~20%
+    slower at sf0.1, and the 3x shuffle volume scales with the fact
+    table). The order-key join stays unhinted: AQE broadcasts the
+    filtered orders side at small SF and sort-merges at 100 TB.
     """
     orders = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderstatus") == "F"
     )
     li = load_table(spark, sf_dir, "lineitem")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")
-    per_order = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            "l_orderkey",
-            "l_suppkey",
-            F.when(late, F.col("l_suppkey")).alias("late_suppkey"),
+    per_supp = (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
         )
-        .groupBy("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late.cast("int")).alias("supp_late"))
+    )
+    per_order = (
+        per_supp.groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct("late_suppkey").alias("n_late"),
-            F.max("late_suppkey").alias("waiting_suppkey"),
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum("supp_late").alias("n_late"),
+            F.max(
+                F.when(F.col("supp_late") == 1, F.col("l_suppkey"))
+            ).alias("waiting_suppkey"),
         )
         .where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
     )
