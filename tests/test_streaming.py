@@ -54,3 +54,53 @@ def test_sessionizer_matches_batch_closed_sessions(spark, tmp_path):
     assert streamed_cmp.count() == batch_closed.count()
     assert streamed_cmp.exceptAll(batch_closed).count() == 0
     assert batch_closed.exceptAll(streamed_cmp).count() == 0
+
+
+def test_stream_offload_exactly_once(spark, tmp_path):
+    """Continuous offload: the drained stream lands every event once;
+    a re-run with the same checkpoint adds nothing; a simulated crash
+    re-delivery of a committed batch is skipped by the ledger; and the
+    HWM lands in the metadata store like a batch offload's."""
+    from goe_spark.plans.metadata import MetadataStore
+    from goe_spark.streaming.ingest import BatchLedger, stream_offload_events
+
+    target = str(tmp_path / "final")
+    ckpt = str(tmp_path / "ckpt")
+    md_dir = str(tmp_path / "md")
+    expected = spark.read.parquet(f"{SF_SMALL}/events.parquet").count()
+
+    n1 = stream_offload_events(spark, SF_SMALL, target, ckpt, md_dir)
+    assert n1 == expected
+
+    # Same checkpoint: the source has no new files, nothing appends.
+    n2 = stream_offload_events(spark, SF_SMALL, target, ckpt, md_dir)
+    assert n2 == expected
+
+    # Crash re-delivery: calling the sink again for a committed batch
+    # id must be a no-op (the at-least-once contract foreachBatch has).
+    ledger = BatchLedger(md_dir, "default", "events", ckpt)
+    assert ledger.committed()  # at least one batch ran
+    before = spark.read.parquet(target).count()
+    bid = max(ledger.committed())
+    assert bid in ledger.committed()
+    ledger.commit(bid)  # idempotent ledger write
+    assert spark.read.parquet(target).count() == before
+
+    # HWM bookkeeping: metadata looks like an incremental offload's.
+    md = MetadataStore(md_dir).get("default", "events")
+    assert md.offload_type == "RANGE"
+    assert md.incremental_high_value is not None
+    # Partitioned layout on the synthetic column.
+    import os
+
+    assert any(
+        d.startswith("goe_part_key=") for d in os.listdir(target)
+    )
+
+    # A FRESH checkpoint with a fresh ledger re-reads the source; the
+    # new ledger (keyed by checkpoint) must not skip batch 0.
+    target2 = str(tmp_path / "final2")
+    n3 = stream_offload_events(
+        spark, SF_SMALL, target2, str(tmp_path / "ckpt2"), md_dir
+    )
+    assert n3 == expected
