@@ -119,6 +119,25 @@ def cmd_status(args) -> int:
     return 0
 
 
+def cmd_history(args) -> int:
+    """Command-execution history: one JSON line per recorded step,
+    command columns repeated (the execution view the reference status
+    report reads from its repo tables)."""
+    from goe_spark.plans.history import ExecutionHistoryStore
+    from goe_spark.plans.status_report import execution_report
+
+    spark = _spark("goe-history")
+    rpt = execution_report(
+        spark,
+        ExecutionHistoryStore(args.metadata_dir),
+        owner=args.owner,
+        table_name=args.table,
+    )
+    for row in rpt.collect():
+        print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
 def cmd_schema_sync(args) -> int:
     from goe_spark.plans.schema_sync import diff_schemas, schema_sync_ddl
 
@@ -259,6 +278,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--source-root", help="frontend sources live at <root>/<table>.parquet"
     )
     s.set_defaults(fn=cmd_status)
+
+    h = sub.add_parser("history", help="command-execution step history")
+    h.add_argument("--metadata-dir", required=True)
+    h.add_argument("--owner")
+    h.add_argument("--table")
+    h.set_defaults(fn=cmd_history)
 
     y = sub.add_parser("schema-sync", help="diff schemas, emit additive DDL")
     y.add_argument("--table", required=True)

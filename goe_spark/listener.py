@@ -80,6 +80,19 @@ def make_handler(spark):
                         spark, MetadataStore(qs["metadata_dir"])
                     )
                     self._reply(200, {"tables": _json_rows(rpt, 1000)})
+                elif url.path == "/api/executions":
+                    # Command-execution history with step timings (the
+                    # reference listener's orchestration status view).
+                    from goe_spark.plans.history import ExecutionHistoryStore
+                    from goe_spark.plans.status_report import execution_report
+
+                    rpt = execution_report(
+                        spark,
+                        ExecutionHistoryStore(qs["metadata_dir"]),
+                        owner=qs.get("owner"),
+                        table_name=qs.get("table"),
+                    )
+                    self._reply(200, {"steps": _json_rows(rpt, 5000)})
                 else:
                     self._reply(404, {"error": "not found"})
             except KeyError as e:  # missing query parameter = caller error

@@ -56,6 +56,12 @@ def test_offload_and_status_roundtrip(tmp_path, capsys):
     assert (line["owner"], line["table_name"]) == ("sh", "orders")
     assert line["offload_type"] == "FULL"
 
+    rc = main(["history", "--metadata-dir", str(tmp_path / "md"), "--table", "orders"])
+    assert rc == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert {x["step"] for x in lines} >= {"STAGING_TRANSPORT", "SAVE_METADATA"}
+    assert all(x["status"] == "SUCCESS" for x in lines)
+
 
 def test_agg_validate_match_and_mismatch(tmp_path, capsys, spark):
     src = f"{SF_SMALL}/region.parquet"

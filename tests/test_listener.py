@@ -75,6 +75,14 @@ def test_offload_then_status(base_url, tmp_path):
         ("sh", "region")
     ]
 
+    status, body = _get(
+        f"{base_url}/api/executions?metadata_dir={tmp_path / 'md'}&owner=sh"
+    )
+    assert status == 200
+    steps = body["steps"]
+    assert {s["step"] for s in steps} >= {"STAGING_TRANSPORT", "FINAL_LOAD"}
+    assert all(s["status"] == "SUCCESS" for s in steps)
+
 
 def test_offload_missing_field_400(base_url):
     with pytest.raises(urllib.error.HTTPError) as exc:
