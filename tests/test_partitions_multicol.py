@@ -266,3 +266,37 @@ class TestSubpartitionGrain:
             ["q1_m2", "q2_m2"],
             ["q1_m3"],
         ]
+
+
+class TestHvKeyProperties:
+    """Property tests: hv_key must be a total order that agrees with
+    Python tuple ordering on concrete values and places MAXVALUE
+    greatest at any position."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ints = st.integers(min_value=-(10**6), max_value=10**6)
+    tuples = st.tuples(ints, ints, ints)
+
+    @given(tuples, tuples)
+    @settings(max_examples=200, deadline=None)
+    def test_agrees_with_tuple_order(self, a, b):
+        assert (hv_key(a) < hv_key(b)) == (a < b)
+        assert (hv_key(a) == hv_key(b)) == (a == b)
+
+    @given(tuples, st.integers(min_value=0, max_value=2))
+    @settings(max_examples=200, deadline=None)
+    def test_maxvalue_greatest_at_any_position(self, a, pos):
+        lifted = tuple(
+            MAXVALUE if i == pos else v for i, v in enumerate(a)
+        )
+        if a[pos] != MAXVALUE:
+            assert hv_key(a) < hv_key(lifted)
+        # Idempotent: lifting twice compares equal.
+        assert hv_key(lifted) == hv_key(list(lifted))
+
+    @given(st.lists(tuples, min_size=1, max_size=20))
+    @settings(max_examples=100, deadline=None)
+    def test_sort_matches_python_sort(self, xs):
+        assert sorted(xs, key=hv_key) == sorted(xs)
