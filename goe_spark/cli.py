@@ -59,6 +59,8 @@ def cmd_offload(args) -> int:
         "allow_floating_point_conversions": args.allow_floating_point_conversions,
         "sort_columns": args.sort_columns,
         "ddl_file": args.ddl_file,
+        "chunked": args.chunked,
+        "max_chunk_count": args.max_chunk_count,
     }
     print(json.dumps(offload_from_spec(spark, spec)))
     return 0
@@ -222,6 +224,13 @@ def build_parser() -> argparse.ArgumentParser:
     o.add_argument("--granularity", default="M")
     o.add_argument("--predicate", help="offload predicate DSL")
     o.add_argument("--hwm", help="incremental high-water mark")
+    o.add_argument(
+        "--chunked",
+        action="store_true",
+        help="offload partition chunks one pipeline pass at a time "
+        "(HWM advances per verified chunk)",
+    )
+    o.add_argument("--max-chunk-count", type=int, default=100)
     # --<type>-columns control family (data_type_controls.py): force
     # the canonical type of named columns; CSVs, * wildcards allowed.
     o.add_argument("--integer-1-columns")

@@ -553,6 +553,28 @@ def offload_from_spec(spark: SparkSession, spec: dict) -> dict:
         staging_format=spec.get("staging_format", "parquet"),
     )
     df = FileSource(spec["source_dir"]).read(spark, cfg.table_name)
+    if spec.get("chunked"):
+        # Chunked incremental mode (plans/ipa_runner.py): the user's
+        # hwm becomes the overall cap; per-chunk HWMs are managed by
+        # the runner.
+        from dataclasses import replace as _replace
+
+        from goe_spark.plans.chunker import MAX_CHUNK_BYTES, MAX_CHUNK_COUNT
+        from goe_spark.plans.ipa_runner import offload_partitioned_table
+
+        ipa = offload_partitioned_table(
+            spark,
+            _replace(cfg, hwm=None),
+            df,
+            new_hwm=cfg.hwm,
+            max_chunk_bytes=int(spec.get("max_chunk_bytes", MAX_CHUNK_BYTES)),
+            max_chunk_count=int(spec.get("max_chunk_count", MAX_CHUNK_COUNT)),
+        )
+        return {
+            "chunks": ipa.chunks_run,
+            "rows_offloaded": ipa.rows_offloaded,
+            "hwms": [str(h) for h in ipa.hwms],
+        }
     res = OffloadPipeline(spark, cfg).run(df)
     return {
         "rows_staged": res.rows_staged,
