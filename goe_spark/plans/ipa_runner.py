@@ -33,6 +33,7 @@ from goe_spark.plans.partitions import (
     SPLIT_90_10,
     SourcePartition,
     hwm_of,
+    select_list,
     select_range,
 )
 
@@ -118,5 +119,52 @@ def offload_partitioned_table(
         result.chunks_run += 1
         result.rows_offloaded += res.rows_final
         result.hwms.append(chunk_hwm)
+        result.chunk_results.append(res)
+    return result
+
+
+def offload_list_partitions(
+    spark: SparkSession,
+    cfg: OffloadConfig,
+    source_df: DataFrame,
+    partition_column: str,
+    partitions: list[SourcePartition] | None = None,
+    requested_names: list[str] | None = None,
+    requested_values: list | None = None,
+    max_chunk_bytes: int = MAX_CHUNK_BYTES,
+    max_chunk_count: int = MAX_CHUNK_COUNT,
+) -> IpaResult:
+    """LPA driver: offload the requested LIST partitions (by name or
+    value), minus those already recorded in offloaded_high_values,
+    one bounded chunk at a time. Each chunk slices the source with
+    `partition_column IN (chunk values)` and the pipeline appends and
+    records the values only after verification — crash-resume drops
+    straight out of the bookkeeping, as in the RANGE runner."""
+    if partitions is None:
+        partitions = discover_partitions(source_df, F.col(partition_column))
+    store = MetadataStore(cfg.metadata_dir)
+    md = store.get(cfg.owner, cfg.table_name)
+    already = md.offloaded_high_values if md is not None else []
+
+    selected = select_list(
+        partitions,
+        requested_names=requested_names,
+        requested_values=requested_values,
+        offloaded_values=already,
+    )
+    result = IpaResult()
+    for chunk in chunk_partitions(
+        selected, max_bytes=max_chunk_bytes, max_count=max_chunk_count
+    ):
+        values = [p.high_value for p in chunk]
+        chunk_cfg = replace(
+            cfg,
+            list_partition_column=partition_column,
+            list_partition_values=values,
+        )
+        res = OffloadPipeline(spark, chunk_cfg).run(source_df)
+        result.chunks_run += 1
+        result.rows_offloaded += res.rows_final
+        result.hwms.append(values)
         result.chunk_results.append(res)
     return result

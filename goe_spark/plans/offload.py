@@ -90,6 +90,12 @@ class OffloadConfig:
     # --ddl-file: write CREATE TABLE text here (or AUTO) and stop
     # without staging/loading any data (plans/ddl_file.py).
     ddl_file: str | None = None
+    # LIST partition append (LPA): offload rows whose partition-column
+    # value is in this list; bookkeeping in metadata
+    # offloaded_high_values (the reference's LIST strategy), append
+    # semantics like an HWM slice.
+    list_partition_column: str | None = None
+    list_partition_values: list | None = None
     # Backend write connector (sinks/backend_writer.py). None = the
     # Spark-native parquet backend at target_dir; a FakeWarehouseWriter
     # (or a real BigQuery/Snowflake writer) slots in here with the
@@ -296,6 +302,27 @@ class OffloadPipeline:
                     )
                 sliced = sliced.where(predicate_to_column(ast, sliced))
                 md.offload_type = "PREDICATE"
+            if cfg.list_partition_values:
+                if cfg.list_partition_column is None:
+                    raise OffloadValidationError(
+                        "list_partition_values requires list_partition_column"
+                    )
+                dup = [
+                    v
+                    for v in cfg.list_partition_values
+                    if v in md.offloaded_high_values
+                ]
+                if dup:
+                    raise OffloadValidationError(
+                        f"LIST values already offloaded: {dup}"
+                    )
+                sliced = sliced.where(
+                    F.col(cfg.list_partition_column).isin(
+                        cfg.list_partition_values
+                    )
+                )
+                md.offload_type = "LIST"
+                md.incremental_key = cfg.list_partition_column
             if cfg.partition is not None:
                 sliced = sliced.withColumn(SYNTHETIC_COL, cfg.partition.expr())
                 if cfg.hwm is not None:
@@ -370,7 +397,11 @@ class OffloadPipeline:
         # and we snapshot the target's file set first so a failed
         # verification can roll the append back (retryable failure
         # instead of silently-committed bad rows).
-        full_replace = pred_ast is None and cfg.hwm is None
+        full_replace = (
+            pred_ast is None
+            and cfg.hwm is None
+            and not cfg.list_partition_values
+        )
         with self._step(steps, "FINAL_LOAD"):
             cast_map = build_cast_map(canonical_cols)
             final_proj = [cast_map[c.name]["cast"] for c in canonical_cols]
@@ -397,6 +428,9 @@ class OffloadPipeline:
             slice_clause = None
             if pred_ast is not None:
                 slice_clause = predicate_to_sql(pred_ast)
+            elif cfg.list_partition_values:
+                vals = ", ".join(repr(v) for v in cfg.list_partition_values)
+                slice_clause = f"{cfg.list_partition_column} IN ({vals})"
             elif cfg.partition is not None and cfg.hwm is not None:
                 lo = md.incremental_high_value
                 slice_clause = f"{SYNTHETIC_COL} <= {cfg.hwm!r}"
@@ -423,6 +457,12 @@ class OffloadPipeline:
             if pred_ast is not None:
                 check_df = check_df.where(
                     predicate_to_column(pred_ast, check_df)
+                )
+            if cfg.list_partition_values:
+                check_df = check_df.where(
+                    F.col(cfg.list_partition_column).isin(
+                        cfg.list_partition_values
+                    )
                 )
             if cfg.partition is not None and cfg.hwm is not None:
                 check_df = check_df.where(
@@ -462,6 +502,8 @@ class OffloadPipeline:
                 md.offloaded_predicates.append(
                     predicate_to_sql(parse_predicate_dsl(cfg.offload_predicate))
                 )
+            if cfg.list_partition_values:
+                md.offloaded_high_values.extend(cfg.list_partition_values)
             md.offload_sort_columns = sort_cols
             self.store.save(md)
 

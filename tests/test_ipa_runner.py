@@ -133,3 +133,60 @@ def test_cli_chunked_offload(tmp_path, capsys):
     assert out["chunks"] > 1
     assert out["rows_offloaded"] > 0
     assert out["hwms"] == sorted(out["hwms"])
+
+
+class TestListPartitionAppend:
+    def _cfg(self, tmp_path):
+        return OffloadConfig(
+            owner="sh",
+            table_name="orders",
+            target_dir=str(tmp_path / "final"),
+            staging_dir=str(tmp_path / "staging"),
+            metadata_dir=str(tmp_path / "md"),
+        )
+
+    def test_lpa_by_value_then_resume(self, spark, orders, tmp_path):
+        from goe_spark.plans.ipa_runner import offload_list_partitions
+
+        cfg = self._cfg(tmp_path)
+        res = offload_list_partitions(
+            spark, cfg, orders, "o_orderpriority",
+            requested_values=["1-URGENT", "2-HIGH"],
+            max_chunk_count=1,  # one value per chunk
+        )
+        assert res.chunks_run == 2
+        expected = orders.where(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        ).count()
+        assert res.rows_offloaded == expected
+        assert spark.read.parquet(cfg.target_dir).count() == expected
+
+        md = MetadataStore(cfg.metadata_dir).get("sh", "orders")
+        assert md.offload_type == "LIST"
+        assert set(md.offloaded_high_values) == {"1-URGENT", "2-HIGH"}
+
+        # Re-requesting an offloaded value is a no-op (selection drops
+        # it); adding a new one appends only the new slice.
+        res2 = offload_list_partitions(
+            spark, cfg, orders, "o_orderpriority",
+            requested_values=["1-URGENT", "3-MEDIUM"],
+        )
+        assert res2.chunks_run == 1
+        total = orders.where(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM")
+        ).count()
+        assert spark.read.parquet(cfg.target_dir).count() == total
+
+    def test_pipeline_rejects_double_offload_of_value(
+        self, spark, orders, tmp_path
+    ):
+        from dataclasses import replace
+
+        cfg = replace(
+            self._cfg(tmp_path),
+            list_partition_column="o_orderpriority",
+            list_partition_values=["1-URGENT"],
+        )
+        OffloadPipeline(spark, cfg).run(orders)
+        with pytest.raises(OffloadValidationError, match="already offloaded"):
+            OffloadPipeline(spark, cfg).run(orders)
