@@ -33,6 +33,7 @@ class QuerySpec:
 # so losing their driver row costs the least.
 HEAD = (
     "dedup_clusters",
+    "dedup_keep_best",
     "stratified_sample_docs",
     "token_pack_bins",
     "ann_lsh_topk",

@@ -55,10 +55,9 @@ PACK_BUDGET_TOKENS = 512
 PACK_SHARDS = 8
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resolve near-dup pairs into clusters; one row per cluster with
-    its min-doc_id label and size. Components have >= 2 docs by
-    construction (every node has an edge)."""
+def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, label) per doc appearing in any near-dup pair; label =
+    the component's min doc_id (iterative min-label propagation)."""
     edges = (
         minhash_lsh_pairs(spark, sf_dir)
         .select("id1", "id2")
@@ -102,6 +101,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             f"connected components did not converge in {MAX_CC_ITERS} rounds"
         )
+    return labels
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve near-dup pairs into clusters; one row per cluster with
+    its min-doc_id label and size. Components have >= 2 docs by
+    construction (every node has an edge)."""
+    labels = _cc_labels(spark, sf_dir)
     return (
         labels.groupBy(F.col("label").alias("cluster_id"))
         .agg(F.count(F.lit(1)).alias("n_docs"), F.max("node").alias("max_doc_id"))
@@ -124,6 +131,73 @@ WITH RECURSIVE lsh_pairs AS (
 )
 SELECT cluster_id, count(*) AS n_docs, max(node) AS max_doc_id
 FROM labels GROUP BY cluster_id
+"""
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation decision near-dup clustering exists to make: per
+    cluster, KEEP the highest-quality document (ties broken by lowest
+    doc_id so both engines agree), drop the rest. Output: one row per
+    cluster with the survivor and what was dropped. The quality score
+    is the same composite queries/text.py reports, so the whole
+    pipeline — pairs -> clusters -> keep decision — shares one
+    definition of 'better'. Scale: the labels table is pair-bounded
+    (tiny next to the corpus); the quality join touches only clustered
+    docs via a broadcast-able semi-selection, and the keep decision is
+    one row_number window over cluster-sized groups."""
+    from pyspark.sql.window import Window
+
+    labels = _cc_labels(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.quality_score("text").alias("quality")
+    )
+    scored = labels.join(d, labels.node == d.doc_id).select(
+        F.col("label").alias("cluster_id"),
+        "doc_id",
+        F.round("quality", 6).alias("quality"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("cluster_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keep_doc_id"),
+        F.max(F.when(F.col("rn") == 1, F.col("quality"))).alias("keep_quality"),
+        (F.count(F.lit(1)) - 1).alias("n_dropped"),
+    )
+
+
+def _dedup_keep_best_sql() -> str:
+    from goe_spark.functions.text import quality_score_sql
+
+    return f"""
+WITH RECURSIVE lsh_pairs AS (
+  SELECT id1, id2 FROM ({_minhash_lsh_sql()})
+), edges AS (
+  SELECT id1 AS src, id2 AS dst FROM lsh_pairs
+  UNION ALL
+  SELECT id2, id1 FROM lsh_pairs
+), reach(node, anc) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.anc FROM reach r JOIN edges e ON e.src = r.node
+), labels AS (
+  SELECT node, min(anc) AS cluster_id FROM reach GROUP BY node
+), scored AS (
+  SELECT l.cluster_id, d.doc_id,
+         round({quality_score_sql('d.text')}, 6) AS quality
+  FROM labels l JOIN documents d ON d.doc_id = l.node
+), ranked AS (
+  SELECT cluster_id, doc_id, quality,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY quality DESC, doc_id ASC) AS rn
+  FROM scored
+)
+SELECT cluster_id,
+       max(CASE WHEN rn = 1 THEN doc_id END)  AS keep_doc_id,
+       max(CASE WHEN rn = 1 THEN quality END) AS keep_quality,
+       count(*) - 1                           AS n_dropped
+FROM ranked GROUP BY cluster_id
 """
 
 
@@ -225,6 +299,7 @@ FROM per_bin GROUP BY lang
 
 QUERIES = [
     QuerySpec("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_SQL),
+    QuerySpec("dedup_keep_best", dedup_keep_best, _dedup_keep_best_sql()),
     QuerySpec(
         "stratified_sample_docs", stratified_sample_docs, STRATIFIED_SAMPLE_SQL
     ),

@@ -54,3 +54,42 @@ def test_sampling_is_deterministic(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     for r in a:
         assert 0 <= r.n_sampled <= r.n_total
+
+
+def test_keep_best_picks_cluster_quality_argmax(spark, tmp_path):
+    """The survivor of each cluster is the quality argmax among that
+    cluster's ACTUAL members (ties to lowest doc_id), and everyone
+    else is counted dropped."""
+    from goe_spark.functions.text import quality_score
+    from goe_spark.queries.training import _cc_labels, dedup_keep_best
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base + " end1", "en", "web", 1),
+        (2, base + " end2.", "en", "web", 1),  # punctuation tweaks quality
+        (3, base + " end3", "en", "web", 1),
+        (100, "completely different text with other words entirely", "en", "web", 1),
+    ]
+    d = tmp_path / "t"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+
+    q = {
+        r.doc_id: round(r.q, 6)
+        for r in spark.read.parquet(str(d / "documents.parquet"))
+        .select("doc_id", quality_score("text").alias("q"))
+        .collect()
+    }
+    members: dict[int, list[int]] = {}
+    for r in _cc_labels(spark, str(d)).collect():
+        members.setdefault(r.label, []).append(r.node)
+    assert members, "fixture produced no near-dup cluster"
+
+    out = {r.cluster_id: r for r in dedup_keep_best(spark, str(d)).collect()}
+    assert set(out) == set(members)
+    for cid, nodes in members.items():
+        best = max(nodes, key=lambda k: (q[k], -k))
+        assert out[cid].keep_doc_id == best
+        assert out[cid].n_dropped == len(nodes) - 1
+        assert out[cid].keep_quality == q[best]
