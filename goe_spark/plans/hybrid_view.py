@@ -1,0 +1,115 @@
+"""Hybrid view — one queryable relation over BOTH sides of a
+part-offloaded table: the backend rows already moved, plus the
+frontend rows still retained above the boundary.
+
+This is the product concept the reference's hybrid views served (its
+conductor/hybrid_view_service.py survives only as a stub — metadata
+stopped being keyed on views), re-expressed Spark-first: a UNION ALL
+DataFrame whose two sides are sliced by the SAME metadata the offload
+pipeline wrote, so a query during a months-long migration sees every
+row exactly once no matter how far the offload has progressed.
+
+Boundary semantics per offload type:
+- FULL: everything is backend-side; the view is just the backend.
+- RANGE: backend rows are those at/below the HWM by construction;
+  the frontend contributes rows ABOVE the HWM (synthetic partition
+  expression recomputed from metadata — the same expression, so the
+  split is exact).
+- LIST: frontend contributes values not yet in offloaded_high_values.
+- PREDICATE: frontend contributes rows matching NO offloaded
+  predicate.
+
+Scale: both sides are lazy scans with the boundary filter pushed into
+them (the synthetic expression is a deterministic projection of a
+frontend column; the backend side prunes on its partition column);
+UNION ALL adds no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goe_spark.plans.metadata import OffloadMetadata
+from goe_spark.plans.offload import SYNTHETIC_COL, PartitionSpec
+
+
+def _synthetic_expr_from_metadata(md: OffloadMetadata):
+    sp = md.synthetic_partition
+    if not sp:
+        raise ValueError(
+            f"{md.owner}.{md.table_name}: RANGE metadata without a "
+            "synthetic partition spec"
+        )
+    spec = PartitionSpec(
+        source_column=sp["source_column"],
+        kind=sp.get("kind", "date"),
+        granularity=sp.get("granularity", "M"),
+        digits=sp.get("digits"),
+    )
+    return spec.expr()
+
+
+def hybrid_view_df(
+    spark: SparkSession,
+    md: OffloadMetadata,
+    backend_path: str,
+    source_df: DataFrame,
+) -> DataFrame:
+    """The union-all hybrid relation for one table. Column set is the
+    frontend's (the backend's synthetic partition column is internal
+    and dropped)."""
+    cols = source_df.columns
+    backend = spark.read.parquet(backend_path)
+    backend = backend.select(
+        *[c for c in cols if c in backend.columns]
+    )
+
+    if md.offload_type == "FULL":
+        return backend
+
+    if md.offload_type == "RANGE":
+        if md.incremental_high_value is None:
+            return backend
+        part = _synthetic_expr_from_metadata(md)
+        retained = source_df.where(part > F.lit(md.incremental_high_value))
+        return backend.unionByName(retained.select(*cols))
+
+    if md.offload_type == "LIST":
+        offloaded = md.offloaded_high_values or []
+        retained = source_df.where(
+            ~F.col(md.incremental_key).isin(offloaded)
+            | F.col(md.incremental_key).isNull()
+        )
+        return backend.unionByName(retained.select(*cols))
+
+    if md.offload_type == "PREDICATE":
+        cond = F.lit(False)
+        for sql_text in md.offloaded_predicates:
+            # Predicates are stored as rendered SQL; they parse back
+            # through the DSL's SQL-compatible subset via expr().
+            cond = cond | F.expr(sql_text)
+        retained = source_df.where(~cond)
+        return backend.unionByName(retained.select(*cols))
+
+    raise ValueError(f"unknown offload type: {md.offload_type!r}")
+
+
+def register_hybrid_view(
+    spark: SparkSession,
+    store,
+    owner: str,
+    table_name: str,
+    backend_path: str,
+    source_path: str,
+    view_name: str | None = None,
+) -> DataFrame:
+    """Create a temp view <owner>_<table>_hybrid over the hybrid
+    relation; returns the DataFrame."""
+    md = store.get(owner, table_name)
+    if md is None:
+        raise ValueError(f"no offload metadata for {owner}.{table_name}")
+    src = spark.read.parquet(source_path)
+    df = hybrid_view_df(spark, md, backend_path, src)
+    df.createOrReplaceTempView(view_name or f"{owner}_{table_name}_hybrid")
+    return df

@@ -1,0 +1,116 @@
+"""Hybrid view (plans/hybrid_view.py): during a part-complete offload
+the union-all relation must see every source row exactly once, for
+every offload type's boundary rule."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from goe_spark.plans.hybrid_view import hybrid_view_df, register_hybrid_view
+from goe_spark.plans.metadata import MetadataStore
+from goe_spark.plans.offload import (
+    OffloadConfig,
+    OffloadPipeline,
+    PartitionSpec,
+)
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture()
+def orders(spark):
+    return spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+
+
+def _cfg(tmp_path, **kw):
+    return OffloadConfig(
+        owner="sh",
+        table_name="orders",
+        target_dir=str(tmp_path / "final"),
+        staging_dir=str(tmp_path / "staging"),
+        metadata_dir=str(tmp_path / "md"),
+        **kw,
+    )
+
+
+def _totals(df):
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("s"),
+    ).first()
+    return row.n, row.s
+
+
+def test_range_hybrid_sees_every_row_once(spark, orders, tmp_path):
+    cfg = _cfg(
+        tmp_path,
+        partition=PartitionSpec("o_orderdate", "date", "M"),
+        hwm="1995-06",
+    )
+    res = OffloadPipeline(spark, cfg).run(orders)
+    assert 0 < res.rows_final < orders.count()  # genuinely part-offloaded
+
+    md = MetadataStore(cfg.metadata_dir).get("sh", "orders")
+    hybrid = hybrid_view_df(spark, md, cfg.target_dir, orders)
+    assert sorted(hybrid.columns) == sorted(orders.columns)
+    assert _totals(hybrid) == _totals(orders)
+
+
+def test_range_hybrid_tracks_advancing_hwm(spark, orders, tmp_path):
+    part = PartitionSpec("o_orderdate", "date", "M")
+    for hwm in ("1995-06", "1996-06"):
+        cfg = _cfg(tmp_path, partition=part, hwm=hwm)
+        OffloadPipeline(spark, cfg).run(orders)
+        md = MetadataStore(cfg.metadata_dir).get("sh", "orders")
+        hybrid = hybrid_view_df(spark, md, cfg.target_dir, orders)
+        assert _totals(hybrid) == _totals(orders)
+
+
+def test_list_hybrid(spark, orders, tmp_path):
+    cfg = _cfg(
+        tmp_path,
+        list_partition_column="o_orderpriority",
+        list_partition_values=["1-URGENT", "2-HIGH"],
+    )
+    OffloadPipeline(spark, cfg).run(orders)
+    md = MetadataStore(cfg.metadata_dir).get("sh", "orders")
+    hybrid = hybrid_view_df(spark, md, cfg.target_dir, orders)
+    assert _totals(hybrid) == _totals(orders)
+
+
+def test_predicate_hybrid(spark, orders, tmp_path):
+    cfg = _cfg(
+        tmp_path,
+        offload_predicate='column(o_orderpriority) = string("1-URGENT")',
+    )
+    OffloadPipeline(spark, cfg).run(orders)
+    md = MetadataStore(cfg.metadata_dir).get("sh", "orders")
+    hybrid = hybrid_view_df(spark, md, cfg.target_dir, orders)
+    assert _totals(hybrid) == _totals(orders)
+
+
+def test_full_hybrid_is_backend_only(spark, orders, tmp_path):
+    cfg = _cfg(tmp_path)
+    OffloadPipeline(spark, cfg).run(orders)
+    md = MetadataStore(cfg.metadata_dir).get("sh", "orders")
+    hybrid = hybrid_view_df(spark, md, cfg.target_dir, orders)
+    assert _totals(hybrid) == _totals(orders)
+
+
+def test_register_hybrid_view_sql(spark, orders, tmp_path):
+    cfg = _cfg(
+        tmp_path,
+        partition=PartitionSpec("o_orderdate", "date", "M"),
+        hwm="1995-06",
+    )
+    OffloadPipeline(spark, cfg).run(orders)
+    register_hybrid_view(
+        spark,
+        MetadataStore(cfg.metadata_dir),
+        "sh",
+        "orders",
+        cfg.target_dir,
+        f"{SF_SMALL}/orders.parquet",
+    )
+    got = spark.sql("SELECT count(*) AS n FROM sh_orders_hybrid").first().n
+    assert got == orders.count()
