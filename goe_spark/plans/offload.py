@@ -593,6 +593,8 @@ def offload_from_spec(spark: SparkSession, spec: dict) -> dict:
         sort_columns_csv=spec.get("sort_columns"),
         ddl_file=spec.get("ddl_file"),
         staging_format=spec.get("staging_format", "parquet"),
+        list_partition_column=spec.get("list_partition_column"),
+        list_partition_values=spec.get("list_partition_values"),
     )
     df = FileSource(spec["source_dir"]).read(spark, cfg.table_name)
     if spec.get("chunked"):

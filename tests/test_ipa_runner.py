@@ -190,3 +190,26 @@ class TestListPartitionAppend:
         OffloadPipeline(spark, cfg).run(orders)
         with pytest.raises(OffloadValidationError, match="already offloaded"):
             OffloadPipeline(spark, cfg).run(orders)
+
+
+def test_spec_lpa_via_listener_shape(spark, orders, tmp_path):
+    """The flat offload spec (CLI + listener) carries LIST values."""
+    from goe_spark.plans.offload import offload_from_spec
+
+    out = offload_from_spec(
+        spark,
+        {
+            "owner": "sh",
+            "table": "orders",
+            "source_dir": SF_SMALL,
+            "target_dir": str(tmp_path / "final"),
+            "staging_dir": str(tmp_path / "stage"),
+            "metadata_dir": str(tmp_path / "md"),
+            "list_partition_column": "o_orderpriority",
+            "list_partition_values": ["1-URGENT"],
+        },
+    )
+    expected = orders.where(F.col("o_orderpriority") == "1-URGENT").count()
+    assert out["rows_final"] == expected
+    md = MetadataStore(str(tmp_path / "md")).get("sh", "orders")
+    assert md.offloaded_high_values == ["1-URGENT"]
