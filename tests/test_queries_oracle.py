@@ -30,3 +30,14 @@ def test_query_matches_oracle(spec, spark, duck):
     ocols = [d[0] for d in res.description]
     orows = res.fetchall()
     assert frame_fingerprint(sdf.columns, srows) == frame_fingerprint(ocols, orows)
+
+
+def test_bench_headline_names_resolve():
+    """bench.py must never KeyError mid-run (round 3 lost its entire
+    benchmark to one broken query; a renamed/removed registry entry
+    must fail HERE, not in the driver's bench pass)."""
+    import bench
+    from goe_spark.queries import queries_dict
+
+    missing = set(bench.HEADLINE) - set(queries_dict())
+    assert not missing, f"bench HEADLINE references unknown queries: {missing}"
