@@ -45,9 +45,13 @@ _EVENTS_TS_CACHE: dict[str, object] = {}
 
 
 def events_ts_type(spark: SparkSession, sf_dir: str):
-    """The raw (pre-normalization) Spark type of events.ts at sf_dir."""
+    """The raw (pre-normalization) Spark type of events.ts at sf_dir.
+
+    The nanosAsLong conf is session-scoped but the cache is
+    process-global, so the conf is set UNCONDITIONALLY — a second
+    session hitting the cache still needs it for its own reads."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if sf_dir not in _EVENTS_TS_CACHE:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         _EVENTS_TS_CACHE[sf_dir] = (
             spark.read.parquet(table_path(sf_dir, "events"))
             .schema["ts"]

@@ -8,11 +8,21 @@ manage storage; a parquet-on-DFS backend has to do it itself.
 
 Spark-first design: selection is metadata-only (file listing, no data
 read); only partitions whose file count exceeds the threshold are
-rewritten, each with a one-shot coalesced write into a temp location
-followed by an atomic-as-possible swap (write temp -> remove old ->
-move in). Rewrites are per-partition so restart scope is one
+rewritten. Rewrites are per-partition so restart scope is one
 partition, and untouched partitions keep their files byte-identical.
-`maxRecordsPerFile` bounds the other direction (files too large).
+
+Crash safety (directories cannot be renamed atomically over data):
+the swap is marker-driven. Compacted data is written to a DOT-PREFIXED
+temp dir (invisible to Spark readers and to the partition scan), a
+swap marker recording the old file list is written atomically, and
+only then are old files deleted and new files moved in; the marker is
+removed last. Every run begins by HEALING: a marker found on disk
+means a crash interrupted a swap, and the heal completes it (delete
+listed old files still present, move remaining temp files in).
+Marker-less temp dirs are leftovers from a crash before the marker
+and are discarded — the partition is still intact and will simply be
+recompacted. The only externally visible inconsistency is the window
+after a crash mid-swap and before the next run's heal.
 
 At 100 TB you run this as a background janitor over partitions the
 chunker has finished with (HWM-closed partitions never receive new
@@ -21,17 +31,21 @@ appends, so compaction and ingest don't race).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
 
+from goe_spark.plans.metadata import atomic_write_json
+
 
 @dataclass
 class CompactionReport:
     partitions_scanned: int = 0
     partitions_compacted: int = 0
+    partitions_healed: int = 0
     files_before: int = 0
     files_after: int = 0
     details: list = field(default_factory=list)  # (partition, before, after)
@@ -45,6 +59,53 @@ def _data_files(d: str) -> list[str]:
     ]
 
 
+def _tmp_dir(path: str, d: str) -> str:
+    # Dot-prefixed: invisible to Spark readers AND to the partition
+    # scan (which matches 'partition_col=' prefixes).
+    return os.path.join(path, f".{d}._compact_tmp")
+
+
+def _marker_path(path: str, d: str) -> str:
+    return os.path.join(path, f".compact_swap.{d}.json")
+
+
+def _complete_swap(path: str, d: str, old_files: list[str]) -> int:
+    """Finish a marker-recorded swap: remove listed old files still
+    present, move remaining temp files in, clean up. Idempotent.
+    Returns the partition's final data-file count."""
+    full = os.path.join(path, d)
+    tmp = _tmp_dir(path, d)
+    for f in old_files:
+        p = os.path.join(full, f)
+        if os.path.exists(p):
+            os.remove(p)
+    if os.path.isdir(tmp):
+        for f in _data_files(tmp):
+            shutil.move(os.path.join(tmp, f), os.path.join(full, f))
+        shutil.rmtree(tmp)
+    os.remove(_marker_path(path, d))
+    return len(_data_files(full))
+
+
+def heal_interrupted_swaps(path: str) -> list[str]:
+    """Complete any swap a crash interrupted (marker present) and
+    discard marker-less temp dirs (crash before the marker — the
+    partition is still intact). Returns healed partition names."""
+    healed = []
+    for name in sorted(os.listdir(path)):
+        if name.startswith(".compact_swap.") and name.endswith(".json"):
+            with open(os.path.join(path, name)) as fh:
+                marker = json.load(fh)
+            _complete_swap(path, marker["partition"], marker["old_files"])
+            healed.append(marker["partition"])
+    for name in sorted(os.listdir(path)):
+        if name.endswith("._compact_tmp") and not os.path.exists(
+            _marker_path(path, name[1 : -len("._compact_tmp")])
+        ):
+            shutil.rmtree(os.path.join(path, name))
+    return healed
+
+
 def compact_partitioned_table(
     spark: SparkSession,
     path: str,
@@ -55,8 +116,10 @@ def compact_partitioned_table(
     """Rewrite every partition directory holding more than
     ``max_files_per_partition`` data files down to ``target_files``.
     Data is bit-stable: the rewrite is a plain read+coalesce+write of
-    the same rows (verified by row count before the swap)."""
+    the same rows (verified by row count before the swap). Begins by
+    healing any swap a previous crash interrupted."""
     report = CompactionReport()
+    report.partitions_healed = len(heal_interrupted_swaps(path))
     part_dirs = [
         d
         for d in sorted(os.listdir(path))
@@ -73,7 +136,7 @@ def compact_partitioned_table(
             continue
         df = spark.read.parquet(full)
         n_before = df.count()
-        tmp = full + "._compact_tmp"
+        tmp = _tmp_dir(path, d)
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
@@ -83,16 +146,12 @@ def compact_partitioned_table(
             raise RuntimeError(
                 f"compaction row mismatch in {d}: {n_before} -> {n_after}"
             )
-        # Swap: drop old data files, move compacted ones in. A crash
-        # mid-swap loses no data (tmp still holds everything); re-run
-        # heals the partition.
-        for f in files:
-            os.remove(os.path.join(full, f))
-        moved = 0
-        for f in _data_files(tmp):
-            shutil.move(os.path.join(tmp, f), os.path.join(full, f))
-            moved += 1
-        shutil.rmtree(tmp)
+        # Marker BEFORE touching the partition: from here a crash at
+        # any point is completed by the next run's heal.
+        atomic_write_json(
+            _marker_path(path, d), {"partition": d, "old_files": files}
+        )
+        moved = _complete_swap(path, d, files)
         report.partitions_compacted += 1
         report.files_after += moved
         report.details.append((d, len(files), moved))

@@ -17,7 +17,6 @@ from __future__ import annotations
 import datetime as _dt
 import json
 import os
-import tempfile
 import uuid
 from dataclasses import asdict, dataclass, field
 
@@ -76,15 +75,9 @@ class ExecutionHistoryStore:
         return os.path.join(self.root, f"{execution_id}.json")
 
     def _save(self, rec: ExecutionRecord) -> None:
-        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".tmp")
-        try:
-            with os.fdopen(fd, "w") as fh:
-                json.dump(asdict(rec), fh, indent=2, default=str)
-            os.replace(tmp, self._path(rec.execution_id))
-        except BaseException:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
-            raise
+        from goe_spark.plans.metadata import atomic_write_json
+
+        atomic_write_json(self._path(rec.execution_id), asdict(rec))
 
     # -- lifecycle (reference start_command/end_command) ----------------
 

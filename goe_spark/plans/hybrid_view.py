@@ -72,14 +72,22 @@ def hybrid_view_df(
         if md.incremental_high_value is None:
             return backend
         part = _synthetic_expr_from_metadata(md)
-        retained = source_df.where(part > F.lit(md.incremental_high_value))
+        # NULL partition-source rows were never offloaded (the HWM
+        # filter excludes NULL), so the frontend must keep them —
+        # without the isNull arm they would vanish from both sides.
+        retained = source_df.where(
+            (part > F.lit(md.incremental_high_value)) | part.isNull()
+        )
         return backend.unionByName(retained.select(*cols))
 
     if md.offload_type == "LIST":
-        offloaded = md.offloaded_high_values or []
+        # Metadata stores values in string form (JSON round-trip);
+        # compare the column's string rendering so date/decimal LIST
+        # keys match their stored spelling.
+        offloaded = [str(v) for v in (md.offloaded_high_values or [])]
+        key = F.col(md.incremental_key).cast("string")
         retained = source_df.where(
-            ~F.col(md.incremental_key).isin(offloaded)
-            | F.col(md.incremental_key).isNull()
+            ~key.isin(offloaded) | key.isNull()
         )
         return backend.unionByName(retained.select(*cols))
 

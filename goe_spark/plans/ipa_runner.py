@@ -144,14 +144,22 @@ def offload_list_partitions(
         partitions = discover_partitions(source_df, F.col(partition_column))
     store = MetadataStore(cfg.metadata_dir)
     md = store.get(cfg.owner, cfg.table_name)
-    already = md.offloaded_high_values if md is not None else []
-
-    selected = select_list(
-        partitions,
-        requested_names=requested_names,
-        requested_values=requested_values,
-        offloaded_values=already,
-    )
+    # Metadata stores LIST values as strings (JSON round-trip), so the
+    # already-offloaded filter compares string forms — hv_key equality
+    # would miss date/decimal values against their stored spelling.
+    already = {
+        str(v)
+        for v in (md.offloaded_high_values if md is not None else [])
+    }
+    selected = [
+        p
+        for p in select_list(
+            partitions,
+            requested_names=requested_names,
+            requested_values=requested_values,
+        )
+        if str(p.high_value) not in already
+    ]
     result = IpaResult()
     for chunk in chunk_partitions(
         selected, max_bytes=max_chunk_bytes, max_count=max_chunk_count

@@ -35,6 +35,23 @@ class OffloadMetadata:
     updated_utc: str | None = None
 
 
+def atomic_write_json(path: str, obj, indent: int | None = 2) -> None:
+    """Atomic JSON write: tmp in the same directory + rename, so a
+    torn write never corrupts the previous contents. Shared by the
+    metadata store, the execution-history store, and the streaming
+    batch ledger — crash-durability fixes land in ONE place."""
+    d = os.path.dirname(path) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as fh:
+            json.dump(obj, fh, indent=indent, default=str)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
 class MetadataStore:
     def __init__(self, root: str):
         self.root = root
@@ -53,16 +70,7 @@ class MetadataStore:
     def save(self, md: OffloadMetadata) -> None:
         md.offload_version += 1
         md.updated_utc = _dt.datetime.now(_dt.timezone.utc).isoformat()
-        path = self._path(md.owner, md.table_name)
-        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".tmp")
-        try:
-            with os.fdopen(fd, "w") as fh:
-                json.dump(asdict(md), fh, indent=2, default=str)
-            os.replace(tmp, path)
-        except BaseException:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
-            raise
+        atomic_write_json(self._path(md.owner, md.table_name), asdict(md))
 
     def delete(self, owner: str, table_name: str) -> None:
         path = self._path(owner, table_name)

@@ -307,10 +307,14 @@ class OffloadPipeline:
                     raise OffloadValidationError(
                         "list_partition_values requires list_partition_column"
                     )
+                # Bookkeeping compares STRING forms: the metadata JSON
+                # round-trips dates/decimals as strings (default=str),
+                # so raw equality would silently re-offload them.
+                already = {str(x) for x in md.offloaded_high_values}
                 dup = [
                     v
                     for v in cfg.list_partition_values
-                    if v in md.offloaded_high_values
+                    if str(v) in already
                 ]
                 if dup:
                     raise OffloadValidationError(
@@ -503,7 +507,12 @@ class OffloadPipeline:
                     predicate_to_sql(parse_predicate_dsl(cfg.offload_predicate))
                 )
             if cfg.list_partition_values:
-                md.offloaded_high_values.extend(cfg.list_partition_values)
+                # Stored in string form — the same spelling JSON
+                # produces — so the dup guard and the hybrid view
+                # compare like against like.
+                md.offloaded_high_values.extend(
+                    str(v) for v in cfg.list_partition_values
+                )
             md.offload_sort_columns = sort_cols
             self.store.save(md)
 
@@ -600,7 +609,16 @@ def offload_from_spec(spark: SparkSession, spec: dict) -> dict:
     if spec.get("chunked"):
         # Chunked incremental mode (plans/ipa_runner.py): the user's
         # hwm becomes the overall cap; per-chunk HWMs are managed by
-        # the runner.
+        # the runner. A predicate or LIST slice cannot ride along —
+        # chunk 1 would record it and chunk 2 would then refuse it as
+        # already offloaded, aborting half-done with a misleading
+        # error. Fail up front instead.
+        if cfg.offload_predicate or cfg.list_partition_values:
+            raise OffloadValidationError(
+                "chunked mode offloads RANGE partitions; combine it "
+                "with neither a predicate nor LIST values (use "
+                "offload_list_partitions for chunked LPA)"
+            )
         from dataclasses import replace as _replace
 
         from goe_spark.plans.chunker import MAX_CHUNK_BYTES, MAX_CHUNK_COUNT

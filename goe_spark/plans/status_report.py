@@ -77,6 +77,22 @@ def _frontend_split(
         # No means of computing reclaimable space for predicate
         # offloads (reference: offload_status_report.py:737-740).
         return None, None, None, None
+    if md.offload_type == "LIST":
+        # Reclaimable = rows whose LIST value was offloaded; a LIST
+        # table must NOT fall into the FULL branch (it has no HWM) or
+        # the report would call never-offloaded values deletable.
+        offloaded = [str(v) for v in (md.offloaded_high_values or [])]
+        if md.incremental_key is None or not offloaded:
+            return src_rows, src_bytes, 0, 0
+        key = F.col(md.incremental_key).cast("string")
+        reclaimable_rows = src.where(key.isin(offloaded)).count()
+        retained_rows = src_rows - reclaimable_rows
+        if src_rows:
+            reclaimable_bytes = int(src_bytes * reclaimable_rows / src_rows)
+            retained_bytes = src_bytes - reclaimable_bytes
+        else:
+            reclaimable_bytes = retained_bytes = 0
+        return retained_rows, retained_bytes, reclaimable_rows, reclaimable_bytes
     if md.incremental_key is None or md.incremental_high_value is None:
         # FULL offload: everything is backend-side, whole source
         # reclaimable.

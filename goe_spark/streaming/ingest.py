@@ -10,13 +10,16 @@ micro-batches via foreachBatch.
 Exactly-once into a non-transactional sink: Structured Streaming's
 checkpoint guarantees each micro-batch is DELIVERED at least once with
 a stable batch_id (after a crash the last batch may be re-delivered).
-The sink therefore records committed batch_ids in a JSON ledger next
-to the metadata and skips re-deliveries — the standard idempotent-
-foreachBatch pattern — making append-to-parquet effectively
-exactly-once. The HWM (max partition key seen) is folded into the
-offload metadata store after each batch, so the status report and a
-later batch offload see the streamed table exactly like a batch-
-offloaded one.
+Each batch writes mode("overwrite") into its OWN subdirectory
+(target/batch-<id>/goe_part_key=...), so a re-delivery — whether the
+ledger saw the first attempt or the crash hit between the data write
+and the ledger commit — overwrites the same directory instead of
+appending a duplicate. The ledger (committed batch_ids, atomic JSON)
+then only short-circuits redundant rewrites and keeps the HWM update
+idempotent. Read through read_streamed_table(), which lists the batch
+roots; partition discovery applies per root, so goe_part_key behaves
+exactly as on a batch-offloaded table. The HWM (max partition key
+seen) is folded into the offload metadata store after each batch.
 
 At 100 TB/day the plan per micro-batch is map-side only (projection +
 partitioned write, no shuffle unless the sink repartitions); state is
@@ -27,7 +30,6 @@ from __future__ import annotations
 
 import json
 import os
-import tempfile
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -59,44 +61,60 @@ class BatchLedger:
             return set(json.load(fh))
 
     def commit(self, batch_id: int) -> None:
+        from goe_spark.plans.metadata import atomic_write_json
+
         ids = self.committed() | {int(batch_id)}
-        d = os.path.dirname(self.path)
-        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
-        try:
-            with os.fdopen(fd, "w") as fh:
-                json.dump(sorted(ids), fh)
-            os.replace(tmp, self.path)
-        except BaseException:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
-            raise
+        atomic_write_json(self.path, sorted(ids), indent=None)
 
 
-def stream_offload_events(
-    spark: SparkSession,
-    sf_dir: str,
+def _batch_dir(target_dir: str, batch_id: int) -> str:
+    return os.path.join(target_dir, f"batch-{int(batch_id):06d}")
+
+
+def read_streamed_table(spark: SparkSession, target_dir: str):
+    """The streamed table as one DataFrame: union of the per-batch
+    roots (partition discovery runs per root, so goe_part_key columns
+    behave as on a batch-offloaded table). Returns None when nothing
+    has been committed yet."""
+    if not os.path.isdir(target_dir):
+        return None
+    roots = sorted(
+        os.path.join(target_dir, d)
+        for d in os.listdir(target_dir)
+        if d.startswith("batch-")
+    )
+    if not roots:
+        return None
+    return spark.read.parquet(*roots)
+
+
+def make_batch_sink(
     target_dir: str,
     checkpoint_dir: str,
     metadata_dir: str,
     owner: str = "default",
+    table: str = "events",
     granularity: str = "M",
-) -> int:
-    """Drain the events stream into a day/month-partitioned final
-    table (availableNow trigger; on a live cluster the same code runs
-    unbounded). Returns rows written this run. Re-running with the
-    same checkpoint writes nothing (source-side progress) and a
-    re-delivered batch is skipped by the ledger (sink-side guard)."""
-    table = "events"
+):
+    """The foreachBatch sink, exposed so the at-least-once contract
+    is testable directly: calling it twice with the same batch_id —
+    with or without the ledger entry surviving the 'crash' — must
+    leave exactly one copy of the batch."""
     ledger = BatchLedger(metadata_dir, owner, table, checkpoint_dir)
     store = MetadataStore(metadata_dir)
 
     def sink(batch_df, batch_id: int) -> None:
         if int(batch_id) in ledger.committed():
-            return  # crash re-delivery — already appended
+            return  # re-delivery of a fully committed batch
         out = batch_df.withColumn(
             SYNTHETIC_COL, synthetic_date_expr("ts", granularity)
         )
-        out.write.mode("append").partitionBy(SYNTHETIC_COL).parquet(target_dir)
+        # Per-batch directory + overwrite: a re-delivered batch (crash
+        # between this write and the ledger commit) rewrites the SAME
+        # directory — idempotent without sink transactions.
+        out.write.mode("overwrite").partitionBy(SYNTHETIC_COL).parquet(
+            _batch_dir(target_dir, batch_id)
+        )
         hwm = out.agg(F.max(SYNTHETIC_COL)).first()[0]
         md = store.get(owner, table) or OffloadMetadata(
             owner=owner, table_name=table
@@ -117,6 +135,27 @@ def stream_offload_events(
         store.save(md)
         ledger.commit(batch_id)
 
+    return sink
+
+
+def stream_offload_events(
+    spark: SparkSession,
+    sf_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    metadata_dir: str,
+    owner: str = "default",
+    granularity: str = "M",
+) -> int:
+    """Drain the events stream into a day/month-partitioned final
+    table (availableNow trigger; on a live cluster the same code runs
+    unbounded). Returns rows written this run. Re-running with the
+    same checkpoint writes nothing (source-side progress) and a
+    re-delivered batch is skipped by the ledger (sink-side guard)."""
+    table = "events"
+    sink = make_batch_sink(
+        target_dir, checkpoint_dir, metadata_dir, owner, table, granularity
+    )
     stream = events_stream(spark, sf_dir)
     q = (
         stream.writeStream.foreachBatch(sink)
@@ -125,6 +164,5 @@ def stream_offload_events(
         .start()
     )
     q.awaitTermination()
-    if not os.path.exists(target_dir):
-        return 0
-    return spark.read.parquet(target_dir).count()
+    df = read_streamed_table(spark, target_dir)
+    return 0 if df is None else df.count()

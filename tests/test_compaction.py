@@ -66,3 +66,65 @@ def test_quiet_partitions_untouched(spark, tmp_path):
     assert all(
         os.path.getmtime(os.path.join(pdir, f)) == mtimes[f] for f in before
     )
+
+
+def test_heal_completes_interrupted_swap(spark, tmp_path):
+    """Crash mid-swap (marker written, old files partially deleted,
+    tmp still holding the compacted data): the next run's heal must
+    restore exactly the original rows."""
+    import shutil
+
+    from goe_spark.plans.compaction import (
+        _tmp_dir,
+        compact_partitioned_table,
+        heal_interrupted_swaps,
+    )
+    from goe_spark.plans.metadata import atomic_write_json
+
+    target = str(tmp_path / "t")
+    df = spark.range(1000).withColumn("goe_part_key", F.lit("a"))
+    for _ in range(3):
+        df.repartition(3).write.mode("append").partitionBy(
+            "goe_part_key"
+        ).parquet(target)
+    pdir = os.path.join(target, "goe_part_key=a")
+    expected = spark.read.parquet(target).count()
+    old_files = _files(pdir)
+
+    # Build the crash state by hand: compacted tmp + marker, then
+    # delete HALF the old files (crash mid-delete).
+    tmp = _tmp_dir(target, "goe_part_key=a")
+    spark.read.parquet(pdir).coalesce(1).write.parquet(tmp)
+    atomic_write_json(
+        os.path.join(target, ".compact_swap.goe_part_key=a.json"),
+        {"partition": "goe_part_key=a", "old_files": old_files},
+    )
+    for f in old_files[: len(old_files) // 2]:
+        os.remove(os.path.join(pdir, f))
+
+    healed = heal_interrupted_swaps(target)
+    assert healed == ["goe_part_key=a"]
+    assert spark.read.parquet(target).count() == expected
+    assert len(_files(pdir)) == 1
+    assert not os.path.exists(tmp)
+
+    # And a full compaction run on the healed table is a clean no-op.
+    rpt = compact_partitioned_table(spark, target, max_files_per_partition=4)
+    assert rpt.partitions_compacted == 0
+
+
+def test_markerless_tmp_discarded(spark, tmp_path):
+    """Crash BEFORE the marker: the partition is intact and the
+    orphan tmp dir is removed, not half-swapped in."""
+    from goe_spark.plans.compaction import _tmp_dir, heal_interrupted_swaps
+
+    target = str(tmp_path / "t")
+    df = spark.range(100).withColumn("goe_part_key", F.lit("a"))
+    df.coalesce(1).write.partitionBy("goe_part_key").parquet(target)
+    expected = spark.read.parquet(target).count()
+    tmp = _tmp_dir(target, "goe_part_key=a")
+    df.drop("goe_part_key").coalesce(1).write.parquet(tmp)
+
+    assert heal_interrupted_swaps(target) == []
+    assert not os.path.exists(tmp)
+    assert spark.read.parquet(target).count() == expected

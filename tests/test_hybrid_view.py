@@ -114,3 +114,25 @@ def test_register_hybrid_view_sql(spark, orders, tmp_path):
     )
     got = spark.sql("SELECT count(*) AS n FROM sh_orders_hybrid").first().n
     assert got == orders.count()
+
+
+def test_list_status_report_split(spark, orders, tmp_path):
+    """A LIST-offloaded table's retained/reclaimable split counts only
+    offloaded values as reclaimable — not the whole source."""
+    from goe_spark.plans.status_report import status_report
+
+    cfg = _cfg(
+        tmp_path,
+        list_partition_column="o_orderpriority",
+        list_partition_values=["1-URGENT"],
+    )
+    OffloadPipeline(spark, cfg).run(orders)
+    row = status_report(
+        spark,
+        MetadataStore(cfg.metadata_dir),
+        source_paths={("sh", "orders"): f"{SF_SMALL}/orders.parquet"},
+    ).first()
+    offloaded = orders.where(F.col("o_orderpriority") == "1-URGENT").count()
+    assert row.reclaimable_rows == offloaded
+    assert row.retained_rows == orders.count() - offloaded
+    assert row.retained_rows > 0

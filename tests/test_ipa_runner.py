@@ -213,3 +213,74 @@ def test_spec_lpa_via_listener_shape(spark, orders, tmp_path):
     assert out["rows_final"] == expected
     md = MetadataStore(str(tmp_path / "md")).get("sh", "orders")
     assert md.offloaded_high_values == ["1-URGENT"]
+
+
+def test_chunked_spec_rejects_predicate_and_list(spark, tmp_path):
+    """Chunk 2 would refuse a predicate chunk 1 already recorded —
+    the spec path must fail up front instead of half-offloading."""
+    from goe_spark.plans.offload import (
+        OffloadValidationError,
+        offload_from_spec,
+    )
+
+    base = {
+        "owner": "sh",
+        "table": "orders",
+        "source_dir": SF_SMALL,
+        "target_dir": str(tmp_path / "final"),
+        "staging_dir": str(tmp_path / "stage"),
+        "metadata_dir": str(tmp_path / "md"),
+        "partition_column": "o_orderdate",
+        "chunked": True,
+    }
+    with pytest.raises(OffloadValidationError, match="chunked"):
+        offload_from_spec(
+            spark,
+            {**base, "predicate": 'column(o_orderpriority) = string("1-URGENT")'},
+        )
+    with pytest.raises(OffloadValidationError, match="chunked"):
+        offload_from_spec(
+            spark,
+            {
+                **base,
+                "list_partition_column": "o_orderpriority",
+                "list_partition_values": ["1-URGENT"],
+            },
+        )
+
+
+def test_lpa_date_values_not_reoffloaded_after_json_roundtrip(
+    spark, tmp_path
+):
+    """LIST values that JSON stringifies (dates) must still be
+    recognized as already offloaded on the next run."""
+    import datetime
+
+    from goe_spark.plans.ipa_runner import offload_list_partitions
+
+    src = spark.createDataFrame(
+        [(i, datetime.date(2024, 1 + i % 2, 1)) for i in range(20)],
+        "id long, d date",
+    )
+    cfg = OffloadConfig(
+        owner="sh",
+        table_name="t",
+        target_dir=str(tmp_path / "final"),
+        staging_dir=str(tmp_path / "stage"),
+        metadata_dir=str(tmp_path / "md"),
+    )
+    res = offload_list_partitions(
+        spark, cfg, src, "d",
+        requested_values=[datetime.date(2024, 1, 1)],
+    )
+    assert res.chunks_run == 1
+    n = spark.read.parquet(cfg.target_dir).count()
+    assert n == 10
+    # Second run with the SAME date value: recognized via the stored
+    # string form, nothing re-offloaded.
+    res2 = offload_list_partitions(
+        spark, cfg, src, "d",
+        requested_values=[datetime.date(2024, 1, 1)],
+    )
+    assert res2.chunks_run == 0
+    assert spark.read.parquet(cfg.target_dir).count() == n

@@ -58,11 +58,18 @@ def test_sessionizer_matches_batch_closed_sessions(spark, tmp_path):
 
 def test_stream_offload_exactly_once(spark, tmp_path):
     """Continuous offload: the drained stream lands every event once;
-    a re-run with the same checkpoint adds nothing; a simulated crash
-    re-delivery of a committed batch is skipped by the ledger; and the
-    HWM lands in the metadata store like a batch offload's."""
+    a re-run with the same checkpoint adds nothing; a CRASH re-delivery
+    (commit marker deleted, ledger entry missing — the worst-case
+    window) overwrites the same batch directory instead of duplicating;
+    and the HWM lands in the metadata store like a batch offload's."""
+    import os
+
     from goe_spark.plans.metadata import MetadataStore
-    from goe_spark.streaming.ingest import BatchLedger, stream_offload_events
+    from goe_spark.streaming.ingest import (
+        BatchLedger,
+        read_streamed_table,
+        stream_offload_events,
+    )
 
     target = str(tmp_path / "final")
     ckpt = str(tmp_path / "ckpt")
@@ -76,31 +83,50 @@ def test_stream_offload_exactly_once(spark, tmp_path):
     n2 = stream_offload_events(spark, SF_SMALL, target, ckpt, md_dir)
     assert n2 == expected
 
-    # Crash re-delivery: calling the sink again for a committed batch
-    # id must be a no-op (the at-least-once contract foreachBatch has).
+    # Crash re-delivery, worst case: the data write finished but the
+    # ledger entry is missing (crash in the window between them). The
+    # redelivered sink call must overwrite the batch directory, not
+    # append a duplicate — and with the ledger entry intact it must
+    # skip entirely.
+    from goe_spark.plans.metadata import atomic_write_json
+    from goe_spark.streaming.ingest import make_batch_sink
+
     ledger = BatchLedger(md_dir, "default", "events", ckpt)
-    assert ledger.committed()  # at least one batch ran
-    before = spark.read.parquet(target).count()
-    bid = max(ledger.committed())
-    assert bid in ledger.committed()
-    ledger.commit(bid)  # idempotent ledger write
-    assert spark.read.parquet(target).count() == before
+    committed = ledger.committed()
+    assert committed
+    last = max(committed)
+    sink = make_batch_sink(target, ckpt, md_dir)
+    batch_df = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    batch_df = __import__(
+        "goe_spark.catalog", fromlist=["normalize_events_ts"]
+    ).normalize_events_ts(batch_df)
+
+    sink(batch_df, last)  # ledger intact -> skipped
+    assert read_streamed_table(spark, target).count() == expected
+
+    atomic_write_json(ledger.path, sorted(committed - {last}), indent=None)
+    sink(batch_df, last)  # ledger lost -> overwrite same dir
+    assert read_streamed_table(spark, target).count() == expected
+    assert last in ledger.committed()
 
     # HWM bookkeeping: metadata looks like an incremental offload's.
     md = MetadataStore(md_dir).get("default", "events")
     assert md.offload_type == "RANGE"
     assert md.incremental_high_value is not None
-    # Partitioned layout on the synthetic column.
-    import os
-
+    # Partitioned layout on the synthetic column inside each batch dir.
+    batch_dirs = [d for d in os.listdir(target) if d.startswith("batch-")]
+    assert batch_dirs
     assert any(
-        d.startswith("goe_part_key=") for d in os.listdir(target)
+        p.startswith("goe_part_key=")
+        for d in batch_dirs
+        for p in os.listdir(os.path.join(target, d))
     )
+    assert "goe_part_key" in read_streamed_table(spark, target).columns
 
     # A FRESH checkpoint with a fresh ledger re-reads the source; the
     # new ledger (keyed by checkpoint) must not skip batch 0.
     target2 = str(tmp_path / "final2")
-    n3 = stream_offload_events(
+    n4 = stream_offload_events(
         spark, SF_SMALL, target2, str(tmp_path / "ckpt2"), md_dir
     )
-    assert n3 == expected
+    assert n4 == expected
