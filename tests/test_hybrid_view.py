@@ -136,3 +136,36 @@ def test_list_status_report_split(spark, orders, tmp_path):
     assert row.reclaimable_rows == offloaded
     assert row.retained_rows == orders.count() - offloaded
     assert row.retained_rows > 0
+
+
+def test_native_multicol_range_hybrid(spark, tmp_path):
+    """Native (year, month) RANGE key with no synthetic partition:
+    the hybrid union must still see every row exactly once, NULL key
+    rows included."""
+    from goe_spark.plans.hybrid_view import hybrid_view_df
+    from goe_spark.plans.metadata import OffloadMetadata
+
+    rows = [
+        (1, 2011, 12, 1.0),
+        (2, 2012, 1, 1.0),
+        (3, 2012, 2, 1.0),
+        (4, 2012, 3, 1.0),
+        (5, 2013, 1, 1.0),
+        (6, None, None, 1.0),  # never offloadable
+    ]
+    src = spark.createDataFrame(rows, "id long, y int, m int, v double")
+    # Backend holds the slice at/below (2012, 2) — exclude NULL keys.
+    backend_path = str(tmp_path / "backend")
+    src.where("(y < 2012) OR (y = 2012 AND m <= 2)").write.parquet(
+        backend_path
+    )
+    md = OffloadMetadata(
+        owner="sh",
+        table_name="ym",
+        offload_type="RANGE",
+        incremental_key="y,m",
+        incremental_high_value=(2012, 2),
+    )
+    hybrid = hybrid_view_df(spark, md, backend_path, src)
+    got = sorted(r.id for r in hybrid.collect())
+    assert got == [1, 2, 3, 4, 5, 6]
