@@ -34,6 +34,7 @@ class QuerySpec:
 HEAD = (
     "dedup_clusters",
     "dedup_keep_best",
+    "contamination_check",
     "stratified_sample_docs",
     "token_pack_bins",
     "ann_lsh_topk",

@@ -297,6 +297,78 @@ FROM per_bin GROUP BY lang
 """
 
 
+EVAL_SOURCE = "src0"  # the fixture slice standing in for a benchmark
+MIN_SHARED_SHINGLES = 5
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: which training documents share
+    enough word-3-gram shingles with the eval/benchmark slice that
+    they would leak the benchmark into training. The standard
+    pretraining hygiene step (n-gram overlap decontamination).
+
+    Plan: the eval side is a benchmark — tiny by construction — so its
+    exploded shingle set is BROADCAST; the training corpus streams
+    past it map-side, shared-shingle counts partial-aggregate before
+    the one shuffle on (train, eval) pairs, and pairs below
+    MIN_SHARED_SHINGLES drop at the aggregate. At 100 TB the eval
+    broadcast is the whole trick: the corpus is never shuffled on
+    shingle. A df-quantile stop-shingle cap would trim boilerplate
+    join fan-out; the threshold already suppresses its false
+    positives.
+
+    Output: one row per contaminated training doc — how many eval
+    docs it hits and the worst overlap.
+    """
+    from goe_spark.queries.dedup import _shingle_hashed
+
+    sh = _shingle_hashed(spark, sf_dir).select(
+        "doc_id", "source", F.array_distinct("sh").alias("shd")
+    )
+    eval_ex = sh.where(F.col("source") == EVAL_SOURCE).select(
+        F.col("doc_id").alias("eval_id"), F.explode("shd").alias("g")
+    )
+    train_ex = sh.where(F.col("source") != EVAL_SOURCE).select(
+        F.col("doc_id").alias("train_id"), F.explode("shd").alias("g")
+    )
+    pairs = (
+        train_ex.join(F.broadcast(eval_ex), "g")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= MIN_SHARED_SHINGLES)
+    )
+    return pairs.groupBy(F.col("train_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_eval_docs"),
+        F.max("shared").alias("max_shared_shingles"),
+    )
+
+
+def _contamination_sql() -> str:
+    from goe_spark.queries.dedup import _shingle_hashed_sql
+
+    return f"""
+WITH shingled AS (
+  SELECT doc_id, source, list_distinct(sh) AS shd
+  FROM ({_shingle_hashed_sql()})
+), eval_ex AS (
+  SELECT doc_id AS eval_id, unnest(shd) AS g
+  FROM shingled WHERE source = '{EVAL_SOURCE}'
+), train_ex AS (
+  SELECT doc_id AS train_id, unnest(shd) AS g
+  FROM shingled WHERE source <> '{EVAL_SOURCE}'
+), pairs AS (
+  SELECT train_id, eval_id, count(*) AS shared
+  FROM train_ex JOIN eval_ex USING (g)
+  GROUP BY 1, 2
+  HAVING count(*) >= {MIN_SHARED_SHINGLES}
+)
+SELECT train_id AS doc_id,
+       count(*)        AS n_eval_docs,
+       max(shared)     AS max_shared_shingles
+FROM pairs GROUP BY train_id
+"""
+
+
 QUERIES = [
     QuerySpec("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_SQL),
     QuerySpec("dedup_keep_best", dedup_keep_best, _dedup_keep_best_sql()),
@@ -304,4 +376,5 @@ QUERIES = [
         "stratified_sample_docs", stratified_sample_docs, STRATIFIED_SAMPLE_SQL
     ),
     QuerySpec("token_pack_bins", token_pack_bins, TOKEN_PACK_SQL),
+    QuerySpec("contamination_check", contamination_check, _contamination_sql()),
 ]

@@ -93,3 +93,38 @@ def test_keep_best_picks_cluster_quality_argmax(spark, tmp_path):
         assert out[cid].keep_doc_id == best
         assert out[cid].n_dropped == len(nodes) - 1
         assert out[cid].keep_quality == q[best]
+
+
+def test_contamination_detects_planted_leak(spark, tmp_path):
+    """A training doc that copies an eval doc's text must surface,
+    clean training docs must not, and the eval side must be the
+    broadcast build side (the 100 TB property)."""
+    from goe_spark.queries.training import EVAL_SOURCE, contamination_check
+
+    eval_text = (
+        "the quick brown fox jumps over the lazy dog near the river bank"
+    )
+    rows = [
+        (1, eval_text, "en", EVAL_SOURCE, 1),
+        (2, eval_text + " copied with a tiny suffix", "en", "src5", 1),
+        (3, "a totally unrelated training document about other topics "
+            "entirely different words", "en", "src5", 1),
+    ]
+    d = tmp_path / "t"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+
+    df = contamination_check(spark, str(d))
+    got = {r.doc_id: r for r in df.collect()}
+    assert 2 in got and got[2].n_eval_docs == 1
+    assert got[2].max_shared_shingles >= 5
+    assert 3 not in got
+
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
