@@ -72,19 +72,17 @@ def hybrid_view_df(
         if md.incremental_high_value is None:
             return backend
         if md.synthetic_partition is None:
-            # Native (possibly multi-column) RANGE key: retained rows
-            # are those ABOVE the lexicographic boundary. NULL key
-            # positions were never offloaded, so keep them frontend-
-            # side (the negated boundary evaluates NULL -> dropped
-            # without the explicit arm).
-            from goe_spark.plans.partitions import hv_boundary_filter
+            # Native (possibly multi-column) RANGE key: the offloaded
+            # side is boundary-predicate-IS-TRUE, so the frontend keeps
+            # the exact complement (FALSE or NULL) — shared with the
+            # status report via native_range_split so the two row
+            # classifications cannot diverge.
+            from goe_spark.plans.partitions import native_range_split
 
-            key_cols = [c.strip() for c in md.incremental_key.split(",")]
-            cond = hv_boundary_filter(key_cols, md.incremental_high_value)
-            nulls = F.lit(False)
-            for c in key_cols:
-                nulls = nulls | F.col(c).isNull()
-            retained = source_df.where(~cond | nulls)
+            _, retained_cond = native_range_split(
+                md.incremental_key, md.incremental_high_value
+            )
+            retained = source_df.where(retained_cond)
             return backend.unionByName(retained.select(*cols))
         part = _synthetic_expr_from_metadata(md)
         # NULL partition-source rows were never offloaded (the HWM

@@ -100,13 +100,13 @@ def _frontend_split(
 
     if md.synthetic_partition is None:
         # Native RANGE key (possibly multi-column, e.g. "year,month"):
-        # the boundary is the row-wise lexicographic comparison over
-        # the physical columns — MAXVALUE positions collapse to their
-        # prefix (plans/partitions.hv_boundary_filter).
-        from goe_spark.plans.partitions import hv_boundary_filter
+        # reclaimable = boundary-predicate-IS-TRUE, the same split the
+        # hybrid view complements (plans/partitions.native_range_split).
+        from goe_spark.plans.partitions import native_range_split
 
-        cols = [c.strip() for c in md.incremental_key.split(",")]
-        reclaim_cond = hv_boundary_filter(cols, md.incremental_high_value)
+        reclaim_cond, _ = native_range_split(
+            md.incremental_key, md.incremental_high_value
+        )
         reclaimable_rows = src.where(reclaim_cond).count()
         retained_rows = src_rows - reclaimable_rows
         if src_rows:

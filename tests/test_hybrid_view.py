@@ -151,10 +151,18 @@ def test_native_multicol_range_hybrid(spark, tmp_path):
         (3, 2012, 2, 1.0),
         (4, 2012, 3, 1.0),
         (5, 2013, 1, 1.0),
-        (6, None, None, 1.0),  # never offloadable
+        (6, None, None, 1.0),  # leading-NULL key: never offloadable
+        # Trailing NULL below the boundary: (y < 2012) decides the
+        # comparison before the NULL is reached, so the boundary
+        # predicate is TRUE and the row IS offloaded — it must appear
+        # exactly once (backend-side), not also retained.
+        (7, 2011, None, 1.0),
+        # Trailing NULL AT the boundary year: the predicate reaches
+        # m <= 2 and goes NULL, so the row stays frontend-side.
+        (8, 2012, None, 1.0),
     ]
     src = spark.createDataFrame(rows, "id long, y int, m int, v double")
-    # Backend holds the slice at/below (2012, 2) — exclude NULL keys.
+    # Backend holds exactly the boundary-predicate-IS-TRUE slice.
     backend_path = str(tmp_path / "backend")
     src.where("(y < 2012) OR (y = 2012 AND m <= 2)").write.parquet(
         backend_path
@@ -168,4 +176,56 @@ def test_native_multicol_range_hybrid(spark, tmp_path):
     )
     hybrid = hybrid_view_df(spark, md, backend_path, src)
     got = sorted(r.id for r in hybrid.collect())
-    assert got == [1, 2, 3, 4, 5, 6]
+    assert got == [1, 2, 3, 4, 5, 6, 7, 8]
+
+
+def test_native_multicol_range_hybrid_maxvalue(spark, tmp_path):
+    """A MAXVALUE in the trailing position collapses the boundary to
+    the leading-column comparison; NULL-leading rows still retain."""
+    from goe_spark.plans.hybrid_view import hybrid_view_df
+    from goe_spark.plans.metadata import OffloadMetadata
+    from goe_spark.plans.partitions import MAXVALUE
+
+    rows = [
+        (1, 2011, 12, 1.0),
+        (2, 2012, 1, 1.0),
+        (3, 2012, None, 1.0),  # y = 2012 decides: offloaded
+        (4, 2013, 1, 1.0),
+        (5, None, 3, 1.0),  # leading NULL: retained
+    ]
+    src = spark.createDataFrame(rows, "id long, y int, m int, v double")
+    backend_path = str(tmp_path / "backend")
+    src.where("y <= 2012").write.parquet(backend_path)
+    md = OffloadMetadata(
+        owner="sh",
+        table_name="ym",
+        offload_type="RANGE",
+        incremental_key="y,m",
+        incremental_high_value=(2012, MAXVALUE),
+    )
+    hybrid = hybrid_view_df(spark, md, backend_path, src)
+    got = sorted(r.id for r in hybrid.collect())
+    assert got == [1, 2, 3, 4, 5]
+
+
+def test_native_range_missing_key_raises(spark, tmp_path):
+    """High value without incremental_key is a descriptive error, not
+    an AttributeError deep in string parsing."""
+    import pytest
+
+    from goe_spark.plans.hybrid_view import hybrid_view_df
+    from goe_spark.plans.metadata import OffloadMetadata
+    from goe_spark.plans.partitions import PartitionSelectionError
+
+    src = spark.createDataFrame([(1, 2011)], "id long, y int")
+    backend_path = str(tmp_path / "backend")
+    src.write.parquet(backend_path)
+    md = OffloadMetadata(
+        owner="sh",
+        table_name="ym",
+        offload_type="RANGE",
+        incremental_key=None,
+        incremental_high_value=(2012,),
+    )
+    with pytest.raises(PartitionSelectionError, match="incremental_key"):
+        hybrid_view_df(spark, md, backend_path, src)
