@@ -62,6 +62,9 @@ HEADLINE = [
     "dedup_clusters",
     "stratified_sample_docs",
     "token_pack_bins",
+    "repetition_doc_stats",
+    "term_bigram_pmi",
+    "sliding_window_chunks",
 ]
 
 

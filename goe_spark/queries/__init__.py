@@ -32,6 +32,13 @@ class QuerySpec:
 # round AND re-verified every pytest run by test_queries_oracle.py,
 # so losing their driver row costs the least.
 HEAD = (
+    "repetition_doc_stats",
+    "term_bigram_pmi",
+    "sliding_window_chunks",
+    "mixture_weights",
+    "order_value_percentiles",
+    "stream_enriched_counts",
+    "purchase_attribution",
     "dedup_clusters",
     "dedup_keep_best",
     "contamination_check",

@@ -442,6 +442,40 @@ GROUP BY c_nationkey
 """
 
 
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of order value per priority class — the
+    distributional reporting surface (quantiles) the TPC-H battery
+    never exercises. F.percentile is the EXACT aggregate (sorted
+    within each group, linear interpolation — the same continuous
+    quantile DuckDB's quantile_cont computes), not percentile_approx,
+    so the oracle matches bit-for-bit after rounding. Scale: exact
+    group quantiles sort per group; groups here are priority classes
+    (5-ary), so each reduce-side group is corpus/5 — at 100 TB swap
+    in approx_percentile (t-digest sketch, mergeable map-side) and
+    accept the documented error bound; this query pins the exact
+    semantics the sketch approximates."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 2).alias("p99"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+PERCENTILES_SQL = """
+SELECT o_orderpriority,
+       count(*)                                   AS n_orders,
+       round(quantile_cont(o_totalprice, 0.5), 2)  AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 2)  AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
+       round(max(o_totalprice), 2)                AS max_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = [
     QuerySpec("q4_order_priority", q4_order_priority, Q4_SQL, "TPC-H Q4 shape"),
     QuerySpec("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL, "TPC-H Q6"),
@@ -457,4 +491,10 @@ QUERIES = [
         "q19_discounted_revenue", q19_discounted_revenue, Q19_SQL, "TPC-H Q19 shape"
     ),
     QuerySpec("q22_idle_customers", q22_idle_customers, Q22_SQL, "TPC-H Q22 shape"),
+    QuerySpec(
+        "order_value_percentiles",
+        order_value_percentiles,
+        PERCENTILES_SQL,
+        "exact group quantiles",
+    ),
 ]

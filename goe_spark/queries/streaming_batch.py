@@ -17,8 +17,11 @@ from pyspark.sql import functions as F
 from goe_spark.catalog import load_table
 from goe_spark.queries import QuerySpec
 from goe_spark.streaming.events import (
+    ATTRIBUTION_WINDOW_MIN,
+    EVENT_CATEGORY,
     SESSION_GAP_MIN,
     dedup_event_counts,
+    enriched_window_counts,
     windowed_event_counts,
 )
 
@@ -138,6 +141,90 @@ GROUP BY ROLLUP (event_type, day)
 """
 
 
+def stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment (category dim) + windowed
+    rollup, drained availableNow; the oracle is the CASE-mapped batch
+    group-by."""
+    return enriched_window_counts(spark, sf_dir)
+
+
+def _category_case_sql(col: str) -> str:
+    arms = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in sorted(EVENT_CATEGORY.items())
+    )
+    return f"CASE {col} {arms} END"
+
+
+STREAM_ENRICHED_SQL = f"""
+SELECT cast(date_trunc('day', ts) AS date) AS day,
+       {_category_case_sql('event_type')}  AS category,
+       count(*)                            AS n_events,
+       round(sum(value), 2)                AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream attribution join: purchases
+    matched to the same user's views within the preceding
+    {ATTRIBUTION_WINDOW_MIN} minutes, rolled up per purchase day.
+    One shuffle on user_id co-partitions both sides; the interval
+    condition evaluates inside the sort-merge join. The streaming
+    formulation (watermark-bounded join state) is
+    streaming/events.py::attribution_pairs_stream; equivalence is
+    asserted in tests/test_streaming.py."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+    )
+    b = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("buy_ts"),
+        F.col("event_id").alias("buy_id"),
+    )
+    pairs = v.join(
+        b,
+        (F.col("v_user") == F.col("b_user"))
+        & (F.col("view_ts") <= F.col("buy_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("buy_ts")
+            - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTES")
+        ),
+    )
+    return pairs.groupBy(
+        F.col("buy_ts").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("buy_id").alias("n_purchases"),
+        F.round(
+            F.count(F.lit(1)) / F.countDistinct("buy_id"), 4
+        ).alias("views_per_purchase"),
+    )
+
+
+PURCHASE_ATTRIBUTION_SQL = f"""
+WITH v AS (
+  SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'
+), b AS (
+  SELECT user_id, ts AS buy_ts, event_id AS buy_id
+  FROM events WHERE event_type = 'purchase'
+), pairs AS (
+  SELECT b.buy_id, b.buy_ts
+  FROM b JOIN v ON v.user_id = b.user_id
+   AND v.view_ts <= b.buy_ts
+   AND v.view_ts >= b.buy_ts - INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTE
+)
+SELECT cast(buy_ts AS date)                                  AS day,
+       count(*)                                              AS n_pairs,
+       count(DISTINCT buy_id)                                AS n_purchases,
+       round(count(*) / cast(count(DISTINCT buy_id) AS double), 4)
+                                                             AS views_per_purchase
+FROM pairs GROUP BY 1
+"""
+
+
 QUERIES = [
     QuerySpec(
         "streaming_window_counts", streaming_window_counts, STREAMING_WINDOW_SQL
@@ -147,4 +234,10 @@ QUERIES = [
     ),
     QuerySpec("sessionization_stats", sessionization_stats, SESSIONIZATION_SQL),
     QuerySpec("event_type_rollup", event_type_rollup, EVENT_ROLLUP_SQL),
+    QuerySpec(
+        "stream_enriched_counts", stream_enriched_counts, STREAM_ENRICHED_SQL
+    ),
+    QuerySpec(
+        "purchase_attribution", purchase_attribution, PURCHASE_ATTRIBUTION_SQL
+    ),
 ]

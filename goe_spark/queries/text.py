@@ -221,6 +221,171 @@ GROUP BY lang
 """
 
 
+# Gopher-style repetition thresholds (Rae et al. 2021 use 0.2 for the
+# top-2-gram fraction on web text; the synthetic fixture's word-salad
+# sits lower, so the cutoffs split the fixture rather than copying the
+# paper's): flag a doc when one word dominates or diversity collapses.
+TOP_WORD_FRAC_MAX = 0.12
+DISTINCT_RATIO_MIN = 0.55
+
+
+def repetition_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/diversity quality signals per source — the filter
+    family Gopher/MassiveText-style pipelines apply before training:
+    top-word fraction (one token dominating a doc) and distinct-token
+    ratio (copy-paste loops collapse it).
+
+    Plan: explode to (doc, word) and aggregate twice. The first
+    groupBy's key space is ~tokens-per-corpus but partial aggregation
+    (map-side combine) collapses each doc's repeats before the
+    shuffle, so the shuffled volume is distinct-(doc,word) pairs —
+    bounded by doc length, independent of corpus size. The second
+    groupBy is doc-cardinality, the third source-cardinality. Nothing
+    here is a Python UDF; the whole plan is codegen'd."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", "source", F.explode(T.tokens("text")).alias("word")
+    )
+    per_word = words.groupBy("doc_id", "source", "word").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = per_word.groupBy("doc_id", "source").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    top_frac = F.col("top_c") / F.col("n_words")
+    distinct_ratio = F.col("n_distinct") / F.col("n_words")
+    flagged = (top_frac > TOP_WORD_FRAC_MAX) | (
+        distinct_ratio < DISTINCT_RATIO_MIN
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(top_frac), 6).alias("avg_top_word_frac"),
+        F.round(F.avg(distinct_ratio), 6).alias("avg_distinct_ratio"),
+        F.sum(flagged.cast("long")).alias("n_flagged"),
+    )
+
+
+REPETITION_SQL = f"""
+WITH words AS (
+  SELECT doc_id, source,
+         unnest({T.tokens_sql('text')}) AS word
+  FROM documents
+), per_word AS (
+  SELECT doc_id, source, word, count(*) AS c
+  FROM words GROUP BY 1, 2, 3
+), per_doc AS (
+  SELECT doc_id, source,
+         sum(c)   AS n_words,
+         count(*) AS n_distinct,
+         max(c)   AS top_c
+  FROM per_word GROUP BY 1, 2
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(avg(top_c / cast(n_words AS double)), 6)      AS avg_top_word_frac,
+       round(avg(n_distinct / cast(n_words AS double)), 6) AS avg_distinct_ratio,
+       cast(sum(CASE WHEN top_c / cast(n_words AS double) > {TOP_WORD_FRAC_MAX}
+                       OR n_distinct / cast(n_words AS double) < {DISTINCT_RATIO_MIN}
+                     THEN 1 ELSE 0 END) AS bigint)         AS n_flagged
+FROM per_doc GROUP BY source
+"""
+
+
+# Keep only bigrams covering >= 1/1000 of all bigram occurrences — a
+# relative threshold so the query returns a stable-shaped result at
+# every scale factor (integer cross-multiplication, no float cutoff).
+PMI_MIN_COUNT_PER_MILLE = 1
+
+
+def term_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocation mining: pointwise mutual information of
+    adjacent word pairs, for every bigram above a relative frequency
+    floor. The classic corpus-statistics op (Church & Hanks 1990) a
+    data-quality team runs to find boilerplate and template phrases.
+
+    Plan: bigrams are built with a JVM-side transform() over the token
+    array (no Python), exploded, and counted — partial aggregation
+    collapses repeats map-side, so the shuffle carries distinct
+    bigrams. Unigram counts come from one more explode/count; both
+    count relations are vocabulary-sized (tiny next to the corpus) and
+    the unigram side is broadcast into the PMI join twice. The
+    frequency floor is integer arithmetic (c2 * 1000 >= N2) so both
+    engines make the identical cut."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(T.tokens("text").alias("ws"))
+    # Guard size > 1: Spark's sequence(1, 0) DESCENDS rather than
+    # yielding empty, which would fabricate bigrams for 1-token docs.
+    big = toks.where(F.size("ws") > 1).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> concat(ws[i-1], ' ', ws[i]))"
+            )
+        ).alias("bigram")
+    )
+    uni = toks.select(F.explode("ws").alias("word"))
+    c2 = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = uni.groupBy("word").agg(F.count(F.lit(1)).alias("c1"))
+    # One scan for both totals (token arrays are never empty, so
+    # sum(size - 1) equals the exploded bigram count).
+    totals = toks.agg(
+        F.sum(F.size("ws")).alias("n1"),
+        F.sum(F.size("ws") - 1).alias("n2"),
+    ).first()
+    n1, n2 = int(totals["n1"]), int(totals["n2"])
+    left = F.split(F.col("bigram"), " ").getItem(0)
+    right = F.split(F.col("bigram"), " ").getItem(1)
+    joined = (
+        c2.where(F.col("c2") * 1000 >= F.lit(n2) * PMI_MIN_COUNT_PER_MILLE)
+        .join(
+            F.broadcast(c1.select(F.col("word").alias("w1"), F.col("c1").alias("ca"))),
+            left == F.col("w1"),
+        )
+        .join(
+            F.broadcast(c1.select(F.col("word").alias("w2"), F.col("c1").alias("cb"))),
+            right == F.col("w2"),
+        )
+    )
+    pmi = F.log(
+        (F.col("c2") / F.lit(float(n2)))
+        / ((F.col("ca") / F.lit(float(n1))) * (F.col("cb") / F.lit(float(n1))))
+    )
+    return joined.select(
+        "bigram", "c2", F.round(pmi, 6).alias("pmi")
+    )
+
+
+BIGRAM_PMI_SQL = f"""
+WITH toks AS (
+  SELECT {T.tokens_sql('text')} AS ws FROM documents
+), big AS (
+  SELECT unnest(list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+  FROM toks
+), uni AS (
+  SELECT unnest(ws) AS word FROM toks
+), c2 AS (
+  SELECT bigram, count(*) AS c2 FROM big GROUP BY bigram
+), c1 AS (
+  SELECT word, count(*) AS c1 FROM uni GROUP BY word
+), n AS (
+  SELECT (SELECT count(*) FROM big) AS n2,
+         (SELECT count(*) FROM uni) AS n1
+)
+SELECT c2.bigram, c2.c2,
+       round(ln((c2.c2 / cast(n.n2 AS double))
+                / ((a.c1 / cast(n.n1 AS double))
+                   * (b.c1 / cast(n.n1 AS double)))), 6) AS pmi
+FROM c2
+CROSS JOIN n
+JOIN c1 a ON a.word = string_split(c2.bigram, ' ')[1]
+JOIN c1 b ON b.word = string_split(c2.bigram, ' ')[2]
+WHERE c2.c2 * 1000 >= n.n2 * {PMI_MIN_COUNT_PER_MILLE}
+"""
+
+
 QUERIES = [
     QuerySpec("token_stats_by_lang", token_stats_by_lang, TOKEN_STATS_SQL),
     QuerySpec("bpe_token_stats", bpe_token_stats, BPE_TOKEN_SQL),
@@ -228,4 +393,6 @@ QUERIES = [
     QuerySpec("lang_id_confusion", lang_id_confusion, _lang_id_sql()),
     QuerySpec("doc_fingerprints", doc_fingerprints, FINGERPRINT_SQL),
     QuerySpec("events_json_extract", events_json_extract, EVENTS_JSON_SQL),
+    QuerySpec("repetition_doc_stats", repetition_doc_stats, REPETITION_SQL),
+    QuerySpec("term_bigram_pmi", term_bigram_pmi, BIGRAM_PMI_SQL),
 ]

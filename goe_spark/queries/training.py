@@ -369,6 +369,114 @@ FROM pairs GROUP BY train_id
 """
 
 
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+def sliding_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window sequence chunking: each document becomes
+    overlapping {CHUNK_TOKENS}-token windows advanced by
+    {CHUNK_STRIDE} — the context-window sharding step that turns long
+    documents into training rows without losing the text across a hard
+    split. A doc with n tokens yields 1 window if n <= W, else
+    ceil((n - W) / S) + 1.
+
+    Plan: the window index is exploded from a sequence() built out of
+    the token COUNT — only (doc, chunk_idx) pairs materialize, never
+    the token payload per chunk, so the explode fan-out is
+    chunks-per-doc (bounded by doc length / stride), map-side, no
+    shuffle until the per-language rollup. Output: per-language chunk
+    accounting (chunks, effective vs padded tokens)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", T.token_count("text").alias("n")
+    )
+    n = F.col("n")
+    n_chunks = F.when(n <= CHUNK_TOKENS, F.lit(1)).otherwise(
+        F.ceil((n - CHUNK_TOKENS) / F.lit(float(CHUNK_STRIDE))) + 1
+    )
+    chunks = d.withColumn(
+        "i", F.explode(F.sequence(F.lit(0), n_chunks.cast("int") - 1))
+    )
+    eff = F.least(F.lit(CHUNK_TOKENS), n - F.col("i") * CHUNK_STRIDE)
+    return chunks.groupBy("lang").agg(
+        F.sum((F.col("i") == 0).cast("long")).alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(eff).alias("effective_tokens"),
+        F.round(F.avg(eff), 4).alias("avg_chunk_tokens"),
+    )
+
+
+SLIDING_CHUNK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, {T.token_count_sql('text')} AS n FROM documents
+), counted AS (
+  SELECT doc_id, lang, n,
+         CASE WHEN n <= {CHUNK_TOKENS} THEN 1
+              ELSE cast(ceil((n - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0)
+                        AS bigint) + 1
+         END AS k
+  FROM toks
+), chunks AS (
+  SELECT lang, n, unnest(range(0, k)) AS i
+  FROM counted
+)
+SELECT lang,
+       cast(sum(CASE WHEN i = 0 THEN 1 ELSE 0 END) AS bigint) AS n_docs,
+       count(*)                                               AS n_chunks,
+       cast(sum(least({CHUNK_TOKENS}, n - i * {CHUNK_STRIDE}))
+            AS bigint)                                        AS effective_tokens,
+       round(avg(least({CHUNK_TOKENS}, n - i * {CHUNK_STRIDE})), 4)
+                                                              AS avg_chunk_tokens
+FROM chunks GROUP BY lang
+"""
+
+
+# Mixture temperature: weight_i ∝ tokens_i^0.5 (the "flatten the
+# source distribution" resampling used when mixing pretraining
+# domains; alpha = 1 is proportional, alpha = 0 uniform).
+EPOCH_SAMPLE_DOCS = 10_000
+
+
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: per-source sampling weights under
+    temperature alpha = 0.5 over token counts, and the doc budget each
+    source gets in a {EPOCH_SAMPLE_DOCS}-doc epoch. One corpus scan,
+    one source-cardinality aggregate; the normalizing total is a
+    scalar broadcast back across the (tiny) per-source relation, so
+    nothing corpus-sized shuffles twice. floor() keeps the budget
+    integer-deterministic across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count("text")).alias("total_tokens"),
+    )
+    tot = per.agg(F.sum(F.sqrt("total_tokens")).alias("z"))
+    w = F.sqrt("total_tokens") / F.col("z")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(w, 6).alias("weight"),
+        F.floor(w * EPOCH_SAMPLE_DOCS).cast("long").alias("epoch_docs"),
+    )
+
+
+MIXTURE_SQL = f"""
+WITH per AS (
+  SELECT source,
+         count(*) AS n_docs,
+         cast(sum({T.token_count_sql('text')}) AS bigint) AS total_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, total_tokens,
+       round(sqrt(total_tokens) / sum(sqrt(total_tokens)) OVER (), 6)
+         AS weight,
+       cast(floor(sqrt(total_tokens) / sum(sqrt(total_tokens)) OVER ()
+                  * {EPOCH_SAMPLE_DOCS}) AS bigint) AS epoch_docs
+FROM per
+"""
+
+
 QUERIES = [
     QuerySpec("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_SQL),
     QuerySpec("dedup_keep_best", dedup_keep_best, _dedup_keep_best_sql()),
@@ -377,4 +485,8 @@ QUERIES = [
     ),
     QuerySpec("token_pack_bins", token_pack_bins, TOKEN_PACK_SQL),
     QuerySpec("contamination_check", contamination_check, _contamination_sql()),
+    QuerySpec(
+        "sliding_window_chunks", sliding_window_chunks, SLIDING_CHUNK_SQL
+    ),
+    QuerySpec("mixture_weights", mixture_weights, MIXTURE_SQL),
 ]

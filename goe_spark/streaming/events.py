@@ -238,6 +238,112 @@ def sessionize_stream(
     return spark.table(sink)
 
 
+# Static enrichment dimension: event_type -> reporting category. In a
+# real deployment this is a warehouse dim table; keyed tiny, so it
+# broadcasts into the stream (no stream-side shuffle, no state).
+EVENT_CATEGORY = {
+    "click": "engagement",
+    "view": "engagement",
+    "signup": "conversion",
+    "purchase": "conversion",
+    "error": "ops",
+}
+
+ATTRIBUTION_WINDOW_MIN = 30
+
+
+def category_dim(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        sorted(EVENT_CATEGORY.items()), "event_type string, category string"
+    )
+
+
+def enriched_window_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    window_duration: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-static enrichment join: the event stream picks up its
+    reporting category from a broadcast dim, then rolls up per
+    (day, category). The static side needs no watermark and adds no
+    state — the standard dimension-enrichment topology. Drained with
+    availableNow, the result equals the batch CASE-mapped group-by
+    (the oracle)."""
+    stream = events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    dim = F.broadcast(category_dim(spark))
+    agg = (
+        stream.join(dim, "event_type")
+        .groupBy(F.window("ts", window_duration), F.col("category"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").cast("date").alias("day"),
+            "category",
+            "n_events",
+            "sum_value",
+        )
+    )
+    sink = f"enriched_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+def attribution_pairs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each purchase joins the same
+    user's view events from the preceding {ATTRIBUTION_WINDOW_MIN}
+    minutes — last-touch attribution. Both sides carry watermarks and
+    the join condition carries event-time bounds, so Spark can expire
+    join state: a view older than buy_ts - window can never match a
+    future purchase once the watermark passes. State is bounded by
+    arrival rate x (watermark + window), not history — the property
+    that keeps an unbounded 100 TB/day click-stream joinable."""
+    v = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    b = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("buy_ts"),
+            F.col("event_id").alias("buy_id"),
+        )
+        .withWatermark("buy_ts", "1 hour")
+    )
+    joined = v.join(
+        b,
+        F.expr(
+            "v_user = b_user AND view_ts <= buy_ts AND "
+            f"view_ts >= buy_ts - INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTES"
+        ),
+    )
+    sink = f"attrib_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 def dedup_event_counts(
     spark: SparkSession,
     sf_dir: str,

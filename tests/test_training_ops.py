@@ -128,3 +128,87 @@ def test_contamination_detects_planted_leak(spark, tmp_path):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_repetition_flags_degenerate_doc(spark, tmp_path):
+    """A doc that is one word repeated must be flagged (top-word
+    fraction 1.0, distinct ratio ~0); a diverse doc must not be."""
+    from goe_spark.queries.text import repetition_doc_stats
+
+    rows = [
+        (1, "spam " * 40 + "spam", "en", "bad", 1),
+        (2, "one two three four five six seven eight nine ten", "en", "good", 1),
+    ]
+    d = tmp_path / "t"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    got = {r.source: r for r in repetition_doc_stats(spark, str(d)).collect()}
+    assert got["bad"].n_flagged == 1
+    assert got["bad"].avg_top_word_frac == 1.0
+    assert got["good"].n_flagged == 0
+    assert got["good"].avg_distinct_ratio == 1.0
+
+
+def test_pmi_finds_planted_collocation(spark, tmp_path):
+    """A word pair that ONLY occurs adjacent scores the corpus-max
+    PMI; a pair of independently shuffled words scores near zero."""
+    from goe_spark.queries.text import term_bigram_pmi
+
+    filler = "a b c d e f g h i j"
+    rows = [
+        (i, f"{filler} hong kong {filler}", "en", "web", 1) for i in range(30)
+    ]
+    d = tmp_path / "t"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    got = term_bigram_pmi(spark, str(d)).collect()
+    by_pmi = sorted(got, key=lambda r: -r.pmi)
+    assert by_pmi[0].bigram == "hong kong"
+
+
+def test_sliding_chunks_closed_form(spark, tmp_path):
+    """Chunk counts match ceil((n - W) / S) + 1 and every token is
+    covered by at least one window."""
+    import math
+
+    from goe_spark.queries.training import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        sliding_window_chunks,
+    )
+
+    sizes = {"en": 10, "de": 32, "fr": 33, "es": 100}
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(n)), lang, "s", 1)
+        for i, (lang, n) in enumerate(sizes.items())
+    ]
+    d = tmp_path / "t"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    got = {r.lang: r for r in sliding_window_chunks(spark, str(d)).collect()}
+    for lang, n in sizes.items():
+        expect = (
+            1
+            if n <= CHUNK_TOKENS
+            else math.ceil((n - CHUNK_TOKENS) / CHUNK_STRIDE) + 1
+        )
+        assert got[lang].n_chunks == expect, lang
+        # Last window reaches the end of the doc: effective tokens of
+        # the final chunk cover through token n.
+        assert got[lang].effective_tokens >= n
+
+
+def test_mixture_weights_sum_to_one(spark):
+    from goe_spark.queries.training import (
+        EPOCH_SAMPLE_DOCS,
+        mixture_weights,
+    )
+
+    got = mixture_weights(spark, SF_SMALL).collect()
+    assert abs(sum(r.weight for r in got) - 1.0) < 1e-4
+    assert sum(r.epoch_docs for r in got) <= EPOCH_SAMPLE_DOCS
+    # Temperature flattening: every source's weight is positive.
+    assert all(r.weight > 0 for r in got)
