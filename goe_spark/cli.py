@@ -32,6 +32,16 @@ def _spark(app: str):
 def cmd_offload(args) -> int:
     from goe_spark.plans.offload import offload_from_spec
 
+    if args.reset_backend_table and not args.force:
+        # Reference goe.py:1021: a destructive reset must be
+        # double-confirmed.
+        print(
+            json.dumps(
+                {"error": "--reset-backend-table requires --force"}
+            )
+        )
+        return 2
+
     spark = _spark("goe-offload")
     spec = {
         "owner": args.owner,
@@ -61,6 +71,8 @@ def cmd_offload(args) -> int:
         "ddl_file": args.ddl_file,
         "chunked": args.chunked,
         "max_chunk_count": args.max_chunk_count,
+        "offload_type": args.offload_type,
+        "reset_backend_table": args.reset_backend_table,
     }
     print(json.dumps(offload_from_spec(spark, spec)))
     return 0
@@ -270,6 +282,21 @@ def build_parser() -> argparse.ArgumentParser:
         help="permit FLOAT/DOUBLE columns to be forced into exact "
         "numerics (lossy: NaN/Inf become NULL)",
     )
+    o.add_argument(
+        "--offload-type",
+        choices=["FULL", "INCREMENTAL"],
+        help="FULL moves everything (with --hwm it still records the "
+        "boundary: the 100/10 shape); INCREMENTAL appends past the "
+        "stored HWM and falls back to FULL when the table has no "
+        "partition key",
+    )
+    o.add_argument(
+        "--reset-backend-table",
+        action="store_true",
+        help="drop the backend table and metadata first and offload "
+        "from scratch (requires --force)",
+    )
+    o.add_argument("--force", action="store_true")
     o.set_defaults(fn=cmd_offload)
 
     v = sub.add_parser("agg-validate", help="front-vs-back aggregate compare")

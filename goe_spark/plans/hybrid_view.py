@@ -60,38 +60,56 @@ def hybrid_view_df(
     frontend's (the backend's synthetic partition column is internal
     and dropped)."""
     cols = source_df.columns
-    backend = spark.read.parquet(backend_path)
-    backend = backend.select(
-        *[c for c in cols if c in backend.columns]
-    )
+    raw_backend = spark.read.parquet(backend_path)
+
+    def _sides(backend_cond, retained_cond):
+        """Exactly-once invariant: the backend serves rows INSIDE the
+        metadata boundary, the frontend serves the complement. The
+        backend-side filter matters under 100/10 offloads (reference
+        offload_source_data.py:2392: everything moves but the
+        requested boundary still defines the view HWM) — the backend
+        then holds above-boundary rows too, and serving them from the
+        backend while the frontend also retains them would double-
+        count. Under 90/10 the backend filter is a no-op."""
+        b = raw_backend
+        if backend_cond is not None:
+            b = b.where(backend_cond)
+        b = b.select(*[c for c in cols if c in b.columns])
+        return b.unionByName(source_df.where(retained_cond).select(*cols))
 
     if md.offload_type == "FULL":
-        return backend
+        return raw_backend.select(
+            *[c for c in cols if c in raw_backend.columns]
+        )
 
     if md.offload_type == "RANGE":
         if md.incremental_high_value is None:
-            return backend
+            return raw_backend.select(
+                *[c for c in cols if c in raw_backend.columns]
+            )
         if md.synthetic_partition is None:
             # Native (possibly multi-column) RANGE key: the offloaded
-            # side is boundary-predicate-IS-TRUE, so the frontend keeps
+            # side is boundary-predicate-IS-TRUE, the frontend keeps
             # the exact complement (FALSE or NULL) — shared with the
             # status report via native_range_split so the two row
             # classifications cannot diverge.
             from goe_spark.plans.partitions import native_range_split
 
-            _, retained_cond = native_range_split(
+            offloaded_cond, retained_cond = native_range_split(
                 md.incremental_key, md.incremental_high_value
             )
-            retained = source_df.where(retained_cond)
-            return backend.unionByName(retained.select(*cols))
+            return _sides(offloaded_cond, retained_cond)
         part = _synthetic_expr_from_metadata(md)
-        # NULL partition-source rows were never offloaded (the HWM
-        # filter excludes NULL), so the frontend must keep them —
+        hv = F.lit(md.incremental_high_value)
+        # NULL partition-source rows sit outside the boundary (the HWM
+        # comparison is NULL for them), so the frontend keeps them —
         # without the isNull arm they would vanish from both sides.
-        retained = source_df.where(
-            (part > F.lit(md.incremental_high_value)) | part.isNull()
+        backend_cond = (
+            F.col(SYNTHETIC_COL) <= hv
+            if SYNTHETIC_COL in raw_backend.columns
+            else None
         )
-        return backend.unionByName(retained.select(*cols))
+        return _sides(backend_cond, (part > hv) | part.isNull())
 
     if md.offload_type == "LIST":
         # Metadata stores values in string form (JSON round-trip);
@@ -99,10 +117,7 @@ def hybrid_view_df(
         # keys match their stored spelling.
         offloaded = [str(v) for v in (md.offloaded_high_values or [])]
         key = F.col(md.incremental_key).cast("string")
-        retained = source_df.where(
-            ~key.isin(offloaded) | key.isNull()
-        )
-        return backend.unionByName(retained.select(*cols))
+        return _sides(key.isin(offloaded), ~key.isin(offloaded) | key.isNull())
 
     if md.offload_type == "PREDICATE":
         cond = F.lit(False)
@@ -110,8 +125,7 @@ def hybrid_view_df(
             # Predicates are stored as rendered SQL; they parse back
             # through the DSL's SQL-compatible subset via expr().
             cond = cond | F.expr(sql_text)
-        retained = source_df.where(~cond)
-        return backend.unionByName(retained.select(*cols))
+        return _sides(cond, ~cond)
 
     raise ValueError(f"unknown offload type: {md.offload_type!r}")
 

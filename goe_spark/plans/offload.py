@@ -107,6 +107,16 @@ class OffloadConfig:
     # spark-avro datasource on the classpath and fails fast when it is
     # absent (capability probe), never mid-write.
     staging_format: str = "parquet"
+    # --offload-type FULL|INCREMENTAL (reference goe.py:1051-1052,
+    # resolved by plans/partitions.resolve_offload_type). FULL with a
+    # partition+hwm is the reference's 100/10: everything moves, the
+    # requested boundary is still recorded. None keeps the implicit
+    # behavior (hwm present => incremental slice).
+    offload_type: str | None = None
+    # --reset-backend-table: drop the backend table + metadata first
+    # and offload from scratch (reference goe.py:1016-1021 — requires
+    # --force at the CLI, conflicts with reusing the backend table).
+    reset_backend_table: bool = False
 
 
 @dataclass
@@ -194,9 +204,61 @@ class OffloadPipeline:
     def _run_steps(self, source_df: DataFrame) -> OffloadResult:
         cfg = self.cfg
         steps: list[str] = []
-        md = self.store.get(cfg.owner, cfg.table_name) or OffloadMetadata(
+
+        # RESET_BACKEND_TABLE: drop table + metadata, offload from
+        # scratch (reference enable_reset_backend_table,
+        # goe.py:1601-1604 — reset also discards cached metadata).
+        if cfg.reset_backend_table:
+            with self._step(steps, "RESET_BACKEND_TABLE"):
+                from goe_spark.sinks.backend_writer import (
+                    list_files,
+                    remove_files,
+                )
+
+                if cfg.backend_writer is not None:
+                    cfg.backend_writer.drop_table(self.spark)
+                else:
+                    remove_files(
+                        list_files(cfg.target_dir, self.spark), self.spark
+                    )
+                self.store.delete(cfg.owner, cfg.table_name)
+
+        existing_md = self.store.get(cfg.owner, cfg.table_name)
+        md = existing_md or OffloadMetadata(
             owner=cfg.owner, table_name=cfg.table_name
         )
+
+        # Offload-type resolution (reference get_offload_type_for_config,
+        # offload_source_data.py:291-349). Only an explicit request
+        # changes behavior: FULL with partition+hwm becomes the 100/10
+        # shape — the slice cap comes off (everything moves, replace
+        # semantics) while the requested boundary is still recorded in
+        # metadata for the hybrid view.
+        boundary_hwm = None
+        if cfg.offload_type is not None:
+            from goe_spark.plans.partitions import (
+                OFFLOAD_TYPE_FULL,
+                resolve_offload_type,
+            )
+
+            ot, include_hwm, _notes = resolve_offload_type(
+                cfg.offload_type,
+                incr_append_capable=(
+                    cfg.partition is not None
+                    or cfg.list_partition_column is not None
+                ),
+                ida_options_specified=(
+                    cfg.hwm is not None
+                    or bool(cfg.list_partition_values)
+                    or bool(cfg.offload_predicate)
+                ),
+                existing_md=existing_md,
+            )
+            if ot == OFFLOAD_TYPE_FULL and cfg.hwm is not None:
+                from dataclasses import replace as _dc_replace
+
+                boundary_hwm = cfg.hwm if include_hwm else None
+                cfg = _dc_replace(cfg, hwm=None)
 
         # ANALYZE_DATA_TYPES: schema -> canonical columns, then the
         # user's --<type>-columns overrides (reference
@@ -496,6 +558,13 @@ class OffloadPipeline:
                 ]
                 if cfg.hwm is not None:
                     md.incremental_high_value = cfg.hwm
+                elif boundary_hwm is not None:
+                    # 100/10: everything moved, but the requested
+                    # boundary still defines the hybrid-view HWM
+                    # (reference offload_source_data.py:2392).
+                    md.offload_type = "RANGE"
+                    md.incremental_key = cfg.partition.source_column
+                    md.incremental_high_value = boundary_hwm
                 md.synthetic_partition = {
                     "source_column": cfg.partition.source_column,
                     "kind": cfg.partition.kind,
@@ -604,6 +673,8 @@ def offload_from_spec(spark: SparkSession, spec: dict) -> dict:
         staging_format=spec.get("staging_format", "parquet"),
         list_partition_column=spec.get("list_partition_column"),
         list_partition_values=spec.get("list_partition_values"),
+        offload_type=spec.get("offload_type"),
+        reset_backend_table=bool(spec.get("reset_backend_table")),
     )
     df = FileSource(spec["source_dir"]).read(spark, cfg.table_name)
     if spec.get("chunked"):

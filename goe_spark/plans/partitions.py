@@ -338,6 +338,77 @@ def hv_boundary_filter(columns: list[str], hv, inclusive: bool = True):
     return cond
 
 
+OFFLOAD_TYPE_FULL = "FULL"
+OFFLOAD_TYPE_INCREMENTAL = "INCREMENTAL"
+
+
+def resolve_offload_type(
+    user_requested: str | None,
+    incr_append_capable: bool,
+    ida_options_specified: bool,
+    existing_md=None,
+):
+    """Resolve the effective offload type and whether the hybrid-view
+    boundary (HWM) should be kept — the reference's
+    get_offload_type_for_config (offload_source_data.py:291-349):
+
+    - A user request wins, but INCREMENTAL downgrades to FULL (with a
+      note) when the table cannot do incremental append (no partition
+      or LIST key).
+    - With no request but existing metadata, the prior offload type
+      carries forward; an existing HWM or predicate keeps the
+      boundary in the view.
+    - With no request and no metadata, incremental-append options
+      (--hwm / LIST values / predicate) imply INCREMENTAL.
+
+    Returns (offload_type, include_hwm_in_view, notes) — notes is the
+    list of user-facing messages the reference logs as warnings."""
+    notes: list[str] = []
+    offload_type = OFFLOAD_TYPE_FULL
+    include_hwm = False
+
+    if user_requested:
+        if user_requested not in (OFFLOAD_TYPE_FULL, OFFLOAD_TYPE_INCREMENTAL):
+            raise PartitionSelectionError(
+                f"offload type must be FULL or INCREMENTAL: {user_requested!r}"
+            )
+        offload_type = user_requested
+        if offload_type == OFFLOAD_TYPE_INCREMENTAL and not incr_append_capable:
+            notes.append(
+                "Offload type INCREMENTAL incompatible with this table, "
+                'continuing with type "FULL"'
+            )
+            offload_type = OFFLOAD_TYPE_FULL
+    elif existing_md is not None:
+        prior_incremental = (
+            getattr(existing_md, "incremental_high_value", None) is not None
+            or getattr(existing_md, "offloaded_high_values", None)
+            or getattr(existing_md, "offloaded_predicates", None)
+        )
+        offload_type = (
+            OFFLOAD_TYPE_INCREMENTAL
+            if prior_incremental
+            else OFFLOAD_TYPE_FULL
+        )
+        if prior_incremental:
+            include_hwm = True
+            notes.append(
+                "Including HWM in hybrid view due to existing "
+                "incremental metadata"
+            )
+    elif incr_append_capable and ida_options_specified:
+        offload_type = OFFLOAD_TYPE_INCREMENTAL
+
+    if not include_hwm:
+        if offload_type == OFFLOAD_TYPE_INCREMENTAL:
+            include_hwm = True
+        elif ida_options_specified:
+            include_hwm = True
+            notes.append("Including HWM in hybrid view due to command options")
+
+    return offload_type, include_hwm, notes
+
+
 def native_range_split(incremental_key: str | None, hv):
     """(offloaded, retained) Column pair for a native (possibly
     multi-column) RANGE key. Offloaded rows are exactly those where the

@@ -113,6 +113,13 @@ class BackendWriter(abc.ABC):
     def rollback_to(self, token: object, spark: SparkSession) -> None:
         """Undo everything written since ``snapshot``."""
 
+    @abc.abstractmethod
+    def drop_table(self, spark: SparkSession) -> None:
+        """Drop the final table and its data — the
+        --reset-backend-table path (reference goe.py:1601-1604:
+        reset also discards cached metadata; the pipeline deletes the
+        metadata row itself)."""
+
 
 class ParquetBackendWriter(BackendWriter):
     """The Spark-native backend: a parquet table at target_dir,
@@ -161,6 +168,9 @@ class ParquetBackendWriter(BackendWriter):
 
     def rollback_to(self, token, spark) -> None:
         remove_files(list_files(self.target_dir, spark) - token, spark)
+
+    def drop_table(self, spark) -> None:
+        remove_files(list_files(self.target_dir, spark), spark)
 
 
 class FakeWarehouseWriter(BackendWriter):
@@ -263,3 +273,9 @@ class FakeWarehouseWriter(BackendWriter):
             f"-- ROLLBACK {self._qualified or '<unnamed>'} to snapshot"
         )
         remove_files(list_files(self._data_dir(), spark) - token, spark)
+
+    def drop_table(self, spark) -> None:
+        self._record(
+            f"DROP TABLE IF EXISTS {self._qualified or '<unnamed>'}"
+        )
+        remove_files(list_files(self._data_dir(), spark), spark)
