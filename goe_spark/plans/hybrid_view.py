@@ -125,7 +125,10 @@ def hybrid_view_df(
             # Predicates are stored as rendered SQL; they parse back
             # through the DSL's SQL-compatible subset via expr().
             cond = cond | F.expr(sql_text)
-        return _sides(cond, ~cond)
+        # NULL predicate evaluations were never offloaded (the slice
+        # filter drops them), so the frontend keeps them — same NULL
+        # arm as the RANGE/LIST sides.
+        return _sides(cond, ~cond | cond.isNull())
 
     raise ValueError(f"unknown offload type: {md.offload_type!r}")
 

@@ -125,6 +125,23 @@ class OffloadResult:
     rows_final: int
     partitions_written: list = field(default_factory=list)
     steps: list = field(default_factory=list)
+    # User-facing resolution warnings (e.g. the INCREMENTAL -> FULL
+    # downgrade) — the reference logs these; we return them so the
+    # CLI/listener JSON carries them.
+    notes: list = field(default_factory=list)
+
+
+def reset_backend(spark: SparkSession, cfg: "OffloadConfig") -> None:
+    """Drop the backend table (writer-aware) and the metadata row —
+    the --reset-backend-table action, shared by the pipeline step and
+    the chunked runner's one-time up-front reset."""
+    from goe_spark.sinks.backend_writer import list_files, remove_files
+
+    if cfg.backend_writer is not None:
+        cfg.backend_writer.drop_table(spark)
+    else:
+        remove_files(list_files(cfg.target_dir, spark), spark)
+    MetadataStore(cfg.metadata_dir).delete(cfg.owner, cfg.table_name)
 
 
 class OffloadPipeline:
@@ -204,24 +221,22 @@ class OffloadPipeline:
     def _run_steps(self, source_df: DataFrame) -> OffloadResult:
         cfg = self.cfg
         steps: list[str] = []
+        notes: list[str] = []
 
         # RESET_BACKEND_TABLE: drop table + metadata, offload from
         # scratch (reference enable_reset_backend_table,
         # goe.py:1601-1604 — reset also discards cached metadata).
+        # ddl_file is a preview-only mode (nothing staged, loaded, or
+        # saved), so a destructive reset riding along would delete the
+        # live table while "previewing" — reject up front.
         if cfg.reset_backend_table:
-            with self._step(steps, "RESET_BACKEND_TABLE"):
-                from goe_spark.sinks.backend_writer import (
-                    list_files,
-                    remove_files,
+            if cfg.ddl_file is not None:
+                raise OffloadValidationError(
+                    "--ddl-file is preview-only and cannot be combined "
+                    "with --reset-backend-table"
                 )
-
-                if cfg.backend_writer is not None:
-                    cfg.backend_writer.drop_table(self.spark)
-                else:
-                    remove_files(
-                        list_files(cfg.target_dir, self.spark), self.spark
-                    )
-                self.store.delete(cfg.owner, cfg.table_name)
+            with self._step(steps, "RESET_BACKEND_TABLE"):
+                reset_backend(self.spark, cfg)
 
         existing_md = self.store.get(cfg.owner, cfg.table_name)
         md = existing_md or OffloadMetadata(
@@ -230,18 +245,26 @@ class OffloadPipeline:
 
         # Offload-type resolution (reference get_offload_type_for_config,
         # offload_source_data.py:291-349). Only an explicit request
-        # changes behavior: FULL with partition+hwm becomes the 100/10
-        # shape — the slice cap comes off (everything moves, replace
-        # semantics) while the requested boundary is still recorded in
-        # metadata for the hybrid view.
+        # changes behavior. Resolved FULL takes the slice caps off —
+        # everything moves under replace semantics — for ANY slice
+        # shape (hwm, LIST values, predicate): with incremental-append
+        # options this is the reference's 100/10 (the requested
+        # boundary is still recorded for the hybrid view,
+        # offload_source_data.py:2392); without them it is 100/0 and
+        # any stale boundary from a previous incremental offload is
+        # CLEARED, so the hybrid view stops sourcing above-boundary
+        # rows from a frontend about to be decommissioned.
         boundary_hwm = None
+        boundary_list_values = None
+        boundary_predicate = None
+        clear_boundary = False
         if cfg.offload_type is not None:
             from goe_spark.plans.partitions import (
                 OFFLOAD_TYPE_FULL,
                 resolve_offload_type,
             )
 
-            ot, include_hwm, _notes = resolve_offload_type(
+            ot, include_hwm, notes = resolve_offload_type(
                 cfg.offload_type,
                 incr_append_capable=(
                     cfg.partition is not None
@@ -254,11 +277,21 @@ class OffloadPipeline:
                 ),
                 existing_md=existing_md,
             )
-            if ot == OFFLOAD_TYPE_FULL and cfg.hwm is not None:
+            if ot == OFFLOAD_TYPE_FULL:
                 from dataclasses import replace as _dc_replace
 
-                boundary_hwm = cfg.hwm if include_hwm else None
-                cfg = _dc_replace(cfg, hwm=None)
+                if include_hwm:
+                    boundary_hwm = cfg.hwm
+                    boundary_list_values = cfg.list_partition_values or None
+                    boundary_predicate = cfg.offload_predicate or None
+                else:
+                    clear_boundary = True
+                cfg = _dc_replace(
+                    cfg,
+                    hwm=None,
+                    list_partition_values=None,
+                    offload_predicate=None,
+                )
 
         # ANALYZE_DATA_TYPES: schema -> canonical columns, then the
         # user's --<type>-columns overrides (reference
@@ -571,17 +604,41 @@ class OffloadPipeline:
                     "granularity": cfg.partition.granularity,
                     "digits": cfg.partition.digits,
                 }
-            if cfg.offload_predicate:
-                md.offloaded_predicates.append(
-                    predicate_to_sql(parse_predicate_dsl(cfg.offload_predicate))
+            if cfg.offload_predicate or boundary_predicate:
+                sql_text = predicate_to_sql(
+                    parse_predicate_dsl(
+                        cfg.offload_predicate or boundary_predicate
+                    )
                 )
-            if cfg.list_partition_values:
+                if sql_text not in md.offloaded_predicates:
+                    md.offloaded_predicates.append(sql_text)
+                if boundary_predicate:
+                    md.offload_type = "PREDICATE"
+            if cfg.list_partition_values or boundary_list_values:
                 # Stored in string form — the same spelling JSON
                 # produces — so the dup guard and the hybrid view
                 # compare like against like.
+                already = set(md.offloaded_high_values)
                 md.offloaded_high_values.extend(
-                    str(v) for v in cfg.list_partition_values
+                    str(v)
+                    for v in (
+                        cfg.list_partition_values or boundary_list_values
+                    )
+                    if str(v) not in already
                 )
+                if boundary_list_values:
+                    md.offload_type = "LIST"
+                    md.incremental_key = cfg.list_partition_column
+            if clear_boundary:
+                # Explicit 100/0 conversion: the full replace moved
+                # everything, so any stale incremental boundary would
+                # make the hybrid view source above-boundary rows from
+                # the (about to be retired) frontend.
+                md.offload_type = "FULL"
+                md.incremental_key = None
+                md.incremental_high_value = None
+                md.offloaded_high_values = []
+                md.offloaded_predicates = []
             md.offload_sort_columns = sort_cols
             self.store.save(md)
 
@@ -590,6 +647,7 @@ class OffloadPipeline:
             rows_final=rows_final,
             partitions_written=sorted(partitions_written),
             steps=steps,
+            notes=notes,
         )
 
 
@@ -676,24 +734,41 @@ def offload_from_spec(spark: SparkSession, spec: dict) -> dict:
         offload_type=spec.get("offload_type"),
         reset_backend_table=bool(spec.get("reset_backend_table")),
     )
-    df = FileSource(spec["source_dir"]).read(spark, cfg.table_name)
     if spec.get("chunked"):
         # Chunked incremental mode (plans/ipa_runner.py): the user's
         # hwm becomes the overall cap; per-chunk HWMs are managed by
         # the runner. A predicate or LIST slice cannot ride along —
         # chunk 1 would record it and chunk 2 would then refuse it as
         # already offloaded, aborting half-done with a misleading
-        # error. Fail up front instead.
+        # error. Fail up front, before the source is even opened.
         if cfg.offload_predicate or cfg.list_partition_values:
             raise OffloadValidationError(
                 "chunked mode offloads RANGE partitions; combine it "
                 "with neither a predicate nor LIST values (use "
                 "offload_list_partitions for chunked LPA)"
             )
+        # Chunked IS the 90/10 incremental split: an offload_type
+        # override would strip each chunk's HWM (every chunk would
+        # full-replace the whole table). Run an unchunked FULL offload
+        # instead.
+        if cfg.offload_type:
+            raise OffloadValidationError(
+                "chunked mode implements the 90/10 incremental split; "
+                "--offload-type cannot be combined with it"
+            )
+    df = FileSource(spec["source_dir"]).read(spark, cfg.table_name)
+    if spec.get("chunked"):
         from dataclasses import replace as _replace
 
         from goe_spark.plans.chunker import MAX_CHUNK_BYTES, MAX_CHUNK_COUNT
         from goe_spark.plans.ipa_runner import offload_partitioned_table
+
+        if cfg.reset_backend_table:
+            # Reset ONCE, before the runner reads the prior HWM — a
+            # per-chunk reset would drop rows chunk 1 just wrote and
+            # wipe the ledger every later chunk appends against.
+            reset_backend(spark, cfg)
+            cfg = _replace(cfg, reset_backend_table=False)
 
         ipa = offload_partitioned_table(
             spark,
@@ -714,4 +789,5 @@ def offload_from_spec(spark: SparkSession, spec: dict) -> dict:
         "rows_final": res.rows_final,
         "partitions": [str(p) for p in res.partitions_written],
         "steps": res.steps,
+        "notes": res.notes,
     }

@@ -451,12 +451,17 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(T.token_count("text")).alias("total_tokens"),
     )
     tot = per.agg(F.sum(F.sqrt("total_tokens")).alias("z"))
-    w = F.sqrt("total_tokens") / F.col("z")
+    # epoch_docs floors the ROUNDED weight (the output column), not
+    # the raw ratio: sum(sqrt(...)) can differ by an ulp between
+    # engines depending on summation order, and floor() at an integer
+    # boundary would amplify that into an off-by-one. Derived from the
+    # same rounded value, the two columns can only diverge together.
+    w = F.round(F.sqrt("total_tokens") / F.col("z"), 6)
     return per.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_docs",
         "total_tokens",
-        F.round(w, 6).alias("weight"),
+        w.alias("weight"),
         F.floor(w * EPOCH_SAMPLE_DOCS).cast("long").alias("epoch_docs"),
     )
 
@@ -471,7 +476,7 @@ WITH per AS (
 SELECT source, n_docs, total_tokens,
        round(sqrt(total_tokens) / sum(sqrt(total_tokens)) OVER (), 6)
          AS weight,
-       cast(floor(sqrt(total_tokens) / sum(sqrt(total_tokens)) OVER ()
+       cast(floor(round(sqrt(total_tokens) / sum(sqrt(total_tokens)) OVER (), 6)
                   * {EPOCH_SAMPLE_DOCS}) AS bigint) AS epoch_docs
 FROM per
 """

@@ -180,3 +180,144 @@ def test_cli_reset_requires_force(tmp_path):
         ]
     )
     assert rc == 2
+
+
+# --- review-finding regressions ---------------------------------------------
+
+
+def test_full_with_list_values_moves_everything(spark, tmp_path):
+    """FULL + LIST values is 100/10 for the LIST shape: everything
+    moves, the values land in metadata as the view boundary."""
+    from goe_spark.plans.hybrid_view import hybrid_view_df
+
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    cfg = _cfg(
+        tmp_path,
+        table_name="orders",
+        partition=None,
+        offload_type="FULL",
+        list_partition_column="o_orderpriority",
+        list_partition_values=["1-URGENT"],
+    )
+    res = OffloadPipeline(spark, cfg).run(src)
+    assert res.rows_final == src.count()  # NOT just the urgent slice
+    md = MetadataStore(cfg.metadata_dir).get("tpch", "orders")
+    assert md.offload_type == "LIST"
+    assert md.offloaded_high_values == ["1-URGENT"]
+    hybrid = hybrid_view_df(spark, md, cfg.target_dir, src)
+    assert hybrid.count() == src.count()
+
+
+def test_full_conversion_clears_stale_boundary(spark, tmp_path):
+    """90/10 then explicit FULL (no ida options) is the 100/0
+    conversion: the stale RANGE boundary must be cleared or the
+    hybrid view keeps sourcing above-boundary rows from a frontend
+    that is about to be retired."""
+    from goe_spark.plans.hybrid_view import hybrid_view_df
+
+    src = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    OffloadPipeline(spark, _cfg(tmp_path, hwm="1997-12")).run(src)
+    cfg2 = _cfg(tmp_path, offload_type="FULL")
+    res = OffloadPipeline(spark, cfg2).run(src)
+    assert res.rows_final == src.count()
+    md = MetadataStore(cfg2.metadata_dir).get("tpch", "lineitem")
+    assert md.offload_type == "FULL"
+    assert md.incremental_high_value is None
+    # The hybrid view is now backend-only and complete.
+    empty_frontend = src.limit(0)
+    hybrid = hybrid_view_df(spark, md, cfg2.target_dir, empty_frontend)
+    assert hybrid.count() == src.count()
+
+
+def test_downgrade_note_surfaces(spark, tmp_path):
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    cfg = _cfg(
+        tmp_path,
+        table_name="orders",
+        partition=None,
+        offload_type="INCREMENTAL",
+    )
+    res = OffloadPipeline(spark, cfg).run(src)
+    assert any("FULL" in n for n in res.notes)
+
+
+def test_reset_rejected_with_ddl_file(spark, tmp_path):
+    from goe_spark.plans.offload import OffloadValidationError
+
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    cfg = _cfg(
+        tmp_path,
+        table_name="orders",
+        partition=None,
+        ddl_file=str(tmp_path / "out.sql"),
+        reset_backend_table=True,
+    )
+    with pytest.raises(OffloadValidationError, match="preview-only"):
+        OffloadPipeline(spark, cfg).run(src)
+
+
+def test_chunked_rejects_offload_type(spark, tmp_path):
+    from goe_spark.plans.offload import (
+        OffloadValidationError,
+        offload_from_spec,
+    )
+
+    spec = {
+        "table": "lineitem",
+        "source_dir": SF_SMALL,
+        "target_dir": str(tmp_path / "f"),
+        "staging_dir": str(tmp_path / "s"),
+        "metadata_dir": str(tmp_path / "m"),
+        "partition_column": "l_shipdate",
+        "chunked": True,
+        "offload_type": "FULL",
+    }
+    with pytest.raises(OffloadValidationError, match="offload-type"):
+        offload_from_spec(None, spec)
+
+
+def test_chunked_reset_resets_once_then_reoffloads_all(spark, tmp_path):
+    """Chunked + reset: the reset happens once up front (before the
+    prior HWM is read), so the full history below the cap is
+    re-offloaded and nothing below the old HWM is lost."""
+    from goe_spark.plans.offload import offload_from_spec
+
+    spec = {
+        "table": "lineitem",
+        "source_dir": SF_SMALL,
+        "target_dir": str(tmp_path / "f"),
+        "staging_dir": str(tmp_path / "s"),
+        "metadata_dir": str(tmp_path / "m"),
+        "partition_column": "l_shipdate",
+        "hwm": "1997-12",
+    }
+    offload_from_spec(spark, dict(spec))  # unchunked 90/10 first
+
+    spec2 = dict(spec, chunked=True, hwm="1998-12", reset_backend_table=True)
+    out = offload_from_spec(spark, spec2)
+    src = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    expected = src.where(
+        F.date_format("l_shipdate", "yyyy-MM") <= "1998-12"
+    ).count()
+    assert out["rows_offloaded"] == expected
+    final = spark.read.parquet(spec["target_dir"])
+    assert final.count() == expected  # rows <= 1997-12 re-offloaded
+
+
+def test_predicate_hybrid_keeps_null_eval_rows(spark, tmp_path):
+    """A row for which every offloaded predicate evaluates NULL was
+    never offloaded and must stay frontend-side, not vanish."""
+    from goe_spark.plans.hybrid_view import hybrid_view_df
+
+    rows = [(1, 150.0), (2, 50.0), (3, None)]
+    src = spark.createDataFrame(rows, "id long, amount double")
+    backend_path = str(tmp_path / "backend")
+    src.where("amount > 100").write.parquet(backend_path)
+    md = OffloadMetadata(
+        owner="sh",
+        table_name="t",
+        offload_type="PREDICATE",
+        offloaded_predicates=["amount > 100"],
+    )
+    hybrid = hybrid_view_df(spark, md, backend_path, src)
+    assert sorted(r.id for r in hybrid.collect()) == [1, 2, 3]
