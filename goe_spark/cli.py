@@ -78,6 +78,37 @@ def cmd_offload(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    from goe_spark.plans.targeted_delete import delete_rows
+
+    spark = _spark("goe-delete")
+
+    def _coerce(v: str):
+        try:
+            return int(v)
+        except ValueError:
+            return v
+
+    keys = [_coerce(v) for v in args.values.split(",")]
+    rep = delete_rows(
+        spark,
+        args.target_dir,
+        args.key_column,
+        keys,
+        partition_col=args.partition_column,
+    )
+    print(
+        json.dumps(
+            {
+                "rows_deleted": rep.rows_deleted,
+                "partitions_affected": rep.partitions_affected,
+                "partitions_healed": rep.partitions_healed,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_agg_validate(args) -> int:
     from pyspark.sql import functions as F
 
@@ -298,6 +329,17 @@ def build_parser() -> argparse.ArgumentParser:
     )
     o.add_argument("--force", action="store_true")
     o.set_defaults(fn=cmd_offload)
+
+    dl = sub.add_parser(
+        "delete",
+        help="targeted row deletion (takedown / right-to-be-forgotten) "
+        "from an offloaded target; rewrites only affected partitions",
+    )
+    dl.add_argument("--target-dir", required=True)
+    dl.add_argument("--key-column", required=True)
+    dl.add_argument("--values", required=True, help="CSV of key values")
+    dl.add_argument("--partition-column", default="goe_part_key")
+    dl.set_defaults(fn=cmd_delete)
 
     v = sub.add_parser("agg-validate", help="front-vs-back aggregate compare")
     v.add_argument("--frontend-path", required=True)
