@@ -37,6 +37,7 @@ HEAD = (
     "sliding_window_chunks",
     "mixture_weights",
     "order_value_percentiles",
+    "order_price_tiers",
     "stream_enriched_counts",
     "purchase_attribution",
     "dedup_clusters",

@@ -476,6 +476,63 @@ GROUP BY o_orderpriority
 """
 
 
+# Disjoint, boundary-inclusive price tiers (prices have 2 decimals,
+# so .99 / .00 edges cannot double-match).
+PRICE_TIERS = [
+    ("T1_small", 0.0, 49999.99),
+    ("T2_mid", 50000.0, 149999.99),
+    ("T3_large", 150000.0, 299999.99),
+    ("T4_jumbo", 300000.0, 10_000_000.0),
+]
+TIER_BUCKET = 50_000
+
+
+def order_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join showcase: orders matched to price tiers
+    through operators/range_join.interval_join in BUCKETED mode — the
+    grid-bucket plan that replaces BroadcastNestedLoopJoin when the
+    interval side is too big to broadcast (here it is tiny; the query
+    exists to keep the scale path under the correctness gate). The
+    plan is an equi-join on the bucket id + exact containment filter;
+    shuffle volume is linear in points + interval-bucket spans."""
+    from goe_spark.operators.range_join import interval_join
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tiers = spark.createDataFrame(
+        PRICE_TIERS, "tier string, lo double, hi double"
+    )
+    joined = interval_join(
+        o,
+        tiers,
+        "o_totalprice",
+        "lo",
+        "hi",
+        strategy="bucketed",
+        bucket=TIER_BUCKET,
+    )
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("tier_revenue"),
+    )
+
+
+def _tiers_values_sql() -> str:
+    return ", ".join(f"('{t}', {lo}, {hi})" for t, lo, hi in PRICE_TIERS)
+
+
+PRICE_TIERS_SQL = f"""
+SELECT t.tier,
+       count(*)                     AS n_orders,
+       round(sum(o.o_totalprice), 2) AS tier_revenue
+FROM orders o
+JOIN (VALUES {_tiers_values_sql()}) AS t(tier, lo, hi)
+  ON o.o_totalprice >= t.lo AND o.o_totalprice <= t.hi
+GROUP BY t.tier
+"""
+
+
 QUERIES = [
     QuerySpec("q4_order_priority", q4_order_priority, Q4_SQL, "TPC-H Q4 shape"),
     QuerySpec("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL, "TPC-H Q6"),
@@ -496,5 +553,11 @@ QUERIES = [
         order_value_percentiles,
         PERCENTILES_SQL,
         "exact group quantiles",
+    ),
+    QuerySpec(
+        "order_price_tiers",
+        order_price_tiers,
+        PRICE_TIERS_SQL,
+        "bucketed interval join",
     ),
 ]
