@@ -82,14 +82,19 @@ def cmd_delete(args) -> int:
     from goe_spark.plans.targeted_delete import delete_rows
 
     spark = _spark("goe-delete")
-
-    def _coerce(v: str):
-        try:
-            return int(v)
-        except ValueError:
-            return v
-
-    keys = [_coerce(v) for v in args.values.split(",")]
+    # Coerce CSV values by the KEY COLUMN's actual type — guessing
+    # int-ness from the spelling would turn a string key '0123' into
+    # 123 and silently match nothing.
+    dtype = dict(
+        spark.read.parquet(args.target_dir).dtypes
+    ).get(args.key_column, "string")
+    vals = args.values.split(",")
+    if dtype in ("tinyint", "smallint", "int", "bigint"):
+        keys: list = [int(v) for v in vals]
+    elif dtype in ("float", "double"):
+        keys = [float(v) for v in vals]
+    else:
+        keys = vals
     rep = delete_rows(
         spark,
         args.target_dir,

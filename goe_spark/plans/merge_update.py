@@ -1,49 +1,52 @@
 """Keyed merge (upsert) into an offloaded parquet target — the
 reference product line's "Incremental Update" capability (changed-row
-sync from the frontend after the bulk offload), rebuilt as a
-partition-bounded rewrite.
+sync from the frontend after the bulk offload), rebuilt as
+delete-then-append.
 
-Semantics: for each key in ``updates``, the row replaces the existing
-row with that key (wherever it lives — a changed partition-source
-value MOVES the row); keys with no existing row insert. Everything
-else is untouched.
+Semantics: each update row REPLACES the existing row with its key
+(wherever it lives — a changed partition-source value moves the row);
+keys with no existing row insert. ``updates`` must be unique per key
+(a CDC batch with several events per key must be collapsed to the
+latest first — enforced, because silently writing every version would
+corrupt the keyed table).
 
-Spark-first shape, same as targeted_delete: the affected-partition
-set is (partitions the updates land in) ∪ (partitions currently
-holding an updated key) — both driver-bounded, one row per partition.
-Only those partition directories rewrite (anti-join out the old
-versions, union in the new), behind compaction's marker-driven
-crash-safe swap. Merge cost is O(affected partitions), never a table
-rewrite, and untouched partitions stay byte-identical.
+Spark-first shape:
+- Phase A deletes the existing versions of the updated keys via
+  plans/targeted_delete — partition-bounded rewrites behind the
+  marker-driven crash-safe swap, affected directories taken from
+  input_file_name (exact; no partition-name reconstruction).
+- Phase B appends all update rows with
+  ``write.partitionBy(partition_col)`` — Spark itself lays out the
+  directories (padding, Hive escaping, __HIVE_DEFAULT_PARTITION__ for
+  a NULL partition value), so a moved row lands correctly and a brand
+  new partition needs no special case.
+
+Crash contract: phase A heals/resumes like any delete. A crash inside
+phase B leaves some update rows unwritten (their old versions are
+gone) — RE-RUNNING THE SAME MERGE heals: phase A deletes whatever
+partial versions landed, phase B re-appends everything. Merge cost is
+O(affected partitions) + one partitioned append — never a table
+rewrite — and untouched partitions stay byte-identical.
 """
 
 from __future__ import annotations
 
-import os
-import shutil
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from goe_spark.plans.compaction import (
-    _complete_swap,
-    _data_files,
-    _marker_path,
-    _tmp_dir,
-    heal_interrupted_swaps,
-)
-from goe_spark.plans.metadata import atomic_write_json
 from goe_spark.plans.offload import SYNTHETIC_COL, PartitionSpec
+from goe_spark.plans.targeted_delete import delete_rows
 
 
 @dataclass
 class MergeReport:
-    partitions_affected: int = 0
+    partitions_affected: int = 0  # rewritten by the delete phase
     partitions_healed: int = 0
     rows_updated: int = 0
     rows_inserted: int = 0
-    details: list = field(default_factory=list)  # (partition, -old, +new)
+    details: list = field(default_factory=list)  # (partition, old versions)
 
 
 def merge_rows(
@@ -56,9 +59,6 @@ def merge_rows(
 ) -> MergeReport:
     """Upsert ``updates`` (frontend-shaped rows, no synthetic column)
     into the partitioned parquet table at ``path``."""
-    report = MergeReport()
-    report.partitions_healed = len(heal_interrupted_swaps(path))
-
     table = spark.read.option("basePath", path).parquet(path)
     if partition_col not in table.columns:
         raise ValueError(
@@ -70,72 +70,34 @@ def merge_rows(
     if missing:
         raise ValueError(f"updates are missing table columns: {missing}")
 
-    upd = updates.select(*data_cols).withColumn(
-        partition_col, partition.expr()
+    # The update set is CDC-sized (small next to the table); land it
+    # once so the delete phase and the append see the same rows.
+    upd = updates.select(*data_cols).localCheckpoint(eager=True)
+    n_rows = upd.count()
+    n_keys = upd.select(key_column).distinct().count()
+    if n_rows != n_keys:
+        raise ValueError(
+            f"updates must be unique per {key_column}: {n_rows} rows "
+            f"but {n_keys} distinct keys — collapse the CDC batch to "
+            "the latest version per key first"
+        )
+
+    del_rep = delete_rows(
+        spark,
+        path,
+        key_column,
+        upd.select(key_column),
+        partition_col=partition_col,
     )
-    # The updates set is change-data-capture sized (small next to the
-    # table); land it once so the two phase-1 scans and every
-    # per-partition join reuse it instead of recomputing lineage.
-    upd = upd.localCheckpoint(eager=True)
-    keys = upd.select(key_column).distinct()
 
-    # Affected partitions: where updates land + where updated keys
-    # currently live (a moved row must leave its old partition).
-    landing = {r[0] for r in upd.select(partition_col).distinct().collect()}
-    holding = {
-        r[0]
-        for r in table.join(keys, key_column, "left_semi")
-        .select(partition_col)
-        .distinct()
-        .collect()
-        if r[0] is not None
-    }
+    upd.withColumn(partition_col, partition.expr()).write.mode(
+        "append"
+    ).partitionBy(partition_col).parquet(path)
 
-    # Global accounting up front (a row moving partitions is ONE
-    # update, not a delete in one partition plus an insert in another).
-    n_upd_keys = keys.count()
-    report.rows_updated = (
-        table.join(keys, key_column, "left_semi")
-        .select(key_column)
-        .distinct()
-        .count()
+    return MergeReport(
+        partitions_affected=del_rep.partitions_affected,
+        partitions_healed=del_rep.partitions_healed,
+        rows_updated=del_rep.rows_deleted,
+        rows_inserted=n_rows - del_rep.rows_deleted,
+        details=del_rep.details,
     )
-    report.rows_inserted = n_upd_keys - report.rows_updated
-
-    for pval in sorted(landing | holding, key=str):
-        d = f"{partition_col}={pval}"
-        full = os.path.join(path, d)
-        exists = os.path.isdir(full)
-        old_files = _data_files(full) if exists else []
-        if exists:
-            part_df = spark.read.parquet(full)
-            n_before = part_df.count()
-            kept = part_df.join(keys, key_column, "left_anti")
-        else:
-            # A brand-new partition created by inserts.
-            n_before = 0
-            kept = None
-        incoming = upd.where(F.col(partition_col) == F.lit(pval)).drop(
-            partition_col
-        )
-        n_in = incoming.count()
-        new_part = (
-            kept.unionByName(incoming.select(*kept.columns))
-            if kept is not None
-            else incoming.select(*data_cols)
-        )
-        tmp = _tmp_dir(path, d)
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        new_part.write.mode("overwrite").parquet(tmp)
-        n_after = spark.read.parquet(tmp).count()
-        removed = n_before + n_in - n_after
-        if not exists:
-            os.makedirs(full, exist_ok=True)
-        atomic_write_json(
-            _marker_path(path, d), {"partition": d, "old_files": old_files}
-        )
-        _complete_swap(path, d, old_files)
-        report.partitions_affected += 1
-        report.details.append((d, removed, n_in))
-    return report

@@ -1,20 +1,21 @@
-"""Targeted row deletion over an offloaded parquet target — the
-right-to-be-forgotten / takedown operation every training-data store
-eventually needs (and the lakehouse DELETE the reference delegates to
-its warehouse backend).
+"""Targeted row deletion (right-to-be-forgotten / takedown) over an
+offloaded parquet target — the lakehouse DELETE the reference
+delegates to its warehouse backend.
 
 Spark-first shape: deletion is two phases. Phase 1 finds the
-partitions that contain any doomed key — one scan with the key set
-broadcast into the filter, returning only distinct partition values
-(driver-bounded: one row per affected partition). Phase 2 rewrites
-ONLY those partition directories with the key anti-filter, reusing
-compaction's marker-driven crash-safe swap, so untouched partitions
-stay byte-identical. At 100 TB a delete of k keys costs O(affected
-partitions), not a table rewrite — and affected-partition count is
-bounded by k.
+partition DIRECTORIES that contain any doomed key — one scan with the
+key set applied, collecting `input_file_name()` of matching rows, so
+the affected set is exact file-system truth (no reconstruction of
+directory names from partition values, which breaks on type-inferred
+reads: lpad-padded numerics, Hive-escaped characters,
+__HIVE_DEFAULT_PARTITION__). Phase 2 rewrites ONLY those directories
+with the key anti-filter, reusing compaction's marker-driven
+crash-safe swap, so untouched partitions stay byte-identical. At
+100 TB a delete of k keys costs O(affected partitions), never a table
+rewrite.
 
 Crash safety is compaction's: temp dir -> marker -> swap -> unmark,
-healed on the next run. A crash between phase 2 partitions resumes by
+healed on the next run. A crash between phase-2 partitions resumes by
 re-running the delete (already-rewritten partitions simply match no
 keys on the second pass).
 """
@@ -37,6 +38,26 @@ from goe_spark.plans.compaction import (
 )
 from goe_spark.plans.metadata import atomic_write_json
 
+HIVE_NULL_DIR = "__HIVE_DEFAULT_PARTITION__"
+
+
+FILE_COL = "_goe_src_file"
+
+
+def affected_partition_dirs(matches: DataFrame) -> list[str]:
+    """Distinct immediate parent directory NAMES of the files holding
+    matching rows — exact (from input_file_name), driver-bounded by
+    affected-partition file counts. ``matches`` must already carry
+    FILE_COL projected AT SCAN TIME: input_file_name() is task-local
+    and evaluates to '' when first referenced above a shuffle join."""
+    files = [r[0] for r in matches.select(FILE_COL).distinct().collect()]
+    if any(not f for f in files):  # pragma: no cover - defensive
+        raise RuntimeError(
+            "input_file_name lost provenance — FILE_COL must be "
+            "projected before any join"
+        )
+    return sorted({f.rstrip("/").rsplit("/", 2)[-2] for f in files})
+
 
 @dataclass
 class DeleteReport:
@@ -57,9 +78,11 @@ def delete_rows(
     partitioned parquet table at ``path``.
 
     ``keys`` is a Python list (small takedown lists) or a DataFrame
-    with a single ``key_column`` column (large removal sets — joined
-    with broadcast if small enough, shuffled otherwise; Spark's AQE
-    decides)."""
+    with a ``key_column`` column (large removal sets). A DataFrame
+    keyset is checkpointed once: phase 1 and every per-partition
+    anti-join must see the SAME key set, and a non-deterministic keys
+    plan (limit, sample) re-evaluated per partition would delete an
+    inconsistent set."""
     report = DeleteReport()
     report.partitions_healed = len(heal_interrupted_swaps(path))
 
@@ -70,44 +93,49 @@ def delete_rows(
             "delete needs the partition layout to bound the rewrite"
         )
 
+    # Project the provenance column AT SCAN TIME (see
+    # affected_partition_dirs) before any join can shuffle it away.
+    table_f = table.withColumn(FILE_COL, F.input_file_name())
+
     if isinstance(keys, DataFrame):
-        matches = table.join(
-            keys.select(F.col(key_column)).distinct(), key_column, "left_semi"
+        keys = (
+            keys.select(F.col(key_column))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
+        matches = table_f.join(keys, key_column, "left_semi")
+
+        def anti(df):
+            return df.join(keys, key_column, "left_anti")
+
     else:
-        matches = table.where(F.col(key_column).isin(list(keys)))
+        key_list = list(keys)
+        matches = table_f.where(F.col(key_column).isin(key_list))
 
-    affected = [
-        r[0]
-        for r in matches.select(partition_col).distinct().collect()
-        if r[0] is not None
-    ]
+        def anti(df):
+            return df.where(~F.col(key_column).isin(key_list))
 
-    for pval in sorted(affected, key=str):
-        d = f"{partition_col}={pval}"
+    for d in affected_partition_dirs(matches):
+        if d != HIVE_NULL_DIR and not d.startswith(f"{partition_col}="):
+            # A matching file NOT under a partition dir means the
+            # layout assumption is wrong — refuse rather than skip.
+            raise ValueError(
+                f"matched file outside the partition layout: {d!r}"
+            )
         full = os.path.join(path, d)
-        if not os.path.isdir(full):  # pragma: no cover - defensive
-            continue
         old_files = _data_files(full)
         part_df = spark.read.parquet(full)
         n_before = part_df.count()
-        if isinstance(keys, DataFrame):
-            kept = part_df.join(
-                keys.select(F.col(key_column)).distinct(),
-                key_column,
-                "left_anti",
-            )
-        else:
-            kept = part_df.where(~F.col(key_column).isin(list(keys)))
+        kept = anti(part_df)
         tmp = _tmp_dir(path, d)
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         kept.write.mode("overwrite").parquet(tmp)
         n_after = spark.read.parquet(tmp).count()
         if n_after >= n_before:
-            # The phase-1 match said this partition holds doomed rows;
-            # a no-op rewrite means the two scans disagreed — abort
-            # rather than swap files for nothing.
+            # input_file_name said this dir holds doomed rows; a no-op
+            # rewrite means the scans disagreed — don't swap files for
+            # nothing.
             shutil.rmtree(tmp)
             if n_after == n_before:
                 continue

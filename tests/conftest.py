@@ -33,3 +33,44 @@ def duck():
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMALL}/{t}.parquet'"
         )
     yield con
+
+
+@pytest.fixture
+def offloaded_orders(spark, tmp_path):
+    """Orders offloaded to a month-partitioned parquet target — shared
+    by the targeted-delete and merge test suites. Returns
+    (target_dir, source_df, PartitionSpec)."""
+    from goe_spark.plans.offload import (
+        OffloadConfig,
+        OffloadPipeline,
+        PartitionSpec,
+    )
+
+    spec = PartitionSpec(
+        source_column="o_orderdate", kind="date", granularity="M"
+    )
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    cfg = OffloadConfig(
+        owner="tpch",
+        table_name="orders",
+        target_dir=str(tmp_path / "final"),
+        staging_dir=str(tmp_path / "staging"),
+        metadata_dir=str(tmp_path / "meta"),
+        partition=spec,
+    )
+    OffloadPipeline(spark, cfg).run(src)
+    return cfg.target_dir, src, spec
+
+
+def partition_file_map(path):
+    """{partition_dir: {file: mtime}} for byte-stability assertions."""
+    out = {}
+    for d in os.listdir(path):
+        full = os.path.join(path, d)
+        if "=" in d and not d.startswith(".") and os.path.isdir(full):
+            out[d] = {
+                f: os.path.getmtime(os.path.join(full, f))
+                for f in os.listdir(full)
+                if not f.startswith(("_", "."))
+            }
+    return out

@@ -1,50 +1,18 @@
 """Keyed merge/upsert (plans/merge_update.py): update-in-place,
-insert, partition move, byte-stability, healing."""
+insert, partition move, byte-stability, CDC dedup enforcement, null
+partition values."""
 
 from __future__ import annotations
-
-import os
 
 import pytest
 from pyspark.sql import functions as F
 
 from goe_spark.plans.merge_update import merge_rows
-from goe_spark.plans.offload import OffloadConfig, OffloadPipeline, PartitionSpec
-from tests.conftest import SF_SMALL
-
-SPEC = PartitionSpec(source_column="o_orderdate", kind="date", granularity="M")
+from tests.conftest import partition_file_map
 
 
-@pytest.fixture
-def offloaded(spark, tmp_path):
-    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
-    cfg = OffloadConfig(
-        owner="tpch",
-        table_name="orders",
-        target_dir=str(tmp_path / "final"),
-        staging_dir=str(tmp_path / "staging"),
-        metadata_dir=str(tmp_path / "meta"),
-        partition=SPEC,
-    )
-    OffloadPipeline(spark, cfg).run(src)
-    return cfg.target_dir, src
-
-
-def _file_map(path):
-    out = {}
-    for d in os.listdir(path):
-        full = os.path.join(path, d)
-        if d.startswith("goe_part_key=") and os.path.isdir(full):
-            out[d] = {
-                f: os.path.getmtime(os.path.join(full, f))
-                for f in os.listdir(full)
-                if not f.startswith(("_", "."))
-            }
-    return out
-
-
-def test_update_in_place(spark, offloaded):
-    target, src = offloaded
+def test_update_in_place(spark, offloaded_orders):
+    target, src, spec = offloaded_orders
     victim = src.orderBy("o_orderkey").first()
     updates = spark.createDataFrame(
         [
@@ -59,7 +27,7 @@ def test_update_in_place(spark, offloaded):
         ],
         src.schema,
     )
-    rep = merge_rows(spark, target, "o_orderkey", updates, SPEC)
+    rep = merge_rows(spark, target, "o_orderkey", updates, spec)
     assert rep.rows_updated == 1 and rep.rows_inserted == 0
     after = spark.read.parquet(target)
     assert after.count() == src.count()  # replaced, not added
@@ -67,8 +35,8 @@ def test_update_in_place(spark, offloaded):
     assert got.o_totalprice == 999999.0
 
 
-def test_insert_new_key(spark, offloaded):
-    target, src = offloaded
+def test_insert_new_key(spark, offloaded_orders):
+    target, src, spec = offloaded_orders
     new_key = src.agg(F.max("o_orderkey")).first()[0] + 1000
     row = src.first()
     updates = spark.createDataFrame(
@@ -84,17 +52,17 @@ def test_insert_new_key(spark, offloaded):
         ],
         src.schema,
     )
-    rep = merge_rows(spark, target, "o_orderkey", updates, SPEC)
+    rep = merge_rows(spark, target, "o_orderkey", updates, spec)
     assert rep.rows_updated == 0 and rep.rows_inserted == 1
     after = spark.read.parquet(target)
     assert after.count() == src.count() + 1
     assert after.where(F.col("o_orderkey") == new_key).count() == 1
 
 
-def test_partition_move(spark, offloaded):
+def test_partition_move(spark, offloaded_orders):
     """An updated partition-source value MOVES the row: gone from the
     old partition, present (once) in the new one."""
-    target, src = offloaded
+    target, src, spec = offloaded_orders
     victim = src.orderBy("o_orderkey").first()
     old_part = victim.o_orderdate.strftime("%Y-%m")
     new_date = victim.o_orderdate.replace(year=victim.o_orderdate.year + 1)
@@ -111,7 +79,7 @@ def test_partition_move(spark, offloaded):
         ],
         src.schema,
     )
-    rep = merge_rows(spark, target, "o_orderkey", updates, SPEC)
+    rep = merge_rows(spark, target, "o_orderkey", updates, spec)
     assert rep.rows_updated == 1 and rep.rows_inserted == 0
     after = spark.read.option("basePath", target).parquet(target)
     rows = after.where(F.col("o_orderkey") == victim.o_orderkey).collect()
@@ -120,27 +88,48 @@ def test_partition_move(spark, offloaded):
     assert after.count() == src.count()
 
 
-def test_untouched_partitions_stay_byte_identical(spark, offloaded):
-    target, src = offloaded
+def test_untouched_partitions_stay_byte_identical(spark, offloaded_orders):
+    target, src, spec = offloaded_orders
     victim = src.first()
     updates = spark.createDataFrame([tuple(victim)], src.schema)
-    files_before = _file_map(target)
-    rep = merge_rows(spark, target, "o_orderkey", updates, SPEC)
-    files_after = _file_map(target)
-    touched = {d for d, _, _ in rep.details}
-    assert touched  # at least the victim's partition rewrote
-    for d, fmap in files_before.items():
-        if d not in touched:
-            assert files_after[d] == fmap, f"{d} was rewritten needlessly"
+    files_before = partition_file_map(target)
+    merge_rows(spark, target, "o_orderkey", updates, spec)
+    files_after = partition_file_map(target)
+    victim_part = f"goe_part_key={victim.o_orderdate.strftime('%Y-%m')}"
+    changed = {
+        d
+        for d in files_before
+        if files_after.get(d) != files_before[d]
+    }
+    assert changed == {victim_part}
 
 
-def test_missing_columns_rejected(spark, offloaded):
-    target, src = offloaded
+def test_duplicate_update_keys_rejected(spark, offloaded_orders):
+    target, src, spec = offloaded_orders
+    row = src.first()
+    updates = spark.createDataFrame([tuple(row), tuple(row)], src.schema)
+    with pytest.raises(ValueError, match="unique"):
+        merge_rows(spark, target, "o_orderkey", updates, spec)
+
+
+def test_null_partition_value_lands_and_survives(spark, offloaded_orders):
+    """An update with a NULL partition-source value lands in the Hive
+    default-partition directory (not silently dropped) and is
+    retrievable."""
+    target, src, spec = offloaded_orders
+    row = src.first()
+    new_key = src.agg(F.max("o_orderkey")).first()[0] + 5000
+    updates = spark.createDataFrame(
+        [(new_key, row.o_custkey, "O", 2.0, None, row.o_orderpriority)],
+        src.schema,
+    )
+    rep = merge_rows(spark, target, "o_orderkey", updates, spec)
+    assert rep.rows_inserted == 1
+    after = spark.read.parquet(target)
+    assert after.where(F.col("o_orderkey") == new_key).count() == 1
+
+
+def test_missing_columns_rejected(spark, offloaded_orders):
+    target, src, spec = offloaded_orders
     with pytest.raises(ValueError, match="missing"):
-        merge_rows(
-            spark,
-            target,
-            "o_orderkey",
-            src.select("o_orderkey"),
-            SPEC,
-        )
+        merge_rows(spark, target, "o_orderkey", src.select("o_orderkey"), spec)
