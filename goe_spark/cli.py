@@ -84,7 +84,9 @@ def cmd_delete(args) -> int:
     spark = _spark("goe-delete")
     # Coerce CSV values by the KEY COLUMN's actual type — guessing
     # int-ness from the spelling would turn a string key '0123' into
-    # 123 and silently match nothing.
+    # 123 and silently match nothing, and leaving a decimal(38,0) key
+    # as a string would compare through double and corrupt keys above
+    # 2^53. (Schema-only read: one footer + partition listing.)
     dtype = dict(
         spark.read.parquet(args.target_dir).dtypes
     ).get(args.key_column, "string")
@@ -93,6 +95,18 @@ def cmd_delete(args) -> int:
         keys: list = [int(v) for v in vals]
     elif dtype in ("float", "double"):
         keys = [float(v) for v in vals]
+    elif dtype.startswith("decimal"):
+        from decimal import Decimal
+
+        keys = [Decimal(v) for v in vals]
+    elif dtype == "date":
+        import datetime
+
+        keys = [datetime.date.fromisoformat(v) for v in vals]
+    elif dtype.startswith("timestamp"):
+        import datetime
+
+        keys = [datetime.datetime.fromisoformat(v) for v in vals]
     else:
         keys = vals
     rep = delete_rows(

@@ -49,14 +49,21 @@ def affected_partition_dirs(matches: DataFrame) -> list[str]:
     matching rows — exact (from input_file_name), driver-bounded by
     affected-partition file counts. ``matches`` must already carry
     FILE_COL projected AT SCAN TIME: input_file_name() is task-local
-    and evaluates to '' when first referenced above a shuffle join."""
+    and evaluates to '' when first referenced above a shuffle join.
+
+    input_file_name returns a URI, so each segment is URL-encoded ON
+    TOP of whatever Hive escaping the on-disk name carries (dir
+    'goe_part_key=a%2Fb' arrives as '...a%252Fb/...', a literal space
+    as '%20') — one unquote restores the on-disk spelling."""
+    from urllib.parse import unquote
+
     files = [r[0] for r in matches.select(FILE_COL).distinct().collect()]
     if any(not f for f in files):  # pragma: no cover - defensive
         raise RuntimeError(
             "input_file_name lost provenance — FILE_COL must be "
             "projected before any join"
         )
-    return sorted({f.rstrip("/").rsplit("/", 2)[-2] for f in files})
+    return sorted({unquote(f.rstrip("/").rsplit("/", 2)[-2]) for f in files})
 
 
 @dataclass
@@ -64,6 +71,11 @@ class DeleteReport:
     partitions_affected: int = 0
     partitions_healed: int = 0
     rows_deleted: int = 0
+    # Distinct doomed keys actually present in the table — rows_deleted
+    # can exceed this when a key has several physical row versions
+    # (e.g. healing a crashed merge); merge accounting needs the
+    # distinct-key truth.
+    keys_matched: int = 0
     details: list = field(default_factory=list)  # (partition, deleted)
 
 
@@ -113,8 +125,18 @@ def delete_rows(
         matches = table_f.where(F.col(key_column).isin(key_list))
 
         def anti(df):
-            return df.where(~F.col(key_column).isin(key_list))
+            # NULL-key rows are never doomed: bare ~isin is NULL for
+            # them (three-valued logic) and where() would silently
+            # drop innocent rows from every rewritten partition — the
+            # left_anti path keeps them, so this path must too.
+            return df.where(
+                ~F.col(key_column).isin(key_list)
+                | F.col(key_column).isNull()
+            )
 
+    report.keys_matched = (
+        matches.select(key_column).distinct().count()
+    )
     for d in affected_partition_dirs(matches):
         if d != HIVE_NULL_DIR and not d.startswith(f"{partition_col}="):
             # A matching file NOT under a partition dir means the

@@ -133,3 +133,63 @@ def test_missing_columns_rejected(spark, offloaded_orders):
     target, src, spec = offloaded_orders
     with pytest.raises(ValueError, match="missing"):
         merge_rows(spark, target, "o_orderkey", src.select("o_orderkey"), spec)
+
+
+def test_merge_heals_crashed_phase_b(spark, offloaded_orders):
+    """A crash between the delete phase and the append leaves the
+    staged copy + marker on disk; the next merge completes it first —
+    no updated row is ever lost."""
+    import os
+
+    from goe_spark.plans.merge_update import (
+        MERGE_MARKER,
+        MERGE_STAGING_DIR,
+        heal_pending_merge,
+    )
+    from goe_spark.plans.metadata import atomic_write_json
+    from goe_spark.plans.targeted_delete import delete_rows
+
+    target, src, spec = offloaded_orders
+    victim = src.orderBy("o_orderkey").first()
+    updates = spark.createDataFrame(
+        [
+            (
+                victim.o_orderkey,
+                victim.o_custkey,
+                victim.o_orderstatus,
+                123456.0,
+                victim.o_orderdate,
+                victim.o_orderpriority,
+            )
+        ],
+        src.schema,
+    )
+    # Simulate the crash point: staged + marker + phase A done, no
+    # phase B append.
+    staging = os.path.join(target, MERGE_STAGING_DIR)
+    updates.withColumn("goe_part_key", spec.expr()).write.parquet(staging)
+    atomic_write_json(
+        os.path.join(target, MERGE_MARKER),
+        {"key_column": "o_orderkey", "partition_col": "goe_part_key"},
+    )
+    delete_rows(spark, target, "o_orderkey", [victim.o_orderkey])
+    assert (
+        spark.read.parquet(target)
+        .where(F.col("o_orderkey") == victim.o_orderkey)
+        .count()
+        == 0
+    )  # the dangerous window
+
+    assert heal_pending_merge(spark, target)
+    after = spark.read.parquet(target)
+    got = after.where(F.col("o_orderkey") == victim.o_orderkey).collect()
+    assert len(got) == 1 and got[0].o_totalprice == 123456.0
+    assert not os.path.exists(os.path.join(target, MERGE_MARKER))
+    assert not os.path.exists(staging)
+
+
+def test_heal_is_idempotent_after_full_completion(spark, offloaded_orders):
+    from goe_spark.plans.merge_update import heal_pending_merge
+
+    target, _, _ = offloaded_orders
+    assert heal_pending_merge(spark, target) is False

@@ -127,3 +127,40 @@ def test_unpartitioned_target_rejected(spark, tmp_path):
     src.write.parquet(flat)
     with pytest.raises(ValueError, match="not partitioned"):
         delete_rows(spark, flat, "r_regionkey", [0])
+
+
+def test_delete_from_hive_escaped_partitions(spark, tmp_path):
+    """Partition values with URI/Hive-special characters ('a/b',
+    'c d') produce escaped directory names; input_file_name returns
+    them URL-encoded ON TOP — one unquote must land back on the
+    on-disk spelling, not crash with FileNotFoundError."""
+    src = spark.createDataFrame(
+        [(1, "a/b"), (2, "c d"), (3, "plain")], "id long, k string"
+    )
+    target = str(tmp_path / "escaped")
+    src.withColumn("goe_part_key", F.col("k")).write.partitionBy(
+        "goe_part_key"
+    ).parquet(target)
+
+    rep = delete_rows(spark, target, "id", [1, 2])
+    assert rep.rows_deleted == 2
+    after = spark.read.parquet(target)
+    assert sorted(r.id for r in after.collect()) == [3]
+
+
+def test_delete_keeps_innocent_null_key_rows(spark, tmp_path):
+    """NULL-key rows in a rewritten partition must survive a delete
+    of OTHER keys (three-valued ~isin would silently drop them)."""
+    src = spark.createDataFrame(
+        [(1, "p"), (None, "p"), (2, "p")], "id long, part string"
+    )
+    target = str(tmp_path / "nullrow")
+    src.withColumn("goe_part_key", F.col("part")).write.partitionBy(
+        "goe_part_key"
+    ).parquet(target)
+
+    rep = delete_rows(spark, target, "id", [1])
+    assert rep.rows_deleted == 1
+    after = spark.read.parquet(target)
+    got = sorted((r.id if r.id is not None else -99) for r in after.collect())
+    assert got == [-99, 2]  # NULL-key row kept
