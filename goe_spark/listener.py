@@ -102,15 +102,35 @@ def make_handler(spark):
 
         def do_POST(self) -> None:  # noqa: N802
             url = urlparse(self.path)
-            if url.path != "/api/offload":
-                self._reply(404, {"error": "not found"})
-                return
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 spec = json.loads(self.rfile.read(n) or b"{}")
-                from goe_spark.plans.offload import offload_from_spec
+                if url.path == "/api/offload":
+                    from goe_spark.plans.offload import offload_from_spec
 
-                self._reply(200, offload_from_spec(spark, spec))
+                    self._reply(200, offload_from_spec(spark, spec))
+                elif url.path == "/api/delete":
+                    from goe_spark.plans.targeted_delete import delete_rows
+
+                    rep = delete_rows(
+                        spark,
+                        spec["target_dir"],
+                        spec["key_column"],
+                        spec["keys"],
+                        partition_col=spec.get(
+                            "partition_column", "goe_part_key"
+                        ),
+                    )
+                    self._reply(
+                        200,
+                        {
+                            "rows_deleted": rep.rows_deleted,
+                            "partitions_affected": rep.partitions_affected,
+                            "partitions_healed": rep.partitions_healed,
+                        },
+                    )
+                else:
+                    self._reply(404, {"error": "not found"})
             except KeyError as e:
                 self._reply(400, {"error": f"missing field {e}"})
             except Exception as e:

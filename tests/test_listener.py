@@ -88,3 +88,38 @@ def test_offload_missing_field_400(base_url):
     with pytest.raises(urllib.error.HTTPError) as exc:
         _post(f"{base_url}/api/offload", {"owner": "sh"})
     assert exc.value.code == 400
+
+
+def test_delete_route(base_url, tmp_path):
+    """POST /api/delete removes the requested keys from an offloaded
+    target, partition-bounded like the CLI/API paths."""
+    status, _ = _post(
+        f"{base_url}/api/offload",
+        {
+            "owner": "sh",
+            "table": "orders",
+            "source_dir": SF_SMALL,
+            "target_dir": str(tmp_path / "final"),
+            "staging_dir": str(tmp_path / "stage"),
+            "metadata_dir": str(tmp_path / "md"),
+            "partition_column": "o_orderdate",
+        },
+    )
+    assert status == 200
+    status, body = _post(
+        f"{base_url}/api/delete",
+        {
+            "target_dir": str(tmp_path / "final"),
+            "key_column": "o_orderkey",
+            "keys": [1, 2, 3],
+        },
+    )
+    assert status == 200
+    assert body["rows_deleted"] >= 0
+    assert "partitions_affected" in body
+
+
+def test_delete_route_missing_field_400(base_url):
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(f"{base_url}/api/delete", {"key_column": "k"})
+    assert exc.value.code == 400
