@@ -1,0 +1,237 @@
+"""Z-order (Morton-curve) clustering on write + a per-file min/max
+manifest for multi-dimensional file skipping.
+
+The reference clusters backend tables for scan locality on ONE
+leading-column prefix (BigQuery CLUSTER BY, rendered in this repo as
+``plans/sort_columns.py`` sortWithinPartitions). A linear sort prunes
+only predicates on the leading column: sort 100 TB by (custkey) and a
+predicate on totalprice still reads every file. Interleaving the bits
+of several columns into one Morton key and range-partitioning on it
+gives every clustered column bounded per-file value ranges — a
+predicate on ANY of the columns skips most files. This is the same
+trade Delta Lake OPTIMIZE ZORDER BY and Databricks data skipping make;
+here it is built from stock Spark operators:
+
+1. stats pass: one ``agg(min, max)`` per clustered column (O(1) rows
+   to the driver);
+2. map-side: scale each column linearly to a ``BITS``-bit integer rank
+   and bit-interleave the ranks into one long — pure JVM expressions
+   inside whole-stage codegen, no UDF;
+3. ``repartitionByRange(n_files, z)`` + ``sortWithinPartitions(z)``:
+   each output file covers a contiguous Morton range, i.e. a small
+   hyper-rectangle of the clustered space;
+4. manifest pass: per-file min/max of the clustered columns (grouped
+   on ``input_file_name``), persisted as JSON next to the data.
+
+``read_pruned`` then intersects a conjunction of range predicates with
+the manifest and hands Spark only the surviving files. At 100 TB the
+manifest is thousands of rows of bounds — driver-trivial — while the
+skipped bytes are the win; parquet row-group stats still apply inside
+every file that survives. Linear min/max ranking keeps the rank pass
+one-shot; heavily skewed columns would use range-partition ranks
+(a sampled sort) instead — stated trade-off, same downstream plan.
+
+Scope: numeric, date and timestamp columns (dates rank by epoch day,
+timestamps by epoch micros). Strings would rank by sampled quantile —
+not implemented, rejected loudly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DateType,
+    NumericType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+BITS = 16  # rank bits per column; 4 columns max fills a signed long
+MANIFEST_NAME = "_zorder_manifest.json"
+_FILE = "__zfile"
+
+
+def _rankable(df: DataFrame, col: str) -> F.Column:
+    """The column as a double suitable for linear min/max ranking."""
+    t = df.schema[col].dataType
+    if isinstance(t, NumericType):
+        return F.col(col).cast("double")
+    if isinstance(t, DateType):
+        return F.datediff(F.col(col), F.lit("1970-01-01")).cast("double")
+    if isinstance(t, (TimestampType, TimestampNTZType)):
+        return F.unix_micros(F.col(col).cast("timestamp")).cast("double")
+    raise ValueError(
+        f"zorder supports numeric/date/timestamp columns; {col!r} is "
+        f"{t.simpleString()} (string ranking needs sampled quantiles)"
+    )
+
+
+def zvalue_expr(
+    df: DataFrame, cols: list[str], stats: dict[str, tuple[float, float]]
+) -> F.Column:
+    """The interleaved Morton key as a Column. ``stats`` maps column ->
+    (min, max) from the stats pass. NULL ranks as 0 (start of the
+    curve) — range predicates never match NULL rows, so their
+    placement only affects locality, not pruning correctness."""
+    if not 2 <= len(cols) <= 64 // BITS:
+        raise ValueError(
+            f"zorder needs 2..{64 // BITS} columns, got {len(cols)}"
+        )
+    max_rank = (1 << BITS) - 1
+    ranks = []
+    for c in cols:
+        lo, hi = stats[c]
+        if lo is None or hi == lo:
+            ranks.append(F.lit(0).cast("long"))
+            continue
+        scaled = (_rankable(df, c) - F.lit(float(lo))) / F.lit(
+            float(hi) - float(lo)
+        )
+        ranks.append(
+            F.coalesce(
+                F.least(
+                    F.floor(scaled * (max_rank + 1)).cast("long"),
+                    F.lit(max_rank).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+            )
+        )
+    z = F.lit(0).cast("long")
+    n = len(cols)
+    for bit in range(BITS):
+        for j, r in enumerate(ranks):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(r, bit).bitwiseAND(F.lit(1)),
+                    bit * n + j,
+                )
+            )
+    return z
+
+
+@dataclass
+class ZorderReport:
+    n_files: int
+    cols: list[str]
+    manifest_path: str
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 16,
+) -> ZorderReport:
+    """Write ``df`` as ``n_files`` parquet files clustered on the
+    Morton curve over ``cols``, then build the per-file min/max
+    manifest. The data written is bit-identical in content to ``df``
+    (layout only)."""
+    spark = df.sparkSession
+    row = df.agg(
+        *[F.min(_rankable(df, c)).alias(f"lo_{i}") for i, c in enumerate(cols)],
+        *[F.max(_rankable(df, c)).alias(f"hi_{i}") for i, c in enumerate(cols)],
+    ).first()
+    stats = {
+        c: (row[f"lo_{i}"], row[f"hi_{i}"]) for i, c in enumerate(cols)
+    }
+    z = zvalue_expr(df, cols, stats)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    manifest = build_manifest(spark, path, cols)
+    return ZorderReport(
+        n_files=len(manifest), cols=list(cols), manifest_path=_mpath(path)
+    )
+
+
+def _mpath(path: str) -> str:
+    return os.path.join(path, MANIFEST_NAME)
+
+
+def build_manifest(
+    spark: SparkSession, path: str, cols: list[str]
+) -> dict[str, dict[str, list]]:
+    """{file_name: {col: [min, max]}} over the clustered columns,
+    persisted to MANIFEST_NAME inside ``path``. One aggregate pass
+    grouped on input_file_name; at 100 TB the same bounds come free
+    from the parquet footers — this keeps the semantics engine-visible
+    and testable. Bounds are stored on the RANK scale (epoch
+    days/micros for temporal columns) so JSON stays typed-neutral."""
+    df = spark.read.parquet(path)
+    per_file = (
+        df.select(
+            F.input_file_name().alias(_FILE),
+            *[_rankable(df, c).alias(c) for c in cols],
+        )
+        .groupBy(_FILE)
+        .agg(
+            *[F.min(c).alias(f"lo_{c}") for c in cols],
+            *[F.max(c).alias(f"hi_{c}") for c in cols],
+        )
+        .collect()
+    )
+    manifest = {
+        os.path.basename(r[_FILE]): {
+            c: [r[f"lo_{c}"], r[f"hi_{c}"]] for c in cols
+        }
+        for r in per_file
+    }
+    from goe_spark.plans.metadata import atomic_write_json
+
+    atomic_write_json(_mpath(path), manifest)
+    return manifest
+
+
+def prune_files(
+    path: str, bounds: dict[str, tuple[float | None, float | None]]
+) -> tuple[list[str], int]:
+    """Files whose manifest ranges intersect EVERY (lo, hi) bound
+    (None = unbounded on that side; bounds on the rank scale — epoch
+    days/micros for temporal columns). Returns (surviving file paths,
+    total file count). A file with NULL-only bounds for a bounded
+    column is skipped — range predicates never match NULL."""
+    with open(_mpath(path)) as fh:
+        manifest = json.load(fh)
+    survivors = []
+    for fname, colstats in manifest.items():
+        keep = True
+        for c, (lo, hi) in bounds.items():
+            if c not in colstats:
+                raise KeyError(f"{c!r} not in zorder manifest for {path}")
+            fmin, fmax = colstats[c]
+            if fmin is None:
+                keep = False
+                break
+            if (lo is not None and fmax < lo) or (
+                hi is not None and fmin > hi
+            ):
+                keep = False
+                break
+        if keep:
+            survivors.append(os.path.join(path, fname))
+    return survivors, len(manifest)
+
+
+def read_pruned(
+    spark: SparkSession,
+    path: str,
+    bounds: dict[str, tuple[float | None, float | None]],
+) -> tuple[DataFrame | None, int, int]:
+    """Manifest-pruned read: (DataFrame over surviving files | None if
+    zero survive, n_read, n_total). The caller still applies the exact
+    predicate — the manifest only shrinks the file list, the same
+    contract as partition pruning."""
+    files, total = prune_files(path, bounds)
+    if not files:
+        return None, 0, total
+    return spark.read.parquet(*files), len(files), total
