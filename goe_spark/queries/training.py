@@ -482,6 +482,96 @@ FROM per
 """
 
 
+# Global token budget one mixture-sampling epoch may spend.
+MIX_TOKEN_BUDGET = 150_000
+
+
+def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted mixture sampling: the step after mixture_weights —
+    spend a {MIX_TOKEN_BUDGET}-token epoch budget across sources in
+    proportion to their temperature weights, then pick the ACTUAL
+    documents deterministically.
+
+    Per source: budget_s = floor(weight_s * budget). Docs are laid out
+    in hash-of-doc_id order (reproducible pseudo-random, no RNG state)
+    and a doc is selected iff its first token lands inside the
+    source's budget — the same exclusive-cumsum rule token_pack_bins
+    uses, so selection is exact, order-stable, and engine-agnostic.
+
+    Plan: one corpus scan to (doc_id, source, n_tokens); the
+    source-cardinality weight relation broadcasts back; one window
+    shuffle on source for the cumsum. At 100 TB the per-source window
+    would funnel a dominant source through one task — the scale form
+    replaces the exact prefix with a hash-threshold chosen from a
+    bucket-quantile sample (select docs with hash < t where t lands
+    the budget), trading exactness-of-budget for a fully map-side
+    selection; this exact window version is the semantic spec the
+    approximation is tested against."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", T.token_count("text").alias("n_tokens")
+    )
+    per = d.groupBy("source").agg(F.sum("n_tokens").alias("total_tokens"))
+    tot = per.agg(F.sum(F.sqrt("total_tokens")).alias("z"))
+    w = F.round(F.sqrt("total_tokens") / F.col("z"), 6)
+    budgets = (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.floor(w * MIX_TOKEN_BUDGET).cast("long").alias("budget_tokens"),
+        )
+    )
+    ordkey = hash64(F.col("doc_id").cast("string"))
+    win = (
+        Window.partitionBy("source")
+        .orderBy(ordkey.asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = d.withColumn("cum", F.sum("n_tokens").over(win))
+    picked = cum.join(F.broadcast(budgets), "source").where(
+        (F.col("cum") - F.col("n_tokens")) < F.col("budget_tokens")
+    )
+    return picked.groupBy("source").agg(
+        F.min("budget_tokens").alias("budget_tokens"),
+        F.count(F.lit(1)).alias("n_docs_selected"),
+        F.sum("n_tokens").alias("tokens_selected"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+MIXTURE_SAMPLE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, {T.token_count_sql('text')} AS n_tokens,
+         {hash64_sql('cast(doc_id AS varchar)')} AS hk
+  FROM documents
+), per AS (
+  SELECT source, sum(n_tokens) AS total_tokens FROM toks GROUP BY source
+), budgets AS (
+  SELECT source,
+         cast(floor(round(sqrt(total_tokens)
+                          / sum(sqrt(total_tokens)) OVER (), 6)
+                    * {MIX_TOKEN_BUDGET}) AS bigint) AS budget_tokens
+  FROM per
+), cums AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY hk, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks
+)
+SELECT c.source,
+       min(b.budget_tokens)        AS budget_tokens,
+       count(*)                    AS n_docs_selected,
+       cast(sum(c.n_tokens) AS bigint) AS tokens_selected,
+       min(c.doc_id)               AS min_doc_id,
+       max(c.doc_id)               AS max_doc_id
+FROM cums c JOIN budgets b ON b.source = c.source
+WHERE c.cum - c.n_tokens < b.budget_tokens
+GROUP BY c.source
+"""
+
+
 QUERIES = [
     QuerySpec("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_SQL),
     QuerySpec("dedup_keep_best", dedup_keep_best, _dedup_keep_best_sql()),
@@ -494,4 +584,7 @@ QUERIES = [
         "sliding_window_chunks", sliding_window_chunks, SLIDING_CHUNK_SQL
     ),
     QuerySpec("mixture_weights", mixture_weights, MIXTURE_SQL),
+    QuerySpec(
+        "mixture_sample_docs", mixture_sample_docs, MIXTURE_SAMPLE_SQL
+    ),
 ]
