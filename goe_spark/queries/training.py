@@ -572,6 +572,80 @@ GROUP BY c.source
 """
 
 
+# Hash resolution for the threshold sampler (1e6 buckets ≈ 20 bits —
+# threshold granularity far below any realistic budget tolerance).
+MIX_HASH_BUCKETS = 1_000_000
+
+
+def mixture_sample_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of mixture_sample_docs: replace the exact
+    per-source prefix window with a per-source HASH THRESHOLD.
+
+    The exact sampler needs a cumsum window per source — at corpus
+    scale a dominant source funnels through one task. Instead: tokens
+    are independent of the doc_id hash, so keeping docs whose
+    uniform-[0,1) hash bucket falls below budget_s / total_tokens_s
+    lands the token budget in expectation with O(1/sqrt(n_docs))
+    relative error, and the selection is FULLY map-side (the only
+    shuffles left are the two source-cardinality aggregates). The
+    budget is approximate where the window form is exact — that is
+    the trade, and tests/test_training_ops.py pins the threshold
+    form's spend against the exact spec's budget.
+
+    Deterministic (pure function of the data, no RNG state), so the
+    DuckDB oracle hash-matches it like any other query."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", T.token_count("text").alias("n_tokens")
+    )
+    per = d.groupBy("source").agg(F.sum("n_tokens").alias("total_tokens"))
+    tot = per.agg(F.sum(F.sqrt("total_tokens")).alias("z"))
+    w = F.round(F.sqrt("total_tokens") / F.col("z"), 6)
+    budgets = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "total_tokens",
+        F.floor(w * MIX_TOKEN_BUDGET).cast("long").alias("budget_tokens"),
+    )
+    frac = F.col("budget_tokens") / F.col("total_tokens")
+    h = F.pmod(
+        hash64(F.col("doc_id").cast("string")), F.lit(MIX_HASH_BUCKETS)
+    ) / F.lit(float(MIX_HASH_BUCKETS))
+    picked = d.join(F.broadcast(budgets), "source").where(h < frac)
+    return picked.groupBy("source").agg(
+        F.min("budget_tokens").alias("budget_tokens"),
+        F.count(F.lit(1)).alias("n_docs_selected"),
+        F.sum("n_tokens").alias("tokens_selected"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+MIXTURE_THRESHOLD_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, {T.token_count_sql('text')} AS n_tokens,
+         ({hash64_sql('cast(doc_id AS varchar)')} % {MIX_HASH_BUCKETS})
+           / {float(MIX_HASH_BUCKETS)} AS h
+  FROM documents
+), per AS (
+  SELECT source, sum(n_tokens) AS total_tokens FROM toks GROUP BY source
+), budgets AS (
+  SELECT source, total_tokens,
+         cast(floor(round(sqrt(total_tokens)
+                          / sum(sqrt(total_tokens)) OVER (), 6)
+                    * {MIX_TOKEN_BUDGET}) AS bigint) AS budget_tokens
+  FROM per
+)
+SELECT t.source,
+       min(b.budget_tokens)            AS budget_tokens,
+       count(*)                        AS n_docs_selected,
+       cast(sum(t.n_tokens) AS bigint) AS tokens_selected,
+       min(t.doc_id)                   AS min_doc_id,
+       max(t.doc_id)                   AS max_doc_id
+FROM toks t JOIN budgets b ON b.source = t.source
+WHERE t.h < b.budget_tokens / cast(b.total_tokens AS double)
+GROUP BY t.source
+"""
+
+
 QUERIES = [
     QuerySpec("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_SQL),
     QuerySpec("dedup_keep_best", dedup_keep_best, _dedup_keep_best_sql()),
@@ -586,5 +660,10 @@ QUERIES = [
     QuerySpec("mixture_weights", mixture_weights, MIXTURE_SQL),
     QuerySpec(
         "mixture_sample_docs", mixture_sample_docs, MIXTURE_SAMPLE_SQL
+    ),
+    QuerySpec(
+        "mixture_sample_threshold",
+        mixture_sample_threshold,
+        MIXTURE_THRESHOLD_SQL,
     ),
 ]

