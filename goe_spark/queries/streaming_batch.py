@@ -116,6 +116,62 @@ GROUP BY user_id, session_id
 """
 
 
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions via Spark's NATIVE session_window — the
+    declarative formulation of the sessionizer (the same groupBy runs
+    unbounded under Structured Streaming with a watermark; pinned
+    batch-side here so the oracle is exact).
+
+    Two deliberate semantic differences from sessionization_stats
+    (both are the built-in operator's definition, mirrored in the
+    oracle): a session's end is last_event + gap (the window close,
+    not the last event), and an event exactly AT the gap boundary
+    starts a NEW session (close on >= gap, where the lag/cumsum twin
+    closes on > gap)."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return (
+        e.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SESSION_WINDOW_SQL = f"""
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                  >= {SESSION_GAP_MIN * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       min(ts)                                        AS session_start,
+       max(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE    AS session_end,
+       count(*)                                       AS n_events,
+       round(sum(value), 2)                           AS total_value
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
 def event_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS rollup over (event_type, day) — the reporting
     shape of the reference's status report (O8) on event data."""
@@ -233,6 +289,9 @@ QUERIES = [
         "streaming_dedup_counts", streaming_dedup_counts, STREAMING_DEDUP_SQL
     ),
     QuerySpec("sessionization_stats", sessionization_stats, SESSIONIZATION_SQL),
+    QuerySpec(
+        "session_window_stats", session_window_stats, SESSION_WINDOW_SQL
+    ),
     QuerySpec("event_type_rollup", event_type_rollup, EVENT_ROLLUP_SQL),
     QuerySpec(
         "stream_enriched_counts", stream_enriched_counts, STREAM_ENRICHED_SQL
