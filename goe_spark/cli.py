@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -122,6 +123,43 @@ def cmd_delete(args) -> int:
                 "rows_deleted": rep.rows_deleted,
                 "partitions_affected": rep.partitions_affected,
                 "partitions_healed": rep.partitions_healed,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_zorder(args) -> int:
+    """Maintenance rewrite: re-cluster a table (or one partition
+    directory) on the Morton curve over the given columns and build
+    the file-skipping manifest. Sits beside compact/delete/merge in
+    the maintenance family — layout only, content byte-equal."""
+    import shutil
+
+    from goe_spark.plans.zorder import write_zordered
+
+    spark = _spark("goe-zorder")
+    target = args.target_dir.rstrip("/")
+    tmp, old = f"{target}.zorder_tmp", f"{target}.zorder_old"
+    # Crash-safe rewrite: the clustered copy is COMPLETE in a sibling
+    # dir before the source moves; a crash leaves either the original
+    # (tmp partial — rerun cleans it) or both (finish = rename tmp in).
+    if os.path.isdir(old) and not os.path.isdir(target):
+        os.rename(old, target)  # heal a crash between the two renames
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    df = spark.read.parquet(target)
+    rep = write_zordered(df, tmp, args.columns.split(","), n_files=args.n_files)
+    os.rename(target, old)
+    os.rename(tmp, target)
+    shutil.rmtree(old)
+    rep.manifest_path = os.path.join(target, os.path.basename(rep.manifest_path))
+    print(
+        json.dumps(
+            {
+                "n_files": rep.n_files,
+                "cols": rep.cols,
+                "manifest": rep.manifest_path,
             }
         )
     )
@@ -359,6 +397,16 @@ def build_parser() -> argparse.ArgumentParser:
     dl.add_argument("--values", required=True, help="CSV of key values")
     dl.add_argument("--partition-column", default="goe_part_key")
     dl.set_defaults(fn=cmd_delete)
+
+    z = sub.add_parser(
+        "zorder", help="re-cluster a table on a Morton curve + manifest"
+    )
+    z.add_argument("--target-dir", required=True)
+    z.add_argument(
+        "--columns", required=True, help="CSV of 2-4 numeric/temporal columns"
+    )
+    z.add_argument("--n-files", type=int, default=64)
+    z.set_defaults(fn=cmd_zorder)
 
     v = sub.add_parser("agg-validate", help="front-vs-back aggregate compare")
     v.add_argument("--frontend-path", required=True)

@@ -136,3 +136,54 @@ def test_query_command(capsys):
 
     rc = main(["query", "not_a_query"])
     assert rc == 2
+
+
+def test_zorder_command_rewrites_in_place(tmp_path, capsys, spark):
+    """zorder maintenance: content byte-equal, manifest present, no
+    leftover tmp/old dirs, and a second run is idempotent."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = f"{SF_SMALL}/orders.parquet"
+    target = str(tmp_path / "orders")
+    spark.read.parquet(src).write.parquet(target)
+    before = spark.read.parquet(target).groupBy().agg(
+        F.count("*"), F.sum("o_orderkey")
+    ).first()
+
+    rc = main(
+        [
+            "zorder",
+            "--target-dir",
+            target,
+            "--columns",
+            "o_custkey,o_totalprice",
+            "--n-files",
+            "8",
+        ]
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["n_files"] == 8
+    assert os.path.exists(res["manifest"])
+    assert not os.path.isdir(target + ".zorder_tmp")
+    assert not os.path.isdir(target + ".zorder_old")
+    after = spark.read.parquet(target).groupBy().agg(
+        F.count("*"), F.sum("o_orderkey")
+    ).first()
+    assert after == before
+
+    rc = main(
+        [
+            "zorder",
+            "--target-dir",
+            target,
+            "--columns",
+            "o_custkey,o_totalprice",
+            "--n-files",
+            "8",
+        ]
+    )
+    assert rc == 0
+    assert spark.read.parquet(target).count() == before[0]
