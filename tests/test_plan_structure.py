@@ -187,3 +187,66 @@ def test_stratified_sample_no_join_pruned_scan(spark):
     m = re.search(r"ReadSchema: struct<([^>]*)>", full)
     cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert "text" not in cols, cols
+
+
+def test_dynamic_partition_pruning_on_offloaded_layout(spark, tmp_path):
+    """A dim-filtered join against a partitioned fact triggers DPP:
+    the fact scan carries a dynamicpruning subquery on the partition
+    column, so at 100 TB only the partitions the dim filter selects
+    are read — Catalyst's runtime analogue of the static HWM pruning
+    the offload pipeline does."""
+    from pyspark.sql import functions as F
+
+    fact_dir = str(tmp_path / "fact")
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    (
+        orders.withColumn("part_month", F.date_format("o_orderdate", "yyyy-MM"))
+        .write.partitionBy("part_month")
+        .parquet(fact_dir)
+    )
+    fact = spark.read.parquet(fact_dir)
+    # The dim must be independent of the fact's lineage: a
+    # distinct+limit carved from the same scan suppresses DPP
+    # insertion (no guaranteed filtering subquery to reuse).
+    months = [
+        r.part_month
+        for r in fact.select("part_month").distinct().limit(2).collect()
+    ]
+    dim = spark.createDataFrame(
+        [(m, 1) for m in months], "part_month string, flag int"
+    )
+    joined = fact.join(dim.where(F.col("flag") == 1), "part_month")
+    plan = _plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and the pruned join actually returns only those months' rows
+    expect = fact.where(F.col("part_month").isin(months)).count()
+    assert joined.count() == expect
+
+
+def test_approx_percentile_tracks_exact(spark):
+    """The 100 TB swap SCALE.md names for exact group quantiles:
+    approx_percentile (mergeable sketch, map-side partials) stays
+    within its accuracy parameter of the exact sort-based answer."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    exact = {
+        r.l_returnflag: r.p50
+        for r in li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, 0.5)").alias("p50"))
+        .collect()
+    }
+    approx = {
+        r.l_returnflag: r.p50
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, 0.5, 1000)"
+            ).alias("p50")
+        )
+        .collect()
+    }
+    for k, ev in exact.items():
+        # 1/accuracy = 0.1% rank error; price spread per group ~ 1e5,
+        # so value error stays well under 2% of the exact median.
+        assert abs(approx[k] - ev) / ev < 0.02, (k, ev, approx[k])
