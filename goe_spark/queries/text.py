@@ -386,6 +386,83 @@ WHERE c2.c2 * 1000 >= n.n2 * {PMI_MIN_COUNT_PER_MILLE}
 """
 
 
+# Unigram-LM scoring: vocabulary cap and the OOV pseudo-count. The
+# cap is the scale knob — the score join broadcasts a TOP_K-row vocab,
+# never the full corpus vocabulary.
+LM_VOCAB_TOP_K = 5_000
+LM_OOV_PSEUDO = 0.5
+
+
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality proxy (the KenLM-perplexity
+    curation signal, reduced to order-1): per document, the mean
+    ln-probability of its tokens under the corpus's own top-{K}
+    unigram distribution, OOV tokens smoothed with a
+    {LM_OOV_PSEUDO}-pseudo-count. Low scores flag gibberish /
+    boilerplate; per-language means + low-tail counts come out as the
+    curation report.
+
+    Plan: scan 1 builds the token counts (explode + groupBy, map-side
+    partial); only the top-K survive (TakeOrdered, deterministic
+    count-desc/token-asc tie-break) and BROADCAST into scan 2's
+    per-token lookup, so the corpus-sized explode never shuffles —
+    per-doc means aggregate map-side. avg(ln p) decomposes as
+    avg(ln count) - ln(total): both engines compute ln on the same
+    integers, immune to p-quotient rounding.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", T.tokens("text").alias("toks")
+    )
+    tok = d.select("doc_id", "lang", F.explode("toks").alias("t"))
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    top = counts.orderBy(F.desc("c"), F.asc("t")).limit(LM_VOCAB_TOP_K)
+    total = tok.count()  # scalar: total corpus tokens
+    scored = (
+        tok.join(F.broadcast(top), "t", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.avg(F.log(F.coalesce(F.col("c"), F.lit(LM_OOV_PSEUDO))))
+                - F.log(F.lit(float(total))),
+                6,
+            ).alias("logprob")
+        )
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("logprob"), 4).alias("avg_logprob"),
+        F.round(F.min("logprob"), 6).alias("worst_logprob"),
+        F.sum(
+            (F.col("logprob") < F.lit(-9.0)).cast("long")
+        ).alias("n_low_tail"),
+    )
+
+
+UNIGRAM_LM_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({T.tokens_sql('text')}) AS t FROM documents
+), counts AS (
+  SELECT t, count(*) AS c FROM tok GROUP BY t
+), top AS (
+  SELECT t, c FROM counts ORDER BY c DESC, t ASC LIMIT {LM_VOCAB_TOP_K}
+), total AS (
+  SELECT count(*) AS n FROM tok
+), per_doc AS (
+  SELECT tok.doc_id, tok.lang,
+         round(avg(ln(coalesce(top.c, {LM_OOV_PSEUDO})))
+               - ln((SELECT n FROM total)), 6) AS logprob
+  FROM tok LEFT JOIN top ON top.t = tok.t
+  GROUP BY tok.doc_id, tok.lang
+)
+SELECT lang,
+       count(*)                        AS n_docs,
+       round(avg(logprob), 4)          AS avg_logprob,
+       round(min(logprob), 6)          AS worst_logprob,
+       sum(CASE WHEN logprob < -9.0 THEN 1 ELSE 0 END) AS n_low_tail
+FROM per_doc GROUP BY lang
+"""
+
+
 QUERIES = [
     QuerySpec("token_stats_by_lang", token_stats_by_lang, TOKEN_STATS_SQL),
     QuerySpec("bpe_token_stats", bpe_token_stats, BPE_TOKEN_SQL),
@@ -395,4 +472,7 @@ QUERIES = [
     QuerySpec("events_json_extract", events_json_extract, EVENTS_JSON_SQL),
     QuerySpec("repetition_doc_stats", repetition_doc_stats, REPETITION_SQL),
     QuerySpec("term_bigram_pmi", term_bigram_pmi, BIGRAM_PMI_SQL),
+    QuerySpec(
+        "unigram_logprob_scores", unigram_logprob_scores, UNIGRAM_LM_SQL
+    ),
 ]
