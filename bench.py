@@ -65,6 +65,12 @@ HEADLINE = [
     "repetition_doc_stats",
     "term_bigram_pmi",
     "sliding_window_chunks",
+    # round-4 additions
+    "session_window_stats",
+    "mixture_sample_docs",
+    "mixture_sample_threshold",
+    "unigram_logprob_scores",
+    "ann_lsh_topk",
 ]
 
 
