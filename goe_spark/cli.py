@@ -166,6 +166,34 @@ def cmd_zorder(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """End-to-end corpus curation: quality filter -> exact dedup ->
+    near-dup keep-best -> mixture sample -> partitioned final table,
+    with step history and crash-resume (plans/curation.py)."""
+    from goe_spark.plans.curation import CurationConfig, CurationPipeline
+
+    spark = _spark("goe-curate")
+    cfg = CurationConfig(
+        source_sf_dir=args.source_dir,
+        work_dir=args.work_dir,
+        metadata_dir=args.metadata_dir,
+        quality_min=args.quality_min,
+        token_budget=args.token_budget,
+    )
+    report = CurationPipeline(spark, cfg).run()
+    print(
+        json.dumps(
+            {
+                "funnel": report.funnel,
+                "final_rows": report.final_rows,
+                "resumed_steps": report.resumed_steps,
+                "execution_id": report.execution_id,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_agg_validate(args) -> int:
     from pyspark.sql import functions as F
 
@@ -407,6 +435,16 @@ def build_parser() -> argparse.ArgumentParser:
     )
     z.add_argument("--n-files", type=int, default=64)
     z.set_defaults(fn=cmd_zorder)
+
+    cu = sub.add_parser(
+        "curate", help="corpus curation pipeline (filter/dedup/sample)"
+    )
+    cu.add_argument("--source-dir", required=True, help="sf_dir with documents")
+    cu.add_argument("--work-dir", required=True)
+    cu.add_argument("--metadata-dir", required=True)
+    cu.add_argument("--quality-min", type=float, default=0.5)
+    cu.add_argument("--token-budget", type=int, default=150_000)
+    cu.set_defaults(fn=cmd_curate)
 
     v = sub.add_parser("agg-validate", help="front-vs-back aggregate compare")
     v.add_argument("--frontend-path", required=True)

@@ -1,0 +1,285 @@
+"""End-to-end corpus curation pipeline — the training-data analogue of
+the offload pipeline, composed from the repo's own operators:
+
+  SCORE_FILTER   quality_score >= threshold (functions/text.py)
+  EXACT_DEDUP    keep-first on the normalized content fingerprint
+  NEAR_DEDUP     MinHash-LSH pairs -> connected components -> keep the
+                 highest-quality doc per cluster (queries/dedup.py +
+                 queries/training.py machinery on the filtered subset)
+  MIXTURE_SAMPLE per-source temperature budgets spent via the map-side
+                 hash threshold (the scale form)
+  FINAL_WRITE    survivors written lang-partitioned, doc_id-sorted
+  VERIFY         read-back count == survivor count
+
+Each stage MATERIALIZES its survivors to a stage directory inside the
+work dir, which is what makes the pipeline restartable: the step
+runner persists per-step history (plans/history.py), and a resumed
+run skips completed stages and reads their on-disk output instead of
+recomputing — the same crash contract as the chunked offload runner.
+At 100 TB each stage is one bounded pass over the previous stage's
+(shrinking) output; the funnel report records rows and tokens in/out
+per stage, which is the artifact a curation run is FOR (what got cut,
+where, and why).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goe_spark.functions import text as T
+from goe_spark.functions.hashing import hash64
+from goe_spark.plans.history import (
+    COMMAND_ERROR,
+    COMMAND_SUCCESS,
+    ExecutionHistoryStore,
+)
+from goe_spark.plans.metadata import atomic_write_json
+from goe_spark.plans.steps import StepRunner
+
+STAGES = (
+    "SCORE_FILTER",
+    "EXACT_DEDUP",
+    "NEAR_DEDUP",
+    "MIXTURE_SAMPLE",
+    "FINAL_WRITE",
+    "VERIFY",
+)
+
+MIX_HASH_BUCKETS = 1_000_000
+
+
+@dataclass
+class CurationConfig:
+    source_sf_dir: str
+    work_dir: str  # stage outputs + final table + funnel.json
+    metadata_dir: str
+    quality_min: float = 0.5
+    token_budget: int = 150_000
+    owner: str = "curation"
+    table_name: str = "documents"
+
+
+@dataclass
+class CurationReport:
+    funnel: list = field(default_factory=list)  # (stage, rows, tokens)
+    final_rows: int = 0
+    resumed_steps: int = 0
+    execution_id: str = ""
+
+
+def _stage_dir(cfg: CurationConfig, stage: str) -> str:
+    return os.path.join(cfg.work_dir, f"stage_{stage.lower()}")
+
+
+def _write_stage(df: DataFrame, path: str) -> None:
+    # tmp + rename: a crash mid-write can't leave a half-stage that a
+    # resume would mistake for complete.
+    tmp = path + ".tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(path):
+        import shutil
+
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
+def _counts(spark: SparkSession, path: str) -> tuple[int, int]:
+    df = spark.read.parquet(path)
+    row = df.agg(
+        F.count(F.lit(1)), F.coalesce(F.sum("n_tokens"), F.lit(0))
+    ).first()
+    return int(row[0]), int(row[1])
+
+
+class CurationPipeline:
+    def __init__(self, spark: SparkSession, cfg: CurationConfig):
+        self.spark = spark
+        self.cfg = cfg
+
+    # ---- stages ------------------------------------------------------
+
+    def _score_filter(self) -> None:
+        from goe_spark.catalog import load_table
+
+        d = load_table(self.spark, self.cfg.source_sf_dir, "documents")
+        scored = d.select(
+            "doc_id",
+            "lang",
+            "source",
+            "text",
+            T.quality_score("text").alias("quality"),
+            T.token_count("text").alias("n_tokens"),
+        ).where(F.col("quality") >= self.cfg.quality_min)
+        _write_stage(scored, _stage_dir(self.cfg, "SCORE_FILTER"))
+
+    def _exact_dedup(self) -> None:
+        from pyspark.sql.window import Window
+
+        d = self.spark.read.parquet(_stage_dir(self.cfg, "SCORE_FILTER"))
+        norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        w = Window.partitionBy(hash64(norm))
+        kept = (
+            d.withColumn("keep_id", F.min("doc_id").over(w))
+            .where(F.col("doc_id") == F.col("keep_id"))
+            .drop("keep_id")
+        )
+        _write_stage(kept, _stage_dir(self.cfg, "EXACT_DEDUP"))
+
+    def _near_dedup(self) -> None:
+        from goe_spark.queries.training import _cc_labels
+
+        d = self.spark.read.parquet(_stage_dir(self.cfg, "EXACT_DEDUP"))
+        labels = _cc_labels(self.spark, self.cfg.source_sf_dir, docs=d)
+        # Per cluster keep the max (quality, -doc_id): join labels back
+        # (pair-bounded relation, broadcastable) and drop non-keepers.
+        scored = labels.join(
+            d.select("doc_id", "quality"),
+            labels.node == F.col("doc_id"),
+        ).select(
+            F.col("label").alias("cluster_id"), F.col("doc_id"), F.col("quality")
+        )
+        keepers = scored.groupBy("cluster_id").agg(
+            F.max_by(
+                "doc_id", F.struct(F.col("quality"), -F.col("doc_id"))
+            ).alias("keep_doc_id")
+        )
+        doomed = (
+            scored.join(keepers, "cluster_id")
+            .where(F.col("doc_id") != F.col("keep_doc_id"))
+            .select("doc_id")
+        )
+        kept = d.join(F.broadcast(doomed), "doc_id", "left_anti")
+        _write_stage(kept, _stage_dir(self.cfg, "NEAR_DEDUP"))
+
+    def _mixture_sample(self) -> None:
+        d = self.spark.read.parquet(_stage_dir(self.cfg, "NEAR_DEDUP"))
+        per = d.groupBy("source").agg(
+            F.sum("n_tokens").alias("total_tokens")
+        )
+        tot = per.agg(F.sum(F.sqrt("total_tokens")).alias("z"))
+        w = F.round(F.sqrt("total_tokens") / F.col("z"), 6)
+        budgets = per.crossJoin(F.broadcast(tot)).select(
+            "source",
+            "total_tokens",
+            F.floor(w * self.cfg.token_budget)
+            .cast("long")
+            .alias("budget_tokens"),
+        )
+        frac = F.col("budget_tokens") / F.col("total_tokens")
+        h = F.pmod(
+            hash64(F.col("doc_id").cast("string")), F.lit(MIX_HASH_BUCKETS)
+        ) / F.lit(float(MIX_HASH_BUCKETS))
+        picked = d.join(F.broadcast(budgets), "source").where(h < frac)
+        _write_stage(
+            picked.drop("total_tokens", "budget_tokens"),
+            _stage_dir(self.cfg, "MIXTURE_SAMPLE"),
+        )
+
+    def _final_write(self) -> None:
+        d = self.spark.read.parquet(_stage_dir(self.cfg, "MIXTURE_SAMPLE"))
+        out = os.path.join(self.cfg.work_dir, "final")
+        tmp = out + ".tmp"
+        (
+            d.repartition("lang")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .partitionBy("lang")
+            .parquet(tmp)
+        )
+        if os.path.isdir(out):
+            import shutil
+
+            shutil.rmtree(out)
+        os.rename(tmp, out)
+
+    def _verify(self) -> int:
+        out = os.path.join(self.cfg.work_dir, "final")
+        n_final = self.spark.read.parquet(out).count()
+        n_sampled, _ = _counts(
+            self.spark, _stage_dir(self.cfg, "MIXTURE_SAMPLE")
+        )
+        if n_final != n_sampled:
+            raise RuntimeError(
+                f"final table has {n_final} rows, sampler kept {n_sampled}"
+            )
+        return n_final
+
+    # ---- driver ------------------------------------------------------
+
+    def run(
+        self,
+        skip: set[str] | None = None,
+        error_at: str | None = None,
+        resume: bool = True,
+    ) -> CurationReport:
+        cfg = self.cfg
+        os.makedirs(cfg.work_dir, exist_ok=True)
+        history = ExecutionHistoryStore(cfg.metadata_dir)
+        resume_done: set[str] = set()
+        if resume:
+            runs = [
+                r
+                for r in history.list_executions(cfg.owner, cfg.table_name)
+                if r.command_type == "CURATION"
+            ]
+            prior = runs[-1] if runs else None
+            done = history.completed_steps(prior)
+            # Only trust a recorded step if its stage output survived.
+            for s in STAGES[:-1]:
+                if s in done and (
+                    os.path.isdir(_stage_dir(cfg, s))
+                    or (
+                        s == "FINAL_WRITE"
+                        and os.path.isdir(os.path.join(cfg.work_dir, "final"))
+                    )
+                ):
+                    resume_done.add(s)
+        execution = history.begin(
+            "CURATION",
+            cfg.owner,
+            cfg.table_name,
+            {"quality_min": cfg.quality_min, "budget": cfg.token_budget},
+        )
+        runner = StepRunner(
+            spark=self.spark,
+            skip=skip or set(),
+            error_at=error_at,
+            history=history,
+            execution=execution,
+            resume_done=resume_done,
+            log=lambda *_: None,
+        )
+        try:
+            runner.run("SCORE_FILTER", self._score_filter)
+            runner.run("EXACT_DEDUP", self._exact_dedup)
+            runner.run("NEAR_DEDUP", self._near_dedup)
+            runner.run("MIXTURE_SAMPLE", self._mixture_sample)
+            runner.run("FINAL_WRITE", self._final_write)
+            n_final = runner.run("VERIFY", self._verify)
+        except Exception:
+            history.end(execution, COMMAND_ERROR)
+            raise
+        history.end(execution, COMMAND_SUCCESS)
+
+        report = CurationReport(
+            final_rows=int(n_final or 0),
+            resumed_steps=len(resume_done),
+            execution_id=execution.execution_id,
+        )
+        for s in STAGES[:-2]:
+            rows, toks = _counts(self.spark, _stage_dir(cfg, s))
+            report.funnel.append((s, rows, toks))
+        atomic_write_json(
+            os.path.join(cfg.work_dir, "funnel.json"),
+            {
+                "funnel": report.funnel,
+                "final_rows": report.final_rows,
+                "execution_id": report.execution_id,
+            },
+        )
+        return report

@@ -74,16 +74,24 @@ GROUP BY lang
 """
 
 
-def _shingle_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingle_hashed(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, lang, source, sh): arithmetic word-3-gram shingle
     hashes, built through TWO bound-column projections (token hashes,
     then shingle hashes) so no array expression is re-evaluated per
-    element — see operators.minhash.arith_shingle_hashes."""
+    element — see operators.minhash.arith_shingle_hashes.
+
+    ``docs`` overrides the catalog table (any frame with doc_id,
+    lang, source, text) so pipeline stages — e.g. plans/curation.py —
+    can near-dup an already-filtered subset."""
     from goe_spark.operators import minhash as MH
 
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source", "text"
-    )
+    d = (
+        docs
+        if docs is not None
+        else load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "lang", "source", "text")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     tok_hashed = d.select(
         "doc_id", "lang", "source", MH.token_hashes(toks).alias("th")
@@ -239,7 +247,9 @@ WHERE round(len(list_intersect(sa.shd, sb.shd))
 NGRAM_JACCARD_SQL = _ngram_jaccard_sql()
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """MinHash-LSH near-dup candidates with verified agreement.
 
     Plan: signatures are map-side (md5 + modular arithmetic inside
@@ -253,7 +263,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from goe_spark.operators import minhash as MH
 
-    sigs = _shingle_hashed(spark, sf_dir).select(
+    sigs = _shingle_hashed(spark, sf_dir, docs).select(
         "doc_id", MH.minhash_signature(F.col("sh")).alias("mh")
     )
     bands = sigs.select(

@@ -55,11 +55,14 @@ PACK_BUDGET_TOKENS = 512
 PACK_SHARDS = 8
 
 
-def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cc_labels(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """(node, label) per doc appearing in any near-dup pair; label =
-    the component's min doc_id (iterative min-label propagation)."""
+    the component's min doc_id (iterative min-label propagation).
+    ``docs`` narrows pair generation to a pipeline stage's subset."""
     edges = (
-        minhash_lsh_pairs(spark, sf_dir)
+        minhash_lsh_pairs(spark, sf_dir, docs)
         .select("id1", "id2")
         # The pair generator is itself a multi-stage job; checkpoint so
         # the CC loop's 2xITERS references don't replay it every round.

@@ -187,3 +187,23 @@ def test_zorder_command_rewrites_in_place(tmp_path, capsys, spark):
     )
     assert rc == 0
     assert spark.read.parquet(target).count() == before[0]
+
+
+def test_curate_command(tmp_path, capsys):
+    rc = main(
+        [
+            "curate",
+            "--source-dir",
+            SF_SMALL,
+            "--work-dir",
+            str(tmp_path / "work"),
+            "--metadata-dir",
+            str(tmp_path / "meta"),
+            "--quality-min",
+            "0.4",
+        ]
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["final_rows"] > 0
+    assert len(res["funnel"]) == 4

@@ -1,0 +1,114 @@
+"""End-to-end corpus curation pipeline (plans/curation.py): funnel
+monotonicity, stage semantics (no surviving exact dup, no surviving
+near-dup pair, budget respected), determinism, and crash-resume via
+persisted step history."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from goe_spark.plans.curation import CurationConfig, CurationPipeline
+from goe_spark.plans.steps import StepError
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def finished(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("curation")
+    cfg = CurationConfig(
+        source_sf_dir=SF_SMALL,
+        work_dir=str(base / "work"),
+        metadata_dir=str(base / "meta"),
+        quality_min=0.4,
+        token_budget=120_000,
+    )
+    report = CurationPipeline(spark, cfg).run()
+    return cfg, report
+
+
+def test_funnel_monotone_and_persisted(spark, finished):
+    cfg, report = finished
+    rows = [r for (_, r, _) in report.funnel]
+    assert all(a >= b for a, b in zip(rows, rows[1:])), report.funnel
+    assert report.final_rows == rows[-1]
+    with open(os.path.join(cfg.work_dir, "funnel.json")) as fh:
+        disk = json.load(fh)
+    assert disk["final_rows"] == report.final_rows
+    assert len(disk["funnel"]) == 4
+
+
+def test_no_exact_duplicate_survives(spark, finished):
+    cfg, _ = finished
+    out = spark.read.parquet(os.path.join(cfg.work_dir, "final"))
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    n = out.count()
+    assert out.select(norm.alias("t")).distinct().count() == n
+
+
+def test_no_near_dup_pair_survives(spark, finished):
+    """Re-run pair generation over the FINAL table: every cluster
+    collapsed to one member, so no (id1, id2) pair has both sides
+    present."""
+    from goe_spark.queries.dedup import minhash_lsh_pairs
+
+    cfg, _ = finished
+    out = spark.read.parquet(os.path.join(cfg.work_dir, "final"))
+    pairs = minhash_lsh_pairs(spark, cfg.source_sf_dir, docs=out)
+    assert pairs.count() == 0
+
+
+def test_budget_not_exceeded_per_source(spark, finished):
+    """The threshold sampler spends at most ~budget + sampling error
+    per source; total stays within 2x of the configured budget."""
+    cfg, _ = finished
+    out = spark.read.parquet(os.path.join(cfg.work_dir, "final"))
+    total = out.agg(F.sum("n_tokens")).first()[0]
+    assert total <= 2 * cfg.token_budget
+
+
+def test_deterministic_rerun(spark, finished, tmp_path):
+    cfg, report = finished
+    cfg2 = CurationConfig(
+        source_sf_dir=cfg.source_sf_dir,
+        work_dir=str(tmp_path / "work2"),
+        metadata_dir=str(tmp_path / "meta2"),
+        quality_min=cfg.quality_min,
+        token_budget=cfg.token_budget,
+    )
+    report2 = CurationPipeline(spark, cfg2).run()
+    assert report2.funnel == report.funnel
+    assert report2.final_rows == report.final_rows
+
+
+def test_crash_resume_skips_completed_stages(spark, tmp_path):
+    cfg = CurationConfig(
+        source_sf_dir=SF_SMALL,
+        work_dir=str(tmp_path / "work"),
+        metadata_dir=str(tmp_path / "meta"),
+        quality_min=0.4,
+        token_budget=120_000,
+    )
+    pipe = CurationPipeline(spark, cfg)
+    with pytest.raises(StepError):
+        pipe.run(error_at="MIXTURE_SAMPLE")
+    # Crash left the first three stages on disk.
+    assert os.path.isdir(os.path.join(cfg.work_dir, "stage_near_dedup"))
+    assert not os.path.isdir(os.path.join(cfg.work_dir, "final"))
+
+    report = pipe.run()  # resume
+    assert report.resumed_steps == 3  # SCORE_FILTER, EXACT_DEDUP, NEAR_DEDUP
+    assert report.final_rows > 0
+    # History shows two executions: the failed one and the resumed one.
+    from goe_spark.plans.history import ExecutionHistoryStore
+
+    hist = ExecutionHistoryStore(cfg.metadata_dir)
+    runs = [
+        r
+        for r in hist.list_executions(cfg.owner, cfg.table_name)
+        if r.command_type == "CURATION"
+    ]
+    assert [r.status for r in runs] == ["ERROR", "SUCCESS"]
