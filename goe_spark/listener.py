@@ -12,6 +12,12 @@ dependencies. Routes:
                                          background — here it is
                                          synchronous and the response
                                          is the completed result)
+- POST /api/delete                       targeted row deletion
+- POST /api/curate                       corpus curation pipeline
+                                         (source_dir/work_dir/
+                                         metadata_dir [+ quality_min,
+                                         token_budget]); synchronous,
+                                         responds with the funnel
 
 The server shares the driver's SparkSession: requests are thin
 wrappers over the same functions the CLI calls, so there is exactly
@@ -127,6 +133,29 @@ def make_handler(spark):
                             "rows_deleted": rep.rows_deleted,
                             "partitions_affected": rep.partitions_affected,
                             "partitions_healed": rep.partitions_healed,
+                        },
+                    )
+                elif url.path == "/api/curate":
+                    from goe_spark.plans.curation import (
+                        CurationConfig,
+                        CurationPipeline,
+                    )
+
+                    cfg = CurationConfig(
+                        source_sf_dir=spec["source_dir"],
+                        work_dir=spec["work_dir"],
+                        metadata_dir=spec["metadata_dir"],
+                        quality_min=float(spec.get("quality_min", 0.5)),
+                        token_budget=int(spec.get("token_budget", 150_000)),
+                    )
+                    rep = CurationPipeline(spark, cfg).run()
+                    self._reply(
+                        200,
+                        {
+                            "funnel": rep.funnel,
+                            "final_rows": rep.final_rows,
+                            "resumed_steps": rep.resumed_steps,
+                            "execution_id": rep.execution_id,
                         },
                     )
                 else:

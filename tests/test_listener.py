@@ -123,3 +123,28 @@ def test_delete_route_missing_field_400(base_url):
     with pytest.raises(urllib.error.HTTPError) as exc:
         _post(f"{base_url}/api/delete", {"key_column": "k"})
     assert exc.value.code == 400
+
+
+def test_curate_route(base_url, tmp_path):
+    """POST /api/curate runs the curation pipeline and responds with
+    the funnel."""
+    status, body = _post(
+        f"{base_url}/api/curate",
+        {
+            "source_dir": SF_SMALL,
+            "work_dir": str(tmp_path / "work"),
+            "metadata_dir": str(tmp_path / "meta"),
+            "quality_min": 0.4,
+        },
+    )
+    assert status == 200
+    assert body["final_rows"] > 0
+    assert len(body["funnel"]) == 4
+
+
+def test_curate_route_missing_field_400(base_url):
+    import pytest as _pytest
+
+    with _pytest.raises(urllib.error.HTTPError) as exc:
+        _post(f"{base_url}/api/curate", {"work_dir": "/tmp/x"})
+    assert exc.value.code == 400
