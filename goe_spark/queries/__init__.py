@@ -32,6 +32,14 @@ class QuerySpec:
 # round AND re-verified every pytest run by test_queries_oracle.py,
 # so losing their driver row costs the least.
 HEAD = (
+    # round-4 additions — no driver row yet
+    "event_funnel_conversion",
+    "cohort_retention",
+    "session_window_stats",
+    "mixture_sample_docs",
+    "mixture_sample_threshold",
+    "unigram_logprob_scores",
+    # earlier additions still lacking a green driver row
     "repetition_doc_stats",
     "term_bigram_pmi",
     "sliding_window_chunks",
@@ -70,6 +78,7 @@ def all_queries() -> list[QuerySpec]:
     from goe_spark.queries import (
         asof,
         dedup,
+        events_analytics,
         multimodal,
         offload,
         relational,
@@ -95,6 +104,7 @@ def all_queries() -> list[QuerySpec]:
         training,
         similarity,
         streaming_batch,
+        events_analytics,
         multimodal,
     ):
         specs.extend(mod.QUERIES)

@@ -1,0 +1,167 @@
+"""Sequential event analytics over the events table: funnel
+conversion and cohort retention — the two canonical product-analytics
+queries a warehouse serving event streams must answer.
+
+Both are pure DataFrame plans whose shuffles are user-bounded:
+the corpus-sized events table aggregates down to one row per user (or
+per user-week) before any join, so the joins move user-cardinality
+relations, never raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goe_spark.catalog import load_table
+from goe_spark.queries import QuerySpec
+
+
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase: a user converts a
+    stage only with an event at-or-after their previous stage's first
+    event (min-timestamp semantics, so re-orderings of equal events
+    cannot flip membership). Output: one row of stage counts and
+    rounded conversion rates.
+
+    Plan: three user-grain aggregates chained by broadcast-able joins
+    — events shuffle once per stage on user_id, the stage tables are
+    one row per user. At 100 TB the same plan holds because every join
+    input after the first aggregate is user-cardinality."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    row = (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+    )
+    return row.select(
+        "n_view",
+        "n_click",
+        "n_purchase",
+        F.round(F.col("n_click") / F.col("n_view"), 4).alias("view_to_click"),
+        F.round(F.col("n_purchase") / F.col("n_click"), 4).alias(
+            "click_to_purchase"
+        ),
+    )
+
+
+FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.t_view
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_click,
+       (SELECT count(*) FROM p) AS n_purchase,
+       round((SELECT count(*) FROM c) / cast((SELECT count(*) FROM v) AS double), 4)
+         AS view_to_click,
+       round((SELECT count(*) FROM p) / cast((SELECT count(*) FROM c) AS double), 4)
+         AS click_to_purchase
+"""
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by the ISO week
+    of their FIRST event; for each later week, how many of them were
+    active. Output: (cohort_week, week_offset, n_active, retention)
+    with retention relative to the cohort's size at offset 0.
+
+    Plan: one user-grain aggregate for first-seen, one distinct over
+    (user, week) activity, one user-cardinality join, then the matrix
+    aggregate — the events table shuffles twice, everything after is
+    user-bounded."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = e.select(
+        "user_id",
+        F.date_trunc("week", "ts").cast("date").alias("active_week"),
+    ).distinct()
+    joined = active.join(first, "user_id").select(
+        "cohort_week",
+        (
+            F.datediff("active_week", "cohort_week") / 7
+        ).cast("long").alias("week_offset"),
+        "user_id",
+    )
+    matrix = joined.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    base = matrix.where(F.col("week_offset") == 0).select(
+        F.col("cohort_week").alias("cw"), F.col("n_active").alias("cohort_size")
+    )
+    return (
+        matrix.join(base, matrix.cohort_week == base.cw)
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            F.round(F.col("n_active") / F.col("cohort_size"), 4).alias(
+                "retention"
+            ),
+        )
+    )
+
+
+COHORT_SQL = """
+WITH first AS (
+  SELECT user_id, cast(date_trunc('week', min(ts)) AS date) AS cohort_week
+  FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, cast(date_trunc('week', ts) AS date) AS active_week
+  FROM events
+), joined AS (
+  SELECT f.cohort_week,
+         cast(floor(date_diff('day', f.cohort_week, a.active_week) / 7.0) AS bigint)
+           AS week_offset,
+         a.user_id
+  FROM active a JOIN first f ON f.user_id = a.user_id
+), matrix AS (
+  SELECT cohort_week, week_offset, count(DISTINCT user_id) AS n_active
+  FROM joined GROUP BY 1, 2
+)
+SELECT m.cohort_week, m.week_offset, m.n_active,
+       round(m.n_active / cast(b.n_active AS double), 4) AS retention
+FROM matrix m JOIN matrix b
+  ON b.cohort_week = m.cohort_week AND b.week_offset = 0
+"""
+
+
+QUERIES = [
+    QuerySpec(
+        "event_funnel_conversion", event_funnel_conversion, FUNNEL_SQL
+    ),
+    QuerySpec("cohort_retention", cohort_retention, COHORT_SQL),
+]
