@@ -166,6 +166,40 @@ def cmd_zorder(args) -> int:
     return 0
 
 
+def cmd_heal(args) -> int:
+    """One-shot crash recovery for a target directory: complete any
+    interrupted compaction/delete swap, finish a pending keyed merge
+    from its durable staging copy, and recover an interrupted zorder
+    rewrite — the union of every maintenance op's heal path, so an
+    operator after an outage runs ONE command instead of knowing which
+    op crashed."""
+    import shutil
+
+    from goe_spark.plans.compaction import heal_interrupted_swaps
+    from goe_spark.plans.merge_update import heal_pending_merge
+
+    spark = _spark("goe-heal")
+    target = args.target_dir.rstrip("/")
+    result = {"swaps_healed": [], "merge_healed": False, "zorder_healed": False}
+
+    # zorder first: if the old dir exists without the target, finish
+    # the rename; a stale tmp is discarded (original still complete).
+    old, tmp = f"{target}.zorder_old", f"{target}.zorder_tmp"
+    if os.path.isdir(old) and not os.path.isdir(target):
+        os.rename(old, target)
+        result["zorder_healed"] = True
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+        result["zorder_healed"] = True
+
+    if os.path.isdir(target):
+        result["swaps_healed"] = heal_interrupted_swaps(target)
+        result["merge_healed"] = heal_pending_merge(spark, target)
+
+    print(json.dumps(result))
+    return 0
+
+
 def cmd_curate(args) -> int:
     """End-to-end corpus curation: quality filter -> exact dedup ->
     near-dup keep-best -> mixture sample -> partitioned final table,
@@ -435,6 +469,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     z.add_argument("--n-files", type=int, default=64)
     z.set_defaults(fn=cmd_zorder)
+
+    he = sub.add_parser(
+        "heal", help="complete interrupted compact/delete/merge/zorder ops"
+    )
+    he.add_argument("--target-dir", required=True)
+    he.set_defaults(fn=cmd_heal)
 
     cu = sub.add_parser(
         "curate", help="corpus curation pipeline (filter/dedup/sample)"

@@ -207,3 +207,62 @@ def test_curate_command(tmp_path, capsys):
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["final_rows"] > 0
     assert len(res["funnel"]) == 4
+
+
+def test_heal_command_recovers_crashed_merge_and_zorder(tmp_path, capsys, spark):
+    """One heal command completes a staged merge left by a crash and
+    finishes an interrupted zorder rename."""
+    import os
+    import shutil
+
+    from goe_spark.plans.merge_update import MERGE_MARKER, MERGE_STAGING_DIR
+    from goe_spark.plans.metadata import atomic_write_json
+    from goe_spark.plans.offload import PartitionSpec
+
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    spec = PartitionSpec(source_column="o_orderdate", kind="date", granularity="M")
+    target = str(tmp_path / "t")
+    src.withColumn("goe_part_key", spec.expr()).write.partitionBy(
+        "goe_part_key"
+    ).parquet(target)
+
+    # Crashed merge: staged row + marker, phase A/B never ran.
+    victim = src.orderBy("o_orderkey").first()
+    upd = spark.createDataFrame(
+        [
+            (
+                victim.o_orderkey,
+                victim.o_custkey,
+                victim.o_orderstatus,
+                31337.0,
+                victim.o_orderdate,
+                victim.o_orderpriority,
+            )
+        ],
+        src.schema,
+    )
+    upd.withColumn("goe_part_key", spec.expr()).write.parquet(
+        os.path.join(target, MERGE_STAGING_DIR)
+    )
+    atomic_write_json(
+        os.path.join(target, MERGE_MARKER),
+        {"key_column": "o_orderkey", "partition_col": "goe_part_key"},
+    )
+    # Interrupted zorder: stale tmp dir next to the target.
+    os.makedirs(target + ".zorder_tmp")
+
+    rc = main(["heal", "--target-dir", target])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["merge_healed"] is True
+    assert res["zorder_healed"] is True
+    from pyspark.sql import functions as F
+
+    got = (
+        spark.read.parquet(target)
+        .where(F.col("o_orderkey") == victim.o_orderkey)
+        .collect()
+    )
+    assert len(got) == 1 and got[0].o_totalprice == 31337.0
+    assert not os.path.isdir(target + ".zorder_tmp")
+    assert not os.path.exists(os.path.join(target, MERGE_MARKER))
