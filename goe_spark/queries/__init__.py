@@ -33,6 +33,7 @@ class QuerySpec:
 # so losing their driver row costs the least.
 HEAD = (
     # round-4 additions — no driver row yet
+    "embedding_cluster_audit",
     "event_funnel_conversion",
     "cohort_retention",
     "session_window_stats",

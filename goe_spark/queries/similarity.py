@@ -363,6 +363,99 @@ WHERE rank <= {TOP_K}
 """
 
 
+def embedding_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality report over the IVF quantizer: per cell, its
+    population, mean/worst cosine cohesion to the refined centroid,
+    and the id range — the audit a pipeline runs before trusting an
+    ANN index (an empty-ish or low-cohesion cell means probes will
+    miss). Reuses the exact sampled-k-means build (seed -> one Lloyd
+    step -> argmax assign) the IVF oracle replays, so the hash match
+    re-proves the quantizer itself, not just the top-k path.
+
+    Plan: one broadcast of the 8-row centroid table into the
+    assignment scan, a map-side partial-aggregated argmax, then a
+    cell-cardinality aggregate — the corpus shuffles once."""
+    from goe_spark.operators.ivf import assign_cells, centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = centroids(emb)
+    assigned = assign_cells(emb, cents)
+    cos = F.round(
+        _dot(F.col("embedding"), F.col("cvec"))
+        / F.sqrt(F.col("vnorm2") * F.col("cnorm2")),
+        6,
+    )
+    return (
+        assigned.join(F.broadcast(cents), "cell")
+        .select("cell", "vec_id", cos.alias("ccos"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("ccos"), 4).alias("avg_cohesion"),
+            F.min("ccos").alias("worst_cohesion"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.max("vec_id").alias("max_vec_id"),
+        )
+    )
+
+
+def _cluster_audit_sql() -> str:
+    from goe_spark.functions.hashing import hash64_sql
+    from goe_spark.operators.ivf import CENT_DEC, DIM, N_CELLS
+
+    sum_cols = ", ".join(
+        f"sum(CAST(embedding[{i + 1}] AS {CENT_DEC})) AS s{i}" for i in range(DIM)
+    )
+    cvec_list = "[" + ", ".join(f"CAST(s{i} AS DOUBLE)" for i in range(DIM)) + "]"
+    h = hash64_sql("cast(vec_id AS varchar)")
+    return f"""
+WITH emb AS (
+  SELECT vec_id, embedding, {NORM2_SQL.format(a='embedding')} AS vnorm2
+  FROM embeddings
+), seeds AS (
+  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell, cvec, cnorm2
+  FROM (
+    SELECT {h} AS h, vec_id, embedding AS cvec, vnorm2 AS cnorm2
+    FROM emb ORDER BY h, vec_id LIMIT {N_CELLS}
+  )
+), seed_assigned AS (
+  SELECT vec_id, cell, embedding FROM (
+    SELECT e.vec_id, s.cell, e.embedding,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round({DOT_SQL.format(a='e.embedding', b='s.cvec')} / sqrt(e.vnorm2 * s.cnorm2), 6) DESC,
+                      s.cell ASC
+           ) AS rk
+    FROM emb e CROSS JOIN seeds s
+  ) WHERE rk = 1
+), cent_sums AS (
+  SELECT cell, {sum_cols}
+  FROM seed_assigned GROUP BY cell
+), cents AS (
+  SELECT cell, cvec, {NORM2_SQL.format(a='cvec')} AS cnorm2
+  FROM (SELECT cell, {cvec_list} AS cvec FROM cent_sums)
+), assigned AS (
+  SELECT vec_id, cell, ccos FROM (
+    SELECT e.vec_id, c.cell,
+           round({DOT_SQL.format(a='e.embedding', b='c.cvec')} / sqrt(e.vnorm2 * c.cnorm2), 6) AS ccos,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round({DOT_SQL.format(a='e.embedding', b='c.cvec')} / sqrt(e.vnorm2 * c.cnorm2), 6) DESC,
+                      c.cell ASC
+           ) AS rk
+    FROM emb e CROSS JOIN cents c
+  ) WHERE rk = 1
+)
+SELECT cell,
+       count(*)                    AS n_vectors,
+       round(avg(ccos), 4)         AS avg_cohesion,
+       min(ccos)                   AS worst_cohesion,
+       min(vec_id)                 AS min_vec_id,
+       max(vec_id)                 AS max_vec_id
+FROM assigned GROUP BY cell
+"""
+
+
 QUERIES = [
     QuerySpec("ann_bruteforce_topk", ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     QuerySpec(
@@ -370,4 +463,7 @@ QUERIES = [
     ),
     QuerySpec("ann_ivf_topk", ann_ivf_topk, _ann_ivf_sql()),
     QuerySpec("ann_lsh_topk", ann_lsh_topk, _ann_lsh_sql()),
+    QuerySpec(
+        "embedding_cluster_audit", embedding_cluster_audit, _cluster_audit_sql()
+    ),
 ]
