@@ -71,6 +71,9 @@ HEADLINE = [
     "mixture_sample_threshold",
     "unigram_logprob_scores",
     "ann_lsh_topk",
+    "event_funnel_conversion",
+    "cohort_retention",
+    "embedding_cluster_audit",
 ]
 
 

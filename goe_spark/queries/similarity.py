@@ -372,14 +372,18 @@ def embedding_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     step -> argmax assign) the IVF oracle replays, so the hash match
     re-proves the quantizer itself, not just the top-k path.
 
-    Plan: one broadcast of the 8-row centroid table into the
-    assignment scan, a map-side partial-aggregated argmax, then a
-    cell-cardinality aggregate — the corpus shuffles once."""
-    from goe_spark.operators.ivf import assign_cells, centroids
+    Plan: reads the MATERIALIZED index (ensure_index — build paid
+    once per source fingerprint, same as ann_ivf_topk), so the audit
+    is one scan of assigned/ with the 8-row centroid table broadcast
+    in and a cell-cardinality aggregate: no k-means rebuild, no
+    corpus shuffle at all."""
+    import os
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = centroids(emb)
-    assigned = assign_cells(emb, cents)
+    from goe_spark.operators.ivf import ensure_index
+
+    index_dir = ensure_index(spark, sf_dir)
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    assigned = spark.read.parquet(os.path.join(index_dir, "assigned"))
     cos = F.round(
         _dot(F.col("embedding"), F.col("cvec"))
         / F.sqrt(F.col("vnorm2") * F.col("cnorm2")),
