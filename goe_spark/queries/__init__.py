@@ -34,6 +34,8 @@ class QuerySpec:
 HEAD = (
     # round-4 additions — no driver row yet
     "embedding_cluster_audit",
+    "rolling_revenue_7d",
+    "event_type_pivot",
     "event_funnel_conversion",
     "cohort_retention",
     "session_window_stats",

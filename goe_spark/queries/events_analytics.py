@@ -159,9 +159,86 @@ FROM matrix m JOIN matrix b
 """
 
 
+def rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day revenue: daily purchase totals plus a RANGE-frame
+    window over epoch days (-6..0), so gap days genuinely widen the
+    frame — the physical-time semantics a rows-frame fakes wrong.
+    Plan: events aggregate to day grain first; the window runs over
+    the day-cardinality relation (hundreds of rows at any corpus
+    size), so the range sort is free."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    daily = e.groupBy(
+        F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("day_revenue"))
+    epoch = F.datediff("day", F.lit("1970-01-01"))
+    w = (
+        Window.orderBy(epoch)
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "day",
+        "day_revenue",
+        F.round(F.sum("day_revenue").over(w), 2).alias("rev_7d"),
+        F.count(F.lit(1)).over(w).alias("days_in_window"),
+    )
+
+
+ROLLING_SQL = """
+WITH daily AS (
+  SELECT cast(ts AS date) AS day, round(sum(value), 2) AS day_revenue
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT day, day_revenue,
+       round(sum(day_revenue) OVER w, 2) AS rev_7d,
+       count(*) OVER w                   AS days_in_window
+FROM daily
+WINDOW w AS (ORDER BY date_diff('day', DATE '1970-01-01', day)
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+EVENT_TYPES = ("click", "view", "signup", "purchase", "error")
+
+
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily wide-format event counts via the pivot operator with an
+    EXPLICIT value list — at scale an unlisted pivot forces an extra
+    distinct-values job and an unbounded column fan-out; pinning the
+    list keeps it one pass. The oracle is the equivalent conditional
+    aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(F.col("ts").cast("date").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+        .na.fill(0, list(EVENT_TYPES))
+        .select(
+            "day",
+            *[F.col(t).alias(f"n_{t}") for t in EVENT_TYPES],
+        )
+    )
+
+
+PIVOT_SQL = f"""
+SELECT cast(ts AS date) AS day,
+       {", ".join(
+           f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+           for t in EVENT_TYPES
+       )}
+FROM events GROUP BY 1
+"""
+
+
 QUERIES = [
     QuerySpec(
         "event_funnel_conversion", event_funnel_conversion, FUNNEL_SQL
     ),
     QuerySpec("cohort_retention", cohort_retention, COHORT_SQL),
+    QuerySpec("rolling_revenue_7d", rolling_revenue_7d, ROLLING_SQL),
+    QuerySpec("event_type_pivot", event_type_pivot, PIVOT_SQL),
 ]
