@@ -34,6 +34,7 @@ class QuerySpec:
 HEAD = (
     # round-4 additions — no driver row yet
     "embedding_cluster_audit",
+    "dedup_method_agreement",
     "rolling_revenue_7d",
     "event_type_pivot",
     "event_funnel_conversion",

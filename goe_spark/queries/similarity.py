@@ -460,6 +460,81 @@ FROM assigned GROUP BY cell
 """
 
 
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-method near-dup diagnostic: how much do the TEXT pair
+    finder (MinHash-LSH over word shingles) and the EMBEDDING pair
+    finder (cosine within coarse cells) agree? The documents and
+    embeddings fixtures share ids, so the two pair sets join directly;
+    the report is the three-way split plus the pair-set Jaccard — the
+    number a curation team reads before choosing which detector (or
+    both) gates the corpus.
+
+    Plan: both pair generators are their production plans (bounded
+    buckets, group-local emission); the agreement join moves only the
+    pair sets, which are candidate-bounded — at 100 TB this aggregate
+    is two near-dup runs plus a pairs-sized join."""
+    from goe_spark.queries.dedup import minhash_lsh_pairs
+
+    t = (
+        minhash_lsh_pairs(spark, sf_dir)
+        .select("id1", "id2")
+        .withColumn("in_text", F.lit(1))
+        .withColumn("in_emb", F.lit(0))
+    )
+    e = (
+        embedding_near_dup_pairs(spark, sf_dir)
+        .select("id1", "id2")
+        .withColumn("in_text", F.lit(0))
+        .withColumn("in_emb", F.lit(1))
+    )
+    merged = (
+        t.unionByName(e)
+        .groupBy("id1", "id2")
+        .agg(
+            F.max("in_text").alias("in_text"),
+            F.max("in_emb").alias("in_emb"),
+        )
+    )
+    return merged.agg(
+        F.sum("in_text").alias("n_text_pairs"),
+        F.sum("in_emb").alias("n_emb_pairs"),
+        F.sum(
+            (F.col("in_text") + F.col("in_emb") == 2).cast("long")
+        ).alias("n_both"),
+        F.round(
+            F.sum((F.col("in_text") + F.col("in_emb") == 2).cast("long"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("pair_jaccard"),
+    )
+
+
+def _agreement_sql() -> str:
+    from goe_spark.queries.dedup import _minhash_lsh_sql
+
+    return f"""
+WITH text_pairs AS (
+  SELECT id1, id2 FROM ({_minhash_lsh_sql()})
+), emb_pairs AS (
+  SELECT id1, id2 FROM ({_near_dup_sql()})
+), merged AS (
+  SELECT id1, id2, max(in_text) AS in_text, max(in_emb) AS in_emb
+  FROM (
+    SELECT id1, id2, 1 AS in_text, 0 AS in_emb FROM text_pairs
+    UNION ALL
+    SELECT id1, id2, 0, 1 FROM emb_pairs
+  ) GROUP BY id1, id2
+)
+SELECT cast(sum(in_text) AS bigint) AS n_text_pairs,
+       cast(sum(in_emb) AS bigint)  AS n_emb_pairs,
+       cast(sum(CASE WHEN in_text + in_emb = 2 THEN 1 ELSE 0 END) AS bigint)
+         AS n_both,
+       round(sum(CASE WHEN in_text + in_emb = 2 THEN 1 ELSE 0 END)
+             / cast(count(*) AS double), 6) AS pair_jaccard
+FROM merged
+"""
+
+
 QUERIES = [
     QuerySpec("ann_bruteforce_topk", ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     QuerySpec(
@@ -469,5 +544,8 @@ QUERIES = [
     QuerySpec("ann_lsh_topk", ann_lsh_topk, _ann_lsh_sql()),
     QuerySpec(
         "embedding_cluster_audit", embedding_cluster_audit, _cluster_audit_sql()
+    ),
+    QuerySpec(
+        "dedup_method_agreement", dedup_method_agreement, _agreement_sql()
     ),
 ]
