@@ -37,6 +37,8 @@ HEAD = (
     "dedup_method_agreement",
     "rolling_revenue_7d",
     "event_type_pivot",
+    "lapsed_customers_except",
+    "hopping_window_counts",
     "event_funnel_conversion",
     "cohort_retention",
     "session_window_stats",

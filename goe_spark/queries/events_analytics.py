@@ -234,9 +234,104 @@ FROM events GROUP BY 1
 """
 
 
+def lapsed_customers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lapsed customers via set difference (EXCEPT — the §2.8 set-op
+    family beyond UNION ALL): customers who ordered in the FIRST
+    calendar month of the order range but not in the LAST, rolled up
+    per nation. The months derive from the data so the query is
+    self-contained.
+
+    Plan: two customer-grain distinct sets, Spark compiles EXCEPT to
+    a left-anti join over them; nation attaches through broadcast
+    dims. Every join input after the distincts is customer-
+    cardinality."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("om")
+    )
+    lo, hi = o.agg(F.min("om"), F.max("om")).first()
+    first = o.where(F.col("om") == F.lit(lo)).select("o_custkey").distinct()
+    last = o.where(F.col("om") == F.lit(hi)).select("o_custkey").distinct()
+    lapsed = first.exceptAll(last)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    return (
+        lapsed.join(cust, lapsed.o_custkey == cust.c_custkey)
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_lapsed"))
+    )
+
+
+LAPSED_SQL = """
+WITH b AS (
+  SELECT date_trunc('month', min(o_orderdate)) AS lo,
+         date_trunc('month', max(o_orderdate)) AS hi
+  FROM orders
+), first_m AS (
+  SELECT DISTINCT o_custkey FROM orders, b
+  WHERE date_trunc('month', o_orderdate) = lo
+), last_m AS (
+  SELECT DISTINCT o_custkey FROM orders, b
+  WHERE date_trunc('month', o_orderdate) = hi
+), lapsed AS (
+  SELECT o_custkey FROM first_m EXCEPT SELECT o_custkey FROM last_m
+)
+SELECT n.n_name AS nation, count(*) AS n_lapsed
+FROM lapsed l
+JOIN customer c ON c.c_custkey = l.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY 1
+"""
+
+
+def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows via the native window() operator with
+    a slide: 2-hour windows every hour, so each event lands in two
+    overlapping windows. The same groupBy runs unbounded under
+    Structured Streaming with a watermark; the oracle reproduces the
+    overlap by unioning the two phase-shifted tumbling truncations —
+    demonstrating the declarative operator equals the manual form."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+HOPPING_SQL = """
+WITH phases AS (
+  SELECT ts, event_type, value,
+         date_trunc('hour', ts) - INTERVAL (p) HOUR AS window_start
+  FROM events, (SELECT unnest([0, 1]) AS p)
+)
+SELECT window_start, event_type,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM phases
+GROUP BY 1, 2
+"""
+
+
 QUERIES = [
     QuerySpec(
         "event_funnel_conversion", event_funnel_conversion, FUNNEL_SQL
+    ),
+    QuerySpec("lapsed_customers_except", lapsed_customers_except, LAPSED_SQL),
+    QuerySpec(
+        "hopping_window_counts", hopping_window_counts, HOPPING_SQL
     ),
     QuerySpec("cohort_retention", cohort_retention, COHORT_SQL),
     QuerySpec("rolling_revenue_7d", rolling_revenue_7d, ROLLING_SQL),
