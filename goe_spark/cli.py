@@ -143,11 +143,36 @@ def cmd_zorder(args) -> int:
     tmp, old = f"{target}.zorder_tmp", f"{target}.zorder_old"
     # Crash-safe rewrite: the clustered copy is COMPLETE in a sibling
     # dir before the source moves; a crash leaves either the original
-    # (tmp partial — rerun cleans it) or both (finish = rename tmp in).
+    # (tmp partial — rerun cleans it), both renamed halves (finish =
+    # rename tmp in), or target + stale old (swap done, cleanup
+    # interrupted — discard old, or the next rename would wedge).
     if os.path.isdir(old) and not os.path.isdir(target):
         os.rename(old, target)  # heal a crash between the two renames
+    elif os.path.isdir(old):
+        shutil.rmtree(old)  # heal a crash during the old-copy cleanup
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
+    # A Hive-partitioned layout (goe_part_key=... dirs) must keep its
+    # directories — the delete/merge/compaction family depends on
+    # them; a flat rewrite would silently destroy that contract.
+    part_dirs = [
+        d
+        for d in os.listdir(target)
+        if "=" in d and os.path.isdir(os.path.join(target, d))
+    ]
+    if part_dirs:
+        print(
+            json.dumps(
+                {
+                    "error": "target is Hive-partitioned "
+                    f"({part_dirs[0]}, ...); zorder rewrites flat and "
+                    "would destroy the partition layout the "
+                    "delete/merge/compact family depends on — point "
+                    "it at one partition directory instead"
+                }
+            )
+        )
+        return 1
     df = spark.read.parquet(target)
     rep = write_zordered(df, tmp, args.columns.split(","), n_files=args.n_files)
     os.rename(target, old)
@@ -183,10 +208,15 @@ def cmd_heal(args) -> int:
     result = {"swaps_healed": [], "merge_healed": False, "zorder_healed": False}
 
     # zorder first: if the old dir exists without the target, finish
-    # the rename; a stale tmp is discarded (original still complete).
+    # the rename; with the target present, the old copy is stale
+    # cleanup debris (crash during rmtree) and would wedge the next
+    # rewrite; a stale tmp is discarded (original still complete).
     old, tmp = f"{target}.zorder_old", f"{target}.zorder_tmp"
     if os.path.isdir(old) and not os.path.isdir(target):
         os.rename(old, target)
+        result["zorder_healed"] = True
+    elif os.path.isdir(old):
+        shutil.rmtree(old)
         result["zorder_healed"] = True
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)

@@ -50,8 +50,6 @@ STAGES = (
     "VERIFY",
 )
 
-MIX_HASH_BUCKETS = 1_000_000
-
 
 @dataclass
 class CurationConfig:
@@ -157,24 +155,10 @@ class CurationPipeline:
         _write_stage(kept, _stage_dir(self.cfg, "NEAR_DEDUP"))
 
     def _mixture_sample(self) -> None:
+        from goe_spark.queries.training import mixture_threshold_pick
+
         d = self.spark.read.parquet(_stage_dir(self.cfg, "NEAR_DEDUP"))
-        per = d.groupBy("source").agg(
-            F.sum("n_tokens").alias("total_tokens")
-        )
-        tot = per.agg(F.sum(F.sqrt("total_tokens")).alias("z"))
-        w = F.round(F.sqrt("total_tokens") / F.col("z"), 6)
-        budgets = per.crossJoin(F.broadcast(tot)).select(
-            "source",
-            "total_tokens",
-            F.floor(w * self.cfg.token_budget)
-            .cast("long")
-            .alias("budget_tokens"),
-        )
-        frac = F.col("budget_tokens") / F.col("total_tokens")
-        h = F.pmod(
-            hash64(F.col("doc_id").cast("string")), F.lit(MIX_HASH_BUCKETS)
-        ) / F.lit(float(MIX_HASH_BUCKETS))
-        picked = d.join(F.broadcast(budgets), "source").where(h < frac)
+        picked = mixture_threshold_pick(d, self.cfg.token_budget)
         _write_stage(
             picked.drop("total_tokens", "budget_tokens"),
             _stage_dir(self.cfg, "MIXTURE_SAMPLE"),
@@ -221,6 +205,11 @@ class CurationPipeline:
         os.makedirs(cfg.work_dir, exist_ok=True)
         history = ExecutionHistoryStore(cfg.metadata_dir)
         resume_done: set[str] = set()
+        command_input = {
+            "source_sf_dir": cfg.source_sf_dir,
+            "quality_min": cfg.quality_min,
+            "budget": cfg.token_budget,
+        }
         if resume:
             runs = [
                 r
@@ -228,7 +217,18 @@ class CurationPipeline:
                 if r.command_type == "CURATION"
             ]
             prior = runs[-1] if runs else None
-            done = history.completed_steps(prior)
+            # Resume ONLY a failed run with the SAME parameters: a
+            # successful prior run must recompute (fresh results were
+            # asked for), and a parameter change invalidates every
+            # stage — silently returning stages computed under old
+            # parameters would be a wrong answer, not a fast one.
+            if prior is not None and (
+                prior.status == COMMAND_ERROR
+                and prior.command_input == command_input
+            ):
+                done = history.completed_steps(prior)
+            else:
+                done = set()
             # Only trust a recorded step if its stage output survived.
             for s in STAGES[:-1]:
                 if s in done and (
@@ -240,10 +240,7 @@ class CurationPipeline:
                 ):
                     resume_done.add(s)
         execution = history.begin(
-            "CURATION",
-            cfg.owner,
-            cfg.table_name,
-            {"quality_min": cfg.quality_min, "budget": cfg.token_budget},
+            "CURATION", cfg.owner, cfg.table_name, command_input
         )
         runner = StepRunner(
             spark=self.spark,

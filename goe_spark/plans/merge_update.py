@@ -42,6 +42,7 @@ import shutil
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from goe_spark.plans.metadata import atomic_write_json
 from goe_spark.plans.offload import SYNTHETIC_COL, PartitionSpec
@@ -136,6 +137,18 @@ def merge_rows(
             f"updates must be unique per {key_column}: {n_rows} rows "
             f"but {n_keys} distinct keys — collapse the CDC batch to "
             "the latest version per key first"
+        )
+    # A NULL key can never be matched by the delete phase (semi/anti
+    # joins skip NULLs), so 'replace the existing row' degrades to
+    # append-another-copy on every merge and heal replay — reject it
+    # instead of silently breaking the upsert and idempotence
+    # contracts.
+    if upd.where(F.col(key_column).isNull()).limit(1).count():
+        shutil.rmtree(staging)
+        raise ValueError(
+            f"updates contain a NULL {key_column}; a keyed merge "
+            "cannot replace a NULL-keyed row — filter or key them "
+            "first"
         )
     atomic_write_json(
         os.path.join(path, MERGE_MARKER),

@@ -41,7 +41,11 @@ def atomic_write_json(path: str, obj, indent: int | None = 2) -> None:
     metadata store, the execution-history store, and the streaming
     batch ledger — crash-durability fixes land in ONE place."""
     d = os.path.dirname(path) or "."
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    # Dot-prefixed temp name: markers are written INSIDE table data
+    # directories, and a crash in this window must not leave a file
+    # Spark's parquet reader would treat as data (every other marker
+    # name is dot-prefixed for exactly this invariant).
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=".tmp", suffix=".tmp")
     try:
         with os.fdopen(fd, "w") as fh:
             json.dump(obj, fh, indent=indent, default=str)

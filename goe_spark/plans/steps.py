@@ -58,10 +58,19 @@ class StepRunner:
     def _record(self, result: StepResult) -> None:
         self.results.append(result)
         if self.history is not None and self.execution is not None:
+            # A RESUMED step is skipped for display but recorded "ok"
+            # in THIS execution's history: it is genuinely complete,
+            # and a later crash-resume reads completed_steps of the
+            # latest execution — recording "skipped" would make the
+            # resume chain survive exactly one crash before
+            # recomputing everything.
+            status = (
+                "ok" if result.detail == "resumed" else result.status
+            )
             self.history.record_step(
                 self.execution,
                 result.name,
-                result.status,
+                status,
                 result.seconds,
                 str(result.detail) if result.detail is not None else None,
             )

@@ -580,6 +580,31 @@ GROUP BY c.source
 MIX_HASH_BUCKETS = 1_000_000
 
 
+def mixture_threshold_pick(d: DataFrame, token_budget: int) -> DataFrame:
+    """The shared map-side threshold sampler: keep rows whose uniform
+    doc_id-hash bucket falls below budget_s / total_tokens_s, where
+    per-source budgets split ``token_budget`` by sqrt-temperature
+    weights. ``d`` must carry doc_id, source, n_tokens; every input
+    column is preserved, plus budget_tokens/total_tokens. One source-
+    cardinality aggregate pair broadcasts back — selection itself is
+    map-side. Used by BOTH mixture_sample_threshold (whose exact-spec
+    test pins the rule) and the curation pipeline, so the sampling
+    math exists once."""
+    per = d.groupBy("source").agg(F.sum("n_tokens").alias("total_tokens"))
+    tot = per.agg(F.sum(F.sqrt("total_tokens")).alias("z"))
+    w = F.round(F.sqrt("total_tokens") / F.col("z"), 6)
+    budgets = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "total_tokens",
+        F.floor(w * token_budget).cast("long").alias("budget_tokens"),
+    )
+    frac = F.col("budget_tokens") / F.col("total_tokens")
+    h = F.pmod(
+        hash64(F.col("doc_id").cast("string")), F.lit(MIX_HASH_BUCKETS)
+    ) / F.lit(float(MIX_HASH_BUCKETS))
+    return d.join(F.broadcast(budgets), "source").where(h < frac)
+
+
 def mixture_sample_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB form of mixture_sample_docs: replace the exact
     per-source prefix window with a per-source HASH THRESHOLD.
@@ -600,19 +625,7 @@ def mixture_sample_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", T.token_count("text").alias("n_tokens")
     )
-    per = d.groupBy("source").agg(F.sum("n_tokens").alias("total_tokens"))
-    tot = per.agg(F.sum(F.sqrt("total_tokens")).alias("z"))
-    w = F.round(F.sqrt("total_tokens") / F.col("z"), 6)
-    budgets = per.crossJoin(F.broadcast(tot)).select(
-        "source",
-        "total_tokens",
-        F.floor(w * MIX_TOKEN_BUDGET).cast("long").alias("budget_tokens"),
-    )
-    frac = F.col("budget_tokens") / F.col("total_tokens")
-    h = F.pmod(
-        hash64(F.col("doc_id").cast("string")), F.lit(MIX_HASH_BUCKETS)
-    ) / F.lit(float(MIX_HASH_BUCKETS))
-    picked = d.join(F.broadcast(budgets), "source").where(h < frac)
+    picked = mixture_threshold_pick(d, MIX_TOKEN_BUDGET)
     return picked.groupBy("source").agg(
         F.min("budget_tokens").alias("budget_tokens"),
         F.count(F.lit(1)).alias("n_docs_selected"),

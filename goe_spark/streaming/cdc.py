@@ -106,9 +106,17 @@ def make_cdc_sink(
         if int(batch_id) in ledger.committed():
             return  # re-delivery of a fully committed batch
         spark = batch_df.sparkSession
+        # NULL ops must be caught too: bare ~isin is NULL for them
+        # (three-valued logic) and a NULL-op change row would
+        # otherwise fall through BOTH the upsert and delete branches —
+        # a silently dropped change in a batch the ledger then records
+        # as fully applied.
         bad_ops = (
             batch_df.select(op_column)
-            .where(~F.col(op_column).isin(list(OPS)))
+            .where(
+                ~F.col(op_column).isin(list(OPS))
+                | F.col(op_column).isNull()
+            )
             .limit(1)
             .collect()
         )

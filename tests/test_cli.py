@@ -266,3 +266,46 @@ def test_heal_command_recovers_crashed_merge_and_zorder(tmp_path, capsys, spark)
     assert len(got) == 1 and got[0].o_totalprice == 31337.0
     assert not os.path.isdir(target + ".zorder_tmp")
     assert not os.path.exists(os.path.join(target, MERGE_MARKER))
+
+
+def test_zorder_refuses_partitioned_target(tmp_path, capsys, spark):
+    """A Hive-partitioned target must be refused: a flat rewrite would
+    destroy the layout the delete/merge/compact family depends on."""
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    target = str(tmp_path / "t")
+    from goe_spark.plans.offload import PartitionSpec
+
+    spec = PartitionSpec(source_column="o_orderdate", kind="date", granularity="M")
+    src.withColumn("goe_part_key", spec.expr()).write.partitionBy(
+        "goe_part_key"
+    ).parquet(target)
+    rc = main(
+        [
+            "zorder",
+            "--target-dir",
+            target,
+            "--columns",
+            "o_custkey,o_totalprice",
+        ]
+    )
+    assert rc == 1
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "partitioned" in res["error"]
+
+
+def test_heal_discards_stale_zorder_old(tmp_path, capsys, spark):
+    """Crash during the old-copy cleanup leaves target + .zorder_old;
+    heal discards the stale copy so the next rewrite can swap."""
+    import os
+
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    target = str(tmp_path / "t")
+    src.write.parquet(target)
+    os.makedirs(target + ".zorder_old")
+    rc = main(["heal", "--target-dir", target])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["zorder_healed"] is True
+    assert not os.path.isdir(target + ".zorder_old")
+    # target untouched
+    assert spark.read.parquet(target).count() == src.count()

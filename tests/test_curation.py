@@ -112,3 +112,42 @@ def test_crash_resume_skips_completed_stages(spark, tmp_path):
         if r.command_type == "CURATION"
     ]
     assert [r.status for r in runs] == ["ERROR", "SUCCESS"]
+
+
+def test_parameter_change_invalidates_resume(spark, tmp_path):
+    """After a SUCCESSFUL run, re-running with different parameters
+    must recompute from scratch — never return stages computed under
+    the old parameters."""
+    base = dict(
+        source_sf_dir=SF_SMALL,
+        work_dir=str(tmp_path / "work"),
+        metadata_dir=str(tmp_path / "meta"),
+        token_budget=120_000,
+    )
+    r1 = CurationPipeline(spark, CurationConfig(quality_min=0.4, **base)).run()
+    r2 = CurationPipeline(spark, CurationConfig(quality_min=0.9, **base)).run()
+    assert r2.resumed_steps == 0
+    # A tighter threshold strictly shrinks the first funnel stage.
+    assert r2.funnel[0][1] < r1.funnel[0][1]
+
+
+def test_double_crash_resume_chain(spark, tmp_path):
+    """Resumed steps record 'ok' in the new execution's history, so a
+    SECOND crash still resumes from the furthest completed stage
+    instead of recomputing everything."""
+    cfg = CurationConfig(
+        source_sf_dir=SF_SMALL,
+        work_dir=str(tmp_path / "work"),
+        metadata_dir=str(tmp_path / "meta"),
+        quality_min=0.4,
+        token_budget=120_000,
+    )
+    pipe = CurationPipeline(spark, cfg)
+    with pytest.raises(StepError):
+        pipe.run(error_at="NEAR_DEDUP")  # crash 1: 2 stages done
+    with pytest.raises(StepError):
+        pipe.run(error_at="FINAL_WRITE")  # crash 2: resumes 2, adds 2
+    report = pipe.run()
+    # Third run resumes everything up to FINAL_WRITE.
+    assert report.resumed_steps == 4
+    assert report.final_rows > 0

@@ -104,9 +104,13 @@ class TestStepRunnerHistory:
 
         assert calls == ["analyze", "stage", "load2"]
         back = fresh.get(rec2.execution_id)
+        # Resumed steps record "ok" (they ARE complete) with a
+        # 'resumed' detail — recording "skipped" would make a SECOND
+        # crash-resume recompute them (completed_steps reads the
+        # latest execution's ok steps).
         assert [(s["name"], s["status"]) for s in back.steps] == [
-            ("analyze", "skipped"),
-            ("stage", "skipped"),
+            ("analyze", "ok"),
+            ("stage", "ok"),
             ("load", "ok"),
         ]
         assert back.steps[0]["detail"] == "resumed"

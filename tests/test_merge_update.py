@@ -193,3 +193,26 @@ def test_heal_is_idempotent_after_full_completion(spark, offloaded_orders):
 
     target, _, _ = offloaded_orders
     assert heal_pending_merge(spark, target) is False
+
+
+def test_null_key_updates_rejected(spark, offloaded_orders):
+    """A NULL merge key can never be replaced (semi/anti joins skip
+    NULLs) — merge would silently append a duplicate per run, so it
+    must refuse."""
+    target, src, spec = offloaded_orders
+    row = src.first()
+    updates = spark.createDataFrame(
+        [
+            (
+                None,
+                row.o_custkey,
+                "O",
+                1.0,
+                row.o_orderdate,
+                row.o_orderpriority,
+            )
+        ],
+        src.schema,
+    )
+    with pytest.raises(ValueError, match="NULL o_orderkey"):
+        merge_rows(spark, target, "o_orderkey", updates, spec)

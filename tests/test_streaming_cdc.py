@@ -187,3 +187,21 @@ def test_unknown_op_rejected(spark, offloaded_orders, tmp_path):
     )
     with pytest.raises(ValueError, match="unknown CDC op"):
         sink(batch, 0)
+
+
+def test_null_op_rejected(spark, offloaded_orders, tmp_path):
+    """A NULL cdc_op falls through both the upsert and delete branches
+    (three-valued logic) — the sink must refuse the batch instead of
+    silently dropping the change."""
+    target, src, spec = offloaded_orders
+    r = src.first()
+    batch = _cdc_df(spark, src, [(r, 1, None, 1.0)])
+    sink = make_cdc_sink(
+        target,
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "meta"),
+        "o_orderkey",
+        spec,
+    )
+    with pytest.raises(ValueError, match="unknown CDC op"):
+        sink(batch, 0)
