@@ -174,7 +174,9 @@ def cmd_zorder(args) -> int:
         )
         return 1
     df = spark.read.parquet(target)
-    rep = write_zordered(df, tmp, args.columns.split(","), n_files=args.n_files)
+    rep = write_zordered(
+        df, tmp, args.columns.split(","), n_files=args.n_files, rank=args.rank
+    )
     os.rename(target, old)
     os.rename(tmp, target)
     shutil.rmtree(old)
@@ -498,6 +500,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--columns", required=True, help="CSV of 2-4 numeric/temporal columns"
     )
     z.add_argument("--n-files", type=int, default=64)
+    z.add_argument(
+        "--rank",
+        choices=("linear", "quantile"),
+        default="linear",
+        help="quantile = equi-depth ranks for skewed columns",
+    )
     z.set_defaults(fn=cmd_zorder)
 
     he = sub.add_parser(

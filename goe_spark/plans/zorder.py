@@ -101,8 +101,13 @@ def zvalue_expr(
                 F.lit(0).cast("long"),
             )
         )
+    return _interleave(ranks)
+
+
+def _interleave(ranks: list) -> F.Column:
+    """Bit-interleave BITS-bit rank columns into one Morton key."""
     z = F.lit(0).cast("long")
-    n = len(cols)
+    n = len(ranks)
     for bit in range(BITS):
         for j, r in enumerate(ranks):
             z = z.bitwiseOR(
@@ -112,6 +117,66 @@ def zvalue_expr(
                 )
             )
     return z
+
+
+def _quantile_z(df: DataFrame, cols: list[str]) -> DataFrame:
+    """``df`` + a ``__z`` Morton key built from EQUI-DEPTH ranks: each
+    column is bucketed on its own approx quantile cuts (one
+    Greenwald-Khanna pass for all columns), so a heavily skewed
+    distribution still spreads over the full rank range — the linear
+    min/max ranking collapses such a column onto a few rank values and
+    its dimension stops contributing locality. Bucket boundaries come
+    from pyspark.ml's Bucketizer (JVM binary search per row); columns
+    whose data has fewer distinct quantiles get proportionally scaled
+    ranks. NULLs land in Bucketizer's invalid bucket and rank LAST
+    (capped at max rank) — placement only affects locality, never
+    pruning correctness (range predicates don't match NULL)."""
+    from pyspark.ml.feature import Bucketizer
+
+    if not 2 <= len(cols) <= 64 // BITS:
+        raise ValueError(
+            f"zorder needs 2..{64 // BITS} columns, got {len(cols)}"
+        )
+    n_buckets = 1 << BITS
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    work = df.select(
+        "*", *[_rankable(df, c).alias(f"__v{j}") for j, c in enumerate(cols)]
+    )
+    cuts = work.approxQuantile(
+        [f"__v{j}" for j in range(len(cols))], probs, 1.0 / (4 * n_buckets)
+    )
+    splits_arr, in_cols, out_cols = [], [], []
+    for j in range(len(cols)):
+        distinct = sorted(set(cuts[j]))
+        splits_arr.append(
+            [float("-inf"), *distinct, float("inf")]
+        )
+        in_cols.append(f"__v{j}")
+        out_cols.append(f"__b{j}")
+    buck = Bucketizer(
+        splitsArray=splits_arr,
+        inputCols=in_cols,
+        outputCols=out_cols,
+        handleInvalid="keep",
+    )
+    bucketed = buck.transform(work)
+    max_rank = n_buckets - 1
+    ranks = []
+    for j in range(len(cols)):
+        nb = len(splits_arr[j]) - 1
+        scale = (max_rank + 1) / nb
+        ranks.append(
+            F.coalesce(
+                F.least(
+                    F.floor(F.col(f"__b{j}") * scale).cast("long"),
+                    F.lit(max_rank).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+            )
+        )
+    return bucketed.withColumn("__z", _interleave(ranks)).drop(
+        *in_cols, *out_cols
+    )
 
 
 @dataclass
@@ -126,23 +191,41 @@ def write_zordered(
     path: str,
     cols: list[str],
     n_files: int = 16,
+    rank: str = "linear",
 ) -> ZorderReport:
     """Write ``df`` as ``n_files`` parquet files clustered on the
     Morton curve over ``cols``, then build the per-file min/max
     manifest. The data written is bit-identical in content to ``df``
-    (layout only)."""
+    (layout only).
+
+    ``rank``: 'linear' (one min/max pass; right when values spread
+    evenly) or 'quantile' (equi-depth ranks from an approx-quantile
+    pass; right when a column is heavily skewed — linear ranking
+    collapses a skewed column onto a few rank values and its dimension
+    stops skipping files). The manifest stores raw value bounds either
+    way, so pruning semantics are identical."""
     spark = df.sparkSession
-    row = df.agg(
-        *[F.min(_rankable(df, c)).alias(f"lo_{i}") for i, c in enumerate(cols)],
-        *[F.max(_rankable(df, c)).alias(f"hi_{i}") for i, c in enumerate(cols)],
-    ).first()
-    stats = {
-        c: (row[f"lo_{i}"], row[f"hi_{i}"]) for i, c in enumerate(cols)
-    }
-    z = zvalue_expr(df, cols, stats)
+    if rank == "quantile":
+        zdf = _quantile_z(df, cols)
+    elif rank == "linear":
+        row = df.agg(
+            *[
+                F.min(_rankable(df, c)).alias(f"lo_{i}")
+                for i, c in enumerate(cols)
+            ],
+            *[
+                F.max(_rankable(df, c)).alias(f"hi_{i}")
+                for i, c in enumerate(cols)
+            ],
+        ).first()
+        stats = {
+            c: (row[f"lo_{i}"], row[f"hi_{i}"]) for i, c in enumerate(cols)
+        }
+        zdf = df.withColumn("__z", zvalue_expr(df, cols, stats))
+    else:
+        raise ValueError(f"rank must be 'linear' or 'quantile': {rank!r}")
     (
-        df.withColumn("__z", z)
-        .repartitionByRange(n_files, "__z")
+        zdf.repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
         .drop("__z")
         .write.mode("overwrite")

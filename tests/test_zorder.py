@@ -156,3 +156,36 @@ def test_constant_column_never_prunes_wrong(spark, orders, tmp_path):
     _, n_in, total = read_pruned(spark, path, {"k": (6.0, 8.0)})
     _, n_out, _ = read_pruned(spark, path, {"k": (10.0, 20.0)})
     assert n_in == total and n_out == 0
+
+
+def test_quantile_rank_beats_linear_on_skew(spark, tmp_path):
+    """The skew case the quantile option exists for: cube the price so
+    ~90% of rows collapse into the lowest linear rank values. A range
+    query over the DENSE low region then reads nearly every file under
+    linear ranking (all files contain low-region rows) but a narrow
+    slice under equi-depth ranking. Pruning stays exact either way."""
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").withColumn(
+        "skewed", F.pow(F.col("o_totalprice") / 1000.0, 3)
+    )
+    lin, qnt = str(tmp_path / "lin"), str(tmp_path / "qnt")
+    write_zordered(orders, lin, ["o_custkey", "skewed"], n_files=32)
+    write_zordered(
+        orders, qnt, ["o_custkey", "skewed"], n_files=32, rank="quantile"
+    )
+
+    # Query a low-skewed-value band holding ~25% of rows.
+    lo, hi = 0.0, float(
+        orders.approxQuantile("skewed", [0.25], 0.01)[0]
+    )
+    n = orders.where(F.col("skewed").between(lo, hi)).count()
+    assert n > 0
+
+    df_l, read_l, total_l = read_pruned(spark, lin, {"skewed": (lo, hi)})
+    df_q, read_q, total_q = read_pruned(spark, qnt, {"skewed": (lo, hi)})
+    pred = F.col("skewed").between(lo, hi)
+    assert df_l.where(pred).count() == n  # exactness unchanged
+    assert df_q.where(pred).count() == n
+    # Equi-depth ranks confine the dense region to few files; linear
+    # ranks smear it across most of them.
+    assert read_q < read_l
+    assert read_q <= total_q // 2
