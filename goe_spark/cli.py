@@ -200,35 +200,10 @@ def cmd_heal(args) -> int:
     rewrite — the union of every maintenance op's heal path, so an
     operator after an outage runs ONE command instead of knowing which
     op crashed."""
-    import shutil
-
-    from goe_spark.plans.compaction import heal_interrupted_swaps
-    from goe_spark.plans.merge_update import heal_pending_merge
+    from goe_spark.plans.heal import heal_target
 
     spark = _spark("goe-heal")
-    target = args.target_dir.rstrip("/")
-    result = {"swaps_healed": [], "merge_healed": False, "zorder_healed": False}
-
-    # zorder first: if the old dir exists without the target, finish
-    # the rename; with the target present, the old copy is stale
-    # cleanup debris (crash during rmtree) and would wedge the next
-    # rewrite; a stale tmp is discarded (original still complete).
-    old, tmp = f"{target}.zorder_old", f"{target}.zorder_tmp"
-    if os.path.isdir(old) and not os.path.isdir(target):
-        os.rename(old, target)
-        result["zorder_healed"] = True
-    elif os.path.isdir(old):
-        shutil.rmtree(old)
-        result["zorder_healed"] = True
-    if os.path.isdir(tmp):
-        shutil.rmtree(tmp)
-        result["zorder_healed"] = True
-
-    if os.path.isdir(target):
-        result["swaps_healed"] = heal_interrupted_swaps(target)
-        result["merge_healed"] = heal_pending_merge(spark, target)
-
-    print(json.dumps(result))
+    print(json.dumps(heal_target(spark, args.target_dir)))
     return 0
 
 

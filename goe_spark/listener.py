@@ -13,6 +13,8 @@ dependencies. Routes:
                                          synchronous and the response
                                          is the completed result)
 - POST /api/delete                       targeted row deletion
+- POST /api/heal                         one-shot crash recovery for a
+                                         maintenance target
 - POST /api/curate                       corpus curation pipeline
                                          (source_dir/work_dir/
                                          metadata_dir [+ quality_min,
@@ -135,6 +137,10 @@ def make_handler(spark):
                             "partitions_healed": rep.partitions_healed,
                         },
                     )
+                elif url.path == "/api/heal":
+                    from goe_spark.plans.heal import heal_target
+
+                    self._reply(200, heal_target(spark, spec["target_dir"]))
                 elif url.path == "/api/curate":
                     from goe_spark.plans.curation import (
                         CurationConfig,

@@ -38,6 +38,7 @@ HEAD = (
     "rolling_revenue_7d",
     "event_type_pivot",
     "lapsed_customers_except",
+    "retained_customers_intersect",
     "hopping_window_counts",
     "event_funnel_conversion",
     "cohort_retention",

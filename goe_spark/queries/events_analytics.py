@@ -288,6 +288,58 @@ GROUP BY 1
 """
 
 
+def retained_customers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT completes the set-op family (UNION ALL, EXCEPT,
+    INTERSECT): customers who ordered in BOTH the first and second
+    calendar months of the range (consecutive dense months — the
+    final month of the fixture is nearly empty), per nation. Spark
+    compiles intersect to a left-semi join over the distinct sets —
+    customer-cardinality inputs at any scale."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("om")
+    )
+    lo = o.agg(F.min("om")).first()[0]
+    m2 = o.where(F.col("om") > F.lit(lo)).agg(F.min("om")).first()[0]
+    first = o.where(F.col("om") == F.lit(lo)).select("o_custkey").distinct()
+    second = o.where(F.col("om") == F.lit(m2)).select("o_custkey").distinct()
+    retained = first.intersect(second)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    return (
+        retained.join(cust, retained.o_custkey == cust.c_custkey)
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_retained"))
+    )
+
+
+RETAINED_SQL = """
+WITH b AS (
+  SELECT date_trunc('month', min(o_orderdate)) AS lo FROM orders
+), b2 AS (
+  SELECT min(date_trunc('month', o_orderdate)) AS m2
+  FROM orders, b WHERE date_trunc('month', o_orderdate) > lo
+), first_m AS (
+  SELECT DISTINCT o_custkey FROM orders, b
+  WHERE date_trunc('month', o_orderdate) = lo
+), second_m AS (
+  SELECT DISTINCT o_custkey FROM orders, b2
+  WHERE date_trunc('month', o_orderdate) = m2
+), retained AS (
+  SELECT o_custkey FROM first_m INTERSECT SELECT o_custkey FROM second_m
+)
+SELECT n.n_name AS nation, count(*) AS n_retained
+FROM retained r
+JOIN customer c ON c.c_custkey = r.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY 1
+"""
+
+
 def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping (sliding) windows via the native window() operator with
     a slide: 2-hour windows every hour, so each event lands in two
@@ -330,6 +382,11 @@ QUERIES = [
         "event_funnel_conversion", event_funnel_conversion, FUNNEL_SQL
     ),
     QuerySpec("lapsed_customers_except", lapsed_customers_except, LAPSED_SQL),
+    QuerySpec(
+        "retained_customers_intersect",
+        retained_customers_intersect,
+        RETAINED_SQL,
+    ),
     QuerySpec(
         "hopping_window_counts", hopping_window_counts, HOPPING_SQL
     ),

@@ -148,3 +148,16 @@ def test_curate_route_missing_field_400(base_url):
     with _pytest.raises(urllib.error.HTTPError) as exc:
         _post(f"{base_url}/api/curate", {"work_dir": "/tmp/x"})
     assert exc.value.code == 400
+
+
+def test_heal_route_noop_on_clean_target(base_url, tmp_path, spark):
+    import os
+
+    target = str(tmp_path / "t")
+    spark.range(5).write.parquet(target)
+    os.makedirs(target + ".zorder_tmp")
+    status, body = _post(f"{base_url}/api/heal", {"target_dir": target})
+    assert status == 200
+    assert body["zorder_healed"] is True
+    assert body["merge_healed"] is False
+    assert not os.path.isdir(target + ".zorder_tmp")

@@ -250,3 +250,18 @@ def test_approx_percentile_tracks_exact(spark):
         # 1/accuracy = 0.1% rank error; price spread per group ~ 1e5,
         # so value error stays well under 2% of the exact median.
         assert abs(approx[k] - ev) / ev < 0.02, (k, ev, approx[k])
+
+
+def test_approx_count_distinct_tracks_exact_ndv(spark):
+    """The stats module's 100 TB NDV path: approx_count_distinct
+    (HyperLogLog++, mergeable map-side) stays within its rsd of the
+    exact distinct counts it replaces at scale."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    for col in ("l_orderkey", "l_partkey", "l_suppkey"):
+        exact, approx = li.agg(
+            F.countDistinct(col),
+            F.approx_count_distinct(col, rsd=0.02),
+        ).first()
+        assert abs(approx - exact) / exact < 0.08, (col, exact, approx)
