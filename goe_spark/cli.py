@@ -152,27 +152,38 @@ def cmd_zorder(args) -> int:
         shutil.rmtree(old)  # heal a crash during the old-copy cleanup
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
-    # A Hive-partitioned layout (goe_part_key=... dirs) must keep its
-    # directories — the delete/merge/compaction family depends on
-    # them; a flat rewrite would silently destroy that contract.
+    # A Hive-partitioned layout keeps its directories: each partition
+    # is re-clustered in place behind compaction's marker swap, so the
+    # delete/merge/compact family keeps working and partition pruning
+    # stays native (manifest skipping applies within partitions).
     part_dirs = [
         d
         for d in os.listdir(target)
         if "=" in d and os.path.isdir(os.path.join(target, d))
     ]
     if part_dirs:
+        from goe_spark.plans.zorder import zorder_partitioned_table
+
+        pcol = part_dirs[0].split("=", 1)[0]
+        rep = zorder_partitioned_table(
+            spark,
+            target,
+            args.columns.split(","),
+            partition_col=pcol,
+            n_files=max(2, args.n_files // len(part_dirs)),
+            rank=args.rank,
+        )
         print(
             json.dumps(
                 {
-                    "error": "target is Hive-partitioned "
-                    f"({part_dirs[0]}, ...); zorder rewrites flat and "
-                    "would destroy the partition layout the "
-                    "delete/merge/compact family depends on — point "
-                    "it at one partition directory instead"
+                    "partitions_rewritten": rep.partitions_rewritten,
+                    "partitions_healed": rep.partitions_healed,
+                    "n_files": rep.files_after,
+                    "cols": args.columns.split(","),
                 }
             )
         )
-        return 1
+        return 0
     df = spark.read.parquet(target)
     rep = write_zordered(
         df, tmp, args.columns.split(","), n_files=args.n_files, rank=args.rank

@@ -318,3 +318,121 @@ def read_pruned(
     if not files:
         return None, 0, total
     return spark.read.parquet(*files), len(files), total
+
+
+@dataclass
+class PartitionedZorderReport:
+    partitions_rewritten: int = 0
+    partitions_healed: int = 0
+    files_after: int = 0
+
+
+def zorder_partitioned_table(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    partition_col: str = "goe_part_key",
+    n_files: int = 4,
+    rank: str = "linear",
+) -> PartitionedZorderReport:
+    """Re-cluster EVERY partition of a Hive-partitioned target on the
+    Morton curve, each behind compaction's marker-driven crash-safe
+    swap — so zorder composes with the offload layout instead of
+    refusing it (the flat CLI path): partition pruning on
+    ``partition_col`` stays native, and the per-partition manifest
+    adds file skipping WITHIN each partition.
+
+    Crash contract is compaction's: the clustered copy is complete in
+    a dot-prefixed temp dir before the marker arms; any crash is
+    healed by the next run (which this one begins with). The old
+    manifest is removed IN the swap and the fresh one written after —
+    a crash in between leaves a manifest-less partition, which
+    read_pruned_partitioned treats as unprunable-but-correct (reads
+    all its files) until the next zorder pass."""
+    from goe_spark.plans.compaction import (
+        _complete_swap,
+        _data_files,
+        _marker_path,
+        _tmp_dir,
+        heal_interrupted_swaps,
+    )
+    from goe_spark.plans.metadata import atomic_write_json
+
+    report = PartitionedZorderReport()
+    report.partitions_healed = len(heal_interrupted_swaps(path))
+    part_dirs = [
+        d
+        for d in sorted(os.listdir(path))
+        if d.startswith(f"{partition_col}=")
+        and os.path.isdir(os.path.join(path, d))
+    ]
+    if not part_dirs:
+        raise ValueError(
+            f"{path} has no {partition_col}= partition directories; "
+            "use write_zordered for flat tables"
+        )
+    import shutil
+
+    for d in part_dirs:
+        full = os.path.join(path, d)
+        old_files = _data_files(full)
+        df = spark.read.parquet(full)
+        n_before = df.count()
+        tmp = _tmp_dir(path, d)
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        write_zordered(df, tmp, cols, n_files=n_files, rank=rank)
+        # The temp manifest described the temp paths; drop it — the
+        # real one is rebuilt on the final dir after the swap.
+        os.remove(_mpath(tmp))
+        if spark.read.parquet(tmp).count() != n_before:
+            shutil.rmtree(tmp)  # pragma: no cover - defensive
+            raise RuntimeError(f"zorder row mismatch in {d}")
+        doomed = list(old_files)
+        if os.path.exists(_mpath(full)):
+            doomed.append(MANIFEST_NAME)  # stale manifest dies in-swap
+        atomic_write_json(
+            _marker_path(path, d), {"partition": d, "old_files": doomed}
+        )
+        report.files_after += _complete_swap(path, d, doomed)
+        build_manifest(spark, full, cols)
+        report.partitions_rewritten += 1
+    return report
+
+
+def read_pruned_partitioned(
+    spark: SparkSession,
+    path: str,
+    bounds: dict[str, tuple[float | None, float | None]],
+    partition_col: str = "goe_part_key",
+) -> tuple[DataFrame | None, int, int]:
+    """Manifest-pruned read across a partitioned target: every
+    partition's manifest shrinks its file list (a manifest-less
+    partition contributes all its files — correct, just unpruned);
+    the union reads with basePath so ``partition_col`` survives.
+    Returns (DataFrame | None, files_read, files_total)."""
+    from goe_spark.plans.compaction import _data_files
+
+    files: list[str] = []
+    total = 0
+    for d in sorted(os.listdir(path)):
+        full = os.path.join(path, d)
+        if not (d.startswith(f"{partition_col}=") and os.path.isdir(full)):
+            continue
+        if os.path.exists(_mpath(full)):
+            keep, n = prune_files(full, bounds)
+            files.extend(keep)
+            total += n
+        else:
+            part_files = [
+                os.path.join(full, f) for f in _data_files(full)
+            ]
+            files.extend(part_files)
+            total += len(part_files)
+    if not files:
+        return None, 0, total
+    return (
+        spark.read.option("basePath", path).parquet(*files),
+        len(files),
+        total,
+    )

@@ -268,9 +268,12 @@ def test_heal_command_recovers_crashed_merge_and_zorder(tmp_path, capsys, spark)
     assert not os.path.exists(os.path.join(target, MERGE_MARKER))
 
 
-def test_zorder_refuses_partitioned_target(tmp_path, capsys, spark):
-    """A Hive-partitioned target must be refused: a flat rewrite would
-    destroy the layout the delete/merge/compact family depends on."""
+def test_zorder_partitioned_target_rewrites_per_partition(tmp_path, capsys, spark):
+    """A Hive-partitioned target is re-clustered partition by
+    partition behind the marker swap — layout preserved, content
+    intact."""
+    import os
+
     src = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
     target = str(tmp_path / "t")
     from goe_spark.plans.offload import PartitionSpec
@@ -288,9 +291,11 @@ def test_zorder_refuses_partitioned_target(tmp_path, capsys, spark):
             "o_custkey,o_totalprice",
         ]
     )
-    assert rc == 1
+    assert rc == 0
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert "partitioned" in res["error"]
+    assert res["partitions_rewritten"] > 0
+    assert any(d.startswith("goe_part_key=") for d in os.listdir(target))
+    assert spark.read.parquet(target).count() == src.count()
 
 
 def test_heal_discards_stale_zorder_old(tmp_path, capsys, spark):

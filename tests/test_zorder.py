@@ -189,3 +189,79 @@ def test_quantile_rank_beats_linear_on_skew(spark, tmp_path):
     # ranks smear it across most of them.
     assert read_q < read_l
     assert read_q <= total_q // 2
+
+
+def test_partitioned_zorder_preserves_layout_and_prunes(
+    spark, offloaded_orders
+):
+    """Per-partition re-clustering: partition dirs survive (the
+    delete/merge/compact contract), content is identical, the
+    partition column still reads back, and manifest pruning skips
+    files within partitions."""
+    import os
+
+    from goe_spark.plans.zorder import (
+        read_pruned_partitioned,
+        zorder_partitioned_table,
+    )
+
+    target, src, _ = offloaded_orders
+    before = spark.read.parquet(target).count()
+    rep = zorder_partitioned_table(
+        spark, target, ["o_custkey", "o_totalprice"], n_files=4
+    )
+    assert rep.partitions_rewritten > 0
+    part_dirs = [d for d in os.listdir(target) if d.startswith("goe_part_key=")]
+    assert part_dirs  # layout intact
+    back = spark.read.option("basePath", target).parquet(target)
+    assert back.count() == before
+    assert "goe_part_key" in back.columns
+
+    lo, hi = src.agg(F.min("o_custkey"), F.max("o_custkey")).first()
+    span = float(hi) - float(lo)
+    b = (float(lo) + 0.45 * span, float(lo) + 0.55 * span)
+    df, n_read, n_total = read_pruned_partitioned(
+        spark, target, {"o_custkey": b}
+    )
+    assert 0 < n_read < n_total
+    pred = F.col("o_custkey").between(*b)
+    assert df.where(pred).count() == src.where(pred).count()
+    assert "goe_part_key" in df.columns
+
+
+def test_partitioned_zorder_heals_crashed_swap(spark, offloaded_orders):
+    """A marker left mid-swap is completed by the next run before any
+    rewrite — compaction's crash contract carried over."""
+    import os
+    import shutil
+
+    from goe_spark.plans.compaction import (
+        _data_files,
+        _marker_path,
+        _tmp_dir,
+    )
+    from goe_spark.plans.metadata import atomic_write_json
+    from goe_spark.plans.zorder import zorder_partitioned_table
+
+    target, src, _ = offloaded_orders
+    d = sorted(
+        x for x in os.listdir(target) if x.startswith("goe_part_key=")
+    )[0]
+    full = os.path.join(target, d)
+    old = _data_files(full)
+    # Simulate: compacted copy complete in tmp, marker armed, crash.
+    df = spark.read.parquet(full)
+    tmp = _tmp_dir(target, d)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    df.coalesce(1).write.parquet(tmp)
+    atomic_write_json(
+        _marker_path(target, d), {"partition": d, "old_files": old}
+    )
+
+    rep = zorder_partitioned_table(
+        spark, target, ["o_custkey", "o_totalprice"], n_files=2
+    )
+    assert rep.partitions_healed == 1
+    assert spark.read.parquet(target).count() == src.count()
+    assert not os.path.exists(_marker_path(target, d))
