@@ -69,6 +69,7 @@ def cmd_offload(args) -> int:
         "decimal_columns_type": args.decimal_columns_type,
         "allow_floating_point_conversions": args.allow_floating_point_conversions,
         "sort_columns": args.sort_columns,
+        "zorder_columns": args.zorder_columns,
         "ddl_file": args.ddl_file,
         "chunked": args.chunked,
         "max_chunk_count": args.max_chunk_count,
@@ -443,6 +444,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="CSV of columns to cluster the final table on "
         '(sortWithinPartitions before write); "NONE" clears a '
         "previous choice",
+    )
+    o.add_argument(
+        "--zorder-columns",
+        help="CSV of 2-4 numeric/temporal columns to Morton-cluster "
+        "the final table on after verification (multi-dimensional "
+        "file skipping; per partition when partitioned)",
     )
     o.add_argument(
         "--allow-floating-point-conversions",

@@ -87,6 +87,12 @@ class OffloadConfig:
     # (plans/sort_columns.py). Default keeps the previous offload's
     # choice; "NONE" clears it.
     sort_columns_csv: str | None = None
+    # --zorder-columns CSV: after verification, re-cluster the final
+    # parquet table on the Morton curve over these columns
+    # (plans/zorder.py — per partition when partitioned). Multi-
+    # dimensional file skipping where sort_columns serves only its
+    # leading column.
+    zorder_columns_csv: str | None = None
     # --ddl-file: write CREATE TABLE text here (or AUTO) and stop
     # without staging/loading any data (plans/ddl_file.py).
     ddl_file: str | None = None
@@ -642,6 +648,37 @@ class OffloadPipeline:
             md.offload_sort_columns = sort_cols
             self.store.save(md)
 
+        # ZORDER (optional): re-cluster the verified final table on
+        # the configured columns — per partition behind the marker
+        # swap when partitioned, flat z-write otherwise. Runs AFTER
+        # verification (only proven data gets re-laid-out) and only
+        # on the Spark-native parquet writer; warehouse backends
+        # cluster natively (BigQuery CLUSTER BY via sort_cols).
+        if cfg.zorder_columns_csv and hasattr(writer, "target_dir"):
+            from goe_spark.plans.zorder import (
+                write_zordered,
+                zorder_partitioned_table,
+            )
+
+            with self._step(steps, "ZORDER"):
+                zcols = [
+                    c.strip()
+                    for c in cfg.zorder_columns_csv.split(",")
+                    if c.strip()
+                ]
+                if cfg.partition is not None:
+                    zorder_partitioned_table(
+                        self.spark,
+                        writer.target_dir,
+                        zcols,
+                        partition_col=SYNTHETIC_COL,
+                    )
+                else:
+                    staged_full = writer.read_final(
+                        self.spark
+                    ).localCheckpoint(eager=True)
+                    write_zordered(staged_full, writer.target_dir, zcols)
+
         return OffloadResult(
             rows_staged=rows_staged,
             rows_final=rows_final,
@@ -727,6 +764,7 @@ def offload_from_spec(spark: SparkSession, spec: dict) -> dict:
         hwm=hwm,
         column_controls=controls,
         sort_columns_csv=spec.get("sort_columns"),
+        zorder_columns_csv=spec.get("zorder_columns"),
         ddl_file=spec.get("ddl_file"),
         staging_format=spec.get("staging_format", "parquet"),
         list_partition_column=spec.get("list_partition_column"),

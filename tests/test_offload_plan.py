@@ -346,3 +346,42 @@ def test_offload_predicate_dedupe(spark, tmp_path):
     # Re-offloading the same predicate is rejected.
     with pytest.raises(OffloadValidationError):
         OffloadPipeline(spark, cfg).run(src)
+
+
+def test_offload_with_zorder_columns(spark, tmp_path):
+    """--zorder-columns: the verified final table comes out
+    re-clustered per partition with manifests in place, same rows."""
+    import os
+
+    from goe_spark.plans.offload import (
+        OffloadConfig,
+        OffloadPipeline,
+        PartitionSpec,
+    )
+    from goe_spark.plans.zorder import MANIFEST_NAME
+
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    cfg = OffloadConfig(
+        owner="sh",
+        table_name="orders",
+        target_dir=str(tmp_path / "final"),
+        staging_dir=str(tmp_path / "stage"),
+        metadata_dir=str(tmp_path / "md"),
+        partition=PartitionSpec(
+            source_column="o_orderdate", kind="date", granularity="Y"
+        ),
+        zorder_columns_csv="o_custkey,o_totalprice",
+    )
+    res = OffloadPipeline(spark, cfg).run(src)
+    assert "ZORDER" in res.steps
+    part_dirs = [
+        d
+        for d in os.listdir(cfg.target_dir)
+        if d.startswith("goe_part_key=")
+    ]
+    assert part_dirs
+    for d in part_dirs:
+        assert os.path.exists(
+            os.path.join(cfg.target_dir, d, MANIFEST_NAME)
+        )
+    assert spark.read.parquet(cfg.target_dir).count() == src.count()
