@@ -40,6 +40,7 @@ HEAD = (
     "lapsed_customers_except",
     "retained_customers_intersect",
     "hopping_window_counts",
+    "revenue_cube",
     "event_funnel_conversion",
     "cohort_retention",
     "session_window_stats",

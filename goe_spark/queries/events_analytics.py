@@ -377,6 +377,48 @@ GROUP BY 1, 2
 """
 
 
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (nation, order-year): every grouping-set combination
+    including both margins and the grand total — the §2.5 grouping
+    family's third member beside plain GROUP BY and ROLLUP
+    (event_type_rollup). Spark's Expand strategy evaluates all four
+    grouping sets in one pass over the joined fact."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").alias("order_year"),
+        "o_totalprice",
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    joined = (
+        o.join(cust, o.o_custkey == cust.c_custkey)
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"), "order_year", "o_totalprice")
+    )
+    return joined.cube("nation", "order_year").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(20,2)")), 2).alias(
+            "revenue"
+        ),
+    )
+
+
+REVENUE_CUBE_SQL = """
+SELECT n.n_name AS nation,
+       year(o.o_orderdate) AS order_year,
+       count(*) AS n_orders,
+       round(sum(cast(o.o_totalprice AS decimal(20,2))), 2) AS revenue
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY CUBE (n.n_name, year(o.o_orderdate))
+"""
+
+
 QUERIES = [
     QuerySpec(
         "event_funnel_conversion", event_funnel_conversion, FUNNEL_SQL
@@ -390,6 +432,7 @@ QUERIES = [
     QuerySpec(
         "hopping_window_counts", hopping_window_counts, HOPPING_SQL
     ),
+    QuerySpec("revenue_cube", revenue_cube, REVENUE_CUBE_SQL),
     QuerySpec("cohort_retention", cohort_retention, COHORT_SQL),
     QuerySpec("rolling_revenue_7d", rolling_revenue_7d, ROLLING_SQL),
     QuerySpec("event_type_pivot", event_type_pivot, PIVOT_SQL),
