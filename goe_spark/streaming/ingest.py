@@ -71,21 +71,44 @@ def _batch_dir(target_dir: str, batch_id: int) -> str:
     return os.path.join(target_dir, f"batch-{int(batch_id):06d}")
 
 
-def read_streamed_table(spark: SparkSession, target_dir: str):
+def read_streamed_table(
+    spark: SparkSession, target_dir: str, as_of_batch: int | None = None
+):
     """The streamed table as one DataFrame: union of the per-batch
     roots (partition discovery runs per root, so goe_part_key columns
     behave as on a batch-offloaded table). Returns None when nothing
-    has been committed yet."""
+    has been committed yet.
+
+    ``as_of_batch`` gives snapshot reads for free from the per-batch
+    layout: only roots with batch id <= the given id are unioned — the
+    table exactly as it stood after that micro-batch committed (the
+    poor man's time travel the batch-dir design buys; at 100 TB/day a
+    retention janitor prunes old batch roots the same way)."""
     if not os.path.isdir(target_dir):
         return None
     roots = sorted(
         os.path.join(target_dir, d)
         for d in os.listdir(target_dir)
         if d.startswith("batch-")
+        and (
+            as_of_batch is None
+            or int(d.rsplit("-", 1)[1]) <= as_of_batch
+        )
     )
     if not roots:
         return None
-    return spark.read.parquet(*roots)
+    # One read PER root, unioned explicitly: handing Spark all roots
+    # at once makes partition discovery hunt for a common ancestor
+    # and trip over the non-k=v 'batch-...' segment
+    # (CONFLICTING_DIRECTORY_STRUCTURES) whenever batches differ in
+    # partition layout; per-root reads discover partitions
+    # independently, and allowMissingColumns covers a batch that saw
+    # no rows for some partition column.
+    dfs = [spark.read.parquet(r) for r in roots]
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
 
 
 def make_batch_sink(

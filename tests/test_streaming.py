@@ -169,3 +169,34 @@ def test_enriched_counts_cover_all_types(spark):
     got = enriched_window_counts(spark, SF_SMALL)
     total = got.agg(F.sum("n_events")).first()[0]
     assert total == load_table(spark, SF_SMALL, "events").count()
+
+
+def test_streamed_table_as_of_batch_snapshot(spark, tmp_path):
+    """Per-batch roots give snapshot reads: as_of_batch=N returns the
+    table exactly as it stood after batch N committed."""
+    from goe_spark.plans.offload import SYNTHETIC_COL
+    from goe_spark.streaming.ingest import (
+        make_batch_sink,
+        read_streamed_table,
+    )
+
+    target = str(tmp_path / "t")
+    sink = make_batch_sink(
+        target, str(tmp_path / "ckpt"), str(tmp_path / "meta")
+    )
+    from goe_spark.catalog import load_table
+
+    e = load_table(spark, SF_SMALL, "events").limit(300).cache()
+    b0 = e.limit(100)
+    b1 = e.subtract(b0).limit(100)
+    n0, n1 = b0.count(), b1.count()
+    sink(b0, 0)
+    sink(b1, 1)
+
+    snap0 = read_streamed_table(spark, target, as_of_batch=0)
+    full = read_streamed_table(spark, target)
+    assert snap0.count() == n0
+    assert full.count() == n0 + n1
+    assert SYNTHETIC_COL in snap0.columns
+    assert read_streamed_table(spark, target, as_of_batch=-1) is None
+    e.unpersist()
