@@ -81,20 +81,33 @@ def read_streamed_table(
 
     ``as_of_batch`` gives snapshot reads for free from the per-batch
     layout: only roots with batch id <= the given id are unioned — the
-    table exactly as it stood after that micro-batch committed (the
-    poor man's time travel the batch-dir design buys; at 100 TB/day a
-    retention janitor prunes old batch roots the same way)."""
+    table exactly as it stood after that micro-batch committed. The
+    fold janitor (fold_streamed_batches) bounds this time travel to
+    its retention window: a snapshot older than the folded ``base/``
+    root can no longer be reconstructed and raises."""
     if not os.path.isdir(target_dir):
         return None
-    roots = sorted(
-        os.path.join(target_dir, d)
+    batch_ids = sorted(
+        int(d.rsplit("-", 1)[1])
         for d in os.listdir(target_dir)
         if d.startswith("batch-")
-        and (
-            as_of_batch is None
-            or int(d.rsplit("-", 1)[1]) <= as_of_batch
-        )
     )
+    base = os.path.join(target_dir, BASE_DIR)
+    roots = [
+        os.path.join(target_dir, f"batch-{i:06d}")
+        for i in batch_ids
+        if as_of_batch is None or i <= as_of_batch
+    ]
+    if os.path.isdir(base):
+        if as_of_batch is not None and (
+            not batch_ids or as_of_batch < batch_ids[0]
+        ):
+            raise ValueError(
+                f"as_of_batch={as_of_batch} predates the fold janitor's "
+                "retention window — those batch roots were folded into "
+                "base/"
+            )
+        roots.insert(0, base)
     if not roots:
         return None
     # One read PER root, unioned explicitly: handing Spark all roots
@@ -159,6 +172,85 @@ def make_batch_sink(
         ledger.commit(batch_id)
 
     return sink
+
+
+BASE_DIR = "base"
+FOLD_MARKER = ".fold_pending.json"
+
+
+def fold_streamed_batches(
+    spark: SparkSession, target_dir: str, keep_last: int = 10
+) -> dict:
+    """Retention janitor for the per-batch layout: batch roots grow
+    one per micro-batch forever, which at 100 TB/day is an unbounded
+    file-listing cost. Fold every batch root older than the newest
+    ``keep_last`` into one partitioned ``base/`` root (itself included
+    in the next fold), leaving recent batches intact so ``as_of_batch``
+    snapshot reads keep working across the retention window.
+
+    Crash-safe: the folded copy is written COMPLETE to a dot-prefixed
+    temp dir, a marker listing the doomed roots is armed, and only
+    then are old roots removed and the temp renamed in; a crash at any
+    point is healed at the start of the next fold (complete the
+    removal + rename, or discard a marker-less temp). Readers see
+    either the old roots or the folded base — never both live at once
+    past the heal."""
+    import shutil
+
+    from goe_spark.plans.metadata import atomic_write_json
+
+    marker = os.path.join(target_dir, FOLD_MARKER)
+    tmp = os.path.join(target_dir, ".base_fold_tmp")
+    base = os.path.join(target_dir, BASE_DIR)
+
+    # Heal a crashed fold: the marker means tmp was COMPLETE — finish
+    # removing doomed roots and swap tmp in.
+    healed = False
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            doomed = json.load(fh)["doomed"]
+        for d in doomed:
+            full = os.path.join(target_dir, d)
+            if os.path.isdir(full):
+                shutil.rmtree(full)
+        if os.path.isdir(tmp):
+            if os.path.isdir(base):
+                shutil.rmtree(base)
+            os.rename(tmp, base)
+        os.remove(marker)
+        healed = True
+    elif os.path.isdir(tmp):
+        shutil.rmtree(tmp)  # crash before the marker — fold redone
+
+    batches = sorted(
+        d for d in os.listdir(target_dir) if d.startswith("batch-")
+    )
+    fold = batches[: max(0, len(batches) - keep_last)]
+    if not fold:
+        return {"folded": 0, "healed": healed}
+    roots = [os.path.join(target_dir, d) for d in fold]
+    if os.path.isdir(base):
+        roots.append(base)
+    dfs = [spark.read.parquet(r) for r in roots]
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    n_before = out.count()
+    (
+        out.write.mode("overwrite")
+        .partitionBy(SYNTHETIC_COL)
+        .parquet(tmp)
+    )
+    if spark.read.parquet(tmp).count() != n_before:
+        shutil.rmtree(tmp)  # pragma: no cover - defensive
+        raise RuntimeError("fold row mismatch")
+    doomed = fold + ([BASE_DIR] if os.path.isdir(base) else [])
+    atomic_write_json(marker, {"doomed": doomed})
+    for d in doomed:
+        shutil.rmtree(os.path.join(target_dir, d))
+    os.rename(tmp, base)
+    os.remove(marker)
+    return {"folded": len(fold), "healed": healed, "rows": n_before}
 
 
 def stream_offload_events(

@@ -200,3 +200,71 @@ def test_streamed_table_as_of_batch_snapshot(spark, tmp_path):
     assert SYNTHETIC_COL in snap0.columns
     assert read_streamed_table(spark, target, as_of_batch=-1) is None
     e.unpersist()
+
+
+def test_fold_streamed_batches_retention(spark, tmp_path):
+    """The fold janitor bounds batch-root growth: old batches merge
+    into base/, recent ones stay snapshot-readable, totals unchanged,
+    and a crashed fold (marker armed, removal incomplete) heals."""
+    import os
+    import shutil
+
+    from goe_spark.catalog import load_table
+    from goe_spark.streaming.ingest import (
+        BASE_DIR,
+        FOLD_MARKER,
+        fold_streamed_batches,
+        make_batch_sink,
+        read_streamed_table,
+    )
+
+    target = str(tmp_path / "t")
+    sink = make_batch_sink(
+        target, str(tmp_path / "ckpt"), str(tmp_path / "meta")
+    )
+    e = load_table(spark, SF_SMALL, "events").limit(400).cache()
+    chunks = [e.limit(100)]
+    rest = e.subtract(chunks[0])
+    for _ in range(3):
+        nxt = rest.limit(100)
+        chunks.append(nxt)
+        rest = rest.subtract(nxt)
+    for i, c in enumerate(chunks):
+        sink(c, i)
+    total = read_streamed_table(spark, target).count()
+
+    rep = fold_streamed_batches(spark, target, keep_last=2)
+    assert rep["folded"] == 2  # batches 0 and 1
+    assert os.path.isdir(os.path.join(target, BASE_DIR))
+    assert not os.path.isdir(os.path.join(target, "batch-000000"))
+    assert read_streamed_table(spark, target).count() == total
+    # Snapshot inside the window still works; older raises.
+    assert read_streamed_table(spark, target, as_of_batch=2).count() < total
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="retention window"):
+        read_streamed_table(spark, target, as_of_batch=0)
+
+    # Second fold folds batch 2 into the existing base.
+    rep2 = fold_streamed_batches(spark, target, keep_last=1)
+    assert rep2["folded"] == 1
+    assert read_streamed_table(spark, target).count() == total
+
+    # Crash simulation: marker armed, doomed root still present.
+    from goe_spark.plans.metadata import atomic_write_json
+
+    victim = os.path.join(target, "batch-000003")
+    fake_tmp = os.path.join(target, ".base_fold_tmp")
+    shutil.copytree(os.path.join(target, BASE_DIR), fake_tmp)
+    spark.read.parquet(victim).write.mode("append").partitionBy(
+        "goe_part_key"
+    ).parquet(fake_tmp)
+    atomic_write_json(
+        os.path.join(target, FOLD_MARKER),
+        {"doomed": ["batch-000003", BASE_DIR]},
+    )
+    rep3 = fold_streamed_batches(spark, target, keep_last=1)
+    assert rep3["healed"] is True
+    assert read_streamed_table(spark, target).count() == total
+    assert not os.path.exists(os.path.join(target, FOLD_MARKER))
+    e.unpersist()
