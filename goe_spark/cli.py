@@ -219,6 +219,23 @@ def cmd_heal(args) -> int:
     return 0
 
 
+def cmd_fold(args) -> int:
+    """Retention janitor for a streamed target: fold batch roots older
+    than --keep-last into the partitioned base/ root (crash-safe swap,
+    healed on rerun)."""
+    from goe_spark.streaming.ingest import fold_streamed_batches
+
+    spark = _spark("goe-fold")
+    print(
+        json.dumps(
+            fold_streamed_batches(
+                spark, args.target_dir, keep_last=args.keep_last
+            )
+        )
+    )
+    return 0
+
+
 def cmd_curate(args) -> int:
     """End-to-end corpus curation: quality filter -> exact dedup ->
     near-dup keep-best -> mixture sample -> partitioned final table,
@@ -500,6 +517,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="quantile = equi-depth ranks for skewed columns",
     )
     z.set_defaults(fn=cmd_zorder)
+
+    fo = sub.add_parser(
+        "fold", help="fold old streamed batch roots into base/ (retention)"
+    )
+    fo.add_argument("--target-dir", required=True)
+    fo.add_argument("--keep-last", type=int, default=10)
+    fo.set_defaults(fn=cmd_fold)
 
     he = sub.add_parser(
         "heal", help="complete interrupted compact/delete/merge/zorder ops"

@@ -314,3 +314,23 @@ def test_heal_discards_stale_zorder_old(tmp_path, capsys, spark):
     assert not os.path.isdir(target + ".zorder_old")
     # target untouched
     assert spark.read.parquet(target).count() == src.count()
+
+
+def test_fold_command(tmp_path, capsys, spark):
+    from goe_spark.catalog import load_table
+    from goe_spark.streaming.ingest import make_batch_sink, read_streamed_table
+
+    target = str(tmp_path / "t")
+    sink = make_batch_sink(target, str(tmp_path / "ck"), str(tmp_path / "md"))
+    e = load_table(spark, SF_SMALL, "events").limit(200).cache()
+    b0 = e.limit(100)
+    sink(b0, 0)
+    sink(e.subtract(b0).limit(100), 1)
+    total = read_streamed_table(spark, target).count()
+
+    rc = main(["fold", "--target-dir", target, "--keep-last", "1"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["folded"] == 1
+    assert read_streamed_table(spark, target).count() == total
+    e.unpersist()
