@@ -157,11 +157,17 @@ def cmd_zorder(args) -> int:
     # is re-clustered in place behind compaction's marker swap, so the
     # delete/merge/compact family keeps working and partition pruning
     # stays native (manifest skipping applies within partitions).
-    part_dirs = [
+    # Dot-prefixed entries are maintenance debris (compact tmp dirs,
+    # markers), not partitions — a '.goe_part_key=...._compact_tmp'
+    # leftover must not be mistaken for the layout; sorted so the
+    # derived partition column is deterministic.
+    part_dirs = sorted(
         d
         for d in os.listdir(target)
-        if "=" in d and os.path.isdir(os.path.join(target, d))
-    ]
+        if "=" in d
+        and not d.startswith(".")
+        and os.path.isdir(os.path.join(target, d))
+    )
     if part_dirs:
         from goe_spark.plans.zorder import zorder_partitioned_table
 

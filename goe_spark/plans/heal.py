@@ -18,17 +18,22 @@ def heal_target(spark: SparkSession, target_dir: str) -> dict:
       = finish the swap; old WITH target = stale cleanup debris that
       would wedge the next rewrite; tmp = incomplete copy, discard);
     - complete interrupted compaction/delete partition swaps;
-    - complete a pending keyed merge from its durable staging copy.
+    - complete a pending keyed merge from its durable staging copy;
+    - complete a crashed streamed-batch fold (streaming/ingest.py).
     Returns a JSON-ready report. Idempotent."""
     from goe_spark.plans.compaction import heal_interrupted_swaps
     from goe_spark.plans.merge_update import heal_pending_merge
+    from goe_spark.streaming.ingest import heal_fold
 
     target = target_dir.rstrip("/")
     result: dict = {
         "swaps_healed": [],
         "merge_healed": False,
         "zorder_healed": False,
+        "fold_healed": False,
     }
+    if os.path.isdir(target):
+        result["fold_healed"] = heal_fold(target)
     old, tmp = f"{target}.zorder_old", f"{target}.zorder_tmp"
     if os.path.isdir(old) and not os.path.isdir(target):
         os.rename(old, target)

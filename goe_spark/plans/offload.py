@@ -20,6 +20,7 @@ partition layout (partitionBy on the synthetic column).
 from __future__ import annotations
 
 import contextlib
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -674,10 +675,24 @@ class OffloadPipeline:
                         partition_col=SYNTHETIC_COL,
                     )
                 else:
-                    staged_full = writer.read_final(
-                        self.spark
-                    ).localCheckpoint(eager=True)
-                    write_zordered(staged_full, writer.target_dir, zcols)
+                    # Flat target: same tmp + two-rename swap as the
+                    # CLI zorder path (healed by plans/heal.py). An
+                    # in-place overwrite backed only by localCheckpoint
+                    # would destroy the verified table on a crash or
+                    # executor loss mid-write.
+                    import shutil
+
+                    t = writer.target_dir.rstrip("/")
+                    tmp, old = f"{t}.zorder_tmp", f"{t}.zorder_old"
+                    for stale in (tmp, old):
+                        if os.path.isdir(stale):
+                            shutil.rmtree(stale)
+                    write_zordered(
+                        writer.read_final(self.spark), tmp, zcols
+                    )
+                    os.rename(t, old)
+                    os.rename(tmp, t)
+                    shutil.rmtree(old)
 
         return OffloadResult(
             rows_staged=rows_staged,

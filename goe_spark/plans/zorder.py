@@ -137,7 +137,13 @@ def _quantile_z(df: DataFrame, cols: list[str]) -> DataFrame:
         raise ValueError(
             f"zorder needs 2..{64 // BITS} columns, got {len(cols)}"
         )
-    n_buckets = 1 << BITS
+    # Quantile granularity is deliberately COARSER than the rank range
+    # (2^10 equi-depth buckets rescaled onto the 2^16 rank scale): a
+    # Greenwald-Khanna sketch's size grows ~1/relativeError, so asking
+    # for 65535 cuts at 4e-6 error would blow up driver memory on any
+    # real table — 1024 buckets bound the sketch while still giving
+    # file-grain layouts (even 4096 files only consume 12 curve bits).
+    n_buckets = 1 << 10
     probs = [i / n_buckets for i in range(1, n_buckets)]
     work = df.select(
         "*", *[_rankable(df, c).alias(f"__v{j}") for j, c in enumerate(cols)]
@@ -160,7 +166,7 @@ def _quantile_z(df: DataFrame, cols: list[str]) -> DataFrame:
         handleInvalid="keep",
     )
     bucketed = buck.transform(work)
-    max_rank = n_buckets - 1
+    max_rank = (1 << BITS) - 1  # rescale buckets onto the full range
     ranks = []
     for j in range(len(cols)):
         nb = len(splits_arr[j]) - 1

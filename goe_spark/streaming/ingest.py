@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -71,6 +72,34 @@ def _batch_dir(target_dir: str, batch_id: int) -> str:
     return os.path.join(target_dir, f"batch-{int(batch_id):06d}")
 
 
+def _sorted_batches(target_dir: str) -> list[tuple[int, str]]:
+    """[(batch_id, dirname)] sorted NUMERICALLY — lexicographic order
+    misorders once ids outgrow the %06d padding (batch-1000000 sorts
+    before batch-999995), which would make the fold janitor fold the
+    newest batches instead of the oldest."""
+    out = []
+    for d in os.listdir(target_dir):
+        if d.startswith("batch-"):
+            out.append((int(d.rsplit("-", 1)[1]), d))
+    return sorted(out)
+
+
+def _union_roots(spark: SparkSession, roots: list[str]):
+    """One read PER root, unioned explicitly: handing Spark all roots
+    at once makes partition discovery hunt for a common ancestor and
+    trip over the non-k=v 'batch-...' segment
+    (CONFLICTING_DIRECTORY_STRUCTURES) whenever batches differ in
+    partition layout; per-root reads discover partitions
+    independently, and allowMissingColumns covers a batch that saw no
+    rows for some partition column. Shared by the reader and the fold
+    janitor so the workaround lives once."""
+    dfs = [spark.read.parquet(r) for r in roots]
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
 def read_streamed_table(
     spark: SparkSession, target_dir: str, as_of_batch: int | None = None
 ):
@@ -84,23 +113,29 @@ def read_streamed_table(
     table exactly as it stood after that micro-batch committed. The
     fold janitor (fold_streamed_batches) bounds this time travel to
     its retention window: a snapshot older than the folded ``base/``
-    root can no longer be reconstructed and raises."""
+    root can no longer be reconstructed and raises.
+
+    An armed fold marker means a crash left the roots mid-swap — some
+    may already be removed — so reading would silently drop rows;
+    refuse until the fold is healed (run fold, or CLI/REST heal)."""
     if not os.path.isdir(target_dir):
         return None
-    batch_ids = sorted(
-        int(d.rsplit("-", 1)[1])
-        for d in os.listdir(target_dir)
-        if d.startswith("batch-")
-    )
+    if os.path.exists(os.path.join(target_dir, FOLD_MARKER)):
+        raise RuntimeError(
+            f"{target_dir} has a crashed fold pending (some batch roots "
+            "may already be removed); heal it first — rerun fold, or "
+            "`cli heal` / POST /api/heal"
+        )
+    batches = _sorted_batches(target_dir)
     base = os.path.join(target_dir, BASE_DIR)
     roots = [
-        os.path.join(target_dir, f"batch-{i:06d}")
-        for i in batch_ids
+        os.path.join(target_dir, d)
+        for i, d in batches
         if as_of_batch is None or i <= as_of_batch
     ]
     if os.path.isdir(base):
         if as_of_batch is not None and (
-            not batch_ids or as_of_batch < batch_ids[0]
+            not batches or as_of_batch < batches[0][0]
         ):
             raise ValueError(
                 f"as_of_batch={as_of_batch} predates the fold janitor's "
@@ -110,18 +145,7 @@ def read_streamed_table(
         roots.insert(0, base)
     if not roots:
         return None
-    # One read PER root, unioned explicitly: handing Spark all roots
-    # at once makes partition discovery hunt for a common ancestor
-    # and trip over the non-k=v 'batch-...' segment
-    # (CONFLICTING_DIRECTORY_STRUCTURES) whenever batches differ in
-    # partition layout; per-root reads discover partitions
-    # independently, and allowMissingColumns covers a batch that saw
-    # no rows for some partition column.
-    dfs = [spark.read.parquet(r) for r in roots]
-    out = dfs[0]
-    for df in dfs[1:]:
-        out = out.unionByName(df, allowMissingColumns=True)
-    return out
+    return _union_roots(spark, roots)
 
 
 def make_batch_sink(
@@ -178,6 +202,44 @@ BASE_DIR = "base"
 FOLD_MARKER = ".fold_pending.json"
 
 
+def heal_fold(target_dir: str) -> bool:
+    """Complete a crashed fold; True if there was one. Filesystem-only
+    (no SparkSession), so plans/heal.heal_target can call it too.
+
+    Crash phases, distinguished by whether the COMPLETE temp copy
+    still exists:
+    - marker + tmp present: crash during doomed-root removal — finish
+      removing doomed roots (the OLD base included; its contents live
+      in tmp), rename tmp in, drop the marker.
+    - marker present, tmp gone: the rename already happened, so
+      ``base/`` is the NEW data and must NOT be touched — doomed
+      roots were removed before the rename; only the marker remains
+      to clean. (Deleting base here was the data-loss bug this
+      function replaces: every folded row gone with nothing to rename
+      back.)
+    - tmp without marker: crash before the marker — the original
+      roots are intact; discard the incomplete copy.
+    """
+    marker = os.path.join(target_dir, FOLD_MARKER)
+    tmp = os.path.join(target_dir, ".base_fold_tmp")
+    base = os.path.join(target_dir, BASE_DIR)
+    if os.path.exists(marker):
+        if os.path.isdir(tmp):
+            with open(marker) as fh:
+                doomed = json.load(fh)["doomed"]
+            for d in doomed:
+                full = os.path.join(target_dir, d)
+                if os.path.isdir(full):
+                    shutil.rmtree(full)
+            os.rename(tmp, base)
+        os.remove(marker)
+        return True
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+        return True
+    return False
+
+
 def fold_streamed_batches(
     spark: SparkSession, target_dir: str, keep_last: int = 10
 ) -> dict:
@@ -195,46 +257,22 @@ def fold_streamed_batches(
     removal + rename, or discard a marker-less temp). Readers see
     either the old roots or the folded base — never both live at once
     past the heal."""
-    import shutil
-
     from goe_spark.plans.metadata import atomic_write_json
 
     marker = os.path.join(target_dir, FOLD_MARKER)
     tmp = os.path.join(target_dir, ".base_fold_tmp")
     base = os.path.join(target_dir, BASE_DIR)
 
-    # Heal a crashed fold: the marker means tmp was COMPLETE — finish
-    # removing doomed roots and swap tmp in.
-    healed = False
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            doomed = json.load(fh)["doomed"]
-        for d in doomed:
-            full = os.path.join(target_dir, d)
-            if os.path.isdir(full):
-                shutil.rmtree(full)
-        if os.path.isdir(tmp):
-            if os.path.isdir(base):
-                shutil.rmtree(base)
-            os.rename(tmp, base)
-        os.remove(marker)
-        healed = True
-    elif os.path.isdir(tmp):
-        shutil.rmtree(tmp)  # crash before the marker — fold redone
+    healed = heal_fold(target_dir)
 
-    batches = sorted(
-        d for d in os.listdir(target_dir) if d.startswith("batch-")
-    )
-    fold = batches[: max(0, len(batches) - keep_last)]
+    fold = [d for _, d in _sorted_batches(target_dir)]
+    fold = fold[: max(0, len(fold) - keep_last)]
     if not fold:
         return {"folded": 0, "healed": healed}
     roots = [os.path.join(target_dir, d) for d in fold]
     if os.path.isdir(base):
         roots.append(base)
-    dfs = [spark.read.parquet(r) for r in roots]
-    out = dfs[0]
-    for df in dfs[1:]:
-        out = out.unionByName(df, allowMissingColumns=True)
+    out = _union_roots(spark, roots)
     n_before = out.count()
     (
         out.write.mode("overwrite")

@@ -268,3 +268,54 @@ def test_fold_streamed_batches_retention(spark, tmp_path):
     assert read_streamed_table(spark, target).count() == total
     assert not os.path.exists(os.path.join(target, FOLD_MARKER))
     e.unpersist()
+
+
+def test_fold_heal_after_rename_keeps_new_base(spark, tmp_path):
+    """The data-loss phase: crash AFTER os.rename(tmp, base) but
+    before the marker is removed. Heal must leave the new base alone
+    (deleting it with tmp gone would lose every folded row) — and an
+    armed marker makes reads refuse instead of silently dropping
+    rows."""
+    import os
+
+    from goe_spark.catalog import load_table
+    from goe_spark.plans.metadata import atomic_write_json
+    from goe_spark.streaming.ingest import (
+        BASE_DIR,
+        FOLD_MARKER,
+        fold_streamed_batches,
+        heal_fold,
+        make_batch_sink,
+        read_streamed_table,
+    )
+
+    target = str(tmp_path / "t")
+    sink = make_batch_sink(target, str(tmp_path / "ck"), str(tmp_path / "md"))
+    e = load_table(spark, SF_SMALL, "events").limit(200).cache()
+    b0 = e.limit(100)
+    sink(b0, 0)
+    sink(e.subtract(b0).limit(100), 1)
+    total = read_streamed_table(spark, target).count()
+    fold_streamed_batches(spark, target, keep_last=1)
+    base_rows = spark.read.parquet(os.path.join(target, BASE_DIR)).count()
+
+    # Crash-after-rename simulation: marker re-armed, tmp absent,
+    # base/ holds the NEW folded data.
+    atomic_write_json(
+        os.path.join(target, FOLD_MARKER),
+        {"doomed": ["batch-000000", BASE_DIR]},
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="crashed fold pending"):
+        read_streamed_table(spark, target)
+
+    assert heal_fold(target) is True
+    assert not os.path.exists(os.path.join(target, FOLD_MARKER))
+    # The new base survived; nothing was lost.
+    assert (
+        spark.read.parquet(os.path.join(target, BASE_DIR)).count()
+        == base_rows
+    )
+    assert read_streamed_table(spark, target).count() == total
+    e.unpersist()
