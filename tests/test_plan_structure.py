@@ -265,3 +265,41 @@ def test_approx_count_distinct_tracks_exact_ndv(spark):
             F.approx_count_distinct(col, rsd=0.02),
         ).first()
         assert abs(approx - exact) / exact < 0.08, (col, exact, approx)
+
+
+def test_funnel_and_cohort_no_cartesian_user_grain_joins(spark):
+    """The round-4 analytics queries must aggregate to user grain
+    before joining — no cartesian products, no nested-loop fallbacks
+    (the single-row stage totals cross-join as broadcast scalars,
+    which plans as BroadcastNestedLoopJoin over ONE row, not data)."""
+    from goe_spark.queries.events_analytics import (
+        cohort_retention,
+        event_funnel_conversion,
+    )
+
+    plan = _plan(cohort_retention(spark, SF_SMALL), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+    plan = _plan(event_funnel_conversion(spark, SF_SMALL), "simple")
+    assert "CartesianProduct" not in plan
+
+
+def test_unigram_lm_vocab_broadcasts(spark):
+    """The top-K vocab must broadcast into the score join — a shuffle
+    join there would move the corpus-sized token explode."""
+    from goe_spark.queries.text import unigram_logprob_scores
+
+    plan = _plan(unigram_logprob_scores(spark, SF_SMALL), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_session_window_single_exchange(spark):
+    """The native sessionizer plans like a plain aggregate: one
+    exchange, no window operator, no join."""
+    from goe_spark.queries.streaming_batch import session_window_stats
+
+    plan = _plan(session_window_stats(spark, SF_SMALL), "simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
