@@ -74,6 +74,11 @@ HEADLINE = [
     "event_funnel_conversion",
     "cohort_retention",
     "embedding_cluster_audit",
+    "timeseries_gapfill",
+    "event_transition_matrix",
+    "customer_value_deciles",
+    "tfidf_top_terms",
+    "daily_distinct_users_hll",
 ]
 
 

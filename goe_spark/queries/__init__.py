@@ -33,6 +33,13 @@ class QuerySpec:
 # so losing their driver row costs the least.
 HEAD = (
     # round-4 additions — no driver row yet
+    "timeseries_gapfill",
+    "revenue_anomaly_days",
+    "customer_value_deciles",
+    "order_status_islands",
+    "event_transition_matrix",
+    "tfidf_top_terms",
+    "daily_distinct_users_hll",
     "embedding_cluster_audit",
     "dedup_method_agreement",
     "rolling_revenue_7d",
@@ -93,8 +100,10 @@ def all_queries() -> list[QuerySpec]:
         relational2,
         relational3,
         similarity,
+        sketches,
         streaming_batch,
         text,
+        timeseries,
         training,
         validation,
     )
@@ -109,6 +118,8 @@ def all_queries() -> list[QuerySpec]:
         offload,
         dedup,
         text,
+        timeseries,
+        sketches,
         training,
         similarity,
         streaming_batch,

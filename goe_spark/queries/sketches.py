@@ -1,0 +1,91 @@
+"""Mergeable-sketch operators: HyperLogLog distinct counting with
+re-aggregation — the sketch pattern every 100 TB metrics pipeline
+relies on, because exact COUNT(DISTINCT) over billions of users
+forces a full shuffle of the key column while a sketch reduces each
+partition to a fixed-size register array that merges associatively.
+
+Spark ships Apache DataSketches HLL natively (`hll_sketch_agg` /
+`hll_union_agg` / `hll_sketch_estimate`), so the whole plan is
+JVM-side with map-side partial aggregation: each executor sketches
+its partitions locally and the shuffle carries lgK-sized binary
+registers, not user ids.
+
+The estimates are deterministic (DataSketches hashes are seeded
+constants) but NOT reproducible in DuckDB — its approx_count_distinct
+uses a different HLL implementation — so `daily_distinct_users_hll`
+registers a rows-only oracle (the driver's weaker check) and the
+strong guarantees live in pytest:
+
+- merge consistency: unioning fine-grain sub-sketches re-estimates
+  the coarse grain within the sketch's own error envelope (in exact
+  coupon mode the estimates are identical; once promoted to HLL
+  registers, DataSketches' HLL_4 -> HLL_8 union target shifts the
+  estimator by well under the published error), and
+- accuracy: every estimate within the published HLL error envelope
+  of the exact distinct count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goe_spark.catalog import load_table
+from goe_spark.queries import QuerySpec
+
+# lgConfigK = 12 -> 4 KiB registers, ~1.6% relative standard error —
+# the size/accuracy point most metrics stores ship as the default.
+HLL_LGK = 12
+
+
+def daily_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct users three ways — exact, single-pass HLL, and
+    HLL re-aggregated from per-event-type sub-sketches — plus the two
+    estimates' relative difference. The re-aggregated column is the
+    point: it proves the sketch column can be stored at a fine grain
+    (day x event_type) and rolled up to any coarser grain without
+    rescanning the facts, which is what makes sketches the 100 TB
+    answer to distinct counting.
+
+    Plan: one shuffle keyed on (day, event_type) carrying 4 KiB
+    register blobs after map-side partial sketching, one
+    day-cardinality merge, one broadcast-size join with the exact
+    control. At scale the exact control column is dropped and the
+    whole query is sketch-only."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "event_type", "user_id"
+    )
+    fine = e.groupBy("day", "event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(HLL_LGK)).alias("sk")
+    )
+    rolled = fine.groupBy("day").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("hll_merged")
+    )
+    direct = e.groupBy("day").agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(HLL_LGK))
+        ).alias("hll_direct"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return (
+        direct.join(rolled, "day")
+        .select(
+            "day",
+            "exact_users",
+            "hll_direct",
+            "hll_merged",
+            F.round(
+                F.abs(F.col("hll_merged") - F.col("hll_direct"))
+                / F.col("hll_direct"),
+                6,
+            ).alias("merge_rel_diff"),
+        )
+    )
+
+
+QUERIES = [
+    # rows-only oracle: DuckDB's HLL is a different implementation, so
+    # value equality is checked in pytest (accuracy envelope + exact
+    # merge losslessness), not against a SQL twin.
+    QuerySpec("daily_distinct_users_hll", daily_distinct_users_hll, None),
+]

@@ -463,7 +463,80 @@ FROM per_doc GROUP BY lang
 """
 
 
+TFIDF_TOP_N = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction: the top {TFIDF_TOP_N}
+    terms of every document by tf * ln(N/df) over the corpus's own
+    document frequencies — the classic relevance/feature signal a
+    retrieval or curation pipeline derives before anything fancier.
+
+    Plan: one explode -> (doc, term) counts (partial aggregation
+    collapses repeats map-side), document frequencies reduce to a
+    vocabulary-cardinality relation that BROADCASTS into the scoring
+    join, and the top-k runs as a window partitioned by doc_id — one
+    shuffle of term-grain counts, one of doc-grain rows; nothing
+    global. Ranking uses the ROUNDED score with a term tie-break so
+    both engines make the identical cut."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    tf = (
+        d.select(
+            "doc_id",
+            F.explode(T.tokens(F.lower(F.col("text")))).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TFIDF_TOP_N)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rn")
+    )
+
+
+TFIDF_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({T.tokens_sql('lower(text)')}) AS term
+        FROM documents)
+  GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         round(tf.tf * ln(n.n_docs / cast(dfreq.df AS double)), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, rn
+FROM ranked WHERE rn <= {TFIDF_TOP_N}
+"""
+
+
 QUERIES = [
+    QuerySpec("tfidf_top_terms", tfidf_top_terms, TFIDF_SQL),
     QuerySpec("token_stats_by_lang", token_stats_by_lang, TOKEN_STATS_SQL),
     QuerySpec("bpe_token_stats", bpe_token_stats, BPE_TOKEN_SQL),
     QuerySpec("quality_scores_by_source", quality_scores_by_source, QUALITY_SQL),

@@ -1,0 +1,156 @@
+"""Structural invariants for the time-series / sketch operators that
+the hash-vs-oracle gate cannot express: spine density and LOCF
+semantics for gap-fill, probability-simplex closure for the
+transition matrix, balanced ntile buckets, non-overlapping validity
+intervals for gaps-and-islands, and the HLL error/merge envelopes
+(which have no DuckDB twin at all)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_MEDIUM
+
+SF = SF_MEDIUM
+
+
+def test_gapfill_spine_is_dense_and_locf_carries(spark):
+    from goe_spark.queries.timeseries import timeseries_gapfill
+
+    rows = sorted(timeseries_gapfill(spark, SF).collect(), key=lambda r: r.day)
+    days = [r.day for r in rows]
+    span = (days[-1] - days[0]).days + 1
+    assert len(days) == span, "spine must cover every calendar day"
+    assert all(
+        (b - a).days == 1 for a, b in zip(days, days[1:])
+    ), "spine days must be consecutive"
+    # The fixture guarantees gap days (value > threshold is sparse).
+    gaps = [r for r in rows if r.n_sales == 0]
+    assert gaps, "fixture must exercise the gap-fill path"
+    # LOCF: a gap day carries the previous day's filled value.
+    by_day = {r.day: r for r in rows}
+    for r in gaps:
+        prev = by_day.get(r.day - datetime.timedelta(days=1))
+        if prev is not None:
+            assert r.locf_revenue == prev.locf_revenue
+    # Days before the first sale are zero-filled.
+    first_sale = min(r.day for r in rows if r.n_sales > 0)
+    for r in rows:
+        if r.day < first_sale:
+            assert r.locf_revenue == 0.0
+
+
+def test_anomaly_days_flag_only_tail(spark):
+    from goe_spark.queries.timeseries import (
+        ANOMALY_Z,
+        revenue_anomaly_days,
+    )
+
+    rows = revenue_anomaly_days(spark, SF).collect()
+    assert rows, "series must contain at least one anomalous day"
+    assert all(abs(r.z_score) > ANOMALY_Z for r in rows)
+
+
+def test_deciles_are_balanced_and_monotone(spark):
+    from goe_spark.queries.timeseries import customer_value_deciles
+
+    rows = customer_value_deciles(spark, SF).collect()
+    sizes: dict[int, int] = {}
+    for r in rows:
+        sizes[r.decile] = sizes.get(r.decile, 0) + 1
+    assert set(sizes) == set(range(1, 11))
+    assert max(sizes.values()) - min(sizes.values()) <= 1, "ntile balance"
+    # Spend is monotone non-increasing across deciles.
+    lo_of = {
+        d: min(r.total_spend for r in rows if r.decile == d)
+        for d in sizes
+    }
+    hi_of = {
+        d: max(r.total_spend for r in rows if r.decile == d)
+        for d in sizes
+    }
+    for d in range(1, 10):
+        assert lo_of[d] >= hi_of[d + 1]
+
+
+def test_islands_partition_each_customer_history(spark):
+    from goe_spark.queries.timeseries import order_status_islands
+
+    rows = order_status_islands(spark, SF).collect()
+    assert rows
+    by_cust: dict[int, list] = {}
+    for r in rows:
+        by_cust.setdefault(r.custkey, []).append(r)
+    for cust, islands in by_cust.items():
+        islands.sort(key=lambda r: r.island)
+        # Island ids are 1..n dense per customer.
+        assert [r.island for r in islands] == list(
+            range(1, len(islands) + 1)
+        )
+        for a, b in zip(islands, islands[1:]):
+            assert a.status != b.status, "adjacent islands must differ"
+            assert a.valid_to <= b.valid_from, "intervals must not overlap"
+        assert all(r.valid_from <= r.valid_to for r in islands)
+    # Total orders across islands equals the filtered order count.
+    from goe_spark.catalog import load_table
+    from goe_spark.queries.timeseries import ISLAND_CUST_MOD
+
+    n_orders = (
+        load_table(spark, SF, "orders")
+        .where(F.pmod(F.col("o_custkey"), F.lit(ISLAND_CUST_MOD)) == 0)
+        .count()
+    )
+    assert sum(r.n_orders for r in rows) == n_orders
+
+
+def test_transition_matrix_rows_sum_to_one(spark):
+    from goe_spark.queries.timeseries import event_transition_matrix
+
+    rows = event_transition_matrix(spark, SF).collect()
+    assert rows
+    by_prev: dict[str, float] = {}
+    n_by_prev: dict[str, int] = {}
+    for r in rows:
+        by_prev[r.prev_type] = by_prev.get(r.prev_type, 0.0) + r.probability
+        n_by_prev[r.prev_type] = n_by_prev.get(r.prev_type, 0) + 1
+    for prev, total in by_prev.items():
+        # Rounded 4-decimal probabilities: sum within rounding slack.
+        assert abs(total - 1.0) <= 0.0001 * n_by_prev[prev] + 1e-9, prev
+
+
+def test_tfidf_topk_per_doc(spark):
+    from goe_spark.queries.text import TFIDF_TOP_N, tfidf_top_terms
+
+    rows = tfidf_top_terms(spark, SF).collect()
+    assert rows
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, terms in by_doc.items():
+        assert len(terms) <= TFIDF_TOP_N
+        terms.sort(key=lambda r: r.rn)
+        # Ranked by rounded score desc, term asc.
+        for a, b in zip(terms, terms[1:]):
+            assert a.tfidf >= b.tfidf
+            if a.tfidf == b.tfidf:
+                assert a.term < b.term
+        # A term present in every document scores ln(1) = 0.
+        for r in terms:
+            assert r.df <= 500  # n_docs at sf0.01
+
+
+def test_hll_estimates_within_envelope_and_merge_consistent(spark):
+    from goe_spark.queries.sketches import daily_distinct_users_hll
+
+    rows = daily_distinct_users_hll(spark, SF).collect()
+    assert rows
+    for r in rows:
+        rel = abs(r.hll_direct - r.exact_users) / r.exact_users
+        # lgK=12 -> RSE ~1.6%; 3-sigma envelope.
+        assert rel < 0.05, (r.day, r.hll_direct, r.exact_users)
+        assert r.merge_rel_diff < 0.05
+    # At sf0.01 per-day cardinalities sit in exact coupon mode: the
+    # union must reproduce the direct sketch exactly.
+    assert all(r.merge_rel_diff == 0.0 for r in rows)
