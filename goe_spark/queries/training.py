@@ -46,6 +46,15 @@ from goe_spark.queries.dedup import _minhash_lsh_sql, minhash_lsh_pairs
 
 MAX_CC_ITERS = 20
 
+# Connected components below this edge count resolve with a driver-
+# side union-find: the LSH pair set is bucket-capped (tiny next to
+# the corpus), and at bench scale the iterative loop's ~5 Spark jobs
+# of sub-thousand-row shuffles cost ~2 s of pure scheduling overhead
+# for work a single task finishes in milliseconds. 1M edges collect
+# to ~50 MB of driver tuples — well inside bounds; anything larger
+# takes the distributed min-label loop below (the 100 TB path).
+CC_DRIVER_EDGE_CAP = 1_000_000
+
 # Per-language sampling rates out of 100 (en kept at 3x the default —
 # the usual "downsample the dominant language" shape).
 SAMPLE_RATE_DEFAULT = 10
@@ -53,6 +62,39 @@ SAMPLE_RATE_EN = 30
 
 PACK_BUDGET_TOKENS = 512
 PACK_SHARDS = 8
+
+
+def _cc_labels_driver(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Union-find with path compression over a collected edge list.
+    Output is identical to the distributed loop (label = component min
+    node) regardless of union order, pinned by
+    tests/test_training_ops.py::test_driver_and_distributed_cc_agree."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edges.collect():
+        a, b = r.id1, r.id2
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    members: dict[int, list[int]] = {}
+    for node in parent:
+        members.setdefault(find(node), []).append(node)
+    rows = [
+        (node, min(group))
+        for group in members.values()
+        for node in group
+    ]
+    return spark.createDataFrame(rows, "node long, label long")
 
 
 def _cc_labels(
@@ -68,6 +110,8 @@ def _cc_labels(
         # the CC loop's 2xITERS references don't replay it every round.
         .localCheckpoint(eager=True)
     )
+    if edges.count() <= CC_DRIVER_EDGE_CAP:
+        return _cc_labels_driver(spark, edges)
     sym = edges.union(
         edges.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
     )

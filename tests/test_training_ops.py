@@ -32,6 +32,18 @@ def test_clusters_are_transitive(spark, tmp_path):
     assert got == {1: 3}  # one cluster, labeled by min doc_id
 
 
+def test_driver_and_distributed_cc_agree(spark, monkeypatch):
+    """The size-gated driver union-find and the distributed min-label
+    loop must produce identical (node, label) sets — forcing the cap
+    to 0 exercises the 100 TB loop path on the same input."""
+    from goe_spark.queries import training
+
+    fast = sorted(map(tuple, training._cc_labels(spark, SF_SMALL).collect()))
+    monkeypatch.setattr(training, "CC_DRIVER_EDGE_CAP", -1)
+    slow = sorted(map(tuple, training._cc_labels(spark, SF_SMALL).collect()))
+    assert fast == slow and fast
+
+
 def test_every_doc_in_exactly_one_bin(spark):
     """Packing partitions the corpus: bin doc counts sum to the doc
     count, and every doc with a text lands somewhere."""
