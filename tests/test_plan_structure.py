@@ -303,3 +303,62 @@ def test_session_window_single_exchange(spark):
     plan = _plan(session_window_stats(spark, SF_SMALL), "simple")
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_transition_matrix_events_shuffle_once(spark):
+    """Raw events reach one user_id exchange feeding the lag window;
+    everything after is matrix-cardinality (25 rows)."""
+    from goe_spark.queries.timeseries import event_transition_matrix
+
+    plan = _plan(event_transition_matrix(spark, SF_SMALL), "simple")
+    assert plan.count("Window") == 2  # lag per user + per-state totals
+    # user_id shuffle + (prev,next) agg + prev_type totals — no more
+    assert plan.count("Exchange") == 3
+    assert "Join" not in plan
+
+
+def test_gapfill_aggregates_before_spine_join(spark):
+    """The spine joins the DAY-GRAIN rollup (broadcast), and only the
+    three needed event columns reach either scan — the raw corpus
+    never meets the calendar spine."""
+    from goe_spark.queries.timeseries import timeseries_gapfill
+
+    plan = _plan(timeseries_gapfill(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    for cols in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        names = {c.split(":")[0] for c in cols.split(",") if c}
+        assert names <= {"ts", "event_type", "value"}
+
+
+def test_anomaly_stats_side_broadcasts(spark):
+    """The 1-row mean/stddev aggregate crosses into the daily rollup
+    as a broadcast nested-loop join — never a shuffle."""
+    from goe_spark.queries.timeseries import revenue_anomaly_days
+
+    plan = _plan(revenue_anomaly_days(spark, SF_SMALL), "simple")
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_vocabulary_broadcasts(spark):
+    """Document frequencies join the term-frequency relation as a
+    broadcast hash join (vocabulary-cardinality build side); only
+    (doc_id, text) is read from the corpus."""
+    from goe_spark.queries.text import tfidf_top_terms
+
+    plan = _plan(tfidf_top_terms(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for cols in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        names = {c.split(":")[0] for c in cols.split(",") if c}
+        assert names == {"doc_id", "text"}
+
+
+def test_hll_sketches_aggregate_partially(spark):
+    """Sketch aggregation must run map-side (ObjectHashAggregate
+    partial pairs) so exchanges carry register blobs, not user ids."""
+    from goe_spark.queries.sketches import daily_distinct_users_hll
+
+    plan = _plan(daily_distinct_users_hll(spark, SF_SMALL), "simple")
+    # partial+final pairs for fine grain, union rollup, direct sketch
+    assert plan.count("ObjectHashAggregate") >= 6
