@@ -79,6 +79,7 @@ HEADLINE = [
     "customer_value_deciles",
     "tfidf_top_terms",
     "daily_distinct_users_hll",
+    "table_profile",
 ]
 
 

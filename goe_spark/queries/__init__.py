@@ -40,6 +40,8 @@ HEAD = (
     "event_transition_matrix",
     "tfidf_top_terms",
     "daily_distinct_users_hll",
+    "table_profile",
+    "order_price_histogram",
     "embedding_cluster_audit",
     "dedup_method_agreement",
     "rolling_revenue_7d",
@@ -99,6 +101,7 @@ def all_queries() -> list[QuerySpec]:
         relational,
         relational2,
         relational3,
+        profiling,
         similarity,
         sketches,
         streaming_batch,
@@ -120,6 +123,7 @@ def all_queries() -> list[QuerySpec]:
         text,
         timeseries,
         sketches,
+        profiling,
         training,
         similarity,
         streaming_batch,

@@ -1,0 +1,147 @@
+"""Column profiling and histogram operators — the generalized form of
+the reference's data-type sampling aggregate (SURVEY §2.5 A7 /
+`offload_source_table.py:668-927`): where the reference samples a
+table to tighten numeric type choices, a warehouse also wants the
+full per-column profile (null rate, exact NDV, numeric envelope) and
+value-distribution histograms as first-class queries.
+
+Both operators are single-pass wide aggregates:
+
+- `table_profile` computes every column's statistics in ONE scan
+  (Spark expands the multi-distinct aggregate internally; at 100 TB
+  the exact NDV columns switch to approx_count_distinct / the HLL
+  sketch column in queries/sketches.py — the exact form here is the
+  semantics pin), then unpivots the 1-row result to one row per
+  column with `inline()` — the long/narrow shape profile stores want.
+- `order_price_histogram` is fixed-width bucketing by pure arithmetic
+  (floor(x/width)) — one partial-aggregated shuffle of bucket ids,
+  no two-pass min/max, deterministic bounds both engines share.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goe_spark.catalog import load_table
+from goe_spark.queries import QuerySpec
+
+# One spec drives BOTH engines' profile queries: (column, is_numeric).
+PROFILE_TABLE = "orders"
+PROFILE_COLUMNS: list[tuple[str, bool]] = [
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_orderstatus", False),
+    ("o_totalprice", True),
+    ("o_orderpriority", False),
+]
+
+HIST_BUCKET_WIDTH = 50_000.0
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of the orders table: row/null/exact-distinct
+    counts for every column, numeric min/max/avg (rounded, NULL for
+    non-numerics) — one scan, unpivoted to a row per column."""
+    t = load_table(spark, sf_dir, PROFILE_TABLE)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for col, is_num in PROFILE_COLUMNS:
+        aggs.append(F.count(col).alias(f"{col}__nn"))
+        aggs.append(F.countDistinct(col).alias(f"{col}__nd"))
+        if is_num:
+            aggs.append(
+                F.round(F.min(F.col(col).cast("double")), 4).alias(
+                    f"{col}__min"
+                )
+            )
+            aggs.append(
+                F.round(F.max(F.col(col).cast("double")), 4).alias(
+                    f"{col}__max"
+                )
+            )
+            aggs.append(
+                F.round(F.avg(F.col(col).cast("double")), 4).alias(
+                    f"{col}__avg"
+                )
+            )
+    one = t.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    structs = [
+        F.struct(
+            F.lit(col).alias("column_name"),
+            F.col("n_rows").alias("n_rows"),
+            (F.col("n_rows") - F.col(f"{col}__nn")).alias("n_nulls"),
+            F.col(f"{col}__nd").alias("n_distinct"),
+            (F.col(f"{col}__min") if is_num else null_d).alias("min_value"),
+            (F.col(f"{col}__max") if is_num else null_d).alias("max_value"),
+            (F.col(f"{col}__avg") if is_num else null_d).alias("avg_value"),
+        )
+        for col, is_num in PROFILE_COLUMNS
+    ]
+    return one.select(F.inline(F.array(*structs)))
+
+
+def _profile_sql() -> str:
+    parts = []
+    for col, is_num in PROFILE_COLUMNS:
+        num = (
+            f"round(min(cast({col} AS double)), 4) AS min_value, "
+            f"round(max(cast({col} AS double)), 4) AS max_value, "
+            f"round(avg(cast({col} AS double)), 4) AS avg_value"
+            if is_num
+            else "cast(NULL AS double) AS min_value, "
+            "cast(NULL AS double) AS max_value, "
+            "cast(NULL AS double) AS avg_value"
+        )
+        parts.append(
+            f"SELECT '{col}' AS column_name, count(*) AS n_rows, "
+            f"count(*) - count({col}) AS n_nulls, "
+            f"count(DISTINCT {col}) AS n_distinct, {num}"
+            f" FROM {PROFILE_TABLE}"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals: fixed {HIST_BUCKET_WIDTH}
+    buckets by pure arithmetic — single partial-aggregated pass, no
+    min/max pre-scan, bucket bounds identical in both engines."""
+    o = load_table(spark, sf_dir, PROFILE_TABLE)
+    bucket = F.floor(F.col("o_totalprice") / F.lit(HIST_BUCKET_WIDTH)).cast(
+        "long"
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(20,2)")), 2
+            ).alias("bucket_revenue"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * HIST_BUCKET_WIDTH).alias("bucket_lo"),
+            ((F.col("bucket") + 1) * HIST_BUCKET_WIDTH).alias("bucket_hi"),
+            "n_orders",
+            "bucket_revenue",
+        )
+    )
+
+
+HISTOGRAM_SQL = f"""
+SELECT cast(floor(o_totalprice / {HIST_BUCKET_WIDTH}) AS bigint) AS bucket,
+       cast(floor(o_totalprice / {HIST_BUCKET_WIDTH}) AS bigint)
+         * {HIST_BUCKET_WIDTH} AS bucket_lo,
+       (cast(floor(o_totalprice / {HIST_BUCKET_WIDTH}) AS bigint) + 1)
+         * {HIST_BUCKET_WIDTH} AS bucket_hi,
+       count(*) AS n_orders,
+       round(sum(cast(o_totalprice AS decimal(20,2))), 2) AS bucket_revenue
+FROM {PROFILE_TABLE}
+GROUP BY 1
+"""
+
+
+QUERIES = [
+    QuerySpec("table_profile", table_profile, _profile_sql()),
+    QuerySpec("order_price_histogram", order_price_histogram, HISTOGRAM_SQL),
+]

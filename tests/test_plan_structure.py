@@ -362,3 +362,25 @@ def test_hll_sketches_aggregate_partially(spark):
     plan = _plan(daily_distinct_users_hll(spark, SF_SMALL), "simple")
     # partial+final pairs for fine grain, union rollup, direct sketch
     assert plan.count("ObjectHashAggregate") >= 6
+
+
+def test_table_profile_single_scan(spark):
+    """All five columns' profiles (incl. exact multi-column distinct
+    via Expand) come from ONE scan of the table."""
+    from goe_spark.queries.profiling import table_profile
+
+    plan = _plan(table_profile(spark, SF_SMALL), "simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan  # the multi-distinct rewrite
+    assert "Join" not in plan
+
+
+def test_histogram_no_prescan(spark):
+    """Fixed-width bucketing is one aggregate — no min/max pre-pass,
+    no join, one exchange of bucket ids."""
+    from goe_spark.queries.profiling import order_price_histogram
+
+    plan = _plan(order_price_histogram(spark, SF_SMALL), "simple")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
