@@ -27,12 +27,15 @@ from pyspark.sql.window import Window
 from goe_spark.catalog import load_table
 from goe_spark.queries import QuerySpec
 
-# Restricting the gap-filled series to high-value sales (value > the
-# threshold) guarantees the spine actually has gap days to fill at
-# every shipped scale factor (3/30 days populated at sf0.01, 16/30 at
-# sf0.1) — a gap-fill operator exercised on a dense series proves
-# nothing.
-GAPFILL_MIN_VALUE = 330.0
+# Restricting the gap-filled series to high-value sales (value above
+# this fraction of the series max) guarantees the spine has BOTH
+# populated and gap days at every shipped scale factor (populated
+# days: 1/30 at sf0.001, 5/30 at sf0.01, 4/30 at sf0.1) — a gap-fill
+# operator exercised on a dense (or empty) series proves nothing. A
+# fixed absolute threshold cannot do this: the value distribution
+# widens with SF, so any constant is all-gaps at one SF and no-gaps
+# at another.
+GAPFILL_MAX_FRACTION = 0.85
 
 ANOMALY_Z = 1.0  # |z| threshold for flagging a day
 
@@ -50,11 +53,11 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     here, ~36.5k rows for a century) — the single-partition window is
     free at any corpus scale."""
     e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase")
+    mx = purchases.agg(F.max("value").alias("mx"))
     daily = (
-        e.where(
-            (F.col("event_type") == "purchase")
-            & (F.col("value") > GAPFILL_MIN_VALUE)
-        )
+        purchases.crossJoin(F.broadcast(mx))
+        .where(F.col("value") > GAPFILL_MAX_FRACTION * F.col("mx"))
         .groupBy(F.col("ts").cast("date").alias("day"))
         .agg(
             F.count(F.lit(1)).alias("n_sales"),
@@ -84,12 +87,14 @@ WITH b AS (
 ), spine AS (
   SELECT cast(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS date) AS day
   FROM b
+), m AS (
+  SELECT max(value) AS mx FROM events WHERE event_type = 'purchase'
 ), daily AS (
   SELECT cast(ts AS date) AS day,
          count(*) AS n_sales,
          round(sum(value), 2) AS day_revenue
-  FROM events
-  WHERE event_type = 'purchase' AND value > {GAPFILL_MIN_VALUE}
+  FROM events, m
+  WHERE event_type = 'purchase' AND value > {GAPFILL_MAX_FRACTION} * mx
   GROUP BY 1
 )
 SELECT s.day,

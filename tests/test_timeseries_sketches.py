@@ -50,7 +50,10 @@ def test_anomaly_days_flag_only_tail(spark):
 
     rows = revenue_anomaly_days(spark, SF).collect()
     assert rows, "series must contain at least one anomalous day"
-    assert all(abs(r.z_score) > ANOMALY_Z for r in rows)
+    # The filter runs on the UNROUNDED z; the emitted z_score is
+    # rounded to 3 decimals, so a borderline day can round down to
+    # exactly the threshold.
+    assert all(abs(r.z_score) >= ANOMALY_Z for r in rows)
 
 
 def test_deciles_are_balanced_and_monotone(spark):
@@ -136,9 +139,16 @@ def test_tfidf_topk_per_doc(spark):
             assert a.tfidf >= b.tfidf
             if a.tfidf == b.tfidf:
                 assert a.term < b.term
-        # A term present in every document scores ln(1) = 0.
-        for r in terms:
-            assert r.df <= 500  # n_docs at sf0.01
+    # idf semantics: a term present in EVERY document scores exactly
+    # ln(1) = 0; any rarer term scores strictly positive.
+    from goe_spark.catalog import load_table
+
+    n_docs = load_table(spark, SF, "documents").count()
+    for r in rows:
+        if r.df == n_docs:
+            assert r.tfidf == 0.0
+        else:
+            assert r.df < n_docs and r.tfidf > 0.0
 
 
 def test_hll_estimates_within_envelope_and_merge_consistent(spark):
