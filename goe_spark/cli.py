@@ -412,6 +412,34 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_sql(args) -> int:
+    """Ad-hoc SQL over the catalog tables (and, with --view, any
+    parquet target such as an offloaded table or a hybrid view's
+    backing dirs) — the general SELECT surface the reference never
+    had; Catalyst plans it like any registered query."""
+    from goe_spark.catalog import register_views
+
+    spark = _spark("goe-sql")
+    register_views(spark, args.sf_dir)
+    for extra in args.view or []:
+        name, _, path = extra.partition("=")
+        if not path:
+            print(f"--view expects NAME=PATH, got {extra!r}", file=sys.stderr)
+            return 2
+        spark.read.parquet(path).createOrReplaceTempView(name)
+    df = spark.sql(args.statement)
+    if args.explain:
+        print(df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        ))
+        return 0
+    for row in df.limit(args.limit).collect():
+        print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="goe_spark", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -587,6 +615,25 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     q.add_argument("--limit", type=int, default=20)
     q.set_defaults(fn=cmd_query)
+
+    sq = sub.add_parser(
+        "sql", help="run ad-hoc Spark SQL over the catalog tables"
+    )
+    sq.add_argument("statement")
+    sq.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sq.add_argument("--limit", type=int, default=20)
+    sq.add_argument(
+        "--view",
+        action="append",
+        help="NAME=PARQUET_PATH extra view (repeatable) — e.g. an "
+        "offloaded target dir",
+    )
+    sq.add_argument(
+        "--explain",
+        action="store_true",
+        help="print the formatted physical plan instead of rows",
+    )
+    sq.set_defaults(fn=cmd_sql)
     return p
 
 

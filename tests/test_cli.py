@@ -138,6 +138,58 @@ def test_query_command(capsys):
     assert rc == 2
 
 
+def test_sql_command(tmp_path, capsys, spark):
+    """Ad-hoc SQL over the catalog views, extra parquet views via
+    --view, and --explain plan output."""
+    rc = main(
+        [
+            "sql",
+            "SELECT o_orderstatus, count(*) AS n FROM orders "
+            "GROUP BY 1 ORDER BY 1",
+            "--sf-dir",
+            SF_SMALL,
+        ]
+    )
+    assert rc == 0
+    rows = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert {r["o_orderstatus"] for r in rows} == {"F", "O", "P"}
+    assert all(r["n"] > 0 for r in rows)
+
+    extra = str(tmp_path / "extra")
+    spark.range(5).toDF("k").write.parquet(extra)
+    rc = main(
+        [
+            "sql",
+            "SELECT count(*) AS n FROM extra_t",
+            "--sf-dir",
+            SF_SMALL,
+            "--view",
+            f"extra_t={extra}",
+        ]
+    )
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out.strip())["n"] == 5
+
+    rc = main(
+        [
+            "sql",
+            "SELECT sum(o_totalprice) FROM orders WHERE o_custkey = 1",
+            "--sf-dir",
+            SF_SMALL,
+            "--explain",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "PushedFilters" in out  # the predicate reaches the scan
+
+    rc = main(["sql", "SELECT 1", "--view", "bad-spec"])
+    assert rc == 2
+
+
 def test_zorder_command_rewrites_in_place(tmp_path, capsys, spark):
     """zorder maintenance: content byte-equal, manifest present, no
     leftover tmp/old dirs, and a second run is idempotent."""
