@@ -41,6 +41,7 @@ HEAD = (
     "tfidf_top_terms",
     "daily_distinct_users_hll",
     "table_profile",
+    "continuous_rollup_daily",
     "order_price_histogram",
     "embedding_cluster_audit",
     "dedup_method_agreement",

@@ -281,9 +281,41 @@ FROM pairs GROUP BY 1
 """
 
 
+def continuous_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous aggregate (streaming/rollup.py) drained over the
+    finite events stream: micro-batch partials merged at read must
+    equal the direct batch aggregate — the oracle IS that direct
+    aggregate. Fresh temp dirs per call so re-runs re-drain."""
+    import tempfile
+
+    from goe_spark.streaming.rollup import stream_rollup_events
+
+    work = tempfile.mkdtemp(prefix="goe_rollup_")
+    return stream_rollup_events(
+        spark,
+        sf_dir,
+        rollup_dir=f"{work}/rollup",
+        checkpoint_dir=f"{work}/ck",
+        metadata_dir=f"{work}/md",
+    )
+
+
+CONTINUOUS_ROLLUP_SQL = """
+SELECT cast(ts AS date)     AS day,
+       event_type,
+       count(*)             AS n_events,
+       round(sum(cast(value AS decimal(20,2))), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = [
     QuerySpec(
         "streaming_window_counts", streaming_window_counts, STREAMING_WINDOW_SQL
+    ),
+    QuerySpec(
+        "continuous_rollup_daily", continuous_rollup_daily, CONTINUOUS_ROLLUP_SQL
     ),
     QuerySpec(
         "streaming_dedup_counts", streaming_dedup_counts, STREAMING_DEDUP_SQL

@@ -1,0 +1,182 @@
+"""Continuous aggregate (hypertable-rollup) maintenance: a daily
+(day, event_type) revenue rollup kept incrementally up to date by the
+event stream, without ever rescanning history.
+
+Design — materialized partials, merge at read, background compaction
+(the TimescaleDB continuous-aggregate shape, rebuilt on the repo's
+own streamed-batch machinery from streaming/ingest.py):
+
+- each micro-batch aggregates ITSELF to the rollup grain and writes
+  the partial result into its own ``batch-<id>/`` root — the same
+  per-batch-directory idempotence contract as the ingest sink, so a
+  re-delivered batch overwrites its partial instead of double-
+  counting, with the ledger short-circuiting committed ids;
+- reading the rollup unions the partial roots (reusing
+  read_streamed_table: fold-marker guard and ``as_of_batch`` snapshot
+  reads come free) and merge-aggregates them — sums of partial sums,
+  exact because the measures are additive and money math is
+  decimal(20,2);
+- the fold janitor compacts old partial roots into one merged
+  ``base/`` root behind the SAME crash-safe marker swap (heal_fold is
+  shared verbatim); unlike the row-preserving ingest fold, folding a
+  rollup re-aggregates — the invariant checked before the swap is
+  measure preservation (total n_events), not row count.
+
+Scale: per micro-batch cost is one batch-sized shuffle down to grain
+cardinality (days x event types — thousands of rows regardless of
+stream volume); the read-side merge touches only partial rows. This
+is what makes a 100 TB/day event stream queryable at day grain
+without a nightly full recompute.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goe_spark.streaming.events import events_stream
+from goe_spark.streaming.ingest import (
+    BASE_DIR,
+    BatchLedger,
+    FOLD_MARKER,
+    _batch_dir,
+    _sorted_batches,
+    _union_roots,
+    heal_fold,
+    read_streamed_table,
+)
+
+# Rollup grain and measures. sum_value is decimal(20,2): the fixture's
+# value column carries at most 2 decimals, so partial sums and their
+# merge are EXACT — merged results equal a direct aggregate
+# bit-for-bit, which the equivalence test pins.
+_GRAIN = ("day", "event_type")
+
+
+def _partial(batch_df: DataFrame) -> DataFrame:
+    return (
+        batch_df.groupBy(
+            F.col("ts").cast("date").alias("day"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,2)")).alias("sum_value"),
+        )
+    )
+
+
+def _merge(partials: DataFrame) -> DataFrame:
+    return (
+        partials.groupBy(*_GRAIN)
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").cast("decimal(20,2)").alias("sum_value"),
+        )
+    )
+
+
+def make_rollup_sink(
+    rollup_dir: str,
+    checkpoint_dir: str,
+    metadata_dir: str,
+    owner: str = "default",
+    table: str = "events_rollup",
+):
+    """foreachBatch sink maintaining the rollup. Exposed (like
+    make_batch_sink) so the at-least-once contract is testable by
+    calling it twice with one batch_id."""
+    ledger = BatchLedger(metadata_dir, owner, table, checkpoint_dir)
+
+    def sink(batch_df, batch_id: int) -> None:
+        if int(batch_id) in ledger.committed():
+            return  # re-delivery of a fully committed batch
+        _partial(batch_df).write.mode("overwrite").parquet(
+            _batch_dir(rollup_dir, batch_id)
+        )
+        ledger.commit(batch_id)
+
+    return sink
+
+
+def read_rollup(
+    spark: SparkSession, rollup_dir: str, as_of_batch: int | None = None
+) -> DataFrame | None:
+    """The rollup as one merged DataFrame (sum_value rounded to 2 for
+    presentation — the underlying decimals are exact). ``as_of_batch``
+    returns the rollup exactly as it stood after that micro-batch,
+    within the fold janitor's retention window."""
+    partials = read_streamed_table(spark, rollup_dir, as_of_batch)
+    if partials is None:
+        return None
+    return _merge(partials).select(
+        *_GRAIN,
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+def fold_rollup(
+    spark: SparkSession, rollup_dir: str, keep_last: int = 10
+) -> dict:
+    """Compact partial roots older than the newest ``keep_last`` into
+    one MERGED ``base/`` root. Same crash-safe temp/marker/swap
+    protocol as fold_streamed_batches (heal_fold shared), but the
+    folded copy is re-aggregated and the pre-swap invariant is
+    measure preservation: total n_events across the folded roots must
+    survive the merge."""
+    from goe_spark.plans.metadata import atomic_write_json
+
+    marker = os.path.join(rollup_dir, FOLD_MARKER)
+    tmp = os.path.join(rollup_dir, ".base_fold_tmp")
+    base = os.path.join(rollup_dir, BASE_DIR)
+
+    healed = heal_fold(rollup_dir)
+
+    fold = [d for _, d in _sorted_batches(rollup_dir)]
+    fold = fold[: max(0, len(fold) - keep_last)]
+    if not fold:
+        return {"folded": 0, "healed": healed}
+    roots = [os.path.join(rollup_dir, d) for d in fold]
+    if os.path.isdir(base):
+        roots.append(base)
+    partials = _union_roots(spark, roots)
+    total_before = partials.agg(F.sum("n_events")).first()[0]
+    _merge(partials).write.mode("overwrite").parquet(tmp)
+    total_after = (
+        spark.read.parquet(tmp).agg(F.sum("n_events")).first()[0]
+    )
+    if total_after != total_before:
+        shutil.rmtree(tmp)  # pragma: no cover - defensive
+        raise RuntimeError("rollup fold measure mismatch")
+    doomed = fold + ([BASE_DIR] if os.path.isdir(base) else [])
+    atomic_write_json(marker, {"doomed": doomed})
+    for d in doomed:
+        shutil.rmtree(os.path.join(rollup_dir, d))
+    os.rename(tmp, base)
+    os.remove(marker)
+    return {"folded": len(fold), "healed": healed, "rows_total": int(total_after)}
+
+
+def stream_rollup_events(
+    spark: SparkSession,
+    sf_dir: str,
+    rollup_dir: str,
+    checkpoint_dir: str,
+    metadata_dir: str,
+) -> DataFrame | None:
+    """Drain the events stream into the continuous rollup
+    (availableNow; unbounded on a live cluster) and return the merged
+    rollup. Re-running with the same checkpoint writes nothing."""
+    sink = make_rollup_sink(rollup_dir, checkpoint_dir, metadata_dir)
+    q = (
+        events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_rollup(spark, rollup_dir)

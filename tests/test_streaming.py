@@ -319,3 +319,81 @@ def test_fold_heal_after_rename_keeps_new_base(spark, tmp_path):
     )
     assert read_streamed_table(spark, target).count() == total
     e.unpersist()
+
+
+def test_continuous_rollup_incremental_and_foldable(spark, tmp_path):
+    """The continuous aggregate: partials accumulate per batch,
+    re-delivery cannot double-count, snapshots reconstruct any
+    committed point, and folding partials preserves the merged result
+    exactly (decimal measures make the equality bit-for-bit)."""
+    from pyspark.sql import functions as F
+
+    from goe_spark.catalog import load_table
+    from goe_spark.streaming.rollup import (
+        fold_rollup,
+        make_rollup_sink,
+        read_rollup,
+    )
+
+    rollup = str(tmp_path / "rollup")
+    sink = make_rollup_sink(rollup, str(tmp_path / "ck"), str(tmp_path / "md"))
+
+    e = load_table(spark, SF_SMALL, "events").orderBy("event_id").cache()
+    n = e.count()
+    cut1, cut2 = n // 3, 2 * n // 3
+    ids = [r.event_id for r in e.select("event_id").collect()]
+    b0 = e.where(F.col("event_id").isin(ids[:cut1]))
+    b1 = e.where(F.col("event_id").isin(ids[cut1:cut2]))
+    b2 = e.where(F.col("event_id").isin(ids[cut2:]))
+
+    def expected(df):
+        return sorted(
+            map(
+                tuple,
+                df.groupBy(
+                    F.col("ts").cast("date").alias("day"), "event_type"
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.round(
+                        F.sum(F.col("value").cast("decimal(20,2)")), 2
+                    ).alias("sum_value"),
+                )
+                .collect(),
+            )
+        )
+
+    def got(as_of=None):
+        return sorted(map(tuple, read_rollup(spark, rollup, as_of).collect()))
+
+    sink(b0, 0)
+    assert got() == expected(b0)
+    sink(b1, 1)
+    sink(b1, 1)  # ledger-visible re-delivery: no double count
+    assert got() == expected(b0.unionByName(b1))
+    sink(b2, 2)
+    full = expected(e)
+    assert got() == full
+    # Snapshot read at batch 1 (before batch 2 landed).
+    assert got(as_of=1) == expected(b0.unionByName(b1))
+
+    # Crash re-delivery: ledger entry lost, partial dir present — the
+    # rewrite must leave one copy.
+    import json
+
+    ledger_files = list((tmp_path / "md").glob("*.stream_batches.*.json"))
+    assert len(ledger_files) == 1
+    ledger_files[0].write_text(json.dumps([0, 1]))  # "forget" batch 2
+    sink(b2, 2)
+    assert got() == full
+
+    # Fold everything but the newest root: merged result unchanged,
+    # old snapshot now out of the retention window.
+    res = fold_rollup(spark, rollup, keep_last=1)
+    assert res["folded"] == 2
+    assert got() == full
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_rollup(spark, rollup, as_of_batch=0)
+    e.unpersist()
