@@ -42,6 +42,7 @@ HEAD = (
     "daily_distinct_users_hll",
     "table_profile",
     "continuous_rollup_daily",
+    "brand_affinity_lift",
     "order_price_histogram",
     "embedding_cluster_audit",
     "dedup_method_agreement",
@@ -94,6 +95,7 @@ TAIL = (
 
 def all_queries() -> list[QuerySpec]:
     from goe_spark.queries import (
+        affinity,
         asof,
         dedup,
         events_analytics,
@@ -125,6 +127,7 @@ def all_queries() -> list[QuerySpec]:
         timeseries,
         sketches,
         profiling,
+        affinity,
         training,
         similarity,
         streaming_batch,

@@ -1,0 +1,125 @@
+"""Market-basket affinity: which part brands are bought together more
+(or less) often than independence predicts — the classic retail
+co-occurrence/lift analysis, and the relational twin of the corpus
+bigram-PMI operator (lift is exp(PMI)).
+
+Scale design: pair emission is ORDER-LOCAL — each order's distinct
+brand set (bounded by lines-per-order, ~4-7) expands to its own pairs
+inside the groupBy output via the same sorted-collect_set + transform
+pattern the LSH bucket pair emitter uses, so there is no self-join of
+the lineitem fact with itself: the only fact-sized shuffle is the
+groupBy on l_orderkey. Everything downstream is brand-pair
+cardinality (<= 300 rows for 25 brands) with the marginals broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goe_spark.catalog import load_table
+from goe_spark.queries import QuerySpec
+
+# Keep the output to co-occurrences with enough support to be stable.
+MIN_PAIR_ORDERS = 5
+
+
+def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(brand_a, brand_b, n_both, lift): orders containing both brands
+    and the lift n_both * N / (n_a * n_b), for pairs co-occurring in
+    at least {MIN_PAIR_ORDERS} orders."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    )
+    baskets = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("brands"))
+    )
+    n_orders = baskets.count()
+    n = F.size("brands")
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("brands"),
+            lambda x, i: F.transform(
+                F.slice(F.col("brands"), i + 2, n - i - 1),
+                lambda y: F.struct(x.alias("brand_a"), y.alias("brand_b")),
+            ),
+        )
+    )
+    pairs = (
+        baskets.where(n >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy("p.brand_a", "p.brand_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= MIN_PAIR_ORDERS)
+    )
+    singles = baskets.select(
+        F.explode("brands").alias("brand")
+    ).groupBy("brand").agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        pairs.join(
+            F.broadcast(
+                singles.select(
+                    F.col("brand").alias("brand_a"),
+                    F.col("n_orders").alias("na"),
+                )
+            ),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(
+                singles.select(
+                    F.col("brand").alias("brand_b"),
+                    F.col("n_orders").alias("nb"),
+                )
+            ),
+            "brand_b",
+        )
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_both",
+            F.round(
+                F.col("n_both") * F.lit(n_orders) / (F.col("na") * F.col("nb")),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+AFFINITY_SQL = f"""
+WITH baskets AS (
+  SELECT l_orderkey, list_sort(list(DISTINCT p_brand)) AS brands
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY l_orderkey
+), n AS (
+  SELECT count(*) AS n_orders FROM baskets
+), pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_both
+  FROM (SELECT l_orderkey, unnest(brands) AS brand FROM baskets) a
+  JOIN (SELECT l_orderkey, unnest(brands) AS brand FROM baskets) b
+    ON a.l_orderkey = b.l_orderkey AND a.brand < b.brand
+  GROUP BY 1, 2
+  HAVING count(*) >= {MIN_PAIR_ORDERS}
+), singles AS (
+  SELECT brand, count(*) AS n_orders
+  FROM (SELECT l_orderkey, unnest(brands) AS brand FROM baskets)
+  GROUP BY 1
+)
+SELECT p.brand_a, p.brand_b, p.n_both,
+       round(p.n_both * n.n_orders
+             / cast(sa.n_orders * sb.n_orders AS double), 4) AS lift
+FROM pairs p
+CROSS JOIN n
+JOIN singles sa ON sa.brand = p.brand_a
+JOIN singles sb ON sb.brand = p.brand_b
+"""
+
+
+QUERIES = [
+    QuerySpec("brand_affinity_lift", brand_affinity_lift, AFFINITY_SQL),
+]

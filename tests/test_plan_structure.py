@@ -384,3 +384,15 @@ def test_histogram_no_prescan(spark):
     assert plan.count("Scan parquet") == 1
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
+
+
+def test_brand_affinity_no_fact_self_join(spark):
+    """Pair emission is order-local: the lineitem fact joins only the
+    broadcast part dim — never itself. One fact shuffle (the basket
+    groupBy); marginals attach as broadcasts."""
+    from goe_spark.queries.affinity import brand_affinity_lift
+
+    plan = _plan(brand_affinity_lift(spark, SF_SMALL), "simple")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # part dim + 2 marginals
