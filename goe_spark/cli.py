@@ -227,18 +227,15 @@ def cmd_heal(args) -> int:
 
 def cmd_fold(args) -> int:
     """Retention janitor for a streamed target: fold batch roots older
-    than --keep-last into the partitioned base/ root (crash-safe swap,
-    healed on rerun)."""
+    than --keep-last into the base/ root (crash-safe swap, healed on
+    rerun). --rollup folds a continuous-aggregate directory instead —
+    partials are MERGED rather than unioned row-for-row."""
     from goe_spark.streaming.ingest import fold_streamed_batches
+    from goe_spark.streaming.rollup import fold_rollup
 
     spark = _spark("goe-fold")
-    print(
-        json.dumps(
-            fold_streamed_batches(
-                spark, args.target_dir, keep_last=args.keep_last
-            )
-        )
-    )
+    fold = fold_rollup if args.rollup else fold_streamed_batches
+    print(json.dumps(fold(spark, args.target_dir, keep_last=args.keep_last)))
     return 0
 
 
@@ -557,6 +554,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     fo.add_argument("--target-dir", required=True)
     fo.add_argument("--keep-last", type=int, default=10)
+    fo.add_argument(
+        "--rollup",
+        action="store_true",
+        help="target is a continuous-aggregate dir: merge partials "
+        "instead of unioning rows",
+    )
     fo.set_defaults(fn=cmd_fold)
 
     he = sub.add_parser(

@@ -386,3 +386,22 @@ def test_fold_command(tmp_path, capsys, spark):
     assert res["folded"] == 1
     assert read_streamed_table(spark, target).count() == total
     e.unpersist()
+
+
+def test_fold_rollup_command(tmp_path, capsys, spark):
+    from goe_spark.catalog import load_table
+    from goe_spark.streaming.rollup import make_rollup_sink, read_rollup
+
+    rollup = str(tmp_path / "r")
+    sink = make_rollup_sink(rollup, str(tmp_path / "ck"), str(tmp_path / "md"))
+    e = load_table(spark, SF_SMALL, "events").limit(300).cache()
+    sink(e.limit(150), 0)
+    sink(e.subtract(e.limit(150)), 1)
+    before = sorted(map(tuple, read_rollup(spark, rollup).collect()))
+
+    rc = main(["fold", "--target-dir", rollup, "--keep-last", "1", "--rollup"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["folded"] == 1
+    assert sorted(map(tuple, read_rollup(spark, rollup).collect())) == before
+    e.unpersist()
