@@ -420,7 +420,7 @@ def cmd_sql(args) -> int:
     register_views(spark, args.sf_dir)
     for extra in args.view or []:
         name, _, path = extra.partition("=")
-        if not path:
+        if not name or not path:
             print(f"--view expects NAME=PATH, got {extra!r}", file=sys.stderr)
             return 2
         spark.read.parquet(path).createOrReplaceTempView(name)

@@ -39,7 +39,10 @@ def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("p_brand")).alias("brands"))
     )
-    n_orders = baskets.count()
+    # Basket total folded in as a 1-row broadcast aggregate, NOT an
+    # eager count() — building the DataFrame must not run a fact-sized
+    # job, and the single-job plan lets AQE reuse the basket exchange.
+    totals = baskets.agg(F.count(F.lit(1)).alias("n_orders_total"))
     n = F.size("brands")
     pair_structs = F.flatten(
         F.transform(
@@ -79,12 +82,15 @@ def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "brand_b",
         )
+        .crossJoin(F.broadcast(totals))
         .select(
             "brand_a",
             "brand_b",
             "n_both",
             F.round(
-                F.col("n_both") * F.lit(n_orders) / (F.col("na") * F.col("nb")),
+                F.col("n_both")
+                * F.col("n_orders_total")
+                / (F.col("na") * F.col("nb")),
                 4,
             ).alias("lift"),
         )

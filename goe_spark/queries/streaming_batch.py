@@ -286,11 +286,16 @@ def continuous_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     finite events stream: micro-batch partials merged at read must
     equal the direct batch aggregate — the oracle IS that direct
     aggregate. Fresh temp dirs per call so re-runs re-drain."""
+    import atexit
+    import shutil
     import tempfile
 
     from goe_spark.streaming.rollup import stream_rollup_events
 
     work = tempfile.mkdtemp(prefix="goe_rollup_")
+    # The returned DataFrame reads the partial roots lazily, so the
+    # work dir must outlive this call; reclaim it at process exit.
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
     return stream_rollup_events(
         spark,
         sf_dir,

@@ -240,23 +240,19 @@ def heal_fold(target_dir: str) -> bool:
     return False
 
 
-def fold_streamed_batches(
-    spark: SparkSession, target_dir: str, keep_last: int = 10
+def fold_protocol(
+    spark: SparkSession, target_dir: str, keep_last: int, compact
 ) -> dict:
-    """Retention janitor for the per-batch layout: batch roots grow
-    one per micro-batch forever, which at 100 TB/day is an unbounded
-    file-listing cost. Fold every batch root older than the newest
-    ``keep_last`` into one partitioned ``base/`` root (itself included
-    in the next fold), leaving recent batches intact so ``as_of_batch``
-    snapshot reads keep working across the retention window.
-
-    Crash-safe: the folded copy is written COMPLETE to a dot-prefixed
-    temp dir, a marker listing the doomed roots is armed, and only
-    then are old roots removed and the temp renamed in; a crash at any
-    point is healed at the start of the next fold (complete the
-    removal + rename, or discard a marker-less temp). Readers see
-    either the old roots or the folded base — never both live at once
-    past the heal."""
+    """The crash-safe fold swap, shared by the row-preserving ingest
+    fold and the merging rollup fold (streaming/rollup.py): heal any
+    crashed predecessor, pick the roots older than the newest
+    ``keep_last``, let ``compact(src_df, tmp_dir, spark) -> extra``
+    write the COMPLETE folded copy to the temp dir (raising — after
+    removing tmp — if its own invariant fails), then arm the marker
+    listing the doomed roots, remove them, rename the temp in, and
+    drop the marker. A crash at any point is healed at the start of
+    the next fold; readers see either the old roots or the folded
+    base — never both live at once past the heal."""
     from goe_spark.plans.metadata import atomic_write_json
 
     marker = os.path.join(target_dir, FOLD_MARKER)
@@ -272,23 +268,36 @@ def fold_streamed_batches(
     roots = [os.path.join(target_dir, d) for d in fold]
     if os.path.isdir(base):
         roots.append(base)
-    out = _union_roots(spark, roots)
-    n_before = out.count()
-    (
-        out.write.mode("overwrite")
-        .partitionBy(SYNTHETIC_COL)
-        .parquet(tmp)
-    )
-    if spark.read.parquet(tmp).count() != n_before:
-        shutil.rmtree(tmp)  # pragma: no cover - defensive
-        raise RuntimeError("fold row mismatch")
+    extra = compact(_union_roots(spark, roots), tmp, spark)
     doomed = fold + ([BASE_DIR] if os.path.isdir(base) else [])
     atomic_write_json(marker, {"doomed": doomed})
     for d in doomed:
         shutil.rmtree(os.path.join(target_dir, d))
     os.rename(tmp, base)
     os.remove(marker)
-    return {"folded": len(fold), "healed": healed, "rows": n_before}
+    return {"folded": len(fold), "healed": healed, **extra}
+
+
+def fold_streamed_batches(
+    spark: SparkSession, target_dir: str, keep_last: int = 10
+) -> dict:
+    """Retention janitor for the per-batch layout: batch roots grow
+    one per micro-batch forever, which at 100 TB/day is an unbounded
+    file-listing cost. Fold every batch root older than the newest
+    ``keep_last`` into one partitioned ``base/`` root (itself included
+    in the next fold), leaving recent batches intact so ``as_of_batch``
+    snapshot reads keep working across the retention window.
+    Invariant before the swap: row count survives the fold exactly."""
+
+    def compact(out, tmp, spark):
+        n_before = out.count()
+        out.write.mode("overwrite").partitionBy(SYNTHETIC_COL).parquet(tmp)
+        if spark.read.parquet(tmp).count() != n_before:
+            shutil.rmtree(tmp)  # pragma: no cover - defensive
+            raise RuntimeError("fold row mismatch")
+        return {"rows": n_before}
+
+    return fold_protocol(spark, target_dir, keep_last, compact)
 
 
 def stream_offload_events(

@@ -31,7 +31,6 @@ without a nightly full recompute.
 
 from __future__ import annotations
 
-import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,13 +38,9 @@ from pyspark.sql import functions as F
 
 from goe_spark.streaming.events import events_stream
 from goe_spark.streaming.ingest import (
-    BASE_DIR,
     BatchLedger,
-    FOLD_MARKER,
     _batch_dir,
-    _sorted_batches,
-    _union_roots,
-    heal_fold,
+    fold_protocol,
     read_streamed_table,
 )
 
@@ -122,42 +117,24 @@ def fold_rollup(
     spark: SparkSession, rollup_dir: str, keep_last: int = 10
 ) -> dict:
     """Compact partial roots older than the newest ``keep_last`` into
-    one MERGED ``base/`` root. Same crash-safe temp/marker/swap
-    protocol as fold_streamed_batches (heal_fold shared), but the
-    folded copy is re-aggregated and the pre-swap invariant is
+    one MERGED ``base/`` root — the shared crash-safe fold_protocol
+    with a re-aggregating compaction whose pre-swap invariant is
     measure preservation: total n_events across the folded roots must
-    survive the merge."""
-    from goe_spark.plans.metadata import atomic_write_json
+    survive the merge (None-totals collapse to 0 for all-empty
+    partials)."""
 
-    marker = os.path.join(rollup_dir, FOLD_MARKER)
-    tmp = os.path.join(rollup_dir, ".base_fold_tmp")
-    base = os.path.join(rollup_dir, BASE_DIR)
+    def compact(partials, tmp, spark):
+        total_before = partials.agg(F.sum("n_events")).first()[0] or 0
+        _merge(partials).write.mode("overwrite").parquet(tmp)
+        total_after = (
+            spark.read.parquet(tmp).agg(F.sum("n_events")).first()[0] or 0
+        )
+        if total_after != total_before:
+            shutil.rmtree(tmp)  # pragma: no cover - defensive
+            raise RuntimeError("rollup fold measure mismatch")
+        return {"rows_total": int(total_after)}
 
-    healed = heal_fold(rollup_dir)
-
-    fold = [d for _, d in _sorted_batches(rollup_dir)]
-    fold = fold[: max(0, len(fold) - keep_last)]
-    if not fold:
-        return {"folded": 0, "healed": healed}
-    roots = [os.path.join(rollup_dir, d) for d in fold]
-    if os.path.isdir(base):
-        roots.append(base)
-    partials = _union_roots(spark, roots)
-    total_before = partials.agg(F.sum("n_events")).first()[0]
-    _merge(partials).write.mode("overwrite").parquet(tmp)
-    total_after = (
-        spark.read.parquet(tmp).agg(F.sum("n_events")).first()[0]
-    )
-    if total_after != total_before:
-        shutil.rmtree(tmp)  # pragma: no cover - defensive
-        raise RuntimeError("rollup fold measure mismatch")
-    doomed = fold + ([BASE_DIR] if os.path.isdir(base) else [])
-    atomic_write_json(marker, {"doomed": doomed})
-    for d in doomed:
-        shutil.rmtree(os.path.join(rollup_dir, d))
-    os.rename(tmp, base)
-    os.remove(marker)
-    return {"folded": len(fold), "healed": healed, "rows_total": int(total_after)}
+    return fold_protocol(spark, rollup_dir, keep_last, compact)
 
 
 def stream_rollup_events(
