@@ -43,6 +43,7 @@ HEAD = (
     "table_profile",
     "continuous_rollup_daily",
     "brand_affinity_lift",
+    "rolling_distinct_users_hll",
     "order_price_histogram",
     "embedding_cluster_audit",
     "dedup_method_agreement",

@@ -83,9 +83,50 @@ def daily_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROLLING_DAYS = 7
+
+
+def rolling_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing {ROLLING_DAYS}-day distinct users from merged DAILY
+    sketches — the query that makes sketches non-negotiable at scale:
+    exact rolling distinct must rescan {ROLLING_DAYS} days of raw
+    events per output day (users repeat across days, so daily exact
+    counts cannot be added), while sketch registers merge.
+
+    Plan: one shuffle builds the day-grain sketch relation; each day's
+    sketch then EXPLODES to the {ROLLING_DAYS} window-end days it
+    contributes to and a second day-cardinality groupBy unions the
+    registers — no range join, no BroadcastNestedLoopJoin, and the
+    raw events are scanned exactly once. A semi join against the
+    observed days drops the spurious windows ending past the data."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    daily = e.groupBy("day").agg(
+        F.hll_sketch_agg("user_id", F.lit(HLL_LGK)).alias("sk")
+    )
+    contrib = daily.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add("day", ROLLING_DAYS - 1))
+        ).alias("window_end"),
+        "sk",
+    )
+    rolled = contrib.groupBy("window_end").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("rolling_users"),
+        F.count(F.lit(1)).alias("days_in_window"),
+    )
+    observed = daily.select(F.col("day").alias("window_end"))
+    return rolled.join(observed, "window_end", "left_semi").select(
+        "window_end", "days_in_window", "rolling_users"
+    )
+
+
 QUERIES = [
-    # rows-only oracle: DuckDB's HLL is a different implementation, so
-    # value equality is checked in pytest (accuracy envelope + exact
-    # merge losslessness), not against a SQL twin.
+    # rows-only oracles: DuckDB's HLL is a different implementation,
+    # so value equality is checked in pytest (accuracy envelope +
+    # merge consistency), not against a SQL twin.
     QuerySpec("daily_distinct_users_hll", daily_distinct_users_hll, None),
+    QuerySpec(
+        "rolling_distinct_users_hll", rolling_distinct_users_hll, None
+    ),
 ]

@@ -164,3 +164,33 @@ def test_hll_estimates_within_envelope_and_merge_consistent(spark):
     # At sf0.01 per-day cardinalities sit in exact coupon mode: the
     # union must reproduce the direct sketch exactly.
     assert all(r.merge_rel_diff == 0.0 for r in rows)
+
+
+def test_rolling_distinct_tracks_exact_window(spark):
+    """Merged daily sketches must track the exact trailing-7-day
+    distinct count within the HLL envelope, and the window day counts
+    must reflect the calendar (ramping 1..7 from the first day)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from goe_spark.catalog import load_table
+    from goe_spark.queries.sketches import (
+        ROLLING_DAYS,
+        rolling_distinct_users_hll,
+    )
+
+    rows = {r.window_end: r for r in rolling_distinct_users_hll(spark, SF).collect()}
+    assert rows
+    e = load_table(spark, SF, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    pairs = {(r.day, r.user_id) for r in e.distinct().collect()}
+    days = sorted({d for d, _ in pairs})
+    for end, r in rows.items():
+        lo = end - datetime.timedelta(days=ROLLING_DAYS - 1)
+        exact = len({u for d, u in pairs if lo <= d <= end})
+        assert abs(r.rolling_users - exact) / exact < 0.05, (end, r, exact)
+        assert r.days_in_window == sum(1 for d in days if lo <= d <= end)
+    # Every observed day yields exactly one window row.
+    assert set(rows) == set(days)
