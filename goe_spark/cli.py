@@ -426,11 +426,7 @@ def cmd_sql(args) -> int:
         spark.read.parquet(path).createOrReplaceTempView(name)
     df = spark.sql(args.statement)
     if args.explain:
-        print(df._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                "formatted"
-            )
-        ))
+        df.explain("formatted")
         return 0
     for row in df.limit(args.limit).collect():
         print(json.dumps(row.asDict(), default=str))

@@ -87,10 +87,14 @@ def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brand_a",
             "brand_b",
             "n_both",
+            # double arithmetic throughout: long products of basket
+            # counts overflow 64-bit at corpus scale (non-ANSI mode
+            # would wrap silently); the SQL twin mirrors the exact
+            # operation order so rounding agrees.
             F.round(
                 F.col("n_both")
-                * F.col("n_orders_total")
-                / (F.col("na") * F.col("nb")),
+                * F.col("n_orders_total").cast("double")
+                / (F.col("na").cast("double") * F.col("nb")),
                 4,
             ).alias("lift"),
         )
@@ -117,8 +121,8 @@ WITH baskets AS (
   GROUP BY 1
 )
 SELECT p.brand_a, p.brand_b, p.n_both,
-       round(p.n_both * n.n_orders
-             / cast(sa.n_orders * sb.n_orders AS double), 4) AS lift
+       round(p.n_both * cast(n.n_orders AS double)
+             / (cast(sa.n_orders AS double) * sb.n_orders), 4) AS lift
 FROM pairs p
 CROSS JOIN n
 JOIN singles sa ON sa.brand = p.brand_a

@@ -97,8 +97,9 @@ def rolling_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch then EXPLODES to the {ROLLING_DAYS} window-end days it
     contributes to and a second day-cardinality groupBy unions the
     registers — no range join, no BroadcastNestedLoopJoin, and the
-    raw events are scanned exactly once. A semi join against the
-    observed days drops the spurious windows ending past the data."""
+    raw events are scanned exactly once. Windows ending past the last
+    observed day are dropped; interior days without events keep their
+    row (their window draws on the preceding days)."""
     e = load_table(spark, sf_dir, "events").select(
         F.col("ts").cast("date").alias("day"), "user_id"
     )
@@ -115,9 +116,16 @@ def rolling_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("rolling_users"),
         F.count(F.lit(1)).alias("days_in_window"),
     )
-    observed = daily.select(F.col("day").alias("window_end"))
-    return rolled.join(observed, "window_end", "left_semi").select(
-        "window_end", "days_in_window", "rolling_users"
+    # Bound the series to the observed calendar span: contributions
+    # past max(day) describe windows ending after the data. Interior
+    # zero-event days still get their row (their window draws on the
+    # preceding days), which a semi join on observed days would
+    # silently drop.
+    bounds = daily.agg(F.max("day").alias("max_day"))
+    return (
+        rolled.crossJoin(F.broadcast(bounds))
+        .where(F.col("window_end") <= F.col("max_day"))
+        .select("window_end", "days_in_window", "rolling_users")
     )
 
 

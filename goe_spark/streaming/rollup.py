@@ -132,7 +132,10 @@ def fold_rollup(
         if total_after != total_before:
             shutil.rmtree(tmp)  # pragma: no cover - defensive
             raise RuntimeError("rollup fold measure mismatch")
-        return {"rows_total": int(total_after)}
+        # Same result key as the ingest fold so `cli fold` output has
+        # one schema regardless of --rollup; here it counts the merged
+        # grain rows in base/ (the measure check above is internal).
+        return {"rows": spark.read.parquet(tmp).count()}
 
     return fold_protocol(spark, rollup_dir, keep_last, compact)
 

@@ -192,5 +192,14 @@ def test_rolling_distinct_tracks_exact_window(spark):
         exact = len({u for d, u in pairs if lo <= d <= end})
         assert abs(r.rolling_users - exact) / exact < 0.05, (end, r, exact)
         assert r.days_in_window == sum(1 for d in days if lo <= d <= end)
-    # Every observed day yields exactly one window row.
-    assert set(rows) == set(days)
+    # Every calendar day reachable by a contribution (within the
+    # window length after an observed day, bounded by the last
+    # observed day) yields exactly one row — including interior
+    # zero-event days, whose windows draw on the preceding days.
+    reachable = {
+        d + datetime.timedelta(days=k)
+        for d in days
+        for k in range(ROLLING_DAYS)
+        if d + datetime.timedelta(days=k) <= days[-1]
+    }
+    assert set(rows) == reachable
