@@ -397,3 +397,63 @@ def test_continuous_rollup_incremental_and_foldable(spark, tmp_path):
     with _pytest.raises(ValueError):
         read_rollup(spark, rollup, as_of_batch=0)
     e.unpersist()
+
+
+def test_continuous_rollup_multi_microbatch_engine_drain(spark, tmp_path):
+    """The rollup maintained by the REAL streaming engine across
+    multiple micro-batches (maxFilesPerTrigger=1 over a 4-file copy):
+    partials accumulate batch by batch and the merged result equals
+    the direct aggregate."""
+    import os
+
+    from goe_spark.streaming.rollup import make_rollup_sink, read_rollup
+
+    src = str(tmp_path / "src")
+    e = load_table(spark, SF_SMALL, "events")
+    e.repartition(4).write.parquet(src)
+
+    rollup = str(tmp_path / "rollup")
+    ck = str(tmp_path / "ck")
+    sink = make_rollup_sink(rollup, ck, str(tmp_path / "md"))
+    q = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    n_batches = len([d for d in os.listdir(rollup) if d.startswith("batch-")])
+    assert n_batches >= 2, "rate limit must yield multiple micro-batches"
+
+    expected = sorted(
+        map(
+            tuple,
+            e.groupBy(F.col("ts").cast("date").alias("day"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(20,2)")), 2
+                ).alias("sum_value"),
+            )
+            .collect(),
+        )
+    )
+    got = sorted(map(tuple, read_rollup(spark, rollup).collect()))
+    assert got == expected
+
+    # Re-draining the same checkpoint is a no-op (source-side progress).
+    q2 = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    assert sorted(map(tuple, read_rollup(spark, rollup).collect())) == expected
