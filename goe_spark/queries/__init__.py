@@ -44,6 +44,7 @@ HEAD = (
     "continuous_rollup_daily",
     "brand_affinity_lift",
     "rolling_distinct_users_hll",
+    "rfm_segments",
     "order_price_histogram",
     "embedding_cluster_audit",
     "dedup_method_agreement",

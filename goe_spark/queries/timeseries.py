@@ -337,8 +337,120 @@ FROM counted
 """
 
 
+def _halfup_2dp(doubled_hundredths: str):
+    """Half-up mean to 2 decimals in pure integer arithmetic:
+    ``doubled_hundredths`` must evaluate to 2 * (sum in hundredths);
+    (x + n) div (2n) is round-half-up(x / 2n) for non-negative x in
+    both engines' integer division."""
+    return (
+        F.expr(f"({doubled_hundredths} + n_customers) div (2 * n_customers)")
+        / 100.0
+    )
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic marketing rollup:
+    score every customer 1-4 on Recency (days since last order,
+    relative to the dataset's max date), Frequency (order count) and
+    Monetary (total spend) via ntile quartiles, then report each
+    R/F/M segment's size and average metrics.
+
+    Plan: one customer-grain aggregate over orders, three windows
+    over the customer-cardinality relation (each ordered with a
+    custkey tie-break so quartile membership is deterministic), one
+    segment-grain aggregate (64 rows max). Raw orders shuffle once.
+    The windows are global like customer_value_deciles; the same
+    two-pass boundary-broadcast alternative applies at billion-
+    customer scale."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(20,2)")), 2
+        ).alias("monetary"),
+    )
+    anchor = per_cust.agg(F.max("last_order").alias("max_date"))
+    scored = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff("max_date", "last_order").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    w_r = Window.orderBy(F.col("recency_days"), F.col("o_custkey"))
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    w_m = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+    seg = scored.select(
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(w_r).alias("r_score"),
+        F.ntile(4).over(w_f).alias("f_score"),
+        F.ntile(4).over(w_m).alias("m_score"),
+    )
+    # Money average in EXACT integer cents with explicit half-up
+    # division: Spark's avg/round on decimals averages exactly while
+    # DuckDB averages in double, and Spark's round(double) rounds the
+    # shortest decimal repr while DuckDB rounds the binary value — a
+    # mean on a half-cent boundary (hit at sf0.001) diverges under
+    # every float formulation. (2*sum + n) div (2*n) is half-up for
+    # non-negative cents in both engines' integer division.
+    return (
+        seg.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("recency_days").alias("sum_rec"),
+            F.sum("frequency").alias("sum_freq"),
+            F.sum((F.col("monetary") * 100).cast("long")).alias("sum_cents"),
+        )
+        .select(
+            "r_score",
+            "f_score",
+            "m_score",
+            "n_customers",
+            _halfup_2dp("200 * sum_rec").alias("avg_recency_days"),
+            _halfup_2dp("200 * sum_freq").alias("avg_frequency"),
+            _halfup_2dp("2 * sum_cents").alias("avg_monetary"),
+        )
+    )
+
+
+RFM_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(cast(o_orderdate AS date)) AS last_order,
+         count(*) AS frequency,
+         round(sum(cast(o_totalprice AS decimal(20,2))), 2) AS monetary
+  FROM orders GROUP BY 1
+), anchor AS (
+  SELECT max(last_order) AS max_date FROM per_cust
+), scored AS (
+  SELECT o_custkey,
+         date_diff('day', last_order, max_date) AS recency_days,
+         frequency, monetary
+  FROM per_cust, anchor
+), seg AS (
+  SELECT recency_days, frequency, monetary,
+         ntile(4) OVER (ORDER BY recency_days, o_custkey)    AS r_score,
+         ntile(4) OVER (ORDER BY frequency DESC, o_custkey)  AS f_score,
+         ntile(4) OVER (ORDER BY monetary DESC, o_custkey)   AS m_score
+  FROM scored
+)
+SELECT r_score, f_score, m_score,
+       count(*) AS n_customers,
+       ((200 * sum(recency_days) + count(*)) // (2 * count(*))) / 100.0
+         AS avg_recency_days,
+       ((200 * sum(frequency) + count(*)) // (2 * count(*))) / 100.0
+         AS avg_frequency,
+       ((2 * sum(cast(monetary * 100 AS bigint)) + count(*))
+        // (2 * count(*))) / 100.0 AS avg_monetary
+FROM seg GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = [
     QuerySpec("timeseries_gapfill", timeseries_gapfill, GAPFILL_SQL),
+    QuerySpec("rfm_segments", rfm_segments, RFM_SQL),
     QuerySpec("revenue_anomaly_days", revenue_anomaly_days, ANOMALY_SQL),
     QuerySpec("customer_value_deciles", customer_value_deciles, DECILES_SQL),
     QuerySpec("order_status_islands", order_status_islands, ISLANDS_SQL),
