@@ -80,6 +80,8 @@ HEADLINE = [
     "tfidf_top_terms",
     "daily_distinct_users_hll",
     "table_profile",
+    "brand_affinity_lift",
+    "rfm_segments",
 ]
 
 
