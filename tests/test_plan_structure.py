@@ -398,3 +398,28 @@ def test_brand_affinity_no_fact_self_join(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 3  # part dim + 2 marginals
+
+
+def test_rfm_customer_grain_windows_no_joins(spark):
+    """Raw orders reduce to customer grain before the three quartile
+    windows; the only join is the 1-row anchor broadcast (BNLJ), never
+    a shuffle join of fact-sized inputs."""
+    from goe_spark.queries.timeseries import rfm_segments
+
+    plan = _plan(rfm_segments(spark, SF_SMALL), "simple")
+    assert plan.count("Window") == 3
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # 1-row anchor
+    assert "CartesianProduct" not in plan
+
+
+def test_rolling_distinct_no_range_join(spark):
+    """The trailing window builds from contribution explode + groupBy,
+    not a day-range theta join; the only BNLJ is the 1-row max-day
+    bound broadcast."""
+    from goe_spark.queries.sketches import rolling_distinct_users_hll
+
+    plan = _plan(rolling_distinct_users_hll(spark, SF_SMALL), "simple")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # 1-row bound
