@@ -82,6 +82,7 @@ HEADLINE = [
     "table_profile",
     "brand_affinity_lift",
     "rfm_segments",
+    "cross_doc_ngram_coverage",
 ]
 
 

@@ -33,6 +33,8 @@ class QuerySpec:
 # so losing their driver row costs the least.
 HEAD = (
     # round-4 additions — no driver row yet
+    "cross_doc_ngram_coverage",
+    "top_duplicate_ngrams",
     "timeseries_gapfill",
     "revenue_anomaly_days",
     "customer_value_deciles",

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from goe_spark.catalog import load_table
+from goe_spark.functions import text as T
 from goe_spark.functions.hashing import hash64, hash64_sql
 from goe_spark.queries import QuerySpec
 
@@ -404,9 +405,159 @@ WHERE {MH.hamming_sql("a.simhash", "b.simhash")} <= {MH.SIMHASH_BANDS - 1}
 """
 
 
+def cross_doc_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span coverage — the ExactSubstr-dedup
+    diagnostic (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): per document, the fraction of its
+    distinct word-3-gram shingles that also occur in at least one
+    OTHER document, rolled up per source. High coverage flags
+    boilerplate-heavy slices before near-dup pair mining even runs.
+
+    Plan shape (verified via .explain): shingles are the 8-byte
+    arithmetic hashes from operators.minhash — no n-gram strings ever
+    shuffle. The doc-frequency side is planned as its OWN
+    column-pruned scan (text only) whose aggregate output broadcasts
+    into the coverage join at report SF; at corpus scale AQE keeps it
+    a hash join on the two g-partitioned exchanges and splits
+    stop-gram skew. The shingle hashing therefore runs twice (once
+    per scan) — the deliberate price of rejecting the single-pass
+    window formulation (count over partition by gram), whose
+    WindowExec buffers an entire stop-gram partition in one task; on
+    a real 100 TB run the gram table would be staged once with the
+    repo's offload machinery and both consumers would read the
+    materialization. The per-doc and per-source rollups shuffle doc-
+    and source-cardinality rows respectively.
+
+    The >= 50% "high-coverage" flag compares 2*n_dup >= n_grams in
+    integer arithmetic so both engines agree without a float
+    threshold.
+    """
+    grams = (
+        _shingle_hashed(spark, sf_dir)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.array_distinct("sh")).alias("g"),
+        )
+        .repartition("g")
+    )
+    gram_docs = grams.groupBy("g").agg(F.count(F.lit(1)).alias("nd"))
+    per_doc = (
+        grams.join(gram_docs, "g")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("nd") >= 2).cast("long")).alias("n_dup"),
+        )
+    )
+    frac = F.col("n_dup") / F.col("n_grams")
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_grams").alias("total_grams"),
+        F.sum("n_dup").alias("dup_grams"),
+        F.round(F.avg(frac), 6).alias("avg_dup_frac"),
+        F.sum((F.col("n_dup") * 2 >= F.col("n_grams")).cast("long")).alias(
+            "n_high_dup"
+        ),
+    )
+
+
+CROSS_DOC_NGRAM_SQL = f"""
+WITH shingled AS ({_shingle_hashed_sql()}),
+grams AS (
+  SELECT doc_id, source, unnest(list_distinct(sh)) AS g FROM shingled
+), gram_docs AS (
+  SELECT g, count(*) AS nd FROM grams GROUP BY g
+), per_doc AS (
+  SELECT gr.doc_id, gr.source,
+         count(*) AS n_grams,
+         sum(CASE WHEN gd.nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+  FROM grams gr JOIN gram_docs gd ON gr.g = gd.g
+  GROUP BY 1, 2
+)
+SELECT source,
+       count(*)                      AS n_docs,
+       cast(sum(n_grams) AS bigint)  AS total_grams,
+       cast(sum(n_dup) AS bigint)    AS dup_grams,
+       round(avg(n_dup / cast(n_grams AS double)), 6) AS avg_dup_frac,
+       cast(sum(CASE WHEN n_dup * 2 >= n_grams THEN 1 ELSE 0 END) AS bigint)
+                                     AS n_high_dup
+FROM per_doc GROUP BY source
+"""
+
+
+TOP_DUP_NGRAMS_K = 20
+
+
+def top_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-span heavy hitters: the {TOP_DUP_NGRAMS_K} word
+    trigrams appearing in the most documents, with the gram TEXT for
+    human inspection (curation pipelines eyeball exactly this list to
+    write boilerplate strip rules).
+
+    This query materializes gram strings — the thing the dedup family
+    otherwise avoids — because the OUTPUT is text. The cost is
+    contained: per-doc distinct trigram strings partial-aggregate
+    map-side before the single gram shuffle, and the top-k is
+    TakeOrdered (no global sort). At 100 TB you'd hash-group first
+    and resolve text for the top candidates only; at report
+    cardinality (k=20) the direct string group is one shuffle of
+    short strings and keeps the oracle exact. Tie-break: doc
+    frequency DESC, gram ASC — fully deterministic.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    n = F.size(toks)
+    tri = F.transform(
+        F.sequence(F.lit(0), n - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    grams = (
+        d.where(n >= 3)
+        .select("doc_id", F.explode(F.array_distinct(tri)).alias("gram"))
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), F.col("gram"))
+        .limit(TOP_DUP_NGRAMS_K)
+    )
+
+
+TOP_DUP_NGRAMS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {T.tokens_sql('text')} AS tk FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(len(tk) - 2),
+                i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))) AS gram
+  FROM toks WHERE len(tk) >= 3
+)
+SELECT gram, count(*) AS n_docs
+FROM grams GROUP BY gram
+HAVING count(*) >= 2
+ORDER BY n_docs DESC, gram
+LIMIT {TOP_DUP_NGRAMS_K}
+"""
+
+
 QUERIES = [
     QuerySpec("dedup_exact_keep_first", dedup_exact_keep_first, DEDUP_EXACT_SQL),
     QuerySpec("ngram_jaccard_pairs", ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
     QuerySpec("minhash_lsh_pairs", minhash_lsh_pairs, _minhash_lsh_sql()),
     QuerySpec("simhash_pairs", simhash_pairs, _simhash_sql()),
+    QuerySpec(
+        "cross_doc_ngram_coverage",
+        cross_doc_ngram_coverage,
+        CROSS_DOC_NGRAM_SQL,
+    ),
+    QuerySpec(
+        "top_duplicate_ngrams", top_duplicate_ngrams, TOP_DUP_NGRAMS_SQL
+    ),
 ]

@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from goe_spark.operators import minhash as MH
+from tests.conftest import SF_SMALL
 from goe_spark.queries.dedup import (
     LSH_BUCKET_CAP,
     minhash_lsh_pairs,
@@ -171,3 +172,32 @@ def test_simhash_query_nonempty_and_within_radius(spark):
     assert len(out) > 0
     assert all(0 <= r.hamming <= MH.SIMHASH_BANDS - 1 for r in out)
     assert all(r.id1 < r.id2 for r in out)
+
+
+def test_cross_doc_coverage_invariants_and_planted_dups(spark):
+    """The fixture plants exact-duplicate docs, so cross-doc coverage
+    must find duplicated grams, and a doc's dup count can never exceed
+    its gram count. n_high_dup counts docs, so it is bounded by
+    n_docs; every fraction lives in [0, 1]."""
+    from goe_spark.queries.dedup import cross_doc_ngram_coverage
+
+    rows = cross_doc_ngram_coverage(spark, SF_SMALL).collect()
+    assert rows
+    assert sum(r.dup_grams for r in rows) > 0  # planted dups surface
+    for r in rows:
+        assert 0 <= r.dup_grams <= r.total_grams
+        assert 0 <= r.n_high_dup <= r.n_docs
+        assert 0.0 <= r.avg_dup_frac <= 1.0
+
+
+def test_top_duplicate_ngrams_ordered_and_bounded(spark):
+    """Heavy-hitter grams arrive sorted (n_docs DESC, gram ASC), all
+    genuinely duplicated (n_docs >= 2), at most K rows."""
+    from goe_spark.queries.dedup import TOP_DUP_NGRAMS_K, top_duplicate_ngrams
+
+    rows = top_duplicate_ngrams(spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= TOP_DUP_NGRAMS_K
+    keys = [(-r.n_docs, r.gram) for r in rows]
+    assert keys == sorted(keys)
+    assert all(r.n_docs >= 2 for r in rows)
+    assert all(len(r.gram.split(" ")) == 3 for r in rows)

@@ -423,3 +423,29 @@ def test_rolling_distinct_no_range_join(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1  # 1-row bound
+
+
+def test_cross_doc_coverage_no_string_shuffle_no_window(spark):
+    """The cross-doc duplicated-span metric shuffles 8-byte gram
+    hashes, never gram strings, and uses the join formulation (not a
+    per-gram window, whose WindowExec would buffer a stop-gram
+    partition in one task). Both the frequency and probe sides carry
+    an explicit g-hash exchange for skew-splittable joins at scale."""
+    from goe_spark.queries.dedup import cross_doc_ngram_coverage
+
+    plan = _plan(cross_doc_ngram_coverage(spark, SF_SMALL), "simple")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "concat_ws" not in plan  # grams stay arithmetic hashes
+    assert plan.count("REPARTITION_BY_COL") == 2  # g-partitioned sides
+
+
+def test_top_duplicate_ngrams_takeordered_single_exchange(spark):
+    """Heavy-hitter boilerplate grams: per-doc distinct trigrams
+    partial-aggregate map-side, ONE gram exchange, and the top-k is
+    TakeOrdered — no global sort of the gram table."""
+    from goe_spark.queries.dedup import top_duplicate_ngrams
+
+    plan = _plan(top_duplicate_ngrams(spark, SF_SMALL), "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") == 1
