@@ -83,6 +83,7 @@ HEADLINE = [
     "brand_affinity_lift",
     "rfm_segments",
     "cross_doc_ngram_coverage",
+    "ann_pq_topk",
 ]
 
 

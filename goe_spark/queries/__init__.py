@@ -35,6 +35,7 @@ HEAD = (
     # round-4 additions — no driver row yet
     "cross_doc_ngram_coverage",
     "top_duplicate_ngrams",
+    "ann_pq_topk",
     "timeseries_gapfill",
     "revenue_anomaly_days",
     "customer_value_deciles",

@@ -306,6 +306,91 @@ WHERE rank <= {TOP_K}
 """
 
 
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq): 4-bit-per-subspace
+    codes make the candidate scan read M bytes per vector instead of
+    DIM*4 (32x at float32); ADC scores the compressed codes map-side
+    and only the RERANK shortlist touches raw vectors for the exact
+    cosine top-k."""
+    from goe_spark.operators.pq import pq_topk
+
+    return pq_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        n_queries=N_QUERIES,
+        top_k=TOP_K,
+    )
+
+
+def _ann_pq_sql() -> str:
+    from goe_spark.functions.hashing import hash64_sql
+    from goe_spark.operators.pq import K_CODE, M_SUB, RERANK, SUB
+
+    h = hash64_sql("cast(vec_id AS varchar)")
+
+    def subdist(vec: str, m: str, cw: str) -> str:
+        diff = f"(cast({vec}[{m} * {SUB} + d + 1] AS double) - {cw}[d+1])"
+        return (
+            f"round(list_reduce(list_transform(range({SUB}), "
+            f"d -> {diff} * {diff}), (x, y) -> x + y), 6)"
+        )
+
+    return f"""
+WITH emb AS (
+  SELECT vec_id, embedding, {NORM2_SQL.format(a='embedding')} AS vnorm2
+  FROM embeddings
+), seeds AS (
+  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS j, embedding
+  FROM (SELECT {h} AS h, vec_id, embedding FROM emb ORDER BY h, vec_id LIMIT {K_CODE})
+), codebook AS (
+  -- codeword j of subspace m = sample vector j's m-th subvector
+  SELECT ms.m, s.j,
+         list_transform(range({SUB}),
+                        d -> cast(s.embedding[ms.m * {SUB} + d + 1] AS double)) AS cw
+  FROM seeds s CROSS JOIN (SELECT unnest(range({M_SUB})) AS m) ms
+), codes AS (
+  -- encode: argmin rounded subspace l2^2, ties to the smaller code
+  SELECT vec_id, m, j AS code FROM (
+    SELECT e.vec_id, c.m, c.j,
+           row_number() OVER (PARTITION BY e.vec_id, c.m
+             ORDER BY {subdist('e.embedding', 'c.m', 'c.cw')} ASC, c.j ASC) AS rk
+    FROM emb e CROSS JOIN codebook c
+  ) WHERE rk = 1
+), qry AS (
+  SELECT vec_id AS qid, embedding AS qvec, vnorm2 AS qnorm2
+  FROM emb WHERE vec_id < {N_QUERIES}
+), adc AS (
+  -- per-subspace distances are on the 1e-6 grid, so this unordered
+  -- SUM matches Spark's fold after the final round
+  SELECT q.qid, cd.vec_id,
+         round(sum({subdist('q.qvec', 'cd.m', 'cb.cw')}), 6) AS ad
+  FROM qry q
+  JOIN codes cd ON cd.vec_id != q.qid
+  JOIN codebook cb ON cb.m = cd.m AND cb.j = cd.code
+  GROUP BY q.qid, cd.vec_id
+), shortlist AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY ad ASC, vec_id ASC) AS srk
+    FROM adc
+  ) WHERE srk <= {RERANK}
+), rescored AS (
+  SELECT s.qid, s.vec_id,
+         round({DOT_SQL.format(a='q.qvec', b='e.embedding')}
+               / sqrt(q.qnorm2 * e.vnorm2), 6) AS cosine
+  FROM shortlist s
+  JOIN qry q ON q.qid = s.qid
+  JOIN emb e ON e.vec_id = s.vec_id
+)
+SELECT qid, vec_id, cosine, cast(rank AS int) AS rank
+FROM (
+  SELECT qid, vec_id, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM rescored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN (operators/lsh): score only candidates
     in the query's 4-bit hyperplane bucket or its flip-1-bit
@@ -542,6 +627,7 @@ QUERIES = [
     ),
     QuerySpec("ann_ivf_topk", ann_ivf_topk, _ann_ivf_sql()),
     QuerySpec("ann_lsh_topk", ann_lsh_topk, _ann_lsh_sql()),
+    QuerySpec("ann_pq_topk", ann_pq_topk, _ann_pq_sql()),
     QuerySpec(
         "embedding_cluster_audit", embedding_cluster_audit, _cluster_audit_sql()
     ),
