@@ -281,6 +281,76 @@ FROM pairs GROUP BY 1
 """
 
 
+def unattributed_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the LEFT OUTER stream-stream interval join:
+    every purchase, attributed or not, with the per-day attribution
+    rate — the funnel-health metric the inner join can't report
+    (unmatched purchases vanish from it).
+
+    Plan: same single user_id co-partitioning shuffle as
+    purchase_attribution; the outer side survives the interval
+    predicate inside the join. Streaming formulation (state expires
+    at the watermark, unmatched purchases emit with a null view):
+    streaming/events.py::unattributed_purchases_stream; equivalence
+    on watermark-closed purchases is asserted in
+    tests/test_streaming.py."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+    )
+    b = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("buy_ts"),
+        F.col("event_id").alias("buy_id"),
+    )
+    pairs = b.join(
+        v,
+        (F.col("v_user") == F.col("b_user"))
+        & (F.col("view_ts") <= F.col("buy_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("buy_ts")
+            - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTES")
+        ),
+        "left",
+    )
+    per_buy = pairs.groupBy("buy_id", "buy_ts").agg(
+        F.count("view_ts").alias("n_views")
+    )
+    return per_buy.groupBy(
+        F.col("buy_ts").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum((F.col("n_views") == 0).cast("long")).alias("n_unattributed"),
+        F.round(
+            F.avg((F.col("n_views") > 0).cast("double")), 4
+        ).alias("attribution_rate"),
+    )
+
+
+UNATTRIBUTED_SQL = f"""
+WITH v AS (
+  SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'
+), b AS (
+  SELECT user_id, ts AS buy_ts, event_id AS buy_id
+  FROM events WHERE event_type = 'purchase'
+), per_buy AS (
+  SELECT b.buy_id, b.buy_ts, count(v.view_ts) AS n_views
+  FROM b LEFT JOIN v ON v.user_id = b.user_id
+   AND v.view_ts <= b.buy_ts
+   AND v.view_ts >= b.buy_ts - INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTE
+  GROUP BY b.buy_id, b.buy_ts
+)
+SELECT cast(buy_ts AS date)                                   AS day,
+       count(*)                                               AS n_purchases,
+       cast(sum(CASE WHEN n_views = 0 THEN 1 ELSE 0 END) AS bigint)
+                                                              AS n_unattributed,
+       round(avg(CASE WHEN n_views > 0 THEN 1.0 ELSE 0.0 END), 4)
+                                                              AS attribution_rate
+FROM per_buy GROUP BY 1
+"""
+
+
 def continuous_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The continuous aggregate (streaming/rollup.py) drained over the
     finite events stream: micro-batch partials merged at read must
@@ -335,5 +405,8 @@ QUERIES = [
     ),
     QuerySpec(
         "purchase_attribution", purchase_attribution, PURCHASE_ATTRIBUTION_SQL
+    ),
+    QuerySpec(
+        "unattributed_purchases", unattributed_purchases, UNATTRIBUTED_SQL
     ),
 ]

@@ -344,6 +344,63 @@ def attribution_pairs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+def unattributed_purchases_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every purchase emits —
+    matched purchases as soon as both sides arrive, UNMATCHED
+    purchases with a null view_ts once the watermark passes
+    buy_ts + window and the engine can prove no matching view will
+    ever arrive. That proof is the whole point of the outer variant:
+    the funnel-health metric (attribution rate) needs the purchases
+    the inner join silently drops.
+
+    State bounds are identical to the inner join (arrival rate x
+    (watermark + window)); the outer row is produced by state EXPIRY,
+    so on a finite availableNow drain purchases whose
+    buy_ts + window has not been passed by the final watermark stay
+    open in state — tests compare only watermark-closed purchases
+    against the batch twin (queries/streaming_batch.py::
+    unattributed_purchases), the same open-tail discipline as the
+    sessionizer."""
+    v = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    b = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("buy_ts"),
+            F.col("event_id").alias("buy_id"),
+        )
+        .withWatermark("buy_ts", "1 hour")
+    )
+    joined = b.join(
+        v,
+        F.expr(
+            "v_user = b_user AND view_ts <= buy_ts AND "
+            f"view_ts >= buy_ts - INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTES"
+        ),
+        "leftOuter",
+    )
+    sink = f"unattrib_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 def dedup_event_counts(
     spark: SparkSession,
     sf_dir: str,

@@ -457,3 +457,72 @@ def test_continuous_rollup_multi_microbatch_engine_drain(spark, tmp_path):
     )
     q2.awaitTermination()
     assert sorted(map(tuple, read_rollup(spark, rollup).collect())) == expected
+
+
+def test_outer_attribution_stream_equals_batch_on_closed_purchases(spark):
+    """LEFT OUTER stream-stream interval join: matched rows must
+    exactly equal the batch inner pairs (matches never depend on
+    expiry), every emitted null-view row must be genuinely
+    unattributed per the batch twin, and for purchases the final
+    watermark provably closed (buy_ts < max_ts - watermark) the
+    emitted unmatched set must equal the batch unattributed set —
+    the open tail correctly stays in state."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from goe_spark.catalog import load_table
+    from goe_spark.queries.streaming_batch import ATTRIBUTION_WINDOW_MIN
+    from goe_spark.streaming.events import unattributed_purchases_stream
+
+    out = unattributed_purchases_stream(spark, SF_SMALL)
+    e = load_table(spark, SF_SMALL, "events")
+    v = e.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+    )
+    b = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("buy_ts"),
+        F.col("event_id").alias("buy_id"),
+    )
+    cond = (
+        (F.col("v_user") == F.col("b_user"))
+        & (F.col("view_ts") <= F.col("buy_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("buy_ts")
+            - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTES")
+        )
+    )
+    batch_pairs = {
+        (r.buy_id, r.view_ts) for r in b.join(v, cond).collect()
+    }
+    stream_pairs = {
+        (r.buy_id, r.view_ts)
+        for r in out.where(F.col("view_ts").isNotNull()).collect()
+    }
+    assert stream_pairs == batch_pairs
+    assert stream_pairs  # fixture has attributed purchases
+
+    batch_unattrib = {
+        r.buy_id for r in b.join(v, cond, "left_anti").collect()
+    }
+    stream_unattrib = {
+        r.buy_id for r in out.where(F.col("view_ts").isNull()).collect()
+    }
+    assert stream_unattrib <= batch_unattrib  # no false unmatched rows
+    # The GLOBAL watermark is the min over both input streams of
+    # (max event time - delay); the buy-side state also carries the
+    # join-window margin, so closure is only provable one window
+    # further back.
+    wm = min(
+        v.agg(F.max("view_ts")).first()[0],
+        b.agg(F.max("buy_ts")).first()[0],
+    ) - datetime.timedelta(hours=1)
+    closed_before = wm - datetime.timedelta(minutes=ATTRIBUTION_WINDOW_MIN)
+    closed_ids = {
+        r.buy_id
+        for r in b.where(F.col("buy_ts") < F.lit(closed_before)).collect()
+    }
+    assert stream_unattrib >= (batch_unattrib & closed_ids)
+    assert stream_unattrib  # expiry actually flushed on the drain
