@@ -84,6 +84,7 @@ HEADLINE = [
     "rfm_segments",
     "cross_doc_ngram_coverage",
     "ann_pq_topk",
+    "ann_ivf_pq_topk",
 ]
 
 

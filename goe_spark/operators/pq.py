@@ -234,3 +234,89 @@ def pq_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    n_queries: int = 5,
+    top_k: int = 10,
+) -> DataFrame:
+    """IVF-PQ: the two index structures composed the way a real
+    billion-vector deployment composes them (Jegou et al. 2011) —
+    IVF bounds WHICH vectors are scored (nprobe of n_cells coarse
+    cells), PQ bounds what each score COSTS (M-byte codes, ADC
+    lookup). The candidate set shrinks ~n_cells/nprobe AND the scan
+    per candidate shrinks 32x; only the RERANK shortlist touches raw
+    vectors.
+
+    Plan shape: the IVF assignment (broadcast centroids, max_by
+    argmax) and the PQ encode both ride the SAME corpus scan; probes
+    join candidate codes on cell (at 100 TB: partition pruning on the
+    materialized cell-partitioned code index — ivf.ensure_index
+    shape); ADC + shortlist + exact rescore as in pq_topk."""
+    from goe_spark.operators import ivf as IVF
+
+    books = sample_codebooks(emb)
+    cents = IVF.centroids(emb).cache()
+    assigned = IVF.assign_cells(emb, cents)
+    cand_codes = assigned.select(
+        "vec_id", "cell", encode_codes("embedding", books).alias("codes")
+    )
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        _norm2(F.col("embedding")).alias("qnorm2"),
+    )
+    probes = IVF.probe_cells(queries, cents)
+    scored = (
+        F.broadcast(probes)
+        .join(cand_codes, "cell")
+        .where(F.col("vec_id") != F.col("qid"))
+        .join(F.broadcast(queries), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            adc_dist("qvec", "codes", books).alias("ad"),
+        )
+    )
+    w_short = Window.partitionBy("qid").orderBy(
+        F.col("ad").asc(), F.col("vec_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("srk", F.row_number().over(w_short))
+        .where(F.col("srk") <= RERANK)
+        .select("qid", "vec_id")
+    )
+    rescored = (
+        F.broadcast(shortlist)
+        .join(
+            emb.select(
+                "vec_id",
+                "embedding",
+                _norm2(F.col("embedding")).alias("vnorm2"),
+            ),
+            "vec_id",
+        )
+        .join(F.broadcast(queries), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                _dot(F.col("qvec"), F.col("embedding"))
+                / F.sqrt(F.col("qnorm2") * F.col("vnorm2")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w_top = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w_top))
+        .where(F.col("rank") <= top_k)
+        .select(
+            "qid",
+            "vec_id",
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

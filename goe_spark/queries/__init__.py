@@ -36,6 +36,7 @@ HEAD = (
     "cross_doc_ngram_coverage",
     "top_duplicate_ngrams",
     "ann_pq_topk",
+    "ann_ivf_pq_topk",
     "unattributed_purchases",
     "timeseries_gapfill",
     "revenue_anomaly_days",

@@ -391,6 +391,139 @@ WHERE rank <= {TOP_K}
 """
 
 
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (operators/pq.ivf_pq_topk): nprobe cells
+    bound the candidate set, M-byte PQ codes bound the per-candidate
+    cost — the standard billion-vector layout, oracle-replayed
+    end-to-end (sampled k-means centroids + sample codebooks + ADC)
+    in DuckDB."""
+    from goe_spark.operators.pq import ivf_pq_topk
+
+    return ivf_pq_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        n_queries=N_QUERIES,
+        top_k=TOP_K,
+    )
+
+
+def _ann_ivf_pq_sql() -> str:
+    from goe_spark.functions.hashing import hash64_sql
+    from goe_spark.operators.ivf import CENT_DEC, DIM, N_PROBE
+    from goe_spark.operators.pq import K_CODE, M_SUB, RERANK, SUB
+
+    sum_cols = ", ".join(
+        f"sum(CAST(embedding[{i + 1}] AS {CENT_DEC})) AS s{i}" for i in range(DIM)
+    )
+    cvec_list = "[" + ", ".join(f"CAST(s{i} AS DOUBLE)" for i in range(DIM)) + "]"
+    h = hash64_sql("cast(vec_id AS varchar)")
+
+    def subdist(vec: str, m: str, cw: str) -> str:
+        diff = f"(cast({vec}[{m} * {SUB} + d + 1] AS double) - {cw}[d+1])"
+        return (
+            f"round(list_reduce(list_transform(range({SUB}), "
+            f"d -> {diff} * {diff}), (x, y) -> x + y), 6)"
+        )
+
+    return f"""
+WITH emb AS (
+  SELECT vec_id, embedding, {NORM2_SQL.format(a='embedding')} AS vnorm2
+  FROM embeddings
+), seeds AS (
+  -- IVF coarse quantizer: sampled k-means, same seeding as ann_ivf
+  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell, cvec, cnorm2
+  FROM (
+    SELECT {h} AS h, vec_id, embedding AS cvec, vnorm2 AS cnorm2
+    FROM emb ORDER BY h, vec_id LIMIT 8
+  )
+), seed_assigned AS (
+  SELECT vec_id, cell, embedding FROM (
+    SELECT e.vec_id, s.cell, e.embedding,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round({DOT_SQL.format(a='e.embedding', b='s.cvec')} / sqrt(e.vnorm2 * s.cnorm2), 6) DESC,
+                      s.cell ASC
+           ) AS rk
+    FROM emb e CROSS JOIN seeds s
+  ) WHERE rk = 1
+), cent_sums AS (
+  SELECT cell, {sum_cols}
+  FROM seed_assigned GROUP BY cell
+), cents AS (
+  SELECT cell, cvec, {NORM2_SQL.format(a='cvec')} AS cnorm2
+  FROM (SELECT cell, {cvec_list} AS cvec FROM cent_sums)
+), assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round({DOT_SQL.format(a='e.embedding', b='c.cvec')} / sqrt(e.vnorm2 * c.cnorm2), 6) DESC,
+                      c.cell ASC
+           ) AS rk
+    FROM emb e CROSS JOIN cents c
+  ) WHERE rk = 1
+), qry AS (
+  SELECT vec_id AS qid, embedding AS qvec, vnorm2 AS qnorm2
+  FROM emb WHERE vec_id < {N_QUERIES}
+), probes AS (
+  SELECT qid, cell FROM (
+    SELECT q.qid, c.cell,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY round({DOT_SQL.format(a='q.qvec', b='c.cvec')} / sqrt(q.qnorm2 * c.cnorm2), 6) DESC,
+                      c.cell ASC
+           ) AS rk
+    FROM qry q CROSS JOIN cents c
+  ) WHERE rk <= {N_PROBE}
+), pq_seeds AS (
+  -- PQ codebooks: same hash-seeded sample rule, K_CODE vectors
+  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS j, embedding
+  FROM (SELECT {h} AS h, vec_id, embedding FROM emb ORDER BY h, vec_id LIMIT {K_CODE})
+), codebook AS (
+  SELECT ms.m, s.j,
+         list_transform(range({SUB}),
+                        d -> cast(s.embedding[ms.m * {SUB} + d + 1] AS double)) AS cw
+  FROM pq_seeds s CROSS JOIN (SELECT unnest(range({M_SUB})) AS m) ms
+), codes AS (
+  SELECT vec_id, m, j AS code FROM (
+    SELECT e.vec_id, c.m, c.j,
+           row_number() OVER (PARTITION BY e.vec_id, c.m
+             ORDER BY {subdist('e.embedding', 'c.m', 'c.cw')} ASC, c.j ASC) AS rk
+    FROM emb e CROSS JOIN codebook c
+  ) WHERE rk = 1
+), adc AS (
+  -- ADC restricted to the probed cells' members
+  SELECT q.qid, cd.vec_id,
+         round(sum({subdist('q.qvec', 'cd.m', 'cb.cw')}), 6) AS ad
+  FROM qry q
+  JOIN probes p ON p.qid = q.qid
+  JOIN assigned a ON a.cell = p.cell
+  JOIN codes cd ON cd.vec_id = a.vec_id AND cd.vec_id != q.qid
+  JOIN codebook cb ON cb.m = cd.m AND cb.j = cd.code
+  GROUP BY q.qid, cd.vec_id
+), shortlist AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY ad ASC, vec_id ASC) AS srk
+    FROM adc
+  ) WHERE srk <= {RERANK}
+), rescored AS (
+  SELECT s.qid, s.vec_id,
+         round({DOT_SQL.format(a='q.qvec', b='e.embedding')}
+               / sqrt(q.qnorm2 * e.vnorm2), 6) AS cosine
+  FROM shortlist s
+  JOIN qry q ON q.qid = s.qid
+  JOIN emb e ON e.vec_id = s.vec_id
+)
+SELECT qid, vec_id, cosine, cast(rank AS int) AS rank
+FROM (
+  SELECT qid, vec_id, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM rescored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN (operators/lsh): score only candidates
     in the query's 4-bit hyperplane bucket or its flip-1-bit
@@ -628,6 +761,7 @@ QUERIES = [
     QuerySpec("ann_ivf_topk", ann_ivf_topk, _ann_ivf_sql()),
     QuerySpec("ann_lsh_topk", ann_lsh_topk, _ann_lsh_sql()),
     QuerySpec("ann_pq_topk", ann_pq_topk, _ann_pq_sql()),
+    QuerySpec("ann_ivf_pq_topk", ann_ivf_pq_topk, _ann_ivf_pq_sql()),
     QuerySpec(
         "embedding_cluster_audit", embedding_cluster_audit, _cluster_audit_sql()
     ),

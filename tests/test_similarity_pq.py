@@ -75,3 +75,53 @@ def test_pq_exactly_topk_rows_per_query(spark):
     assert set(counts) == {0, 1, 2, 3, 4}
     assert all(n == 10 for n in counts.values())
     assert RERANK >= 10  # shortlist can always fill the top-k
+
+
+def test_ivf_pq_recall_and_shape(spark):
+    """The composed index (coarse cells AND compressed codes) stacks
+    two approximations; recall floor matches the IVF floor, and each
+    query still returns exactly top-k rows (RERANK and the probed
+    cells always hold >= k candidates at this SF)."""
+    from goe_spark.operators.pq import ivf_pq_topk
+
+    exact = {
+        (r.qid, r.vec_id)
+        for r in ann_bruteforce_topk(spark, SF_SMALL).collect()
+    }
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    rows = ivf_pq_topk(emb, n_queries=5, top_k=10).collect()
+    approx = {(r.qid, r.vec_id) for r in rows}
+    recall = len(exact & approx) / len(exact)
+    assert 0.2 <= recall <= 1.0, f"recall@10 = {recall}"
+    per_q = {}
+    for r in rows:
+        per_q[r.qid] = per_q.get(r.qid, 0) + 1
+    assert per_q == {q: 10 for q in range(5)}
+
+
+def test_ivf_pq_results_come_from_probed_cells(spark):
+    """Structural containment: every returned neighbour belongs to
+    one of its query's probed cells — the IVF pruning is real, not
+    decorative."""
+    from goe_spark.operators import ivf as IVF
+    from goe_spark.operators.pq import ivf_pq_topk
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cents = IVF.centroids(emb).cache()
+    assigned = {
+        r.vec_id: r.cell
+        for r in IVF.assign_cells(emb, cents).select("vec_id", "cell").collect()
+    }
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.expr(
+            "aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)), "
+            "cast(0.0 as double), (a, b) -> a + b)"
+        ).alias("qnorm2"),
+    )
+    probed = {}
+    for r in IVF.probe_cells(queries, cents).collect():
+        probed.setdefault(r.qid, set()).add(r.cell)
+    for r in ivf_pq_topk(emb, n_queries=5, top_k=10).collect():
+        assert assigned[r.vec_id] in probed[r.qid], (r.qid, r.vec_id)
