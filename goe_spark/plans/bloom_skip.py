@@ -156,3 +156,86 @@ def read_pruned_bloom(
     if not files:
         return None, 0, total
     return spark.read.parquet(*files), len(files), total
+
+# --- partitioned layouts -------------------------------------------------
+
+
+def partition_dirs(path: str) -> list[str]:
+    """Immediate child partition directories of a Hive-partitioned
+    root (plus the Hive null dir)."""
+    return sorted(
+        d
+        for d in os.listdir(path)
+        if os.path.isdir(os.path.join(path, d)) and not d.startswith(".")
+    )
+
+
+def build_bloom_manifest_partitioned(
+    spark: SparkSession, path: str, cols: list[str]
+) -> int:
+    """One Bloom manifest per partition directory; returns the number
+    of partitions indexed. Each partition's build is independent, so
+    an incremental pipeline rebuilds only partitions it rewrote."""
+    dirs = partition_dirs(path)
+    for d in dirs:
+        build_bloom_manifest(spark, os.path.join(path, d), cols)
+    return len(dirs)
+
+
+def prune_files_bloom_in(
+    path: str, col: str, keys: list
+) -> tuple[list[str], int]:
+    """Files that can contain ``col`` IN ``keys`` (any-of probe) in a
+    FLAT directory: a file survives iff at least one key's positions
+    are all set (or the file/column is unindexed). Same no-false-
+    negative contract as the single-value probe."""
+    data_files = [
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    try:
+        with open(_mpath(path)) as fh:
+            manifest = json.load(fh)
+    except FileNotFoundError:
+        return [os.path.join(path, f) for f in sorted(data_files)], len(
+            data_files
+        )
+    probes = [value_positions(k) for k in keys]
+    out = []
+    for f in sorted(data_files):
+        bits = (manifest.get(f) or {}).get(col)
+        if bits is None:
+            out.append(os.path.join(path, f))
+            continue
+        bitset = set(bits)
+        if any(all(p in bitset for p in ps) for ps in probes):
+            out.append(os.path.join(path, f))
+    return out, len(data_files)
+
+
+def prune_partitioned_bloom_in(
+    path: str, col: str, keys: list
+) -> tuple[list[str], int]:
+    """The any-of probe across every partition of a Hive-partitioned
+    root. Returns (surviving file paths, total data files) — the
+    phase-1 scan bound for a targeted delete: partitions whose every
+    file's filter rejects every doomed key are never read at all."""
+    files: list[str] = []
+    total = 0
+    for d in partition_dirs(path):
+        sub, n = prune_files_bloom_in(os.path.join(path, d), col, keys)
+        files.extend(sub)
+        total += n
+    return files, total
+
+
+def drop_bloom_manifest(dir_path: str) -> None:
+    """Remove a (now stale) manifest after its files were rewritten.
+    Pruning stays correct either way — rewritten files get fresh
+    names that miss the manifest and therefore survive — but a
+    dropped manifest never makes even a stale no-claim."""
+    try:
+        os.remove(_mpath(dir_path))
+    except FileNotFoundError:
+        pass

@@ -85,6 +85,7 @@ def delete_rows(
     key_column: str,
     keys: list | DataFrame,
     partition_col: str = "goe_part_key",
+    use_bloom: bool = False,
 ) -> DeleteReport:
     """Delete every row whose ``key_column`` is in ``keys`` from the
     partitioned parquet table at ``path``.
@@ -94,11 +95,31 @@ def delete_rows(
     keyset is checkpointed once: phase 1 and every per-partition
     anti-join must see the SAME key set, and a non-deterministic keys
     plan (limit, sample) re-evaluated per partition would delete an
-    inconsistent set."""
+    inconsistent set.
+
+    ``use_bloom`` bounds the PHASE-1 scan with the per-partition
+    Bloom manifests (plans/bloom_skip.py) when ``keys`` is a list:
+    only files whose filter fires for at least one doomed key are
+    read — at 100 TB that turns the find-affected-partitions pass
+    from a table scan into a handful of file reads. No-false-negative
+    is the manifest's contract, so the result set is identical;
+    unindexed partitions simply scan (correct, just unpruned).
+    Rewritten partitions get their manifest dropped in the same pass
+    (stale claims die with the files they described)."""
     report = DeleteReport()
     report.partitions_healed = len(heal_interrupted_swaps(path))
 
-    table = spark.read.option("basePath", path).parquet(path)
+    if use_bloom and not isinstance(keys, DataFrame):
+        from goe_spark.plans.bloom_skip import prune_partitioned_bloom_in
+
+        files, _total = prune_partitioned_bloom_in(
+            path, key_column, list(keys)
+        )
+        if not files:
+            return report  # no file can hold any doomed key
+        table = spark.read.option("basePath", path).parquet(*files)
+    else:
+        table = spark.read.option("basePath", path).parquet(path)
     if partition_col not in table.columns:
         raise ValueError(
             f"{path} is not partitioned by {partition_col!r}; targeted "
@@ -168,6 +189,9 @@ def delete_rows(
             _marker_path(path, d), {"partition": d, "old_files": old_files}
         )
         _complete_swap(path, d, old_files)
+        from goe_spark.plans.bloom_skip import drop_bloom_manifest
+
+        drop_bloom_manifest(full)  # stale after the rewrite
         report.partitions_affected += 1
         report.rows_deleted += n_before - n_after
         report.details.append((d, n_before - n_after))

@@ -105,3 +105,57 @@ def test_conjunction_and_missing_manifest(spark, tmp_path):
     # returns None then
     df, n_read, _ = read_pruned_bloom(spark, path, {"doc_id": -123456789})
     assert df is None or df.where(F.col("doc_id") == -123456789).count() == 0
+
+
+def test_partitioned_build_and_delete_integration(spark, offloaded_orders):
+    """Bloom-bounded takedown: same deletions as the unbounded path,
+    phase-1 file set strictly pruned, and the rewritten partition's
+    manifest dropped (stale claims die with their files)."""
+    import os
+
+    from goe_spark.plans.bloom_skip import (
+        BLOOM_MANIFEST_NAME,
+        build_bloom_manifest_partitioned,
+        prune_partitioned_bloom_in,
+    )
+    from goe_spark.plans.targeted_delete import delete_rows
+
+    target, src, _ = offloaded_orders
+    n_parts = build_bloom_manifest_partitioned(
+        spark, target, ["o_orderkey"]
+    )
+    assert n_parts > 0
+
+    doomed = [r[0] for r in src.select("o_orderkey").limit(3).collect()]
+    files, total = prune_partitioned_bloom_in(target, "o_orderkey", doomed)
+    assert 0 < len(files) < total  # the probe really skips files
+
+    before = spark.read.parquet(target).count()
+    rep = delete_rows(
+        spark, target, "o_orderkey", doomed, use_bloom=True
+    )
+    assert rep.rows_deleted == 3
+    after = spark.read.parquet(target)
+    assert after.count() == before - 3
+    assert after.where(F.col("o_orderkey").isin(doomed)).count() == 0
+
+    # rewritten partitions dropped their manifests; untouched kept
+    touched = {d for d, _ in rep.details}
+    for d in touched:
+        assert not os.path.exists(
+            os.path.join(target, d, BLOOM_MANIFEST_NAME)
+        )
+    untouched_with_manifest = [
+        d
+        for d in os.listdir(target)
+        if os.path.isdir(os.path.join(target, d))
+        and d not in touched
+        and os.path.exists(os.path.join(target, d, BLOOM_MANIFEST_NAME))
+    ]
+    assert untouched_with_manifest  # the drop was surgical
+
+    # absent keys: bloom proves no file can match -> zero-cost no-op
+    rep2 = delete_rows(
+        spark, target, "o_orderkey", [-1, -2], use_bloom=True
+    )
+    assert rep2.rows_deleted == 0 and rep2.partitions_affected == 0
