@@ -117,6 +117,7 @@ def cmd_delete(args) -> int:
         args.key_column,
         keys,
         partition_col=args.partition_column,
+        use_bloom=args.use_bloom,
     )
     print(
         json.dumps(
@@ -127,6 +128,19 @@ def cmd_delete(args) -> int:
             }
         )
     )
+    return 0
+
+
+def cmd_bloom(args) -> int:
+    """Build per-partition bloom manifests so `delete --use-bloom`
+    (and any point-lookup reader) can skip files by key equality."""
+    from goe_spark.plans.bloom_skip import build_bloom_manifest_partitioned
+
+    spark = _spark("goe-bloom")
+    n = build_bloom_manifest_partitioned(
+        spark, args.target_dir, args.columns.split(",")
+    )
+    print(json.dumps({"partitions_indexed": n}))
     return 0
 
 
@@ -527,7 +541,24 @@ def build_parser() -> argparse.ArgumentParser:
     dl.add_argument("--key-column", required=True)
     dl.add_argument("--values", required=True, help="CSV of key values")
     dl.add_argument("--partition-column", default="goe_part_key")
+    dl.add_argument(
+        "--use-bloom",
+        action="store_true",
+        help="bound the find-affected-partitions scan with the "
+        "per-partition bloom manifests (build with `bloom` first)",
+    )
     dl.set_defaults(fn=cmd_delete)
+
+    bl = sub.add_parser(
+        "bloom",
+        help="build per-partition bloom-filter manifests for "
+        "equality-predicate file skipping (point lookups, takedowns)",
+    )
+    bl.add_argument("--target-dir", required=True)
+    bl.add_argument(
+        "--columns", required=True, help="CSV of key columns to index"
+    )
+    bl.set_defaults(fn=cmd_bloom)
 
     z = sub.add_parser(
         "zorder", help="re-cluster a table on a Morton curve + manifest"

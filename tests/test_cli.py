@@ -405,3 +405,69 @@ def test_fold_rollup_command(tmp_path, capsys, spark):
     assert res["folded"] == 1
     assert sorted(map(tuple, read_rollup(spark, rollup).collect())) == before
     e.unpersist()
+
+
+def test_bloom_and_delete_use_bloom_commands(tmp_path, capsys, spark):
+    """`bloom` builds per-partition manifests; `delete --use-bloom`
+    then removes rows through the pruned phase-1 scan."""
+    import os
+
+    rc = main(
+        [
+            "offload",
+            "--owner",
+            "sh",
+            "--table",
+            "orders",
+            "--source-dir",
+            SF_SMALL,
+            "--target-dir",
+            str(tmp_path / "final"),
+            "--staging-dir",
+            str(tmp_path / "stage"),
+            "--metadata-dir",
+            str(tmp_path / "md"),
+            "--partition-column",
+            "o_orderdate",
+            "--partition-kind",
+            "date",
+            "--granularity",
+            "M",
+        ]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    target = str(tmp_path / "final")
+
+    rc = main(["bloom", "--target-dir", target, "--columns", "o_orderkey"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["partitions_indexed"] > 0
+    from goe_spark.plans.bloom_skip import BLOOM_MANIFEST_NAME
+
+    assert any(
+        os.path.exists(os.path.join(target, d, BLOOM_MANIFEST_NAME))
+        for d in os.listdir(target)
+        if os.path.isdir(os.path.join(target, d))
+    )
+
+    doomed = str(
+        spark.read.parquet(target).select("o_orderkey").first()[0]
+    )
+    before = spark.read.parquet(target).count()
+    rc = main(
+        [
+            "delete",
+            "--target-dir",
+            target,
+            "--key-column",
+            "o_orderkey",
+            "--values",
+            doomed,
+            "--use-bloom",
+        ]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows_deleted"] >= 1
+    assert spark.read.parquet(target).count() == before - rep["rows_deleted"]
