@@ -320,3 +320,84 @@ def ivf_pq_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+def ivf_pq_topk_indexed(
+    spark,
+    emb: DataFrame,
+    index_dir: str,
+    n_queries: int = 5,
+    top_k: int = 10,
+) -> DataFrame:
+    """IVF-PQ against the MATERIALIZED coarse index
+    (ivf.ensure_index): centroids and the probed cells' files are
+    read back instead of re-running the Lloyd pass per query batch;
+    PQ codes are computed on the probed candidates only (identical
+    per-vector results — encode is deterministic — while touching
+    nprobe/n_cells of the corpus; a production build materializes
+    codes next to the assignment and skips even that)."""
+    import os as _os
+
+    from goe_spark.operators.ivf import probe_cells
+
+    books = sample_codebooks(emb)
+    cents = spark.read.parquet(_os.path.join(index_dir, "centroids"))
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        _norm2(F.col("embedding")).alias("qnorm2"),
+    )
+    probes = probe_cells(queries, cents)
+    cells = sorted({int(r["cell"]) for r in probes.collect()})
+    assigned = (
+        spark.read.parquet(_os.path.join(index_dir, "assigned"))
+        .where(F.col("cell").isin(cells))
+        .select("vec_id", "cell", "embedding", "vnorm2")
+    )
+    cand_codes = assigned.select(
+        "vec_id", "cell", encode_codes("embedding", books).alias("codes")
+    )
+    scored = (
+        cand_codes.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("qid"))
+        .join(F.broadcast(queries), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            adc_dist("qvec", "codes", books).alias("ad"),
+        )
+    )
+    w_short = Window.partitionBy("qid").orderBy(
+        F.col("ad").asc(), F.col("vec_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("srk", F.row_number().over(w_short))
+        .where(F.col("srk") <= RERANK)
+        .select("qid", "vec_id")
+    )
+    rescored = (
+        F.broadcast(shortlist)
+        .join(assigned.select("vec_id", "embedding", "vnorm2"), "vec_id")
+        .join(F.broadcast(queries), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                _dot(F.col("qvec"), F.col("embedding"))
+                / F.sqrt(F.col("qnorm2") * F.col("vnorm2")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w_top = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w_top))
+        .where(F.col("rank") <= top_k)
+        .select(
+            "qid",
+            "vec_id",
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -392,15 +392,22 @@ WHERE rank <= {TOP_K}
 
 
 def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ composed ANN (operators/pq.ivf_pq_topk): nprobe cells
-    bound the candidate set, M-byte PQ codes bound the per-candidate
-    cost — the standard billion-vector layout, oracle-replayed
-    end-to-end (sampled k-means centroids + sample codebooks + ADC)
-    in DuckDB."""
-    from goe_spark.operators.pq import ivf_pq_topk
+    """IVF-PQ composed ANN (operators/pq): nprobe cells bound the
+    candidate set, M-byte PQ codes bound the per-candidate cost — the
+    standard billion-vector layout, oracle-replayed end-to-end
+    (sampled k-means centroids + sample codebooks + ADC) in DuckDB.
+    Runs against the MATERIALIZED coarse index (ivf.ensure_index),
+    so the Lloyd pass is paid once per source fingerprint; results
+    are identical to the in-session build (pinned by
+    tests/test_similarity_pq.py)."""
+    from goe_spark.operators.ivf import ensure_index
+    from goe_spark.operators.pq import ivf_pq_topk_indexed
 
-    return ivf_pq_topk(
+    index_dir = ensure_index(spark, sf_dir)
+    return ivf_pq_topk_indexed(
+        spark,
         load_table(spark, sf_dir, "embeddings"),
+        index_dir,
         n_queries=N_QUERIES,
         top_k=TOP_K,
     )

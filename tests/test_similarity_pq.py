@@ -125,3 +125,26 @@ def test_ivf_pq_results_come_from_probed_cells(spark):
         probed.setdefault(r.qid, set()).add(r.cell)
     for r in ivf_pq_topk(emb, n_queries=5, top_k=10).collect():
         assert assigned[r.vec_id] in probed[r.qid], (r.qid, r.vec_id)
+
+
+def test_ivf_pq_indexed_equals_in_session(spark):
+    """The materialized-index path must return exactly the in-session
+    build's results — same centroids (persisted doubles round-trip
+    parquet exactly), same codes, same shortlist."""
+    from goe_spark.operators.ivf import ensure_index
+    from goe_spark.operators.pq import ivf_pq_topk, ivf_pq_topk_indexed
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    index_dir = ensure_index(spark, SF_SMALL)
+    a = sorted(
+        map(tuple, ivf_pq_topk(emb, n_queries=5, top_k=10).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            ivf_pq_topk_indexed(
+                spark, emb, index_dir, n_queries=5, top_k=10
+            ).collect(),
+        )
+    )
+    assert a == b
