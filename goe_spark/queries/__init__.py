@@ -38,6 +38,7 @@ HEAD = (
     "ann_pq_topk",
     "ann_ivf_pq_topk",
     "unattributed_purchases",
+    "weighted_sample_docs",
     "timeseries_gapfill",
     "revenue_anomaly_days",
     "customer_value_deciles",

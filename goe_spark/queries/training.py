@@ -706,7 +706,59 @@ GROUP BY t.source
 """
 
 
+WEIGHTED_SAMPLE_N = 50
+
+
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-ES, exponential-jumps form): each doc
+    draws key = -ln(u) / w with u a hash-derived uniform and
+    w = n_chars; the WEIGHTED_SAMPLE_N smallest keys ARE a weighted
+    sample — longer documents proportionally likelier, yet the whole
+    draw replays bit-for-bit from doc_id alone (no RNG state, so any
+    executor, any partition order, any engine agrees).
+
+    Numeric discipline: u = (hash31(doc_id)+1) / 2^31 is EXACT in
+    both engines (numerator < 2^31, division by a power of two);
+    ln is the only libm call and the key is rounded to 9 decimals
+    before ranking, so a 1-ulp ln difference cannot reorder engines.
+    Plan: map-side key computation, TakeOrdered top-n — no shuffle
+    beyond the top-n gather; at 100 TB this is one scan, the same
+    shape as any hash-threshold sampler."""
+    from goe_spark.functions.hashing import MERSENNE_P
+
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.pmod(hash64(F.col("doc_id").cast("string")), F.lit(MERSENNE_P))
+        + 1
+    ) / F.lit(float(2**31))
+    w = F.greatest(F.col("n_chars"), F.lit(1))
+    key = F.round(-F.log(u) / w, 9)
+    return (
+        d.select("doc_id", "lang", "source", "n_chars", key.alias("k"))
+        .orderBy(F.col("k").asc(), F.col("doc_id").asc())
+        .limit(WEIGHTED_SAMPLE_N)
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+SELECT doc_id, lang, source, n_chars, k
+FROM (
+  SELECT doc_id, lang, source, n_chars,
+         round(-ln((({hash64_sql('cast(doc_id AS varchar)')} % 2147483647) + 1)
+                   / 2147483648.0)
+               / greatest(n_chars, 1), 9) AS k
+  FROM documents
+)
+ORDER BY k ASC, doc_id ASC
+LIMIT {{n}}
+""".format(n=WEIGHTED_SAMPLE_N)
+
+
 QUERIES = [
+    QuerySpec(
+        "weighted_sample_docs", weighted_sample_docs, WEIGHTED_SAMPLE_SQL
+    ),
     QuerySpec("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_SQL),
     QuerySpec("dedup_keep_best", dedup_keep_best, _dedup_keep_best_sql()),
     QuerySpec(

@@ -269,3 +269,31 @@ def test_mixture_threshold_tracks_exact_budget(spark):
         assert abs(a.tokens_selected - e.tokens_selected) <= max(
             0.5 * e.tokens_selected, 800
         )
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    """A-ES weighted sampling: exactly N rows, bit-identical on
+    re-run (no RNG state anywhere), keys positive and sorted, and the
+    weights actually bias the draw — the sampled mean doc length
+    exceeds the corpus mean (chars are the weight)."""
+    from pyspark.sql import functions as F
+
+    from goe_spark.catalog import load_table
+    from goe_spark.queries.training import (
+        WEIGHTED_SAMPLE_N,
+        weighted_sample_docs,
+    )
+
+    a = weighted_sample_docs(spark, SF_SMALL).collect()
+    b = weighted_sample_docs(spark, SF_SMALL).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == WEIGHTED_SAMPLE_N
+    keys = [r.k for r in a]
+    assert keys == sorted(keys) and all(k > 0 for k in keys)
+    corpus_mean = (
+        load_table(spark, SF_SMALL, "documents")
+        .agg(F.avg("n_chars"))
+        .first()[0]
+    )
+    sample_mean = sum(r.n_chars for r in a) / len(a)
+    assert sample_mean > corpus_mean
