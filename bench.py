@@ -85,6 +85,8 @@ HEADLINE = [
     "cross_doc_ngram_coverage",
     "ann_pq_topk",
     "ann_ivf_pq_topk",
+    "value_quantiles_kll",
+    "audience_overlap_theta",
 ]
 
 

@@ -39,6 +39,8 @@ HEAD = (
     "ann_ivf_pq_topk",
     "unattributed_purchases",
     "weighted_sample_docs",
+    "value_quantiles_kll",
+    "audience_overlap_theta",
     "timeseries_gapfill",
     "revenue_anomaly_days",
     "customer_value_deciles",

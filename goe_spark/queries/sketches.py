@@ -129,6 +129,107 @@ def rolling_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_quantiles_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value quantiles three ways — exact, a direct
+    KLL sketch, and KLL MERGED from daily sub-sketches — the quantile
+    twin of daily_distinct_users_hll. Exact percentiles over 100 TB
+    need a full sort (or a giant percentile_approx state) per group;
+    a KLL sketch is a few KB per (day, type) cell, stored at fine
+    grain and merged to any coarser grain without rescanning facts,
+    with published deterministic error bounds (DataSketches KLL,
+    Karnin-Lang-Liberty FOCS'16).
+
+    Plan: one shuffle keyed (day, type) carrying KLL blobs after
+    map-side partial sketching; one type-cardinality merge; broadcast
+    join with the exact control (dropped at scale)."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "event_type", "value"
+    )
+    fine = e.groupBy("day", "event_type").agg(
+        F.kll_sketch_agg_double("value").alias("sk")
+    )
+    merged = fine.groupBy("event_type").agg(
+        F.kll_merge_agg_double("sk").alias("mk")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("exact_p50"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("exact_p99"),
+        F.kll_sketch_agg_double("value").alias("dk"),
+    )
+    return (
+        exact.join(merged, "event_type")
+        .select(
+            "event_type",
+            "exact_p50",
+            "exact_p99",
+            F.round(
+                F.kll_sketch_get_quantile_double(F.col("dk"), F.lit(0.5)), 6
+            ).alias("kll_p50_direct"),
+            F.round(
+                F.kll_sketch_get_quantile_double(F.col("mk"), F.lit(0.5)), 6
+            ).alias("kll_p50_merged"),
+            F.round(
+                F.kll_sketch_get_quantile_double(F.col("mk"), F.lit(0.99)), 6
+            ).alias("kll_p99_merged"),
+            F.kll_sketch_get_n_double("mk").alias("n_values"),
+        )
+    )
+
+
+def audience_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience set algebra from THETA sketches: distinct users per
+    event type sketched once, then union / intersection / difference
+    ESTIMATED from the sketches — the 100 TB answer to
+    INTERSECT/EXCEPT audience questions (exact set ops shuffle every
+    user id; theta sketches are KB-sized and compose associatively,
+    and unlike HLL they support intersection/difference).
+
+    Output: one row per ordered event-type pair (a, b) with exact
+    controls and sketch estimates for |A ∩ B| and |A \\ B|."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = e.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("sk")
+    )
+    pairs = (
+        sk.select(
+            F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a")
+        )
+        .join(
+            sk.select(
+                F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b")
+            ),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    exact = (
+        e.alias("x")
+        .join(e.alias("y"), F.expr("x.user_id = y.user_id"))
+        .where(F.expr("x.event_type < y.event_type"))
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.countDistinct("x.user_id").alias("exact_overlap"))
+    )
+    return (
+        pairs.join(exact, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            F.coalesce("exact_overlap", F.lit(0)).alias("exact_overlap"),
+            F.theta_sketch_estimate(
+                F.theta_intersection("sk_a", "sk_b")
+            ).alias("theta_overlap"),
+            F.theta_sketch_estimate(
+                F.theta_difference("sk_a", "sk_b")
+            ).alias("theta_only_a"),
+            F.theta_sketch_estimate(F.theta_union("sk_a", "sk_b")).alias(
+                "theta_union"
+            ),
+        )
+    )
+
+
 QUERIES = [
     # rows-only oracles: DuckDB's HLL is a different implementation,
     # so value equality is checked in pytest (accuracy envelope +
@@ -137,4 +238,9 @@ QUERIES = [
     QuerySpec(
         "rolling_distinct_users_hll", rolling_distinct_users_hll, None
     ),
+    # same contract: DataSketches KLL/theta have no DuckDB twin;
+    # accuracy + merge consistency proven in
+    # tests/test_timeseries_sketches.py.
+    QuerySpec("value_quantiles_kll", value_quantiles_kll, None),
+    QuerySpec("audience_overlap_theta", audience_overlap_theta, None),
 ]

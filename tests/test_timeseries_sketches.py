@@ -11,7 +11,7 @@ import datetime
 
 from pyspark.sql import functions as F
 
-from tests.conftest import SF_MEDIUM
+from tests.conftest import SF_MEDIUM, SF_SMALL
 
 SF = SF_MEDIUM
 
@@ -203,3 +203,67 @@ def test_rolling_distinct_tracks_exact_window(spark):
         if d + datetime.timedelta(days=k) <= days[-1]
     }
     assert set(rows) == reachable
+
+
+def test_kll_quantiles_within_rank_error(spark):
+    """KLL guarantees RANK error (~1.65% at the default k), not value
+    error: each estimated quantile's rank among the exact values must
+    sit within a +/-5% rank window of the target quantile. Merged
+    (from daily sub-sketches) and direct sketches both qualify — the
+    merge is the point. n flows through the merge exactly."""
+    from pyspark.sql import functions as F
+
+    from goe_spark.catalog import load_table
+    from goe_spark.queries.sketches import value_quantiles_kll
+
+    rows = value_quantiles_kll(spark, SF_SMALL).collect()
+    assert rows
+    e = load_table(spark, SF_SMALL, "events")
+    for r in rows:
+        vals = sorted(
+            x.value
+            for x in e.where(F.col("event_type") == r.event_type)
+            .select("value")
+            .collect()
+        )
+        n = len(vals)
+        assert r.n_values == n  # count survives the merge exactly
+
+        def rank_of(v):
+            return sum(1 for x in vals if x <= v) / n
+
+        for est, q in (
+            (r.kll_p50_direct, 0.5),
+            (r.kll_p50_merged, 0.5),
+            (r.kll_p99_merged, 0.99),
+        ):
+            assert abs(rank_of(est) - q) <= 0.05, (r.event_type, q, est)
+
+
+def test_theta_overlap_exact_below_k(spark):
+    """At fixture cardinality every theta sketch is in exact mode
+    (below k=4096 retained hashes), so intersection/difference/union
+    estimates must EQUAL the exact set algebra — and the identities
+    |A u B| = |A| + |B| - |A n B|, |A \\ B| = |A| - |A n B| hold
+    row for row."""
+    from pyspark.sql import functions as F
+
+    from goe_spark.catalog import load_table
+    from goe_spark.queries.sketches import audience_overlap_theta
+
+    rows = audience_overlap_theta(spark, SF_SMALL).collect()
+    assert len(rows) == 10  # C(5,2) ordered pairs
+    e = load_table(spark, SF_SMALL, "events")
+    counts = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.theta_overlap == r.exact_overlap, r
+        assert r.theta_only_a == counts[r.type_a] - r.exact_overlap, r
+        assert (
+            r.theta_union
+            == counts[r.type_a] + counts[r.type_b] - r.exact_overlap
+        ), r
