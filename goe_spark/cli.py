@@ -131,6 +131,38 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_scd2(args) -> int:
+    """SCD Type-2 dimension maintenance: `init` writes version 1 of
+    every row; `apply` merges a change batch (parquet of key + attrs,
+    unique per key) effective at --effective."""
+    import datetime
+
+    from goe_spark.plans.scd2 import scd2_apply, scd2_init
+
+    spark = _spark("goe-scd2")
+    eff = datetime.date.fromisoformat(args.effective)
+    rows = spark.read.parquet(args.changes)
+    if args.mode == "init":
+        scd2_init(spark, args.dim_dir, rows, eff)
+        print(json.dumps({"initialized_rows": rows.count()}))
+        return 0
+    attr_cols = [c for c in rows.columns if c != args.key_column]
+    rep = scd2_apply(
+        spark, args.dim_dir, rows, args.key_column, attr_cols, eff
+    )
+    print(
+        json.dumps(
+            {
+                "keys_new": rep.keys_new,
+                "keys_changed": rep.keys_changed,
+                "keys_unchanged": rep.keys_unchanged,
+                "healed": rep.healed,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_bloom(args) -> int:
     """Build per-partition bloom manifests so `delete --use-bloom`
     (and any point-lookup reader) can skip files by key equality."""
@@ -559,6 +591,22 @@ def build_parser() -> argparse.ArgumentParser:
         "--columns", required=True, help="CSV of key columns to index"
     )
     bl.set_defaults(fn=cmd_bloom)
+
+    sc = sub.add_parser(
+        "scd2",
+        help="SCD Type-2 dimension maintenance (init / apply a change "
+        "batch with close-current/insert-version semantics)",
+    )
+    sc.add_argument("mode", choices=("init", "apply"))
+    sc.add_argument("--dim-dir", required=True)
+    sc.add_argument(
+        "--changes", required=True, help="parquet of key + attribute columns"
+    )
+    sc.add_argument("--key-column", required=True)
+    sc.add_argument(
+        "--effective", required=True, help="effective date (YYYY-MM-DD)"
+    )
+    sc.set_defaults(fn=cmd_scd2)
 
     z = sub.add_parser(
         "zorder", help="re-cluster a table on a Morton curve + manifest"

@@ -159,3 +159,59 @@ def test_crash_heal_completes_armed_swap(spark, tmp_path):
     assert heal_pending_scd2(path) is False
     assert not os.path.exists(tmp)
     assert {r.tier for r in spark.read.parquet(path).collect()} == {"healed"}
+
+
+def test_scd2_cli_roundtrip(spark, tmp_path, capsys):
+    """CLI: init a dimension from parquet, apply a change batch."""
+    import json as _json
+
+    from goe_spark.cli import main
+
+    base = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "cust_id long, tier string"
+    )
+    base_p = str(tmp_path / "base")
+    base.write.parquet(base_p)
+    dim = str(tmp_path / "dim")
+    rc = main(
+        [
+            "scd2",
+            "init",
+            "--dim-dir",
+            dim,
+            "--changes",
+            base_p,
+            "--key-column",
+            "cust_id",
+            "--effective",
+            "2024-01-01",
+        ]
+    )
+    assert rc == 0
+    assert _json.loads(capsys.readouterr().out.strip().splitlines()[-1]) == {
+        "initialized_rows": 2
+    }
+
+    ch = spark.createDataFrame(
+        [(1, "platinum"), (3, "bronze")], "cust_id long, tier string"
+    )
+    ch_p = str(tmp_path / "ch")
+    ch.write.parquet(ch_p)
+    rc = main(
+        [
+            "scd2",
+            "apply",
+            "--dim-dir",
+            dim,
+            "--changes",
+            ch_p,
+            "--key-column",
+            "cust_id",
+            "--effective",
+            "2024-06-01",
+        ]
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (out["keys_new"], out["keys_changed"]) == (1, 1)
+    _chain_invariants(spark, dim)
