@@ -41,6 +41,7 @@ HEAD = (
     "weighted_sample_docs",
     "value_quantiles_kll",
     "audience_overlap_theta",
+    "dq_orders_expectations",
     "timeseries_gapfill",
     "revenue_anomaly_days",
     "customer_value_deciles",

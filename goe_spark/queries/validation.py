@@ -318,8 +318,78 @@ GROUP BY 1
 """
 
 
+def dq_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over orders (plans/expectations):
+    not-null and domain checks share ONE aggregate scan, uniqueness is
+    one groupBy, and the customer FK is one broadcast anti-join — the
+    dbt-tests surface a load step gates the final swap on. All checks
+    pass on the fixture, so the oracle's value is the exact violation
+    COUNTS (a broken rule evaluator shows a nonzero count or a
+    missing row, not a silent pass)."""
+    from goe_spark.plans.expectations import (
+        accepted_values,
+        check_expectations,
+        expression,
+        foreign_key,
+        not_null,
+        unique,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rules = [
+        not_null("o_orderkey"),
+        not_null("o_custkey"),
+        accepted_values("o_orderstatus", ["F", "O", "P"]),
+        expression("price_positive", "o_totalprice > 0"),
+        unique("o_orderkey"),
+        foreign_key("o_custkey", c, "c_custkey"),
+    ]
+    return check_expectations(spark, o, rules)
+
+
+DQ_ORDERS_SQL = """
+SELECT 'not_null_o_orderkey' AS rule, 'not_null' AS kind,
+       'o_orderkey' AS column_name,
+       cast(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'not_null_o_custkey', 'not_null', 'o_custkey',
+       cast(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS bigint)
+FROM orders
+UNION ALL
+SELECT 'accepted_values_o_orderstatus', 'accepted_values', 'o_orderstatus',
+       cast(sum(CASE WHEN o_orderstatus IS NULL
+                       OR o_orderstatus NOT IN ('F', 'O', 'P')
+                     THEN 1 ELSE 0 END) AS bigint)
+FROM orders
+UNION ALL
+SELECT 'price_positive', 'expression', '',
+       cast(sum(CASE WHEN NOT coalesce(o_totalprice > 0, false)
+                     THEN 1 ELSE 0 END) AS bigint)
+FROM orders
+UNION ALL
+SELECT 'unique_o_orderkey', 'unique', 'o_orderkey',
+       cast(coalesce(sum(c), 0) AS bigint)
+FROM (SELECT o_orderkey, count(*) AS c FROM orders
+      WHERE o_orderkey IS NOT NULL GROUP BY 1 HAVING count(*) > 1)
+UNION ALL
+SELECT 'fk_o_custkey', 'foreign_key', 'o_custkey',
+       cast(count(*) AS bigint)
+FROM orders o
+WHERE o.o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+"""
+
+DQ_ORDERS_SQL = (
+    "SELECT rule, kind, column_name, n_violations, n_violations = 0 AS passed "
+    "FROM (" + DQ_ORDERS_SQL + ")"
+)
+
+
 QUERIES = [
     QuerySpec("agg_validate_lineitem", agg_validate_lineitem, AGG_VALIDATE_SQL),
+    QuerySpec("dq_orders_expectations", dq_orders_expectations, DQ_ORDERS_SQL),
     QuerySpec("count_validate_orders", count_validate_orders, COUNT_VALIDATE_SQL),
     QuerySpec("staged_validation_scan", staged_validation_scan, STAGED_VALIDATION_SQL),
     QuerySpec("cast_probe_orders", cast_probe_orders, CAST_PROBE_SQL),
