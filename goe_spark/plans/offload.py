@@ -124,6 +124,12 @@ class OffloadConfig:
     # and offload from scratch (reference goe.py:1016-1021 — requires
     # --force at the CLI, conflicts with reusing the backend table).
     reset_backend_table: bool = False
+    # Declarative data-quality gate (plans/expectations.Rule list)
+    # evaluated over the STAGED data before the final load: any rule
+    # with violations aborts the offload (retryable — nothing has
+    # touched the target yet). The generic, user-declared complement
+    # of the built-in not-null/cast probes above.
+    expectations: list | None = None
 
 
 @dataclass
@@ -494,6 +500,22 @@ class OffloadPipeline:
                 )
         with self._step(steps, "VALIDATE_CASTS"):
             pass  # probes evaluated in the shared aggregate above
+
+        if cfg.expectations:
+            with self._step(steps, "CHECK_EXPECTATIONS"):
+                from goe_spark.plans.expectations import check_expectations
+
+                failed = {
+                    r.rule: r.n_violations
+                    for r in check_expectations(
+                        self.spark, staged, cfg.expectations
+                    ).collect()
+                    if not r.passed
+                }
+                if failed:
+                    raise OffloadValidationError(
+                        f"expectations failed on staged data: {failed}"
+                    )
 
         # FINAL_LOAD: cast map -> partitioned final table. A full
         # offload (no predicate, no HWM window) REPLACES the target —

@@ -92,3 +92,45 @@ def test_row_level_rules_share_one_scan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 1
     assert "Join" not in plan
+
+
+def test_offload_gate_passes_and_blocks(spark, tmp_path):
+    """CHECK_EXPECTATIONS in the offload pipeline: a passing rule set
+    records the step and loads; a failing rule aborts BEFORE the
+    final load touches the target (retryable failure)."""
+    import os
+
+    import pytest as _pytest
+
+    from goe_spark.plans.offload import (
+        OffloadConfig,
+        OffloadPipeline,
+        OffloadValidationError,
+        PartitionSpec,
+    )
+    from tests.conftest import SF_SMALL
+
+    src = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+
+    def cfg(sub, rules):
+        return OffloadConfig(
+            owner="tpch",
+            table_name="lineitem",
+            target_dir=str(tmp_path / sub / "final"),
+            staging_dir=str(tmp_path / sub / "staging"),
+            metadata_dir=str(tmp_path / sub / "meta"),
+            partition=PartitionSpec(
+                source_column="l_shipdate", kind="date", granularity="M"
+            ),
+            expectations=rules,
+        )
+
+    ok = cfg("ok", [not_null("l_orderkey"), expression("qty_pos", "l_quantity > 0")])
+    res = OffloadPipeline(spark, ok).run(src)
+    assert "CHECK_EXPECTATIONS" in res.steps
+    assert res.rows_final == src.count()
+
+    bad = cfg("bad", [expression("impossible", "l_quantity > 1e12")])
+    with _pytest.raises(OffloadValidationError, match="impossible"):
+        OffloadPipeline(spark, bad).run(src)
+    assert not os.path.exists(str(tmp_path / "bad" / "final"))
