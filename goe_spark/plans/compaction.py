@@ -83,6 +83,15 @@ def _complete_swap(path: str, d: str, old_files: list[str]) -> int:
         for f in _data_files(tmp):
             shutil.move(os.path.join(tmp, f), os.path.join(full, f))
         shutil.rmtree(tmp)
+    # Any rewrite through this swap (compaction, targeted delete,
+    # merge, zorder-partitioned) invalidates the partition's bloom
+    # manifest: the files it described are gone. Pruning would stay
+    # CORRECT with a stale manifest (fresh file names miss it and
+    # survive), but a dropped manifest never even makes a stale
+    # no-claim; rebuild with `cli bloom` after maintenance.
+    from goe_spark.plans.bloom_skip import drop_bloom_manifest
+
+    drop_bloom_manifest(full)
     os.remove(_marker_path(path, d))
     return len(_data_files(full))
 

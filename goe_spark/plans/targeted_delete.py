@@ -188,10 +188,9 @@ def delete_rows(
         atomic_write_json(
             _marker_path(path, d), {"partition": d, "old_files": old_files}
         )
+        # _complete_swap drops the partition's now-stale bloom
+        # manifest for every rewrite path (see compaction.py).
         _complete_swap(path, d, old_files)
-        from goe_spark.plans.bloom_skip import drop_bloom_manifest
-
-        drop_bloom_manifest(full)  # stale after the rewrite
         report.partitions_affected += 1
         report.rows_deleted += n_before - n_after
         report.details.append((d, n_before - n_after))
