@@ -137,6 +137,50 @@ def make_handler(spark):
                             "partitions_healed": rep.partitions_healed,
                         },
                     )
+                elif url.path == "/api/bloom":
+                    from goe_spark.plans.bloom_skip import (
+                        build_bloom_manifest_partitioned,
+                    )
+
+                    n_parts = build_bloom_manifest_partitioned(
+                        spark, spec["target_dir"], spec["columns"]
+                    )
+                    self._reply(200, {"partitions_indexed": n_parts})
+                elif url.path == "/api/scd2":
+                    import datetime
+
+                    from goe_spark.plans.scd2 import scd2_apply, scd2_init
+
+                    eff = datetime.date.fromisoformat(spec["effective"])
+                    rows = spark.read.parquet(spec["changes"])
+                    if spec.get("mode", "apply") == "init":
+                        scd2_init(spark, spec["dim_dir"], rows, eff)
+                        self._reply(
+                            200, {"initialized_rows": rows.count()}
+                        )
+                    else:
+                        attr_cols = [
+                            c
+                            for c in rows.columns
+                            if c != spec["key_column"]
+                        ]
+                        rep = scd2_apply(
+                            spark,
+                            spec["dim_dir"],
+                            rows,
+                            spec["key_column"],
+                            attr_cols,
+                            eff,
+                        )
+                        self._reply(
+                            200,
+                            {
+                                "keys_new": rep.keys_new,
+                                "keys_changed": rep.keys_changed,
+                                "keys_unchanged": rep.keys_unchanged,
+                                "healed": rep.healed,
+                            },
+                        )
                 elif url.path == "/api/heal":
                     from goe_spark.plans.heal import heal_target
 

@@ -161,3 +161,49 @@ def test_heal_route_noop_on_clean_target(base_url, tmp_path, spark):
     assert body["zorder_healed"] is True
     assert body["merge_healed"] is False
     assert not os.path.isdir(target + ".zorder_tmp")
+
+
+def test_scd2_route_init_and_apply(base_url, tmp_path, spark):
+    base = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "cust_id long, tier string"
+    )
+    base_p = str(tmp_path / "base")
+    base.write.parquet(base_p)
+    dim = str(tmp_path / "dim")
+    status, body = _post(
+        f"{base_url}/api/scd2",
+        {
+            "mode": "init",
+            "dim_dir": dim,
+            "changes": base_p,
+            "key_column": "cust_id",
+            "effective": "2024-01-01",
+        },
+    )
+    assert (status, body) == (200, {"initialized_rows": 2})
+
+    ch = spark.createDataFrame([(1, "platinum")], "cust_id long, tier string")
+    ch_p = str(tmp_path / "ch")
+    ch.write.parquet(ch_p)
+    status, body = _post(
+        f"{base_url}/api/scd2",
+        {
+            "dim_dir": dim,
+            "changes": ch_p,
+            "key_column": "cust_id",
+            "effective": "2024-06-01",
+        },
+    )
+    assert status == 200
+    assert (body["keys_changed"], body["keys_new"]) == (1, 0)
+    assert spark.read.parquet(dim).count() == 3  # v1 closed + v2 + key 2
+
+
+def test_bloom_route(base_url, tmp_path, spark, offloaded_orders):
+    target, _, _ = offloaded_orders
+    status, body = _post(
+        f"{base_url}/api/bloom",
+        {"target_dir": target, "columns": ["o_orderkey"]},
+    )
+    assert status == 200
+    assert body["partitions_indexed"] > 0
