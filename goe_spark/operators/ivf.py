@@ -313,3 +313,29 @@ def ivf_topk_indexed(
         F.col("vec_id") != F.col("qid")
     )
     return _exact_rescore_topk(cand, queries, top_k)
+
+def append_to_index(
+    spark: SparkSession, index_dir: str, new_vecs: DataFrame
+) -> int:
+    """Incremental index maintenance: assign ONLY the new vectors
+    against the PERSISTED centroids and append them to assigned/
+    (partitioned by cell). Per-vector assignment is independent given
+    fixed centroids, so the appended index is bit-identical to
+    re-assigning the whole corpus against the same centroid table —
+    pinned by tests/test_similarity_ivf.py — while the append costs
+    O(new vectors), not O(corpus). At 100 TB this is how a streamed
+    embedding ingest keeps the ANN index current; centroid drift is
+    handled by periodic full rebuilds (ensure_index on a new
+    fingerprint), the same split Faiss/Milvus deployments run.
+
+    Returns the number of appended rows. The meta fingerprint is NOT
+    updated — the index now covers more than the fingerprinted
+    source, and a later ensure_index against a grown source file
+    correctly rebuilds."""
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    out = assign_cells(new_vecs, cents)
+    n = out.count()
+    out.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(index_dir, "assigned")
+    )
+    return n

@@ -205,3 +205,50 @@ def test_ivf_recall_vs_bruteforce(spark):
     approx = {(r.qid, r.vec_id) for r in ivf_topk(emb).collect()}
     recall = len(exact & approx) / len(exact)
     assert 0.2 <= recall <= 1.0, f"recall@10 = {recall}"
+
+
+def test_append_to_index_equals_full_assignment(spark, tmp_path):
+    """Incremental maintenance: build the index on a prefix of the
+    corpus, append the rest; probes must return exactly what an index
+    holding ALL vectors assigned against the SAME persisted centroids
+    returns (per-vector assignment is independent given fixed
+    centroids — append cost O(new), not O(corpus))."""
+    from goe_spark.operators.ivf import (
+        append_to_index,
+        assign_cells,
+        build_index,
+        ivf_topk_indexed,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1)
+    index_dir = str(tmp_path / "ivf_idx")
+    build_index(spark, old, index_dir)
+    n = append_to_index(spark, index_dir, new)
+    assert n == new.count()
+
+    got = sorted(
+        map(
+            tuple,
+            ivf_topk_indexed(spark, emb, index_dir, n_queries=5, top_k=10)
+            .collect(),
+        )
+    )
+    # reference: same centroids, whole corpus assigned in one pass
+    import os as _os
+
+    cents = spark.read.parquet(_os.path.join(index_dir, "centroids"))
+    ref_dir = str(tmp_path / "ivf_ref")
+    assign_cells(emb, cents).write.partitionBy("cell").parquet(
+        _os.path.join(ref_dir, "assigned")
+    )
+    cents.coalesce(1).write.parquet(_os.path.join(ref_dir, "centroids"))
+    want = sorted(
+        map(
+            tuple,
+            ivf_topk_indexed(spark, emb, ref_dir, n_queries=5, top_k=10)
+            .collect(),
+        )
+    )
+    assert got == want
