@@ -215,3 +215,49 @@ def test_scd2_cli_roundtrip(spark, tmp_path, capsys):
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert (out["keys_new"], out["keys_changed"]) == (1, 1)
     _chain_invariants(spark, dim)
+
+
+def test_scd2_random_batch_sequences_keep_invariants(spark, tmp_path):
+    """Property: ANY sequence of change batches (random subsets of
+    keys, random attribute values, strictly increasing effective
+    dates) maintains the version-chain invariants, and the current
+    slice always equals the last-applied value per key."""
+    import random
+
+    rng = random.Random(20240814)
+    path = str(tmp_path / "dim_prop")
+    keys = list(range(1, 8))
+    tiers = ["gold", "silver", "bronze", "platinum"]
+    init_rows = [(k, rng.choice(tiers), "X") for k in keys]
+    scd2_init(
+        spark,
+        path,
+        spark.createDataFrame(
+            init_rows, "cust_id long, tier string, city string"
+        ),
+        D(2024, 1, 1),
+    )
+    latest = {k: (t, c) for k, t, c in init_rows}
+    for month in range(2, 8):
+        batch_keys = rng.sample(keys + [100 + month], rng.randint(1, 5))
+        rows = [
+            (k, rng.choice(tiers), rng.choice(["X", "Y", "Z"]))
+            for k in set(batch_keys)
+        ]
+        scd2_apply(
+            spark,
+            path,
+            spark.createDataFrame(
+                rows, "cust_id long, tier string, city string"
+            ),
+            "cust_id",
+            ["tier", "city"],
+            D(2024, month, 1),
+        )
+        for k, t, c in rows:
+            latest[k] = (t, c)
+        chains = _chain_invariants(spark, path)
+        current = {
+            k: (vs[-1].tier, vs[-1].city) for k, vs in chains.items()
+        }
+        assert current == latest
