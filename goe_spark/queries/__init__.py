@@ -32,6 +32,8 @@ class QuerySpec:
 # round AND re-verified every pytest run by test_queries_oracle.py,
 # so losing their driver row costs the least.
 HEAD = (
+    # r3's one red row — the fix must get its green driver row first
+    "sessionization_stats",
     # round-4 additions — no driver row yet
     "cross_doc_ngram_coverage",
     "top_duplicate_ngrams",
@@ -83,14 +85,6 @@ HEAD = (
     "contamination_check",
     "stratified_sample_docs",
     "token_pack_bins",
-    "ann_lsh_topk",
-    "streaming_window_counts",
-    "streaming_dedup_counts",
-    "sessionization_stats",
-    "event_type_rollup",
-    "media_decode_features",
-    "media_resize_images",
-    "media_frame_sample",
 )
 TAIL = (
     "synthetic_partition_month",
