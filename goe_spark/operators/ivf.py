@@ -238,6 +238,12 @@ def _source_fingerprint(src_path: str) -> str:
     return json.dumps(entries)
 
 
+# Bumped when the on-disk index layout changes; ensure_index rebuilds
+# any index persisted under an older version. v2 added the PQ `codes`
+# column to assigned/.
+INDEX_VERSION = 2
+
+
 def build_index(
     spark: SparkSession,
     emb: DataFrame,
@@ -246,7 +252,20 @@ def build_index(
 ) -> None:
     """Materialize the IVF index: centroids.parquet (n_cells rows)
     plus assigned/ partitioned by cell, so probes prune to the
-    nprobe cells' files."""
+    nprobe cells' files. The assignment also carries the PQ ``codes``
+    column (operators/pq sample codebooks — deterministic per
+    source), so IVF-PQ queries read precomputed codes instead of
+    re-encoding at query time; plain IVF readers column-prune it
+    away for free."""
+    from goe_spark.operators.pq import encode_codes, sample_codebooks
+
+    books = sample_codebooks(emb)
+    os.makedirs(index_dir, exist_ok=True)
+    # Persist the codebooks WITH the index: appends and queries must
+    # encode against the BUILD's codebooks, not re-derive them from
+    # whatever vector set they happen to hold.
+    with open(os.path.join(index_dir, "codebooks.json"), "w") as f:
+        json.dump(books, f)
     cents = centroids(emb, n_cells)
     cents.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(index_dir, "centroids")
@@ -254,9 +273,11 @@ def build_index(
     # Assign against the *persisted* centroids so index readers and
     # the build agree bit-for-bit (double survives parquet exactly).
     cents_r = spark.read.parquet(os.path.join(index_dir, "centroids"))
-    assign_cells(emb, cents_r).write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(os.path.join(index_dir, "assigned"))
+    assign_cells(emb, cents_r).withColumn(
+        "codes", encode_codes("embedding", books)
+    ).write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(index_dir, "assigned")
+    )
 
 
 def ensure_index(
@@ -272,7 +293,11 @@ def ensure_index(
     if os.path.exists(meta_path):
         try:
             with open(meta_path) as f:
-                if json.load(f).get("fingerprint") == fp:
+                meta = json.load(f)
+                if (
+                    meta.get("fingerprint") == fp
+                    and meta.get("version") == INDEX_VERSION
+                ):
                     return index_dir
         except (OSError, ValueError):
             pass
@@ -281,7 +306,15 @@ def ensure_index(
     build_index(spark, load_table(spark, sf_dir, "embeddings"), index_dir, n_cells)
     os.makedirs(index_dir, exist_ok=True)
     with open(meta_path, "w") as f:
-        json.dump({"source": src, "fingerprint": fp, "n_cells": n_cells}, f)
+        json.dump(
+            {
+                "source": src,
+                "fingerprint": fp,
+                "n_cells": n_cells,
+                "version": INDEX_VERSION,
+            },
+            f,
+        )
     return index_dir
 
 
@@ -331,11 +364,26 @@ def append_to_index(
     Returns the number of appended rows. The meta fingerprint is NOT
     updated — the index now covers more than the fingerprinted
     source, and a later ensure_index against a grown source file
-    correctly rebuilds."""
+    correctly rebuilds.
+
+    The PQ codes ride the append when the existing index carries
+    them, encoded against the BUILD's persisted codebooks
+    (codebooks.json) — never re-derived from the appended vectors,
+    whose hash-smallest sample would be a different codebook."""
     cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
     out = assign_cells(new_vecs, cents)
+    assigned_path = os.path.join(index_dir, "assigned")
+    if "codes" in spark.read.parquet(assigned_path).columns:
+        from goe_spark.operators.pq import encode_codes
+
+        books = index_codebooks(index_dir)
+        out = out.withColumn("codes", encode_codes("embedding", books))
     n = out.count()
-    out.write.mode("append").partitionBy("cell").parquet(
-        os.path.join(index_dir, "assigned")
-    )
+    out.write.mode("append").partitionBy("cell").parquet(assigned_path)
     return n
+
+
+def index_codebooks(index_dir: str) -> list:
+    """The PQ codebooks persisted at build time."""
+    with open(os.path.join(index_dir, "codebooks.json")) as f:
+        return json.load(f)

@@ -328,18 +328,16 @@ def ivf_pq_topk_indexed(
     n_queries: int = 5,
     top_k: int = 10,
 ) -> DataFrame:
-    """IVF-PQ against the MATERIALIZED coarse index
-    (ivf.ensure_index): centroids and the probed cells' files are
-    read back instead of re-running the Lloyd pass per query batch;
-    PQ codes are computed on the probed candidates only (identical
-    per-vector results — encode is deterministic — while touching
-    nprobe/n_cells of the corpus; a production build materializes
-    codes next to the assignment and skips even that)."""
+    """IVF-PQ against the MATERIALIZED index (ivf.ensure_index):
+    centroids, the probed cells' files, AND the precomputed PQ codes
+    are read back — no Lloyd pass, no per-query encode; the codebooks
+    come from the index (persisted at build), so appended vectors and
+    queries always speak the same code space. Falls back to on-the-fly
+    encoding for a pre-v2 index without a codes column."""
     import os as _os
 
-    from goe_spark.operators.ivf import probe_cells
+    from goe_spark.operators.ivf import index_codebooks, probe_cells
 
-    books = sample_codebooks(emb)
     cents = spark.read.parquet(_os.path.join(index_dir, "centroids"))
     queries = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"),
@@ -348,14 +346,23 @@ def ivf_pq_topk_indexed(
     )
     probes = probe_cells(queries, cents)
     cells = sorted({int(r["cell"]) for r in probes.collect()})
-    assigned = (
-        spark.read.parquet(_os.path.join(index_dir, "assigned"))
-        .where(F.col("cell").isin(cells))
-        .select("vec_id", "cell", "embedding", "vnorm2")
-    )
-    cand_codes = assigned.select(
-        "vec_id", "cell", encode_codes("embedding", books).alias("codes")
-    )
+    raw = spark.read.parquet(_os.path.join(index_dir, "assigned"))
+    if "codes" in raw.columns:
+        books = index_codebooks(index_dir)
+        assigned = raw.where(F.col("cell").isin(cells)).select(
+            "vec_id", "cell", "embedding", "vnorm2", "codes"
+        )
+        cand_codes = assigned.select("vec_id", "cell", "codes")
+    else:  # pre-v2 index: encode the probed candidates on the fly
+        books = sample_codebooks(emb)
+        assigned = raw.where(F.col("cell").isin(cells)).select(
+            "vec_id", "cell", "embedding", "vnorm2"
+        )
+        cand_codes = assigned.select(
+            "vec_id",
+            "cell",
+            encode_codes("embedding", books).alias("codes"),
+        )
     scored = (
         cand_codes.join(F.broadcast(probes), "cell")
         .where(F.col("vec_id") != F.col("qid"))
