@@ -474,3 +474,26 @@ def test_pq_encode_below_join_scores_codes_not_vectors(spark):
 
     m = re.search(r"Sort \[qid#\d+L ASC NULLS FIRST, ad#\d+", plan)
     assert m, "shortlist window sort on (qid, ad) not found"
+
+
+def test_kll_and_theta_sketches_aggregate_mapside(spark):
+    """KLL and theta sketch aggregations must partial-aggregate
+    map-side (ObjectHashAggregate pairs) so exchanges carry KB sketch
+    states, never raw values; weighted sampling must plan as
+    TakeOrdered with zero pre-gather exchanges."""
+    from goe_spark.queries.sketches import (
+        audience_overlap_theta,
+        value_quantiles_kll,
+    )
+    from goe_spark.queries.training import weighted_sample_docs
+
+    p = _plan(value_quantiles_kll(spark, SF_SMALL), "simple")
+    assert p.count("ObjectHashAggregate") >= 4  # partial+final pairs
+    assert p.count("Join") == 1  # the exact control only
+
+    p = _plan(audience_overlap_theta(spark, SF_SMALL), "simple")
+    assert p.count("ObjectHashAggregate") >= 2
+
+    p = _plan(weighted_sample_docs(spark, SF_SMALL), "simple")
+    assert "TakeOrderedAndProject" in p
+    assert p.count("Exchange") == 0
