@@ -87,6 +87,8 @@ HEADLINE = [
     "ann_ivf_pq_topk",
     "value_quantiles_kll",
     "audience_overlap_theta",
+    "pii_redaction_audit",
+    "gopher_quality_filter",
 ]
 
 

@@ -35,6 +35,9 @@ HEAD = (
     # r3's one red row — the fix must get its green driver row first
     "sessionization_stats",
     # round-4 additions — no driver row yet
+    "pii_scan_by_source",
+    "pii_redaction_audit",
+    "gopher_quality_filter",
     "cross_doc_ngram_coverage",
     "top_duplicate_ngrams",
     "ann_pq_topk",
@@ -108,6 +111,7 @@ def all_queries() -> list[QuerySpec]:
         offload,
         relational,
         relational2,
+        pii,
         relational3,
         profiling,
         similarity,
@@ -129,6 +133,7 @@ def all_queries() -> list[QuerySpec]:
         offload,
         dedup,
         text,
+        pii,
         timeseries,
         sketches,
         profiling,
