@@ -89,6 +89,8 @@ HEADLINE = [
     "audience_overlap_theta",
     "pii_redaction_audit",
     "gopher_quality_filter",
+    "minhash_probe_new_docs",
+    "bpe_merge_pair_counts",
 ]
 
 

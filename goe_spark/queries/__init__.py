@@ -38,6 +38,8 @@ HEAD = (
     "pii_scan_by_source",
     "pii_redaction_audit",
     "gopher_quality_filter",
+    "minhash_probe_new_docs",
+    "bpe_merge_pair_counts",
     "cross_doc_ngram_coverage",
     "top_duplicate_ngrams",
     "ann_pq_topk",

@@ -547,6 +547,146 @@ LIMIT {TOP_DUP_NGRAMS_K}
 """
 
 
+# Incremental probe: the "daily increment" near-dup shape — a small
+# new batch probes the standing corpus signature index instead of
+# re-running all-pairs LSH over (corpus + batch).
+NEW_DOC_MOD = 10  # doc_id % 10 == 0 -> the ~10% "new batch" slice
+PROBE_MIN_AGREEMENT = 0.5
+
+
+def minhash_probe_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash near-dup probe: new docs vs indexed corpus.
+
+    The indexed side is the signature/band table a deployment
+    materializes once (the same pattern operators/ivf.py persists for
+    vectors); the fixture is immutable so it is recomputed inline, but
+    the PLAN only joins NEW-batch band rows against index buckets:
+    after the one-time index build, every increment's shuffle cost is
+    O(batch), not O(corpus) — the property that makes daily near-dup
+    screening affordable at 100 TB. Crowded index buckets (stop-
+    shingle boilerplate) are capped at LSH_BUCKET_CAP, mirroring
+    minhash_lsh_pairs. Signatures ride the band rows as payload, so
+    agreement is scored inline with zero signature re-joins on the
+    Spark side.
+
+    Output: one row per new doc with >= 1 near-dup in the index —
+    match count, best match and its estimated Jaccard (row_number
+    tie-broken on match_id so both engines agree).
+    """
+    from pyspark.sql.window import Window
+
+    from goe_spark.operators import minhash as MH
+
+    sigs = _shingle_hashed(spark, sf_dir).select(
+        "doc_id", MH.minhash_signature(F.col("sh")).alias("mh")
+    )
+    bands = sigs.select(
+        "doc_id",
+        "mh",
+        F.explode(MH.band_structs(F.col("mh"))).alias("bs"),
+    ).select(
+        "doc_id",
+        "mh",
+        F.col("bs.band").alias("band"),
+        F.col("bs.sig").alias("sig"),
+    )
+    is_new = F.col("doc_id") % NEW_DOC_MOD == 0
+    new_b = bands.where(is_new).select(
+        F.col("doc_id").alias("new_id"),
+        F.col("mh").alias("new_mh"),
+        "band",
+        "sig",
+    )
+    idx_b = bands.where(~is_new)
+    ok = (
+        idx_b.groupBy("band", "sig")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") <= LSH_BUCKET_CAP)
+        .select("band", "sig")
+    )
+    idx_ok = idx_b.join(ok, ["band", "sig"]).select(
+        F.col("doc_id").alias("match_id"),
+        F.col("mh").alias("idx_mh"),
+        "band",
+        "sig",
+    )
+    cands = (
+        new_b.join(idx_ok, ["band", "sig"])
+        .select(
+            "new_id",
+            "match_id",
+            F.round(
+                MH.minhash_agreement(F.col("new_mh"), F.col("idx_mh")), 6
+            ).alias("est_jaccard"),
+        )
+        .distinct()
+        .where(F.col("est_jaccard") >= PROBE_MIN_AGREEMENT)
+    )
+    w = Window.partitionBy("new_id").orderBy(
+        F.col("est_jaccard").desc(), F.col("match_id").asc()
+    )
+    ranked = cands.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy(F.col("new_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.max(F.when(F.col("rn") == 1, F.col("match_id"))).alias(
+            "best_match_id"
+        ),
+        F.max(F.when(F.col("rn") == 1, F.col("est_jaccard"))).alias(
+            "best_est_jaccard"
+        ),
+    )
+
+
+def _minhash_probe_sql() -> str:
+    from goe_spark.operators import minhash as MH
+
+    mh_expr = MH.minhash_signature_sql("sh")
+    agr = MH.minhash_agreement_sql("s1.mh", "s2.mh")
+    return f"""
+WITH shingled AS ({_shingle_hashed_sql()}),
+sigs AS (
+  SELECT doc_id, {mh_expr} AS mh FROM shingled
+),
+bands AS ({MH.band_rows_sql("mh")}),
+new_b AS (
+  SELECT * FROM bands WHERE doc_id % {NEW_DOC_MOD} = 0
+),
+idx_b AS (
+  SELECT * FROM bands WHERE doc_id % {NEW_DOC_MOD} <> 0
+),
+ok AS (
+  SELECT band, sig FROM idx_b GROUP BY 1, 2
+  HAVING count(*) <= {LSH_BUCKET_CAP}
+),
+cands AS (
+  SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS match_id
+  FROM new_b n
+  JOIN idx_b i ON i.band = n.band AND i.sig = n.sig
+  JOIN ok ON ok.band = n.band AND ok.sig = n.sig
+),
+scored AS (
+  SELECT new_id, match_id, round({agr}, 6) AS est_jaccard
+  FROM cands
+  JOIN sigs s1 ON s1.doc_id = new_id
+  JOIN sigs s2 ON s2.doc_id = match_id
+),
+kept AS (
+  SELECT * FROM scored WHERE est_jaccard >= {PROBE_MIN_AGREEMENT}
+),
+ranked AS (
+  SELECT new_id, match_id, est_jaccard,
+         row_number() OVER (PARTITION BY new_id
+                            ORDER BY est_jaccard DESC, match_id ASC) AS rn
+  FROM kept
+)
+SELECT new_id AS doc_id,
+       count(*) AS n_matches,
+       max(CASE WHEN rn = 1 THEN match_id END) AS best_match_id,
+       max(CASE WHEN rn = 1 THEN est_jaccard END) AS best_est_jaccard
+FROM ranked GROUP BY new_id
+"""
+
+
 QUERIES = [
     QuerySpec("dedup_exact_keep_first", dedup_exact_keep_first, DEDUP_EXACT_SQL),
     QuerySpec("ngram_jaccard_pairs", ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
@@ -559,5 +699,8 @@ QUERIES = [
     ),
     QuerySpec(
         "top_duplicate_ngrams", top_duplicate_ngrams, TOP_DUP_NGRAMS_SQL
+    ),
+    QuerySpec(
+        "minhash_probe_new_docs", minhash_probe_new_docs, _minhash_probe_sql()
     ),
 ]

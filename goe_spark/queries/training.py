@@ -755,6 +755,68 @@ LIMIT {{n}}
 """.format(n=WEIGHTED_SAMPLE_N)
 
 
+BPE_TOP_PAIRS = 20
+
+
+def bpe_merge_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE-training iteration, distributed: corpus -> word
+    frequencies, then adjacent character-pair counts weighted by word
+    frequency, top-{BPE_TOP_PAIRS} merge candidates — the statistic a
+    tokenizer trainer computes to pick its next merge rule.
+
+    Scale design: the pair explode runs on the DISTINCT-WORD table
+    (vocabulary grain — Heaps-law sublinear in corpus size), never on
+    the corpus; the only corpus-sized operation is the map-side-
+    combined wordcount shuffle. This is exactly why production BPE
+    trainers pre-aggregate to word counts before any pair statistics:
+    at 100 TB the vocabulary table is measured in millions of rows
+    while the corpus is trillions of tokens.
+
+    Deterministic: counts are exact integers; the top-k orders by
+    (count DESC, pair ASC)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(T.tokens(F.col("text"))).alias("w")).where(
+        F.length("w") > 0
+    )
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    chars = F.split(F.col("w"), "")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(chars) - 1),
+        lambda i: F.concat(
+            F.element_at(chars, i), F.lit(" "), F.element_at(chars, i + 1)
+        ),
+    )
+    exploded = wc.where(F.length("w") >= 2).select(
+        "n", F.explode(pairs).alias("pair")
+    )
+    return (
+        exploded.groupBy("pair")
+        .agg(F.sum("n").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
+BPE_MERGE_SQL = f"""
+WITH words AS (
+  SELECT unnest({T.tokens_sql('text')}) AS w FROM documents
+), wc AS (
+  SELECT w, count(*) AS n FROM words WHERE length(w) > 0 GROUP BY w
+), pairs AS (
+  SELECT n,
+         unnest(list_transform(
+           range(1, len(str_split(w, ''))),
+           i -> str_split(w, '')[i] || ' ' || str_split(w, '')[i + 1]
+         )) AS pair
+  FROM wc WHERE length(w) >= 2
+)
+SELECT pair, cast(sum(n) AS bigint) AS n_occurrences
+FROM pairs GROUP BY pair
+ORDER BY n_occurrences DESC, pair ASC
+LIMIT {BPE_TOP_PAIRS}
+"""
+
+
 QUERIES = [
     QuerySpec(
         "weighted_sample_docs", weighted_sample_docs, WEIGHTED_SAMPLE_SQL
@@ -777,5 +839,8 @@ QUERIES = [
         "mixture_sample_threshold",
         mixture_sample_threshold,
         MIXTURE_THRESHOLD_SQL,
+    ),
+    QuerySpec(
+        "bpe_merge_pair_counts", bpe_merge_pair_counts, BPE_MERGE_SQL
     ),
 ]

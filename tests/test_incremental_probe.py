@@ -1,0 +1,73 @@
+"""Incremental MinHash probe + BPE merge-pair mining invariants.
+
+Oracle parity is covered by test_queries_oracle; these pin the
+semantic contracts the hash compare can't express.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from goe_spark.queries.dedup import (
+    NEW_DOC_MOD,
+    PROBE_MIN_AGREEMENT,
+    minhash_lsh_pairs,
+    minhash_probe_new_docs,
+)
+from goe_spark.queries.training import bpe_merge_pair_counts
+from tests.conftest import SF_SMALL
+
+
+def test_probe_reports_only_new_docs_above_threshold(spark):
+    out = minhash_probe_new_docs(spark, SF_SMALL).collect()
+    assert out, "fixture is template-generated; some near-dup must cross slices"
+    for r in out:
+        assert r.doc_id % NEW_DOC_MOD == 0
+        assert r.best_match_id % NEW_DOC_MOD != 0
+        assert r.best_est_jaccard >= PROBE_MIN_AGREEMENT
+        assert r.n_matches >= 1
+
+
+def test_probe_agrees_with_full_lsh_cross_slice_pairs(spark):
+    """Every probe hit must appear in the full all-pairs LSH output as
+    a (new, indexed) pair at the same estimated Jaccard — the probe is
+    a restriction of the full join, never a different similarity."""
+    pairs = {
+        (min(r.id1, r.id2), max(r.id1, r.id2)): r.est_jaccard
+        for r in minhash_lsh_pairs(spark, SF_SMALL).collect()
+        if (r.id1 % NEW_DOC_MOD == 0) != (r.id2 % NEW_DOC_MOD == 0)
+        and r.est_jaccard >= PROBE_MIN_AGREEMENT
+    }
+    probe = minhash_probe_new_docs(spark, SF_SMALL).collect()
+    for r in probe:
+        key = (min(r.doc_id, r.best_match_id), max(r.doc_id, r.best_match_id))
+        assert key in pairs
+        assert abs(pairs[key] - r.best_est_jaccard) < 1e-9
+    # and the probe found every cross-slice doc the full join knows of
+    full_new_docs = {a if a % NEW_DOC_MOD == 0 else b for a, b in pairs}
+    assert {r.doc_id for r in probe} == full_new_docs
+
+
+def test_bpe_pairs_on_handcrafted_corpus(spark):
+    import goe_spark.queries.training as TR
+
+    df = spark.createDataFrame(
+        [(0, "aba ab"), (1, "ab")], "doc_id long, text string"
+    )
+    orig = TR.load_table
+    try:
+        TR.load_table = lambda s, sf, name: df  # noqa: ARG005
+        out = {r.pair: r.n_occurrences for r in
+               bpe_merge_pair_counts(spark, SF_SMALL).collect()}
+    finally:
+        TR.load_table = orig
+    # "aba": a b, b a ; "ab" x2: a b  -> a b: 3, b a: 1
+    assert out == {"a b": 3, "b a": 1}
+
+
+def test_bpe_topk_is_deterministic_and_weighted(spark):
+    a = {(r.pair, r.n_occurrences) for r in
+         bpe_merge_pair_counts(spark, SF_SMALL).collect()}
+    b = {(r.pair, r.n_occurrences) for r in
+         bpe_merge_pair_counts(spark, SF_SMALL).collect()}
+    assert a == b and len(a) > 0
