@@ -577,8 +577,14 @@ def minhash_probe_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from goe_spark.operators import minhash as MH
 
-    sigs = _shingle_hashed(spark, sf_dir).select(
-        "doc_id", MH.minhash_signature(F.col("sh")).alias("mh")
+    sigs = (
+        _shingle_hashed(spark, sf_dir)
+        .select("doc_id", MH.minhash_signature(F.col("sh")).alias("mh"))
+        # The signature lineage (md5 per shingle) feeds THREE consumers
+        # (new-batch rows, index rows, the bucket-cap aggregate); a
+        # repartition exchange here is deduplicated by ReuseExchange so
+        # the hashing runs once, same discipline as ngram_jaccard_pairs.
+        .repartition("doc_id")
     )
     bands = sigs.select(
         "doc_id",
