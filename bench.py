@@ -91,6 +91,7 @@ HEADLINE = [
     "gopher_quality_filter",
     "minhash_probe_new_docs",
     "bpe_merge_pair_counts",
+    "join_skew_report",
 ]
 
 

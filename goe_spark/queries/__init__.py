@@ -40,6 +40,7 @@ HEAD = (
     "gopher_quality_filter",
     "minhash_probe_new_docs",
     "bpe_merge_pair_counts",
+    "join_skew_report",
     "cross_doc_ngram_coverage",
     "top_duplicate_ngrams",
     "ann_pq_topk",

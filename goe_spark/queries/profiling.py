@@ -141,7 +141,99 @@ GROUP BY 1
 """
 
 
+# Shuffle-partition count the skew analysis assumes (the session
+# default in session.py). A deployment passes its real parallelism.
+SKEW_PARTITIONS = 32
+SKEW_TOP_K = 3
+SKEW_KEYS = (("event_type", "string"), ("user_id", "bigint"))
+
+
+def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/aggregation skew advisor over candidate shuffle keys of
+    the events table: per key column, the top heavy-hitter values with
+    their row share, the reducer imbalance a hash shuffle on that key
+    would suffer (rows_for_value / (N / partitions)), and the salt
+    fan-out that flattens it (operators/salting.py consumes this
+    number as n_salt).
+
+    This is the measurement half of the skew story: salted_join fixes
+    a hot key, this report finds it BEFORE the 4-hour straggler does.
+    imbalance <= 1 means the key spreads fine (salt 1 = no salting).
+
+    Plan: one scan per candidate key (column-pruned to the key alone),
+    map-side partial counts, a key-cardinality shuffle, window top-k;
+    the total-count scalar broadcasts back. At 100 TB this is the
+    cheapest possible full-fidelity skew probe — exact counts, no
+    sampling error on the heavy tail (a sampled variant trades the
+    scan for sketch error; heavy hitters survive either way)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    n_total = ev.count()  # scalar; driver-bounded by definition
+    per_part = n_total / float(SKEW_PARTITIONS)
+    outs = []
+    for key, _typ in SKEW_KEYS:
+        counts = (
+            ev.select(F.col(key).cast("string").alias("key_value"))
+            .groupBy("key_value")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+        )
+        w = Window.orderBy(F.col("n_rows").desc(), F.col("key_value").asc())
+        top = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= SKEW_TOP_K)
+            .drop("rn")
+        )
+        imb = F.col("n_rows") / F.lit(per_part)
+        outs.append(
+            top.select(
+                F.lit(key).alias("key_column"),
+                "key_value",
+                "n_rows",
+                F.round(F.col("n_rows") / F.lit(float(n_total)), 6).alias(
+                    "share"
+                ),
+                F.round(imb, 4).alias("imbalance"),
+                F.least(
+                    F.lit(SKEW_PARTITIONS),
+                    F.greatest(F.lit(1), F.ceil(imb)),
+                )
+                .cast("long")
+                .alias("recommended_salt"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def _skew_sql() -> str:
+    parts = []
+    for key, _typ in SKEW_KEYS:
+        parts.append(f"""
+SELECT key_column, key_value, n_rows, share, imbalance,
+       least({SKEW_PARTITIONS}, greatest(1, cast(ceil(imb) AS bigint)))
+         AS recommended_salt
+FROM (
+  SELECT '{key}' AS key_column,
+         cast({key} AS varchar) AS key_value,
+         count(*) AS n_rows,
+         round(count(*) / (SELECT cast(count(*) AS double) FROM events), 6)
+           AS share,
+         round(count(*) / ((SELECT count(*) FROM events)
+                           / {float(SKEW_PARTITIONS)}), 4) AS imbalance,
+         count(*) / ((SELECT count(*) FROM events)
+                     / {float(SKEW_PARTITIONS)}) AS imb,
+         row_number() OVER (ORDER BY count(*) DESC,
+                            cast({key} AS varchar) ASC) AS rn
+  FROM events GROUP BY {key}
+) t WHERE rn <= {SKEW_TOP_K}""")
+    return " UNION ALL ".join(parts)
+
+
 QUERIES = [
     QuerySpec("table_profile", table_profile, _profile_sql()),
     QuerySpec("order_price_histogram", order_price_histogram, HISTOGRAM_SQL),
+    QuerySpec("join_skew_report", join_skew_report, _skew_sql()),
 ]
