@@ -92,6 +92,7 @@ HEADLINE = [
     "minhash_probe_new_docs",
     "bpe_merge_pair_counts",
     "join_skew_report",
+    "semantic_dedup_keep_first",
 ]
 
 

@@ -41,6 +41,7 @@ HEAD = (
     "minhash_probe_new_docs",
     "bpe_merge_pair_counts",
     "join_skew_report",
+    "semantic_dedup_keep_first",
     "cross_doc_ngram_coverage",
     "top_duplicate_ngrams",
     "ann_pq_topk",

@@ -206,6 +206,54 @@ WHERE round({DOT_SQL.format(a='a.embedding', b='b.embedding')} / sqrt(a.nrm * b.
 """
 
 
+def semantic_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication accounting: within each
+    coarse embedding cell, a vector is DROPPED iff it is cosine-similar
+    (>= the near-dup threshold) to ANY lower-vec_id vector — the
+    keep-first rule dedup_exact_keep_first applies to content hashes,
+    lifted to embedding space. Deliberately declarative (drop if
+    similar to an earlier vector, kept or not) rather than the
+    sequential greedy chain, so the DuckDB oracle replays it exactly;
+    the greedy variant keeps strictly more docs but is
+    order-sequential per cell.
+
+    Scale: rides embedding_near_dup_pairs (cell-capped BLAS pair
+    generation — one shuffle); the drop set is pair-bounded and the
+    final rollup is label-cardinality. Output: per-label survivor
+    accounting."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    pairs = embedding_near_dup_pairs(spark, sf_dir)
+    dropped = pairs.select("label", F.col("id2").alias("vec_id")).distinct()
+    flagged = emb.join(
+        dropped.withColumn("is_dropped", F.lit(1)), ["label", "vec_id"], "left"
+    )
+    return flagged.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.coalesce(F.col("is_dropped"), F.lit(0))).alias("n_dropped"),
+        F.sum(
+            F.when(F.col("is_dropped").isNull(), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_kept"),
+    )
+
+
+def _semantic_dedup_sql() -> str:
+    return f"""
+WITH pairs AS ({_near_dup_sql()}),
+dropped AS (
+  SELECT DISTINCT label, id2 AS vec_id FROM pairs
+)
+SELECT e.label,
+       count(*) AS n_vectors,
+       cast(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS bigint)
+         AS n_dropped,
+       cast(sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS bigint)
+         AS n_kept
+FROM embeddings e
+LEFT JOIN dropped d ON d.label = e.label AND d.vec_id = e.vec_id
+GROUP BY e.label
+"""
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN (operators/ivf): probe 2 of 8 sampled-k-means
     cells instead of scanning every candidate — the 100 TB scale path
@@ -774,5 +822,10 @@ QUERIES = [
     ),
     QuerySpec(
         "dedup_method_agreement", dedup_method_agreement, _agreement_sql()
+    ),
+    QuerySpec(
+        "semantic_dedup_keep_first",
+        semantic_dedup_keep_first,
+        _semantic_dedup_sql(),
     ),
 ]
