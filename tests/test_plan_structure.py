@@ -497,3 +497,38 @@ def test_kll_and_theta_sketches_aggregate_mapside(spark):
     p = _plan(weighted_sample_docs(spark, SF_SMALL), "simple")
     assert "TakeOrderedAndProject" in p
     assert p.count("Exchange") == 0
+
+
+def test_pii_and_gopher_are_single_scan_single_exchange(spark):
+    """Filter passes must stay scan-bound: all regex/array work rides
+    the scan inside codegen; the only exchange is the final
+    small-cardinality aggregate merge."""
+    from goe_spark.queries.pii import (
+        gopher_quality_filter,
+        pii_redaction_audit,
+        pii_scan_by_source,
+    )
+
+    for fn in (pii_scan_by_source, pii_redaction_audit, gopher_quality_filter):
+        plan = _plan(fn(spark, SF_SMALL), "simple")
+        assert "Join" not in plan, fn.__name__
+        assert plan.count("Exchange") == 1, fn.__name__
+        assert plan.count("Scan parquet") == 1, fn.__name__
+
+
+def test_bpe_merge_pair_explode_at_vocabulary_grain(spark):
+    """The pair explode must sit ABOVE the wordcount aggregate (i.e.
+    operate on the distinct-word table), never on the raw corpus —
+    the property that keeps BPE statistics affordable at 100 TB."""
+    from goe_spark.queries.training import bpe_merge_pair_counts
+
+    plan = _plan(bpe_merge_pair_counts(spark, SF_SMALL), "simple")
+    # top-k is TakeOrdered (no global sort exchange)
+    assert "TakeOrderedAndProject" in plan
+    # two Generates: pair explode (top) and token explode (bottom);
+    # the wordcount aggregate keyed on w must sit BETWEEN them —
+    # i.e. the pair explode consumes the aggregated vocabulary.
+    i_pair_gen = plan.index("Generate")
+    i_word_agg = plan.index("HashAggregate(keys=[w#")
+    i_tok_gen = plan.rindex("Generate")
+    assert i_pair_gen < i_word_agg < i_tok_gen, plan
