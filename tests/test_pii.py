@@ -160,3 +160,41 @@ def test_stop_distinct_counts_distinct_not_total(spark):
         ).alias("k")
     ).collect()[0].k
     assert got == MIN_STOP_DISTINCT
+
+
+def test_cross_engine_regex_fuzz(spark, duck):
+    """Seeded pseudo-random fuzz over a PII-shaped alphabet: Spark
+    (Java regex) and DuckDB (RE2) must count identical matches for
+    every pattern on every string — the portability contract the
+    whole module rests on. One batch, one job."""
+    import random
+
+    from goe_spark.queries.pii import pii_count_sql
+
+    rng = random.Random(20260814)
+    alphabet = list("abcXY012345 .-@_%+()") + ["@example.com", "555-", ".org"]
+    cases = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+        for _ in range(200)
+    ]
+    sdf = spark.createDataFrame([(i, t) for i, t in enumerate(cases)], "id long, t string")
+    got_spark = {
+        r.id: (r.e, r.p, r.i)
+        for r in sdf.select(
+            "id",
+            pii_count("t", EMAIL_RE).alias("e"),
+            pii_count("t", PHONE_RE).alias("p"),
+            pii_count("t", IPV4_RE).alias("i"),
+        ).collect()
+    }
+    duck.execute("CREATE OR REPLACE TEMP TABLE fuzz(id BIGINT, t VARCHAR)")
+    duck.executemany("INSERT INTO fuzz VALUES (?, ?)", list(enumerate(cases)))
+    got_duck = {
+        row[0]: (row[1], row[2], row[3])
+        for row in duck.execute(
+            f"SELECT id, {pii_count_sql('t', EMAIL_RE)}, "
+            f"{pii_count_sql('t', PHONE_RE)}, "
+            f"{pii_count_sql('t', IPV4_RE)} FROM fuzz"
+        ).fetchall()
+    }
+    assert got_spark == got_duck
