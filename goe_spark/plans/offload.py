@@ -136,6 +136,13 @@ class OffloadConfig:
 class OffloadResult:
     rows_staged: int
     rows_final: int
+    # Write-side row count observed DURING the staging write via the
+    # Observation API — the engine-native twin of the reference's
+    # Spark-listener recordsWritten scraping (GOETaskListener.scala:
+    # 24-44, offload_transport.py:183-190), at zero extra scan cost.
+    # Cross-checked against the staged READ-BACK count: a mismatch
+    # means the files do not faithfully hold what was written.
+    rows_staged_observed: int = -1
     partitions_written: list = field(default_factory=list)
     steps: list = field(default_factory=list)
     # User-facing resolution warnings (e.g. the INCREMENTAL -> FULL
@@ -469,11 +476,20 @@ class OffloadPipeline:
             staged_proj = [staging_expr(c) for c in canonical_cols]
             if cfg.partition is not None:
                 staged_proj.append(F.col(SYNTHETIC_COL))
+            # Observation rides the write job: rows counted as they
+            # are written, no listener-log scraping, no extra scan
+            # (reference S15 counts rows via a Spark task listener).
+            from pyspark.sql import Observation
+
+            staging_obs = Observation()
             write_staging(
-                sliced.select(staged_proj),
+                sliced.select(staged_proj).observe(
+                    staging_obs, F.count(F.lit(1)).alias("rows_written")
+                ),
                 cfg.staging_dir,
                 fmt=cfg.staging_format,
             )
+            rows_staged_observed = int(staging_obs.get["rows_written"])
             staged = read_staging(
                 self.spark, cfg.staging_dir, fmt=cfg.staging_format
             )
@@ -493,6 +509,14 @@ class OffloadPipeline:
             probe_aggs = corruption_probe_aggs(canonical_cols)
             row = staged.agg(*aggs, *probe_aggs).collect()[0].asDict()
             rows_staged = row.pop("row_count")
+            # Write-vs-read integrity: the read-back count must equal
+            # what the write job observed leaving the executors.
+            if rows_staged != rows_staged_observed:
+                raise OffloadValidationError(
+                    f"staging integrity failed: wrote "
+                    f"{rows_staged_observed} rows but read back "
+                    f"{rows_staged}"
+                )
             violations = {k: v for k, v in row.items() if v}
             if violations:
                 raise OffloadValidationError(
@@ -719,6 +743,7 @@ class OffloadPipeline:
         return OffloadResult(
             rows_staged=rows_staged,
             rows_final=rows_final,
+            rows_staged_observed=rows_staged_observed,
             partitions_written=sorted(partitions_written),
             steps=steps,
             notes=notes,

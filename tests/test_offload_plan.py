@@ -385,3 +385,23 @@ def test_offload_with_zorder_columns(spark, tmp_path):
             os.path.join(cfg.target_dir, d, MANIFEST_NAME)
         )
     assert spark.read.parquet(cfg.target_dir).count() == src.count()
+
+
+def test_staging_write_observation_matches_readback(spark, tmp_path):
+    """The Observation-API write-side count (engine-native twin of
+    the reference's Spark-listener recordsWritten scraping) must
+    equal the staged read-back count and land in the result."""
+    from goe_spark.catalog import load_table
+    from goe_spark.plans.offload import OffloadConfig, OffloadPipeline
+    from tests.conftest import SF_SMALL
+
+    src = load_table(spark, SF_SMALL, "region")
+    cfg = OffloadConfig(
+        owner="t",
+        table_name="region_obs",
+        target_dir=str(tmp_path / "final"),
+        staging_dir=str(tmp_path / "stage"),
+        metadata_dir=str(tmp_path / "md"),
+    )
+    res = OffloadPipeline(spark, cfg).run(src)
+    assert res.rows_staged_observed == res.rows_staged == 5
