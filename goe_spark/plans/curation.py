@@ -1,6 +1,13 @@
 """End-to-end corpus curation pipeline — the training-data analogue of
 the offload pipeline, composed from the repo's own operators:
 
+  RULE_FILTER    Gopher-style rule gate (word count / mean token
+                 length / alpha fraction; the English-marker stopword
+                 rule stays OFF in the multilingual pipeline —
+                 queries/pii.py::gopher_rule_violations)
+  PII_REDACT     email/phone/IPv4 -> typed placeholders
+                 (queries/pii.py::redact_pii) — applied BEFORE dedup
+                 so fingerprints and signatures see redacted text
   SCORE_FILTER   quality_score >= threshold (functions/text.py)
   EXACT_DEDUP    keep-first on the normalized content fingerprint
   NEAR_DEDUP     MinHash-LSH pairs -> connected components -> keep the
@@ -42,6 +49,8 @@ from goe_spark.plans.metadata import atomic_write_json
 from goe_spark.plans.steps import StepRunner
 
 STAGES = (
+    "RULE_FILTER",
+    "PII_REDACT",
     "SCORE_FILTER",
     "EXACT_DEDUP",
     "NEAR_DEDUP",
@@ -101,10 +110,31 @@ class CurationPipeline:
 
     # ---- stages ------------------------------------------------------
 
-    def _score_filter(self) -> None:
+    def _rule_filter(self) -> None:
         from goe_spark.catalog import load_table
+        from goe_spark.queries.pii import gopher_keep
 
         d = load_table(self.spark, self.cfg.source_sf_dir, "documents")
+        kept = d.select(
+            "doc_id",
+            "lang",
+            "source",
+            "text",
+            T.token_count("text").alias("n_tokens"),
+        ).where(gopher_keep(F.col("text"), require_stopwords=False))
+        _write_stage(kept, _stage_dir(self.cfg, "RULE_FILTER"))
+
+    def _pii_redact(self) -> None:
+        from goe_spark.queries.pii import redact_pii
+
+        d = self.spark.read.parquet(_stage_dir(self.cfg, "RULE_FILTER"))
+        red = d.withColumn("text", redact_pii(F.col("text"))).withColumn(
+            "n_tokens", T.token_count("text")
+        )
+        _write_stage(red, _stage_dir(self.cfg, "PII_REDACT"))
+
+    def _score_filter(self) -> None:
+        d = self.spark.read.parquet(_stage_dir(self.cfg, "PII_REDACT"))
         scored = d.select(
             "doc_id",
             "lang",
@@ -252,6 +282,8 @@ class CurationPipeline:
             log=lambda *_: None,
         )
         try:
+            runner.run("RULE_FILTER", self._rule_filter)
+            runner.run("PII_REDACT", self._pii_redact)
             runner.run("SCORE_FILTER", self._score_filter)
             runner.run("EXACT_DEDUP", self._exact_dedup)
             runner.run("NEAR_DEDUP", self._near_dedup)

@@ -225,6 +225,45 @@ MIN_STOP_DISTINCT = 2
 MIN_ALPHA_FRAC = 0.8
 
 
+def gopher_rule_violations(
+    col: Column | str, require_stopwords: bool = True
+) -> dict[str, Column]:
+    """Per-rule violation booleans. ``require_stopwords=False`` drops
+    the (English-marker) stopword rule — the right setting for a
+    multilingual pipeline; the per-language audit query keeps it on."""
+    toks = T.tokens(_c(col))
+    n = F.size(toks).cast("long")
+    tot_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mean_len = tot_len.cast("double") / F.greatest(n, F.lit(1)).cast("double")
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("^[A-Za-z]"))).cast(
+        "double"
+    ) / F.greatest(n, F.lit(1)).cast("double")
+    out = {
+        "word_count": (n < MIN_WORDS) | (n > MAX_WORDS),
+        "mean_tok_len": (mean_len < MIN_MEAN_TOK_LEN)
+        | (mean_len > MAX_MEAN_TOK_LEN),
+        "alpha_frac": alpha < MIN_ALPHA_FRAC,
+    }
+    if require_stopwords:
+        stop_distinct = F.size(
+            F.array_intersect(
+                toks, F.array(*[F.lit(w) for w in STOP_REQ_WORDS])
+            )
+        )
+        out["stopwords"] = stop_distinct < MIN_STOP_DISTINCT
+    return out
+
+
+def gopher_keep(col: Column | str, require_stopwords: bool = True) -> Column:
+    """True iff the document violates NO rule."""
+    keep = F.lit(True)
+    for viol in gopher_rule_violations(col, require_stopwords).values():
+        keep = keep & ~viol
+    return keep
+
+
 def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rule-based document filter with per-rule violation accounting,
     grouped per language: n_docs, one violation count per rule, and
@@ -232,23 +271,11 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules, so violation columns are not additive to n_docs - n_kept —
     that is the point of per-rule accounting."""
     d = load_table(spark, sf_dir, "documents")
-    toks = T.tokens(F.col("text"))
-    n = F.size(toks).cast("long")
-    tot_len = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
-    )
-    mean_len = tot_len.cast("double") / F.greatest(n, F.lit(1)).cast("double")
-    stop_distinct = F.size(
-        F.array_intersect(toks, F.array(*[F.lit(w) for w in STOP_REQ_WORDS]))
-    )
-    alpha = F.size(F.filter(toks, lambda t: t.rlike("^[A-Za-z]"))).cast(
-        "double"
-    ) / F.greatest(n, F.lit(1)).cast("double")
-
-    f_words = (n < MIN_WORDS) | (n > MAX_WORDS)
-    f_mean = (mean_len < MIN_MEAN_TOK_LEN) | (mean_len > MAX_MEAN_TOK_LEN)
-    f_stop = stop_distinct < MIN_STOP_DISTINCT
-    f_alpha = alpha < MIN_ALPHA_FRAC
+    v = gopher_rule_violations(F.col("text"))
+    f_words = v["word_count"]
+    f_mean = v["mean_tok_len"]
+    f_stop = v["stopwords"]
+    f_alpha = v["alpha_frac"]
     keep = ~(f_words | f_mean | f_stop | f_alpha)
 
     return d.groupBy("lang").agg(

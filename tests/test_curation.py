@@ -38,7 +38,7 @@ def test_funnel_monotone_and_persisted(spark, finished):
     with open(os.path.join(cfg.work_dir, "funnel.json")) as fh:
         disk = json.load(fh)
     assert disk["final_rows"] == report.final_rows
-    assert len(disk["funnel"]) == 4
+    assert len(disk["funnel"]) == 6
 
 
 def test_no_exact_duplicate_survives(spark, finished):
@@ -100,7 +100,8 @@ def test_crash_resume_skips_completed_stages(spark, tmp_path):
     assert not os.path.isdir(os.path.join(cfg.work_dir, "final"))
 
     report = pipe.run()  # resume
-    assert report.resumed_steps == 3  # SCORE_FILTER, EXACT_DEDUP, NEAR_DEDUP
+    # RULE_FILTER, PII_REDACT, SCORE_FILTER, EXACT_DEDUP, NEAR_DEDUP
+    assert report.resumed_steps == 5
     assert report.final_rows > 0
     # History shows two executions: the failed one and the resumed one.
     from goe_spark.plans.history import ExecutionHistoryStore
@@ -127,8 +128,10 @@ def test_parameter_change_invalidates_resume(spark, tmp_path):
     r1 = CurationPipeline(spark, CurationConfig(quality_min=0.4, **base)).run()
     r2 = CurationPipeline(spark, CurationConfig(quality_min=0.9, **base)).run()
     assert r2.resumed_steps == 0
-    # A tighter threshold strictly shrinks the first funnel stage.
-    assert r2.funnel[0][1] < r1.funnel[0][1]
+    # A tighter threshold strictly shrinks the SCORE_FILTER stage
+    # (the first two stages don't depend on quality_min).
+    assert r2.funnel[2][1] < r1.funnel[2][1]
+    assert r2.funnel[0][1] == r1.funnel[0][1]
 
 
 def test_double_crash_resume_chain(spark, tmp_path):
@@ -144,10 +147,54 @@ def test_double_crash_resume_chain(spark, tmp_path):
     )
     pipe = CurationPipeline(spark, cfg)
     with pytest.raises(StepError):
-        pipe.run(error_at="NEAR_DEDUP")  # crash 1: 2 stages done
+        pipe.run(error_at="NEAR_DEDUP")  # crash 1: 4 stages done
     with pytest.raises(StepError):
-        pipe.run(error_at="FINAL_WRITE")  # crash 2: resumes 2, adds 2
+        pipe.run(error_at="FINAL_WRITE")  # crash 2: resumes 4, adds 2
     report = pipe.run()
     # Third run resumes everything up to FINAL_WRITE.
-    assert report.resumed_steps == 4
+    assert report.resumed_steps == 6
     assert report.final_rows > 0
+
+
+def test_pii_redacted_and_junk_dropped(spark, tmp_path):
+    """A planted corpus: the PII doc survives but redacted; the
+    too-short doc dies at RULE_FILTER."""
+    import pandas as pd
+
+    from goe_spark.queries.pii import PII_KINDS, pii_count
+
+    words = " ".join(["alpha beta gamma delta"] * 10)
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                words + " reach me at jane@corp.example.org or 555-123-4567",
+                words + " perfectly ordinary text",
+                "too short",
+            ],
+            "lang": ["en", "en", "en"],
+            "source": ["s1", "s1", "s1"],
+            "n_chars": [100, 100, 9],
+        }
+    )
+    src = tmp_path / "sf_pii"
+    src.mkdir()
+    docs.to_parquet(src / "documents.parquet")
+    cfg = CurationConfig(
+        source_sf_dir=str(src),
+        work_dir=str(tmp_path / "work"),
+        metadata_dir=str(tmp_path / "meta"),
+        quality_min=0.0,
+        token_budget=10_000,
+    )
+    report = CurationPipeline(spark, cfg).run()
+    out = spark.read.parquet(os.path.join(cfg.work_dir, "final"))
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 2}  # doc 3 failed the word-count rule
+    assert "[EMAIL]" in rows[1].text and "[PHONE]" in rows[1].text
+    # closure: no residual PII anywhere in the final table
+    resid = out.agg(
+        F.sum(sum(pii_count("text", pat) for _, pat, _ in PII_KINDS))
+    ).first()[0]
+    assert resid == 0
+    assert report.funnel[0][1] == 2  # RULE_FILTER already dropped doc 3
