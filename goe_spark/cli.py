@@ -313,6 +313,51 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    """Raw JSONL/CSV landing with corrupt-record quarantine
+    (sources/ingest_files.py): explicit DDL schema, PERMISSIVE parse,
+    good rows -> parquet, malformed raw lines -> quarantine, gate on
+    bad fraction."""
+    from pyspark.sql.types import StructType
+
+    from goe_spark.sources.ingest_files import (
+        IngestValidationError,
+        ingest_with_quarantine,
+    )
+
+    spark = _spark("goe-ingest")
+    schema = StructType.fromDDL(args.schema)
+    options = {}
+    if args.sep:
+        options["sep"] = args.sep
+    try:
+        rep = ingest_with_quarantine(
+            spark,
+            args.input,
+            schema,
+            good_path=args.good_dir,
+            quarantine_path=args.quarantine_dir,
+            fmt=args.format,
+            max_bad_fraction=args.max_bad_fraction,
+            **options,
+        )
+    except IngestValidationError as e:
+        print(json.dumps({"error": str(e)}))
+        return 1
+    print(
+        json.dumps(
+            {
+                "n_good": rep.n_good,
+                "n_bad": rep.n_bad,
+                "bad_fraction": round(rep.bad_fraction, 6),
+                "good_path": rep.good_path,
+                "quarantine_path": rep.quarantine_path,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_agg_validate(args) -> int:
     from pyspark.sql import functions as F
 
@@ -652,6 +697,20 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--quality-min", type=float, default=0.5)
     cu.add_argument("--token-budget", type=int, default=150_000)
     cu.set_defaults(fn=cmd_curate)
+
+    ing = sub.add_parser(
+        "ingest", help="raw JSONL/CSV landing with corrupt-record quarantine"
+    )
+    ing.add_argument("--input", required=True, help="file or directory")
+    ing.add_argument(
+        "--schema", required=True, help="DDL, e.g. 'id BIGINT, t STRING'"
+    )
+    ing.add_argument("--good-dir", required=True)
+    ing.add_argument("--quarantine-dir", required=True)
+    ing.add_argument("--format", choices=("json", "csv"), default="json")
+    ing.add_argument("--sep", help="CSV separator")
+    ing.add_argument("--max-bad-fraction", type=float, default=None)
+    ing.set_defaults(fn=cmd_ingest)
 
     v = sub.add_parser("agg-validate", help="front-vs-back aggregate compare")
     v.add_argument("--frontend-path", required=True)

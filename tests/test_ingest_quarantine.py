@@ -148,3 +148,35 @@ def test_schema_must_not_predeclare_corrupt_col(spark, tmp_path):
             str(tmp_path),
             SCHEMA.add(CORRUPT_COL, StringType()),
         )
+
+
+def test_cli_ingest_command(spark, jsonl_dir, tmp_path, capsys, monkeypatch):
+    import json as _json
+
+    from goe_spark import cli
+
+    monkeypatch.setattr(cli, "_spark", lambda name: spark)
+    rc = cli.main(
+        [
+            "ingest",
+            "--input", jsonl_dir,
+            "--schema", "doc_id BIGINT, text STRING, lang STRING",
+            "--good-dir", str(tmp_path / "good"),
+            "--quarantine-dir", str(tmp_path / "quar"),
+        ]
+    )
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["n_good"] == 3 and out["n_bad"] == 2
+
+    rc2 = cli.main(
+        [
+            "ingest",
+            "--input", jsonl_dir,
+            "--schema", "doc_id BIGINT, text STRING, lang STRING",
+            "--good-dir", str(tmp_path / "good2"),
+            "--quarantine-dir", str(tmp_path / "quar2"),
+            "--max-bad-fraction", "0.1",
+        ]
+    )
+    err = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc2 == 1 and "exceeds gate" in err["error"]
