@@ -1,0 +1,113 @@
+"""Materialized MinHash signature index — the standing-corpus side of
+the incremental near-dup probe.
+
+The signature computation (md5 per shingle, K permutations) is the
+expensive part of MinHash dedup; for a standing corpus it is a pure
+function of the documents, so recomputing it on every probe throws
+away O(corpus) work. This module persists the signature table once
+per source fingerprint (the exact discipline operators/ivf.py applies
+to the vector index):
+
+- signatures/: parquet (doc_id, mh array<long>) — the index payload.
+- _INDEX_META.json: source fingerprint + layout version; a changed
+  source or layout rebuilds, mirroring ivf.ensure_index.
+- append_signatures: new batches compute only THEIR signatures and
+  append — O(batch) maintenance. Per-doc signatures are independent,
+  so the appended index is bit-identical to a full rebuild over the
+  grown corpus (pinned by tests/test_incremental_probe.py). The meta
+  fingerprint is NOT updated on append: a later ensure against a
+  grown source file correctly rebuilds.
+
+Band rows are NOT persisted: they derive from the signature by pure
+arithmetic (slice + concat) at read time, so storing them would
+quadruple the index for work the scan does for free inside codegen.
+
+At 100 TB the probe's cost structure becomes: one-time O(corpus)
+index build, then per-increment O(batch) signature computation + a
+band join whose corpus side reads (doc_id, mh) only — 8+16·8 bytes a
+row, no text.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goe_spark.operators.ivf import _REPO_ROOT, _source_fingerprint
+
+INDEX_ROOT = os.path.join(_REPO_ROOT, "spark-warehouse", "minhash_index")
+INDEX_VERSION = 1
+
+
+def signature_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh) for any documents frame (doc_id, lang, source,
+    text). Reuses the ONE canonical shingle lineage
+    (queries/dedup._shingle_hashed), so indexed signatures are
+    bit-identical to what the all-pairs queries and the DuckDB oracle
+    compute."""
+    from goe_spark.operators import minhash as MH
+    from goe_spark.queries.dedup import _shingle_hashed
+
+    sh = _shingle_hashed(None, "", docs=docs)
+    return sh.select("doc_id", MH.minhash_signature(F.col("sh")).alias("mh"))
+
+
+def build_signature_index(
+    spark: SparkSession, docs: DataFrame, index_dir: str
+) -> None:
+    os.makedirs(index_dir, exist_ok=True)
+    signature_frame(docs).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "signatures")
+    )
+
+
+def ensure_signature_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the signature index for sf_dir's documents unless a fresh
+    one exists (source fingerprint + layout version match). Returns
+    index_dir."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    slug = re.sub(r"[^A-Za-z0-9._-]+", "_", sf_dir.strip("/"))
+    index_dir = os.path.join(INDEX_ROOT, slug)
+    meta_path = os.path.join(index_dir, "_INDEX_META.json")
+    fp = _source_fingerprint(src)
+    if os.path.exists(meta_path):
+        try:
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if (
+                meta.get("fingerprint") == fp
+                and meta.get("version") == INDEX_VERSION
+            ):
+                return index_dir
+        except (OSError, ValueError):
+            pass
+    from goe_spark.catalog import load_table
+
+    build_signature_index(
+        spark, load_table(spark, sf_dir, "documents"), index_dir
+    )
+    with open(meta_path, "w") as f:
+        json.dump(
+            {"source": src, "fingerprint": fp, "version": INDEX_VERSION}, f
+        )
+    return index_dir
+
+
+def load_signatures(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(index_dir, "signatures"))
+
+
+def append_signatures(
+    spark: SparkSession, index_dir: str, new_docs: DataFrame
+) -> int:
+    """O(batch) index maintenance: compute only the new batch's
+    signatures and append. Returns appended row count; meta
+    fingerprint intentionally untouched (see module docstring)."""
+    sigs = signature_frame(new_docs)
+    n = sigs.count()
+    sigs.write.mode("append").parquet(os.path.join(index_dir, "signatures"))
+    return n

@@ -555,55 +555,62 @@ PROBE_MIN_AGREEMENT = 0.5
 
 
 def minhash_probe_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental MinHash near-dup probe: new docs vs indexed corpus.
+    """Incremental MinHash near-dup probe: new docs vs the MATERIALIZED
+    corpus signature index.
 
-    The indexed side is the signature/band table a deployment
-    materializes once (the same pattern operators/ivf.py persists for
-    vectors); the fixture is immutable so it is recomputed inline, but
-    the PLAN only joins NEW-batch band rows against index buckets:
-    after the one-time index build, every increment's shuffle cost is
-    O(batch), not O(corpus) — the property that makes daily near-dup
-    screening affordable at 100 TB. Crowded index buckets (stop-
+    The standing corpus's signatures are persisted once per source
+    fingerprint (operators/minhash_index.ensure_signature_index — the
+    same discipline the IVF vector index follows) and READ here: the
+    index side of the probe never recomputes md5 shingle hashing, it
+    scans (doc_id, mh) parquet — ~140 bytes a row, no text. Only the
+    new batch (doc_id % NEW_DOC_MOD == 0, standing in for a daily
+    increment) pays signature computation, so per-increment cost is
+    O(batch) after the one-time build. Crowded index buckets (stop-
     shingle boilerplate) are capped at LSH_BUCKET_CAP, mirroring
-    minhash_lsh_pairs. Signatures ride the band rows as payload, so
-    agreement is scored inline with zero signature re-joins on the
-    Spark side.
+    minhash_lsh_pairs; signatures ride the band rows as payload so
+    agreement is scored inline with zero signature re-joins.
 
-    Output: one row per new doc with >= 1 near-dup in the index —
+    Output: one row per new doc with >= 1 near-dup in the index -
     match count, best match and its estimated Jaccard (row_number
-    tie-broken on match_id so both engines agree).
+    tie-broken on match_id so both engines agree). Signatures are a
+    pure function of the text, so the indexed result is bit-identical
+    to the recompute-everything DuckDB oracle.
     """
     from pyspark.sql.window import Window
 
     from goe_spark.operators import minhash as MH
+    from goe_spark.operators.minhash_index import (
+        ensure_signature_index,
+        load_signatures,
+        signature_frame,
+    )
 
-    sigs = (
-        _shingle_hashed(spark, sf_dir)
-        .select("doc_id", MH.minhash_signature(F.col("sh")).alias("mh"))
-        # The signature lineage (md5 per shingle) feeds THREE consumers
-        # (new-batch rows, index rows, the bucket-cap aggregate); a
-        # repartition exchange here is deduplicated by ReuseExchange so
-        # the hashing runs once, same discipline as ngram_jaccard_pairs.
-        .repartition("doc_id")
-    )
-    bands = sigs.select(
-        "doc_id",
-        "mh",
-        F.explode(MH.band_structs(F.col("mh"))).alias("bs"),
-    ).select(
-        "doc_id",
-        "mh",
-        F.col("bs.band").alias("band"),
-        F.col("bs.sig").alias("sig"),
-    )
     is_new = F.col("doc_id") % NEW_DOC_MOD == 0
-    new_b = bands.where(is_new).select(
+    idx_dir = ensure_signature_index(spark, sf_dir)
+    idx_sigs = load_signatures(spark, idx_dir).where(~is_new)
+    new_sigs = signature_frame(
+        load_table(spark, sf_dir, "documents").where(is_new)
+    )
+
+    def bands_of(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "doc_id",
+            "mh",
+            F.explode(MH.band_structs(F.col("mh"))).alias("bs"),
+        ).select(
+            "doc_id",
+            "mh",
+            F.col("bs.band").alias("band"),
+            F.col("bs.sig").alias("sig"),
+        )
+
+    new_b = bands_of(new_sigs).select(
         F.col("doc_id").alias("new_id"),
         F.col("mh").alias("new_mh"),
         "band",
         "sig",
     )
-    idx_b = bands.where(~is_new)
+    idx_b = bands_of(idx_sigs)
     ok = (
         idx_b.groupBy("band", "sig")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -71,3 +71,57 @@ def test_bpe_topk_is_deterministic_and_weighted(spark):
     b = {(r.pair, r.n_occurrences) for r in
          bpe_merge_pair_counts(spark, SF_SMALL).collect()}
     assert a == b and len(a) > 0
+
+
+def test_signature_index_append_is_bit_identical_to_rebuild(spark, tmp_path):
+    """Appending a batch's signatures must equal rebuilding over the
+    grown corpus — signatures are per-doc pure functions."""
+    from goe_spark.catalog import load_table
+    from goe_spark.operators.minhash_index import (
+        append_signatures,
+        build_signature_index,
+        load_signatures,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+
+    inc_dir = str(tmp_path / "inc")
+    build_signature_index(spark, old, inc_dir)
+    n = append_signatures(spark, inc_dir, new)
+    assert n == new.count()
+
+    full_dir = str(tmp_path / "full")
+    build_signature_index(spark, docs, full_dir)
+
+    a = {(r.doc_id, tuple(r.mh)) for r in load_signatures(spark, inc_dir).collect()}
+    b = {(r.doc_id, tuple(r.mh)) for r in load_signatures(spark, full_dir).collect()}
+    assert a == b
+
+
+def test_signature_index_rebuilds_on_fingerprint_change(spark, tmp_path, monkeypatch):
+    """A fresh index is reused (meta fingerprint match); a source
+    change forces a rebuild."""
+    import os
+
+    from goe_spark.operators import minhash_index as MI
+
+    monkeypatch.setattr(MI, "INDEX_ROOT", str(tmp_path / "root"))
+    d1 = MI.ensure_signature_index(spark, SF_SMALL)
+    t1 = os.path.getmtime(os.path.join(d1, "signatures", "_SUCCESS"))
+    d2 = MI.ensure_signature_index(spark, SF_SMALL)
+    t2 = os.path.getmtime(os.path.join(d2, "signatures", "_SUCCESS"))
+    assert d1 == d2 and t1 == t2  # reused, not rebuilt
+    # poison the recorded fingerprint -> rebuild
+    import json as _json
+
+    meta = os.path.join(d1, "_INDEX_META.json")
+    with open(meta) as f:
+        m = _json.load(f)
+    m["fingerprint"] = "stale"
+    with open(meta, "w") as f:
+        _json.dump(m, f)
+    d3 = MI.ensure_signature_index(spark, SF_SMALL)
+    t3 = os.path.getmtime(os.path.join(d3, "signatures", "_SUCCESS"))
+    assert t3 > t2
