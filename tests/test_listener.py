@@ -139,7 +139,7 @@ def test_curate_route(base_url, tmp_path):
     )
     assert status == 200
     assert body["final_rows"] > 0
-    assert len(body["funnel"]) == 4
+    assert len(body["funnel"]) == 6
 
 
 def test_curate_route_missing_field_400(base_url):
@@ -207,3 +207,31 @@ def test_bloom_route(base_url, tmp_path, spark, offloaded_orders):
     )
     assert status == 200
     assert body["partitions_indexed"] > 0
+
+
+def test_ingest_route(base_url, tmp_path):
+    """POST /api/ingest lands good rows and quarantines bad lines;
+    the gate replies 422."""
+    d = tmp_path / "in"
+    d.mkdir()
+    with open(d / "a.jsonl", "w") as f:
+        f.write('{"id": 1, "t": "ok"}\n')
+        f.write("not json\n")
+    payload = {
+        "input": str(d),
+        "schema": "id BIGINT, t STRING",
+        "good_dir": str(tmp_path / "good"),
+        "quarantine_dir": str(tmp_path / "quar"),
+    }
+    status, body = _post(f"{base_url}/api/ingest", payload)
+    assert status == 200
+    assert (body["n_good"], body["n_bad"]) == (1, 1)
+
+    import pytest as _pytest
+
+    payload["good_dir"] = str(tmp_path / "good2")
+    payload["quarantine_dir"] = str(tmp_path / "quar2")
+    payload["max_bad_fraction"] = 0.1
+    with _pytest.raises(urllib.error.HTTPError) as exc:
+        _post(f"{base_url}/api/ingest", payload)
+    assert exc.value.code == 422
