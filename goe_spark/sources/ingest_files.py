@@ -95,6 +95,17 @@ def read_with_quarantine(
     exactly what a quarantine split does. The expression form has no
     such restriction, scans with the same per-file parallelism, and
     keeps parsing inside codegen."""
+    return parse_lines(spark.read.text(path), schema, fmt=fmt, **options)
+
+
+def parse_lines(
+    raw: DataFrame, schema: StructType, fmt: str = "json", **options: str
+) -> DataFrame:
+    """The shared parse step over a text frame (column ``value``) —
+    used by the batch reader above AND the streaming landing
+    (streaming/landing.py), so the quarantine classification exists
+    once. Blank lines are dropped (the native readers skip them too);
+    output is schema columns + CORRUPT_COL + ``_source_file``."""
     if fmt not in ("json", "csv"):
         raise ValueError(f"quarantine ingest supports json/csv, not {fmt!r}")
     full = _with_corrupt_col(schema)
@@ -103,18 +114,14 @@ def read_with_quarantine(
         "columnNameOfCorruptRecord": CORRUPT_COL,
         **options,
     }
-    raw = (
-        spark.read.text(path)
-        .where(F.length(F.trim("value")) > 0)
-        .select(
-            "value", F.input_file_name().alias("_source_file")
-        )
+    kept = raw.where(F.length(F.trim("value")) > 0).select(
+        "value", F.input_file_name().alias("_source_file")
     )
     if fmt == "json":
         parsed = F.from_json("value", full, opts)
     else:
         parsed = F.from_csv("value", _ddl(full), opts)
-    return raw.select(parsed.alias("r"), "_source_file").select(
+    return kept.select(parsed.alias("r"), "_source_file").select(
         "r.*", "_source_file"
     )
 
