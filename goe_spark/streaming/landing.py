@@ -43,10 +43,18 @@ def make_landing_sink(
     metadata_dir: str,
     owner: str = "default",
     table: str = "landing",
+    transform=None,
 ):
     """foreachBatch sink, exposed so the re-delivery contract is
     directly testable: calling it twice with one batch_id — with or
-    without the ledger commit surviving — leaves exactly one copy."""
+    without the ledger commit surviving — leaves exactly one copy.
+
+    ``transform`` (DataFrame -> DataFrame) runs on the GOOD rows of
+    each batch before they land — the hook where a deployment composes
+    the curation expressions (queries/pii.redact_pii, gopher_keep)
+    into the landing stream itself, so PII never reaches the landed
+    table. It must be deterministic: a re-delivered batch re-runs it
+    and overwrites the same directory."""
     ledger = BatchLedger(metadata_dir, owner, table, checkpoint_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -57,6 +65,8 @@ def make_landing_sink(
             good = batch_df.where(F.col(CORRUPT_COL).isNull()).drop(
                 CORRUPT_COL, "_source_file"
             )
+            if transform is not None:
+                good = transform(good)
             bad = batch_df.where(F.col(CORRUPT_COL).isNotNull()).select(
                 F.col(CORRUPT_COL).alias("raw_record"), "_source_file"
             )
@@ -84,6 +94,7 @@ def ingest_stream_with_quarantine(
     metadata_dir: str,
     fmt: str = "json",
     available_now: bool = True,
+    transform=None,
     **options: str,
 ):
     """Start (and with ``available_now`` drain) the landing stream.
@@ -91,7 +102,8 @@ def ingest_stream_with_quarantine(
     raw = spark.readStream.text(input_dir)
     parsed = parse_lines(raw, schema, fmt=fmt, **options)
     sink = make_landing_sink(
-        good_dir, quarantine_dir, checkpoint_dir, metadata_dir
+        good_dir, quarantine_dir, checkpoint_dir, metadata_dir,
+        transform=transform,
     )
     writer = (
         parsed.writeStream.foreachBatch(sink)

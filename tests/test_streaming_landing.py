@@ -101,3 +101,35 @@ def test_sink_redelivery_is_idempotent(spark, tmp_path):
     sink(batch, 0)
     assert read_landed(spark, good).count() == 1
     assert read_quarantined(spark, quar).count() == 1
+
+
+def test_transform_hook_redacts_at_landing(spark, tmp_path):
+    """Composing redact_pii into the landing stream: PII never
+    reaches the landed table."""
+    from goe_spark.queries.pii import PII_KINDS, pii_count, redact_pii
+
+    indir, good, quar, ckpt, meta = _dirs(tmp_path)
+    _write_file(
+        indir,
+        "a.jsonl",
+        [
+            {"doc_id": 1, "text": "mail me x@y.zz now", "lang": "en"},
+            {"doc_id": 2, "text": "clean", "lang": "en"},
+        ],
+    )
+    ingest_stream_with_quarantine(
+        spark,
+        indir,
+        SCHEMA,
+        good,
+        quar,
+        ckpt,
+        meta,
+        transform=lambda df: df.withColumn("text", redact_pii(F.col("text"))),
+    )
+    landed = read_landed(spark, good)
+    resid = landed.agg(
+        F.sum(sum(pii_count("text", pat) for _, pat, _ in PII_KINDS))
+    ).first()[0]
+    assert landed.count() == 2 and resid == 0
+    assert "[EMAIL]" in {r.text for r in landed.collect() if r.doc_id == 1}.pop()
