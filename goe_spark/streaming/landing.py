@@ -112,6 +112,9 @@ def ingest_stream_with_quarantine(
     if available_now:
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
+        from goe_spark.streaming.progress import record_stream_progress
+
+        record_stream_progress(q, metadata_dir, "default", "landing")
     else:  # pragma: no cover - live deployment mode
         q = writer.start()
     return q

@@ -133,3 +133,21 @@ def test_transform_hook_redacts_at_landing(spark, tmp_path):
     ).first()[0]
     assert landed.count() == 2 and resid == 0
     assert "[EMAIL]" in {r.text for r in landed.collect() if r.doc_id == 1}.pop()
+
+
+def test_stream_progress_recorded_and_reported(spark, tmp_path):
+    """Each drain appends a run record with the engine's own input-row
+    accounting (no listener-log scraping); the report frame sums it."""
+    from goe_spark.streaming.progress import stream_runs_report
+
+    indir, good, quar, ckpt, meta = _dirs(tmp_path)
+    _write_file(indir, "a.jsonl", [{"doc_id": 1, "text": "x", "lang": "en"}])
+    ingest_stream_with_quarantine(spark, indir, SCHEMA, good, quar, ckpt, meta)
+    _write_file(indir, "b.jsonl", [{"doc_id": 2, "text": "y", "lang": "en"}])
+    ingest_stream_with_quarantine(spark, indir, SCHEMA, good, quar, ckpt, meta)
+
+    rep = stream_runs_report(spark, meta, "default", "landing")
+    rows = rep.collect()
+    assert len(rows) == 2
+    assert sum(r.total_input_rows for r in rows) == 2
+    assert all(r.n_batches >= 1 for r in rows)
