@@ -93,6 +93,7 @@ HEADLINE = [
     "bpe_merge_pair_counts",
     "join_skew_report",
     "semantic_dedup_keep_first",
+    "cms_user_counts",
 ]
 
 

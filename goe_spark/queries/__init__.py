@@ -42,6 +42,7 @@ HEAD = (
     "bpe_merge_pair_counts",
     "join_skew_report",
     "semantic_dedup_keep_first",
+    "cms_user_counts",
     "cross_doc_ngram_coverage",
     "top_duplicate_ngrams",
     "ann_pq_topk",

@@ -230,7 +230,128 @@ def audience_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Count-min sketch as a RELATIONAL table: depth x width counters,
+# (grain, depth, bucket, n) rows. Unlike binary sketch blobs this is
+# mergeable by plain SUM at any grain and replayable exactly by any
+# SQL engine — which is why it gets a full hash-compared oracle where
+# the DataSketches queries above are rows-only.
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_PROBE_USERS = (1, 7, 42, 99, 140)
+
+
+def _cms_bucket(depth_col, key_col):
+    from goe_spark.functions.hashing import hash64
+
+    return F.pmod(
+        hash64(F.concat(depth_col.cast("string"), F.lit(":"), key_col)),
+        F.lit(CMS_WIDTH),
+    )
+
+
+def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency estimation via a table-form count-min sketch, with
+    the exact control riding along.
+
+    Build: per (day, depth, bucket) counts of events keyed by user —
+    the day grain is the point: daily sketch tables MERGE to any
+    coarser window by SUM over the tiny (depth x width) counter
+    relation, never rescanning events (the same fine-grain-rollup
+    property the HLL/KLL queries prove for their sketch types).
+    Estimate: each probe user hashes to one bucket per depth; its
+    estimate is the MIN across depths of the merged counters —
+    overestimation-only by construction (counters only ever include
+    extra collisions), asserted per row in the output.
+
+    Plan: the build is one map-side-combined aggregate over a
+    {CMS_DEPTH}-way explode (the explode multiplies rows BEFORE
+    partial aggregation, so the shuffle carries at most
+    days x depth x width counter rows, not events); the probe side is
+    a {len(CMS_PROBE_USERS)}-row broadcast; the exact control is one
+    group-by on the probed users only. At 100 TB the counter relation
+    is the only thing that moves.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"),
+        F.col("user_id").cast("string").alias("key"),
+    )
+    depth = F.explode(
+        F.array(*[F.lit(i) for i in range(CMS_DEPTH)])
+    ).alias("depth")
+    daily = (
+        ev.select("day", "key", depth)
+        .withColumn("bucket", _cms_bucket(F.col("depth"), F.col("key")))
+        .groupBy("day", "depth", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    merged = daily.groupBy("depth", "bucket").agg(F.sum("n").alias("n"))
+    probes = spark.createDataFrame(
+        [(str(u),) for u in CMS_PROBE_USERS], "key string"
+    ).select("key", depth).withColumn(
+        "bucket", _cms_bucket(F.col("depth"), F.col("key"))
+    )
+    est = (
+        probes.join(merged, ["depth", "bucket"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_est"))
+    )
+    exact = (
+        ev.where(F.col("key").isin([str(u) for u in CMS_PROBE_USERS]))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    return (
+        est.join(exact, "key", "left")
+        .select(
+            F.col("key").cast("long").alias("user_id"),
+            F.coalesce("exact_n", F.lit(0)).alias("exact_n"),
+            "cms_est",
+            (F.col("cms_est") >= F.coalesce("exact_n", F.lit(0))).alias(
+                "never_underestimates"
+            ),
+        )
+    )
+
+
+def _cms_sql() -> str:
+    from goe_spark.functions.hashing import hash64_sql
+
+    bucket = hash64_sql("cast(depth AS varchar) || ':' || key")
+    probe_list = ", ".join(f"('{u}')" for u in CMS_PROBE_USERS)
+    probe_in = ", ".join(f"'{u}'" for u in CMS_PROBE_USERS)
+    return f"""
+WITH ev AS (
+  SELECT cast(ts AS date) AS day, cast(user_id AS varchar) AS key
+  FROM events
+), depths AS (
+  SELECT unnest(range(0, {CMS_DEPTH})) AS depth
+), daily AS (
+  SELECT day, depth, ({bucket}) % {CMS_WIDTH} AS bucket, count(*) AS n
+  FROM ev CROSS JOIN depths
+  GROUP BY 1, 2, 3
+), merged AS (
+  SELECT depth, bucket, sum(n) AS n FROM daily GROUP BY 1, 2
+), probes AS (
+  SELECT key, depth, ({bucket}) % {CMS_WIDTH} AS bucket
+  FROM (VALUES {probe_list}) p(key) CROSS JOIN depths
+), est AS (
+  SELECT key, min(coalesce(m.n, 0)) AS cms_est
+  FROM probes LEFT JOIN merged m USING (depth, bucket)
+  GROUP BY key
+), exact AS (
+  SELECT key, count(*) AS exact_n FROM ev
+  WHERE key IN ({probe_in}) GROUP BY key
+)
+SELECT cast(e.key AS bigint) AS user_id,
+       cast(coalesce(x.exact_n, 0) AS bigint) AS exact_n,
+       cast(e.cms_est AS bigint) AS cms_est,
+       (e.cms_est >= coalesce(x.exact_n, 0)) AS never_underestimates
+FROM est e LEFT JOIN exact x USING (key)
+"""
+
+
 QUERIES = [
+    QuerySpec("cms_user_counts", cms_user_counts, _cms_sql()),
     # rows-only oracles: DuckDB's HLL is a different implementation,
     # so value equality is checked in pytest (accuracy envelope +
     # merge consistency), not against a SQL twin.

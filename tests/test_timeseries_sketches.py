@@ -267,3 +267,43 @@ def test_theta_overlap_exact_below_k(spark):
             r.theta_union
             == counts[r.type_a] + counts[r.type_b] - r.exact_overlap
         ), r
+
+
+def test_cms_table_overestimates_only_and_merges_by_sum(spark):
+    """Table-form CMS invariants: (1) estimates never undershoot the
+    exact count; (2) merging daily counter tables by SUM equals
+    building one sketch over the whole span (pure additivity)."""
+    from pyspark.sql import functions as F
+
+    from goe_spark.catalog import load_table
+    from goe_spark.queries.sketches import (
+        CMS_DEPTH,
+        _cms_bucket,
+        cms_user_counts,
+    )
+    from tests.conftest import SF_SMALL
+
+    out = cms_user_counts(spark, SF_SMALL).collect()
+    assert out and all(r.never_underestimates for r in out)
+    assert all(r.cms_est >= r.exact_n for r in out)
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        F.col("ts").cast("date").alias("day"),
+        F.col("user_id").cast("string").alias("key"),
+    )
+    depth = F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])).alias(
+        "depth"
+    )
+    base = ev.select("day", "key", depth).withColumn(
+        "bucket", _cms_bucket(F.col("depth"), F.col("key"))
+    )
+    via_daily = (
+        base.groupBy("day", "depth", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("depth", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    direct = base.groupBy("depth", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    a = {(r.depth, r.bucket): r.n for r in via_daily.collect()}
+    b = {(r.depth, r.bucket): r.n for r in direct.collect()}
+    assert a == b
