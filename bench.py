@@ -94,6 +94,7 @@ HEADLINE = [
     "join_skew_report",
     "semantic_dedup_keep_first",
     "cms_user_counts",
+    "sentiment_by_source",
 ]
 
 

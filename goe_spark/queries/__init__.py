@@ -43,6 +43,7 @@ HEAD = (
     "join_skew_report",
     "semantic_dedup_keep_first",
     "cms_user_counts",
+    "sentiment_by_source",
     "cross_doc_ngram_coverage",
     "top_duplicate_ngrams",
     "ann_pq_topk",

@@ -541,7 +541,64 @@ FROM ranked WHERE rn <= {TFIDF_TOP_N}
 """
 
 
+# Lexicon-based sentiment (the classic distributed text-analytics
+# rollup — cf. "Large Scale Sentiment Analysis on Twitter with
+# Spark", EDBT 2016, in PAPERS.md). The lexicon is a broadcast-tiny
+# word list; on the synthetic corpus it is a stand-in drawn from the
+# fixture vocabulary — the OPERATOR (per-doc lexicon hit counts ->
+# bounded score -> per-slice rollup, all codegen expressions) is what
+# carries to a real lexicon at 100 TB.
+SENT_POS = ("fast", "big", "merge", "value")
+SENT_NEG = ("slow", "small", "dup", "scan")
+
+
+def sentiment_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) sentiment rollup: doc score =
+    (pos - neg) / (pos + neg + 1) over lexicon hits, bounded (-1, 1).
+    One scan, map-side array filters, one slice-cardinality shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    pos = F.size(F.filter(toks, T._isin_pred(SENT_POS))).cast("double")
+    neg = F.size(F.filter(toks, T._isin_pred(SENT_NEG))).cast("double")
+    score = F.round((pos - neg) / (pos + neg + 1), 6)
+    scored = d.select("lang", "source", score.alias("s"))
+    return scored.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("s"), 6).alias("avg_sentiment"),
+        F.sum((F.col("s") > 0).cast("long")).alias("n_positive_docs"),
+        F.sum((F.col("s") < 0).cast("long")).alias("n_negative_docs"),
+    )
+
+
+def _sentiment_sql() -> str:
+    toks = T.tokens_sql("text")
+    pos_list = ", ".join(f"'{w}'" for w in SENT_POS)
+    neg_list = ", ".join(f"'{w}'" for w in SENT_NEG)
+    return f"""
+WITH scored AS (
+  SELECT lang, source,
+         round(
+           (cast(len(list_filter({toks}, t -> t IN ({pos_list}))) AS double)
+            - len(list_filter({toks}, t -> t IN ({neg_list}))))
+           / (cast(len(list_filter({toks}, t -> t IN ({pos_list}))) AS double)
+              + len(list_filter({toks}, t -> t IN ({neg_list}))) + 1),
+           6) AS s
+  FROM documents
+)
+SELECT lang, source,
+       count(*) AS n_docs,
+       round(avg(s), 6) AS avg_sentiment,
+       cast(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS bigint)
+         AS n_positive_docs,
+       cast(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS bigint)
+         AS n_negative_docs
+FROM scored GROUP BY lang, source
+"""
+
+
 QUERIES = [
+    QuerySpec("sentiment_by_source", sentiment_by_source, _sentiment_sql()),
     QuerySpec("tfidf_top_terms", tfidf_top_terms, TFIDF_SQL),
     QuerySpec("token_stats_by_lang", token_stats_by_lang, TOKEN_STATS_SQL),
     QuerySpec("bpe_token_stats", bpe_token_stats, BPE_TOKEN_SQL),
