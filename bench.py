@@ -95,6 +95,7 @@ HEADLINE = [
     "semantic_dedup_keep_first",
     "cms_user_counts",
     "sentiment_by_source",
+    "token_dropout_stats",
 ]
 
 

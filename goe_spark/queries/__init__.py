@@ -44,6 +44,7 @@ HEAD = (
     "semantic_dedup_keep_first",
     "cms_user_counts",
     "sentiment_by_source",
+    "token_dropout_stats",
     "cross_doc_ngram_coverage",
     "top_duplicate_ngrams",
     "ann_pq_topk",

@@ -817,6 +817,82 @@ LIMIT {BPE_TOP_PAIRS}
 """
 
 
+# Word-dropout augmentation rate (percent) — the classic denoising /
+# robustness augmentation applied when replicating corpus epochs.
+DROPOUT_PCT = 15
+
+
+def token_dropout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic word-dropout augmentation with exact accounting:
+    token i of doc d is dropped iff hash(d:i) lands under
+    {DROPOUT_PCT}%. No RNG state — the augmentation replays
+    bit-for-bit on any engine/executor (the same discipline as the
+    hash samplers), which is what makes augmented epochs reproducible
+    AND lets the DuckDB oracle verify the transform exactly.
+
+    Plan: one scan; the drop decision is a filter() lambda over the
+    token array (codegen, positional hash), no explode of the corpus;
+    rollup is lang-cardinality. Output per language: docs, tokens
+    before/after, observed drop rate."""
+    from goe_spark.functions.hashing import MERSENNE_P
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    did = F.col("doc_id").cast("string")
+
+    def keep(tok, i):
+        h = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(did, F.lit(":"), i.cast("string"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(100),
+        )
+        return h >= DROPOUT_PCT
+
+    kept = F.filter(toks, keep)
+    out = d.select(
+        "lang",
+        F.size(toks).cast("long").alias("n_before"),
+        F.size(kept).cast("long").alias("n_after"),
+    )
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_before").alias("tokens_before"),
+        F.sum("n_after").alias("tokens_after"),
+        F.round(
+            1 - F.sum("n_after") / F.sum("n_before").cast("double"), 6
+        ).alias("observed_drop_rate"),
+    )
+
+
+def _token_dropout_sql() -> str:
+    toks = T.tokens_sql("text")
+    h = (
+        "(cast(concat('0x', substr(md5(cast(doc_id AS varchar) || ':' || "
+        "cast(i - 1 AS varchar)), 1, 15)) AS bigint) % 100)"
+    )
+    return f"""
+WITH per AS (
+  SELECT lang,
+         len({toks}) AS n_before,
+         len(list_filter({toks}, (t, i) -> {h} >= {DROPOUT_PCT}))
+           AS n_after
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       cast(sum(n_before) AS bigint) AS tokens_before,
+       cast(sum(n_after) AS bigint) AS tokens_after,
+       round(1 - sum(n_after) / cast(sum(n_before) AS double), 6)
+         AS observed_drop_rate
+FROM per GROUP BY lang
+"""
+
+
 QUERIES = [
     QuerySpec(
         "weighted_sample_docs", weighted_sample_docs, WEIGHTED_SAMPLE_SQL
@@ -842,5 +918,8 @@ QUERIES = [
     ),
     QuerySpec(
         "bpe_merge_pair_counts", bpe_merge_pair_counts, BPE_MERGE_SQL
+    ),
+    QuerySpec(
+        "token_dropout_stats", token_dropout_stats, _token_dropout_sql()
     ),
 ]
