@@ -28,6 +28,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_RUNS = max(1, int(os.environ.get("BENCH_RUNS", "3")))
+# Wall-clock budget: a bench that overruns whatever patience the
+# caller has produces ZERO timings (round 3's lesson, in time rather
+# than errors). Past 60% of budget remaining queries drop to
+# warm-up + 1 timed run; past 85%, to a single cold run. Degraded
+# queries are listed in the JSON so a reader can discount them.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1080"))
 
 # Representative slice of the registry: scan-agg, broadcast star join,
 # fact-fact join + top-k, window, validation algebra, dedup, text,
@@ -122,12 +128,23 @@ def main() -> None:
     # Failure isolation: one query's analysis exception must not
     # discard every other query's timings (round 3 lost its entire
     # bench to a single broken query).
+    bench_t0 = time.perf_counter()
+    degraded: list[str] = []
     for name in HEADLINE:
+        elapsed = time.perf_counter() - bench_t0
+        warmups, n_runs = 1, N_RUNS
+        if elapsed > 0.85 * BUDGET_S:
+            warmups, n_runs = 0, 1
+        elif elapsed > 0.60 * BUDGET_S:
+            warmups, n_runs = 1, 1
+        if (warmups, n_runs) != (1, N_RUNS):
+            degraded.append(name)
         try:
             fn = qs[name]
-            materialize(fn(spark, SF_DIR))  # warm-up, untimed
+            for _ in range(warmups):
+                materialize(fn(spark, SF_DIR))  # warm-up, untimed
             runs = []
-            for _ in range(N_RUNS):
+            for _ in range(n_runs):
                 t0 = time.perf_counter()
                 materialize(fn(spark, SF_DIR))
                 runs.append(time.perf_counter() - t0)
@@ -156,6 +173,8 @@ def main() -> None:
                 "queries_max": maxs,
                 "runs_per_query": N_RUNS,
                 "warmup_runs": 1,
+                "degraded": degraded,
+                "budget_s": BUDGET_S,
                 "errors": errs,
                 "n_failed": len(errs),
                 "sf": sf_val,
