@@ -102,6 +102,7 @@ HEADLINE = [
     "cms_user_counts",
     "sentiment_by_source",
     "token_dropout_stats",
+    "span_corruption_stats",
 ]
 
 

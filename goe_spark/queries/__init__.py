@@ -45,6 +45,7 @@ HEAD = (
     "cms_user_counts",
     "sentiment_by_source",
     "token_dropout_stats",
+    "span_corruption_stats",
     "cross_doc_ngram_coverage",
     "top_duplicate_ngrams",
     "ann_pq_topk",

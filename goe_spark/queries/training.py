@@ -893,6 +893,111 @@ FROM per GROUP BY lang
 """
 
 
+# Span corruption (the T5/BART denoising-objective prep): spans of
+# SPAN_LEN tokens are masked starting at deterministically chosen
+# positions; overlapping spans merge naturally in the coverage count.
+SPAN_RATE_PCT = 5
+SPAN_LEN = 3
+
+
+def span_corruption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption accounting: position i starts a span iff the
+    positional hash (same family as token_dropout_stats) lands under
+    {SPAN_RATE_PCT}%; a token is masked iff ANY of the last
+    {SPAN_LEN} positions (itself included) started a span. RNG-free,
+    so the corruption replays identically everywhere and the oracle
+    verifies it exactly.
+
+    Plan: one scan; span starts are one array transform, coverage is
+    an exists() over a length-{SPAN_LEN} slice per position (O(n*L)
+    map-side, no explode); rollup is lang-cardinality. Output per
+    language: docs, tokens, spans started, tokens masked, mask rate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    n = F.size(toks)
+    did = F.col("doc_id").cast("string")
+
+    def is_start(i):
+        return (
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(did, F.lit(":"), i.cast("string"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(100),
+            )
+            < SPAN_RATE_PCT
+        )
+
+    starts = F.transform(F.sequence(F.lit(1), n), lambda i: is_start(i))
+    per = d.select(
+        "lang",
+        n.cast("long").alias("n_tokens"),
+        F.size(F.filter(starts, lambda s: s)).cast("long").alias("n_spans"),
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), n),
+                lambda j: F.exists(
+                    F.slice(
+                        starts,
+                        F.greatest(F.lit(1), j - SPAN_LEN + 1),
+                        F.least(j, F.lit(SPAN_LEN)),
+                    ),
+                    lambda x: x,
+                ),
+            )
+        )
+        .cast("long")
+        .alias("n_masked"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens_total"),
+        F.sum("n_spans").alias("spans_started"),
+        F.sum("n_masked").alias("tokens_masked"),
+        F.round(
+            F.sum("n_masked") / F.sum("n_tokens").cast("double"), 6
+        ).alias("mask_rate"),
+    )
+
+
+def _span_corruption_sql() -> str:
+    toks = T.tokens_sql("text")
+    h = (
+        "((cast(concat('0x', substr(md5(cast(doc_id AS varchar) || ':' || "
+        f"cast(i AS varchar)), 1, 15)) AS bigint) % 100) < {SPAN_RATE_PCT})"
+    )
+    return f"""
+WITH per AS (
+  SELECT lang,
+         len({toks}) AS n_tokens,
+         list_transform(range(1, len({toks}) + 1), i -> {h}) AS starts
+  FROM documents
+), counted AS (
+  SELECT lang, n_tokens,
+         len(list_filter(starts, s -> s)) AS n_spans,
+         len(list_filter(range(1, n_tokens + 1),
+             j -> len(list_filter(
+                    list_slice(starts, greatest(1, j - {SPAN_LEN} + 1), j),
+                    x -> x)) > 0)) AS n_masked
+  FROM per
+)
+SELECT lang,
+       count(*) AS n_docs,
+       cast(sum(n_tokens) AS bigint) AS tokens_total,
+       cast(sum(n_spans) AS bigint) AS spans_started,
+       cast(sum(n_masked) AS bigint) AS tokens_masked,
+       round(sum(n_masked) / cast(sum(n_tokens) AS double), 6) AS mask_rate
+FROM counted GROUP BY lang
+"""
+
+
 QUERIES = [
     QuerySpec(
         "weighted_sample_docs", weighted_sample_docs, WEIGHTED_SAMPLE_SQL
@@ -921,5 +1026,8 @@ QUERIES = [
     ),
     QuerySpec(
         "token_dropout_stats", token_dropout_stats, _token_dropout_sql()
+    ),
+    QuerySpec(
+        "span_corruption_stats", span_corruption_stats, _span_corruption_sql()
     ),
 ]
