@@ -264,9 +264,25 @@ def minhash_lsh_pairs(
     """
     from goe_spark.operators import minhash as MH
 
-    sigs = _shingle_hashed(spark, sf_dir, docs).select(
-        "doc_id", MH.minhash_signature(F.col("sh")).alias("mh")
-    )
+    if docs is None:
+        # Full-catalog run: read the materialized signature index
+        # (operators/minhash_index, fingerprint-fresh) instead of
+        # recomputing the md5 shingle lineage — the same persisted
+        # signatures the incremental probe scans. Subset runs
+        # (curation stages) compute fresh: the index covers the
+        # catalog table only.
+        from goe_spark.operators.minhash_index import (
+            ensure_signature_index,
+            load_signatures,
+        )
+
+        sigs = load_signatures(
+            spark, ensure_signature_index(spark, sf_dir)
+        )
+    else:
+        sigs = _shingle_hashed(spark, sf_dir, docs).select(
+            "doc_id", MH.minhash_signature(F.col("sh")).alias("mh")
+        )
     bands = sigs.select(
         F.struct("doc_id", "mh").alias("doc"),
         F.explode(MH.band_structs(F.col("mh"))).alias("bs"),
