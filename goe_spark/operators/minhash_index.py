@@ -8,7 +8,9 @@ away O(corpus) work. This module persists the signature table once
 per source fingerprint (the exact discipline operators/ivf.py applies
 to the vector index):
 
-- signatures/: parquet (doc_id, mh array<long>) — the index payload.
+- signatures/: parquet (doc_id, shd array<long>, mh array<long>)
+  — distinct shingle hashes + signature; signature-only readers
+  column-prune shd away for free.
 - _INDEX_META.json: source fingerprint + layout version; a changed
   source or layout rebuilds, mirroring ivf.ensure_index.
 - append_signatures: new batches compute only THEIR signatures and
@@ -25,7 +27,10 @@ quadruple the index for work the scan does for free inside codegen.
 At 100 TB the probe's cost structure becomes: one-time O(corpus)
 index build, then per-increment O(batch) signature computation + a
 band join whose corpus side reads (doc_id, mh) only — 8+16·8 bytes a
-row, no text.
+row, no text. The shd column makes the index also serve exact-Jaccard
+verification (ngram_jaccard_pairs); it is corpus-scale (~8 bytes per
+token), the standard cost of a shingle store, and readers that don't
+need it never scan it.
 """
 
 from __future__ import annotations
@@ -40,20 +45,29 @@ from pyspark.sql import functions as F
 from goe_spark.operators.ivf import _REPO_ROOT, _source_fingerprint
 
 INDEX_ROOT = os.path.join(_REPO_ROOT, "spark-warehouse", "minhash_index")
-INDEX_VERSION = 1
+INDEX_VERSION = 2
 
 
 def signature_frame(docs: DataFrame) -> DataFrame:
-    """(doc_id, mh) for any documents frame (doc_id, lang, source,
-    text). Reuses the ONE canonical shingle lineage
-    (queries/dedup._shingle_hashed), so indexed signatures are
+    """(doc_id, shd, mh) for any documents frame (doc_id, lang,
+    source, text). Reuses the ONE canonical shingle lineage
+    (queries/dedup._shingle_hashed), so indexed values are
     bit-identical to what the all-pairs queries and the DuckDB oracle
-    compute."""
+    compute. v2 stores the DISTINCT shingle array alongside the
+    signature: the exact-Jaccard verify joins (ngram_jaccard_pairs)
+    read it straight from the index, and signature-only consumers
+    column-prune it away for free. The signature is computed over the
+    distinct set — min over a multiset equals min over its set, so it
+    is bit-identical to the raw-array form."""
     from goe_spark.operators import minhash as MH
     from goe_spark.queries.dedup import _shingle_hashed
 
-    sh = _shingle_hashed(None, "", docs=docs)
-    return sh.select("doc_id", MH.minhash_signature(F.col("sh")).alias("mh"))
+    sh = _shingle_hashed(None, "", docs=docs).select(
+        "doc_id", F.array_distinct("sh").alias("shd")
+    )
+    return sh.select(
+        "doc_id", "shd", MH.minhash_signature(F.col("shd")).alias("mh")
+    )
 
 
 def build_signature_index(

@@ -150,20 +150,19 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: candidate doc pairs with exact jaccard >= 0.1 (id1 < id2).
     """
     from goe_spark.operators import minhash as MH
+    from goe_spark.operators.minhash_index import (
+        ensure_signature_index,
+        load_signatures,
+    )
 
-    # repartition inserts ONE exchange under all three consumers
-    # (signature branch + the two verify joins); AQE's stage reuse
-    # then computes the md5-heavy shingle lineage once instead of
-    # three times (~25% of query time at sf0.1, measured). Partition
-    # count comes from spark.sql.shuffle.partitions.
-    shingled = (
-        _shingle_hashed(spark, sf_dir)
-        .select("doc_id", F.array_distinct("sh").alias("shd"))
-        .repartition("doc_id")
-    )
-    sigs = shingled.select(
-        "doc_id", MH.minhash_signature(F.col("shd")).alias("mh")
-    )
+    # All three consumers (signature branch + the two verify joins)
+    # read the MATERIALIZED v2 index — (doc_id, shd, mh) parquet — so
+    # the md5-heavy shingle lineage is never recomputed at query time
+    # and no repartition exchange is needed to share it; each consumer
+    # is a column-pruned parquet scan.
+    idx = load_signatures(spark, ensure_signature_index(spark, sf_dir))
+    shingled = idx.select("doc_id", "shd")
+    sigs = idx.select("doc_id", "mh")
     bands = sigs.select(
         "doc_id", F.explode(MH.band_structs(F.col("mh"))).alias("bs")
     ).select(
