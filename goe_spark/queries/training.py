@@ -935,14 +935,28 @@ def span_corruption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             < SPAN_RATE_PCT
         )
 
-    starts = F.transform(F.sequence(F.lit(1), n), lambda i: is_start(i))
-    per = d.select(
+    # Materialize the span-start array ONCE per row. Higher-order
+    # functions re-evaluate captured expressions per element, so
+    # referencing the `starts` expression inside the per-position
+    # coverage lambda would recompute all n md5 hashes for each of the
+    # n positions — O(n^2) per document (measured 18x slower at
+    # sf0.01). Selecting it as a column first keeps the whole query
+    # O(n * SPAN_LEN) map-side.
+    staged = d.select(
         "lang",
         n.cast("long").alias("n_tokens"),
+        F.transform(F.sequence(F.lit(1), n), lambda i: is_start(i)).alias(
+            "starts"
+        ),
+    )
+    starts = F.col("starts")
+    per = staged.select(
+        "lang",
+        "n_tokens",
         F.size(F.filter(starts, lambda s: s)).cast("long").alias("n_spans"),
         F.size(
             F.filter(
-                F.sequence(F.lit(1), n),
+                F.sequence(F.lit(1), F.col("n_tokens").cast("int")),
                 lambda j: F.exists(
                     F.slice(
                         starts,

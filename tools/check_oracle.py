@@ -29,12 +29,17 @@ def normalize_cell(v):
         return "NULL"
     if isinstance(v, bool):
         return str(int(v))
+    # STRICT: no rounding. The driver's hash proved stricter than a
+    # 9-digit round (r4: 6 queries passed here, failed there), so the
+    # mirror must be at least as strict — representation differences
+    # are the QUERY's job to eliminate (round-then-cast to
+    # decimal/string identically on both engines).
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        return repr(v)
     if isinstance(v, decimal.Decimal):
-        return repr(round(float(v), 9))
+        return str(v)
     if isinstance(v, datetime.datetime):
         return v.isoformat(sep=" ")
     if isinstance(v, datetime.date):
