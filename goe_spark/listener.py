@@ -15,6 +15,11 @@ dependencies. Routes:
 - POST /api/delete                       targeted row deletion
 - POST /api/heal                         one-shot crash recovery for a
                                          maintenance target
+- POST /api/ingest                       schema-validated file ingest
+                                         with quarantine (JSON body =
+                                         input/schema/good_dir/
+                                         quarantine_dir [+ format,
+                                         max_bad_fraction])
 - POST /api/curate                       corpus curation pipeline
                                          (source_dir/work_dir/
                                          metadata_dir [+ quality_min,
@@ -101,37 +106,6 @@ def make_handler(spark):
                         table_name=qs.get("table"),
                     )
                     self._reply(200, {"steps": _json_rows(rpt, 5000)})
-                elif url.path == "/api/ingest":
-                    from pyspark.sql.types import StructType
-
-                    from goe_spark.sources.ingest_files import (
-                        IngestValidationError,
-                        ingest_with_quarantine,
-                    )
-
-                    try:
-                        rep = ingest_with_quarantine(
-                            spark,
-                            spec["input"],
-                            StructType.fromDDL(spec["schema"]),
-                            good_path=spec["good_dir"],
-                            quarantine_path=spec["quarantine_dir"],
-                            fmt=spec.get("format", "json"),
-                            max_bad_fraction=spec.get("max_bad_fraction"),
-                        )
-                    except IngestValidationError as e:
-                        self._reply(422, {"error": str(e)})
-                    else:
-                        self._reply(
-                            200,
-                            {
-                                "n_good": rep.n_good,
-                                "n_bad": rep.n_bad,
-                                "bad_fraction": round(rep.bad_fraction, 6),
-                                "good_path": rep.good_path,
-                                "quarantine_path": rep.quarantine_path,
-                            },
-                        )
                 else:
                     self._reply(404, {"error": "not found"})
             except KeyError as e:  # missing query parameter = caller error

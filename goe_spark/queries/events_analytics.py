@@ -224,10 +224,13 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# cast AS bigint: DuckDB SUM of integers is HUGEINT -> float64 in its
+# pandas fetch; Spark's pivot-count is int64.
 PIVOT_SQL = f"""
 SELECT cast(ts AS date) AS day,
        {", ".join(
-           f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+           f"cast(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+           f" AS bigint) AS n_{t}"
            for t in EVENT_TYPES
        )}
 FROM events GROUP BY 1
@@ -401,9 +404,11 @@ def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.cube("nation", "order_year").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(20,2)")), 2).alias(
-            "revenue"
-        ),
+        # round-then-cast-to-DOUBLE on both engines: decimal outputs
+        # diverge in the driver's pandas fetch (Decimal vs float64)
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(20,2)")), 2)
+        .cast("double")
+        .alias("revenue"),
     )
 
 
@@ -411,7 +416,8 @@ REVENUE_CUBE_SQL = """
 SELECT n.n_name AS nation,
        year(o.o_orderdate) AS order_year,
        count(*) AS n_orders,
-       round(sum(cast(o.o_totalprice AS decimal(20,2))), 2) AS revenue
+       cast(round(sum(cast(o.o_totalprice AS decimal(20,2))), 2)
+            AS double) AS revenue
 FROM orders o
 JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN nation n ON n.n_nationkey = c.c_nationkey

@@ -114,9 +114,12 @@ def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(bucket.alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(
-                F.sum(F.col("o_totalprice").cast("decimal(20,2)")), 2
-            ).alias("bucket_revenue"),
+            # round-then-cast-to-DOUBLE: aligns the pandas dtype with
+            # DuckDB's DECIMAL->float64 fetch (round-5 verdict found
+            # this green only because no value's cents ended in 0)
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(20,2)")), 2)
+            .cast("double")
+            .alias("bucket_revenue"),
         )
         .select(
             "bucket",
@@ -135,7 +138,8 @@ SELECT cast(floor(o_totalprice / {HIST_BUCKET_WIDTH}) AS bigint) AS bucket,
        (cast(floor(o_totalprice / {HIST_BUCKET_WIDTH}) AS bigint) + 1)
          * {HIST_BUCKET_WIDTH} AS bucket_hi,
        count(*) AS n_orders,
-       round(sum(cast(o_totalprice AS decimal(20,2))), 2) AS bucket_revenue
+       cast(round(sum(cast(o_totalprice AS decimal(20,2))), 2)
+            AS double) AS bucket_revenue
 FROM {PROFILE_TABLE}
 GROUP BY 1
 """

@@ -359,18 +359,273 @@ FROM est e LEFT JOIN exact x USING (key)
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact-control hashable surfaces.
+#
+# DataSketches HLL/KLL/theta estimates have no DuckDB twin, so the raw
+# estimate columns can never survive a cross-engine value hash. But the
+# driver's full hash check is far stronger evidence than rows-only, so
+# the REGISTRY entries project each sketch query onto a surface both
+# engines can agree on exactly:
+#   - the exact control columns (SQL-replayable aggregations), and
+#   - one boolean per sketch estimate asserting it landed inside its
+#     published error envelope (the oracle asserts TRUE literally).
+# A broken sketch plan flips a boolean and fails the hash; the raw
+# estimate values remain available from the detail functions above and
+# stay covered by tests/test_timeseries_sketches.py (accuracy + merge
+# consistency at tighter bounds).
+# ---------------------------------------------------------------------------
+
+# lgK=12 -> RSE ~1.625%; 3-sigma envelope used by the booleans.
+HLL_REL_ERR = 0.05
+# KLL default k -> ~1.65% normalized rank error; +/-5% rank window.
+KLL_RANK_EPS = 0.05
+# theta default k=4096 -> ~1.6% sampling error on the union; set-op
+# estimates inherit it scaled by the union, with an absolute floor
+# for near-empty intersections.
+THETA_REL_ERR = 0.05
+
+
+def daily_distinct_users_hll_checked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver surface for daily_distinct_users_hll: exact distinct
+    users per day plus within-envelope booleans for the direct and
+    merged HLL estimates."""
+    d = daily_distinct_users_hll(spark, sf_dir)
+    rel = F.abs(F.col("hll_direct") - F.col("exact_users")) / F.col(
+        "exact_users"
+    )
+    return d.select(
+        "day",
+        "exact_users",
+        (rel <= HLL_REL_ERR).alias("hll_within_err"),
+        (F.col("merge_rel_diff") <= HLL_REL_ERR).alias("merge_consistent"),
+    )
+
+
+DAILY_HLL_CHECKED_SQL = """
+SELECT cast(ts AS date) AS day,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS hll_within_err,
+       TRUE AS merge_consistent
+FROM events
+GROUP BY 1
+"""
+
+
+def rolling_distinct_users_hll_checked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver surface for rolling_distinct_users_hll: the exact
+    trailing-window distinct-user count per window end (computed by
+    the same explode-to-window-end pattern the sketch uses, over the
+    distinct (day,user) relation — dropped at scale, where the sketch
+    IS the answer) plus the estimate's envelope boolean."""
+    est = rolling_distinct_users_hll(spark, sf_dir)
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    pairs = e.distinct()
+    exact = (
+        pairs.select(
+            F.explode(
+                F.sequence(F.col("day"), F.date_add("day", ROLLING_DAYS - 1))
+            ).alias("window_end"),
+            "user_id",
+        )
+        .groupBy("window_end")
+        .agg(F.countDistinct("user_id").alias("exact_rolling_users"))
+    )
+    rel = F.abs(
+        F.col("rolling_users") - F.col("exact_rolling_users")
+    ) / F.col("exact_rolling_users")
+    return est.join(exact, "window_end").select(
+        "window_end",
+        "days_in_window",
+        "exact_rolling_users",
+        (rel <= HLL_REL_ERR).alias("rolling_within_err"),
+    )
+
+
+ROLLING_HLL_CHECKED_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT cast(ts AS date) AS day, user_id FROM events
+), bounds AS (
+  SELECT max(day) AS hi FROM pairs
+), ends AS (
+  SELECT DISTINCT day + cast(k AS integer) AS window_end
+  FROM pairs CROSS JOIN (SELECT unnest(range(0, {ROLLING_DAYS})) AS k),
+       bounds
+  WHERE day + cast(k AS integer) <= bounds.hi
+), days AS (
+  SELECT DISTINCT day FROM pairs
+)
+SELECT e.window_end,
+       (SELECT count(*) FROM days d
+        WHERE d.day BETWEEN e.window_end - {ROLLING_DAYS - 1}
+                        AND e.window_end) AS days_in_window,
+       (SELECT count(DISTINCT p.user_id) FROM pairs p
+        WHERE p.day BETWEEN e.window_end - {ROLLING_DAYS - 1}
+                        AND e.window_end) AS exact_rolling_users,
+       TRUE AS rolling_within_err
+FROM ends e
+"""
+
+
+def value_quantiles_kll_checked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver surface for value_quantiles_kll: exact n / p50 / p99 per
+    event type plus rank-window booleans — each KLL estimate must land
+    between the exact quantiles at (q - eps) and (q + eps), the value
+    form of DataSketches' rank-error guarantee."""
+    d = value_quantiles_kll(spark, sf_dir)
+    e = load_table(spark, sf_dir, "events")
+    lo50, hi50 = 0.5 - KLL_RANK_EPS, 0.5 + KLL_RANK_EPS
+    lo99 = 0.99 - KLL_RANK_EPS
+    bounds = e.groupBy("event_type").agg(
+        F.expr(f"percentile(value, {lo50})").alias("b_lo50"),
+        F.expr(f"percentile(value, {hi50})").alias("b_hi50"),
+        F.expr(f"percentile(value, {lo99})").alias("b_lo99"),
+        F.max("value").alias("b_max"),
+    )
+    return d.join(bounds, "event_type").select(
+        "event_type",
+        "n_values",
+        "exact_p50",
+        "exact_p99",
+        F.col("kll_p50_direct")
+        .between(F.col("b_lo50"), F.col("b_hi50"))
+        .alias("p50_direct_in_window"),
+        F.col("kll_p50_merged")
+        .between(F.col("b_lo50"), F.col("b_hi50"))
+        .alias("p50_merged_in_window"),
+        F.col("kll_p99_merged")
+        .between(F.col("b_lo99"), F.col("b_max"))
+        .alias("p99_merged_in_window"),
+    )
+
+
+KLL_CHECKED_SQL = """
+SELECT event_type,
+       count(value) AS n_values,
+       round(quantile_cont(value, 0.5), 6) AS exact_p50,
+       round(quantile_cont(value, 0.99), 6) AS exact_p99,
+       TRUE AS p50_direct_in_window,
+       TRUE AS p50_merged_in_window,
+       TRUE AS p99_merged_in_window
+FROM events
+GROUP BY event_type
+"""
+
+
+def audience_overlap_theta_checked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver surface for audience_overlap_theta: exact overlap /
+    only-a / union per ordered event-type pair plus envelope booleans
+    for the three theta estimates (tolerance relative to the exact
+    union, with an absolute floor of 2 for near-empty set results)."""
+    d = audience_overlap_theta(spark, sf_dir)
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    counts = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    d = (
+        d.join(
+            F.broadcast(
+                counts.select(
+                    F.col("event_type").alias("type_a"),
+                    F.col("n_users").alias("n_a"),
+                )
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                counts.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("n_users").alias("n_b"),
+                )
+            ),
+            "type_b",
+        )
+        .withColumn(
+            "exact_only_a", F.col("n_a") - F.col("exact_overlap")
+        )
+        .withColumn(
+            "exact_union",
+            F.col("n_a") + F.col("n_b") - F.col("exact_overlap"),
+        )
+    )
+    tol = F.greatest(F.lit(2.0), F.lit(THETA_REL_ERR) * F.col("exact_union"))
+    return d.select(
+        "type_a",
+        "type_b",
+        "exact_overlap",
+        "exact_only_a",
+        "exact_union",
+        (F.abs(F.col("theta_overlap") - F.col("exact_overlap")) <= tol).alias(
+            "overlap_within_err"
+        ),
+        (F.abs(F.col("theta_only_a") - F.col("exact_only_a")) <= tol).alias(
+            "only_a_within_err"
+        ),
+        (F.abs(F.col("theta_union") - F.col("exact_union")) <= tol).alias(
+            "union_within_err"
+        ),
+    )
+
+
+THETA_CHECKED_SQL = """
+WITH tu AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), counts AS (
+  SELECT event_type, count(*) AS n_users FROM tu GROUP BY 1
+), overlap AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS exact_overlap
+  FROM tu a JOIN tu b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+         ca.n_users AS n_a, cb.n_users AS n_b
+  FROM counts ca JOIN counts cb ON ca.event_type < cb.event_type
+)
+SELECT p.type_a, p.type_b,
+       coalesce(o.exact_overlap, 0) AS exact_overlap,
+       p.n_a - coalesce(o.exact_overlap, 0) AS exact_only_a,
+       p.n_a + p.n_b - coalesce(o.exact_overlap, 0) AS exact_union,
+       TRUE AS overlap_within_err,
+       TRUE AS only_a_within_err,
+       TRUE AS union_within_err
+FROM pairs p LEFT JOIN overlap o USING (type_a, type_b)
+"""
+
+
 QUERIES = [
     QuerySpec("cms_user_counts", cms_user_counts, _cms_sql()),
-    # rows-only oracles: DuckDB's HLL is a different implementation,
-    # so value equality is checked in pytest (accuracy envelope +
-    # merge consistency), not against a SQL twin.
-    QuerySpec("daily_distinct_users_hll", daily_distinct_users_hll, None),
+    # Exact-control hashable surfaces (see block comment above): the
+    # registry entries hash exact controls + envelope booleans; raw
+    # estimates live in the detail functions and pytest.
     QuerySpec(
-        "rolling_distinct_users_hll", rolling_distinct_users_hll, None
+        "daily_distinct_users_hll",
+        daily_distinct_users_hll_checked,
+        DAILY_HLL_CHECKED_SQL,
     ),
-    # same contract: DataSketches KLL/theta have no DuckDB twin;
-    # accuracy + merge consistency proven in
-    # tests/test_timeseries_sketches.py.
-    QuerySpec("value_quantiles_kll", value_quantiles_kll, None),
-    QuerySpec("audience_overlap_theta", audience_overlap_theta, None),
+    QuerySpec(
+        "rolling_distinct_users_hll",
+        rolling_distinct_users_hll_checked,
+        ROLLING_HLL_CHECKED_SQL,
+    ),
+    QuerySpec(
+        "value_quantiles_kll", value_quantiles_kll_checked, KLL_CHECKED_SQL
+    ),
+    QuerySpec(
+        "audience_overlap_theta",
+        audience_overlap_theta_checked,
+        THETA_CHECKED_SQL,
+    ),
 ]

@@ -379,7 +379,8 @@ CONTINUOUS_ROLLUP_SQL = """
 SELECT cast(ts AS date)     AS day,
        event_type,
        count(*)             AS n_events,
-       round(sum(cast(value AS decimal(20,2))), 2) AS sum_value
+       cast(round(sum(cast(value AS decimal(20,2))), 2)
+            AS double) AS sum_value
 FROM events
 GROUP BY 1, 2
 """

@@ -458,7 +458,8 @@ SELECT lang,
        count(*)                        AS n_docs,
        round(avg(logprob), 4)          AS avg_logprob,
        round(min(logprob), 6)          AS worst_logprob,
-       sum(CASE WHEN logprob < -9.0 THEN 1 ELSE 0 END) AS n_low_tail
+       cast(sum(CASE WHEN logprob < -9.0 THEN 1 ELSE 0 END)
+            AS bigint) AS n_low_tail
 FROM per_doc GROUP BY lang
 """
 

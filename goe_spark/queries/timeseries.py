@@ -166,9 +166,14 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(
-            F.round(
-                F.sum(F.col("o_totalprice").cast("decimal(20,2)")), 2
-            ).alias("total_spend")
+            # round-then-cast-to-DOUBLE: DuckDB's pandas fetch turns
+            # DECIMAL into float64, Spark's keeps Decimal objects —
+            # identical values would render '123.40' vs '123.4' in
+            # the driver's hash. Both engines cast the same rounded
+            # decimal to its nearest double, which is bit-identical.
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(20,2)")), 2)
+            .cast("double")
+            .alias("total_spend")
         )
     )
     w = Window.orderBy(F.col("total_spend").desc(), F.col("o_custkey"))
@@ -184,7 +189,8 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 DECILES_SQL = """
 WITH spend AS (
   SELECT o_custkey,
-         round(sum(cast(o_totalprice AS decimal(20,2))), 2) AS total_spend
+         cast(round(sum(cast(o_totalprice AS decimal(20,2))), 2)
+              AS double) AS total_spend
   FROM orders GROUP BY 1
 )
 SELECT o_custkey AS custkey, total_spend,
@@ -273,7 +279,11 @@ WITH o AS (
            AS island
   FROM flagged
 )
-SELECT o_custkey AS custkey, island, o_orderstatus AS status,
+SELECT o_custkey AS custkey,
+       -- DuckDB window SUM of integers is HUGEINT, which its pandas
+       -- fetch degrades to float64 ('1.0' vs Spark's int64 '1')
+       cast(island AS bigint) AS island,
+       o_orderstatus AS status,
        min(cast(o_orderdate AS date)) AS valid_from,
        max(cast(o_orderdate AS date)) AS valid_to,
        count(*) AS n_orders

@@ -270,10 +270,11 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 STRATIFIED_SAMPLE_SQL = f"""
 SELECT lang, source,
        count(*) AS n_total,
-       sum(CASE WHEN ({hash64_sql('cast(doc_id AS varchar)')} % 100) <
-                     (CASE WHEN lang = 'en' THEN {SAMPLE_RATE_EN}
-                           ELSE {SAMPLE_RATE_DEFAULT} END)
-                THEN 1 ELSE 0 END) AS n_sampled
+       cast(sum(CASE WHEN ({hash64_sql('cast(doc_id AS varchar)')} % 100) <
+                          (CASE WHEN lang = 'en' THEN {SAMPLE_RATE_EN}
+                                ELSE {SAMPLE_RATE_DEFAULT} END)
+                     THEN 1 ELSE 0 END)
+            AS bigint) AS n_sampled
 FROM documents
 GROUP BY lang, source
 """
@@ -338,7 +339,8 @@ WITH toks AS (
 SELECT lang,
        count(*)                       AS n_bins,
        cast(sum(docs_in_bin) AS bigint)   AS n_docs,
-       max(bin_tokens)                AS max_bin_tokens,
+       -- bin_tokens is SUM(int) = HUGEINT -> float64 in pandas
+       cast(max(bin_tokens) AS bigint)    AS max_bin_tokens,
        round(avg(bin_tokens), 4)      AS avg_bin_tokens
 FROM per_bin GROUP BY lang
 """

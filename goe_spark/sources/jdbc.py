@@ -23,11 +23,47 @@ from goe_spark.sources.split_strategy import (
 )
 
 
+# Frontend-dialect sample clauses for sampling pushdown (the
+# reference pushes ``SAMPLE BLOCK (pct)`` into the Oracle scan —
+# oracle_offload_source_table.py:784, driven by
+# offload_source_table.py:668-927 — so a 1% type-tightening sample
+# reads ~1% of the blocks instead of scanning the full table and
+# discarding 99% client-side). Dialects whose sample operator
+# suffixes the TABLE REFERENCE:
+_TABLE_SAMPLE_CLAUSES = {
+    "oracle": "SAMPLE BLOCK ({pct})",
+    "postgresql": "TABLESAMPLE SYSTEM ({pct})",
+    "mssql": "TABLESAMPLE SYSTEM ({pct} PERCENT)",
+    "ansi": "TABLESAMPLE SYSTEM ({pct})",
+}
+# Dialects whose sample operator suffixes the whole QUERY:
+_QUERY_SAMPLE_CLAUSES = {
+    "teradata": "SAMPLE {frac}",
+}
+
+
+def sample_clause(dialect: str, percent: float) -> tuple[str, str] | None:
+    """(position, clause) for the dialect's native sampler, or None
+    when the frontend has none (caller falls back to a post-read
+    ``df.sample`` — correct but scans everything)."""
+    if not 0 < percent <= 100:
+        raise ValueError(f"sample percent out of range: {percent}")
+    d = dialect.lower()
+    if d in _TABLE_SAMPLE_CLAUSES:
+        return "table", _TABLE_SAMPLE_CLAUSES[d].format(pct=f"{percent:g}")
+    if d in _QUERY_SAMPLE_CLAUSES:
+        return "query", _QUERY_SAMPLE_CLAUSES[d].format(
+            frac=f"{percent / 100.0:g}"
+        )
+    return None
+
+
 def dbtable_subquery(
     table: str,
     columns: list[str] | None = None,
     where: str | None = None,
     snapshot_clause: str | None = None,
+    sample: tuple[str, str] | None = None,
 ) -> str:
     """Render the row-source subquery for the ``dbtable`` option.
 
@@ -36,12 +72,20 @@ def dbtable_subquery(
     place (SURVEY.md §4 row 1). The snapshot clause (e.g. Oracle
     ``AS OF SCN n``) rides along verbatim, matching the reference's
     consistent-read scan (oracle_offload_transport_rdbms_api.py:636-645).
+    ``sample`` is a (position, clause) pair from sample_clause();
+    table-positioned clauses follow the snapshot clause (Oracle's
+    flashback-then-sample table_reference order), query-positioned
+    ones append after WHERE.
     """
     cols = ", ".join(columns) if columns else "*"
     src = table + (f" {snapshot_clause}" if snapshot_clause else "")
+    if sample and sample[0] == "table":
+        src += f" {sample[1]}"
     q = f"SELECT {cols} FROM {src}"
     if where:
         q += f" WHERE {where}"
+    if sample and sample[0] == "query":
+        q += f" {sample[1]}"
     return f"({q}) goe_src"
 
 

@@ -109,7 +109,10 @@ def read_rollup(
     return _merge(partials).select(
         *_GRAIN,
         "n_events",
-        F.round("sum_value", 2).alias("sum_value"),
+        # round-then-cast-to-DOUBLE: keeps the presentation dtype
+        # aligned with the DuckDB oracle's pandas fetch (which turns
+        # DECIMAL into float64); the stored partials stay exact decimal
+        F.round("sum_value", 2).cast("double").alias("sum_value"),
     )
 
 

@@ -146,6 +146,42 @@ def build_sampling_aggs(
     return aggs
 
 
+def sample_rdbms_data_types(
+    spark,
+    url: str,
+    table: str,
+    numeric_cols: list[str],
+    date_cols: list[str],
+    dialect: str = "ansi",
+    percent: float = 1.0,
+    properties: dict[str, str] | None = None,
+) -> list[CanonicalColumn]:
+    """End-to-end sampling-driven tightening against a LIVE frontend,
+    with the sample pushed into the source database's own sampler
+    when the dialect has one (the reference's SAMPLE BLOCK path —
+    offload_source_table.py:668-927, oracle_offload_source_table.py:784).
+
+    Pushdown matters at scale: ``SAMPLE BLOCK (1)`` makes the RDBMS
+    read ~1% of the blocks; the fallback (``df.sample`` after a full
+    JDBC read) is semantically identical but ships 100% of the rows
+    over the wire first. Column pruning applies either way — only the
+    columns being tightened enter the subquery."""
+    from goe_spark.sources.jdbc import dbtable_subquery, sample_clause
+
+    cols = list(numeric_cols) + list(date_cols)
+    clause = sample_clause(dialect, percent)
+    src = dbtable_subquery(table, columns=cols, sample=clause)
+    df = spark.read.jdbc(url=url, table=src, properties=properties or {})
+    if clause is None and percent < 100:
+        df = df.sample(fraction=percent / 100.0, seed=7)
+    row = (
+        df.agg(*build_sampling_aggs(df, numeric_cols, date_cols))
+        .first()
+        .asDict()
+    )
+    return tighten_from_sample_row(row, numeric_cols, date_cols)
+
+
 def tighten_from_sample_row(
     row: dict,
     numeric_cols: list[str],

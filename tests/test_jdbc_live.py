@@ -89,3 +89,47 @@ def test_custom_schema_read(spark, derby_url):
     )
     assert dict(df.dtypes)["AMOUNT"] == "double"
     assert df.count() == N_ROWS
+
+
+def test_sampling_pushdown_live_fallback(spark, derby_url):
+    """sample_rdbms_data_types against live Derby: Derby has no
+    TABLESAMPLE dialect entry, so the helper must fall back to a
+    post-read df.sample — and at 100% the tightening must see every
+    row, reproducing the exact all-rows answer."""
+    from goe_spark.types.sampling import sample_rdbms_data_types
+
+    cols = sample_rdbms_data_types(
+        spark,
+        derby_url,
+        "sales",
+        numeric_cols=["amount"],
+        date_cols=[],
+        dialect="derby",
+        percent=100.0,
+    )
+    (amount,) = cols
+    # max amount is 499.25 -> magnitude 3, scale 2 -> DECIMAL(5,2)
+    assert amount.data_type == "DECIMAL"
+    assert (amount.data_precision, amount.data_scale) == (5, 2)
+    assert amount.safe_mapping is False  # sampled types are always unsafe
+
+
+def test_sampling_pushdown_partial_sample_live(spark, derby_url):
+    """A 20% fallback sample still classifies amount as a 2-dp decimal
+    (every row shares the .25 fraction); magnitude may shrink but can
+    never exceed the full-scan answer."""
+    from goe_spark.types.sampling import sample_rdbms_data_types
+
+    cols = sample_rdbms_data_types(
+        spark,
+        derby_url,
+        "sales",
+        numeric_cols=["amount"],
+        date_cols=[],
+        dialect="derby",
+        percent=20.0,
+    )
+    (amount,) = cols
+    assert amount.data_type == "DECIMAL"
+    assert amount.data_scale == 2
+    assert amount.data_precision <= 5

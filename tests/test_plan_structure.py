@@ -532,3 +532,25 @@ def test_bpe_merge_pair_explode_at_vocabulary_grain(spark):
     i_word_agg = plan.index("HashAggregate(keys=[w#")
     i_tok_gen = plan.rindex("Generate")
     assert i_pair_gen < i_word_agg < i_tok_gen, plan
+
+
+def test_span_corruption_start_hash_computed_once(spark):
+    """The O(n*SPAN_LEN) shape of span_corruption_stats depends on the
+    optimizer KEEPING the staged `starts` array as its own projection:
+    if a future Spark's CollapseProject inlines the multi-referenced
+    alias back into the consuming lambdas, every per-position exists()
+    re-evaluates the md5 transform and the query regresses to O(n^2)
+    per document (round 5 measured 18x). Guard: the md5-bearing
+    transform must appear exactly once in the optimized plan."""
+    from goe_spark.queries.training import span_corruption_stats
+
+    plan = _plan(
+        span_corruption_stats(spark, SF_SMALL), "extended"
+    )
+    optimized = plan.split("== Optimized Logical Plan ==")[1].split(
+        "== Physical Plan =="
+    )[0]
+    assert optimized.count("md5(") == 1, (
+        "span-start hash inlined into consumers — O(n^2) regression:\n"
+        + optimized
+    )

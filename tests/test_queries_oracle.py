@@ -21,15 +21,29 @@ def _specs():
 
 @pytest.mark.parametrize("spec", _specs())
 def test_query_matches_oracle(spec, spark, duck):
+    # PANDAS on both sides — the driver's fetch path. It is
+    # dtype-destructive (DuckDB HUGEINT/DECIMAL -> float64) in ways
+    # collect()/fetchall() are not; round 5 proved the object-level
+    # compare green-lit 6 queries the driver failed.
     sdf = spec.fn(spark, SF_SMALL)
-    srows = [tuple(r) for r in sdf.collect()]
+    spdf = sdf.toPandas()
     if spec.oracle is None:
-        assert srows is not None  # rows-only check, mirror of the driver
+        assert spdf is not None  # rows-only check, mirror of the driver
         return
-    res = duck.execute(spec.oracle)
-    ocols = [d[0] for d in res.description]
-    orows = res.fetchall()
-    assert frame_fingerprint(sdf.columns, srows) == frame_fingerprint(ocols, orows)
+    opdf = duck.execute(spec.oracle).df()
+    sn, sc, sh, srows = frame_fingerprint(spdf)
+    on, oc, oh, orows = frame_fingerprint(opdf)
+    if (sn, sc, sh) != (on, oc, oh):
+        diff = next(
+            (f"row {i}:\n  S {a}\n  D {b}"
+             for i, (a, b) in enumerate(zip(srows, orows)) if a != b),
+            "",
+        )
+        raise AssertionError(
+            f"{spec.name}: spark=({sn},{sc},{sh}) duckdb=({on},{oc},{oh})\n"
+            f"spark dtypes={dict(spdf.dtypes.astype(str))}\n"
+            f"duck  dtypes={dict(opdf.dtypes.astype(str))}\n{diff}"
+        )
 
 
 def test_bench_headline_names_resolve():

@@ -355,9 +355,13 @@ def test_continuous_rollup_incremental_and_foldable(spark, tmp_path):
                 )
                 .agg(
                     F.count(F.lit(1)).alias("n_events"),
+                    # round-then-cast-to-double mirrors read_rollup's
+                    # presentation (stored partials stay exact decimal)
                     F.round(
                         F.sum(F.col("value").cast("decimal(20,2)")), 2
-                    ).alias("sum_value"),
+                    )
+                    .cast("double")
+                    .alias("sum_value"),
                 )
                 .collect(),
             )
@@ -437,7 +441,9 @@ def test_continuous_rollup_multi_microbatch_engine_drain(spark, tmp_path):
                 F.count(F.lit(1)).alias("n_events"),
                 F.round(
                     F.sum(F.col("value").cast("decimal(20,2)")), 2
-                ).alias("sum_value"),
+                )
+                .cast("double")
+                .alias("sum_value"),
             )
             .collect(),
         )

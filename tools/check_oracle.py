@@ -2,8 +2,25 @@
 
 Runs every __spark_entry__.queries() entry on Spark and its
 oracle_sql() twin on DuckDB at sf0.01, then compares row count,
-schema (column names) and an order-insensitive value hash the same
-way the driver does (sort columns by name, sort rows, hash values).
+schema (column names) and an order-insensitive value hash.
+
+CRITICAL: the comparison goes through PANDAS on both sides
+(Spark df.toPandas() vs DuckDB con.execute(sql).df()), because that
+is the driver's fetch path and it is dtype-destructive in ways the
+collect()/fetchall() object path is not: DuckDB's .df() converts
+HUGEINT -> float64 and DECIMAL -> float64 while Spark's toPandas()
+keeps int64 / object(Decimal). Round 5 proved the old object-level
+mirror reported 118/118 OK while the driver failed 6 queries for
+exactly this reason — the same value rendered '352.0' vs '352'.
+The render below is dtype-sensitive on purpose: if the two engines
+hand pandas different dtypes for a column, that is a QUERY bug (fix
+it with CAST ... AS BIGINT / round-then-cast-to-DOUBLE on both
+sides), not something the mirror should paper over.
+
+The one normalization we do apply is dates: DuckDB DATE arrives as
+datetime64[ns] (midnight) while Spark DateType arrives as
+datetime.date objects; the driver normalizes this, so the mirror
+renders any midnight timestamp as its date.
 
 Usage: python tools/check_oracle.py [query_name ...]
 """
@@ -25,36 +42,62 @@ def normalize_cell(v):
     import decimal
     import math
 
+    import numpy as np
+    import pandas as pd
+
     if v is None:
         return "NULL"
-    if isinstance(v, bool):
+    # pandas NaT / NaN missing markers
+    if v is pd.NaT:
+        return "NULL"
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    if isinstance(v, (bool, np.bool_)):
         return str(int(v))
-    # STRICT: no rounding. The driver's hash proved stricter than a
-    # 9-digit round (r4: 6 queries passed here, failed there), so the
-    # mirror must be at least as strict — representation differences
-    # are the QUERY's job to eliminate (round-then-cast to
-    # decimal/string identically on both engines).
-    if isinstance(v, float):
-        if math.isnan(v):
+    if isinstance(v, (np.integer, int)):
+        return str(int(v))
+    # STRICT: floats render via repr with no rounding — representation
+    # differences are the QUERY's job to eliminate (round at a fixed
+    # scale in-query on both engines, and make both engines hand
+    # pandas the same dtype). float64 352.0 renders '352.0' and will
+    # NOT match int64 352 ('352'): that is the driver's behavior.
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        if math.isnan(f):
             return "NaN"
-        return repr(v)
+        return repr(f)
+    # Decimal survives Spark's toPandas (object column). It renders
+    # scale-sensitively ('123.40' != '123.4') — again deliberate:
+    # DuckDB's .df() would have turned the same column into float64,
+    # so a Decimal here means the two engines disagree on dtype.
     if isinstance(v, decimal.Decimal):
         return str(v)
+    # Dates: render midnight timestamps as bare dates (driver-style
+    # normalization — DuckDB DATE becomes datetime64[ns] midnight).
+    if isinstance(v, pd.Timestamp):
+        v = v.to_pydatetime()
     if isinstance(v, datetime.datetime):
+        if v.time() == datetime.time(0, 0) and v.tzinfo is None:
+            return v.date().isoformat()
         return v.isoformat(sep=" ")
     if isinstance(v, datetime.date):
         return v.isoformat()
+    if isinstance(v, (np.ndarray, list, tuple)):
+        return "[" + ",".join(normalize_cell(x) for x in v) + "]"
     return str(v)
 
 
-def frame_fingerprint(cols: list[str], rows: list[tuple]) -> tuple[int, str, str]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    sorted_cols = [cols[i] for i in order]
+def frame_fingerprint(pdf) -> tuple[int, str, str, list[str]]:
+    """Row count, sorted column list, order-insensitive value hash —
+    over a pandas frame, the driver's fetch representation."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
     norm_rows = sorted(
-        "\x1f".join(normalize_cell(r[i]) for i in order) for r in rows
+        "\x1f".join(normalize_cell(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
     )
     h = hashlib.sha256("\n".join(norm_rows).encode()).hexdigest()[:16]
-    return len(rows), ",".join(sorted_cols), h
+    return len(pdf), ",".join(cols), h, norm_rows
 
 
 def main() -> int:
@@ -83,28 +126,58 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
             continue
         if name not in oracles:
-            print(f"skip  {name}: no oracle ({len(srows)} rows)")
+            print(f"skip  {name}: no oracle ({len(spdf)} rows)")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            opdf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {str(e)[:200]}")
             failures.append(name)
             continue
-        sn, sc, sh = frame_fingerprint(scols, srows)
-        on, oc, oh = frame_fingerprint(ocols, orows)
+        sn, sc, sh, srows = frame_fingerprint(spdf)
+        on, oc, oh, orows = frame_fingerprint(opdf)
         dt = time.time() - t0
         if (sn, sc, sh) == (on, oc, oh):
             print(f"OK    {name}: {sn} rows ({dt:.1f}s)")
+            # Latent-flake audit: a hash match with mismatched pandas
+            # dtypes is LUCK (e.g. a float64 column whose values all
+            # happen to avoid trailing zeros vs a Decimal column) —
+            # one data nudge flips it red. Surface it even on green.
+            import datetime as _dt
+
+            def _is_datey(col, dtype):
+                if str(dtype).startswith("datetime"):
+                    return True
+                if str(dtype) == "object":
+                    vals = [v for v in col if v is not None]
+                    return bool(vals) and all(
+                        isinstance(v, (_dt.date, _dt.datetime)) for v in vals
+                    )
+                return False
+
+            def _kind(dtype):
+                # int32 vs int64 render identically (str(int(v))) —
+                # only cross-KIND differences (int vs float vs object)
+                # can change the driver's hash
+                k = getattr(dtype, "kind", "O")
+                return "i" if k in "iu" else k
+
+            for c in spdf.columns:
+                sd, od = str(spdf[c].dtype), str(opdf[c].dtype)
+                if _kind(spdf[c].dtype) != _kind(opdf[c].dtype) and not (
+                    _is_datey(spdf[c], sd) and _is_datey(opdf[c], od)
+                ):
+                    print(
+                        f"      WARN dtype[{c}]: spark={sd} duckdb={od}"
+                        " (green by luck — align dtypes in-query)"
+                    )
+                    failures.append(name)
         else:
             failures.append(name)
             print(f"FAIL  {name}:")
@@ -114,17 +187,14 @@ def main() -> int:
                 print(f"      cols spark={sc} duckdb={oc}")
             if sh != oh:
                 print(f"      hash spark={sh} duckdb={oh}")
-                so = sorted(range(len(scols)), key=lambda i: scols[i])
-                oo = sorted(range(len(ocols)), key=lambda i: ocols[i])
-                sset = sorted(
-                    "\x1f".join(normalize_cell(r[i]) for i in so) for r in srows
-                )
-                oset = sorted(
-                    "\x1f".join(normalize_cell(r[i]) for i in oo) for r in orows
-                )
-                for i, (a, b) in enumerate(zip(sset, oset)):
+                print(f"      dtypes spark={dict(spdf.dtypes.astype(str))}")
+                print(f"      dtypes duck ={dict(opdf.dtypes.astype(str))}")
+                for i, (a, b) in enumerate(zip(srows, orows)):
                     if a != b:
-                        print(f"      first diff row {i}:\n        S {a}\n        D {b}")
+                        print(
+                            f"      first diff row {i}:"
+                            f"\n        S {a}\n        D {b}"
+                        )
                         break
     print(f"\n{len(qs) - len(failures)}/{len(qs)} OK")
     return 1 if failures else 0
