@@ -626,8 +626,17 @@ def minhash_probe_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sig",
     )
     idx_b = bands_of(idx_sigs)
+    # Cap on TOTAL bucket occupancy (index + new), exactly as the
+    # full minhash_lsh_pairs join does — capping on index-side rows
+    # alone would let the probe emit pairs from buckets the full join
+    # drops once the batch pushes occupancy past the cap (the probe
+    # must stay a strict restriction of the full join). The union adds
+    # only the batch's band rows to the count — O(batch) extra.
+    occ = idx_b.select("band", "sig").unionByName(
+        new_b.select("band", "sig")
+    )
     ok = (
-        idx_b.groupBy("band", "sig")
+        occ.groupBy("band", "sig")
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") <= LSH_BUCKET_CAP)
         .select("band", "sig")
@@ -683,7 +692,8 @@ idx_b AS (
   SELECT * FROM bands WHERE doc_id % {NEW_DOC_MOD} <> 0
 ),
 ok AS (
-  SELECT band, sig FROM idx_b GROUP BY 1, 2
+  -- total occupancy (index + new), mirroring the full join's cap
+  SELECT band, sig FROM bands GROUP BY 1, 2
   HAVING count(*) <= {LSH_BUCKET_CAP}
 ),
 cands AS (

@@ -125,3 +125,50 @@ def test_signature_index_rebuilds_on_fingerprint_change(spark, tmp_path, monkeyp
     d3 = MI.ensure_signature_index(spark, SF_SMALL)
     t3 = os.path.getmtime(os.path.join(d3, "signatures", "_SUCCESS"))
     assert t3 > t2
+
+
+def test_probe_cap_counts_total_bucket_occupancy(spark, monkeypatch, tmp_path):
+    """A bucket whose INDEX side fits the cap but whose total
+    occupancy (index + new batch) exceeds it must be dropped by the
+    probe — the same rule the full join applies. Capping on the index
+    side alone would emit pairs the full join never produces.
+
+    5 identical docs collide in every band; cap=4. Index side holds 4
+    (ids 1,11,21,31), the new batch adds 1 (id 10 % 10 == 0) -> total
+    5 > 4 -> zero probe hits. With 3 index docs (total 4 <= cap) the
+    same text must match."""
+    import goe_spark.operators.minhash_index as MI
+    import goe_spark.queries.dedup as DD
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+
+    schema = "doc_id long, text string, lang string, source string"
+
+    def mkdocs(spark_):
+        return spark_.createDataFrame(
+            [(i, text, "en", "src") for i in sf_dir_docs], schema
+        )
+
+    def fake_index(spark_, sf_dir):
+        d = str(tmp_path / f"idx{len(sf_dir_docs)}")
+        MI.build_signature_index(spark_, mkdocs(spark_), d)
+        return d
+
+    def fake_load(spark_, sf_dir, name):
+        assert name == "documents"
+        return mkdocs(spark_)
+
+    # the probe imports ensure_signature_index from the index module
+    # at call time — patch it at the source
+    monkeypatch.setattr(MI, "ensure_signature_index", fake_index)
+    monkeypatch.setattr(DD, "load_table", fake_load)
+    monkeypatch.setattr(DD, "LSH_BUCKET_CAP", 4)
+
+    sf_dir_docs = [1, 11, 21, 31, 10]  # 4 index + 1 new = 5 > cap
+    over = DD.minhash_probe_new_docs(spark, "unused")
+    assert over.count() == 0, "straddling bucket must be dropped"
+
+    sf_dir_docs = [1, 11, 21, 10]  # 3 index + 1 new = 4 <= cap
+    under = DD.minhash_probe_new_docs(spark, "unused").collect()
+    assert {r.doc_id for r in under} == {10}
+    assert under[0].n_matches == 3
