@@ -39,6 +39,8 @@ class QuerySpec:
 # test_queries_oracle.py re-verifies ALL 118 against DuckDB (same
 # pandas fetch path as the driver) every run regardless of position.
 HEAD = (
+    # -- new this round --
+    "bpe_train_merges",
     # -- changed this round: decimal/hugeint pandas-dtype alignment --
     "customer_value_deciles",
     "order_status_islands",

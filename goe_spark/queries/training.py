@@ -1014,6 +1014,208 @@ FROM counted GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Iterative BPE tokenizer TRAINING — the sequential merge loop that
+# bpe_merge_pair_counts is the first iteration of. BPE is inherently
+# sequential (merge k+1's statistics depend on merge k having been
+# applied), so the distributed design is: the corpus is touched ONCE
+# (the map-side-combined wordcount), training then loops over the
+# vocabulary-grain symbol table — millions of rows at 100 TB while the
+# corpus is trillions of tokens — and the only driver traffic per
+# iteration is the 1-row argmax (the chosen pair) plus one scalar
+# (the post-merge symbol count). That is the canonical production
+# trainer shape; a driver loop over vocabulary-grain argmaxes is not a
+# "collect the data" anti-pattern.
+#
+# Greedy left-to-right non-overlapping merge semantics, identically
+# implemented twice:
+#   - Spark: an aggregate() fold over the symbol array — merge iff the
+#     accumulator's last element == left AND current == right (a fresh
+#     merge output can never re-merge within the same pass, because
+#     the concatenated token no longer equals `left`);
+#   - DuckDB: position explode + run-parity (consecutive matching
+#     positions only chain when left == right; within such a run the
+#     greedy merges are exactly the even offsets).
+BPE_TRAIN_STEPS = 6
+BPE_TRAIN_VOCAB = 400
+
+
+def _fold_merge(syms, left: str, right: str):
+    """Greedy non-overlapping replacement of adjacent (left, right)
+    with their concatenation, as a codegen'd array fold."""
+    merged = left + right
+    return F.aggregate(
+        syms,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training over the documents corpus:
+    {BPE_TRAIN_STEPS} sequential merges learned on the
+    top-{BPE_TRAIN_VOCAB} words (by frequency, word tie-break).
+    Output: one row per learned merge — (step, left, right, merged,
+    pair_freq, symbols_after) where symbols_after is the
+    frequency-weighted total symbol count of the vocabulary after
+    applying that merge (the quantity whose decrease IS the
+    compression the tokenizer buys).
+
+    Exactly deterministic: counts are integers, argmax tie-breaks on
+    (freq DESC, left ASC, right ASC), and greedy merge application is
+    order-defined — so the DuckDB oracle (the same loop unrolled as
+    {BPE_TRAIN_STEPS} CTE blocks) replays it bit-for-bit.
+
+    Scale: the corpus contributes one wordcount shuffle; every loop
+    iteration shuffles only the vocabulary-grain pair table. State is
+    localCheckpoint'd per iteration to truncate the 6-deep transform
+    lineage (a real deployment checkpoints to DFS)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(T.tokens(F.col("text"))).alias("w")).where(
+        F.length("w") > 0
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w").asc())
+        .limit(BPE_TRAIN_VOCAB)
+    )
+    state = vocab.select("n", F.split("w", "").alias("syms"))
+
+    rows = []
+    for step in range(1, BPE_TRAIN_STEPS + 1):
+        syms = F.col("syms")
+        pair_structs = F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("left"),
+                F.element_at(syms, i + 1).alias("right"),
+            ),
+        )
+        top = (
+            state.where(F.size(syms) >= 2)
+            .select("n", F.explode(pair_structs).alias("p"))
+            .groupBy("p.left", "p.right")
+            .agg(F.sum("n").alias("pf"))
+            .orderBy(
+                F.col("pf").desc(), F.col("left").asc(), F.col("right").asc()
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top:  # vocabulary fully merged — nothing left to learn
+            break
+        left, right, pf = top[0].left, top[0].right, int(top[0].pf)
+        state = state.select(
+            "n", _fold_merge(F.col("syms"), left, right).alias("syms")
+        ).localCheckpoint(eager=True)
+        symbols_after = int(
+            state.agg(
+                F.sum(F.col("n") * F.size("syms")).alias("s")
+            ).first()["s"]
+        )
+        rows.append((step, left, right, left + right, pf, symbols_after))
+    return spark.createDataFrame(
+        rows,
+        "step int, left string, right string, merged string, "
+        "pair_freq long, symbols_after long",
+    )
+
+
+def _bpe_train_sql() -> str:
+    """The same training loop unrolled as CTE blocks. Per step k:
+    pair stats from state{k-1}, argmax, run-parity greedy merge into
+    state{k}, and the step's output row. Every CTE is MATERIALIZED:
+    DuckDB inlines CTEs by default, and each state references its
+    predecessor several times — inlined, the 6-step chain expands
+    exponentially."""
+    blocks = [
+        f"""
+wc AS MATERIALIZED (
+  SELECT w, count(*) AS n
+  FROM (SELECT unnest({T.tokens_sql('text')}) AS w FROM documents)
+  WHERE length(w) > 0 GROUP BY w
+),
+state0 AS MATERIALIZED (
+  SELECT w, n, array_to_string(str_split(w, ''), ' ') AS sym
+  FROM wc ORDER BY n DESC, w ASC LIMIT {BPE_TRAIN_VOCAB}
+)"""
+    ]
+    selects = []
+    for k in range(1, BPE_TRAIN_STEPS + 1):
+        p = k - 1
+        blocks.append(
+            f"""
+pairs{k} AS MATERIALIZED (
+  SELECT s[i] AS lft, s[i + 1] AS rgt, sum(n) AS pf
+  FROM (SELECT n, str_split(sym, ' ') AS s FROM state{p}),
+       LATERAL unnest(range(1, len(s))) AS r(i)
+  WHERE len(s) >= 2
+  GROUP BY 1, 2
+),
+top{k} AS MATERIALIZED (
+  SELECT lft, rgt, pf FROM pairs{k}
+  ORDER BY pf DESC, lft ASC, rgt ASC LIMIT 1
+),
+pos{k} AS MATERIALIZED (
+  SELECT w, n, syms[i] AS sym, i AS ord
+  FROM (SELECT w, n, str_split(sym, ' ') AS syms FROM state{p}),
+       LATERAL unnest(range(1, len(syms) + 1)) AS r(i)
+),
+flag{k} AS MATERIALIZED (
+  SELECT w, n, sym, ord,
+         coalesce(sym = (SELECT lft FROM top{k})
+                  AND lead(sym) OVER (PARTITION BY w ORDER BY ord)
+                      = (SELECT rgt FROM top{k}), FALSE) AS is_pair
+  FROM pos{k}
+),
+runs{k} AS MATERIALIZED (
+  SELECT *, CASE WHEN is_pair THEN ord - row_number()
+                 OVER (PARTITION BY w, is_pair ORDER BY ord) END AS grp
+  FROM flag{k}
+),
+marks{k} AS MATERIALIZED (
+  SELECT w, n, sym, ord,
+         is_pair AND (ord - min(ord) OVER (PARTITION BY w, grp)) % 2 = 0
+           AS merge_start
+  FROM runs{k}
+),
+built{k} AS MATERIALIZED (
+  SELECT w, n, ord,
+         CASE WHEN merge_start
+                THEN sym || lead(sym) OVER (PARTITION BY w ORDER BY ord)
+              WHEN coalesce(lag(merge_start)
+                   OVER (PARTITION BY w ORDER BY ord), FALSE)
+                THEN NULL
+              ELSE sym END AS new_sym
+  FROM marks{k}
+),
+state{k} AS MATERIALIZED (
+  SELECT w, n, string_agg(new_sym, ' ' ORDER BY ord) AS sym
+  FROM built{k} WHERE new_sym IS NOT NULL GROUP BY w, n
+)"""
+        )
+        selects.append(
+            f"""
+SELECT {k} AS step, t.lft AS left, t.rgt AS right,
+       t.lft || t.rgt AS merged,
+       cast(t.pf AS bigint) AS pair_freq,
+       (SELECT cast(sum(n * len(str_split(sym, ' '))) AS bigint)
+        FROM state{k}) AS symbols_after
+FROM top{k} t"""
+        )
+    return (
+        "WITH " + ",".join(blocks) + "\nUNION ALL".join(selects)
+    )
+
+
 QUERIES = [
     QuerySpec(
         "weighted_sample_docs", weighted_sample_docs, WEIGHTED_SAMPLE_SQL
@@ -1046,4 +1248,5 @@ QUERIES = [
     QuerySpec(
         "span_corruption_stats", span_corruption_stats, _span_corruption_sql()
     ),
+    QuerySpec("bpe_train_merges", bpe_train_merges, _bpe_train_sql()),
 ]

@@ -172,3 +172,64 @@ def test_probe_cap_counts_total_bucket_occupancy(spark, monkeypatch, tmp_path):
     under = DD.minhash_probe_new_docs(spark, "unused").collect()
     assert {r.doc_id for r in under} == {10}
     assert under[0].n_matches == 3
+
+
+def test_bpe_train_sequential_composition_and_accounting(spark):
+    """The training loop must be genuinely sequential: later merges may
+    contain earlier merge OUTPUTS as operands, and per-step symbol
+    accounting must be exact — each merge shrinks the weighted symbol
+    total by the number of greedy (non-overlapping) replacements,
+    which is at most the mined pair frequency and at least one."""
+    from goe_spark.queries.training import (
+        BPE_TRAIN_STEPS,
+        bpe_train_merges,
+    )
+
+    rows = sorted(
+        bpe_train_merges(spark, SF_SMALL).collect(), key=lambda r: r.step
+    )
+    assert [r.step for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) == BPE_TRAIN_STEPS
+    for r in rows:
+        assert r.merged == r.left + r.right
+    # frequency of the chosen pair is non-increasing across steps
+    # (the argmax over a shrinking statistic)
+    freqs = [r.pair_freq for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+    # exact accounting: 0 < (symbols_before - symbols_after) <= pair_freq
+    for a, b in zip(rows, rows[1:]):
+        dec = a.symbols_after - b.symbols_after
+        assert 0 < dec <= b.pair_freq, (a, b)
+
+
+def test_bpe_train_greedy_overlap_on_handcrafted_corpus(spark):
+    """Handcrafted corpus pinning the two subtle merge semantics:
+    greedy non-overlap ('aaaa' with pair (a,a) yields 'aa aa', not a
+    cascade) and merged-token operands (step 2 merges (aa,aa))."""
+    import goe_spark.queries.training as TR
+
+    df = spark.createDataFrame(
+        # 'aaaa' x3 dominates -> step1 pair (a,a) freq 9 (3 adjacencies
+        # per word, overlaps counted in the STATISTIC), greedy apply
+        # leaves 'aa aa'; step2 top pair becomes (aa,aa) freq 3.
+        [(i, "aaaa") for i in range(3)] + [(3, "xy")],
+        "doc_id long, text string",
+    )
+    orig = TR.load_table
+    try:
+        TR.load_table = lambda s, sf, name: df  # noqa: ARG005
+        rows = sorted(
+            TR.bpe_train_merges(spark, SF_SMALL).collect(),
+            key=lambda r: r.step,
+        )
+    finally:
+        TR.load_table = orig
+    s1, s2 = rows[0], rows[1]
+    assert (s1.left, s1.right, s1.pair_freq) == ("a", "a", 9)
+    # greedy: 3 words x 2 replacements -> 12 weighted symbols - 6
+    # replaced + 'xy' word (2 symbols): 3*2 + 2 = 8
+    assert s1.symbols_after == 3 * 2 + 2
+    assert (s2.left, s2.right, s2.merged, s2.pair_freq) == (
+        "aa", "aa", "aaaa", 3,
+    )
+    assert s2.symbols_after == 3 * 1 + 2
