@@ -41,6 +41,7 @@ class QuerySpec:
 HEAD = (
     # -- new this round --
     "bpe_train_merges",
+    "bpe_encode_stats",
     # -- changed this round: decimal/hugeint pandas-dtype alignment --
     "customer_value_deciles",
     "order_status_islands",
@@ -94,7 +95,6 @@ HEAD = (
     "q22_idle_customers",
     "q2_min_cost_supplier",
     "q11_important_stock",
-    "q12_priority_lines",
 )
 TAIL = ()
 

@@ -1129,13 +1129,59 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_train_sql() -> str:
-    """The same training loop unrolled as CTE blocks. Per step k:
-    pair stats from state{k-1}, argmax, run-parity greedy merge into
-    state{k}, and the step's output row. Every CTE is MATERIALIZED:
-    DuckDB inlines CTEs by default, and each state references its
-    predecessor several times — inlined, the 6-step chain expands
-    exponentially."""
+def _bpe_merge_step_sql(prefix: str, keys: str, k: int, top: str) -> str:
+    """One unrolled greedy-merge application: rows keyed by ``keys``
+    (the word-instance key) in ``{prefix}state{k-1}`` have the pair
+    from CTE ``top`` merged (run-parity = greedy non-overlapping) into
+    ``{prefix}state{k}``. MATERIALIZED throughout: DuckDB inlines CTEs
+    by default, and each state references its predecessor several
+    times — inlined, a 6-step chain expands exponentially."""
+    p = k - 1
+    return f"""
+{prefix}pos{k} AS MATERIALIZED (
+  SELECT {keys}, n, syms[i] AS sym, i AS ord
+  FROM (SELECT {keys}, n, str_split(sym, ' ') AS syms
+        FROM {prefix}state{p}),
+       LATERAL unnest(range(1, len(syms) + 1)) AS r(i)
+),
+{prefix}flag{k} AS MATERIALIZED (
+  SELECT {keys}, n, sym, ord,
+         coalesce(sym = (SELECT lft FROM {top})
+                  AND lead(sym) OVER (PARTITION BY {keys} ORDER BY ord)
+                      = (SELECT rgt FROM {top}), FALSE) AS is_pair
+  FROM {prefix}pos{k}
+),
+{prefix}runs{k} AS MATERIALIZED (
+  SELECT *, CASE WHEN is_pair THEN ord - row_number()
+                 OVER (PARTITION BY {keys}, is_pair ORDER BY ord) END AS grp
+  FROM {prefix}flag{k}
+),
+{prefix}marks{k} AS MATERIALIZED (
+  SELECT {keys}, n, sym, ord,
+         is_pair AND (ord - min(ord) OVER (PARTITION BY {keys}, grp)) % 2 = 0
+           AS merge_start
+  FROM {prefix}runs{k}
+),
+{prefix}built{k} AS MATERIALIZED (
+  SELECT {keys}, n, ord,
+         CASE WHEN merge_start
+                THEN sym || lead(sym) OVER (PARTITION BY {keys} ORDER BY ord)
+              WHEN coalesce(lag(merge_start)
+                   OVER (PARTITION BY {keys} ORDER BY ord), FALSE)
+                THEN NULL
+              ELSE sym END AS new_sym
+  FROM {prefix}marks{k}
+),
+{prefix}state{k} AS MATERIALIZED (
+  SELECT {keys}, n, string_agg(new_sym, ' ' ORDER BY ord) AS sym
+  FROM {prefix}built{k} WHERE new_sym IS NOT NULL GROUP BY {keys}, n
+)"""
+
+
+def _bpe_training_blocks() -> list[str]:
+    """The shared training chain: wordcount, top-vocab initial state,
+    and per step k the pair statistics + argmax (top{k}) + merge
+    application (state{k})."""
     blocks = [
         f"""
 wc AS MATERIALIZED (
@@ -1148,14 +1194,12 @@ state0 AS MATERIALIZED (
   FROM wc ORDER BY n DESC, w ASC LIMIT {BPE_TRAIN_VOCAB}
 )"""
     ]
-    selects = []
     for k in range(1, BPE_TRAIN_STEPS + 1):
-        p = k - 1
         blocks.append(
             f"""
 pairs{k} AS MATERIALIZED (
   SELECT s[i] AS lft, s[i + 1] AS rgt, sum(n) AS pf
-  FROM (SELECT n, str_split(sym, ' ') AS s FROM state{p}),
+  FROM (SELECT n, str_split(sym, ' ') AS s FROM state{k - 1}),
        LATERAL unnest(range(1, len(s))) AS r(i)
   WHERE len(s) >= 2
   GROUP BY 1, 2
@@ -1163,57 +1207,106 @@ pairs{k} AS MATERIALIZED (
 top{k} AS MATERIALIZED (
   SELECT lft, rgt, pf FROM pairs{k}
   ORDER BY pf DESC, lft ASC, rgt ASC LIMIT 1
-),
-pos{k} AS MATERIALIZED (
-  SELECT w, n, syms[i] AS sym, i AS ord
-  FROM (SELECT w, n, str_split(sym, ' ') AS syms FROM state{p}),
-       LATERAL unnest(range(1, len(syms) + 1)) AS r(i)
-),
-flag{k} AS MATERIALIZED (
-  SELECT w, n, sym, ord,
-         coalesce(sym = (SELECT lft FROM top{k})
-                  AND lead(sym) OVER (PARTITION BY w ORDER BY ord)
-                      = (SELECT rgt FROM top{k}), FALSE) AS is_pair
-  FROM pos{k}
-),
-runs{k} AS MATERIALIZED (
-  SELECT *, CASE WHEN is_pair THEN ord - row_number()
-                 OVER (PARTITION BY w, is_pair ORDER BY ord) END AS grp
-  FROM flag{k}
-),
-marks{k} AS MATERIALIZED (
-  SELECT w, n, sym, ord,
-         is_pair AND (ord - min(ord) OVER (PARTITION BY w, grp)) % 2 = 0
-           AS merge_start
-  FROM runs{k}
-),
-built{k} AS MATERIALIZED (
-  SELECT w, n, ord,
-         CASE WHEN merge_start
-                THEN sym || lead(sym) OVER (PARTITION BY w ORDER BY ord)
-              WHEN coalesce(lag(merge_start)
-                   OVER (PARTITION BY w ORDER BY ord), FALSE)
-                THEN NULL
-              ELSE sym END AS new_sym
-  FROM marks{k}
-),
-state{k} AS MATERIALIZED (
-  SELECT w, n, string_agg(new_sym, ' ' ORDER BY ord) AS sym
-  FROM built{k} WHERE new_sym IS NOT NULL GROUP BY w, n
 )"""
+            + ","
+            + _bpe_merge_step_sql("", "w", k, f"top{k}")
         )
-        selects.append(
-            f"""
+    return blocks
+
+
+def _bpe_train_sql() -> str:
+    """The training loop unrolled as CTE blocks; one output row per
+    learned merge."""
+    selects = [
+        f"""
 SELECT {k} AS step, t.lft AS left, t.rgt AS right,
        t.lft || t.rgt AS merged,
        cast(t.pf AS bigint) AS pair_freq,
        (SELECT cast(sum(n * len(str_split(sym, ' '))) AS bigint)
         FROM state{k}) AS symbols_after
 FROM top{k} t"""
-        )
-    return (
-        "WITH " + ",".join(blocks) + "\nUNION ALL".join(selects)
+        for k in range(1, BPE_TRAIN_STEPS + 1)
+    ]
+    return "WITH " + ",".join(_bpe_training_blocks()) + "\nUNION ALL".join(
+        selects
     )
+
+
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY side of BPE training: encode the FULL per-language
+    vocabulary with the merge table bpe_train_merges learned (on the
+    global top-{BPE_TRAIN_VOCAB} words) and report frequency-weighted
+    compression per language — words, chars (= symbols before),
+    symbols after the merges, and the chars-per-symbol ratio the
+    tokenizer buys.
+
+    Scale: training is the documented vocabulary-grain loop; encoding
+    is then PURELY map-side — the learned merge list broadcasts as
+    {BPE_TRAIN_STEPS} nested array folds over the per-language
+    wordcount table (vocabulary grain; at the corpus grain the same
+    fold applies per token with the identical broadcast merge list).
+    One wordcount shuffle + one lang-cardinality rollup."""
+    merges = [
+        (r.left, r.right)
+        for r in sorted(
+            bpe_train_merges(spark, sf_dir).collect(), key=lambda r: r.step
+        )
+    ]
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "lang", F.explode(T.tokens(F.col("text"))).alias("w")
+    ).where(F.length("w") > 0)
+    wl = words.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("n"))
+    syms = F.split("w", "")
+    for left, right in merges:
+        syms = _fold_merge(syms, left, right)
+    per = wl.select(
+        "lang",
+        "n",
+        F.length("w").cast("long").alias("chars"),
+        F.size(syms).cast("long").alias("toks"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_vocab_words"),
+        F.sum("n").alias("n_word_occurrences"),
+        F.sum(F.col("n") * F.col("chars")).alias("chars_total"),
+        F.sum(F.col("n") * F.col("toks")).alias("symbols_total"),
+        F.round(
+            F.sum(F.col("n") * F.col("chars"))
+            / F.sum(F.col("n") * F.col("toks")).cast("double"),
+            6,
+        ).alias("compression"),
+    )
+
+
+def _bpe_encode_sql() -> str:
+    """Training chain (for the tops) + a second unrolled merge chain
+    over the per-language full vocabulary, then the per-language
+    compression rollup."""
+    blocks = list(_bpe_training_blocks())
+    blocks.append(
+        f"""
+lstate0 AS MATERIALIZED (
+  SELECT lang, w, count(*) AS n,
+         array_to_string(str_split(w, ''), ' ') AS sym
+  FROM (SELECT lang, unnest({T.tokens_sql('text')}) AS w FROM documents)
+  WHERE length(w) > 0 GROUP BY lang, w
+)"""
+    )
+    for k in range(1, BPE_TRAIN_STEPS + 1):
+        blocks.append(_bpe_merge_step_sql("l", "lang, w", k, f"top{k}"))
+    final = f"""
+SELECT lang,
+       count(*) AS n_vocab_words,
+       cast(sum(n) AS bigint) AS n_word_occurrences,
+       cast(sum(n * length(w)) AS bigint) AS chars_total,
+       cast(sum(n * len(str_split(sym, ' '))) AS bigint) AS symbols_total,
+       round(sum(n * length(w))
+             / cast(sum(n * len(str_split(sym, ' '))) AS double), 6)
+         AS compression
+FROM lstate{BPE_TRAIN_STEPS}
+GROUP BY lang"""
+    return "WITH " + ",".join(blocks) + final
 
 
 QUERIES = [
@@ -1249,4 +1342,5 @@ QUERIES = [
         "span_corruption_stats", span_corruption_stats, _span_corruption_sql()
     ),
     QuerySpec("bpe_train_merges", bpe_train_merges, _bpe_train_sql()),
+    QuerySpec("bpe_encode_stats", bpe_encode_stats, _bpe_encode_sql()),
 ]

