@@ -189,12 +189,23 @@ def main() -> int:
                 print(f"      hash spark={sh} duckdb={oh}")
                 print(f"      dtypes spark={dict(spdf.dtypes.astype(str))}")
                 print(f"      dtypes duck ={dict(opdf.dtypes.astype(str))}")
+                cols = sorted(spdf.columns)
                 for i, (a, b) in enumerate(zip(srows, orows)):
                     if a != b:
-                        print(
-                            f"      first diff row {i}:"
-                            f"\n        S {a}\n        D {b}"
-                        )
+                        print(f"      first diff row {i} (field-wise):")
+                        for c, av, bv in zip(
+                            cols, a.split("\x1f"), b.split("\x1f")
+                        ):
+                            if av != bv:
+                                note = ""
+                                try:  # ulp distance: float noise vs real
+                                    fa, fb = float(av), float(bv)
+                                    note = f"  (delta={abs(fa - fb):.3e})"
+                                except ValueError:
+                                    pass
+                                print(
+                                    f"        {c}: S={av} D={bv}{note}"
+                                )
                         break
     print(f"\n{len(qs) - len(failures)}/{len(qs)} OK")
     return 1 if failures else 0
