@@ -103,6 +103,12 @@ HEADLINE = [
     "sentiment_by_source",
     "token_dropout_stats",
     "span_corruption_stats",
+    # round-6 additions: the iterative BPE training loop and its
+    # apply/compression side — the loop's ~12 s is per-iteration
+    # scheduling overhead (6 vocabulary-grain jobs + argmax collects),
+    # constant in corpus size beyond the single wordcount pass.
+    "bpe_train_merges",
+    "bpe_encode_stats",
 ]
 
 
