@@ -42,6 +42,7 @@ HEAD = (
     # -- new this round --
     "bpe_train_merges",
     "bpe_encode_stats",
+    "split_leakage_audit",
     # -- changed this round: decimal/hugeint pandas-dtype alignment --
     "customer_value_deciles",
     "order_status_islands",
@@ -94,7 +95,6 @@ HEAD = (
     "q19_discounted_revenue",
     "q22_idle_customers",
     "q2_min_cost_supplier",
-    "q11_important_stock",
 )
 TAIL = ()
 

@@ -725,6 +725,85 @@ FROM ranked GROUP BY new_id
 """
 
 
+# Deterministic corpus split for the leakage audit: hash(doc_id) into
+# 100 buckets — <SPLIT_TRAIN_PCT train, <SPLIT_VAL_PCT val, else test.
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 90
+
+
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split LEAKAGE audit: assign every document a
+    deterministic hash split, then count the near-dup pairs (the
+    MinHash-LSH candidate set, same machinery as minhash_lsh_pairs)
+    that land within vs ACROSS splits. Cross-split near-dups are
+    evaluation contamination — a near-copy of a training document in
+    the test split — which is exactly why pipelines dedup BEFORE
+    splitting; this query measures how much leakage a hash split of
+    the un-deduped corpus would ship.
+
+    Output: one row per unordered split pair with the pair count and
+    an is_leak flag (splits differ). Deterministic: the split hash is
+    the cross-engine 60-bit md5 hash, pair set and agreement scores
+    are the LSH query's own.
+
+    Scale: rides the banded LSH pair generation (bucket-capped, no
+    quadratic term); the split assignment is two map-side hash
+    expressions on the pair table — no extra join against the corpus.
+    """
+    from goe_spark.functions.hashing import hash64
+
+    def split_of(c):
+        b = F.pmod(hash64(c.cast("string")), F.lit(100))
+        return (
+            F.when(b < SPLIT_TRAIN_PCT, "train")
+            .when(b < SPLIT_VAL_PCT, "val")
+            .otherwise("test")
+        )
+
+    pairs = minhash_lsh_pairs(spark, sf_dir).select(
+        split_of(F.col("id1")).alias("s1"),
+        split_of(F.col("id2")).alias("s2"),
+    )
+    return (
+        pairs.groupBy(
+            F.least("s1", "s2").alias("split_a"),
+            F.greatest("s1", "s2").alias("split_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            (F.col("split_a") != F.col("split_b")).alias("is_leak"),
+        )
+    )
+
+
+def _split_leakage_sql() -> str:
+    from goe_spark.functions.hashing import hash64_sql
+
+    def split_of(col: str) -> str:
+        h = hash64_sql(f"cast({col} AS varchar)")
+        return (
+            f"CASE WHEN ({h}) % 100 < {SPLIT_TRAIN_PCT} THEN 'train' "
+            f"WHEN ({h}) % 100 < {SPLIT_VAL_PCT} THEN 'val' "
+            f"ELSE 'test' END"
+        )
+
+    return f"""
+WITH pairs AS ({_minhash_lsh_sql()}),
+labeled AS (
+  SELECT {split_of('id1')} AS s1, {split_of('id2')} AS s2 FROM pairs
+)
+SELECT least(s1, s2) AS split_a,
+       greatest(s1, s2) AS split_b,
+       count(*) AS n_pairs,
+       least(s1, s2) <> greatest(s1, s2) AS is_leak
+FROM labeled
+GROUP BY 1, 2
+"""
+
+
 QUERIES = [
     QuerySpec("dedup_exact_keep_first", dedup_exact_keep_first, DEDUP_EXACT_SQL),
     QuerySpec("ngram_jaccard_pairs", ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
@@ -740,5 +819,8 @@ QUERIES = [
     ),
     QuerySpec(
         "minhash_probe_new_docs", minhash_probe_new_docs, _minhash_probe_sql()
+    ),
+    QuerySpec(
+        "split_leakage_audit", split_leakage_audit, _split_leakage_sql()
     ),
 ]

@@ -249,3 +249,23 @@ def test_bpe_encode_compression_invariants(spark):
         assert r.symbols_total <= r.chars_total
         assert r.compression >= 1.0
         assert r.n_vocab_words <= r.n_word_occurrences
+
+
+def test_split_leakage_partitions_the_pair_set(spark):
+    """The leakage audit is a partition of the LSH pair set: per-split
+    pair counts sum to the total candidate count, is_leak is exactly
+    'splits differ', and split names come from the fixed vocabulary."""
+    from goe_spark.queries.dedup import (
+        minhash_lsh_pairs,
+        split_leakage_audit,
+    )
+
+    rows = split_leakage_audit(spark, SF_SMALL).collect()
+    assert rows
+    total = minhash_lsh_pairs(spark, SF_SMALL).count()
+    assert sum(r.n_pairs for r in rows) == total
+    for r in rows:
+        assert r.split_a in ("test", "train", "val")
+        assert r.split_b in ("test", "train", "val")
+        assert r.split_a <= r.split_b  # canonical unordered pair
+        assert r.is_leak == (r.split_a != r.split_b)
