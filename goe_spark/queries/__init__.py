@@ -36,7 +36,7 @@ class QuerySpec:
 #   3. the stalest previously-green entries (last checked r1/r3),
 #      refreshing cumulative coverage.
 # Everything else keeps module order behind the window; pytest's
-# test_queries_oracle.py re-verifies ALL 119 against DuckDB (same
+# test_queries_oracle.py re-verifies the FULL registry against DuckDB (same
 # pandas fetch path as the driver) every run regardless of position.
 HEAD = (
     # -- new this round --
