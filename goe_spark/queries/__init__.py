@@ -43,6 +43,7 @@ HEAD = (
     "bpe_train_merges",
     "bpe_encode_stats",
     "split_leakage_audit",
+    "bigram_logprob_scores",
     # -- changed this round: decimal/hugeint pandas-dtype alignment --
     "customer_value_deciles",
     "order_status_islands",
@@ -94,7 +95,6 @@ HEAD = (
     "q18_large_orders",
     "q19_discounted_revenue",
     "q22_idle_customers",
-    "q2_min_cost_supplier",
 )
 TAIL = ()
 

@@ -438,6 +438,133 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bigram LM: conditional-probability vocabulary size and the low-tail
+# threshold. Conditional ln-probs are much less negative than unigram
+# joint probs, so the tail threshold is tighter.
+LM_BIGRAM_TOP_K = 20_000
+BIGRAM_LOW_TAIL = -7.0
+
+
+def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-2 LM quality proxy (one step closer to the KenLM
+    perplexity filter than unigram_logprob_scores): per token position,
+    ln p(cur | prev) = ln c(prev,cur) - ln c(prev) when both the
+    bigram (top-{LM_BIGRAM_TOP_K}) and the previous token
+    (top-{LM_VOCAB_TOP_K}) are in vocabulary, else BACKOFF to the
+    smoothed unigram ln p(cur) — document position 1 backs off by
+    construction (no prev). Per-language rollup mirrors the unigram
+    report.
+
+    Every probability is a quotient of corpus counts, so scores
+    decompose as differences of ln(integer) — bit-identical across
+    engines, immune to quotient rounding.
+
+    Plan: the corpus-sized position explode joins ONLY against
+    broadcast vocab tables (bigram top-K, unigram top-K twice), then
+    aggregates map-side to doc grain — the explode itself never
+    shuffles. Counting passes are the same map-side-combined
+    explode+groupBy shape the unigram LM uses."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", T.tokens("text").alias("toks")
+    )
+    toks = F.col("toks")
+    pos = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks)),
+                lambda i: F.struct(
+                    F.when(i > 1, F.element_at(toks, i - 1)).alias("prev"),
+                    F.element_at(toks, i).alias("cur"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "lang", "p.prev", "p.cur")
+    uni = (
+        pos.groupBy(F.col("cur").alias("t"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("t"))
+        .limit(LM_VOCAB_TOP_K)
+    )
+    big = (
+        pos.where(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("bc"))
+        .orderBy(F.desc("bc"), F.asc("prev"), F.asc("cur"))
+        .limit(LM_BIGRAM_TOP_K)
+    )
+    total = pos.count()  # scalar: total corpus tokens
+    up = F.broadcast(
+        uni.select(F.col("t").alias("prev"), F.col("c").alias("pc"))
+    )
+    uc = F.broadcast(
+        uni.select(F.col("t").alias("cur"), F.col("c").alias("cc"))
+    )
+    lp = F.when(
+        F.col("bc").isNotNull() & F.col("pc").isNotNull(),
+        F.log("bc") - F.log("pc"),
+    ).otherwise(
+        F.log(F.coalesce(F.col("cc"), F.lit(LM_OOV_PSEUDO)))
+        - F.log(F.lit(float(total)))
+    )
+    scored = (
+        pos.join(F.broadcast(big), ["prev", "cur"], "left")
+        .join(up, "prev", "left")
+        .join(uc, "cur", "left")
+        .groupBy("doc_id", "lang")
+        .agg(F.round(F.avg(lp), 6).alias("logprob"))
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("logprob"), 4).alias("avg_logprob"),
+        F.round(F.min("logprob"), 6).alias("worst_logprob"),
+        F.sum(
+            (F.col("logprob") < F.lit(BIGRAM_LOW_TAIL)).cast("long")
+        ).alias("n_low_tail"),
+    )
+
+
+BIGRAM_LM_SQL = f"""
+WITH pos AS (
+  SELECT doc_id, lang,
+         CASE WHEN i > 1 THEN toks[i - 1] END AS prev,
+         toks[i] AS cur
+  FROM (SELECT doc_id, lang, {T.tokens_sql('text')} AS toks
+        FROM documents),
+       LATERAL unnest(range(1, len(toks) + 1)) AS r(i)
+), uni AS (
+  SELECT cur AS t, count(*) AS c FROM pos GROUP BY 1
+  ORDER BY c DESC, t ASC LIMIT {LM_VOCAB_TOP_K}
+), big AS (
+  SELECT prev, cur, count(*) AS bc FROM pos
+  WHERE prev IS NOT NULL GROUP BY 1, 2
+  ORDER BY bc DESC, prev ASC, cur ASC LIMIT {LM_BIGRAM_TOP_K}
+), total AS (
+  SELECT count(*) AS n FROM pos
+), per_doc AS (
+  SELECT pos.doc_id, pos.lang,
+         round(avg(CASE WHEN big.bc IS NOT NULL AND up.c IS NOT NULL
+                        THEN ln(big.bc) - ln(up.c)
+                        ELSE ln(coalesce(uc.c, {LM_OOV_PSEUDO}))
+                             - ln((SELECT n FROM total)) END), 6)
+           AS logprob
+  FROM pos
+  LEFT JOIN big ON big.prev = pos.prev AND big.cur = pos.cur
+  LEFT JOIN uni up ON up.t = pos.prev
+  LEFT JOIN uni uc ON uc.t = pos.cur
+  GROUP BY pos.doc_id, pos.lang
+)
+SELECT lang,
+       count(*)                        AS n_docs,
+       round(avg(logprob), 4)          AS avg_logprob,
+       round(min(logprob), 6)          AS worst_logprob,
+       cast(sum(CASE WHEN logprob < {BIGRAM_LOW_TAIL} THEN 1 ELSE 0 END)
+            AS bigint) AS n_low_tail
+FROM per_doc GROUP BY lang
+"""
+
+
 UNIGRAM_LM_SQL = f"""
 WITH tok AS (
   SELECT doc_id, lang, unnest({T.tokens_sql('text')}) AS t FROM documents
@@ -611,5 +738,8 @@ QUERIES = [
     QuerySpec("term_bigram_pmi", term_bigram_pmi, BIGRAM_PMI_SQL),
     QuerySpec(
         "unigram_logprob_scores", unigram_logprob_scores, UNIGRAM_LM_SQL
+    ),
+    QuerySpec(
+        "bigram_logprob_scores", bigram_logprob_scores, BIGRAM_LM_SQL
     ),
 ]

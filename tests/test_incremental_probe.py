@@ -269,3 +269,27 @@ def test_split_leakage_partitions_the_pair_set(spark):
         assert r.split_b in ("test", "train", "val")
         assert r.split_a <= r.split_b  # canonical unordered pair
         assert r.is_leak == (r.split_a != r.split_b)
+
+
+def test_bigram_lm_report_invariants(spark):
+    """Guaranteed properties of the bigram report: same language rows
+    and doc counts as the unigram report (both score every document),
+    every probability is a true log-probability (<= 0: conditionals
+    have bc <= pc, unigram has c <= total), and the per-language worst
+    score cannot beat the average. (Bigram-vs-unigram score ordering
+    is data-dependent at tiny SF — backoff dominates — so it is NOT
+    asserted.)"""
+    from goe_spark.queries.text import (
+        bigram_logprob_scores,
+        unigram_logprob_scores,
+    )
+
+    uni = {r.lang: r for r in
+           unigram_logprob_scores(spark, SF_SMALL).collect()}
+    bi = {r.lang: r for r in
+          bigram_logprob_scores(spark, SF_SMALL).collect()}
+    assert set(bi) == set(uni) and bi
+    for lang, r in bi.items():
+        assert r.n_docs == uni[lang].n_docs
+        assert r.avg_logprob < 0
+        assert r.worst_logprob <= r.avg_logprob
