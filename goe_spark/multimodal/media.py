@@ -206,3 +206,81 @@ def frame_sample(media: DataFrame, every_n: int = 30) -> DataFrame:
     return media.where(F.col("kind") == "video").mapInPandas(
         run, schema=FRAME_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Codec-free binary payload statistics — REAL multimodal operators (no
+# imaging/audio library required, so nothing here is a declared fake):
+# magic-byte container sniffing and hex-nibble entropy, both pure
+# byte arithmetic that the DuckDB oracle replays exactly.
+# ---------------------------------------------------------------------------
+
+# (hex-prefix, format) — longest prefix wins; prefixes are hex of the
+# payload's leading bytes.
+MAGIC_PREFIXES = (
+    ("89504E47", "png"),
+    ("FFD8FF", "jpeg"),
+    ("47494638", "gif"),
+    ("52494646", "riff"),
+    ("25504446", "pdf"),
+    ("494433", "mp3"),
+    ("1F8B", "gzip"),
+)
+
+
+def sniff_format(content) -> "F.Column":
+    """Container format from the payload's magic bytes; 'unknown' when
+    no prefix matches. Pure codegen (hex + startswith chain)."""
+    h = F.upper(F.hex(content))
+    out = F.lit("unknown")
+    for prefix, fmt in reversed(MAGIC_PREFIXES):
+        out = F.when(h.startswith(prefix), F.lit(fmt)).otherwise(out)
+    return out
+
+
+def sniff_format_sql(content_expr: str) -> str:
+    """The identical sniff in DuckDB SQL."""
+    h = f"upper(hex({content_expr}))"
+    case = "CASE"
+    for prefix, fmt in MAGIC_PREFIXES:
+        case += f" WHEN {h} LIKE '{prefix}%' THEN '{fmt}'"
+    return case + " ELSE 'unknown' END"
+
+
+_HEX_DIGITS = "0123456789ABCDEF"
+
+
+def nibble_entropy(content) -> "F.Column":
+    """Shannon entropy (nats) of the payload's hex-nibble distribution
+    — a codec-free corruption/compressibility signal (truncated or
+    constant payloads score low; well-compressed media approaches
+    ln 16). Computed as ln(n) - sum(c_i * ln(c_i)) / n with the 16
+    per-digit counts from length arithmetic, so both engines evaluate
+    the identical expression tree on the same integers."""
+    h = F.upper(F.hex(content))
+    n = F.length(h).cast("double")
+    terms = []
+    for d in _HEX_DIGITS:
+        c = (F.length(h) - F.length(F.replace(h, F.lit(d), F.lit("")))).cast(
+            "double"
+        )
+        terms.append(F.when(c > 0, c * F.log(c)).otherwise(F.lit(0.0)))
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return F.when(n > 0, F.log(n) - acc / n).otherwise(F.lit(0.0))
+
+
+def nibble_entropy_sql(content_expr: str) -> str:
+    """The identical entropy expression in DuckDB SQL (same term
+    order, same ln-of-integer arithmetic)."""
+    h = f"upper(hex({content_expr}))"
+    terms = []
+    for d in _HEX_DIGITS:
+        c = f"cast(length({h}) - length(replace({h}, '{d}', '')) AS double)"
+        terms.append(f"(CASE WHEN {c} > 0 THEN {c} * ln({c}) ELSE 0.0 END)")
+    acc = " + ".join(terms)
+    n = f"cast(length({h}) AS double)"
+    return (
+        f"(CASE WHEN {n} > 0 THEN ln({n}) - ({acc}) / {n} ELSE 0.0 END)"
+    )

@@ -44,6 +44,7 @@ HEAD = (
     "bpe_encode_stats",
     "split_leakage_audit",
     "bigram_logprob_scores",
+    "media_payload_stats",
     # -- changed this round: decimal/hugeint pandas-dtype alignment --
     "customer_value_deciles",
     "order_status_islands",
@@ -94,7 +95,6 @@ HEAD = (
     "q14_promo_revenue",
     "q18_large_orders",
     "q19_discounted_revenue",
-    "q22_idle_customers",
 )
 TAIL = ()
 

@@ -83,8 +83,88 @@ FROM vids, LATERAL unnest(range(0, n_frames, 30)) AS t(i)
 """
 
 
+def media_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-free binary payload audit per media kind — the REAL (not
+    stubbed) half of the multimodal surface: magic-byte container
+    sniffing, leading-byte class, and hex-nibble Shannon entropy (a
+    corruption/compressibility signal), all pure byte arithmetic over
+    the opaque content column. On the fixture (UTF-8 text payloads)
+    every sniff is 'unknown' and leads are ASCII — the real magic-byte
+    paths are pinned by tests/test_multimodal.py on handcrafted
+    PNG/JPEG/GIF payloads.
+
+    Plan: single scan, everything codegen (hex/replace/length
+    arithmetic); one kind-cardinality aggregate."""
+    from goe_spark.multimodal.media import nibble_entropy, sniff_format
+
+    m = _media(spark, sf_dir)
+    c = F.col("content")
+    per = m.select(
+        "kind",
+        F.length(c).cast("long").alias("n_bytes"),
+        sniff_format(c).alias("fmt"),
+        (
+            F.conv(F.substring(F.upper(F.hex(c)), 1, 2), 16, 10).cast("long")
+            < 128
+        ).alias("ascii_lead"),
+        F.round(nibble_entropy(c), 6).alias("ent"),
+    )
+    return per.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum((F.col("fmt") != "unknown").cast("long")).alias("n_detected"),
+        F.sum(F.col("ascii_lead").cast("long")).alias("n_ascii_lead"),
+        F.round(F.avg("ent"), 4).alias("avg_entropy"),
+        F.round(F.min("ent"), 6).alias("min_entropy"),
+        F.round(F.max("ent"), 6).alias("max_entropy"),
+    )
+
+
+def _media_payload_sql() -> str:
+    from goe_spark.multimodal.media import (
+        nibble_entropy_sql,
+        sniff_format_sql,
+    )
+
+    ent = nibble_entropy_sql("content")
+    fmt = sniff_format_sql("content")
+    lead = (
+        "cast(concat('0x', substr(upper(hex(content)), 1, 2)) AS bigint)"
+        " < 128"
+    )
+    return f"""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+         encode(text) AS content
+  FROM documents
+), per AS (
+  SELECT kind,
+         octet_length(content) AS n_bytes,
+         {fmt} AS fmt,
+         {lead} AS ascii_lead,
+         round({ent}, 6) AS ent
+  FROM media
+)
+SELECT kind,
+       count(*) AS n_media,
+       cast(sum(n_bytes) AS bigint) AS total_bytes,
+       cast(sum(CASE WHEN fmt <> 'unknown' THEN 1 ELSE 0 END) AS bigint)
+         AS n_detected,
+       cast(sum(CASE WHEN ascii_lead THEN 1 ELSE 0 END) AS bigint)
+         AS n_ascii_lead,
+       round(avg(ent), 4) AS avg_entropy,
+       round(min(ent), 6) AS min_entropy,
+       round(max(ent), 6) AS max_entropy
+FROM per GROUP BY kind
+"""
+
+
 QUERIES = [
     QuerySpec("media_decode_features", media_decode_features, MEDIA_FEATURES_SQL),
     QuerySpec("media_resize_images", media_resize_images, MEDIA_RESIZE_SQL),
     QuerySpec("media_frame_sample", media_frame_sample, MEDIA_FRAMES_SQL),
+    QuerySpec(
+        "media_payload_stats", media_payload_stats, _media_payload_sql()
+    ),
 ]

@@ -84,3 +84,58 @@ def test_frame_sample_fanout(media):
     )
     offs = [r.frame_offset_bytes for r in one]
     assert offs == sorted(offs)
+
+
+def test_sniff_format_magic_bytes(spark):
+    """Container sniffing on REAL magic bytes — the non-degenerate
+    paths the text-payload fixture cannot exercise."""
+    from goe_spark.multimodal.media import sniff_format
+
+    payloads = [
+        (1, bytes.fromhex("89504E470D0A1A0A") + b"rest"),  # png
+        (2, bytes.fromhex("FFD8FFE0") + b"jfif"),          # jpeg
+        (3, b"GIF89a" + b"x"),                             # gif (47 49 46 38)
+        (4, b"RIFF1234WAVE"),                              # riff container
+        (5, b"%PDF-1.7"),                                  # pdf
+        (6, b"ID3\x04tag"),                                # mp3
+        (7, bytes.fromhex("1F8B08") + b"z"),               # gzip
+        (8, b"plain text bytes"),                          # unknown
+        (9, b""),                                          # empty -> unknown
+    ]
+    df = spark.createDataFrame(payloads, "media_id long, content binary")
+    got = {
+        r.media_id: r.fmt
+        for r in df.select(
+            "media_id", sniff_format(df.content).alias("fmt")
+        ).collect()
+    }
+    assert got == {
+        1: "png", 2: "jpeg", 3: "gif", 4: "riff", 5: "pdf",
+        6: "mp3", 7: "gzip", 8: "unknown", 9: "unknown",
+    }
+
+
+def test_nibble_entropy_known_values(spark):
+    """Entropy sanity on constructed payloads: a constant byte scores
+    0, a payload covering all 16 nibbles uniformly scores ln 16, and
+    empty content scores 0 (guard path)."""
+    import math
+
+    from goe_spark.multimodal.media import nibble_entropy
+
+    uniform = bytes(range(256))  # every nibble appears 32 times
+    payloads = [
+        (1, b"\x00" * 64),
+        (2, uniform),
+        (3, b""),
+    ]
+    df = spark.createDataFrame(payloads, "media_id long, content binary")
+    got = {
+        r.media_id: r.ent
+        for r in df.select(
+            "media_id", nibble_entropy(df.content).alias("ent")
+        ).collect()
+    }
+    assert got[1] == 0.0
+    assert abs(got[2] - math.log(16)) < 1e-9
+    assert got[3] == 0.0
