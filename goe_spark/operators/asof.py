@@ -39,10 +39,21 @@ def asof_join(
     left_time: str,
     right_time: str,
     payload_cols: list[str],
+    tolerance: Column | None = None,
 ) -> DataFrame:
     """Left as-of join: every ``left`` row + the latest ``right``
     payload at or before its time. Payload columns are NULL when no
     right row precedes the left row.
+
+    ``tolerance`` (pandas merge_asof / kdb wj surface) bounds how far
+    back a match may reach: a matched right row with
+    ``right_time < left_time - tolerance`` is discarded (payload
+    NULL). Pass an expression matching the time type — e.g.
+    ``F.expr("INTERVAL 30 DAYS")`` for timestamps, a numeric literal
+    for numeric times. Zero extra shuffles: the matched right time
+    rides the payload struct and the bound is one filter expression —
+    and since the as-of match is the LATEST qualifying row, a match
+    outside tolerance implies no older row could be inside it.
 
     ``payload_cols`` must be disjoint from ``left``'s columns — the
     output carries both sides by name, so a collision would emit
@@ -64,7 +75,12 @@ def asof_join(
     # matched right row from an OLDER right row, stitching values from
     # different rows together. A whole-row struct is NULL on left rows
     # and atomic on right rows, so "latest right row" means one row.
-    payload_struct = F.struct(*[F.col(c) for c in payload_cols])
+    # __rt (the matched right row's time) rides the struct so a
+    # tolerance bound can be evaluated without any re-join.
+    payload_struct = F.struct(
+        *[F.col(c) for c in payload_cols],
+        F.col(right_time).alias("__rt"),
+    )
     l_tagged = left.select(
         F.col(on).alias("__key"),
         F.col(left_time).alias("__t"),
@@ -77,6 +93,7 @@ def asof_join(
                 f"{c}:{right.schema[c].dataType.simpleString()}"
                 for c in payload_cols
             )
+            + f",__rt:{right.schema[right_time].dataType.simpleString()}"
             + ">"
         )
         .alias("__payload"),
@@ -95,9 +112,18 @@ def asof_join(
     )
     forwarded = r_tagged.unionByName(l_tagged).select(
         "__marker",
+        "__t",
         *[F.col(c) for c in left.columns],
         F.last(F.col("__payload"), ignorenulls=True).over(w).alias("__payload"),
     )
+    if tolerance is not None:
+        forwarded = forwarded.withColumn(
+            "__payload",
+            F.when(
+                F.col("__payload.__rt") >= F.col("__t") - tolerance,
+                F.col("__payload"),
+            ),
+        )
     return (
         forwarded.where(F.col("__marker") == 1)
         .select(

@@ -45,6 +45,7 @@ HEAD = (
     "split_leakage_audit",
     "bigram_logprob_scores",
     "media_payload_stats",
+    "asof_recent_order",
     # -- changed this round: decimal/hugeint pandas-dtype alignment --
     "customer_value_deciles",
     "order_status_islands",
@@ -94,7 +95,6 @@ HEAD = (
     "q13_customer_distribution",
     "q14_promo_revenue",
     "q18_large_orders",
-    "q19_discounted_revenue",
 )
 TAIL = ()
 

@@ -95,3 +95,41 @@ def test_asof_plan_is_single_shuffle(spark):
     # would risk BroadcastNestedLoop at scale)
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_tolerance_nullifies_stale_matches(spark):
+    """Tolerance semantics on a handcrafted series: a right row 10
+    units back matches with tolerance 15 but not with tolerance 5; a
+    same-time match always survives; tolerance never ADDS matches."""
+    from pyspark.sql import functions as F
+
+    from goe_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 103), (2, 50)], "k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, 93, "old"), (1, 103, "now"), (2, 10, "stale")],
+        "k long, rt long, v string",
+    )
+
+    def run(tol):
+        return {
+            (r.k, r.t): r.v
+            for r in asof_join(
+                left, right, on="k", right_on="k",
+                left_time="t", right_time="rt",
+                payload_cols=["v"], tolerance=tol,
+            ).collect()
+        }
+
+    wide = run(F.lit(15))
+    assert wide == {(1, 100): "old", (1, 103): "now", (2, 50): None}
+    tight = run(F.lit(5))
+    # the 10-units-back match dies; the same-time match survives
+    assert tight == {(1, 100): None, (1, 103): "now", (2, 50): None}
+    unbounded = run(None)
+    assert unbounded == {(1, 100): "old", (1, 103): "now", (2, 50): "stale"}
+    # tolerance is a pure restriction of the unbounded join
+    for key, v in tight.items():
+        assert v is None or unbounded[key] == v
