@@ -40,10 +40,17 @@ def asof_join(
     right_time: str,
     payload_cols: list[str],
     tolerance: Column | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: every ``left`` row + the latest ``right``
     payload at or before its time. Payload columns are NULL when no
     right row precedes the left row.
+
+    ``direction="forward"`` flips the match to the EARLIEST right row
+    at or after the left time (pandas merge_asof's forward mode — the
+    time-to-next-event shape). Same single-shuffle plan: the scan
+    order reverses (time descending) so the window's most recent
+    right row is the smallest qualifying time.
 
     ``tolerance`` (pandas merge_asof / kdb wj surface) bounds how far
     back a match may reach: a matched right row with
@@ -64,6 +71,8 @@ def asof_join(
     never see a right payload — they come out with NULL payload
     columns, same as DuckDB's ASOF JOIN for NULL probe times.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown as-of direction: {direction!r}")
     clash = set(payload_cols) & set(left.columns)
     if clash:
         raise ValueError(
@@ -105,9 +114,20 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
         payload_struct.alias("__payload"),
     )
+    # NULL left times must sort FIRST in both directions so they can
+    # never see a payload (asc defaults to nulls-first; desc must be
+    # pinned — its default nulls-last would hand NULL-time rows the
+    # smallest right time's payload).
+    t_order = (
+        F.col("__t").asc_nulls_first()
+        if direction == "backward"
+        else F.col("__t").desc_nulls_first()
+    )
+    # marker asc in BOTH directions: right rows (0) sort before left
+    # rows (1) at equal times, keeping the match inclusive.
     w = (
         Window.partitionBy("__key")
-        .orderBy(F.col("__t").asc(), F.col("__marker").asc())
+        .orderBy(t_order, F.col("__marker").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     forwarded = r_tagged.unionByName(l_tagged).select(
@@ -117,12 +137,13 @@ def asof_join(
         F.last(F.col("__payload"), ignorenulls=True).over(w).alias("__payload"),
     )
     if tolerance is not None:
+        in_window = (
+            F.col("__payload.__rt") >= F.col("__t") - tolerance
+            if direction == "backward"
+            else F.col("__payload.__rt") <= F.col("__t") + tolerance
+        )
         forwarded = forwarded.withColumn(
-            "__payload",
-            F.when(
-                F.col("__payload.__rt") >= F.col("__t") - tolerance,
-                F.col("__payload"),
-            ),
+            "__payload", F.when(in_window, F.col("__payload"))
         )
     return (
         forwarded.where(F.col("__marker") == 1)

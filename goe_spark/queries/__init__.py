@@ -46,6 +46,7 @@ HEAD = (
     "bigram_logprob_scores",
     "media_payload_stats",
     "asof_recent_order",
+    "asof_next_order",
     # -- changed this round: decimal/hugeint pandas-dtype alignment --
     "customer_value_deciles",
     "order_status_islands",
@@ -94,7 +95,6 @@ HEAD = (
     "q9_product_profit",
     "q13_customer_distribution",
     "q14_promo_revenue",
-    "q18_large_orders",
 )
 TAIL = ()
 

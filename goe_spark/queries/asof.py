@@ -132,8 +132,66 @@ FROM matched GROUP BY event_type
 """
 
 
+def asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (merge_asof direction='forward'): for every
+    event, the customer's EARLIEST order at or after the event — the
+    time-to-conversion shape. Rolled up per event type: match rate
+    and the average days from event to next order (exact integer
+    day arithmetic, rounded once).
+
+    Same single-shuffle union-and-fill plan as the backward join with
+    the scan order reversed; the oracle is DuckDB's native ASOF JOIN
+    with the inequality flipped."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.min("o_orderkey").alias("o_orderkey"))
+    )
+    joined = asof_join(
+        events,
+        orders,
+        on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload_cols=["o_orderkey", "o_orderdate"],
+        direction="forward",
+    )
+    lag_days = F.datediff(F.col("o_orderdate"), F.col("ts").cast("date"))
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("o_orderkey").alias("n_converted"),
+        F.round(F.avg(lag_days), 4).alias("avg_days_to_order"),
+    )
+
+
+ASOF_FORWARD_SQL = """
+WITH ords AS (
+  SELECT o_custkey, o_orderdate, min(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT event_type,
+       count(*)          AS n_events,
+       count(o_orderkey) AS n_converted,
+       round(avg(date_diff('day', cast(ts AS date), o_orderdate)), 4)
+         AS avg_days_to_order
+FROM events ASOF LEFT JOIN ords
+  ON events.user_id = ords.o_custkey AND events.ts <= ords.o_orderdate
+GROUP BY event_type
+"""
+
+
 QUERIES = [
     QuerySpec("asof_latest_order", asof_latest_order, ASOF_SQL, "as-of join"),
+    QuerySpec(
+        "asof_next_order",
+        asof_next_order,
+        ASOF_FORWARD_SQL,
+        "forward as-of join (time to conversion)",
+    ),
     QuerySpec(
         "asof_recent_order",
         asof_recent_order,

@@ -133,3 +133,49 @@ def test_asof_tolerance_nullifies_stale_matches(spark):
     # tolerance is a pure restriction of the unbounded join
     for key, v in tight.items():
         assert v is None or unbounded[key] == v
+
+
+def test_asof_forward_direction_and_null_times(spark):
+    """Forward mode matches the EARLIEST right row at or after the
+    left time (inclusive), NULL left times match nothing in either
+    direction, and forward tolerance bounds how far AHEAD a match may
+    be."""
+    from pyspark.sql import functions as F
+
+    from goe_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 103), (1, 200), (1, None)], "k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, 103, "a"), (1, 110, "b")], "k long, rt long, v string"
+    )
+
+    def run(**kw):
+        return {
+            (r.k, r.t): r.v
+            for r in asof_join(
+                left, right, on="k", right_on="k",
+                left_time="t", right_time="rt",
+                payload_cols=["v"], **kw,
+            ).collect()
+        }
+
+    fwd = run(direction="forward")
+    assert fwd == {
+        (1, 100): "a",   # earliest rt >= 100
+        (1, 103): "a",   # inclusive at equal time
+        (1, 200): None,  # nothing after
+        (1, None): None, # NULL time sees nothing
+    }
+    fwd_tight = run(direction="forward", tolerance=F.lit(2))
+    assert fwd_tight == {
+        (1, 100): None,  # 103 is 3 ahead > tolerance 2
+        (1, 103): "a",
+        (1, 200): None,
+        (1, None): None,
+    }
+    bwd = run(direction="backward")
+    assert bwd == {
+        (1, 100): None, (1, 103): "a", (1, 200): "b", (1, None): None,
+    }
