@@ -165,13 +165,15 @@ def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     imbalance <= 1 means the key spreads fine (salt 1 = no salting).
 
     Plan: one scan per candidate key (column-pruned to the key alone),
-    map-side partial counts, a key-cardinality shuffle, window top-k;
-    the total-count scalar broadcasts back. At 100 TB this is the
-    cheapest possible full-fidelity skew probe — exact counts, no
-    sampling error on the heavy tail (a sampled variant trades the
-    scan for sketch error; heavy hitters survive either way)."""
-    from pyspark.sql.window import Window
-
+    map-side partial counts, a key-cardinality shuffle, then a
+    DISTRIBUTED top-k via orderBy().limit() — Spark compiles that to
+    TakeOrderedAndProject (per-partition heap + driver merge of K rows
+    per partition), so even a billions-of-distinct-values key like
+    user_id at 100 TB never funnels through one task. (The previous
+    unpartitioned row_number() window did exactly that — the round-6
+    plan audit flagged it, and tests/test_plan_structure.py now pins
+    the window-free shape.) The total-count scalar broadcasts back.
+    Exact counts, no sampling error on the heavy tail."""
     ev = load_table(spark, sf_dir, "events")
     n_total = ev.count()  # scalar; driver-bounded by definition
     per_part = n_total / float(SKEW_PARTITIONS)
@@ -182,12 +184,9 @@ def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("key_value")
             .agg(F.count(F.lit(1)).alias("n_rows"))
         )
-        w = Window.orderBy(F.col("n_rows").desc(), F.col("key_value").asc())
-        top = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= SKEW_TOP_K)
-            .drop("rn")
-        )
+        top = counts.orderBy(
+            F.col("n_rows").desc(), F.col("key_value").asc()
+        ).limit(SKEW_TOP_K)
         imb = F.col("n_rows") / F.lit(per_part)
         outs.append(
             top.select(

@@ -554,3 +554,17 @@ def test_span_corruption_start_hash_computed_once(spark):
         "span-start hash inlined into consumers — O(n^2) regression:\n"
         + optimized
     )
+
+
+def test_join_skew_report_distributed_topk_no_global_window(spark):
+    """join_skew_report ranks per-key counts; at 100 TB the user_id key
+    has billions of distinct values, so an unpartitioned row_number()
+    window would funnel the whole count table through one task (the
+    round-6 plan audit caught exactly that). The top-k must compile to
+    TakeOrderedAndProject — per-partition heap, driver merges K rows
+    per partition — with NO WindowExec anywhere in the plan."""
+    from goe_spark.queries.profiling import join_skew_report
+
+    plan = _plan(join_skew_report(spark, SF_SMALL), "simple")
+    assert "Window" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
