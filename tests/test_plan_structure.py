@@ -401,15 +401,20 @@ def test_brand_affinity_no_fact_self_join(spark):
 
 
 def test_rfm_customer_grain_windows_no_joins(spark):
-    """Raw orders reduce to customer grain before the three quartile
-    windows; the only join is the 1-row anchor broadcast (BNLJ), never
-    a shuffle join of fact-sized inputs."""
+    """Raw orders reduce to customer grain before quartile scoring;
+    the only join is the 1-row anchor broadcast (BNLJ), never a
+    shuffle join of fact-sized inputs. Quartiles are boundary-tuple
+    comparisons, so the plan carries NO window at all (the previous
+    form ran three unpartitioned ntile windows — a one-task funnel
+    at billion-customer scale)."""
     from goe_spark.queries.timeseries import rfm_segments
 
     plan = _plan(rfm_segments(spark, SF_SMALL), "simple")
-    assert plan.count("Window") == 3
+    assert "Window" not in plan
     assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") == 1  # 1-row anchor
+    # the persisted customer-grain subtree prints its AQE initial AND
+    # final plan, so the single 1-row anchor BNLJ can appear twice
+    assert 1 <= plan.count("BroadcastNestedLoopJoin") <= 2
     assert "CartesianProduct" not in plan
 
 
@@ -568,3 +573,17 @@ def test_join_skew_report_distributed_topk_no_global_window(spark):
     plan = _plan(join_skew_report(spark, SF_SMALL), "simple")
     assert "Window" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_customer_value_deciles_no_global_window(spark):
+    """The decile/percent_rank/cume report used a global ntile window
+    — one task holding the whole customer table (billions of rows at
+    100 TB). The two-pass rank must show NO WindowExec at all: a
+    range-partitioned exchange distributes the sort, positions come
+    from partition-offset arithmetic, distribution values from plain
+    column math."""
+    from goe_spark.queries.timeseries import customer_value_deciles
+
+    plan = _plan(customer_value_deciles(spark, SF_SMALL), "simple")
+    assert "Window" not in plan, plan
+    assert "rangepartitioning" in plan.lower(), plan

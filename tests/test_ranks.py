@@ -1,0 +1,99 @@
+"""Distributed total-order ranks (operators/ranks.py): exact-position
+parity with window functions, ntile arithmetic across remainder
+shapes, and the planted-tie boundary semantics the round-6 verdict
+asked to pin (ties in the ranked value at a bucket boundary must be
+split by the unique tie-break key exactly as ntile-over-window does).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from goe_spark.operators.ranks import (
+    POS,
+    ntile_boundary_positions,
+    ntile_expr,
+    with_global_positions,
+)
+
+
+def _planted(spark, n=37, tie_every=5):
+    """n rows; value collides in groups of tie_every so ties straddle
+    bucket boundaries; key is unique."""
+    rows = [(i, float(i // tie_every)) for i in range(n)]
+    return spark.createDataFrame(rows, "key long, value double").repartition(7)
+
+
+def test_positions_match_row_number(spark):
+    df = _planted(spark)
+    positioned, n = with_global_positions(
+        df, [F.col("value").desc(), F.col("key").asc()]
+    )
+    assert n == 37
+    w = Window.orderBy(F.col("value").desc(), F.col("key").asc())
+    expected = {
+        (r["key"]): r["rn"]
+        for r in df.select("key", F.row_number().over(w).alias("rn")).collect()
+    }
+    got = {r["key"]: r[POS] for r in positioned.collect()}
+    assert got == expected
+
+
+@pytest.mark.parametrize("n,k", [(37, 10), (40, 4), (3, 4), (1, 10), (100, 7)])
+def test_ntile_expr_matches_window_ntile(spark, n, k):
+    df = _planted(spark, n=n)
+    positioned, total = with_global_positions(
+        df, [F.col("value").asc(), F.col("key").asc()]
+    )
+    assert total == n
+    w = Window.orderBy(F.col("value").asc(), F.col("key").asc())
+    expected = {
+        r["key"]: r["t"]
+        for r in df.select("key", F.ntile(k).over(w).alias("t")).collect()
+    }
+    got = {
+        r["key"]: r["t"]
+        for r in positioned.select(
+            "key", ntile_expr(F.col(POS), total, k).alias("t")
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_ntile_boundary_positions_shapes():
+    # 10 rows, 4 tiles: sizes 3,3,2,2 -> cuts after 3,6,8
+    assert ntile_boundary_positions(10, 4) == [3, 6, 8]
+    # even split
+    assert ntile_boundary_positions(8, 4) == [2, 4, 6]
+    # fewer rows than tiles: trailing empty buckets produce no cut at n
+    assert ntile_boundary_positions(3, 4) == [1, 2]
+    assert ntile_boundary_positions(1, 10) == []
+
+
+def test_boundary_tie_split_matches_ntile(spark):
+    """Planted tie AT a decile boundary: rows 29..31 share one value
+    while ntile(10) of 37 rows cuts inside that run; membership must
+    follow the key tie-break, exactly as the window form decides."""
+    df = _planted(spark, n=37, tie_every=3)
+    order = [F.col("value").asc(), F.col("key").asc()]
+    positioned, total = with_global_positions(df, order)
+    w = Window.orderBy(*order)
+    merged = (
+        positioned.select("key", ntile_expr(F.col(POS), total, 10).alias("got"))
+        .join(
+            df.select("key", F.ntile(10).over(w).alias("want")),
+            "key",
+        )
+        .where(F.col("got") != F.col("want"))
+    )
+    assert merged.count() == 0
+
+
+def test_empty_input(spark):
+    df = spark.createDataFrame([], "key long, value double")
+    positioned, n = with_global_positions(df, [F.col("value").asc()])
+    assert n == 0
+    assert positioned.count() == 0
+    assert POS in positioned.columns
