@@ -463,16 +463,26 @@ class OffloadPipeline:
                 write_staging,
             )
 
-            if cfg.staging_format == "avro" and not avro_available(
-                self.spark
-            ):
-                raise OffloadValidationError(
-                    "avro staging requires the spark-avro datasource on "
-                    "the classpath (spark.jars.packages "
-                    "org.apache.spark:spark-avro); falling back silently "
-                    "would misreport what was staged — choose "
-                    "staging_format='parquet' instead"
+            if cfg.staging_format == "avro":
+                # The schema itself is pure Python (sources/
+                # avro_schema.py) — generate it before the capability
+                # gate so callers see WHAT would be staged even when
+                # the jar is absent, and with the jar the write uses
+                # the declared schema rather than an inferred one.
+                from goe_spark.sources.avro_schema import avro_schema_json
+
+                staging_schema = avro_schema_json(
+                    f"{cfg.owner}_load", cfg.table_name, canonical_cols
                 )
+                if not avro_available(self.spark):
+                    raise OffloadValidationError(
+                        "avro staging requires the spark-avro datasource "
+                        "on the classpath (spark.jars.packages "
+                        "org.apache.spark:spark-avro); falling back "
+                        "silently would misreport what was staged — "
+                        "choose staging_format='parquet' instead. "
+                        f"Generated staging schema: {staging_schema}"
+                    )
             staged_proj = [staging_expr(c) for c in canonical_cols]
             if cfg.partition is not None:
                 staged_proj.append(F.col(SYNTHETIC_COL))

@@ -416,29 +416,44 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    n = scored.count()  # materializes the cache; n = customer count
 
-    def quartile_score(asc_metric: F.Column) -> F.Column:
+    # Each metric's ascending sort key as one exact LONG (DESC metrics
+    # negate; money compares in integer cents), so all three metrics
+    # stack into ONE relation and a SINGLE range shuffle finds all 9
+    # quartile-boundary tuples: metric m's local position e lives at
+    # stacked position (m-1)*n + e.
+    asc_keys = {
+        1: F.col("recency_days").cast("long"),
+        2: (-F.col("frequency")).cast("long"),
+        3: -(F.col("monetary") * 100).cast("long"),
+    }
+    stacked = None
+    for mid, key in asc_keys.items():
+        part = scored.select(
+            F.lit(mid).alias("__m"),
+            key.alias("__k"),
+            F.col("o_custkey").alias("__c"),
+        )
+        stacked = part if stacked is None else stacked.unionByName(part)
+    positioned, _ = with_global_positions(
+        stacked, [F.col("__m").asc(), F.col("__k").asc(), F.col("__c").asc()]
+    )
+    ends = ntile_boundary_positions(n, 4)
+    targets = [(mid - 1) * n + e for mid in asc_keys for e in ends]
+    # Driver-bounded: at most 9 boundary rows.
+    bounds_by_metric: dict[int, list] = {mid: [] for mid in asc_keys}
+    for r in positioned.where(F.col(POS).isin(targets)).collect():
+        bounds_by_metric[r["__m"]].append((r["__k"], r["__c"]))
+
+    def quartile_score(mid: int) -> F.Column:
         """ntile(4) over (metric ASC, custkey ASC) as a map-side
         expression: 1 + number of broadcast quartile-boundary tuples
         strictly below this row's (metric, custkey) tuple."""
-        proj = scored.select(
-            asc_metric.alias("__k"), F.col("o_custkey").alias("__c")
-        )
-        positioned, n = with_global_positions(
-            proj, [F.col("__k").asc(), F.col("__c").asc()]
-        )
-        ends = ntile_boundary_positions(n, 4)
-        # Driver-bounded: at most 3 boundary rows.
-        bounds = sorted(
-            (r[POS], r["__k"], r["__c"])
-            for r in positioned.where(F.col(POS).isin(ends)).collect()
-        )
+        a, cust = asc_keys[mid], F.col("o_custkey")
         score = F.lit(1)
-        cust = F.col("o_custkey")
-        for _, bk, bc in bounds:
-            above = (asc_metric > F.lit(bk)) | (
-                (asc_metric == F.lit(bk)) & (cust > F.lit(bc))
-            )
+        for bk, bc in sorted(bounds_by_metric[mid]):
+            above = (a > F.lit(bk)) | ((a == F.lit(bk)) & (cust > F.lit(bc)))
             score = score + above.cast("int")
         return score
 
@@ -446,9 +461,9 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recency_days",
         "frequency",
         "monetary",
-        quartile_score(F.col("recency_days")).alias("r_score"),
-        quartile_score(-F.col("frequency")).alias("f_score"),
-        quartile_score(-F.col("monetary")).alias("m_score"),
+        quartile_score(1).alias("r_score"),
+        quartile_score(2).alias("f_score"),
+        quartile_score(3).alias("m_score"),
     )
     # Money average in EXACT integer cents with explicit half-up
     # division: Spark's avg/round on decimals averages exactly while
