@@ -109,6 +109,13 @@ HEADLINE = [
     # constant in corpus size beyond the single wordcount pass.
     "bpe_train_merges",
     "bpe_encode_stats",
+    # round-6 heavy-tail additions (VERDICT r6 task 7): regressions in
+    # the newest operators must be caught the same way BPE's were
+    "split_leakage_audit",
+    "asof_recent_order",
+    "asof_next_order",
+    "media_payload_stats",
+    "bigram_logprob_scores",
 ]
 
 

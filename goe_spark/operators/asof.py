@@ -107,7 +107,11 @@ def asof_join(
         )
         .alias("__payload"),
     )
-    r_tagged = right.select(
+    # Right rows with NULL right_time can never be "the latest row at
+    # or before t" — DuckDB/pandas ASOF semantics exclude them — but
+    # they would sort nulls-first here and hand their (non-NULL
+    # struct) payload to left rows with no real match. Drop them.
+    r_tagged = right.where(F.col(right_time).isNotNull()).select(
         F.col(right_on).alias("__key"),
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__marker"),

@@ -74,6 +74,20 @@ def _ddl(schema: StructType) -> str:
     )
 
 
+def _remove_dir(spark: SparkSession, path: str) -> None:
+    """Best-effort recursive delete through the Hadoop FileSystem API
+    so the same call clears file:// and hdfs/gs/s3a/abfss quarantine
+    locations alike."""
+    from goe_spark.sources.dfs import HadoopDfs
+
+    try:
+        HadoopDfs(spark).delete(path, recursive=True)
+    except Exception:
+        # Missing path (the common case) or a permission problem:
+        # never fail a CLEAN ingest over quarantine housekeeping.
+        pass
+
+
 def read_with_quarantine(
     spark: SparkSession,
     path: str,
@@ -163,6 +177,11 @@ def ingest_with_quarantine(
         if n_bad:
             bad.write.mode("overwrite").json(quarantine_path)
             q_path = quarantine_path
+        else:
+            # A clean rerun must not leave a PREVIOUS run's quarantine
+            # on disk: an operator inspecting the path (rather than
+            # the report) would read stale bad rows as current.
+            _remove_dir(spark, quarantine_path)
         return IngestReport(
             n_good=n_good,
             n_bad=n_bad,

@@ -42,19 +42,41 @@ _QUERY_SAMPLE_CLAUSES = {
 }
 
 
+def _fixed_point(x: float) -> str:
+    """Decimal-point rendering with no exponent: SAMPLE / TABLESAMPLE
+    parsers reject '1e-05', which '%g' emits for tiny percents."""
+    s = f"{x:.10f}".rstrip("0").rstrip(".")
+    return s or "0"
+
+
 def sample_clause(dialect: str, percent: float) -> tuple[str, str] | None:
     """(position, clause) for the dialect's native sampler, or None
     when the frontend has none (caller falls back to a post-read
-    ``df.sample`` — correct but scans everything)."""
+    ``df.sample`` — correct but scans everything).
+
+    percent == 100 returns None — a full read needs no sampler, and
+    rendering it would be hazardous on Teradata, where ``SAMPLE 1``
+    (an INTEGER argument) means ONE ROW, not fraction 1.0: a silent
+    one-row sample would have type-sampling derive types from a
+    single row."""
     if not 0 < percent <= 100:
         raise ValueError(f"sample percent out of range: {percent}")
+    if percent == 100:
+        return None
     d = dialect.lower()
     if d in _TABLE_SAMPLE_CLAUSES:
-        return "table", _TABLE_SAMPLE_CLAUSES[d].format(pct=f"{percent:g}")
-    if d in _QUERY_SAMPLE_CLAUSES:
-        return "query", _QUERY_SAMPLE_CLAUSES[d].format(
-            frac=f"{percent / 100.0:g}"
+        return "table", _TABLE_SAMPLE_CLAUSES[d].format(
+            pct=_fixed_point(percent)
         )
+    if d in _QUERY_SAMPLE_CLAUSES:
+        # Teradata reads a fractional argument as a proportion; keep
+        # an explicit decimal point so it can never parse as a row
+        # count (integer form).
+        frac = percent / 100.0
+        rendered = _fixed_point(frac)
+        if "." not in rendered:
+            rendered += ".0"
+        return "query", _QUERY_SAMPLE_CLAUSES[d].format(frac=rendered)
     return None
 
 

@@ -179,3 +179,34 @@ def test_asof_forward_direction_and_null_times(spark):
     assert bwd == {
         (1, 100): None, (1, 103): "a", (1, 200): "b", (1, None): None,
     }
+
+
+def test_asof_null_right_times_never_match(spark):
+    """Right rows with NULL right_time are excluded from matching in
+    BOTH directions and with or without tolerance (DuckDB/pandas ASOF
+    semantics) — previously they sorted nulls-first with a non-NULL
+    payload struct and could be inherited by left rows that have no
+    real qualifying match."""
+    import pyspark.sql.functions as F
+
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-10T00:00:00"), "only_null_right")],
+        "k long, t timestamp, label string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, 777)], "k long, t timestamp, v int"
+    )
+    for direction in ("backward", "forward"):
+        row = asof_join(
+            left, right, on="k", right_on="k", left_time="t",
+            right_time="t", payload_cols=["v"], direction=direction,
+        ).collect()[0]
+        assert row.v is None, direction
+    # consistent WITH tolerance too (previously only the tolerance
+    # path nullified these)
+    row = asof_join(
+        left, right, on="k", right_on="k", left_time="t",
+        right_time="t", payload_cols=["v"],
+        tolerance=F.expr("INTERVAL 30 DAYS"),
+    ).collect()[0]
+    assert row.v is None

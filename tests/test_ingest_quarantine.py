@@ -142,12 +142,13 @@ def test_csv_quarantine(spark, tmp_path):
 
 
 def test_schema_must_not_predeclare_corrupt_col(spark, tmp_path):
+    # build a COPY: StructType.add mutates (and returns) the receiver,
+    # which would pollute the shared SCHEMA for every later test
+    bad_schema = StructType(
+        SCHEMA.fields + [StructField(CORRUPT_COL, StringType())]
+    )
     with pytest.raises(ValueError, match="must not pre-declare"):
-        read_with_quarantine(
-            spark,
-            str(tmp_path),
-            SCHEMA.add(CORRUPT_COL, StringType()),
-        )
+        read_with_quarantine(spark, str(tmp_path), bad_schema)
 
 
 def test_cli_ingest_command(spark, jsonl_dir, tmp_path, capsys, monkeypatch):
@@ -180,3 +181,29 @@ def test_cli_ingest_command(spark, jsonl_dir, tmp_path, capsys, monkeypatch):
     )
     err = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc2 == 1 and "exceeds gate" in err["error"]
+
+
+def test_clean_rerun_clears_stale_quarantine(spark, jsonl_dir, tmp_path):
+    """Run with bad rows (quarantine written), then rerun over a CLEAN
+    input to the same paths: the report says quarantine_path=None AND
+    the old quarantine directory is gone from disk — an operator
+    inspecting the path must not read a previous run's bad rows as
+    current."""
+    good_p = str(tmp_path / "good")
+    quar_p = str(tmp_path / "quar")
+    rpt1 = ingest_with_quarantine(
+        spark, str(jsonl_dir), SCHEMA, good_p, quar_p
+    )
+    assert rpt1.n_bad > 0 and os.path.exists(quar_p)
+
+    clean = tmp_path / "clean_in"
+    clean.mkdir()
+    with open(clean / "ok.jsonl", "w") as f:
+        for rec in GOOD:
+            f.write(json.dumps(rec) + "\n")
+    rpt2 = ingest_with_quarantine(
+        spark, str(clean), SCHEMA, good_p, quar_p
+    )
+    assert rpt2.n_bad == 0
+    assert rpt2.quarantine_path is None
+    assert not os.path.exists(quar_p)

@@ -10,7 +10,7 @@ from __future__ import annotations
 import pytest
 
 from tests.conftest import SF_SMALL
-from tools.check_oracle import frame_fingerprint
+from tools.check_oracle import dtype_kind_mismatches, frame_fingerprint
 
 
 def _specs():
@@ -44,6 +44,30 @@ def test_query_matches_oracle(spec, spark, duck):
             f"spark dtypes={dict(spdf.dtypes.astype(str))}\n"
             f"duck  dtypes={dict(opdf.dtypes.astype(str))}\n{diff}"
         )
+    # A hash match with a cross-kind pandas dtype split is green by
+    # LUCK — one data nudge flips it red in the driver. Hard-fail so
+    # new queries can't reintroduce HUGEINT/DECIMAL drift.
+    drift = dtype_kind_mismatches(spdf, opdf)
+    assert not drift, (
+        f"{spec.name}: hash matches but dtype kinds drift "
+        f"(align dtypes in-query): {drift}"
+    )
+
+
+def test_dtype_drift_gate_trips_on_planted_case(spark, duck):
+    """Prove the gate: a Spark BIGINT sum vs a DuckDB HUGEINT->float64
+    sum can hash identically on friendly values, but the cross-kind
+    dtype split must fail regardless."""
+    spdf = spark.createDataFrame([(1, 10)], "k int, s bigint").toPandas()
+    opdf = duck.execute(
+        "SELECT 1 AS k, sum(10) AS s"  # DuckDB sum() -> HUGEINT -> object/float
+    ).df()
+    drift = dtype_kind_mismatches(spdf, opdf)
+    assert drift, (
+        f"planted HUGEINT drift not detected: spark={dict(spdf.dtypes.astype(str))} "
+        f"duck={dict(opdf.dtypes.astype(str))}"
+    )
+    assert drift[0][0] == "s"
 
 
 def test_bench_headline_names_resolve():

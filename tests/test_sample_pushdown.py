@@ -63,3 +63,29 @@ def test_unknown_dialect_returns_none():
 def test_out_of_range_percent_rejected(pct):
     with pytest.raises(ValueError):
         sample_clause("oracle", pct)
+
+
+def test_percent_100_omits_clause_everywhere():
+    """A 100% 'sample' is a full read — no clause. Critical on
+    Teradata: SAMPLE with an INTEGER argument means a ROW COUNT, so
+    rendering 100/100 as 'SAMPLE 1' would silently sample ONE ROW and
+    type-tightening would derive types from it."""
+    for dialect in ("oracle", "postgresql", "mssql", "teradata", "derby"):
+        assert sample_clause(dialect, 100) is None
+        assert sample_clause(dialect, 100.0) is None
+
+
+def test_tiny_percent_renders_fixed_point_not_exponent():
+    """'%g' would render 0.001/100 as 1e-05, which SAMPLE/TABLESAMPLE
+    parsers reject; the clause must carry plain decimal notation."""
+    pos, clause = sample_clause("teradata", 0.001)
+    assert clause == "SAMPLE 0.00001"
+    pos, clause = sample_clause("oracle", 0.001)
+    assert clause == "SAMPLE BLOCK (0.001)"
+
+
+def test_teradata_fraction_always_has_decimal_point():
+    # integer-looking fractions must render with a '.', never as a
+    # bare integer (Teradata row-count form)
+    for pct, want in [(50.0, "SAMPLE 0.5"), (1.0, "SAMPLE 0.01")]:
+        assert sample_clause("teradata", pct) == ("query", want)

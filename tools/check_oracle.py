@@ -87,6 +87,44 @@ def normalize_cell(v):
     return str(v)
 
 
+def dtype_kind_mismatches(spdf, opdf) -> list[tuple[str, str, str]]:
+    """Cross-KIND pandas dtype splits between the two engines' fetch
+    frames: (column, spark_dtype, duckdb_dtype) per offending column.
+
+    int32 vs int64 render identically (str(int(v))) — only cross-kind
+    differences (int vs float vs object) can change the driver's
+    hash, so only those count. A hash that matches DESPITE one is
+    luck (e.g. float64 values that all avoid trailing zeros vs
+    Decimal objects); one data nudge flips it red, so both this
+    tool and the pytest gate treat it as a failure."""
+    bad = []
+    for c in spdf.columns:
+        if c not in opdf.columns:
+            continue
+        sd, od = str(spdf[c].dtype), str(opdf[c].dtype)
+
+        def _kind(dtype):
+            k = getattr(dtype, "kind", "O")
+            return "i" if k in "iu" else k
+
+        def _is_datey(col, dtype_str):
+            if dtype_str.startswith("datetime"):
+                return True
+            if dtype_str == "object":
+                vals = [v for v in col if v is not None]
+                return bool(vals) and all(
+                    isinstance(v, (datetime.date, datetime.datetime))
+                    for v in vals
+                )
+            return False
+
+        if _kind(spdf[c].dtype) != _kind(opdf[c].dtype) and not (
+            _is_datey(spdf[c], sd) and _is_datey(opdf[c], od)
+        ):
+            bad.append((c, sd, od))
+    return bad
+
+
 def frame_fingerprint(pdf) -> tuple[int, str, str, list[str]]:
     """Row count, sorted column list, order-insensitive value hash —
     over a pandas frame, the driver's fetch representation."""
@@ -120,9 +158,11 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    n_checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_checked += 1
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR)
@@ -148,35 +188,13 @@ def main() -> int:
             # Latent-flake audit: a hash match with mismatched pandas
             # dtypes is LUCK (e.g. a float64 column whose values all
             # happen to avoid trailing zeros vs a Decimal column) —
-            # one data nudge flips it red. Surface it even on green.
-            import datetime as _dt
-
-            def _is_datey(col, dtype):
-                if str(dtype).startswith("datetime"):
-                    return True
-                if str(dtype) == "object":
-                    vals = [v for v in col if v is not None]
-                    return bool(vals) and all(
-                        isinstance(v, (_dt.date, _dt.datetime)) for v in vals
-                    )
-                return False
-
-            def _kind(dtype):
-                # int32 vs int64 render identically (str(int(v))) —
-                # only cross-KIND differences (int vs float vs object)
-                # can change the driver's hash
-                k = getattr(dtype, "kind", "O")
-                return "i" if k in "iu" else k
-
-            for c in spdf.columns:
-                sd, od = str(spdf[c].dtype), str(opdf[c].dtype)
-                if _kind(spdf[c].dtype) != _kind(opdf[c].dtype) and not (
-                    _is_datey(spdf[c], sd) and _is_datey(opdf[c], od)
-                ):
-                    print(
-                        f"      WARN dtype[{c}]: spark={sd} duckdb={od}"
-                        " (green by luck — align dtypes in-query)"
-                    )
+            # one data nudge flips it red. FAIL even on green.
+            for c, sd, od in dtype_kind_mismatches(spdf, opdf):
+                print(
+                    f"      FAIL dtype[{c}]: spark={sd} duckdb={od}"
+                    " (green by luck — align dtypes in-query)"
+                )
+                if name not in failures:  # count each query once
                     failures.append(name)
         else:
             failures.append(name)
@@ -207,7 +225,7 @@ def main() -> int:
                                     f"        {c}: S={av} D={bv}{note}"
                                 )
                         break
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} OK")
+    print(f"\n{n_checked - len(failures)}/{n_checked} OK")
     return 1 if failures else 0
 
 
