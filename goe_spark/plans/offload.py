@@ -110,9 +110,10 @@ class OffloadConfig:
     backend_writer: object | None = None
     # Staging file format (S10/S11). The reference stages Avro by
     # default (avro_staging_file.py:268-291); parquet is our default
-    # because the staging read-back is columnar. "avro" requires the
-    # spark-avro datasource on the classpath and fails fast when it is
-    # absent (capability probe), never mid-write.
+    # because the staging read-back is columnar. "avro" uses the
+    # spark-avro datasource when present and otherwise the pure-Python
+    # container writer/reader (sources/avro_io.py) — still fully
+    # distributed, real spec-compliant .avro files.
     staging_format: str = "parquet"
     # --offload-type FULL|INCREMENTAL (reference goe.py:1051-1052,
     # resolved by plans/partitions.resolve_offload_type). FULL with a
@@ -457,32 +458,15 @@ class OffloadPipeline:
         # exotics (the reference's Avro/Parquet staging schema,
         # staging format per cfg.staging_format).
         with self._step(steps, "STAGING_TRANSPORT"):
-            from goe_spark.sources.files import (
-                avro_available,
-                read_staging,
-                write_staging,
-            )
+            from goe_spark.sources.files import read_staging, write_staging
 
-            if cfg.staging_format == "avro":
-                # The schema itself is pure Python (sources/
-                # avro_schema.py) — generate it before the capability
-                # gate so callers see WHAT would be staged even when
-                # the jar is absent, and with the jar the write uses
-                # the declared schema rather than an inferred one.
-                from goe_spark.sources.avro_schema import avro_schema_json
-
-                staging_schema = avro_schema_json(
-                    f"{cfg.owner}_load", cfg.table_name, canonical_cols
-                )
-                if not avro_available(self.spark):
-                    raise OffloadValidationError(
-                        "avro staging requires the spark-avro datasource "
-                        "on the classpath (spark.jars.packages "
-                        "org.apache.spark:spark-avro); falling back "
-                        "silently would misreport what was staged — "
-                        "choose staging_format='parquet' instead. "
-                        f"Generated staging schema: {staging_schema}"
-                    )
+            # Avro staging (the reference's default format) no longer
+            # needs the spark-avro jar: write_staging/read_staging
+            # fall back to the pure-Python container writer/reader
+            # (sources/avro_io.py — distributed via mapInPandas /
+            # binaryFile) when the datasource is absent. The staged
+            # projection below string-stages exotics either way, so
+            # the cast map sees identical shapes on every format.
             staged_proj = [staging_expr(c) for c in canonical_cols]
             if cfg.partition is not None:
                 staged_proj.append(F.col(SYNTHETIC_COL))

@@ -61,9 +61,35 @@ def write_staging(
     max_records_per_file: int | None = None,
     mode: str = "overwrite",
 ) -> None:
-    """Stage a DataFrame to files (S10). No shuffle unless partitioned."""
+    """Stage a DataFrame to files (S10). No shuffle unless partitioned.
+
+    Avro (the reference's default staging format) works with OR
+    without the spark-avro jar: with it, Spark's native writer; when
+    it is absent, the pure-Python container writer
+    (sources/avro_io.py) encodes each partition inside mapInPandas —
+    real spec-compliant .avro files, still fully distributed."""
     if fmt not in STAGING_FORMATS and fmt != "avro":
         raise ValueError(f"unsupported staging format {fmt!r}")
+    if fmt == "avro" and not avro_available(df.sparkSession):
+        if partition_by:
+            raise ValueError(
+                "partitioned staging needs the spark-avro jar "
+                "(the jar-free writer emits one file per task)"
+            )
+        from goe_spark.sources.avro_io import (
+            staging_schema_from_spark,
+            write_avro_staging_dir,
+        )
+
+        if mode == "overwrite":
+            from goe_spark.sources.dfs import HadoopDfs
+
+            HadoopDfs(df.sparkSession).delete(path, recursive=True)
+        schema, projected = staging_schema_from_spark(
+            df, "staging", "staged"
+        )
+        write_avro_staging_dir(projected, path, schema)
+        return
     w = df.write.mode(mode).format(fmt)
     if partition_by:
         w = w.partitionBy(*partition_by)
@@ -77,8 +103,16 @@ def read_staging(
 ) -> DataFrame:
     """Read staged files back; optionally register the load-table view
     (the reference reads staged files through an external table —
-    src/goe/offload/bigquery/bigquery_backend_table.py:116-147)."""
-    df = spark.read.format(fmt).load(path)
+    src/goe/offload/bigquery/bigquery_backend_table.py:116-147).
+
+    Jar-free Avro staging dirs read back through binaryFile + a
+    mapInPandas decode (per-file parallelism, sources/avro_io.py)."""
+    if fmt == "avro" and not avro_available(spark):
+        from goe_spark.sources.avro_io import read_avro_staging_dist
+
+        df = read_avro_staging_dist(spark, path)
+    else:
+        df = spark.read.format(fmt).load(path)
     if view:
         df.createOrReplaceTempView(view)
     return df

@@ -138,21 +138,34 @@ class TestStagingFormat:
         staged = os.listdir(tmp_path / "staging")
         assert any(f.endswith(".orc") for f in staged)
 
-    def test_avro_staging_fails_fast_without_jar(self, spark, tmp_path):
-        """The reference stages Avro by default; without spark-avro on
-        the classpath the pipeline must fail BEFORE writing anything,
-        with an actionable message — not mid-write, not silently
-        falling back."""
-        from goe_spark.sources.files import avro_available
+    def test_avro_staging_end_to_end_without_jar(self, spark, tmp_path):
+        """The reference's DEFAULT staging format, jar-free: the
+        pipeline stages real spec-compliant .avro container files
+        through the pure-Python writer (sources/avro_io.py), reads
+        them back distributed (binaryFile + mapInPandas decode), and
+        the final table matches the parquet-staged result exactly."""
+        import os
 
-        if avro_available(spark):  # pragma: no cover - jar present
-            pytest.skip("spark-avro present; gate not reachable")
         src = spark.read.parquet(f"{SF_SMALL}/region.parquet")
-        with pytest.raises(OffloadValidationError, match="spark-avro"):
-            OffloadPipeline(
-                spark, _cfg(tmp_path, staging_format="avro")
-            ).run(src)
-        assert not (tmp_path / "staging").exists()
+        res = OffloadPipeline(
+            spark, _cfg(tmp_path, staging_format="avro")
+        ).run(src)
+        assert res.rows_final == src.count()
+        staged = os.listdir(tmp_path / "staging")
+        assert staged and all(f.endswith(".avro") for f in staged)
+        # container files carry the Avro magic and decode standalone
+        from goe_spark.sources.avro_io import MAGIC, read_avro_dir
+
+        first = tmp_path / "staging" / staged[0]
+        assert open(first, "rb").read(4) == MAGIC
+        _, rows = read_avro_dir(str(tmp_path / "staging"))
+        assert len(rows) == src.count()
+        got = {
+            (r["r_regionkey"], r["r_name"])
+            for r in spark.read.parquet(str(tmp_path / "final")).collect()
+        }
+        want = {(r["r_regionkey"], r["r_name"]) for r in src.collect()}
+        assert got == want
 
 
 class TestParquetWriterParity:
