@@ -116,6 +116,11 @@ HEADLINE = [
     "asof_next_order",
     "media_payload_stats",
     "bigram_logprob_scores",
+    # round-7 additions
+    "segment_dedup_stats",
+    "per_source_topk_cap",
+    "length_curriculum_bins",
+    "media_exact_dedup",
 ]
 
 

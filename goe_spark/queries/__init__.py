@@ -28,73 +28,74 @@ class QuerySpec:
 # records CORRECTNESS rows for the FIRST ~50 per round — the tail of
 # the registry gets no driver row. Order therefore encodes priority,
 # and HEAD is ROTATED each round (round-5 verdict: 11 entries sat just
-# outside the window for 5 straight rounds). Round-6 window, in order:
-#   1. queries whose output changed this round (pandas-dtype alignment
-#      fixes + the four sketch exact-control surfaces) — they need a
-#      fresh green driver row;
-#   2. the 9 entries never driver-checked in any round;
-#   3. the stalest previously-green entries (last checked r1/r3),
-#      refreshing cumulative coverage.
+# outside the window for 5 straight rounds). Round-7 window, in order:
+#   1. queries NEW this round (pipeline_ops) — never driver-checked;
+#   2. queries whose plan changed this round (distributed two-pass
+#      rank replacing global ntile windows; distributed top-k skew
+#      report) — they need a fresh green driver row;
+#   3. all 36 entries whose last driver check was ROUND 3 — before
+#      the round-6 dtype discipline existed (VERDICT r6 task 1: the
+#      TPC-H money columns are exactly the DECIMAL shape that broke
+#      round 4);
+#   4. the stalest round-5 rows filling the window to 50.
 # Everything else keeps module order behind the window; pytest's
 # test_queries_oracle.py re-verifies the FULL registry against DuckDB (same
 # pandas fetch path as the driver) every run regardless of position.
 HEAD = (
-    # -- new this round --
-    "bpe_train_merges",
-    "bpe_encode_stats",
-    "split_leakage_audit",
-    "bigram_logprob_scores",
-    "media_payload_stats",
-    "asof_recent_order",
-    "asof_next_order",
-    # -- changed this round: decimal/hugeint pandas-dtype alignment --
+    # -- new this round (pipeline_ops, multimodal) --
+    "segment_dedup_stats",
+    "shard_manifest",
+    "filter_funnel_report",
+    "per_source_topk_cap",
+    "length_curriculum_bins",
+    "media_exact_dedup",
+    # -- plan changed this round --
     "customer_value_deciles",
-    "order_status_islands",
-    "event_type_pivot",
-    "revenue_cube",
-    "continuous_rollup_daily",
-    "unigram_logprob_scores",
-    "stratified_sample_docs",
-    "token_pack_bins",
-    "order_price_histogram",
-    # -- changed this round: sketch exact-control hashable surfaces --
-    "daily_distinct_users_hll",
-    "rolling_distinct_users_hll",
-    "value_quantiles_kll",
-    "audience_overlap_theta",
-    # -- never driver-checked in rounds 1-5 --
-    "sliding_window_chunks",
-    "mixture_weights",
-    "order_value_percentiles",
-    "order_price_tiers",
-    "stream_enriched_counts",
-    "purchase_attribution",
-    "dedup_clusters",
-    "dedup_keep_best",
-    "contamination_check",
-    # -- stalest green rows (r1) --
-    "synthetic_partition_month",
-    "synthetic_partition_number_range",
-    "synthetic_partition_string_prefix",
-    "transform_projection",
-    "cast_probe_orders",
-    "union_mod_split_scan",
-    "semi_anti_join_customers",
-    "count_validate_orders",
-    # -- stalest green rows (r3) --
-    "asof_latest_order",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_regional_revenue",
-    "q10_returned_items",
-    "window_top_orders_per_customer",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
+    "rfm_segments",
+    "join_skew_report",
+    # -- last driver-checked in round 3 (pre-dtype-discipline) --
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q12_priority_lines",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q20_promotable_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "salted_join_revenue",
+    "agg_validate_lineitem",
+    "staged_validation_scan",
+    "data_type_sampling",
+    "predicate_offload_slice",
+    "dedup_exact_keep_first",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "token_stats_by_lang",
+    "bpe_token_stats",
+    "quality_scores_by_source",
+    "lang_id_confusion",
+    "doc_fingerprints",
+    "events_json_extract",
+    "ann_bruteforce_topk",
+    "embedding_near_dup_pairs",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "streaming_window_counts",
+    "streaming_dedup_counts",
+    "event_type_rollup",
+    "media_decode_features",
+    "media_resize_images",
+    "media_frame_sample",
+    # -- stalest round-5 rows --
+    "dq_orders_expectations",
+    "cross_doc_ngram_coverage",
+    "top_duplicate_ngrams",
+    "minhash_probe_new_docs",
+    "sentiment_by_source",
 )
 TAIL = ()
 
@@ -107,6 +108,7 @@ def all_queries() -> list[QuerySpec]:
         events_analytics,
         multimodal,
         offload,
+        pipeline_ops,
         relational,
         relational2,
         pii,
@@ -141,6 +143,7 @@ def all_queries() -> list[QuerySpec]:
         streaming_batch,
         events_analytics,
         multimodal,
+        pipeline_ops,
     ):
         specs.extend(mod.QUERIES)
     names = [s.name for s in specs]

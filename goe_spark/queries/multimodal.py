@@ -160,11 +160,77 @@ FROM per GROUP BY kind
 """
 
 
+def media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed exact dedup of binary payloads — the first
+    pass every multimodal corpus runs (identical bytes are identical
+    media; no codec needed). Per kind: distinct payloads, duplicate
+    media count, and the bytes a dedup pass reclaims.
+
+    Plan: md5 over the binary column is map-side codegen; ONE
+    fingerprint-grain aggregate (the shuffle carries 16-byte hashes +
+    a length, never payloads), then a kind-cardinality rollup. At
+    100 TB this is exactly how object-store dedup manifests are
+    built."""
+    m = _media(spark, sf_dir)
+    per_fp = (
+        m.select(
+            "kind",
+            F.md5(F.col("content")).alias("fp"),
+            F.length("content").cast("long").alias("n_bytes"),
+        )
+        .groupBy("kind", "fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.max("n_bytes").alias("n_bytes"),  # same fp => same bytes
+        )
+    )
+    return per_fp.groupBy("kind").agg(
+        F.sum("n_copies").alias("n_media"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("n_copies") - 1).alias("n_dup_media"),
+        F.sum((F.col("n_copies") - 1) * F.col("n_bytes")).alias(
+            "bytes_reclaimed"
+        ),
+        F.sum(F.col("n_copies") * F.col("n_bytes")).alias("bytes_total"),
+    )
+
+
+MEDIA_DEDUP_SQL = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+         text,
+         encode(text) AS content
+  FROM documents
+), per_fp AS (
+  -- DuckDB's md5() takes VARCHAR; content IS encode(text), so
+  -- hashing the text hashes the identical UTF-8 bytes
+  SELECT kind, md5(text) AS fp,
+         count(*) AS n_copies,
+         max(octet_length(content)) AS n_bytes
+  FROM media GROUP BY kind, md5(text)
+)
+SELECT kind,
+       cast(sum(n_copies) AS bigint)                  AS n_media,
+       count(*)                                       AS n_distinct,
+       cast(sum(n_copies - 1) AS bigint)              AS n_dup_media,
+       cast(sum((n_copies - 1) * n_bytes) AS bigint)  AS bytes_reclaimed,
+       cast(sum(n_copies * n_bytes) AS bigint)        AS bytes_total
+FROM per_fp GROUP BY kind
+"""
+
+
 QUERIES = [
     QuerySpec("media_decode_features", media_decode_features, MEDIA_FEATURES_SQL),
     QuerySpec("media_resize_images", media_resize_images, MEDIA_RESIZE_SQL),
     QuerySpec("media_frame_sample", media_frame_sample, MEDIA_FRAMES_SQL),
     QuerySpec(
         "media_payload_stats", media_payload_stats, _media_payload_sql()
+    ),
+    QuerySpec(
+        "media_exact_dedup",
+        media_exact_dedup,
+        MEDIA_DEDUP_SQL,
+        "content-hash exact dedup of binary payloads",
     ),
 ]

@@ -587,3 +587,64 @@ def test_customer_value_deciles_no_global_window(spark):
     plan = _plan(customer_value_deciles(spark, SF_SMALL), "simple")
     assert "Window" not in plan, plan
     assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_segment_dedup_shuffles_hashes_not_strings(spark):
+    """Boilerplate-segment accounting must shuffle 8-byte fingerprints
+    only: the exchanges in the plan partition on fp/source, and no
+    Window appears (frequency via groupBy + join back, not a per-fp
+    window)."""
+    from goe_spark.queries.pipeline_ops import segment_dedup_stats
+
+    plan = _plan(segment_dedup_stats(spark, SF_SMALL), "formatted")
+    assert "Window" not in plan
+    # the join back is on the fingerprint column
+    assert "hashpartitioning(fp" in plan, plan
+
+
+def test_shard_manifest_single_scan_single_exchange(spark):
+    """Shard assignment is a map-side key: exactly one file scan and
+    one aggregation exchange (shard grain)."""
+    from goe_spark.queries.pipeline_ops import shard_manifest
+
+    plan = _plan(shard_manifest(spark, SF_SMALL), "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_filter_funnel_single_scan(spark):
+    """The whole funnel is ONE conditional-aggregation pass."""
+    from goe_spark.queries.pipeline_ops import filter_funnel_report
+
+    plan = _plan(filter_funnel_report(spark, SF_SMALL), "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_per_source_cap_window_is_partitioned(spark):
+    """The top-k window partitions BY SOURCE (executor-local sorts) —
+    never an unpartitioned global ranking."""
+    from goe_spark.queries.pipeline_ops import per_source_topk_cap
+
+    plan = _plan(per_source_topk_cap(spark, SF_SMALL), "formatted")
+    assert "windowspecdefinition(source" in plan, plan
+
+
+def test_length_curriculum_no_global_window(spark):
+    """Doc-grain global deciles must ride the distributed two-pass
+    rank — no WindowExec, range-partitioned exchange present."""
+    from goe_spark.queries.pipeline_ops import length_curriculum_bins
+
+    plan = _plan(length_curriculum_bins(spark, SF_SMALL), "simple")
+    assert "Window" not in plan, plan
+    assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_media_dedup_shuffles_hashes_not_payloads(spark):
+    """The dedup aggregate's exchange partitions on (kind, fp) — the
+    payload bytes reduce map-side to a length and never shuffle."""
+    from goe_spark.queries.multimodal import media_exact_dedup
+
+    plan = _plan(media_exact_dedup(spark, SF_SMALL), "formatted")
+    assert "hashpartitioning(kind" in plan, plan
+    assert "Window" not in plan

@@ -27,6 +27,7 @@ Usage: python tools/check_oracle.py [query_name ...]
 
 from __future__ import annotations
 
+import datetime
 import hashlib
 import os
 import sys
@@ -38,7 +39,6 @@ SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
 
 
 def normalize_cell(v):
-    import datetime
     import decimal
     import math
 
