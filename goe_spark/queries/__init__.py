@@ -49,6 +49,7 @@ HEAD = (
     "per_source_topk_cap",
     "length_curriculum_bins",
     "media_exact_dedup",
+    "event_type_unpivot",
     # -- plan changed this round --
     "customer_value_deciles",
     "rfm_segments",
@@ -95,7 +96,6 @@ HEAD = (
     "cross_doc_ngram_coverage",
     "top_duplicate_ngrams",
     "minhash_probe_new_docs",
-    "sentiment_by_source",
 )
 TAIL = ()
 

@@ -237,6 +237,54 @@ FROM events GROUP BY 1
 """
 
 
+def event_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT — the melt half of the pivot pair (§2.8): take the
+    wide daily event-count matrix back to long (day, event_type, n)
+    form and roll it up per type with active-day accounting. Spark's
+    ``stack()`` is a pure map-side generator (one output row per
+    listed column, no shuffle, no distinct-values job); the round
+    trip pivot→unpivot reproducing the base aggregate is pinned in
+    the oracle by construction.
+
+    Plan: the pivot's single day-grain aggregate, a stack() generate,
+    one type-grain rollup (5 rows)."""
+    wide = event_type_pivot(spark, sf_dir)
+    n = len(EVENT_TYPES)
+    stack_args = ", ".join(f"'{t}', n_{t}" for t in EVENT_TYPES)
+    long = wide.select(
+        "day",
+        F.expr(f"stack({n}, {stack_args}) AS (event_type, n)"),
+    )
+    return (
+        long.where(F.col("n") > 0)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.count(F.lit(1)).alias("n_active_days"),
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+        )
+    )
+
+
+UNPIVOT_SQL = f"""
+WITH wide AS ({PIVOT_SQL}),
+longf AS (
+  SELECT day, event_type, n
+  FROM wide
+  UNPIVOT (n FOR event_type IN ({", ".join(f"n_{t} AS '{t}'" for t in EVENT_TYPES)}))
+)
+SELECT event_type,
+       cast(sum(n) AS bigint) AS n_events,
+       count(*)               AS n_active_days,
+       min(day)               AS first_day,
+       max(day)               AS last_day
+FROM longf
+WHERE n > 0
+GROUP BY event_type
+"""
+
+
 def lapsed_customers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lapsed customers via set difference (EXCEPT — the §2.8 set-op
     family beyond UNION ALL): customers who ordered in the FIRST
@@ -428,6 +476,12 @@ GROUP BY CUBE (n.n_name, year(o.o_orderdate))
 QUERIES = [
     QuerySpec(
         "event_funnel_conversion", event_funnel_conversion, FUNNEL_SQL
+    ),
+    QuerySpec(
+        "event_type_unpivot",
+        event_type_unpivot,
+        UNPIVOT_SQL,
+        "stack()-based unpivot of the daily pivot matrix",
     ),
     QuerySpec("lapsed_customers_except", lapsed_customers_except, LAPSED_SQL),
     QuerySpec(

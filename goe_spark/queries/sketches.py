@@ -376,14 +376,22 @@ FROM est e LEFT JOIN exact x USING (key)
 # consistency at tighter bounds).
 # ---------------------------------------------------------------------------
 
-# lgK=12 -> RSE ~1.625%; 3-sigma envelope used by the booleans.
-HLL_REL_ERR = 0.05
-# KLL default k -> ~1.65% normalized rank error; +/-5% rank window.
-KLL_RANK_EPS = 0.05
+# Envelopes are deliberately WIDE (~6 sigma, double the 3-sigma bound
+# the accuracy pytest checks at): these booleans gate the driver's
+# hash compare, so they must only flip on a broken PLAN, never on an
+# unlucky-but-legitimate estimate after the driver regenerates fixture
+# data (ADVICE r6: a 3-sigma gate turns estimator luck into a
+# confusing hash mismatch). The tight 3-sigma accuracy assertions live
+# in tests/test_timeseries_sketches.py where a failure reads as what
+# it is.
+# lgK=12 -> RSE ~1.625%.
+HLL_REL_ERR = 0.10
+# KLL default k -> ~1.65% normalized rank error.
+KLL_RANK_EPS = 0.10
 # theta default k=4096 -> ~1.6% sampling error on the union; set-op
 # estimates inherit it scaled by the union, with an absolute floor
 # for near-empty intersections.
-THETA_REL_ERR = 0.05
+THETA_REL_ERR = 0.10
 
 
 def daily_distinct_users_hll_checked(
