@@ -225,3 +225,44 @@ def test_distributed_staging_write_roundtrip(spark, tmp_path):
     for name in os.listdir(out):
         assert name.endswith(".avro")
         assert open(os.path.join(out, name), "rb").read(4) == MAGIC
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(max_size=40),
+            st.one_of(st.none(), st.binary(max_size=30)),
+            st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1)),
+            st.integers(-(2**63), 2**63 - 1),
+            st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False, width=32)),
+            st.floats(allow_nan=False, allow_infinity=False),
+            st.one_of(st.none(), st.booleans()),
+        ),
+        max_size=25,
+    )
+)
+def test_roundtrip_property(tmp_path_factory, rows):
+    """Random rows over the full staging type surface roundtrip
+    bit-exactly through the container encode/decode."""
+    p = str(tmp_path_factory.mktemp("avro") / "prop.avro")
+    n = write_avro_file(p, ALL_TYPES_SCHEMA, rows, codec="deflate")
+    assert n == len(rows)
+    if n == 0:
+        _, back = read_avro_file(p)
+        assert back == []
+        return
+    _, back = read_avro_file(p)
+    for want, got in zip(rows, back):
+        assert got["s"] == want[0]
+        assert got["y"] == want[1]
+        assert got["i"] == want[2]
+        assert got["l"] == want[3]
+        if want[4] is None:
+            assert got["f"] is None
+        else:
+            import struct as _s
+
+            assert _s.pack("<f", got["f"]) == _s.pack("<f", want[4])
+        assert got["d"] == want[5]
+        assert got["b"] is want[6] if want[6] is not None else got["b"] is None

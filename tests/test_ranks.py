@@ -97,3 +97,30 @@ def test_empty_input(spark):
     assert n == 0
     assert positioned.count() == 0
     assert POS in positioned.columns
+
+
+def test_positions_property_random_frames(spark):
+    """Property check across adversarial shapes: heavy ties, skewed
+    values, tiny/large n — positions must equal row_number() over the
+    same total order for every row."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = rng.choice([2, 11, 64, 257])
+        vals = [rng.randint(0, 3) if trial % 2 else rng.randint(0, 10**9)
+                for _ in range(n)]
+        rows = [(i, float(v)) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "key long, value double").repartition(
+            rng.choice([1, 3, 16])
+        )
+        order = [F.col("value").desc(), F.col("key").asc()]
+        positioned, total = with_global_positions(df, order)
+        assert total == n
+        w = Window.orderBy(*order)
+        want = {
+            r["key"]: r["rn"]
+            for r in df.select("key", F.row_number().over(w).alias("rn")).collect()
+        }
+        got = {r["key"]: r[POS] for r in positioned.collect()}
+        assert got == want, f"trial {trial} n={n}"
