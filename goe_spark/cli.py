@@ -75,6 +75,7 @@ def cmd_offload(args) -> int:
         "max_chunk_count": args.max_chunk_count,
         "offload_type": args.offload_type,
         "reset_backend_table": args.reset_backend_table,
+        "staging_format": args.staging_format,
     }
     print(json.dumps(offload_from_spec(spark, spec)))
     return 0
@@ -540,6 +541,13 @@ def build_parser() -> argparse.ArgumentParser:
     o.add_argument("--granularity", default="M")
     o.add_argument("--predicate", help="offload predicate DSL")
     o.add_argument("--hwm", help="incremental high-water mark")
+    o.add_argument(
+        "--staging-format",
+        default="parquet",
+        choices=["parquet", "orc", "json", "csv", "avro"],
+        help="staging file format (avro works jar-free via the "
+        "pure-Python container writer)",
+    )
     o.add_argument(
         "--chunked",
         action="store_true",

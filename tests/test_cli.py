@@ -471,3 +471,28 @@ def test_bloom_and_delete_use_bloom_commands(tmp_path, capsys, spark):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["rows_deleted"] >= 1
     assert spark.read.parquet(target).count() == before - rep["rows_deleted"]
+
+
+def test_offload_cli_avro_staging(tmp_path, capsys):
+    """--staging-format avro goes end-to-end jar-free (pure-Python
+    container staging) with real .avro files on disk and a
+    partitioned offload on top."""
+    import os
+
+    rc = main(
+        [
+            "offload",
+            "--owner", "sh",
+            "--table", "region",
+            "--source-dir", SF_SMALL,
+            "--target-dir", str(tmp_path / "final"),
+            "--staging-dir", str(tmp_path / "stage"),
+            "--metadata-dir", str(tmp_path / "md"),
+            "--staging-format", "avro",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows_staged"] == out["rows_final"] == 5
+    staged = os.listdir(tmp_path / "stage")
+    assert staged and all(f.endswith(".avro") for f in staged)
