@@ -57,9 +57,16 @@ def segment_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     source how many segments a dedup pass would strip (those found in
     >= SEG_MIN_DOCS docs) — RefinedWeb's line-dedup, at segment grain.
 
-    Plan: one scan; segments explode map-side; the frequency
-    aggregation and the join back both move only (fp, doc_id) pairs —
-    8-byte fingerprints, never text. Output is source-grain."""
+    Plan: ONE corpus scan, no join. Segments explode map-side and
+    reduce to (doc_id, source, fp) grain through one exchange; fp
+    doc-frequency is then a COUNT over an fp-PARTITIONED window
+    (sort-free, executor-local after the fp exchange — the same
+    fp-window shape dedup_exact_keep_first pins). Everything that
+    shuffles is 8-byte fingerprints + ids, never text. A universally
+    duplicated segment concentrates its doc list in one window
+    partition — bounded by that segment's doc frequency, the same
+    bound exact dedup carries; the join-back formulation trades that
+    for a second corpus scan, the worse deal."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
@@ -78,17 +85,24 @@ def segment_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("seg"),
     ).select("doc_id", "source", hash64(F.col("seg")).alias("fp"))
-    freq = segs.groupBy("fp").agg(
-        F.countDistinct("doc_id").alias("doc_freq")
+    # (doc, fp) grain: one exchange both consumers reuse. A doc
+    # belongs to exactly one source, so fp doc-frequency is the plain
+    # row count at this grain.
+    doc_fp = segs.groupBy("doc_id", "source", "fp").agg(
+        F.count(F.lit(1)).alias("n_seg")
     )
-    joined = segs.join(freq, "fp")
+    flagged = doc_fp.withColumn(
+        "doc_freq", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    )
     return (
-        joined.groupBy("source")
+        flagged.groupBy("source")
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("n_seg").alias("n_segments"),
             F.sum(
-                F.when(F.col("doc_freq") >= SEG_MIN_DOCS, 1).otherwise(0)
+                F.when(
+                    F.col("doc_freq") >= SEG_MIN_DOCS, F.col("n_seg")
+                ).otherwise(0)
             ).alias("n_boilerplate"),
             F.countDistinct(
                 F.when(F.col("doc_freq") >= SEG_MIN_DOCS, F.col("doc_id"))

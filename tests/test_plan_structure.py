@@ -589,17 +589,17 @@ def test_customer_value_deciles_no_global_window(spark):
     assert "rangepartitioning" in plan.lower(), plan
 
 
-def test_segment_dedup_shuffles_hashes_not_strings(spark):
-    """Boilerplate-segment accounting must shuffle 8-byte fingerprints
-    only: the exchanges in the plan partition on fp/source, and no
-    Window appears (frequency via groupBy + join back, not a per-fp
-    window)."""
+def test_segment_dedup_single_scan_no_join(spark):
+    """Boilerplate-segment accounting: ONE corpus scan, no join. The
+    fp doc-frequency rides a sort-free count over an fp-partitioned
+    window (the dedup_exact_keep_first shape); everything that
+    shuffles is fingerprints + ids."""
     from goe_spark.queries.pipeline_ops import segment_dedup_stats
 
-    plan = _plan(segment_dedup_stats(spark, SF_SMALL), "formatted")
-    assert "Window" not in plan
-    # the join back is on the fingerprint column
-    assert "hashpartitioning(fp" in plan, plan
+    plan = _plan(segment_dedup_stats(spark, SF_SMALL), "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "windowspecdefinition(fp" in plan, plan
 
 
 def test_shard_manifest_single_scan_single_exchange(spark):
