@@ -121,6 +121,7 @@ HEADLINE = [
     "per_source_topk_cap",
     "length_curriculum_bins",
     "media_exact_dedup",
+    "segment_probe_new_docs",
 ]
 
 

@@ -50,6 +50,7 @@ HEAD = (
     "length_curriculum_bins",
     "media_exact_dedup",
     "event_type_unpivot",
+    "segment_probe_new_docs",
     # -- plan changed this round --
     "customer_value_deciles",
     "rfm_segments",
@@ -95,7 +96,6 @@ HEAD = (
     "dq_orders_expectations",
     "cross_doc_ngram_coverage",
     "top_duplicate_ngrams",
-    "minhash_probe_new_docs",
 )
 TAIL = ()
 

@@ -42,8 +42,10 @@ from goe_spark.catalog import load_table
 from goe_spark.functions.hashing import hash64, hash64_sql
 from goe_spark.queries import QuerySpec
 
-SEG_WORDS = 8  # segment width for boilerplate detection
+from goe_spark.operators.segment_index import SEG_WORDS, segment_fp_frame
+
 SEG_MIN_DOCS = 2  # a segment in >= this many docs is boilerplate
+NEW_DOC_MOD = 10  # doc_id % 10 == 0 -> the ~10% "new batch" slice
 N_SHARDS = 16
 SOURCE_CAP_K = 10
 MIN_CHARS = 100
@@ -70,27 +72,11 @@ def segment_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    with_toks = d.select("doc_id", "source", toks.alias("w"))
-    n_seg = F.ceil(F.size("w") / F.lit(SEG_WORDS)).cast("int")
-    segs = with_toks.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), n_seg - 1),
-                lambda i: F.concat_ws(
-                    " ", F.slice("w", i * SEG_WORDS + 1, SEG_WORDS)
-                ),
-            )
-        ).alias("seg"),
-    ).select("doc_id", "source", hash64(F.col("seg")).alias("fp"))
-    # (doc, fp) grain: one exchange both consumers reuse. A doc
-    # belongs to exactly one source, so fp doc-frequency is the plain
-    # row count at this grain.
-    doc_fp = segs.groupBy("doc_id", "source", "fp").agg(
-        F.count(F.lit(1)).alias("n_seg")
-    )
+    # (doc, fp) grain via the one canonical segment lineage (shared
+    # with the materialized index + incremental probe). A doc belongs
+    # to exactly one source, so fp doc-frequency is the plain row
+    # count at this grain.
+    doc_fp = segment_fp_frame(d)
     flagged = doc_fp.withColumn(
         "doc_freq", F.count(F.lit(1)).over(Window.partitionBy("fp"))
     )
@@ -298,6 +284,100 @@ GROUP BY source
 """
 
 
+def segment_probe_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental boilerplate probe: a new ingest batch (doc_id %
+    NEW_DOC_MOD == 0, standing in for a daily increment) scored
+    against the MATERIALIZED standing-corpus segment index
+    (operators/segment_index.ensure_segment_index — the minhash/IVF
+    index discipline). Per new-batch source: how many of the batch's
+    segments were already seen in the standing corpus, and how many
+    hit full boilerplate frequency there.
+
+    Cost structure: the index side scans column-pruned (doc_id, fp)
+    parquet — no text, no md5 recompute — and reduces to fp grain
+    with map-side partial counts; only the batch pays fingerprinting.
+    Per-increment cost is O(batch) after the one-time build.
+    Fingerprints are a pure function of the text, so the indexed
+    result is bit-identical to the recompute-everything oracle."""
+    from goe_spark.operators.segment_index import (
+        ensure_segment_index,
+        load_segments,
+    )
+
+    is_new = F.col("doc_id") % NEW_DOC_MOD == 0
+    idx_dir = ensure_segment_index(spark, sf_dir)
+    standing = (
+        load_segments(spark, idx_dir)
+        .where(~is_new)
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("standing_freq"))
+    )
+    batch = segment_fp_frame(
+        load_table(spark, sf_dir, "documents").where(is_new)
+    )
+    joined = batch.join(standing, "fp", "left").na.fill(
+        {"standing_freq": 0}
+    )
+    return joined.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_new_docs"),
+        F.sum("n_seg").alias("n_segments"),
+        F.sum(
+            F.when(F.col("standing_freq") >= 1, F.col("n_seg")).otherwise(0)
+        ).alias("n_seen"),
+        F.sum(
+            F.when(
+                F.col("standing_freq") >= SEG_MIN_DOCS, F.col("n_seg")
+            ).otherwise(0)
+        ).alias("n_boilerplate"),
+        F.round(
+            F.sum(
+                F.when(F.col("standing_freq") >= 1, F.col("n_seg")).otherwise(
+                    0
+                )
+            )
+            / F.sum("n_seg"),
+            6,
+        ).alias("seen_frac"),
+    )
+
+
+SEGMENT_PROBE_SQL = f"""
+WITH doc_fp AS (
+  SELECT doc_id, source, fp, count(*) AS n_seg
+  FROM (
+    SELECT doc_id, source, {hash64_sql("seg")} AS fp
+    FROM (
+      SELECT doc_id, source,
+             unnest(list_transform(
+               range(cast(ceil(len(w) / {SEG_WORDS}.0) AS bigint)),
+               i -> array_to_string(w[i * {SEG_WORDS} + 1 : i * {SEG_WORDS} + {SEG_WORDS}], ' ')
+             )) AS seg
+      FROM (SELECT doc_id, source, {_TOKS_SQL} AS w FROM documents)
+    )
+  )
+  GROUP BY doc_id, source, fp
+), standing AS (
+  SELECT fp, count(*) AS standing_freq
+  FROM doc_fp WHERE doc_id % {NEW_DOC_MOD} <> 0 GROUP BY fp
+), batch AS (
+  SELECT b.source, b.doc_id, b.n_seg,
+         coalesce(s.standing_freq, 0) AS standing_freq
+  FROM doc_fp b LEFT JOIN standing s USING (fp)
+  WHERE b.doc_id % {NEW_DOC_MOD} = 0
+)
+SELECT source,
+       count(DISTINCT doc_id)         AS n_new_docs,
+       cast(sum(n_seg) AS bigint)     AS n_segments,
+       cast(sum(CASE WHEN standing_freq >= 1 THEN n_seg ELSE 0 END)
+            AS bigint)                AS n_seen,
+       cast(sum(CASE WHEN standing_freq >= {SEG_MIN_DOCS} THEN n_seg
+                ELSE 0 END) AS bigint) AS n_boilerplate,
+       round(sum(CASE WHEN standing_freq >= 1 THEN n_seg ELSE 0 END)
+             / sum(n_seg), 6)         AS seen_frac
+FROM batch GROUP BY source
+"""
+
+
 def length_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-curriculum binning: global DECILES of the corpus by
     token count (short→long — the classic curriculum-learning
@@ -376,5 +456,11 @@ QUERIES = [
         length_curriculum_bins,
         CURRICULUM_SQL,
         "global length deciles via the distributed two-pass rank",
+    ),
+    QuerySpec(
+        "segment_probe_new_docs",
+        segment_probe_new_docs,
+        SEGMENT_PROBE_SQL,
+        "incremental boilerplate probe vs the materialized segment index",
     ),
 ]
