@@ -2,8 +2,10 @@
 pipeline (S13), exercised against embedded Derby in tests.
 
 The reference's production backends are cloud warehouses (BigQuery /
-Snowflake — their connector jars aren't shipped here, so those stay
-covered by the recordable FakeWarehouseWriter). This writer proves
+Snowflake — create/load/verify sequence rebuilt from
+src/goe/offload/bigquery/bigquery_backend_table.py:157-177; their
+connector jars aren't shipped here, so those stay covered by the
+recordable FakeWarehouseWriter). This writer proves
 the same five-call protocol against a REAL database engine end to
 end: driver-side DDL over java.sql, distributed `df.write.jdbc`
 loads, verification read-back through `spark.read.jdbc`, and
