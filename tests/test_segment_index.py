@@ -101,3 +101,64 @@ def test_probe_is_restriction_of_full_accounting(spark):
         assert row["n_boilerplate"] <= full_counts.get(src, 0)
         assert row["n_seen"] >= row["n_boilerplate"]
         assert row["n_segments"] >= row["n_seen"]
+
+
+def test_streaming_ingest_maintains_index(spark, tmp_path):
+    """Structured-Streaming maintenance: new document batches arrive
+    as a file stream, a foreachBatch sink appends their fingerprints
+    to the segment index (O(batch) per micro-batch), and the final
+    index equals a full rebuild over everything ingested — the
+    incremental contract holding under streaming delivery."""
+    import json as _json
+    import os
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(60).collect()
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    # two "arrivals" of jsonl files
+    for part, lo, hi in (("a", 0, 30), ("b", 30, 60)):
+        with open(in_dir / f"{part}.jsonl", "w") as f:
+            for r in docs[lo:hi]:
+                f.write(
+                    _json.dumps(
+                        {
+                            "doc_id": r["doc_id"],
+                            "source": r["source"],
+                            "text": r["text"],
+                        }
+                    )
+                    + "\n"
+                )
+
+    idx_dir = str(tmp_path / "segidx")
+    os.makedirs(idx_dir, exist_ok=True)
+
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", 1)  # force >= 2 micro-batches
+        .json(str(in_dir))
+    )
+
+    def sink(batch_df, batch_id):
+        append_segments(spark, idx_dir, batch_df)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    full_dir = str(tmp_path / "full")
+    build_segment_index(
+        spark,
+        spark.createDataFrame(
+            [(r["doc_id"], r["source"], r["text"]) for r in docs],
+            "doc_id long, source string, text string",
+        ),
+        full_dir,
+    )
+    assert _rows(load_segments(spark, idx_dir)) == _rows(
+        load_segments(spark, full_dir)
+    )
