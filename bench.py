@@ -122,6 +122,7 @@ HEADLINE = [
     "length_curriculum_bins",
     "media_exact_dedup",
     "segment_probe_new_docs",
+    "hybrid_search_rrf",
 ]
 
 

@@ -51,6 +51,7 @@ HEAD = (
     "media_exact_dedup",
     "event_type_unpivot",
     "segment_probe_new_docs",
+    "hybrid_search_rrf",
     # -- plan changed this round --
     "customer_value_deciles",
     "rfm_segments",
@@ -95,7 +96,6 @@ HEAD = (
     # -- stalest round-5 rows --
     "dq_orders_expectations",
     "cross_doc_ngram_coverage",
-    "top_duplicate_ngrams",
 )
 TAIL = ()
 

@@ -808,8 +808,197 @@ FROM merged
 """
 
 
+RRF_K = 60  # the standard reciprocal-rank-fusion constant
+POOL = 20  # per-list pool size fused per query
+HYBRID_TOP_K = 10
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the modern search stack's core operator:
+    fuse a LEXICAL ranking (idf-weighted shared-term score over the
+    documents table) with a VECTOR ranking (cosine over the aligned
+    embeddings table) by Reciprocal Rank Fusion:
+    ``rrf = Σ_list 1/(RRF_K + rank)``, absent-from-list contributing 0.
+
+    Determinism discipline: idf is an INTEGER milli-nat surrogate
+    (round(1000·ln(N/df))) so the lexical score is an integer SUM —
+    float summation order can differ between engines and even between
+    Spark runs, but integer sums cannot; ranks tie-break on vec_id;
+    the rrf doubles come from integer ranks in a fixed expression
+    order, so round(6) is engine-exact.
+
+    Plan/scale: the lexical side is an inverted-index join — distinct
+    (doc, term) explode, term-grain df counts (idf broadcasts), query
+    terms broadcast — exactly the asymptotics of a posting-list scan;
+    the vector side here is the brute-force pool (the IVF index
+    replaces it at 100 TB, same fused output contract); both pools cut
+    to POOL rows per query BEFORE fusion, so the fusion join and the
+    final window touch ≤ n_queries × POOL rows. Every window is
+    partitioned by qid."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()  # scalar for idf; driver-bounded by definition
+    terms = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+        ).alias("term"),
+    )
+    idf = terms.groupBy("term").agg(
+        F.round(
+            F.log(F.lit(float(n_docs)) / F.count(F.lit(1))) * 1000
+        )
+        .cast("long")
+        .alias("idf_milli")
+    )
+    qterms = terms.where(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("qid"), "term"
+    )
+    lex_scored = (
+        terms.join(F.broadcast(qterms), "term")
+        .where(F.col("doc_id") != F.col("qid"))
+        .join(idf, "term")
+        .groupBy("qid", F.col("doc_id").alias("vec_id"))
+        .agg(F.sum("idf_milli").alias("lex_milli"))
+    )
+    w_lex = Window.partitionBy("qid").orderBy(
+        F.desc("lex_milli"), F.asc("vec_id")
+    )
+    lex_pool = (
+        lex_scored.withColumn("lex_rank", F.row_number().over(w_lex))
+        .where(F.col("lex_rank") <= POOL)
+        .select("qid", "vec_id", "lex_rank")
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = emb.select(
+        "vec_id", "embedding", _norm2(F.col("embedding")).alias("cnorm")
+    )
+    qry = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        _norm2(F.col("embedding")).alias("qnorm"),
+    )
+    vec_scored = (
+        cand.crossJoin(F.broadcast(qry))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                _dot(F.col("qvec"), F.col("embedding"))
+                / F.sqrt(F.col("qnorm") * F.col("cnorm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w_vec = Window.partitionBy("qid").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    vec_pool = (
+        vec_scored.withColumn("vec_rank", F.row_number().over(w_vec))
+        .where(F.col("vec_rank") <= POOL)
+        .select("qid", "vec_id", "vec_rank")
+    )
+
+    fused = lex_pool.join(vec_pool, ["qid", "vec_id"], "full").select(
+        "qid",
+        "vec_id",
+        F.round(
+            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(
+                1.0 / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf"),
+        F.col("lex_rank").cast("int").alias("lex_rank"),
+        F.col("vec_rank").cast("int").alias("vec_rank"),
+    )
+    w_f = Window.partitionBy("qid").orderBy(F.desc("rrf"), F.asc("vec_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w_f))
+        .where(F.col("rank") <= HYBRID_TOP_K)
+        .select(
+            "qid",
+            "vec_id",
+            "rrf",
+            "lex_rank",
+            "vec_rank",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+HYBRID_RRF_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS term
+  FROM documents
+), idf AS (
+  SELECT term,
+         cast(round(ln((SELECT count(*) FROM documents) / cast(count(*) AS double)) * 1000)
+              AS bigint) AS idf_milli
+  FROM terms GROUP BY term
+), qterms AS (
+  SELECT doc_id AS qid, term FROM terms WHERE doc_id < {N_QUERIES}
+), lex_scored AS (
+  SELECT q.qid, t.doc_id AS vec_id, sum(i.idf_milli) AS lex_milli
+  FROM terms t JOIN qterms q USING (term) JOIN idf i USING (term)
+  WHERE t.doc_id <> q.qid
+  GROUP BY q.qid, t.doc_id
+), lex_pool AS (
+  SELECT qid, vec_id, lex_rank FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY lex_milli DESC, vec_id) AS lex_rank
+    FROM lex_scored
+  ) WHERE lex_rank <= {POOL}
+), cand AS (
+  SELECT vec_id, embedding, {NORM2_SQL.format(a='embedding')} AS cnorm
+  FROM embeddings
+), qry AS (
+  SELECT vec_id AS qid, embedding AS qvec,
+         {NORM2_SQL.format(a='embedding')} AS qnorm
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), vec_scored AS (
+  SELECT qid, vec_id,
+         round({DOT_SQL.format(a='qvec', b='embedding')} / sqrt(qnorm * cnorm), 6) AS cosine
+  FROM cand CROSS JOIN qry WHERE vec_id <> qid
+), vec_pool AS (
+  SELECT qid, vec_id, vec_rank FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cosine DESC, vec_id) AS vec_rank
+    FROM vec_scored
+  ) WHERE vec_rank <= {POOL}
+), fused AS (
+  SELECT coalesce(l.qid, v.qid) AS qid,
+         coalesce(l.vec_id, v.vec_id) AS vec_id,
+         round(coalesce(1.0 / ({RRF_K} + l.lex_rank), 0)
+               + coalesce(1.0 / ({RRF_K} + v.vec_rank), 0), 6) AS rrf,
+         cast(l.lex_rank AS int) AS lex_rank,
+         cast(v.vec_rank AS int) AS vec_rank
+  FROM lex_pool l FULL JOIN vec_pool v
+    ON l.qid = v.qid AND l.vec_id = v.vec_id
+)
+SELECT qid, vec_id, rrf, lex_rank, vec_rank, cast(rank AS int) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY rrf DESC, vec_id) AS rank
+  FROM fused
+)
+WHERE rank <= {HYBRID_TOP_K}
+"""
+
+
 QUERIES = [
     QuerySpec("ann_bruteforce_topk", ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
+    QuerySpec(
+        "hybrid_search_rrf",
+        hybrid_search_rrf,
+        HYBRID_RRF_SQL,
+        "lexical+vector reciprocal-rank fusion",
+    ),
     QuerySpec(
         "embedding_near_dup_pairs", embedding_near_dup_pairs, _near_dup_sql()
     ),

@@ -648,3 +648,17 @@ def test_media_dedup_shuffles_hashes_not_payloads(spark):
     plan = _plan(media_exact_dedup(spark, SF_SMALL), "formatted")
     assert "hashpartitioning(kind" in plan, plan
     assert "Window" not in plan
+
+
+def test_hybrid_search_windows_partitioned_pools_before_fusion(spark):
+    """Hybrid RRF: every window partitions by qid (executor-local),
+    the only cartesian is the broadcast 5-row query set, and fusion
+    joins the two POOL-bounded lists — no corpus-sized join."""
+    from goe_spark.queries.similarity import hybrid_search_rrf
+
+    plan = _plan(hybrid_search_rrf(spark, SF_SMALL), "simple")
+    assert "CartesianProduct" not in plan
+    import re as _re
+
+    for m in _re.finditer(r"windowspecdefinition\((\w+)#", plan):
+        assert m.group(1) == "qid", plan
