@@ -33,19 +33,22 @@ on Spark we must avoid the single-partition WindowExec ourselves):
 Determinism: the order key MUST be unique (callers append a key
 column as tie-break), so every position — and everything derived from
 it (ntile bucket, percent_rank = (pos-1)/(n-1), cume_dist = pos/n) —
-is reproducible. The intermediate is persisted so the counts job and
-the main job see the identical shuffle output (RangePartitioner
-sampling is seeded deterministically, but caching removes even that
-dependence); the cached relation is the *reduced* grain (customer,
-not fact), and at 100 TB would move to ``StorageLevel.DISK_ONLY`` or
-a checkpoint.
+is reproducible. The intermediate is locally checkpointed so the
+counts job and the main job see the identical shuffle output
+(RangePartitioner sampling is seeded deterministically, but the
+checkpoint removes even that dependence) AND the storage is
+auto-released by ContextCleaner when the driver reference is GC'd —
+a plain persist() would accumulate CacheManager entries across
+registry/bench runs. The checkpointed relation is the *reduced*
+grain (customer, not fact); at 100 TB move to a reliable
+``checkpoint()`` (localCheckpoint trades executor-loss tolerance for
+speed).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 _ORDINAL_BITS = 33
 _ORDINAL_MASK = (1 << _ORDINAL_BITS) - 1
@@ -70,12 +73,18 @@ def with_global_positions(
     rows), so no extra pass.
     """
     spark = df.sparkSession
+    # localCheckpoint (not persist): the counts job below materializes
+    # it, the main job reuses the identical shuffle output, and —
+    # unlike CacheManager entries, which live until an explicit
+    # unpersist — the checkpointed RDD is released by Spark's
+    # ContextCleaner as soon as the driver-side reference is GC'd, so
+    # repeated registry/bench runs don't accumulate storage memory.
     ranged = (
         df.repartitionByRange(*order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn(_MID, F.monotonically_increasing_id())
         .withColumn(_PID, F.shiftright(F.col(_MID), _ORDINAL_BITS))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     # Driver-bounded: one row per shuffle partition.
     counts = sorted(

@@ -28,74 +28,71 @@ class QuerySpec:
 # records CORRECTNESS rows for the FIRST ~50 per round — the tail of
 # the registry gets no driver row. Order therefore encodes priority,
 # and HEAD is ROTATED each round (round-5 verdict: 11 entries sat just
-# outside the window for 5 straight rounds). Round-7 window, in order:
-#   1. queries NEW this round (pipeline_ops) — never driver-checked;
-#   2. queries whose plan changed this round (distributed two-pass
-#      rank replacing global ntile windows; distributed top-k skew
-#      report) — they need a fresh green driver row;
-#   3. all 36 entries whose last driver check was ROUND 3 — before
-#      the round-6 dtype discipline existed (VERDICT r6 task 1: the
-#      TPC-H money columns are exactly the DECIMAL shape that broke
-#      round 4);
-#   4. the stalest round-5 rows filling the window to 50.
-# Everything else keeps module order behind the window; pytest's
-# test_queries_oracle.py re-verifies the FULL registry against DuckDB (same
-# pandas fetch path as the driver) every run regardless of position.
+# outside the window for 5 straight rounds). Round-8 window, in order:
+#   1. queries NEW this round — never driver-checked;
+#   2. all 35 entries whose last driver check was ROUND 5 (VERDICT r7
+#      task 1: they predate the full dtype discipline and include the
+#      heaviest mixed-decimal reports);
+#   3. the stalest round-6 rows filling the window to 50.
+# After this rotation no registry entry's latest driver row is older
+# than round 6. Everything else keeps module order behind the window;
+# pytest's test_queries_oracle.py re-verifies the FULL registry against
+# DuckDB (same pandas fetch path as the driver) every run regardless of
+# position.
 HEAD = (
-    # -- new this round (pipeline_ops, multimodal) --
-    "segment_dedup_stats",
-    "shard_manifest",
-    "filter_funnel_report",
-    "per_source_topk_cap",
-    "length_curriculum_bins",
-    "media_exact_dedup",
-    "event_type_unpivot",
-    "segment_probe_new_docs",
-    "hybrid_search_rrf",
-    # -- plan changed this round --
-    "customer_value_deciles",
-    "rfm_segments",
-    "join_skew_report",
-    # -- last driver-checked in round 3 (pre-dtype-discipline) --
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q12_priority_lines",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "q20_promotable_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    "salted_join_revenue",
-    "agg_validate_lineitem",
-    "staged_validation_scan",
-    "data_type_sampling",
-    "predicate_offload_slice",
-    "dedup_exact_keep_first",
-    "ngram_jaccard_pairs",
-    "minhash_lsh_pairs",
-    "simhash_pairs",
-    "token_stats_by_lang",
-    "bpe_token_stats",
-    "quality_scores_by_source",
-    "lang_id_confusion",
-    "doc_fingerprints",
-    "events_json_extract",
-    "ann_bruteforce_topk",
-    "embedding_near_dup_pairs",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "streaming_window_counts",
-    "streaming_dedup_counts",
-    "event_type_rollup",
-    "media_decode_features",
-    "media_resize_images",
-    "media_frame_sample",
-    # -- stalest round-5 rows --
-    "dq_orders_expectations",
-    "cross_doc_ngram_coverage",
+    # -- new this round (multimodal header parsing, e2e scenario ops) --
+    "media_dimensions",
+    # -- last driver-checked in round 5 (VERDICT r7 task 1 list) --
+    "ann_pq_topk",
+    "ann_ivf_pq_topk",
+    "bpe_merge_pair_counts",
+    "brand_affinity_lift",
+    "cms_user_counts",
+    "cohort_retention",
+    "dedup_method_agreement",
+    "embedding_cluster_audit",
+    "event_funnel_conversion",
+    "event_transition_matrix",
+    "gopher_quality_filter",
+    "hopping_window_counts",
+    "lapsed_customers_except",
+    "minhash_probe_new_docs",
+    "mixture_sample_docs",
+    "mixture_sample_threshold",
+    "pii_redaction_audit",
+    "pii_scan_by_source",
+    "repetition_doc_stats",
+    "retained_customers_intersect",
+    "revenue_anomaly_days",
+    "rolling_revenue_7d",
+    "semantic_dedup_keep_first",
+    "sentiment_by_source",
+    "session_window_stats",
+    "sessionization_stats",
+    "span_corruption_stats",
+    "table_profile",
+    "term_bigram_pmi",
+    "tfidf_top_terms",
+    "timeseries_gapfill",
+    "token_dropout_stats",
+    "top_duplicate_ngrams",
+    "unattributed_purchases",
+    "weighted_sample_docs",
+    # -- stalest round-6 rows filling the window --
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_regional_revenue",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "union_mod_split_scan",
+    "count_validate_orders",
+    "cast_probe_orders",
 )
 TAIL = ()
 

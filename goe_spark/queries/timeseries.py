@@ -25,7 +25,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
-from pyspark.storagelevel import StorageLevel
 
 from goe_spark.catalog import load_table
 from goe_spark.operators.ranks import (
@@ -383,7 +382,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Monetary (total spend) via ntile quartiles, then report each
     R/F/M segment's size and average metrics.
 
-    Plan: one customer-grain aggregate over orders (persisted — it
+    Plan: one customer-grain aggregate over orders (checkpointed — it
     feeds four jobs), then per metric the two-pass boundary form the
     round-6 audit asked for: `with_global_positions` finds the exact
     quartile-cut TUPLES (metric value, custkey) via a distributed
@@ -414,9 +413,12 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary",
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # localCheckpoint: ContextCleaner releases it when the driver
+        # reference is GC'd — persist() entries would leak across
+        # repeated registry/bench runs (round-7 ADVICE).
+        .localCheckpoint(eager=False)
     )
-    n = scored.count()  # materializes the cache; n = customer count
+    n = scored.count()  # materializes the checkpoint; n = customer count
 
     # Each metric's ascending sort key as one exact LONG (DESC metrics
     # negate; money compares in integer cents), so all three metrics

@@ -82,9 +82,19 @@ class JdbcBackendWriter(BackendWriter):
 
     backend_name = "jdbc"
 
-    def __init__(self, url: str, properties: dict | None = None):
+    def __init__(
+        self,
+        url: str,
+        properties: dict | None = None,
+        spark: SparkSession | None = None,
+    ):
         self.url = url
         self.properties = dict(properties or {})
+        # The session whose JVM issues driver-side DDL. create_table's
+        # protocol signature takes no session, so it is pinned at
+        # construction — under a multi-session setup the DDL must run
+        # against the SAME session as the load (round-7 ADVICE).
+        self._spark = spark
         self._table: str | None = None
         self._last_slice: str | None = None
         self.statements: list[str] = []  # audit trail of DDL/DML issued
@@ -129,11 +139,13 @@ class JdbcBackendWriter(BackendWriter):
         ddl = (
             f"CREATE TABLE {self._table} (\n" + ",\n".join(cols) + "\n)"
         )
-        from goe_spark.session import get_spark
+        if self._spark is None:
+            from goe_spark.session import get_spark
 
+            self._spark = get_spark("jdbc-writer")
         # X0Y32 = Derby "already exists": idempotent ensure, the same
         # CREATE TABLE IF NOT EXISTS the warehouse writers record.
-        self._execute(get_spark("jdbc-writer"), ddl, ignore=("X0Y32",))
+        self._execute(self._spark, ddl, ignore=("X0Y32",))
         return ddl
 
     def load_final(

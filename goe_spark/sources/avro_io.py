@@ -23,13 +23,14 @@ supported — exactly what `avro_schema.avro_schema()` emits. The
 encoder is deliberately NOT a general Avro implementation.
 
 Scale design: `write_avro_staging_dir` runs the encoder INSIDE
-`mapInPandas` — each task Arrow-batches its partition through the
+`mapInArrow` — each task Arrow-batches its partition through the
 pure-Python encoder and writes one container file, returning a
 manifest row (path, rows, bytes). No collect, no driver funnel; the
 file count equals the partition count, same as Spark's own writers.
-On a real cluster the open() target would be a mounted DFS path or
-be replaced by an Hadoop-FS OutputStream; local[] semantics are
-identical. Encoding in Python is ~10x slower per byte than the JVM
+REQUIRES ``path`` be a shared filesystem (local[], NFS, FUSE object
+store) — tasks write via task-local open(); on a plain-HDFS cluster
+prefer the native spark-avro jar path (sources/files.py probes and
+prefers it when present). Encoding in Python is ~10x slower per byte than the JVM
 avro writer — acceptable for staging (the reference's Sqoop/Avro
 path was also CPU-bound on encode), and the blocks deflate-compress
 so the bytes hitting disk are comparable.
@@ -142,10 +143,14 @@ def _field_plan(schema: dict) -> list[tuple[str, str, bool]]:
 
 
 def _is_null(v) -> bool:
+    # None / pandas.NA only. Float NaN is NOT null: it is a valid IEEE
+    # double the Avro spec encodes like any other — conflating the two
+    # (as pandas numeric dtypes force) would silently diverge from
+    # parquet and jar-backed Avro staging. The distributed read/write
+    # paths therefore move rows through Arrow (null bitmap distinct
+    # from NaN payload), never through pandas numeric columns.
     if v is None:
         return True
-    if isinstance(v, float):
-        return v != v  # NaN (pandas' null for numeric columns)
     return type(v).__name__ == "NAType"  # pandas.NA without importing
 
 
@@ -244,7 +249,13 @@ def _read_header(f) -> tuple[dict, str, bytes]:
         count = zigzag_decode(f)
         if count == 0:
             break
-        for _ in range(abs(count)):
+        if count < 0:
+            # Avro spec: a negative block count is followed by the
+            # block's byte size (a long) before the entries — consume
+            # it so spec-valid files from other writers parse.
+            zigzag_decode(f)
+            count = -count
+        for _ in range(count):
             klen = zigzag_decode(f)
             k = f.read(klen).decode()
             vlen = zigzag_decode(f)
@@ -334,6 +345,23 @@ _AVRO_TO_SPARK = {
 }
 
 
+def _arrow_type(avro_type: str):
+    """pyarrow type for a staging primitive — the Arrow path keeps
+    null (bitmap) distinct from float NaN (payload), which a pandas
+    numeric column cannot."""
+    import pyarrow as pa
+
+    return {
+        "string": pa.string(),
+        "bytes": pa.binary(),
+        "int": pa.int32(),
+        "long": pa.int64(),
+        "float": pa.float32(),
+        "double": pa.float64(),
+        "boolean": pa.bool_(),
+    }[avro_type]
+
+
 def staging_schema_from_spark(df, load_db: str, table: str):
     """(avro schema, projected df) for an arbitrary simple-typed
     DataFrame: date/timestamp columns are formatted to staging
@@ -388,12 +416,15 @@ def read_avro_staging_dist(spark, path: str, schema: dict | None = None):
     parallelism, no driver funnel (the inverse of
     `write_avro_staging_dir`, which creates one file per partition).
 
+    Decoded rows travel back as Arrow RecordBatches built with
+    explicit types, so NULL (Arrow validity bitmap) and float NaN
+    (IEEE payload) stay distinct — a pandas numeric column would
+    collapse both to NaN.
+
     ``schema`` may be omitted for local paths (sniffed from the first
     file's header, a metadata-only read); remote URIs must pass the
     schema since the output DataFrame type must be fixed before the
     job launches."""
-    import pandas as pd  # noqa: F401 - executors need it imported lazily
-
     if schema is None:
         if "://" in path and not path.startswith("file:"):
             raise ValueError(
@@ -409,23 +440,30 @@ def read_avro_staging_dist(spark, path: str, schema: dict | None = None):
         schema = read_avro_schema(os.path.join(local, names[0]))
     ddl = spark_ddl_for(schema)
     schema_json = json.dumps(schema, separators=(",", ":"))
-    field_names = [f["name"] for f in schema["fields"]]
+    plan = _field_plan(schema)
 
     def decode(batches):
-        import pandas as pd
+        import pyarrow as pa
 
         sch = json.loads(schema_json)
-        for pdf in batches:
-            for content in pdf["content"]:
+        out_schema = pa.schema(
+            [(name, _arrow_type(t)) for name, t, _null in plan]
+        )
+        for batch in batches:
+            for content in batch.column(0).to_pylist():
                 file_schema, rows = _read_stream(io.BytesIO(bytes(content)))
                 if file_schema != sch:
                     raise ValueError("staging file schema mismatch")
-                # object dtype: None stays None (a numeric dtype would
-                # turn it into NaN and break the Arrow long/bool cast)
-                yield pd.DataFrame(
-                    [[r[c] for c in field_names] for r in rows],
-                    columns=field_names,
-                    dtype=object,
+                if not rows:
+                    continue  # header-only file (zero-row staging)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(
+                            [r[name] for r in rows], type=_arrow_type(t)
+                        )
+                        for name, t, _null in plan
+                    ],
+                    schema=out_schema,
                 )
 
     files = (
@@ -433,7 +471,7 @@ def read_avro_staging_dist(spark, path: str, schema: dict | None = None):
         .load(os.path.join(path, "*.avro"))
         .select("content")
     )
-    return files.mapInPandas(decode, ddl)
+    return files.mapInArrow(decode, ddl)
 
 
 # --- distributed write -------------------------------------------------------
@@ -449,11 +487,28 @@ def write_avro_staging_dir(
     partition through the pure-Python writer into one container file
     under ``path``. Returns the manifest [(file, rows, bytes)].
 
+    Rows reach the encoder as Arrow RecordBatches (``mapInArrow``),
+    so NULL arrives as Python None and a genuine NaN double arrives
+    as float('nan') and is encoded as the IEEE payload the Avro spec
+    defines — matching parquet and jar-backed Avro staging. A pandas
+    path would conflate the two.
+
+    A zero-row slice (e.g. an incremental offload whose predicate
+    matches nothing) still produces ONE header-only container file,
+    so downstream readers see schema + rows=0 exactly like parquet
+    staging — never a missing-directory error.
+
+    SHARED-FS REQUIREMENT: tasks write through task-local ``open()``,
+    which is correct on local[] and on clusters where ``path`` is a
+    shared mount (NFS/FUSE-mounted object store). On a plain-HDFS
+    cluster each executor would write to its own local disk — there
+    the native spark-avro jar path is the deployment story
+    (``sources/files.py`` probes for it and prefers it); this writer
+    is the jar-free fallback.
+
     The input DataFrame must already BE staging-shaped (use
     `avro_schema.avro_staging_projection`) — column order and types
     must match the schema's fields."""
-    import pandas as pd
-
     os.makedirs(path, exist_ok=True)
     field_names = [f["name"] for f in schema["fields"]]
     if [c for c in df.columns] != field_names:
@@ -466,6 +521,7 @@ def write_avro_staging_dir(
     )
 
     def write_partition(batches):
+        import pyarrow as pa
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
@@ -474,21 +530,37 @@ def write_avro_staging_dir(
         sch = json.loads(schema_bc.value)
 
         def rows():
-            for pdf in batches:
-                # object-typed cells: None/NaN handled by the encoder
-                for tup in pdf.itertuples(index=False, name=None):
-                    yield tup
+            for batch in batches:
+                # to_pylist: Arrow null -> None, NaN double -> nan —
+                # the distinction pandas numeric columns erase.
+                for rec in batch.to_pylist():
+                    yield tuple(rec[c] for c in field_names)
 
         n = write_avro_file(fpath, sch, rows(), codec=codec)
         if n == 0:
             os.remove(fpath)  # empty partition: no file, no manifest row
             return
         size = os.path.getsize(fpath)
-        yield pd.DataFrame(
-            [(fname, n, size)], columns=["file", "rows", "bytes"]
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([fname], pa.string()),
+                pa.array([n], pa.int64()),
+                pa.array([size], pa.int64()),
+            ],
+            names=["file", "rows", "bytes"],
         )
 
-    manifest = df.mapInPandas(
+    manifest = df.mapInArrow(
         write_partition, "file string, rows long, bytes long"
     ).collect()
+    if not manifest:
+        # All partitions empty: stage one header-only container file
+        # driver-side so the directory is a valid, readable zero-row
+        # staging set (parity with parquet's rows=0 behaviour).
+        fname = "part-00000.avro"
+        fpath = os.path.join(path, fname)
+        write_avro_file(fpath, schema, [], codec=codec)
+        return [
+            {"file": fname, "rows": 0, "bytes": os.path.getsize(fpath)}
+        ]
     return [r.asDict() for r in manifest]

@@ -266,3 +266,126 @@ def test_roundtrip_property(tmp_path_factory, rows):
             assert _s.pack("<f", got["f"]) == _s.pack("<f", want[4])
         assert got["d"] == want[5]
         assert got["b"] is want[6] if want[6] is not None else got["b"] is None
+
+
+def test_nan_double_preserved_not_nulled(spark, tmp_path):
+    """Round-7 ADVICE: a genuine NaN double must stage as the IEEE NaN
+    payload (like parquet and jar-backed Avro), NOT silently become
+    null — and a real NULL must stay null. The Arrow read/write paths
+    keep the two distinct."""
+    from goe_spark.sources.avro_io import (
+        read_avro_staging_dist,
+        staging_schema_from_spark,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.5), (2, float("nan")), (3, None)],
+        "id bigint, v double",
+    ).repartition(2)
+    schema, projected = staging_schema_from_spark(df, "db_load", "nan_t")
+    out = str(tmp_path / "stage_nan")
+    manifest = write_avro_staging_dir(projected, out, schema)
+    assert sum(m["rows"] for m in manifest) == 3
+
+    # file-level check through the pure-Python reader
+    _, rows = read_avro_dir(out)
+    by_id = {r["id"]: r["v"] for r in rows}
+    assert by_id[1] == 1.5
+    assert by_id[2] != by_id[2], "NaN must stay NaN, not become null"
+    assert by_id[3] is None, "NULL must stay null"
+
+    # distributed read-back keeps the distinction too
+    back = {
+        r["id"]: r["v"]
+        for r in read_avro_staging_dist(spark, out, schema).collect()
+    }
+    assert back[1] == 1.5
+    assert back[2] != back[2]
+    assert back[3] is None
+
+
+def test_zero_row_staging_readable(spark, tmp_path):
+    """Round-7 ADVICE: staging a zero-row slice (predicate matches
+    nothing) must leave a valid header-only container file so both
+    readers see schema + rows=0 — parity with parquet staging."""
+    from goe_spark.sources.avro_io import (
+        read_avro_staging_dist,
+        staging_schema_from_spark,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id bigint, s string").where(
+        "id < 0"
+    )
+    schema, projected = staging_schema_from_spark(df, "db_load", "empty_t")
+    out = str(tmp_path / "stage_empty")
+    manifest = write_avro_staging_dir(projected, out, schema)
+    assert len(manifest) == 1 and manifest[0]["rows"] == 0
+    back_schema, back_rows = read_avro_dir(out)
+    assert back_schema == schema and back_rows == []
+    dist = read_avro_staging_dist(spark, out, schema)
+    assert dist.count() == 0
+    assert [f.name for f in dist.schema.fields] == ["id", "s"]
+
+
+def test_negative_metadata_map_count_parses(tmp_path):
+    """Avro spec: a NEGATIVE map block count is followed by the
+    block's byte size before the entries. Files from other spec-
+    compliant writers that use this form must parse."""
+    import json as _json
+
+    from goe_spark.sources.avro_io import read_avro_file
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "namespace": "db",
+        "fields": [{"name": "a", "type": "long"}],
+        "tableName": "db.t",
+    }
+    meta_entries = {
+        "avro.schema": _json.dumps(schema, separators=(",", ":")).encode(),
+        "avro.codec": b"null",
+    }
+    body = bytearray()
+    for k, v in meta_entries.items():
+        body += zigzag_encode(len(k)) + k.encode()
+        body += zigzag_encode(len(v)) + v
+    head = bytearray(MAGIC)
+    head += zigzag_encode(-2)          # negative count form
+    head += zigzag_encode(len(body))   # ...followed by byte size
+    head += body
+    head += zigzag_encode(0)
+    head += SYNC
+    # one block: count=1, record (long 7 -> 0x0e)
+    head += zigzag_encode(1) + zigzag_encode(1) + b"\x0e" + SYNC
+    p = str(tmp_path / "neg.avro")
+    open(p, "wb").write(bytes(head))
+    got_schema, rows = read_avro_file(p)
+    assert got_schema == schema
+    assert [r["a"] for r in rows] == [7]
+
+
+def test_native_avro_path_preferred_when_jar_present(spark, tmp_path, monkeypatch):
+    """Capability probe (round-7 VERDICT task 7): when the spark-avro
+    jar IS on the classpath, write_staging/read_staging must route to
+    Spark's native avro datasource, not the jar-free fallback. The
+    sandbox has no jar, so we force the probe True and assert the
+    attempt goes to the native format (which then fails with Spark's
+    'Failed to find data source' — proof the fallback was bypassed)."""
+    from goe_spark.sources import files as files_mod
+
+    monkeypatch.setattr(files_mod, "avro_available", lambda s: True)
+    df = spark.createDataFrame([(1, "a")], "id bigint, s string")
+    out = str(tmp_path / "native_probe")
+    with pytest.raises(Exception, match="Failed to find data source"):
+        files_mod.write_staging(df, out, fmt="avro")
+    with pytest.raises(Exception, match="Failed to find data source"):
+        files_mod.read_staging(spark, out, fmt="avro")
+
+
+def test_avro_available_probe_is_false_without_jar(spark):
+    """In this environment the jar is absent: the probe must say so
+    (the fallback engages off this exact signal)."""
+    from goe_spark.sources.files import avro_available
+
+    assert avro_available(spark) is False
