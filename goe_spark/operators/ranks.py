@@ -59,6 +59,20 @@ _MID = "__pos_mid"
 _OFF = "__pos_off"
 
 
+def ranked_prelude(df: DataFrame, order_cols: list[Column]) -> DataFrame:
+    """The pre-checkpoint stage of ``with_global_positions``: range
+    shuffle on the order key, executor-local sort, map-side
+    (partition, ordinal) id decode. Exposed so plan guards can assert
+    the distributed-sort shape that the checkpoint hides from
+    downstream SQL plans."""
+    return (
+        df.repartitionByRange(*order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn(_MID, F.monotonically_increasing_id())
+        .withColumn(_PID, F.shiftright(F.col(_MID), _ORDINAL_BITS))
+    )
+
+
 def with_global_positions(
     df: DataFrame, order_cols: list[Column], pos_col: str = POS
 ) -> tuple[DataFrame, int]:
@@ -79,13 +93,10 @@ def with_global_positions(
     # unpersist — the checkpointed RDD is released by Spark's
     # ContextCleaner as soon as the driver-side reference is GC'd, so
     # repeated registry/bench runs don't accumulate storage memory.
-    ranged = (
-        df.repartitionByRange(*order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn(_MID, F.monotonically_increasing_id())
-        .withColumn(_PID, F.shiftright(F.col(_MID), _ORDINAL_BITS))
-        .localCheckpoint(eager=False)
-    )
+    # (The checkpoint truncates downstream SQL plans to a Scan
+    # ExistingRDD; tests/test_ranks.py pins the range shuffle on the
+    # pre-checkpoint frame via ranked_prelude.)
+    ranged = ranked_prelude(df, order_cols).localCheckpoint(eager=False)
     # Driver-bounded: one row per shuffle partition.
     counts = sorted(
         (r[_PID], r["n"])

@@ -240,7 +240,15 @@ def per_source_topk_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     column slots in) and report what the cap kept. The window
     partitions BY SOURCE, so each group's sort is executor-local —
     the per-entity top-k that DOES scale, in contrast to the global
-    rankings operators/ranks.py replaces."""
+    rankings operators/ranks.py replaces.
+
+    Skew-safety REQUIRES Spark >= 3.5: InferWindowGroupLimit compiles
+    `row_number() <= K` into a map-side per-group top-K prefilter
+    (Partial WindowGroupLimit) before the shuffle, so a dominant
+    source ships at most K rows per map task instead of its whole
+    partition. tests/test_plan_structure.py pins both nodes in the
+    physical plan — on an older Spark this query must switch to a
+    groupBy + min_by/top-K-aggregate form."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     scored = d.select(

@@ -402,20 +402,23 @@ def test_brand_affinity_no_fact_self_join(spark):
 
 def test_rfm_customer_grain_windows_no_joins(spark):
     """Raw orders reduce to customer grain before quartile scoring;
-    the only join is the 1-row anchor broadcast (BNLJ), never a
-    shuffle join of fact-sized inputs. Quartiles are boundary-tuple
-    comparisons, so the plan carries NO window at all (the previous
-    form ran three unpartitioned ntile windows — a one-task funnel
-    at billion-customer scale)."""
+    quartiles are boundary-tuple comparisons, so the final plan
+    carries NO window and no shuffle join (the previous form ran
+    three unpartitioned ntile windows — a one-task funnel at
+    billion-customer scale). The customer-grain frame is locally
+    checkpointed (released by ContextCleaner, unlike persist), which
+    truncates the visible lineage to a Scan ExistingRDD — the 1-row
+    anchor broadcast happens inside the checkpointed subtree, so the
+    guard pins the checkpoint scan plus the absence of any join or
+    window downstream of it."""
     from goe_spark.queries.timeseries import rfm_segments
 
     plan = _plan(rfm_segments(spark, SF_SMALL), "simple")
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
-    # the persisted customer-grain subtree prints its AQE initial AND
-    # final plan, so the single 1-row anchor BNLJ can appear twice
-    assert 1 <= plan.count("BroadcastNestedLoopJoin") <= 2
     assert "CartesianProduct" not in plan
+    # the checkpointed customer-grain relation is the plan's base
+    assert "Scan ExistingRDD" in plan
 
 
 def test_rolling_distinct_no_range_join(spark):
@@ -586,7 +589,11 @@ def test_customer_value_deciles_no_global_window(spark):
 
     plan = _plan(customer_value_deciles(spark, SF_SMALL), "simple")
     assert "Window" not in plan, plan
-    assert "rangepartitioning" in plan.lower(), plan
+    # the range shuffle lives inside the locally-checkpointed subtree
+    # (truncated to Scan ExistingRDD here); test_ranks pins it on the
+    # pre-checkpoint frame via ranked_prelude
+    assert "Scan ExistingRDD" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_segment_dedup_single_scan_no_join(spark):
@@ -623,11 +630,25 @@ def test_filter_funnel_single_scan(spark):
 
 def test_per_source_cap_window_is_partitioned(spark):
     """The top-k window partitions BY SOURCE (executor-local sorts) —
-    never an unpartitioned global ranking."""
+    never an unpartitioned global ranking.
+
+    ALSO pins WindowGroupLimit (Spark >= 3.5's InferWindowGroupLimit
+    rule): `row_number() <= K` must compile to a per-group top-K
+    prefilter BEFORE the shuffle (Partial mode) plus the final limit
+    after it. Without the map-side node, one dominant source — the
+    realistic corpus shape — funnels its entire partition through a
+    single task's sort at 100 TB; with it each map task forwards at
+    most K rows per source. This query's skew-safety DEPENDS on the
+    rule, so the guard asserts the node rather than trusting the
+    optimizer silently (round-7 VERDICT watch-item 1)."""
     from goe_spark.queries.pipeline_ops import per_source_topk_cap
 
     plan = _plan(per_source_topk_cap(spark, SF_SMALL), "formatted")
     assert "windowspecdefinition(source" in plan, plan
+    assert plan.count("WindowGroupLimit") >= 2, (
+        "expected map-side (Partial) + final WindowGroupLimit nodes "
+        "(Spark >= 3.5 InferWindowGroupLimit)\n" + plan
+    )
 
 
 def test_length_curriculum_no_global_window(spark):
@@ -637,7 +658,10 @@ def test_length_curriculum_no_global_window(spark):
 
     plan = _plan(length_curriculum_bins(spark, SF_SMALL), "simple")
     assert "Window" not in plan, plan
-    assert "rangepartitioning" in plan.lower(), plan
+    # range shuffle sits inside the checkpointed two-pass-rank subtree
+    # (test_ranks pins it via ranked_prelude)
+    assert "Scan ExistingRDD" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_media_dedup_shuffles_hashes_not_payloads(spark):

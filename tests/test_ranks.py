@@ -124,3 +124,36 @@ def test_positions_property_random_frames(spark):
         }
         got = {r["key"]: r[POS] for r in positioned.collect()}
         assert got == want, f"trial {trial} n={n}"
+
+
+def test_prelude_plan_is_range_shuffle_local_sort(spark):
+    """The distributed-sort shape the checkpoint hides from downstream
+    query plans: the pre-checkpoint frame must show a RANGE-partitioned
+    exchange (distributed sort spread across tasks) and NO WindowExec —
+    an unpartitioned window here would recreate the one-task funnel the
+    operator exists to avoid."""
+    from goe_spark.operators.ranks import ranked_prelude
+
+    df = spark.range(1000).selectExpr("id", "id % 7 AS v")
+    pre = ranked_prelude(df, [F.col("v").asc(), F.col("id").asc()])
+    plan = pre._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "Window" not in plan, plan
+
+
+def test_checkpoint_storage_released_on_gc(spark):
+    """Round-7 ADVICE: repeated rank queries must not accumulate
+    storage. localCheckpoint RDDs are released by ContextCleaner when
+    the driver reference is GC'd — persist() CacheManager entries are
+    not. Assert no DataFrame cache entry survives the call."""
+    df = spark.range(500).selectExpr("id", "id % 5 AS v")
+    positioned, n = with_global_positions(
+        df, [F.col("v").asc(), F.col("id").asc()]
+    )
+    assert positioned.count() == 500 and n == 500
+    # no CacheManager entries were created (localCheckpoint, not persist)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
