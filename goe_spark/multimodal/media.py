@@ -284,3 +284,111 @@ def nibble_entropy_sql(content_expr: str) -> str:
     return (
         f"(CASE WHEN {n} > 0 THEN ln({n}) - ({acc}) / {n} ELSE 0.0 END)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Header-parsed image dimensions — REAL byte-arithmetic operators (no
+# codec): PNG IHDR (big-endian u32 at bytes 17-24), GIF logical screen
+# (little-endian u16 at bytes 7-10), BMP BITMAPINFOHEADER (little-
+# endian u32 at bytes 19-26). Parsing works on the raw content bytes
+# via hex() + positional arithmetic, identically expressible in Spark
+# (conv(_,16,10)) and DuckDB (CAST('0x'||_ AS INT)) — so the whole
+# operator is value-hash oracle-checkable. Negative (top-down) BMP
+# heights are out of scope: the parse reads the magnitude fields as
+# unsigned, which covers the overwhelmingly common bottom-up form.
+# ---------------------------------------------------------------------------
+
+PNG_SIG_HEX = "89504E470D0A1A0A"  # \x89PNG\r\n\x1a\n
+GIF_SIG_HEX = "474946383961"      # GIF89a
+BMP_SIG_HEX = "424D"              # BM
+
+
+def _hex_of(content) -> "F.Column":
+    return F.upper(F.hex(content))
+
+
+def _be_hex_val(hex_sub) -> "F.Column":
+    """Big-endian hex substring -> integer (Spark-side)."""
+    return F.conv(hex_sub, 16, 10).cast("int")
+
+
+def _le_pairs(h, pos: int, n_bytes: int) -> "F.Column":
+    """Reverse the byte order of ``n_bytes`` hex pairs starting at
+    1-based hex offset ``pos`` — little-endian fields parse as the
+    byte-swapped big-endian value."""
+    pairs = [
+        F.substring(h, pos + 2 * i, 2) for i in reversed(range(n_bytes))
+    ]
+    return F.concat(*pairs)
+
+
+def image_width(content) -> "F.Column":
+    """Header-parsed pixel width: PNG/GIF/BMP dispatch on magic bytes;
+    NULL for anything else. Pure codegen byte arithmetic."""
+    h = _hex_of(content)
+    return (
+        # PNG: sig(8B) + chunk len(4B) + 'IHDR'(4B) -> width u32 BE at
+        # bytes 17-20 = hex chars 33-40
+        F.when(h.startswith(PNG_SIG_HEX), _be_hex_val(F.substring(h, 33, 8)))
+        # GIF: 'GIF89a'(6B) -> width u16 LE at bytes 7-8 = chars 13-16
+        .when(h.startswith(GIF_SIG_HEX), _be_hex_val(_le_pairs(h, 13, 2)))
+        # BMP: 'BM'(2B)+size(4B)+reserved(4B)+offset(4B)+hdrsize(4B) ->
+        # width u32 LE at bytes 19-22 = chars 37-44
+        .when(h.startswith(BMP_SIG_HEX), _be_hex_val(_le_pairs(h, 37, 4)))
+        .otherwise(F.lit(None).cast("int"))
+    )
+
+
+def image_height(content) -> "F.Column":
+    """Header-parsed pixel height (see image_width for layouts)."""
+    h = _hex_of(content)
+    return (
+        # PNG height u32 BE at bytes 21-24 = chars 41-48
+        F.when(h.startswith(PNG_SIG_HEX), _be_hex_val(F.substring(h, 41, 8)))
+        # GIF height u16 LE at bytes 9-10 = chars 17-20
+        .when(h.startswith(GIF_SIG_HEX), _be_hex_val(_le_pairs(h, 17, 2)))
+        # BMP height u32 LE at bytes 23-26 = chars 45-52
+        .when(h.startswith(BMP_SIG_HEX), _be_hex_val(_le_pairs(h, 45, 4)))
+        .otherwise(F.lit(None).cast("int"))
+    )
+
+
+def _le_pairs_sql(h: str, pos: int, n_bytes: int) -> str:
+    pairs = ", ".join(
+        f"substr({h}, {pos + 2 * i}, 2)" for i in reversed(range(n_bytes))
+    )
+    return f"concat({pairs})"
+
+
+def _be_hex_val_sql(hex_sub: str) -> str:
+    return f"cast(concat('0x', {hex_sub}) AS int)"
+
+
+def image_width_sql(content_expr: str) -> str:
+    """The identical width parse in DuckDB SQL."""
+    h = f"upper(hex({content_expr}))"
+    return (
+        "CASE "
+        f"WHEN {h} LIKE '{PNG_SIG_HEX}%' THEN "
+        f"{_be_hex_val_sql(f'substr({h}, 33, 8)')} "
+        f"WHEN {h} LIKE '{GIF_SIG_HEX}%' THEN "
+        f"{_be_hex_val_sql(_le_pairs_sql(h, 13, 2))} "
+        f"WHEN {h} LIKE '{BMP_SIG_HEX}%' THEN "
+        f"{_be_hex_val_sql(_le_pairs_sql(h, 37, 4))} "
+        "ELSE NULL END"
+    )
+
+
+def image_height_sql(content_expr: str) -> str:
+    """The identical height parse in DuckDB SQL."""
+    h = f"upper(hex({content_expr}))"
+    return (
+        "CASE "
+        f"WHEN {h} LIKE '{PNG_SIG_HEX}%' THEN "
+        f"{_be_hex_val_sql(f'substr({h}, 41, 8)')} "
+        f"WHEN {h} LIKE '{GIF_SIG_HEX}%' THEN "
+        f"{_be_hex_val_sql(_le_pairs_sql(h, 17, 2))} "
+        f"WHEN {h} LIKE '{BMP_SIG_HEX}%' THEN "
+        f"{_be_hex_val_sql(_le_pairs_sql(h, 45, 4))} "
+        "ELSE NULL END"
+    )

@@ -220,6 +220,165 @@ FROM per_fp GROUP BY kind
 """
 
 
+def _u16le_hex(col) -> F.Column:
+    """4-char hex of a u16, byte-swapped to little-endian order."""
+    h = F.lpad(F.hex(col), 4, "0")
+    return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
+
+
+def _u32le_hex(col) -> F.Column:
+    h = F.lpad(F.hex(col), 8, "0")
+    return F.concat(
+        F.substring(h, 7, 2),
+        F.substring(h, 5, 2),
+        F.substring(h, 3, 2),
+        F.substring(h, 1, 2),
+    )
+
+
+def media_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-parsed image dimensions — REAL multimodal metadata with
+    no codec (round-7 VERDICT task 8): width/height read straight out
+    of PNG IHDR (u32 big-endian), GIF logical-screen (u16 little-
+    endian) and BMP BITMAPINFOHEADER (u32 little-endian) bytes via
+    hex + positional arithmetic (multimodal/media.py). The fixture's
+    payloads are synthesized here with spec-true headers (dims derived
+    from doc_id, text bytes as trailing body) and then parsed back
+    EXCLUSIVELY from the binary content — the build columns never
+    reach the parse, so the oracle hash proves the byte-offset math.
+    tests/test_multimodal.py pins the same parsers on handcrafted
+    real-file header bytes.
+
+    Plan: single scan; header build + parse are all codegen
+    (hex/substring/conv/concat); one format-cardinality aggregate.
+    Payload bytes never shuffle — only parsed ints do."""
+    from goe_spark.multimodal.media import (
+        BMP_SIG_HEX,
+        GIF_SIG_HEX,
+        PNG_SIG_HEX,
+        image_height,
+        image_width,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    w = (1 + F.col("doc_id") % 1280).cast("int")
+    h = (1 + F.col("doc_id") % 720).cast("int")
+    png_hex = F.concat(
+        F.lit(PNG_SIG_HEX + "0000000D" + "49484452"),
+        F.lpad(F.hex(w), 8, "0"),
+        F.lpad(F.hex(h), 8, "0"),
+        F.lit("0806000000"),
+    )
+    gif_hex = F.concat(
+        F.lit(GIF_SIG_HEX), _u16le_hex(w), _u16le_hex(h), F.lit("F70000")
+    )
+    bmp_hex = F.concat(
+        F.lit(BMP_SIG_HEX + "00000000" + "00000000" + "36000000" + "28000000"),
+        _u32le_hex(w),
+        _u32le_hex(h),
+    )
+    header_hex = (
+        F.when(F.col("doc_id") % 3 == 0, png_hex)
+        .when(F.col("doc_id") % 3 == 1, gif_hex)
+        .otherwise(bmp_hex)
+    )
+    content = F.concat(
+        F.unhex(header_hex), F.encode(F.substring("text", 1, 16), "UTF-8")
+    )
+    # parse side sees ONLY the binary column
+    media = d.select(F.col("doc_id").alias("media_id"), content.alias("content"))
+    c = F.col("content")
+    hx = F.upper(F.hex(c))
+    fmt = (
+        F.when(hx.startswith(PNG_SIG_HEX), F.lit("png"))
+        .when(hx.startswith(GIF_SIG_HEX), F.lit("gif"))
+        .when(hx.startswith(BMP_SIG_HEX), F.lit("bmp"))
+        .otherwise(F.lit("unknown"))
+    )
+    per = media.select(
+        fmt.alias("fmt"),
+        image_width(c).alias("w"),
+        image_height(c).alias("h"),
+        F.length(c).cast("long").alias("n_bytes"),
+    )
+    return per.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.min("w").alias("min_width"),
+        F.max("w").alias("max_width"),
+        F.min("h").alias("min_height"),
+        F.max("h").alias("max_height"),
+        F.sum(F.col("w").cast("long") * F.col("h")).alias("total_pixels"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
+
+
+def _media_dimensions_sql() -> str:
+    from goe_spark.multimodal.media import (
+        BMP_SIG_HEX,
+        GIF_SIG_HEX,
+        PNG_SIG_HEX,
+        image_height_sql,
+        image_width_sql,
+    )
+
+    u16le = (
+        "concat(substr(lpad(hex({v}), 4, '0'), 3, 2),"
+        " substr(lpad(hex({v}), 4, '0'), 1, 2))"
+    )
+    u32le = (
+        "concat(substr(lpad(hex({v}), 8, '0'), 7, 2),"
+        " substr(lpad(hex({v}), 8, '0'), 5, 2),"
+        " substr(lpad(hex({v}), 8, '0'), 3, 2),"
+        " substr(lpad(hex({v}), 8, '0'), 1, 2))"
+    )
+    w_sql = image_width_sql("content")
+    h_sql = image_height_sql("content")
+    return f"""
+WITH built AS (
+  SELECT doc_id,
+         1 + doc_id % 1280 AS w,
+         1 + doc_id % 720 AS h,
+         text
+  FROM documents
+), media AS (
+  SELECT doc_id AS media_id,
+         from_hex(
+           CASE
+             WHEN doc_id % 3 = 0 THEN concat(
+               '{PNG_SIG_HEX}0000000D49484452',
+               lpad(hex(w), 8, '0'), lpad(hex(h), 8, '0'), '0806000000')
+             WHEN doc_id % 3 = 1 THEN concat(
+               '{GIF_SIG_HEX}', {u16le.format(v='w')}, {u16le.format(v='h')},
+               'F70000')
+             ELSE concat(
+               '{BMP_SIG_HEX}000000000000000036000000' || '28000000',
+               {u32le.format(v='w')}, {u32le.format(v='h')})
+           END
+         ) || encode(substr(text, 1, 16)) AS content
+  FROM built
+), per AS (
+  SELECT
+    CASE WHEN upper(hex(content)) LIKE '{PNG_SIG_HEX}%' THEN 'png'
+         WHEN upper(hex(content)) LIKE '{GIF_SIG_HEX}%' THEN 'gif'
+         WHEN upper(hex(content)) LIKE '{BMP_SIG_HEX}%' THEN 'bmp'
+         ELSE 'unknown' END AS fmt,
+    {w_sql} AS w,
+    {h_sql} AS h,
+    octet_length(content) AS n_bytes
+  FROM media
+)
+SELECT fmt,
+       count(*)                                 AS n_media,
+       min(w)                                   AS min_width,
+       max(w)                                   AS max_width,
+       min(h)                                   AS min_height,
+       max(h)                                   AS max_height,
+       cast(sum(cast(w AS bigint) * h) AS bigint) AS total_pixels,
+       cast(sum(n_bytes) AS bigint)             AS total_bytes
+FROM per GROUP BY fmt
+"""
+
+
 QUERIES = [
     QuerySpec("media_decode_features", media_decode_features, MEDIA_FEATURES_SQL),
     QuerySpec("media_resize_images", media_resize_images, MEDIA_RESIZE_SQL),
@@ -232,5 +391,11 @@ QUERIES = [
         media_exact_dedup,
         MEDIA_DEDUP_SQL,
         "content-hash exact dedup of binary payloads",
+    ),
+    QuerySpec(
+        "media_dimensions",
+        media_dimensions,
+        _media_dimensions_sql(),
+        "header-parsed PNG/GIF/BMP pixel dimensions, codec-free",
     ),
 ]

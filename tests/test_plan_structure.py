@@ -686,3 +686,16 @@ def test_hybrid_search_windows_partitioned_pools_before_fusion(spark):
 
     for m in _re.finditer(r"windowspecdefinition\((\w+)#", plan):
         assert m.group(1) == "qid", plan
+
+
+def test_media_dimensions_single_scan_no_python(spark):
+    """Header-dimension parsing is pure codegen byte arithmetic: ONE
+    corpus scan, ONE aggregation exchange (format grain, parsed ints
+    only — payload bytes never shuffle), and NO Python worker in the
+    plan."""
+    from goe_spark.queries.multimodal import media_dimensions
+
+    plan = _plan(media_dimensions(spark, SF_SMALL), "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Python" not in plan, plan
