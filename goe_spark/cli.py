@@ -48,6 +48,11 @@ def cmd_offload(args) -> int:
         "owner": args.owner,
         "table": args.table,
         "source_dir": args.source_dir,
+        "source_jdbc_url": args.source_jdbc_url,
+        "source_jdbc_table": args.source_jdbc_table,
+        "source_parallelism": args.source_parallelism,
+        "source_split_column": args.source_split_column,
+        "backend_jdbc_url": args.backend_jdbc_url,
         "target_dir": args.target_dir,
         "staging_dir": args.staging_dir,
         "metadata_dir": args.metadata_dir,
@@ -363,8 +368,32 @@ def cmd_agg_validate(args) -> int:
     from pyspark.sql import functions as F
 
     spark = _spark("goe-agg-validate")
-    front = spark.read.parquet(args.frontend_path)
-    back = spark.read.parquet(args.backend_path)
+
+    def _side(path, jdbc_url, table, which):
+        if bool(path) == bool(jdbc_url):
+            raise SystemExit(
+                f"exactly one of --{which}-path / --{which}-jdbc-url "
+                "is required"
+            )
+        if jdbc_url:
+            if not table:
+                raise SystemExit(f"--{which}-jdbc-url needs --{which}-table")
+            df = spark.read.jdbc(jdbc_url, table)
+        else:
+            df = spark.read.parquet(path)
+        # relational engines fold unquoted identifiers to UPPER —
+        # compare both sides on the lower-case layout so a parquet
+        # frontend lines up with a JDBC backend
+        return df.toDF(*[c.lower() for c in df.columns])
+
+    front = _side(
+        args.frontend_path, args.frontend_jdbc_url, args.frontend_table,
+        "frontend",
+    )
+    back = _side(
+        args.backend_path, args.backend_jdbc_url, args.backend_table,
+        "backend",
+    )
     cols = args.columns.split(",") if args.columns else front.columns[:5]
     f = front.agg(
         F.count(F.lit(1)).alias("row_count"),
@@ -532,7 +561,33 @@ def build_parser() -> argparse.ArgumentParser:
     o = sub.add_parser("offload", help="offload one table")
     o.add_argument("--owner", default="default")
     o.add_argument("--table", required=True)
-    o.add_argument("--source-dir", required=True)
+    o.add_argument(
+        "--source-dir",
+        help="parquet frontend root (exactly one of this / "
+        "--source-jdbc-url)",
+    )
+    o.add_argument(
+        "--source-jdbc-url",
+        help="live relational frontend: read the source table over "
+        "JDBC (S1/S7 transport) instead of parquet",
+    )
+    o.add_argument(
+        "--source-jdbc-table",
+        help="frontend table name when it differs from --table",
+    )
+    o.add_argument(
+        "--source-parallelism",
+        type=int,
+        default=1,
+        help="JDBC scan splits; >1 uses a MOD split on "
+        "--source-split-column, 1 is the serial query import",
+    )
+    o.add_argument("--source-split-column")
+    o.add_argument(
+        "--backend-jdbc-url",
+        help="final sink = live JDBC warehouse table (driver-side DDL "
+        "+ distributed df.write.jdbc) instead of the parquet backend",
+    )
     o.add_argument("--target-dir", required=True)
     o.add_argument("--staging-dir", required=True)
     o.add_argument("--metadata-dir", required=True)
@@ -721,8 +776,16 @@ def build_parser() -> argparse.ArgumentParser:
     ing.set_defaults(fn=cmd_ingest)
 
     v = sub.add_parser("agg-validate", help="front-vs-back aggregate compare")
-    v.add_argument("--frontend-path", required=True)
-    v.add_argument("--backend-path", required=True)
+    v.add_argument("--frontend-path", help="parquet frontend")
+    v.add_argument(
+        "--frontend-jdbc-url", help="live relational frontend (with --frontend-table)"
+    )
+    v.add_argument("--frontend-table")
+    v.add_argument("--backend-path", help="parquet backend")
+    v.add_argument(
+        "--backend-jdbc-url", help="live relational backend (with --backend-table)"
+    )
+    v.add_argument("--backend-table")
     v.add_argument("--columns", help="comma-separated; default first 5")
     v.set_defaults(fn=cmd_agg_validate)
 

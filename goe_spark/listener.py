@@ -249,7 +249,12 @@ def make_handler(spark):
             except KeyError as e:
                 self._reply(400, {"error": f"missing field {e}"})
             except Exception as e:
-                self._reply(500, {"error": str(e)[:500]})
+                # malformed specs (e.g. neither/both of source_dir and
+                # source_jdbc_url) are caller errors, not server faults
+                if type(e).__name__ == "OffloadValidationError":
+                    self._reply(400, {"error": str(e)[:500]})
+                else:
+                    self._reply(500, {"error": str(e)[:500]})
 
     return Handler
 

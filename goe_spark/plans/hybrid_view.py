@@ -55,12 +55,18 @@ def hybrid_view_df(
     md: OffloadMetadata,
     backend_path: str,
     source_df: DataFrame,
+    backend_df: DataFrame | None = None,
 ) -> DataFrame:
     """The union-all hybrid relation for one table. Column set is the
     frontend's (the backend's synthetic partition column is internal
-    and dropped)."""
+    and dropped). ``backend_df`` overrides the parquet read for
+    non-file backends (e.g. a live JDBC warehouse table read through
+    ``spark.read.jdbc`` — pass it with lower-cased columns)."""
     cols = source_df.columns
-    raw_backend = spark.read.parquet(backend_path)
+    raw_backend = (
+        backend_df if backend_df is not None
+        else spark.read.parquet(backend_path)
+    )
 
     def _sides(backend_cond, retained_cond):
         """Exactly-once invariant: the backend serves rows INSIDE the

@@ -750,15 +750,36 @@ def offload_from_spec(spark: SparkSession, spec: dict) -> dict:
     /api/offload, so field handling (granularity coercion, defaults,
     result shape) can't drift between surfaces.
 
-    Required keys: table, source_dir, target_dir, staging_dir,
-    metadata_dir. Optional: owner, partition_column, partition_kind,
-    granularity, predicate, hwm, and the --<type>-columns control
-    family (integer_1_columns .. integer_38_columns, date_columns,
-    double_columns, variable_string_columns, unicode_string_columns,
-    decimal_columns [list of CSVs], decimal_columns_type [parallel
-    list of "p,s" specs]).
+    Required keys: table, target_dir, staging_dir, metadata_dir, and
+    exactly one of source_dir (parquet frontend) or source_jdbc_url
+    (live relational frontend read through the S1/S7 JDBC scan —
+    source_jdbc_table defaults to the offload table name;
+    source_parallelism > 1 uses a MOD split on source_split_column,
+    1 is the serial query-import path). Optional: owner,
+    partition_column, partition_kind, granularity, predicate, hwm,
+    backend_jdbc_url (final sink = live JDBC warehouse via
+    sinks/jdbc_writer instead of the parquet backend), and the
+    --<type>-columns control family (integer_1_columns ..
+    integer_38_columns, date_columns, double_columns,
+    variable_string_columns, unicode_string_columns, decimal_columns
+    [list of CSVs], decimal_columns_type [parallel list of "p,s"
+    specs]).
     """
     from goe_spark.sources.files import FileSource
+
+    if bool(spec.get("source_dir")) == bool(spec.get("source_jdbc_url")):
+        raise OffloadValidationError(
+            "exactly one of source_dir / source_jdbc_url is required"
+        )
+    backend_writer = None
+    if spec.get("backend_jdbc_url"):
+        from goe_spark.sinks.jdbc_writer import JdbcBackendWriter
+
+        backend_writer = JdbcBackendWriter(
+            spec["backend_jdbc_url"],
+            properties=spec.get("backend_jdbc_properties"),
+            spark=spark,
+        )
 
     part = None
     if spec.get("partition_column"):
@@ -827,6 +848,7 @@ def offload_from_spec(spark: SparkSession, spec: dict) -> dict:
         list_partition_values=spec.get("list_partition_values"),
         offload_type=spec.get("offload_type"),
         reset_backend_table=bool(spec.get("reset_backend_table")),
+        backend_writer=backend_writer,
     )
     if spec.get("chunked"):
         # Chunked incremental mode (plans/ipa_runner.py): the user's
@@ -850,7 +872,39 @@ def offload_from_spec(spark: SparkSession, spec: dict) -> dict:
                 "chunked mode implements the 90/10 incremental split; "
                 "--offload-type cannot be combined with it"
             )
-    df = FileSource(spec["source_dir"]).read(spark, cfg.table_name)
+    if spec.get("source_jdbc_url"):
+        from goe_spark.sources.jdbc import read_jdbc
+        from goe_spark.sources.split_strategy import (
+            SPLIT_BY_MOD,
+            SplitPlan,
+            mod_split_predicates,
+        )
+
+        src_table = spec.get("source_jdbc_table") or cfg.table_name
+        par = int(spec.get("source_parallelism") or 1)
+        if par > 1:
+            split_col = spec.get("source_split_column")
+            if not split_col:
+                raise OffloadValidationError(
+                    "source_parallelism > 1 needs source_split_column "
+                    "(the MOD split key)"
+                )
+            preds = mod_split_predicates(
+                split_col, par, hash_template="MOD({col}, {n})"
+            )
+            plan = SplitPlan(
+                split_type=SPLIT_BY_MOD, predicates=tuple(preds)
+            )
+        else:
+            # serial query import (S7): one connection, no split
+            plan = SplitPlan(split_type=SPLIT_BY_MOD)
+        df = read_jdbc(spark, spec["source_jdbc_url"], src_table, plan)
+        # relational frontends fold unquoted identifiers to UPPER;
+        # normalize to the lower-case layout every downstream surface
+        # (controls CSVs, partition specs, validation SQL) uses.
+        df = df.toDF(*[c.lower() for c in df.columns])
+    else:
+        df = FileSource(spec["source_dir"]).read(spark, cfg.table_name)
     if spec.get("chunked"):
         from dataclasses import replace as _replace
 
