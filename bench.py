@@ -1,14 +1,25 @@
-"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric", "value", "unit", "queries", "sf", ...}.
+"""Benchmark harness: runs the FULL query registry at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric", "value", "unit", "queries", "sf", ...}.
 
 Measurement discipline: every query gets ONE untimed warm-up pass
 (JVM/codegen/Python-worker spin-up, IVF index build, file-listing
 caches) followed by BENCH_RUNS (default 3) timed passes. The headline
-"value" is the sum of per-query MEDIANS; "queries" carries the
-medians, "queries_min"/"queries_max" the spread, so machine-load
+"value" is the sum of per-query MEDIANS over the HEADLINE list ONLY —
+kept stable so rounds compare apples-to-apples; the rest of the
+registry runs after it (round-7 VERDICT task 6) and lands in the same
+"queries" dict, with "value_full"/"n_queries" summarizing the whole
+sweep. "queries_min"/"queries_max" carry the spread, so machine-load
 noise (measured 33-50 s swing at n=1 in round 2) is distinguishable
 from real regression.
+
+CLI overrides (all optional; env vars still work):
+    --runs N       timed passes per query (BENCH_RUNS)
+    --only a,b,c   bench just these queries, e.g. to re-measure a
+                   drifting query at high N (round-7 VERDICT task 4)
+    --sf-dir PATH  data directory (SPARK_GRAFT_SF_DIR)
+    --budget-s S   wall-clock budget (BENCH_BUDGET_S)
 
 Each query is materialized with the noop sink so we time full plan
 execution (scan → shuffle → aggregate) without collect() overhead on
@@ -18,6 +29,7 @@ stage rather than result transfer.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import statistics
@@ -131,6 +143,14 @@ def materialize(df) -> None:
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--runs", type=int, default=N_RUNS)
+    ap.add_argument("--only", help="CSV of query names to bench")
+    ap.add_argument("--sf-dir", default=SF_DIR)
+    ap.add_argument("--budget-s", type=float, default=BUDGET_S)
+    args = ap.parse_args()
+    sf_dir, n_runs_req, budget_s = args.sf_dir, args.runs, args.budget_s
+
     from goe_spark.catalog import load_table
     from goe_spark.queries import queries_dict
     from goe_spark.session import get_spark
@@ -139,9 +159,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # JVM/codegen warmup outside the timed region.
-    materialize(load_table(spark, SF_DIR, "lineitem").limit(1000))
+    materialize(load_table(spark, sf_dir, "lineitem").limit(1000))
 
     qs = queries_dict()
+    if args.only:
+        names = [n.strip() for n in args.only.split(",") if n.strip()]
+        unknown = [n for n in names if n not in qs]
+        if unknown:
+            print(f"bench: unknown queries {unknown}", file=sys.stderr)
+            sys.exit(2)
+    else:
+        # HEADLINE first (its sum is the cross-round comparable), then
+        # EVERY remaining registry query in registry order — full
+        # coverage, with the budget guard degrading the tail first.
+        names = HEADLINE + [n for n in qs if n not in HEADLINE]
     med: dict[str, float] = {}
     mins: dict[str, float] = {}
     maxs: dict[str, float] = {}
@@ -151,23 +182,23 @@ def main() -> None:
     # bench to a single broken query).
     bench_t0 = time.perf_counter()
     degraded: list[str] = []
-    for name in HEADLINE:
+    for name in names:
         elapsed = time.perf_counter() - bench_t0
-        warmups, n_runs = 1, N_RUNS
-        if elapsed > 0.85 * BUDGET_S:
+        warmups, n_runs = 1, n_runs_req
+        if elapsed > 0.85 * budget_s:
             warmups, n_runs = 0, 1
-        elif elapsed > 0.60 * BUDGET_S:
+        elif elapsed > 0.60 * budget_s:
             warmups, n_runs = 1, 1
-        if (warmups, n_runs) != (1, N_RUNS):
+        if (warmups, n_runs) != (1, n_runs_req):
             degraded.append(name)
         try:
             fn = qs[name]
             for _ in range(warmups):
-                materialize(fn(spark, SF_DIR))  # warm-up, untimed
+                materialize(fn(spark, sf_dir))  # warm-up, untimed
             runs = []
             for _ in range(n_runs):
                 t0 = time.perf_counter()
-                materialize(fn(spark, SF_DIR))
+                materialize(fn(spark, sf_dir))
                 runs.append(time.perf_counter() - t0)
         except Exception as exc:  # noqa: BLE001 — record and continue
             errs[name] = f"{type(exc).__name__}: {exc}"[:500]
@@ -177,8 +208,8 @@ def main() -> None:
         mins[name] = round(min(runs), 3)
         maxs[name] = round(max(runs), 3)
 
-    total = sum(med.values())
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    total = sum(med.get(n, 0.0) for n in HEADLINE)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
     except ValueError:
@@ -192,10 +223,13 @@ def main() -> None:
                 "queries": med,
                 "queries_min": mins,
                 "queries_max": maxs,
-                "runs_per_query": N_RUNS,
+                "value_full": round(sum(med.values()), 3),
+                "n_queries": len(med),
+                "n_headline": sum(1 for n in HEADLINE if n in med),
+                "runs_per_query": n_runs_req,
                 "warmup_runs": 1,
                 "degraded": degraded,
-                "budget_s": BUDGET_S,
+                "budget_s": budget_s,
                 "errors": errs,
                 "n_failed": len(errs),
                 "sf": sf_val,

@@ -1,0 +1,157 @@
+"""sf1 scale probe (round-7 VERDICT task 5): direct evidence the
+LSH/cell caps hold superlinear growth down at 10x the bench data.
+
+Generates a synthetic sf1 (10x sf0.1) documents + embeddings set under
+.scale/sf1/ — ten copies of the sf0.1 corpus, copy k > 0 perturbing
+every 3rd word with a copy-specific suffix so copies are NOT near-dups
+of each other or of the original (3-gram shingles all contain a
+modified word), while each copy retains the original corpus's internal
+duplicate structure. True near-dup pairs therefore scale ~10x
+(linearly); a superlinear pair count or runtime would mean a cap is
+not engaging. Embeddings get a deterministic per-copy affine
+perturbation (distinct vectors, same dimensionality/cluster shape).
+The other 8 tables are symlinked from sf0.1 (only needed so
+check_oracle's view registration succeeds).
+
+Usage:
+    python tools/scale_probe.py            # generate if absent + time
+    python tools/scale_probe.py --gen-only
+
+Timing: per query, 1 warm-up + 3 timed runs at sf0.1 then sf1;
+reports medians and the sf1/sf0.1 growth factor. Hash parity at sf1
+is run separately:
+    CHECK_SF_DIR=$PWD/.scale/sf1 python tools/check_oracle.py \
+        minhash_lsh_pairs ngram_jaccard_pairs cross_doc_ngram_coverage
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(REPO, ".scale", "sf1")
+N_COPIES = 10
+
+PROBE_QUERIES = [
+    "minhash_lsh_pairs",
+    "cross_doc_ngram_coverage",
+    "ngram_jaccard_pairs",
+    "ann_pq_topk",
+    "semantic_dedup_keep_first",
+]
+
+
+def ensure_sf1(spark) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(SF1, "documents.parquet")):
+        return
+    os.makedirs(SF1, exist_ok=True)
+    copies = spark.range(N_COPIES).withColumnRenamed("id", "k")
+
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    k = F.col("k")
+    words = F.split(F.col("text"), " ")
+    # copy 0 keeps the original text; copy k>0 rewrites every 3rd word
+    # (offset k%3) with a k-suffix — every 3-gram shingle differs from
+    # every other copy's, so cross-copy near-dup pairs are zero and
+    # the true pair count scales linearly with the copy count.
+    perturbed = F.array_join(
+        F.transform(
+            words,
+            lambda w, i: F.when(
+                (i % 3 == k % 3) & (k > 0),
+                F.concat(w, F.lit("~"), k.cast("string")),
+            ).otherwise(w),
+        ),
+        " ",
+    )
+    big_docs = (
+        docs.crossJoin(copies)
+        .select(
+            (F.col("doc_id") * N_COPIES + k).alias("doc_id"),
+            F.when(k == 0, F.col("text")).otherwise(perturbed).alias("text"),
+            "lang",
+            "source",
+        )
+        .withColumn("n_chars", F.length("text").cast("bigint"))
+    )
+    big_docs.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(SF1, "documents.parquet")
+    )
+
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    shifted = F.transform(
+        F.col("embedding"),
+        lambda x, i: (
+            x * (1.0 + (k % 7).cast("float") * F.lit(0.013))
+            + ((k * 11 + i) % 5).cast("float") * F.lit(0.0021)
+        ).cast("float"),
+    )
+    big_emb = emb.crossJoin(copies).select(
+        (F.col("vec_id") * N_COPIES + k).alias("vec_id"),
+        F.when(k == 0, F.col("embedding")).otherwise(shifted).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    big_emb.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(SF1, "embeddings.parquet")
+    )
+
+    for t in (
+        "region nation customer supplier part orders lineitem events".split()
+    ):
+        dst = os.path.join(SF1, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(f"{SF01}/{t}.parquet", dst)
+    print(f"generated {SF1}", file=sys.stderr)
+
+
+def _time(fn, spark, sf_dir, runs=3):
+    def mat(df):
+        df.write.mode("overwrite").format("noop").save()
+
+    mat(fn(spark, sf_dir))  # warm-up (includes any index build)
+    ts = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        mat(fn(spark, sf_dir))
+        ts.append(time.perf_counter() - t0)
+    return round(statistics.median(ts), 3)
+
+
+def main() -> None:
+    from goe_spark.queries import queries_dict
+    from goe_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_sf1(spark)
+    if "--gen-only" in sys.argv:
+        return
+
+    qs = queries_dict()
+    out = {}
+    for name in PROBE_QUERIES:
+        t_small = _time(qs[name], spark, SF01)
+        t_big = _time(qs[name], spark, SF1)
+        out[name] = {
+            "sf0.1_s": t_small,
+            "sf1_s": t_big,
+            "growth": round(t_big / t_small, 2) if t_small else None,
+        }
+        print(f"{name}: {t_small}s -> {t_big}s ({out[name]['growth']}x)",
+              file=sys.stderr)
+    print(json.dumps({"data_ratio": N_COPIES, "queries": out}))
+
+
+if __name__ == "__main__":
+    main()
