@@ -105,3 +105,21 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for spark.sql access."""
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def spread(df: DataFrame, key: str) -> DataFrame:
+    """Ensure a CPU-heavy downstream projection gets real parallelism.
+
+    Expression-dominated stages (shingle hashing, signature folds,
+    n-gram explodes) inherit the SCAN's partition count — for a small
+    single-file table that is ONE task doing all the codegen work
+    (round-8 bench measured 37 s on one core for the shingle pass).
+    When the input under-splits, hash-repartition the narrow
+    projection on ``key`` across the cores; on a many-file corpus
+    (the 100 TB case, where maxPartitionBytes already yields
+    thousands of splits) the condition is false and NO extra shuffle
+    is added."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(8, target):
+        return df.repartition(target, key)
+    return df

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from goe_spark.catalog import load_table
+from goe_spark.catalog import load_table, spread
 from goe_spark.functions import text as T
 from goe_spark.functions.hashing import hash64, hash64_sql
 from goe_spark.queries import QuerySpec
@@ -93,6 +93,9 @@ def _shingle_hashed(
         if docs is not None
         else load_table(spark, sf_dir, "documents")
     ).select("doc_id", "lang", "source", "text")
+    # Shingle hashing is the CPU-heavy stage (round-8 bench: 37 s of
+    # codegen on one core when the scan yields a single split).
+    d = spread(d, "doc_id")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     tok_hashed = d.select(
         "doc_id", "lang", "source", MH.token_hashes(toks).alias("th")
@@ -360,7 +363,10 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from goe_spark.operators import minhash as MH
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
     toks = F.split(F.trim(F.col("text")), r"\s+")
     # Bind token hashes before the bit-vote aggregates — each
     # aggregate re-evaluates a computed array argument (md5 cost)
@@ -520,7 +526,10 @@ def top_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     short strings and keeps the oracle exact. Tie-break: doc
     frequency DESC, gram ASC — fully deterministic.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
     toks = T.tokens("text")
     n = F.size(toks)
     tri = F.transform(

@@ -362,18 +362,29 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one shuffle on (train, eval) pairs, and pairs below
     MIN_SHARED_SHINGLES drop at the aggregate. At 100 TB the eval
     broadcast is the whole trick: the corpus is never shuffled on
-    shingle. A df-quantile stop-shingle cap would trim boilerplate
-    join fan-out; the threshold already suppresses its false
-    positives.
+    shingle. Shingle sets come from the MATERIALIZED signature index
+    (operators/minhash_index — bit-identical to recomputation by the
+    index's contract), joined to the narrow (doc_id, source)
+    projection of the catalog table: the expensive shingle pass is
+    paid once per corpus across ALL dedup consumers, not per query
+    (round-8 bench caught the recomputing form at 43 s vs ~1 s).
+    A df-quantile stop-shingle cap would trim boilerplate join
+    fan-out; the threshold already suppresses its false positives.
 
     Output: one row per contaminated training doc — how many eval
     docs it hits and the worst overlap.
     """
-    from goe_spark.queries.dedup import _shingle_hashed
-
-    sh = _shingle_hashed(spark, sf_dir).select(
-        "doc_id", "source", F.array_distinct("sh").alias("shd")
+    from goe_spark.catalog import load_table as _lt
+    from goe_spark.operators.minhash_index import (
+        ensure_signature_index,
+        load_signatures,
     )
+
+    idx = load_signatures(
+        spark, ensure_signature_index(spark, sf_dir)
+    ).select("doc_id", F.col("shd"))
+    src = _lt(spark, sf_dir, "documents").select("doc_id", "source")
+    sh = idx.join(src, "doc_id")
     eval_ex = sh.where(F.col("source") == EVAL_SOURCE).select(
         F.col("doc_id").alias("eval_id"), F.explode("shd").alias("g")
     )

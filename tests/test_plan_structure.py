@@ -451,12 +451,14 @@ def test_cross_doc_coverage_no_string_shuffle_no_window(spark):
 def test_top_duplicate_ngrams_takeordered_single_exchange(spark):
     """Heavy-hitter boilerplate grams: per-doc distinct trigrams
     partial-aggregate map-side, ONE gram exchange, and the top-k is
-    TakeOrdered — no global sort of the gram table."""
+    TakeOrdered — no global sort of the gram table. On under-split
+    local scans catalog.spread adds one repartition exchange so the
+    trigram explode parallelizes (absent on a many-file corpus)."""
     from goe_spark.queries.dedup import top_duplicate_ngrams
 
     plan = _plan(top_duplicate_ngrams(spark, SF_SMALL), "simple")
     assert "TakeOrderedAndProject" in plan
-    assert plan.count("Exchange") == 1
+    assert 1 <= plan.count("Exchange") <= 2
 
 
 def test_pq_encode_below_join_scores_codes_not_vectors(spark):

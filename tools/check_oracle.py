@@ -151,9 +151,12 @@ def main() -> int:
         "region nation customer supplier part orders lineitem events "
         "documents embeddings".split()
     ):
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
-        )
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.isdir(path):
+            # Spark-written table directory (e.g. the .scale/sf1
+            # probe fixtures) — DuckDB needs the part-file glob
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
