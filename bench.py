@@ -135,6 +135,15 @@ HEADLINE = [
     "media_exact_dedup",
     "segment_probe_new_docs",
     "hybrid_search_rrf",
+    # round-8 additions (the full registry runs after HEADLINE anyway;
+    # these join the comparable core)
+    "media_dimensions",
+    "dsir_importance_weights",
+    "embedding_int8_audit",
+    "matryoshka_recall_audit",
+    "contamination_check",
+    "top_duplicate_ngrams",
+    "simhash_pairs",
 ]
 
 

@@ -40,8 +40,12 @@ class QuerySpec:
 # DuckDB (same pandas fetch path as the driver) every run regardless of
 # position.
 HEAD = (
-    # -- new this round (multimodal header parsing, e2e scenario ops) --
+    # -- new this round (multimodal header parsing, data-selection and
+    #    embedding-compression audits) --
     "media_dimensions",
+    "dsir_importance_weights",
+    "embedding_int8_audit",
+    "matryoshka_recall_audit",
     # -- last driver-checked in round 5 (VERDICT r7 task 1 list) --
     "ann_pq_topk",
     "ann_ivf_pq_topk",
@@ -91,8 +95,6 @@ HEAD = (
     "q13_customer_distribution",
     "q14_promo_revenue",
     "union_mod_split_scan",
-    "count_validate_orders",
-    "cast_probe_orders",
 )
 TAIL = ()
 

@@ -991,6 +991,242 @@ WHERE rank <= {HYBRID_TOP_K}
 """
 
 
+# --- int8 quantization audit -------------------------------------------------
+
+EMB_DIM = 64
+_Q_ERR_SCALE = 10**12  # fixed-point grid for squared-error terms
+_Q_COS_SCALE = 10**6   # fixed-point grid for per-vector cosines
+
+
+def embedding_int8_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-dimension int8 quantization audit — the standard
+    check before shipping embeddings to an int8 vector store: quantize
+    q_i = clamp(round(x_i / s_i * 127)), s_i = per-dim abs-max;
+    reconstruct; report per label the mean squared error, the worst
+    vector's MSE, and the mean cosine(original, reconstructed).
+
+    Determinism discipline: every per-dimension error term and every
+    per-vector cosine is fixed-point quantized (floor at 1e12 / 1e6)
+    BEFORE summation, so all aggregates are exact integer sums —
+    float addition order cannot flip the oracle hash (same rule as
+    the two-pass ranks and DSIR).
+
+    Plan (100 TB): dims posexplode map-side; ONE 64-row dim-grain
+    aggregate builds the scale table (broadcast back); the scoring
+    pass re-aggregates to vector grain then label grain. Payload
+    vectors never shuffle — only (vec_id, exact-integer sums)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "x")
+    ).select("vec_id", "label", "i", F.col("x").cast("double").alias("x"))
+    scales = dims.groupBy("i").agg(F.max(F.abs(F.col("x"))).alias("s"))
+    scored = dims.join(F.broadcast(scales), "i")
+    q = F.when(
+        F.col("s") > 0,
+        F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127), F.floor(F.col("x") / F.col("s") * 127 + 0.5)
+            ),
+        ),
+    ).otherwise(F.lit(0))
+    dq = q * F.col("s") / 127
+    err2_q = F.floor((F.col("x") - dq) * (F.col("x") - dq) * _Q_ERR_SCALE)
+    dot_q = F.floor(F.col("x") * dq * _Q_ERR_SCALE)
+    x2_q = F.floor(F.col("x") * F.col("x") * _Q_ERR_SCALE)
+    dq2_q = F.floor(dq * dq * _Q_ERR_SCALE)
+    per_vec = scored.groupBy("vec_id", "label").agg(
+        F.sum(err2_q).alias("e2"),
+        F.sum(dot_q).alias("dt"),
+        F.sum(x2_q).alias("x2"),
+        F.sum(dq2_q).alias("d2"),
+    )
+    # cast BEFORE the product: x2*d2 as longs overflows int64
+    cos = F.col("dt") / F.sqrt(F.col("x2").cast("double") * F.col("d2"))
+    cos_q = F.when(
+        (F.col("x2") > 0) & (F.col("d2") > 0),
+        F.floor(cos * _Q_COS_SCALE),
+    ).otherwise(F.lit(0)).cast("long")
+    vec_stats = per_vec.select("label", "e2", cos_q.alias("cq"))
+    return vec_stats.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            (
+                F.sum("e2") / F.count(F.lit(1)) / EMB_DIM / _Q_ERR_SCALE
+            ).cast("double"),
+            9,
+        ).alias("avg_mse"),
+        F.round(
+            (F.max("e2") / EMB_DIM / _Q_ERR_SCALE).cast("double"), 9
+        ).alias("worst_vec_mse"),
+        F.round(
+            (F.sum("cq") / F.count(F.lit(1)) / _Q_COS_SCALE).cast("double"),
+            6,
+        ).alias("avg_cos_recon"),
+    )
+
+
+def _int8_audit_sql() -> str:
+    return f"""
+WITH dims AS (
+  SELECT vec_id, label, i,
+         cast(embedding[i + 1] AS double) AS x
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(range({EMB_DIM})) AS i)
+), scales AS (
+  SELECT i, max(abs(x)) AS s FROM dims GROUP BY i
+), scored AS (
+  SELECT d.vec_id, d.label,
+         d.x,
+         CASE WHEN s.s > 0 THEN
+           greatest(-127, least(127, floor(d.x / s.s * 127 + 0.5)))
+         ELSE 0 END * s.s / 127 AS dq
+  FROM dims d JOIN scales s USING (i)
+), per_vec AS (
+  SELECT vec_id, label,
+         sum(cast(floor((x - dq) * (x - dq) * {_Q_ERR_SCALE}) AS bigint)) AS e2,
+         sum(cast(floor(x * dq * {_Q_ERR_SCALE}) AS bigint)) AS dt,
+         sum(cast(floor(x * x * {_Q_ERR_SCALE}) AS bigint)) AS x2,
+         sum(cast(floor(dq * dq * {_Q_ERR_SCALE}) AS bigint)) AS d2
+  FROM scored GROUP BY vec_id, label
+), vec_stats AS (
+  SELECT label, e2,
+         CASE WHEN x2 > 0 AND d2 > 0 THEN
+           cast(floor(dt / sqrt(cast(x2 AS double) * d2)
+                      * {_Q_COS_SCALE}) AS bigint)
+         ELSE 0 END AS cq
+  FROM per_vec
+)
+SELECT label,
+       count(*) AS n_vecs,
+       round(cast(sum(e2) AS double) / count(*) / {EMB_DIM}
+             / {_Q_ERR_SCALE}, 9) AS avg_mse,
+       round(cast(max(e2) AS double) / {EMB_DIM} / {_Q_ERR_SCALE}, 9)
+         AS worst_vec_mse,
+       round(cast(sum(cq) AS double) / count(*) / {_Q_COS_SCALE}, 6)
+         AS avg_cos_recon
+FROM vec_stats GROUP BY label
+"""
+
+
+# --- matryoshka truncation recall ---------------------------------------------
+
+MRL_HALF = 32  # truncated prefix dimensionality
+
+
+def matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka/truncation audit: how much cosine top-k recall
+    survives keeping only the first {MRL_HALF} of {EMB_DIM}
+    dimensions — THE decision metric for shipping truncated
+    embeddings (MRL, Kusupati et al. 2022, public method). Per query:
+    |top-k(full) ∩ top-k(truncated)| / k.
+
+    Plan: ONE candidate scan computes both cosines in the same row
+    (the truncated vector is a slice — no second pass), both
+    row_number windows share the qid partition key (one exchange),
+    and the overlap count is a qid-grain aggregate. Ranks order by
+    round(cos, 6) DESC with vec_id tie-break — the module's standard
+    determinism convention."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    half = F.slice(F.col("embedding"), 1, MRL_HALF)
+    cand = emb.select(
+        "vec_id",
+        "embedding",
+        _norm2(F.col("embedding")).alias("cn_f"),
+        _norm2(half).alias("cn_h"),
+    )
+    qry = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        _norm2(F.col("embedding")).alias("qn_f"),
+        _norm2(F.slice(F.col("embedding"), 1, MRL_HALF)).alias("qn_h"),
+    )
+    qhalf = F.slice(F.col("qvec"), 1, MRL_HALF)
+    chalf = F.slice(F.col("embedding"), 1, MRL_HALF)
+    scored = (
+        cand.crossJoin(F.broadcast(qry))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                _dot(F.col("embedding"), F.col("qvec"))
+                / F.sqrt(F.col("cn_f") * F.col("qn_f")),
+                6,
+            ).alias("cos_f"),
+            F.round(
+                _dot(chalf, qhalf) / F.sqrt(F.col("cn_h") * F.col("qn_h")),
+                6,
+            ).alias("cos_h"),
+        )
+    )
+    w_f = Window.partitionBy("qid").orderBy(
+        F.col("cos_f").desc(), F.col("vec_id").asc()
+    )
+    w_h = Window.partitionBy("qid").orderBy(
+        F.col("cos_h").desc(), F.col("vec_id").asc()
+    )
+    ranked = scored.select(
+        "qid",
+        F.row_number().over(w_f).alias("rn_f"),
+        F.row_number().over(w_h).alias("rn_h"),
+    )
+    return ranked.groupBy("qid").agg(
+        F.sum(
+            ((F.col("rn_f") <= TOP_K) & (F.col("rn_h") <= TOP_K)).cast("long")
+        ).alias("n_overlap"),
+        F.round(
+            F.sum(
+                ((F.col("rn_f") <= TOP_K) & (F.col("rn_h") <= TOP_K)).cast(
+                    "long"
+                )
+            )
+            / TOP_K,
+            2,
+        ).alias("recall_at_k"),
+    )
+
+
+def _matryoshka_sql() -> str:
+    dot_f = DOT_SQL.format(a="c.embedding", b="q.qvec")
+    half_c = f"c.embedding[1:{MRL_HALF}]"
+    half_q = f"q.qvec[1:{MRL_HALF}]"
+    dot_h = DOT_SQL.format(a=half_c, b=half_q)
+    return f"""
+WITH emb AS (
+  SELECT vec_id, embedding,
+         {NORM2_SQL.format(a='embedding')} AS cn_f,
+         {NORM2_SQL.format(a=f'embedding[1:{MRL_HALF}]')} AS cn_h
+  FROM embeddings
+), qry AS (
+  SELECT vec_id AS qid, embedding AS qvec, cn_f AS qn_f, cn_h AS qn_h
+  FROM emb WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.qid, c.vec_id,
+         round({dot_f} / sqrt(c.cn_f * q.qn_f), 6) AS cos_f,
+         round({dot_h} / sqrt(c.cn_h * q.qn_h), 6) AS cos_h
+  FROM emb c CROSS JOIN qry q
+  WHERE c.vec_id != q.qid
+), ranked AS (
+  SELECT qid,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos_f DESC, vec_id ASC) AS rn_f,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos_h DESC, vec_id ASC) AS rn_h
+  FROM scored
+)
+SELECT qid,
+       cast(sum(CASE WHEN rn_f <= {TOP_K} AND rn_h <= {TOP_K}
+                     THEN 1 ELSE 0 END) AS bigint) AS n_overlap,
+       round(sum(CASE WHEN rn_f <= {TOP_K} AND rn_h <= {TOP_K}
+                      THEN 1 ELSE 0 END) / cast({TOP_K} AS double), 2)
+         AS recall_at_k
+FROM ranked GROUP BY qid
+"""
+
+
 QUERIES = [
     QuerySpec("ann_bruteforce_topk", ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     QuerySpec(
@@ -1016,5 +1252,17 @@ QUERIES = [
         "semantic_dedup_keep_first",
         semantic_dedup_keep_first,
         _semantic_dedup_sql(),
+    ),
+    QuerySpec(
+        "embedding_int8_audit",
+        embedding_int8_audit,
+        _int8_audit_sql(),
+        "symmetric per-dim int8 quantization error/cosine audit",
+    ),
+    QuerySpec(
+        "matryoshka_recall_audit",
+        matryoshka_recall_audit,
+        _matryoshka_sql(),
+        "top-k recall surviving dimension truncation",
     ),
 ]

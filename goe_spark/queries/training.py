@@ -1320,6 +1320,136 @@ GROUP BY lang"""
     return "WITH " + ",".join(blocks) + final
 
 
+# --- DSIR importance resampling weights -------------------------------------
+
+DSIR_B = 512  # hashed unigram feature buckets
+DSIR_TARGET = ("src0", "src1")  # stand-in "high-quality target" slice
+DSIR_SCALE = 1_000_000  # fixed-point quantization for order-free sums
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, public method):
+    importance weights from hashed unigram bag features. A target
+    slice (here two sources standing in for the curated target
+    distribution) and the raw corpus each get an add-1-smoothed
+    distribution over DSIR_B hashed buckets; each doc's weight is the
+    mean per-token log-likelihood ratio ln(p_target/p_raw). Docs with
+    positive weight are "selected" — the standard pretraining
+    data-selection recipe.
+
+    Determinism discipline: per-bucket log-ratios are fixed-point
+    quantized (floor(lr * 1e6) as BIGINT) BEFORE any per-doc or
+    per-source summation, so every aggregate is an exact integer sum
+    — float addition order can never flip the oracle hash.
+
+    Plan (100 TB): token explode -> ONE bucket-grain conditional
+    aggregate builds BOTH distributions in one pass (B=512 rows);
+    1-row totals broadcast; the B-row log-ratio table broadcast-joins
+    back to the token stream, which re-aggregates to doc grain then
+    source grain. Two corpus token passes total (distribution +
+    scoring); at 100 TB the distribution pass materializes once per
+    corpus snapshot and is reused across selection runs, exactly like
+    the signature index."""
+    from goe_spark.catalog import spread
+
+    d = spread(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        ),
+        "doc_id",
+    )
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.explode(T.tokens("text")).alias("tok"),
+    ).select(
+        "doc_id",
+        "source",
+        F.pmod(hash64(F.col("tok")), F.lit(DSIR_B)).alias("bkt"),
+    )
+    is_t = F.col("source").isin(*DSIR_TARGET).cast("long")
+    dist = toks.groupBy("bkt").agg(
+        F.sum(is_t).alias("t_cnt"),
+        F.count(F.lit(1)).alias("r_cnt"),
+    )
+    totals = dist.agg(
+        F.sum("t_cnt").alias("t_tot"), F.sum("r_cnt").alias("r_tot")
+    )
+    lr = (
+        F.log((F.col("t_cnt") + 1).cast("double"))
+        - F.log((F.col("t_tot") + DSIR_B).cast("double"))
+        - F.log((F.col("r_cnt") + 1).cast("double"))
+        + F.log((F.col("r_tot") + DSIR_B).cast("double"))
+    )
+    lr_table = dist.crossJoin(F.broadcast(totals)).select(
+        "bkt",
+        F.floor(lr * DSIR_SCALE).cast("long").alias("lr_q"),
+    )
+    per_doc = (
+        toks.join(F.broadcast(lr_table), "bkt")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("lr_q").alias("wsum"),
+            F.count(F.lit(1)).alias("n_tok"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            # fixed-point mean token log-ratio: exact integer math
+            F.floor(F.col("wsum") / F.col("n_tok")).cast("long").alias("wq"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("wq") > 0).cast("long")).alias("n_selected"),
+        F.round(
+            (F.sum("wq") / F.count(F.lit(1)) / DSIR_SCALE).cast("double"), 6
+        ).alias("avg_weight"),
+        F.min("wq").alias("min_wq"),
+        F.max("wq").alias("max_wq"),
+    )
+
+
+def _dsir_sql() -> str:
+    tgt = ", ".join(f"'{s}'" for s in DSIR_TARGET)
+    bkt = f"(({hash64_sql('tok')} % {DSIR_B}) + {DSIR_B}) % {DSIR_B}"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, {bkt} AS bkt
+  FROM (SELECT doc_id, source, unnest({T.tokens_sql('text')}) AS tok
+        FROM documents)
+), dist AS (
+  SELECT bkt,
+         sum(CASE WHEN source IN ({tgt}) THEN 1 ELSE 0 END) AS t_cnt,
+         count(*) AS r_cnt
+  FROM toks GROUP BY bkt
+), totals AS (
+  SELECT sum(t_cnt) AS t_tot, sum(r_cnt) AS r_tot FROM dist
+), lr AS (
+  SELECT bkt,
+         cast(floor((ln(cast(t_cnt + 1 AS double))
+                   - ln(cast(t_tot + {DSIR_B} AS double))
+                   - ln(cast(r_cnt + 1 AS double))
+                   + ln(cast(r_tot + {DSIR_B} AS double)))
+                   * {DSIR_SCALE}) AS bigint) AS lr_q
+  FROM dist, totals
+), per_doc AS (
+  SELECT doc_id, source,
+         cast(floor(sum(lr_q) / cast(count(*) AS double)) AS bigint) AS wq
+  FROM toks JOIN lr USING (bkt)
+  GROUP BY doc_id, source
+)
+SELECT source,
+       count(*) AS n_docs,
+       cast(sum(CASE WHEN wq > 0 THEN 1 ELSE 0 END) AS bigint) AS n_selected,
+       round(cast(sum(wq) AS double) / count(*) / {DSIR_SCALE}, 6)
+         AS avg_weight,
+       min(wq) AS min_wq,
+       max(wq) AS max_wq
+FROM per_doc GROUP BY source
+"""
+
+
 QUERIES = [
     QuerySpec(
         "weighted_sample_docs", weighted_sample_docs, WEIGHTED_SAMPLE_SQL
@@ -1354,4 +1484,10 @@ QUERIES = [
     ),
     QuerySpec("bpe_train_merges", bpe_train_merges, _bpe_train_sql()),
     QuerySpec("bpe_encode_stats", bpe_encode_stats, _bpe_encode_sql()),
+    QuerySpec(
+        "dsir_importance_weights",
+        dsir_importance_weights,
+        _dsir_sql(),
+        "DSIR hashed-ngram importance-resampling selection weights",
+    ),
 ]

@@ -701,3 +701,44 @@ def test_media_dimensions_single_scan_no_python(spark):
     assert plan.count("Scan parquet") == 1, plan
     assert plan.count("Exchange") == 1, plan
     assert "Python" not in plan, plan
+
+
+def test_dsir_broadcast_lr_table_no_smj(spark):
+    """DSIR scoring joins the token stream to the 512-row log-ratio
+    table via BROADCAST (and the 1-row totals likewise) — a shuffle
+    join keyed on bucket would move the whole token stream twice."""
+    from goe_spark.queries.training import dsir_importance_weights
+
+    plan = _plan(dsir_importance_weights(spark, SF_SMALL), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_int8_audit_broadcast_scales_no_vector_shuffle(spark):
+    """Quantization audit: the 64-row per-dim scale table broadcasts
+    back to the dim-exploded stream; the only shuffles are the
+    dim-grain scale aggregate and the exact-integer per-vector /
+    per-label aggregates — embedding arrays never shuffle."""
+    from goe_spark.queries.similarity import embedding_int8_audit
+
+    plan = _plan(embedding_int8_audit(spark, SF_SMALL), "formatted")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # no exchange carries the embedding array column
+    import re as _re
+
+    for m in _re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "embedding" not in m.group(1), plan
+
+
+def test_matryoshka_windows_share_qid_partition(spark):
+    """Both rank windows partition by qid (executor-local sorts over
+    the same exchange); the only join is the broadcast 5-row query
+    set."""
+    from goe_spark.queries.similarity import matryoshka_recall_audit
+
+    plan = _plan(matryoshka_recall_audit(spark, SF_SMALL), "formatted")
+    assert "windowspecdefinition(qid" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
