@@ -61,6 +61,12 @@ def cmd_offload(args) -> int:
         "granularity": args.granularity,
         "predicate": args.predicate,
         "hwm": args.hwm,
+        "list_partition_column": args.list_partition_column,
+        "list_partition_values": (
+            args.list_partition_values.split(",")
+            if args.list_partition_values
+            else None
+        ),
         "integer_1_columns": args.integer_1_columns,
         "integer_2_columns": args.integer_2_columns,
         "integer_4_columns": args.integer_4_columns,
@@ -596,6 +602,16 @@ def build_parser() -> argparse.ArgumentParser:
     o.add_argument("--granularity", default="M")
     o.add_argument("--predicate", help="offload predicate DSL")
     o.add_argument("--hwm", help="incremental high-water mark")
+    o.add_argument(
+        "--list-partition-column",
+        help="LIST (LPA) offload: the partition-key column",
+    )
+    o.add_argument(
+        "--list-partition-values",
+        help="CSV of LIST key values to offload this run (appends to "
+        "the metadata's offloaded_high_values ledger; re-offloading "
+        "an already-moved value is refused)",
+    )
     o.add_argument(
         "--staging-format",
         default="parquet",

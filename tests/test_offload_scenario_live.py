@@ -221,3 +221,56 @@ def test_offload_basic_then_rpa_append(spark, tmp_path, derby, capsys):
         hybrid.where(F.col("sale_dt") >= "1995-06-01").count()
         == len(BATCH_3)
     )
+
+
+def test_offload_lpa_list_appends(spark, tmp_path, derby, capsys):
+    """LPA flow (reference test_offload_lpa.py shape), CLI-driven
+    against live Derby on both sides: offload two LIST key values,
+    append a third in a second run, verify the metadata ledger
+    accumulates and a re-offload of an already-moved value is
+    refused without touching the backend."""
+    url = derby
+    store = MetadataStore(str(tmp_path / "md"))
+    _insert(spark, url, BATCH_1)  # regions R0..R3
+
+    def lpa(values):
+        return main(
+            [
+                "offload",
+                "--owner", OWNER,
+                "--table", TABLE,
+                "--source-jdbc-url", url,
+                "--backend-jdbc-url", url,
+                "--target-dir", str(tmp_path / "final"),
+                "--staging-dir", str(tmp_path / "staging"),
+                "--metadata-dir", str(tmp_path / "md"),
+                "--list-partition-column", "region",
+                "--list-partition-values", values,
+            ]
+        )
+
+    front = spark.read.jdbc(url, "sales")
+    by_region = {
+        r["REGION"]: r["n"]
+        for r in front.groupBy("REGION").agg(F.count("*").alias("n")).collect()
+    }
+
+    assert lpa("R0,R1") == 0
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["rows_final"] == by_region["R0"] + by_region["R1"]
+    md1 = store.get(OWNER, TABLE)
+    assert set(md1.offloaded_high_values) == {"R0", "R1"}
+
+    # LPA append: only the new value's rows move
+    assert lpa("R2") == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["rows_final"] == by_region["R2"]
+    md2 = store.get(OWNER, TABLE)
+    assert set(md2.offloaded_high_values) == {"R0", "R1", "R2"}
+    back = spark.read.jdbc(url, BACKEND_TABLE)
+    assert back.count() == sum(by_region[r] for r in ("R0", "R1", "R2"))
+
+    # already-offloaded value: refused, backend untouched
+    with pytest.raises(Exception, match="already offloaded"):
+        lpa("R1")
+    assert spark.read.jdbc(url, BACKEND_TABLE).count() == back.count()
