@@ -217,7 +217,15 @@ GROUP BY o_year
 
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (adapted: no partsupp, so profit = revenue minus
-    a retail-price cost proxy p_retailprice * l_quantity / 10)."""
+    a retail-price cost proxy p_retailprice * l_quantity / 10).
+
+    Money discipline: per-row profit is quantized to EXACT CENTS
+    (floor(x*100+0.5) as BIGINT — identical half-up arithmetic on
+    both engines) and summed as integers. A double sum rounded at
+    the end holds only while |sum| stays small: the sf1 scale probe
+    caught the two engines' different addition orders drifting a
+    ~2e8 group total across the 0.01 grid. Integer cents are
+    order-free at any scale."""
     part = load_table(spark, sf_dir, "part").where(
         F.col("p_name").contains("red")
     )
@@ -228,6 +236,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
         "p_retailprice"
     ) * F.col("l_quantity") / 10.0
+    profit_cents = F.floor(profit * 100 + 0.5).cast("long")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -236,13 +245,17 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )
-        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .agg(
+            F.round((F.sum(profit_cents) / 100.0).cast("double"), 2).alias(
+                "sum_profit"
+            )
+        )
     )
 
 
 Q9_SQL = """
 SELECT n_name AS nation, cast(year(o_orderdate) AS int) AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity / 10.0), 2) AS sum_profit
+       round(sum(cast(floor((l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity / 10.0) * 100 + 0.5) AS bigint)) / 100.0, 2) AS sum_profit
 FROM lineitem
 JOIN part     ON p_partkey = l_partkey
 JOIN orders   ON o_orderkey = l_orderkey

@@ -45,6 +45,14 @@ PROBE_QUERIES = [
     "ngram_jaccard_pairs",
     "ann_pq_topk",
     "semantic_dedup_keep_first",
+    # relational family (10x facts, consistent key remap)
+    "q1_pricing_summary",
+    "q9_product_profit",
+    "q18_large_orders",
+    # events family (10x users, per-user history cloned)
+    "sessionization_stats",
+    "event_funnel_conversion",
+    "cms_user_counts",
 ]
 
 
@@ -106,9 +114,69 @@ def ensure_sf1(spark) -> None:
         os.path.join(SF1, "embeddings.parquet")
     )
 
-    for t in (
-        "region nation customer supplier part orders lineitem events".split()
-    ):
+    # TPC-H facts + events scale 10x with a CONSISTENT entity remap:
+    # every entity key k' = k * N_COPIES + copy, applied identically
+    # to the primary key and every foreign key, so joins stay valid
+    # and per-entity history (a customer's orders, a user's events)
+    # clones into N independent entities — fact cardinality, join
+    # fan-out and group counts all grow exactly linearly, which is
+    # the growth law the probe checks runtimes against. Dimension
+    # tables region/nation stay fixed (copies share nations, as a
+    # real 10x business would).
+    def remap(col_name):
+        return (F.col(col_name) * N_COPIES + k).alias(col_name)
+
+    cust = spark.read.parquet(f"{SF01}/customer.parquet")
+    cust.crossJoin(copies).select(
+        remap("c_custkey"),
+        *[c for c in cust.columns if c != "c_custkey"],
+    ).repartition(8).write.mode("overwrite").parquet(
+        os.path.join(SF1, "customer.parquet")
+    )
+    supp = spark.read.parquet(f"{SF01}/supplier.parquet")
+    supp.crossJoin(copies).select(
+        remap("s_suppkey"),
+        *[c for c in supp.columns if c != "s_suppkey"],
+    ).repartition(8).write.mode("overwrite").parquet(
+        os.path.join(SF1, "supplier.parquet")
+    )
+    part = spark.read.parquet(f"{SF01}/part.parquet")
+    part.crossJoin(copies).select(
+        remap("p_partkey"),
+        *[c for c in part.columns if c != "p_partkey"],
+    ).repartition(8).write.mode("overwrite").parquet(
+        os.path.join(SF1, "part.parquet")
+    )
+    orders = spark.read.parquet(f"{SF01}/orders.parquet")
+    orders.crossJoin(copies).select(
+        remap("o_orderkey"),
+        remap("o_custkey"),
+        *[c for c in orders.columns if c not in ("o_orderkey", "o_custkey")],
+    ).repartition(8).write.mode("overwrite").parquet(
+        os.path.join(SF1, "orders.parquet")
+    )
+    li = spark.read.parquet(f"{SF01}/lineitem.parquet")
+    li.crossJoin(copies).select(
+        remap("l_orderkey"),
+        remap("l_partkey"),
+        remap("l_suppkey"),
+        *[
+            c
+            for c in li.columns
+            if c not in ("l_orderkey", "l_partkey", "l_suppkey")
+        ],
+    ).repartition(16).write.mode("overwrite").parquet(
+        os.path.join(SF1, "lineitem.parquet")
+    )
+    ev = spark.read.parquet(f"{SF01}/events.parquet")
+    ev.crossJoin(copies).select(
+        remap("event_id"),
+        remap("user_id"),
+        *[c for c in ev.columns if c not in ("event_id", "user_id")],
+    ).repartition(8).write.mode("overwrite").parquet(
+        os.path.join(SF1, "events.parquet")
+    )
+    for t in "region nation".split():
         dst = os.path.join(SF1, f"{t}.parquet")
         if not os.path.exists(dst):
             os.symlink(f"{SF01}/{t}.parquet", dst)
