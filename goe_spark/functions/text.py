@@ -95,7 +95,14 @@ def quality_score(col: Column | str) -> Column:
     """Composite quality score in [0,1]:
     0.5 * length_score (chars/500 capped at 1)
     + 0.3 * mean-token-length score (avg token len / 8 capped at 1)
-    + 0.2 * (1 - punct_ratio). Rounded to 6 so both engines agree.
+    + 0.2 * (1 - punct_ratio).
+
+    Quantized to the 1e-6 grid via floor(x*1e6+0.5)/1e6, NOT round():
+    Spark's round goes through the double's shortest DECIMAL string
+    (half-up on "…3125") while DuckDB rounds the raw binary
+    ("…312499…"), so a score landing exactly on the half grid flips
+    between engines — the sf1 probe caught one in 23k docs. The floor
+    form is pure IEEE arithmetic, bit-identical everywhere.
     """
     c = F.col(col) if isinstance(col, str) else col
     n_chars = F.length(c).cast("double")
@@ -103,10 +110,12 @@ def quality_score(col: Column | str) -> Column:
     len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
     tok_score = F.least(n_chars / F.greatest(n_tokens, F.lit(1.0)) / F.lit(8.0), F.lit(1.0))
     punct_ratio = punct_count(c).cast("double") / F.greatest(n_chars, F.lit(1.0))
-    return F.round(
-        F.lit(0.5) * len_score + F.lit(0.3) * tok_score + F.lit(0.2) * (1 - punct_ratio),
-        6,
+    raw = (
+        F.lit(0.5) * len_score
+        + F.lit(0.3) * tok_score
+        + F.lit(0.2) * (1 - punct_ratio)
     )
+    return F.floor(raw * 1_000_000 + 0.5) / 1_000_000
 
 
 def quality_score_sql(expr: str) -> str:
@@ -115,9 +124,10 @@ def quality_score_sql(expr: str) -> str:
     len_score = f"least({n_chars} / 500.0, 1.0)"
     tok_score = f"least({n_chars} / greatest({n_tokens}, 1.0) / 8.0, 1.0)"
     punct_ratio = f"cast({punct_count_sql(expr)} as double) / greatest({n_chars}, 1.0)"
-    return (
-        f"round(0.5 * {len_score} + 0.3 * {tok_score} + 0.2 * (1 - {punct_ratio}), 6)"
-    )
+    raw = f"(0.5 * {len_score} + 0.3 * {tok_score} + 0.2 * (1 - {punct_ratio}))"
+    # floor-based half-up: matches the Spark side bit-for-bit (see
+    # quality_score docstring — round() disagrees at the half grid)
+    return f"(floor({raw} * 1000000 + 0.5) / 1000000)"
 
 
 def lang_scores(col: Column | str) -> dict[str, Column]:

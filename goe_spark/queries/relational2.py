@@ -525,9 +525,14 @@ def order_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         strategy="bucketed",
         bucket=TIER_BUCKET,
     )
+    # integer-cents sum (see q9_product_profit): double sums of 2e11
+    # magnitudes drift across the 0.01 grid between engines at 10x SF
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
     return joined.groupBy("tier").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("tier_revenue"),
+        F.round((F.sum(cents) / 100.0).cast("double"), 2).alias(
+            "tier_revenue"
+        ),
     )
 
 
@@ -538,7 +543,8 @@ def _tiers_values_sql() -> str:
 PRICE_TIERS_SQL = f"""
 SELECT t.tier,
        count(*)                     AS n_orders,
-       round(sum(o.o_totalprice), 2) AS tier_revenue
+       round(sum(cast(floor(o.o_totalprice * 100 + 0.5) AS bigint)) / 100.0, 2)
+         AS tier_revenue
 FROM orders o
 JOIN (VALUES {_tiers_values_sql()}) AS t(tier, lo, hi)
   ON o.o_totalprice >= t.lo AND o.o_totalprice <= t.hi

@@ -198,10 +198,13 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", T.quality_score("text").alias("quality")
     )
+    # quality_score is already quantized to the 1e-6 grid internally
+    # (floor-based half-up — see its docstring for the cross-engine
+    # round() divergence the sf1 probe caught)
     scored = labels.join(d, labels.node == d.doc_id).select(
         F.col("label").alias("cluster_id"),
         "doc_id",
-        F.round("quality", 6).alias("quality"),
+        "quality",
     )
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("quality").desc(), F.col("doc_id").asc()
@@ -232,7 +235,7 @@ WITH RECURSIVE lsh_pairs AS (
   SELECT node, min(anc) AS cluster_id FROM reach GROUP BY node
 ), scored AS (
   SELECT l.cluster_id, d.doc_id,
-         round({quality_score_sql('d.text')}, 6) AS quality
+         {quality_score_sql('d.text')} AS quality
   FROM labels l JOIN documents d ON d.doc_id = l.node
 ), ranked AS (
   SELECT cluster_id, doc_id, quality,

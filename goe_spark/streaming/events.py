@@ -61,17 +61,28 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     helper the batch path uses, so stream-vs-batch comparisons never
     mix TIMESTAMP with TIMESTAMP_NTZ.
     """
+    import os
+
     from goe_spark.catalog import events_ts_type, normalize_events_ts
 
     batch_ts = events_ts_type(spark, sf_dir)
-    # The fixture is a single file, but the streaming file source
-    # needs a directory: point basePath at sf_dir and glob-filter to
-    # the events file only (the other tables have different schemas).
-    raw = (
-        spark.readStream.schema(_events_raw_schema(batch_ts))
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    reader = spark.readStream.schema(_events_raw_schema(batch_ts))
+    table_path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(table_path):
+        # Directory-style table (the normal production layout — e.g.
+        # a Spark-written table or the .scale probe fixtures): stream
+        # the directory itself.
+        raw = reader.parquet(table_path)
+    else:
+        # Single-file fixture: the streaming file source needs a
+        # directory, so point basePath at sf_dir and glob-filter to
+        # the events file only (the other tables have different
+        # schemas). NOTE pathGlobFilter matches FILES — it silently
+        # reads zero rows against a directory-style table, which is
+        # why the isdir branch exists.
+        raw = reader.option("pathGlobFilter", "events.parquet").parquet(
+            sf_dir
+        )
     return normalize_events_ts(raw)
 
 
