@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from goe_spark.catalog import load_table
+from goe_spark.functions.money import cents, money_sum, money_sum_sql, money_sum_window
 from goe_spark.queries import QuerySpec
 
 
@@ -38,22 +39,31 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # money_sum / exact-cents averages: order-free integer
+            # sums (functions/money.py) — double sums drift across
+            # the rounding grid at 10x SF (sf1 probe evidence)
+            money_sum(F.col("l_quantity")).alias("sum_qty"),
+            money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
+            money_sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(
+                (F.sum(cents(F.col("l_quantity"), 1_000_000))
+                 / F.count(F.lit(1)) / 1e6).cast("double"), 4
+            ).alias("avg_qty"),
+            F.round(
+                (F.sum(cents(F.col("l_extendedprice"), 1_000_000))
+                 / F.count(F.lit(1)) / 1e6).cast("double"), 4
+            ).alias("avg_price"),
+            F.round(
+                (F.sum(cents(F.col("l_discount"), 1_000_000))
+                 / F.count(F.lit(1)) / 1e6).cast("double"), 6
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -61,13 +71,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                         AS sum_qty,
-       round(sum(l_extendedprice), 2)                                    AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                 AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)   AS sum_charge,
-       round(avg(l_quantity), 4)                                         AS avg_qty,
-       round(avg(l_extendedprice), 4)                                    AS avg_price,
-       round(avg(l_discount), 6)                                         AS avg_disc,
+       round(sum(cast(floor(l_quantity * 100 + 0.5) AS bigint)) / 100.0, 2)      AS sum_qty,
+       round(sum(cast(floor(l_extendedprice * 100 + 0.5) AS bigint)) / 100.0, 2) AS sum_base_price,
+       round(sum(cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS bigint)) / 100.0, 2) AS sum_disc_price,
+       round(sum(cast(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS bigint)) / 100.0, 2) AS sum_charge,
+       round(sum(cast(floor(l_quantity * 1000000 + 0.5) AS bigint)) / count(*) / 1000000.0, 4) AS avg_qty,
+       round(sum(cast(floor(l_extendedprice * 1000000 + 0.5) AS bigint)) / count(*) / 1000000.0, 4) AS avg_price,
+       round(sum(cast(floor(l_discount * 1000000 + 0.5) AS bigint)) / count(*) / 1000000.0, 6) AS avg_disc,
        count(*)                                                          AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -99,9 +109,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -110,7 +120,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q3_SQL = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(sum(cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS bigint)) / 100.0, 2) AS revenue
 FROM customer
 JOIN orders   ON o_custkey = c_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -153,15 +163,15 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
         )
     )
 
 
 Q5_SQL = """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name, round(sum(cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS bigint)) / 100.0, 2) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -190,9 +200,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
@@ -201,7 +211,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q10_SQL = """
 SELECT c_custkey, c_name, c_acctbal, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(sum(cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS bigint)) / 100.0, 2) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -234,7 +244,7 @@ def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFram
             "o_orderkey",
             F.round("o_totalprice", 2).alias("o_totalprice_r"),
             F.row_number().over(w).alias("rn"),
-            F.round(F.sum("o_totalprice").over(wsum), 2).alias("cust_total"),
+            money_sum_window(F.col("o_totalprice"), wsum).alias("cust_total"),
         )
         .where(F.col("rn") <= 2)
     )
@@ -246,7 +256,8 @@ SELECT * FROM (
          round(o_totalprice, 2) AS o_totalprice_r,
          row_number() OVER (PARTITION BY o_custkey
                             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
-         round(sum(o_totalprice) OVER (PARTITION BY o_custkey), 2) AS cust_total
+         round(sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint))
+                 OVER (PARTITION BY o_custkey) / 100.0, 2) AS cust_total
   FROM orders
 ) WHERE rn <= 2
 """
@@ -274,13 +285,14 @@ def union_mod_split_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         unioned.groupBy(F.pmod(F.col("o_orderkey"), F.lit(4)).alias("batch"))
         .agg(
             F.count(F.lit(1)).alias("batch_rows"),
-            F.round(F.sum("o_totalprice"), 2).alias("batch_value"),
+            money_sum(F.col("o_totalprice")).alias("batch_value"),
         )
     )
 
 
 UNION_MOD_SQL = """
-SELECT batch, count(*) AS batch_rows, round(sum(o_totalprice), 2) AS batch_value
+SELECT batch, count(*) AS batch_rows,
+       round(sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint)) / 100.0, 2) AS batch_value
 FROM (
   SELECT o_orderkey % 4 AS batch, o_totalprice FROM orders WHERE o_orderkey % 4 = 0
   UNION ALL

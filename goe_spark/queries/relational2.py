@@ -4,8 +4,10 @@ query notes its adaptation).
 
 Same physical-plan discipline as relational.py: broadcast every
 dimension explicitly, one sort-merge shuffle per fact-fact join,
-map-side partial aggregation everywhere, money rounded at the end so
-double summation order can't flip the comparison hash.
+map-side partial aggregation everywhere, money summed as exact
+integer cents (functions/money.py) so double summation order can't
+flip the comparison hash at ANY scale — the sf1 probe showed
+end-rounding alone stops working once group totals reach ~1e8.
 """
 
 from __future__ import annotations
@@ -14,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from goe_spark.catalog import load_table
+from goe_spark.functions.money import cents, money_sum
 from goe_spark.queries import QuerySpec
 
 
@@ -72,15 +75,15 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
-            ).alias("revenue")
+            money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue"
+            )
         )
     )
 
 
 Q6_SQL = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT round(sum(cast(floor(l_extendedprice * l_discount * 100 + 0.5) AS bigint)) / 100.0, 2) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -122,15 +125,16 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
     )
 
 
 Q7_SQL = """
-SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+SELECT supp_nation, cust_nation, l_year,
+       round(sum(cast(floor(volume * 100 + 0.5) AS bigint)) / 100.0, 2) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          cast(year(l_shipdate) AS int) AS l_year,
@@ -183,9 +187,16 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation_s), supp.s_nationkey == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
+            # ratio of two exact cent-sums: order-free on both engines
             F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
-                / F.sum(vol),
+                (
+                    F.sum(
+                        F.when(
+                            F.col("supp_nation") == "NATION_3", cents(vol)
+                        ).otherwise(F.lit(0).cast("long"))
+                    )
+                    / F.sum(cents(vol))
+                ).cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -193,7 +204,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q8_SQL = """
-SELECT o_year, round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END) / sum(volume), 6) AS mkt_share
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_3'
+                      THEN cast(floor(volume * 100 + 0.5) AS bigint)
+                      ELSE 0 END)
+             / cast(sum(cast(floor(volume * 100 + 0.5) AS bigint)) AS double), 6) AS mkt_share
 FROM (
   SELECT cast(year(o_orderdate) AS int) AS o_year,
          l_extendedprice * (1 - l_discount) AS volume,
@@ -309,10 +324,17 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
+            # ratio of exact cent-sums (see q8): order-free both engines
             F.round(
-                F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
-                * 100.0
-                / F.sum(vol),
+                (
+                    F.sum(
+                        F.when(
+                            F.col("p_type") == "PROMO", cents(vol)
+                        ).otherwise(F.lit(0).cast("long"))
+                    )
+                    * 100.0
+                    / F.sum(cents(vol))
+                ).cast("double"),
                 6,
             ).alias("promo_revenue")
         )
@@ -320,8 +342,10 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q14_SQL = """
-SELECT round(sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 100.0
-             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                     THEN cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS bigint)
+                     ELSE 0 END) * 100.0
+             / sum(cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS bigint)), 6) AS promo_revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
@@ -401,14 +425,14 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined.where(clause).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        money_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
         ).alias("revenue")
     )
 
 
 Q19_SQL = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT round(sum(cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS bigint)) / 100.0, 2) AS revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
@@ -438,14 +462,14 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("cntrycode"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            money_sum(F.col("c_acctbal")).alias("totacctbal"),
         )
     )
 
 
 Q22_SQL = """
 SELECT c_nationkey AS cntrycode, count(*) AS numcust,
-       round(sum(c_acctbal), 2) AS totacctbal
+       round(sum(cast(floor(c_acctbal * 100 + 0.5) AS bigint)) / 100.0, 2) AS totacctbal
 FROM customer
 WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
   AND c_nationkey < 10

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from goe_spark.catalog import load_table
+from goe_spark.functions.money import money_sum
 from goe_spark.queries import QuerySpec
 
 
@@ -314,7 +315,19 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.col("sum_qty")
         )
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+            # exact cents / 7 at the end: order-free (functions/money)
+            F.round(
+                (
+                    F.sum(
+                        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast(
+                            "long"
+                        )
+                    )
+                    / 100.0
+                    / 7.0
+                ).cast("double"),
+                2,
+            ).alias("avg_yearly")
         )
     )
 
@@ -330,7 +343,7 @@ WITH scoped AS (
          count(*) AS cnt
   FROM scoped GROUP BY l_partkey
 )
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT round(sum(cast(floor(l_extendedprice * 100 + 0.5) AS bigint)) / 100.0 / 7.0, 2) AS avg_yearly
 FROM scoped JOIN per_part ON l_partkey = pp_partkey
 WHERE cast(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sum_qty
 """
@@ -496,15 +509,15 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        money_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
         ).alias("revenue"),
     )
 
 
 SALTED_JOIN_SQL = """
 SELECT o_orderpriority, count(*) AS n_lines,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(sum(cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS bigint)) / 100.0, 2) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
