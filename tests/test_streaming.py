@@ -532,3 +532,25 @@ def test_outer_attribution_stream_equals_batch_on_closed_purchases(spark):
     }
     assert stream_unattrib >= (batch_unattrib & closed_ids)
     assert stream_unattrib  # expiry actually flushed on the drain
+
+
+def test_events_stream_directory_table(spark, tmp_path):
+    """Directory-style events tables (the normal production layout)
+    must stream: pathGlobFilter matches only FILES, so the sf1 probe
+    found the old form silently reading zero rows from a Spark-written
+    events.parquet/ directory. Pin the isdir branch."""
+    import os
+
+    from goe_spark.catalog import load_table
+    from goe_spark.streaming.events import windowed_event_counts
+    from tests.conftest import SF_SMALL
+
+    sf_dir = str(tmp_path / "sfdir")
+    os.makedirs(sf_dir)
+    ev = load_table(spark, SF_SMALL, "events")
+    # write as a DIRECTORY table (multiple part files)
+    ev.repartition(3).write.parquet(os.path.join(sf_dir, "events.parquet"))
+
+    got = windowed_event_counts(spark, sf_dir)
+    want = ev.count()
+    assert got.agg({"n_events": "sum"}).first()[0] == want
