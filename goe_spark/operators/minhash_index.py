@@ -45,11 +45,15 @@ from pyspark.sql import functions as F
 from goe_spark.operators.ivf import _REPO_ROOT, _source_fingerprint
 
 INDEX_ROOT = os.path.join(_REPO_ROOT, "spark-warehouse", "minhash_index")
-INDEX_VERSION = 2
+# v3 adds the 60-bit SimHash signature column (one long per doc):
+# simhash_pairs was the only near-dup query still recomputing its
+# signature from raw text per run (round-8 bench: 2.1 s vs 0.6-0.9 s
+# for the index-backed siblings).
+INDEX_VERSION = 3
 
 
 def signature_frame(docs: DataFrame) -> DataFrame:
-    """(doc_id, shd, mh) for any documents frame (doc_id, lang,
+    """(doc_id, shd, mh, sim) for any documents frame (doc_id, lang,
     source, text). Reuses the ONE canonical shingle lineage
     (queries/dedup._shingle_hashed), so indexed values are
     bit-identical to what the all-pairs queries and the DuckDB oracle
@@ -58,15 +62,28 @@ def signature_frame(docs: DataFrame) -> DataFrame:
     read it straight from the index, and signature-only consumers
     column-prune it away for free. The signature is computed over the
     distinct set — min over a multiset equals min over its set, so it
-    is bit-identical to the raw-array form."""
+    is bit-identical to the raw-array form. v3 adds the 60-bit
+    SimHash (from the same token-hash lineage simhash_pairs uses:
+    docs with >= 3 tokens, the shared shingle-ability filter)."""
+    from goe_spark.catalog import spread
+    from goe_spark.functions import text as T
     from goe_spark.operators import minhash as MH
-    from goe_spark.queries.dedup import _shingle_hashed
 
-    sh = _shingle_hashed(None, "", docs=docs).select(
-        "doc_id", F.array_distinct("sh").alias("shd")
+    # spread: signature codegen must not inherit a 1-split scan
+    d = spread(docs.select("doc_id", "text"), "doc_id")
+    toks = T.tokens("text")
+    th_frame = d.select(
+        "doc_id", MH.token_hashes(toks).alias("th")
+    ).where(F.size(toks) >= 3)
+    sh = th_frame.select(
+        "doc_id",
+        F.array_distinct(
+            MH.arith_shingle_hashes(F.col("th"))
+        ).alias("shd"),
+        MH.simhash_signature(F.col("th")).alias("sim"),
     )
     return sh.select(
-        "doc_id", "shd", MH.minhash_signature(F.col("shd")).alias("mh")
+        "doc_id", "shd", MH.minhash_signature(F.col("shd")).alias("mh"), "sim"
     )
 
 

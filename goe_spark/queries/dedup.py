@@ -360,21 +360,24 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inline with no signature re-join. The DuckDB oracle is the
     brute-force all-pairs join — the hash match doubles as a proof
     the banding lost no pair at test scale.
+
+    Signatures come from the MATERIALIZED v3 index (one long per
+    doc, computed once per corpus fingerprint alongside the MinHash
+    columns) — round-8 bench caught this query as the last near-dup
+    operator recomputing its signature from raw text per run (2.1 s
+    vs 0.6-0.9 s for the index-backed siblings). Like the whole
+    shingle lineage, the index covers docs with >= 3 tokens (the
+    shingle-ability floor); the oracle applies the same filter.
     """
     from goe_spark.operators import minhash as MH
+    from goe_spark.operators.minhash_index import (
+        ensure_signature_index,
+        load_signatures,
+    )
 
-    d = spread(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
-        "doc_id",
-    )
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    # Bind token hashes before the bit-vote aggregates — each
-    # aggregate re-evaluates a computed array argument (md5 cost)
-    # but reads a bound column once.
-    tok_hashed = d.select("doc_id", MH.token_hashes(toks).alias("th"))
-    sigs = tok_hashed.select(
-        "doc_id", MH.simhash_signature(F.col("th")).alias("simhash")
-    )
+    sigs = load_signatures(
+        spark, ensure_signature_index(spark, sf_dir)
+    ).select("doc_id", F.col("sim").alias("simhash"))
     bands = sigs.select(
         F.struct("doc_id", "simhash").alias("doc"),
         F.explode(MH.simhash_band_structs(F.col("simhash"))).alias("bs"),
@@ -417,6 +420,7 @@ WITH sigs AS (
   FROM (SELECT doc_id,
                {th_sql} AS th
         FROM documents)
+  WHERE len(th) >= 3
 )
 SELECT a.doc_id AS id1, b.doc_id AS id2,
        {MH.hamming_sql("a.simhash", "b.simhash")} AS hamming
