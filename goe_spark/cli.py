@@ -540,7 +540,12 @@ def cmd_sql(args) -> int:
     """Ad-hoc SQL over the catalog tables (and, with --view, any
     parquet target such as an offloaded table or a hybrid view's
     backing dirs) — the general SELECT surface the reference never
-    had; Catalyst plans it like any registered query."""
+    had; Catalyst plans it like any registered query.
+
+    --hybrid OWNER.TABLE registers <owner>_<table>_hybrid straight
+    from the offload metadata (exactly-once union of the backend's
+    offloaded slice and the frontend's retained complement — the
+    reference's hybrid query layer, queryable from the shell)."""
     from goe_spark.catalog import register_views
 
     spark = _spark("goe-sql")
@@ -551,6 +556,32 @@ def cmd_sql(args) -> int:
             print(f"--view expects NAME=PATH, got {extra!r}", file=sys.stderr)
             return 2
         spark.read.parquet(path).createOrReplaceTempView(name)
+    if args.hybrid:
+        if not (args.metadata_dir and args.source_root and args.target_root):
+            print(
+                "--hybrid needs --metadata-dir, --source-root and "
+                "--target-root",
+                file=sys.stderr,
+            )
+            return 2
+        from goe_spark.plans.hybrid_view import register_hybrid_view
+        from goe_spark.plans.metadata import MetadataStore
+
+        store = MetadataStore(args.metadata_dir)
+        for spec_s in args.hybrid:
+            owner, _, table = spec_s.partition(".")
+            if not owner or not table:
+                print(f"--hybrid expects OWNER.TABLE, got {spec_s!r}",
+                      file=sys.stderr)
+                return 2
+            register_hybrid_view(
+                spark,
+                store,
+                owner,
+                table,
+                backend_path=f"{args.target_root}/{table}",
+                source_path=f"{args.source_root}/{table}.parquet",
+            )
     df = spark.sql(args.statement)
     if args.explain:
         df.explain("formatted")
@@ -852,6 +883,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="NAME=PARQUET_PATH extra view (repeatable) — e.g. an "
         "offloaded target dir",
     )
+    sq.add_argument(
+        "--hybrid",
+        action="append",
+        help="OWNER.TABLE (repeatable): register the exactly-once "
+        "hybrid view <owner>_<table>_hybrid from offload metadata "
+        "(needs --metadata-dir/--source-root/--target-root)",
+    )
+    sq.add_argument("--metadata-dir")
+    sq.add_argument("--source-root", help="frontend root: <root>/<table>.parquet")
+    sq.add_argument("--target-root", help="backend root: <root>/<table>")
     sq.add_argument(
         "--explain",
         action="store_true",

@@ -496,3 +496,47 @@ def test_offload_cli_avro_staging(tmp_path, capsys):
     assert out["rows_staged"] == out["rows_final"] == 5
     staged = os.listdir(tmp_path / "stage")
     assert staged and all(f.endswith(".avro") for f in staged)
+
+
+def test_sql_hybrid_view(tmp_path, capsys, spark):
+    """`sql --hybrid OWNER.TABLE` registers the exactly-once hybrid
+    relation from offload metadata: a 90/10 RANGE offload's hybrid
+    view must return EVERY source row exactly once, spanning the
+    boundary (backend serves <= HWM, frontend the complement)."""
+    rc = main(
+        [
+            "offload",
+            "--owner", "sh",
+            "--table", "orders",
+            "--source-dir", SF_SMALL,
+            "--target-dir", str(tmp_path / "final" / "orders"),
+            "--staging-dir", str(tmp_path / "stage"),
+            "--metadata-dir", str(tmp_path / "md"),
+            "--partition-column", "o_orderdate",
+            "--granularity", "M",
+            "--hwm", "1996-06",
+        ]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    total = spark.read.parquet(f"{SF_SMALL}/orders.parquet").count()
+
+    rc = main(
+        [
+            "sql",
+            "SELECT count(*) AS n, count(DISTINCT o_orderkey) AS nk "
+            "FROM sh_orders_hybrid",
+            "--sf-dir", SF_SMALL,
+            "--hybrid", "sh.orders",
+            "--metadata-dir", str(tmp_path / "md"),
+            "--source-root", SF_SMALL,
+            "--target-root", str(tmp_path / "final"),
+        ]
+    )
+    assert rc == 0
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["n"] == row["nk"] == total
+
+    # missing roots is a usage error, not a crash
+    rc = main(["sql", "SELECT 1", "--hybrid", "sh.orders"])
+    assert rc == 2
