@@ -144,6 +144,8 @@ HEADLINE = [
     "contamination_check",
     "top_duplicate_ngrams",
     "simhash_pairs",
+    "k_anonymity_audit",
+    "dedup_cluster_size_histogram",
 ]
 
 

@@ -46,6 +46,8 @@ HEAD = (
     "dsir_importance_weights",
     "embedding_int8_audit",
     "matryoshka_recall_audit",
+    "k_anonymity_audit",
+    "dedup_cluster_size_histogram",
     # -- last driver-checked in round 5 (VERDICT r7 task 1 list) --
     "ann_pq_topk",
     "ann_ivf_pq_topk",
@@ -93,8 +95,6 @@ HEAD = (
     "q9_product_profit",
     "q10_returned_items",
     "q13_customer_distribution",
-    "q14_promo_revenue",
-    "union_mod_split_scan",
 )
 TAIL = ()
 

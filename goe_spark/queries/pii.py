@@ -327,8 +327,82 @@ FROM rules GROUP BY lang
 """
 
 
+K_ANON_K = 5  # groups smaller than this are re-identification risks
+K_ANON_LEN_BUCKET = 200  # chars per quasi-identifier length bucket
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the corpus's quasi-identifiers — the
+    privacy review step release pipelines run next to PII scrubbing
+    (public method: Sweeney 2002). Quasi-identifier = (lang, source,
+    length bucket); a document in a group smaller than K remains
+    re-identifiable even with direct identifiers redacted. Reports
+    per lang: group count, docs in sub-K groups, the smallest group,
+    and the risk fraction.
+
+    Plan (100 TB): one scan, ONE group-grain aggregate (the QI tuple
+    is map-side arithmetic), then a lang-cardinality rollup of the
+    group table — group cardinality is bounded by
+    |langs|x|sources|x|len buckets|, tiny at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    qi = d.select(
+        "lang",
+        "source",
+        F.floor(F.length("text") / K_ANON_LEN_BUCKET).alias("len_bucket"),
+    )
+    groups = qi.groupBy("lang", "source", "len_bucket").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    return groups.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("k").alias("n_docs"),
+        F.min("k").alias("min_group_size"),
+        F.sum(F.when(F.col("k") < K_ANON_K, F.col("k")).otherwise(0)).alias(
+            "n_docs_at_risk"
+        ),
+        F.sum((F.col("k") < K_ANON_K).cast("long")).alias("n_small_groups"),
+        F.round(
+            (
+                F.sum(
+                    F.when(F.col("k") < K_ANON_K, F.col("k")).otherwise(0)
+                )
+                / F.sum("k")
+            ).cast("double"),
+            6,
+        ).alias("risk_frac"),
+    )
+
+
+K_ANON_SQL = f"""
+WITH groups AS (
+  SELECT lang, source,
+         floor(length(text) / {K_ANON_LEN_BUCKET}) AS len_bucket,
+         count(*) AS k
+  FROM documents
+  GROUP BY 1, 2, 3
+)
+SELECT lang,
+       count(*)                                        AS n_groups,
+       cast(sum(k) AS bigint)                          AS n_docs,
+       min(k)                                          AS min_group_size,
+       cast(sum(CASE WHEN k < {K_ANON_K} THEN k ELSE 0 END) AS bigint)
+         AS n_docs_at_risk,
+       cast(sum(CASE WHEN k < {K_ANON_K} THEN 1 ELSE 0 END) AS bigint)
+         AS n_small_groups,
+       round(sum(CASE WHEN k < {K_ANON_K} THEN k ELSE 0 END)
+             / cast(sum(k) AS double), 6) AS risk_frac
+FROM groups GROUP BY lang
+"""
+
+
 QUERIES = [
     QuerySpec("pii_scan_by_source", pii_scan_by_source, _scan_sql()),
     QuerySpec("pii_redaction_audit", pii_redaction_audit, _redact_sql()),
     QuerySpec("gopher_quality_filter", gopher_quality_filter, _gopher_sql()),
+    QuerySpec(
+        "k_anonymity_audit",
+        k_anonymity_audit,
+        K_ANON_SQL,
+        "quasi-identifier k-anonymity risk audit",
+    ),
 ]

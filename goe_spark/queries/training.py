@@ -1453,6 +1453,55 @@ FROM per_doc GROUP BY source
 """
 
 
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed near-dup cluster-size distribution — the
+    diagnostic that tells a curation run whether duplication is
+    long-tail (many pairs) or pathological (few giant boilerplate
+    clusters needing a rule, not dedup). Per bucket: cluster count,
+    docs covered, docs a keep-one pass would drop.
+
+    Plan: rides the pair-bounded label table (_cc_labels — the corpus
+    never enters); one cluster-grain aggregate then a bucket-grain
+    rollup (<= 64 rows)."""
+    labels = _cc_labels(spark, sf_dir)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
+    bucket = F.floor(F.log2("sz")).cast("int")
+    return sizes.groupBy(bucket.alias("log2_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("sz").alias("n_docs"),
+        F.sum(F.col("sz") - 1).alias("n_droppable"),
+        F.min("sz").alias("min_size"),
+        F.max("sz").alias("max_size"),
+    )
+
+
+def _cluster_hist_sql() -> str:
+    return f"""
+WITH RECURSIVE lsh_pairs AS (
+  SELECT id1, id2 FROM ({_minhash_lsh_sql()})
+), edges AS (
+  SELECT id1 AS src, id2 AS dst FROM lsh_pairs
+  UNION ALL
+  SELECT id2, id1 FROM lsh_pairs
+), reach(node, anc) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.anc FROM reach r JOIN edges e ON e.src = r.node
+), labels AS (
+  SELECT node, min(anc) AS label FROM reach GROUP BY node
+), sizes AS (
+  SELECT label, count(*) AS sz FROM labels GROUP BY label
+)
+SELECT cast(floor(log2(sz)) AS int) AS log2_size,
+       count(*)                     AS n_clusters,
+       cast(sum(sz) AS bigint)      AS n_docs,
+       cast(sum(sz - 1) AS bigint)  AS n_droppable,
+       min(sz)                      AS min_size,
+       max(sz)                      AS max_size
+FROM sizes GROUP BY 1
+"""
+
+
 QUERIES = [
     QuerySpec(
         "weighted_sample_docs", weighted_sample_docs, WEIGHTED_SAMPLE_SQL
@@ -1492,5 +1541,11 @@ QUERIES = [
         dsir_importance_weights,
         _dsir_sql(),
         "DSIR hashed-ngram importance-resampling selection weights",
+    ),
+    QuerySpec(
+        "dedup_cluster_size_histogram",
+        dedup_cluster_size_histogram,
+        _cluster_hist_sql(),
+        "log2 near-dup cluster-size distribution",
     ),
 ]

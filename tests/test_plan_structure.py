@@ -742,3 +742,26 @@ def test_matryoshka_windows_share_qid_partition(spark):
     assert "windowspecdefinition(qid" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_k_anonymity_single_scan_two_aggregates(spark):
+    """QI audit: one corpus scan, group-grain then lang-grain
+    aggregates, no joins — the group table is bounded by
+    |langs|x|sources|x|len buckets| at any corpus size."""
+    from goe_spark.queries.pii import k_anonymity_audit
+
+    plan = _plan(k_anonymity_audit(spark, SF_SMALL), "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 2, plan
+
+
+def test_cluster_histogram_rides_label_table(spark):
+    """The size histogram aggregates the pair-bounded label relation —
+    the corpus (documents scan) appears only inside the LSH pair
+    lineage, never re-joined."""
+    from goe_spark.queries.training import dedup_cluster_size_histogram
+
+    plan = _plan(dedup_cluster_size_histogram(spark, SF_SMALL), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
