@@ -274,3 +274,49 @@ def test_offload_lpa_list_appends(spark, tmp_path, derby, capsys):
     with pytest.raises(Exception, match="already offloaded"):
         lpa("R1")
     assert spark.read.jdbc(url, BACKEND_TABLE).count() == back.count()
+
+
+def test_offload_chunked_live_backend(spark, tmp_path, derby, capsys):
+    """Chunked (crash-resumable) IPA against the LIVE JDBC backend,
+    CLI-driven: each month-partition chunk runs the full pipeline —
+    staging, live df.write.jdbc append, verification — and advances
+    the HWM ledger per verified chunk. A rerun with the same cap must
+    move NOTHING (the ledger says it's all offloaded)."""
+    url = derby
+    store = MetadataStore(str(tmp_path / "md"))
+    _insert(spark, url, BATCH_1)  # months 1995-01..03
+
+    def chunked(hwm):
+        return main(
+            [
+                "offload",
+                "--owner", OWNER,
+                "--table", TABLE,
+                "--source-jdbc-url", url,
+                "--backend-jdbc-url", url,
+                "--target-dir", str(tmp_path / "final"),
+                "--staging-dir", str(tmp_path / "staging"),
+                "--metadata-dir", str(tmp_path / "md"),
+                "--partition-column", "sale_dt",
+                "--granularity", "M",
+                "--hwm", hwm,
+                "--chunked",
+                "--max-chunk-count", "1",  # one month per chunk
+            ]
+        )
+
+    assert chunked("1995-03") == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # three months, one chunk each, HWM ledger advanced per chunk
+    assert out["chunks"] == 3
+    assert out["rows_offloaded"] == len(BATCH_1)
+    assert out["hwms"] == ["1995-01", "1995-02", "1995-03"]
+    assert spark.read.jdbc(url, BACKEND_TABLE).count() == len(BATCH_1)
+    md = store.get(OWNER, TABLE)
+    assert str(md.incremental_high_value) == "1995-03"
+
+    # idempotent rerun: ledger already covers the cap, nothing moves
+    assert chunked("1995-03") == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["chunks"] == 0 and out2["rows_offloaded"] == 0
+    assert spark.read.jdbc(url, BACKEND_TABLE).count() == len(BATCH_1)
