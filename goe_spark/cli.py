@@ -838,7 +838,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     s = sub.add_parser("status", help="offload status report")
     s.add_argument("--metadata-dir", required=True)
-    s.add_argument("--format", default="json", choices=["json", "text", "csv"])
+    s.add_argument("--format", default="json", choices=["json", "text", "csv", "html"])
     s.add_argument("--level", default="summary", choices=["summary", "detail"])
     s.add_argument("--target-root", help="backend tables live at <root>/<table>")
     s.add_argument(

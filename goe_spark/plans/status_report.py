@@ -302,13 +302,17 @@ def summarize_report(report: DataFrame) -> dict:
 def render_report(
     report: DataFrame, fmt: str = "text", level: str = "summary"
 ) -> str:
-    """Render summary or per-table detail as text or CSV
-    (offload_status_report.py:2786-2834's two machine formats; the
-    HTML template is presentation we deliberately skip)."""
+    """Render summary or per-table detail as text, CSV or HTML
+    (offload_status_report.py:2786+'s three output formats; the HTML
+    here is a dependency-free static table rather than the
+    reference's templated dashboard — same information, no template
+    engine)."""
     if level not in ("summary", "detail"):
         raise ValueError(f"unknown level: {level}")
-    if fmt not in ("text", "csv"):
+    if fmt not in ("text", "csv", "html"):
         raise ValueError(f"unknown format: {fmt}")
+    if fmt == "html":
+        return _render_html(report, level)
     if level == "summary":
         summary = summarize_report(report)
         if fmt == "csv":
@@ -346,3 +350,38 @@ def render_report(
             )
         )
     return ("\n\n".join(blocks)) + "\n"
+
+
+def _esc(v) -> str:
+    s = "" if v is None else str(v)
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+
+
+def _render_html(report: DataFrame, level: str) -> str:
+    """Self-contained HTML status report — one <table>, no external
+    assets, safe to open from a shell redirect."""
+    if level == "summary":
+        summary = summarize_report(report)
+        rows = "".join(
+            f"<tr><th>{_esc(k)}</th><td>{_esc(summary[k])}</td></tr>"
+            for k in SUMMARY_KEYS
+        )
+        body = f"<table>{rows}</table>"
+    else:
+        cols = report.columns
+        data = report.orderBy("owner", "table_name").collect()
+        head = "".join(f"<th>{_esc(c)}</th>" for c in cols)
+        trs = "".join(
+            "<tr>" + "".join(f"<td>{_esc(r[c])}</td>" for c in cols) + "</tr>"
+            for r in data
+        )
+        body = f"<table><thead><tr>{head}</tr></thead><tbody>{trs}</tbody></table>"
+    return (
+        "<!DOCTYPE html><html><head><meta charset=\"utf-8\">"
+        "<title>Offload status</title>"
+        "<style>table{border-collapse:collapse;font:13px monospace}"
+        "td,th{border:1px solid #999;padding:2px 8px;text-align:left}"
+        "</style></head><body>" + body + "</body></html>\n"
+    )

