@@ -235,3 +235,54 @@ def test_ingest_route(base_url, tmp_path):
     with _pytest.raises(urllib.error.HTTPError) as exc:
         _post(f"{base_url}/api/ingest", payload)
     assert exc.value.code == 422
+
+
+def test_offload_jdbc_route(base_url, tmp_path, spark):
+    """POST /api/offload with a live JDBC frontend AND backend — the
+    REST twin of the CLI live scenario: rows land in the target
+    database and the response carries the pipeline accounting."""
+    db = tmp_path / "derby-rest"
+    url = f"jdbc:derby:{db};create=true"
+    jvm = spark._jvm
+    jvm.Class.forName("org.apache.derby.jdbc.EmbeddedDriver").newInstance()
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.execute("CREATE TABLE widgets (id INT PRIMARY KEY, w VARCHAR(10))")
+    for i in range(20):
+        st.execute(f"INSERT INTO widgets VALUES ({i}, 'w{i % 3}')")
+    st.close()
+    conn.close()
+
+    status, body = _post(
+        f"{base_url}/api/offload",
+        {
+            "owner": "sh",
+            "table": "widgets",
+            "source_jdbc_url": url,
+            "backend_jdbc_url": url,
+            "target_dir": str(tmp_path / "final"),
+            "staging_dir": str(tmp_path / "stage"),
+            "metadata_dir": str(tmp_path / "md"),
+        },
+    )
+    assert status == 200
+    assert body["rows_staged"] == body["rows_final"] == 20
+    assert spark.read.jdbc(url, "SH_WIDGETS").count() == 20
+
+    # both-sources spec is a 400 caller error, not a 500
+    import urllib.error as _ue
+
+    with pytest.raises(_ue.HTTPError) as exc:
+        _post(
+            f"{base_url}/api/offload",
+            {
+                "owner": "sh",
+                "table": "widgets",
+                "source_dir": SF_SMALL,
+                "source_jdbc_url": url,
+                "target_dir": str(tmp_path / "f2"),
+                "staging_dir": str(tmp_path / "s2"),
+                "metadata_dir": str(tmp_path / "m2"),
+            },
+        )
+    assert exc.value.code == 400
