@@ -6,13 +6,18 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Measurement discipline: every query gets ONE untimed warm-up pass
 (JVM/codegen/Python-worker spin-up, IVF index build, file-listing
 caches) followed by BENCH_RUNS (default 3) timed passes. The headline
-"value" is the sum of per-query MEDIANS over the HEADLINE list ONLY —
-kept stable so rounds compare apples-to-apples; the rest of the
-registry runs after it (round-7 VERDICT task 6) and lands in the same
-"queries" dict, with "value_full"/"n_queries" summarizing the whole
-sweep. "queries_min"/"queries_max" carry the spread, so machine-load
-noise (measured 33-50 s swing at n=1 in round 2) is distinguishable
-from real regression.
+"value" is the sum of per-query MEDIANS over the HEADLINE list ONLY.
+HEADLINE's composition is FROZEN as of round 8 (85 queries) and
+stamped into the output as "headline_rev": rounds sharing a rev are
+apples-to-apples; a rev bump means the sum is NOT comparable to the
+previous round (round-8 ADVICE — the r7->r8 growth from 75 to 85
+queries silently shifted the headline). New operators ride in
+"value_full" only. The rest of the registry runs after HEADLINE
+(round-7 VERDICT task 6) and lands in the same per-query dict, with
+"value_full"/"n_queries" summarizing the whole sweep.
+"queries_min"/"queries_max" carry the spread, so machine-load noise
+(measured 33-50 s swing at n=1 in round 2) is distinguishable from
+real regression.
 
 CLI overrides (all optional; env vars still work):
     --runs N       timed passes per query (BENCH_RUNS)
@@ -50,6 +55,10 @@ BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1080"))
 # Representative slice of the registry: scan-agg, broadcast star join,
 # fact-fact join + top-k, window, validation algebra, dedup, text,
 # similarity. Names must exist in goe_spark.queries.
+# FROZEN at rev 8 — do not append; new queries are covered by the
+# full-registry sweep and value_full. Bump HEADLINE_REV if the
+# composition ever has to change, so cross-round comparisons know.
+HEADLINE_REV = 8
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -219,34 +228,67 @@ def main() -> None:
         mins[name] = round(min(runs), 3)
         maxs[name] = round(max(runs), 3)
 
-    total = sum(med.get(n, 0.0) for n in HEADLINE)
+    # With --only the headline intersection is partial, so a summed
+    # "value" would be misleadingly small (round-8 ADVICE): emit null.
+    total = None if args.only else round(sum(med.get(n, 0.0) for n in HEADLINE), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": med,
-                "queries_min": mins,
-                "queries_max": maxs,
-                "value_full": round(sum(med.values()), 3),
-                "n_queries": len(med),
-                "n_headline": sum(1 for n in HEADLINE if n in med),
-                "runs_per_query": n_runs_req,
-                "warmup_runs": 1,
-                "degraded": degraded,
-                "budget_s": budget_s,
-                "errors": errs,
-                "n_failed": len(errs),
-                "sf": sf_val,
-            }
-        )
-    )
+    full = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "headline_rev": HEADLINE_REV,
+        "queries": med,
+        "queries_min": mins,
+        "queries_max": maxs,
+        "value_full": round(sum(med.values()), 3),
+        "n_queries": len(med),
+        "n_headline": sum(1 for n in HEADLINE if n in med),
+        "runs_per_query": n_runs_req,
+        "warmup_runs": 1,
+        "degraded": degraded,
+        "budget_s": budget_s,
+        "errors": errs,
+        "n_failed": len(errs),
+        "sf": sf_val,
+    }
+    # Full per-query detail goes to a FILE; stdout gets ONE COMPACT
+    # JSON line. The correctness/bench driver keeps only the last
+    # ~2000 chars of stdout, and rounds 3-8 proved a 140-query dict
+    # blows that window: the driver's "parsed" field has been null
+    # since round 3 because the line could not be reassembled. The
+    # compact line carries the headline metric, the failure/degrade
+    # accounting and the slowest-query tail (the part a reader acts
+    # on); BENCH_FULL.json (committed) carries every median/min/max.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    slowest = dict(sorted(med.items(), key=lambda kv: -kv[1])[:15])
+    compact = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "headline_rev": HEADLINE_REV,
+        "value_full": full["value_full"],
+        "n_queries": len(med),
+        "n_headline": full["n_headline"],
+        "n_failed": len(errs),
+        "n_degraded": len(degraded),
+        "runs_per_query": n_runs_req,
+        "queries": slowest,
+        "errors": {k: v[:80] for k, v in list(errs.items())[:5]},
+        "detail": "BENCH_FULL.json",
+        "sf": sf_val,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # stay inside the driver's tail window
+        compact["queries"] = dict(list(slowest.items())[:8])
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":
