@@ -889,8 +889,20 @@ def offload_from_spec(spark: SparkSession, spec: dict) -> dict:
                     "source_parallelism > 1 needs source_split_column "
                     "(the MOD split key)"
                 )
+            # SQL MOD keeps the dividend's sign (Derby/Oracle), so a
+            # bare MOD(col, n) leaves every negative key matching NONE
+            # of the k = 0..n-1 predicates — silent row loss on the
+            # parallel transport (round-8 ADVICE). ABS() makes the
+            # slice map total over negatives (the reference gets the
+            # same property by hashing: MOD(ORA_HASH(col), degree) is
+            # non-negative, oracle_offload_transport_rdbms_api.py:
+            # 754-775), and null_safe folds `col IS NULL` into slice 0
+            # so a nullable split key cannot lose rows either.
             preds = mod_split_predicates(
-                split_col, par, hash_template="MOD({col}, {n})"
+                split_col,
+                par,
+                hash_template="MOD(ABS({col}), {n})",
+                null_safe=True,
             )
             plan = SplitPlan(
                 split_type=SPLIT_BY_MOD, predicates=tuple(preds)

@@ -121,6 +121,7 @@ def mod_split_predicates(
     column: str,
     parallelism: int,
     hash_template: str = "MOD(ABS(HASH({col})), {n})",
+    null_safe: bool = False,
 ) -> list[str]:
     """Hash-mod batch predicates: one per batch k.
 
@@ -128,11 +129,20 @@ def mod_split_predicates(
     754-775) where the batch column is ``MOD(ORA_HASH(col), degree)``.
     The hash expression is dialect-templated because it runs inside the
     source database, not in Spark.
+
+    ``null_safe=True`` folds ``col IS NULL`` into batch 0: any SQL
+    expression over a NULL key is NULL, which matches NONE of the
+    ``= k`` slices, so without the extra arm every NULL-keyed row is
+    silently dropped from a parallel transport. Callers splitting on
+    a column not proven NOT NULL must pass it (plans/offload.py does).
     """
     if parallelism < 1:
         raise ValueError("parallelism must be >= 1")
     expr = hash_template.format(col=column, n=parallelism)
-    return [f"{expr} = {k}" for k in range(parallelism)]
+    preds = [f"{expr} = {k}" for k in range(parallelism)]
+    if null_safe:
+        preds[0] = f"({preds[0]} OR {column} IS NULL)"
+    return preds
 
 
 def id_range_split(

@@ -6,6 +6,8 @@ column/where pushdown inside the dbtable subquery."""
 
 from __future__ import annotations
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -133,3 +135,57 @@ def test_sampling_pushdown_partial_sample_live(spark, derby_url):
     assert amount.data_type == "DECIMAL"
     assert amount.data_scale == 2
     assert amount.data_precision <= 5
+
+
+def test_mod_abs_null_safe_split_keeps_negative_and_null_keys(
+    spark, derby_url
+):
+    """Round-8 ADVICE: SQL MOD keeps the dividend's sign, so the live
+    offload's old MOD({col}, {n}) template silently dropped rows whose
+    split key is negative — and any template drops NULL keys, since
+    NULL = k matches no slice. The fixed template (MOD(ABS(col), n)
+    with the IS NULL arm folded into slice 0) must recover every row
+    from a table that has positive, negative and NULL keys."""
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(derby_url)
+    st = conn.createStatement()
+    st.execute("CREATE TABLE signed_keys (k INT, payload VARCHAR(10))")
+    vals = list(range(-7, 8)) + [None, None, None]
+    ps = conn.prepareStatement("INSERT INTO signed_keys VALUES (?, ?)")
+    for i, v in enumerate(vals):
+        if v is None:
+            ps.setNull(1, jvm.java.sql.Types.INTEGER)
+        else:
+            ps.setInt(1, v)
+        ps.setString(2, f"p{i}")
+        ps.addBatch()
+    ps.executeBatch()
+    st.close()
+    conn.close()
+
+    preds = mod_split_predicates(
+        "k", 3, hash_template="MOD(ABS({col}), {n})", null_safe=True
+    )
+    plan = SplitPlan(split_type=SPLIT_BY_MOD, predicates=tuple(preds))
+    df = read_jdbc(spark, derby_url, "signed_keys", plan)
+    assert df.rdd.getNumPartitions() == 3
+    assert df.count() == len(vals)
+    # disjointness: every payload appears exactly once across slices
+    assert df.select("PAYLOAD").distinct().count() == len(vals)
+    # the old template provably loses the negatives and NULLs
+    old = mod_split_predicates("k", 3, hash_template="MOD({col}, {n})")
+    lossy = read_jdbc(
+        spark,
+        derby_url,
+        "signed_keys",
+        SplitPlan(split_type=SPLIT_BY_MOD, predicates=tuple(old)),
+    )
+    # Derby MOD keeps the dividend's sign (Java %): a negative key
+    # only lands in a slice when its remainder is exactly 0 (negative
+    # multiples of n); every other negative and all NULLs are lost.
+    kept = [
+        v
+        for v in vals
+        if v is not None and (v >= 0 or int(math.fmod(v, 3)) == 0)
+    ]
+    assert lossy.count() == len(kept)
