@@ -11,9 +11,19 @@ The fix is the classic warehouse money discipline: quantize each ROW
 to exact cents with floor(x*100 + 0.5) — floor of plain IEEE
 arithmetic, bit-identical on both engines, unlike round(), which
 Spark applies to the double's shortest decimal string and DuckDB to
-the raw binary — then SUM AS BIGINT (order-free, exact) and divide
-once at the end. The same helper scales to any fixed grid (pass
-``scale``).
+the raw binary — then SUM exactly (order-free) and divide once at
+the end. The same helper scales to any fixed grid (pass ``scale``).
+
+Overflow headroom (round-8 ADVICE): per-row quantized values are
+BIGINT, but the SUM accumulates in DECIMAL(38,0) on the Spark side —
+a bare long sum of 1e5-magnitude values on the 1e6 grid (rows up to
+~1e11) would wrap int64 silently after ~9e7 rows per group, which a
+100 TB fact table exceeds. DECIMAL(38,0) is exact to 1e38 (~1e27
+rows per group at that magnitude — beyond any physical table) and
+stays whole-stage-codegen. DuckDB needs no change: its SUM(BIGINT)
+returns HUGEINT (int128). Both engines then convert the exact
+integer to double once — nearest-even of the same integer — so the
+final rounded value is bit-identical, row-order-free, at any scale.
 """
 
 from __future__ import annotations
@@ -27,14 +37,22 @@ def cents(expr: Column, scale: int = 100) -> Column:
     return F.floor(expr * scale + 0.5).cast("long")
 
 
+def cents_exact_sum(expr: Column, scale: int = 100) -> Column:
+    """Order-free EXACT sum of quantized cents: DECIMAL(38,0)
+    accumulation (no int64 wraparound at 100 TB group sizes; see
+    module docstring)."""
+    return F.sum(cents(expr, scale).cast("decimal(38,0)"))
+
+
 def money_sum(expr: Column, scale: int = 100) -> Column:
     """round(sum(expr), 2) that cannot drift with addition order:
-    per-row cents, exact integer sum, one final division."""
+    per-row cents, exact decimal sum, one final division."""
     import math
 
     digits = int(math.log10(scale))
     return F.round(
-        (F.sum(cents(expr, scale)) / float(scale)).cast("double"), digits
+        (cents_exact_sum(expr, scale).cast("double") / float(scale)),
+        digits,
     )
 
 
@@ -44,8 +62,11 @@ def money_sum_window(expr: Column, window, scale: int = 100) -> Column:
 
     digits = int(math.log10(scale))
     return F.round(
-        (F.sum(cents(expr, scale)).over(window) / float(scale)).cast(
-            "double"
+        (
+            F.sum(cents(expr, scale).cast("decimal(38,0)"))
+            .over(window)
+            .cast("double")
+            / float(scale)
         ),
         digits,
     )

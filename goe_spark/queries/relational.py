@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from goe_spark.catalog import load_table
-from goe_spark.functions.money import cents, money_sum, money_sum_sql, money_sum_window
+from goe_spark.functions.money import cents, cents_exact_sum, money_sum, money_sum_sql, money_sum_window
 from goe_spark.queries import QuerySpec
 
 
@@ -52,17 +52,23 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * (1 - F.col("l_discount"))
                 * (1 + F.col("l_tax"))
             ).alias("sum_charge"),
+            # averages on the 1e6 grid: DECIMAL(38,0) sums (round-8
+            # ADVICE — a long sum of 1e11-magnitude quantized prices
+            # would wrap int64 after ~9e7 rows/group; decimal is
+            # exact to ~1e27 rows at that magnitude), converted to
+            # double ONCE before the divide so both engines round the
+            # same value
             F.round(
-                (F.sum(cents(F.col("l_quantity"), 1_000_000))
-                 / F.count(F.lit(1)) / 1e6).cast("double"), 4
+                (cents_exact_sum(F.col("l_quantity"), 1_000_000)
+                 .cast("double") / F.count(F.lit(1)) / 1e6), 4
             ).alias("avg_qty"),
             F.round(
-                (F.sum(cents(F.col("l_extendedprice"), 1_000_000))
-                 / F.count(F.lit(1)) / 1e6).cast("double"), 4
+                (cents_exact_sum(F.col("l_extendedprice"), 1_000_000)
+                 .cast("double") / F.count(F.lit(1)) / 1e6), 4
             ).alias("avg_price"),
             F.round(
-                (F.sum(cents(F.col("l_discount"), 1_000_000))
-                 / F.count(F.lit(1)) / 1e6).cast("double"), 6
+                (cents_exact_sum(F.col("l_discount"), 1_000_000)
+                 .cast("double") / F.count(F.lit(1)) / 1e6), 6
             ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )

@@ -1405,8 +1405,19 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum((F.col("wq") > 0).cast("long")).alias("n_selected"),
+        # DECIMAL(38,0) sum: per-doc wq is a mean token log-ratio on
+        # the 1e6 grid (~1e7 magnitude), so a bare long sum would wrap
+        # int64 after ~1e11 docs per source — the same headroom bound
+        # round-8 ADVICE flagged on money.py. DuckDB's SUM(BIGINT) is
+        # already HUGEINT; casting each exact sum to double once keeps
+        # both engines rounding the identical value.
         F.round(
-            (F.sum("wq") / F.count(F.lit(1)) / DSIR_SCALE).cast("double"), 6
+            (
+                F.sum(F.col("wq").cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1))
+                / DSIR_SCALE
+            ),
+            6,
         ).alias("avg_weight"),
         F.min("wq").alias("min_wq"),
         F.max("wq").alias("max_wq"),
