@@ -392,3 +392,71 @@ def image_height_sql(content_expr: str) -> str:
         f"{_be_hex_val_sql(_le_pairs_sql(h, 45, 4))} "
         "ELSE NULL END"
     )
+
+
+# --- WAV (RIFF) header parsing — codec-free audio metadata ------------------
+# Canonical PCM WAV layout (public spec; same byte-arithmetic approach
+# as the PNG/GIF/BMP parsers above — the reference treats media as
+# opaque binary + typed metadata, SURVEY.md §2 multimodal row):
+#   bytes  1-4  'RIFF'            bytes 23-24 channels   (u16 LE)
+#   bytes  9-12 'WAVE'            bytes 25-28 sample rate(u32 LE)
+#   bytes 13-16 'fmt '            bytes 35-36 bits/sample(u16 LE)
+#   bytes 37-40 'data'            bytes 41-44 data size  (u32 LE)
+RIFF_SIG_HEX = "52494646"  # 'RIFF'
+WAVE_FMT_HEX = "57415645666D7420"  # 'WAVEfmt ' at byte 9
+
+
+def is_wav(content) -> "F.Column":
+    h = _hex_of(content)
+    return h.startswith(RIFF_SIG_HEX) & (
+        F.substring(h, 17, 16) == WAVE_FMT_HEX
+    )
+
+
+def wav_channels(content) -> "F.Column":
+    # u16 LE at bytes 23-24 = hex chars 45-48
+    return _be_hex_val(_le_pairs(_hex_of(content), 45, 2))
+
+
+def wav_sample_rate(content) -> "F.Column":
+    # u32 LE at bytes 25-28 = hex chars 49-56
+    return _be_hex_val(_le_pairs(_hex_of(content), 49, 4))
+
+
+def wav_bits_per_sample(content) -> "F.Column":
+    # u16 LE at bytes 35-36 = hex chars 69-72
+    return _be_hex_val(_le_pairs(_hex_of(content), 69, 2))
+
+
+def wav_data_size(content) -> "F.Column":
+    # u32 LE at bytes 41-44 = hex chars 81-88 (canonical 'data' chunk
+    # directly after the 16-byte fmt chunk)
+    return _be_hex_val(_le_pairs(_hex_of(content), 81, 4))
+
+
+def is_wav_sql(content_expr: str) -> str:
+    h = f"upper(hex({content_expr}))"
+    return (
+        f"({h} LIKE '{RIFF_SIG_HEX}%' AND "
+        f"substr({h}, 17, 16) = '{WAVE_FMT_HEX}')"
+    )
+
+
+def wav_channels_sql(content_expr: str) -> str:
+    h = f"upper(hex({content_expr}))"
+    return _be_hex_val_sql(_le_pairs_sql(h, 45, 2))
+
+
+def wav_sample_rate_sql(content_expr: str) -> str:
+    h = f"upper(hex({content_expr}))"
+    return _be_hex_val_sql(_le_pairs_sql(h, 49, 4))
+
+
+def wav_bits_per_sample_sql(content_expr: str) -> str:
+    h = f"upper(hex({content_expr}))"
+    return _be_hex_val_sql(_le_pairs_sql(h, 69, 2))
+
+
+def wav_data_size_sql(content_expr: str) -> str:
+    h = f"upper(hex({content_expr}))"
+    return _be_hex_val_sql(_le_pairs_sql(h, 81, 4))

@@ -379,6 +379,159 @@ FROM per GROUP BY fmt
 """
 
 
+def media_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-parsed WAV audio metadata — the audio twin of
+    media_dimensions (round-7 VERDICT task 8 direction): channels,
+    sample rate, bit depth and data size read straight out of the
+    RIFF/'fmt ' chunk bytes (u16/u32 little-endian at fixed canonical
+    offsets, multimodal/media.py wav_*), no audio codec anywhere.
+    Payloads are synthesized with spec-true 44-byte canonical PCM
+    headers (field values derived from doc_id; a short text slice
+    stands in for sample data — only HEADER fields are parsed, so the
+    body is irrelevant) and parsed back exclusively from the binary
+    column. Per sample-rate bucket: file count, stereo/16-bit mix,
+    exact total frames and floor-quantized total duration.
+
+    Plan: single scan, all codegen (hex/substr/conv arithmetic), one
+    3-row aggregate; payload bytes never shuffle. At 100 TB the same
+    plan holds — header parsing is a map-side projection.
+    tests/test_multimodal.py pins the parsers on a handcrafted real
+    WAV header byte string."""
+    from goe_spark.multimodal.media import (
+        is_wav,
+        wav_bits_per_sample,
+        wav_channels,
+        wav_data_size,
+        wav_sample_rate,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    ch = (1 + F.col("doc_id") % 2).cast("int")
+    rate = (
+        F.when(F.col("doc_id") % 3 == 0, 8000)
+        .when(F.col("doc_id") % 3 == 1, 16000)
+        .otherwise(44100)
+        .cast("int")
+    )
+    bits = (8 * (1 + F.floor(F.col("doc_id") / 2) % 2)).cast("int")
+    n_frames = (100 + F.col("doc_id") % 1000).cast("int")
+    bpf = (ch * bits / 8).cast("int")  # bytes per frame (block align)
+    dsize = (n_frames * bpf).cast("int")
+    brate = (rate * bpf).cast("int")
+    header_hex = F.concat(
+        F.lit("52494646"),                      # 'RIFF'
+        _u32le_hex(dsize + 36),
+        F.lit("57415645666D7420"),              # 'WAVEfmt '
+        F.lit("10000000"), F.lit("0100"),       # fmt size 16, PCM
+        _u16le_hex(ch),
+        _u32le_hex(rate),
+        _u32le_hex(brate),
+        _u16le_hex(bpf),
+        _u16le_hex(bits),
+        F.lit("64617461"),                      # 'data'
+        _u32le_hex(dsize),
+    )
+    content = F.concat(
+        F.unhex(header_hex), F.encode(F.substring("text", 1, 8), "UTF-8")
+    )
+    media = d.select(F.col("doc_id").alias("media_id"), content.alias("content"))
+    c = F.col("content")
+    per = media.where(is_wav(c)).select(
+        wav_sample_rate(c).alias("sample_rate"),
+        wav_channels(c).alias("ch"),
+        wav_bits_per_sample(c).alias("bits"),
+        # frames = data bytes / (channels * bits/8); exact by
+        # construction, floored identically on both engines anyway
+        F.floor(
+            wav_data_size(c) * 8
+            / (wav_channels(c) * wav_bits_per_sample(c))
+        )
+        .cast("long")
+        .alias("frames"),
+    )
+    return (
+        per.groupBy("sample_rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum((F.col("ch") == 2).cast("long")).alias("n_stereo"),
+            F.sum((F.col("bits") == 16).cast("long")).alias("n_16bit"),
+            F.sum("frames").alias("total_frames"),
+            F.sum(
+                F.floor(F.col("frames") * 1000.0 / F.col("sample_rate"))
+                .cast("long")
+            ).alias("total_duration_ms"),
+        )
+    )
+
+
+def _media_wav_sql() -> str:
+    from goe_spark.multimodal.media import (
+        is_wav_sql,
+        wav_bits_per_sample_sql,
+        wav_channels_sql,
+        wav_data_size_sql,
+        wav_sample_rate_sql,
+    )
+
+    u16le = (
+        "concat(substr(lpad(hex({v}), 4, '0'), 3, 2),"
+        " substr(lpad(hex({v}), 4, '0'), 1, 2))"
+    )
+    u32le = (
+        "concat(substr(lpad(hex({v}), 8, '0'), 7, 2),"
+        " substr(lpad(hex({v}), 8, '0'), 5, 2),"
+        " substr(lpad(hex({v}), 8, '0'), 3, 2),"
+        " substr(lpad(hex({v}), 8, '0'), 1, 2))"
+    )
+    return f"""
+WITH built AS (
+  SELECT doc_id,
+         cast(1 + doc_id % 2 AS int) AS ch,
+         cast(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+              ELSE 44100 END AS int) AS rate,
+         cast(8 * (1 + (doc_id // 2) % 2) AS int) AS bits,
+         cast(100 + doc_id % 1000 AS int) AS n_frames,
+         text
+  FROM documents
+), sized AS (
+  SELECT *,
+         cast(ch * bits / 8 AS int) AS bpf,
+         cast(n_frames * ch * bits / 8 AS int) AS dsize,
+         cast(rate * ch * bits / 8 AS int) AS brate
+  FROM built
+), media AS (
+  SELECT doc_id AS media_id,
+         from_hex(concat(
+           '52494646', {u32le.format(v='dsize + 36')},
+           '57415645666D7420', '10000000', '0100',
+           {u16le.format(v='ch')}, {u32le.format(v='rate')},
+           {u32le.format(v='brate')}, {u16le.format(v='bpf')},
+           {u16le.format(v='bits')}, '64617461',
+           {u32le.format(v='dsize')}
+         )) || encode(substr(text, 1, 8)) AS content
+  FROM sized
+), per AS (
+  SELECT {wav_sample_rate_sql('content')} AS sample_rate,
+         {wav_channels_sql('content')} AS ch,
+         {wav_bits_per_sample_sql('content')} AS bits,
+         cast(floor({wav_data_size_sql('content')} * 8.0
+              / ({wav_channels_sql('content')}
+                 * {wav_bits_per_sample_sql('content')})) AS bigint)
+           AS frames
+  FROM media
+  WHERE {is_wav_sql('content')}
+)
+SELECT sample_rate,
+       count(*) AS n_files,
+       cast(sum(CASE WHEN ch = 2 THEN 1 ELSE 0 END) AS bigint) AS n_stereo,
+       cast(sum(CASE WHEN bits = 16 THEN 1 ELSE 0 END) AS bigint) AS n_16bit,
+       cast(sum(frames) AS bigint) AS total_frames,
+       cast(sum(cast(floor(frames * 1000.0 / sample_rate) AS bigint))
+            AS bigint) AS total_duration_ms
+FROM per GROUP BY sample_rate
+"""
+
+
 QUERIES = [
     QuerySpec("media_decode_features", media_decode_features, MEDIA_FEATURES_SQL),
     QuerySpec("media_resize_images", media_resize_images, MEDIA_RESIZE_SQL),
@@ -397,5 +550,11 @@ QUERIES = [
         media_dimensions,
         _media_dimensions_sql(),
         "header-parsed PNG/GIF/BMP pixel dimensions, codec-free",
+    ),
+    QuerySpec(
+        "media_wav_stats",
+        media_wav_stats,
+        _media_wav_sql(),
+        "header-parsed WAV channels/rate/bits/duration, codec-free",
     ),
 ]

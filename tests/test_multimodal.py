@@ -232,3 +232,75 @@ def test_header_parse_sql_matches_spark(spark):
         [rows],
     ).fetchall()
     assert got == [(640, 480), (320, 200), (800, 600), (None, None)]
+
+
+def test_wav_header_parse_real_bytes(spark):
+    """A genuine canonical PCM WAV header (built with struct, exactly
+    the bytes `wave`-module writers emit for 44.1 kHz stereo 16-bit)
+    must parse to its true field values — and a truncated/garbage
+    payload must fail the is_wav gate."""
+    import struct
+
+    from goe_spark.multimodal.media import (
+        is_wav,
+        wav_bits_per_sample,
+        wav_channels,
+        wav_data_size,
+        wav_sample_rate,
+    )
+
+    n_frames, ch, rate, bits = 441, 2, 44100, 16
+    bpf = ch * bits // 8
+    dsize = n_frames * bpf
+    header = (
+        b"RIFF" + struct.pack("<I", 36 + dsize) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, ch, rate, rate * bpf, bpf, bits)
+        + b"data" + struct.pack("<I", dsize)
+    )
+    df = spark.createDataFrame(
+        [(1, header + b"\x00" * 8), (2, b"RIFFjunk"), (3, b"\x00\x01")],
+        "media_id int, content binary",
+    )
+    rows = {
+        r.media_id: r
+        for r in df.select(
+            "media_id",
+            is_wav(df.content).alias("ok"),
+            wav_channels(df.content).alias("ch"),
+            wav_sample_rate(df.content).alias("rate"),
+            wav_bits_per_sample(df.content).alias("bits"),
+            wav_data_size(df.content).alias("dsize"),
+        ).collect()
+    }
+    assert rows[1].ok and not rows[2].ok and not rows[3].ok
+    assert (rows[1].ch, rows[1].rate, rows[1].bits, rows[1].dsize) == (
+        ch, rate, bits, dsize,
+    )
+
+
+def test_wav_parse_sql_matches_spark():
+    """DuckDB rendering of the WAV parse agrees on the same bytes."""
+    import struct
+
+    import duckdb
+
+    from goe_spark.multimodal.media import (
+        is_wav_sql,
+        wav_channels_sql,
+        wav_sample_rate_sql,
+    )
+
+    header = (
+        b"RIFF" + struct.pack("<I", 36 + 800) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+        + b"data" + struct.pack("<I", 800)
+    )
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {is_wav_sql('content')} AS ok, "
+        f"{wav_channels_sql('content')} AS ch, "
+        f"{wav_sample_rate_sql('content')} AS rate "
+        "FROM (SELECT from_hex(?) AS content)",
+        [header.hex().upper()],
+    ).fetchone()
+    assert got == (True, 1, 8000)
