@@ -817,6 +817,155 @@ GROUP BY 1, 2
 """
 
 
+LINE_WORDS = 10  # words per synthesized "line" (C4 uses \n; fixture
+                 # text has none, so the boundary is a fixed word grid)
+
+
+def line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level dedup accounting — the C4/CCNet curation stage that
+    drops boilerplate LINES shared across documents (cookie banners,
+    nav menus) rather than whole near-dup docs. The fixture corpus has
+    no newlines, so "lines" are deterministic {LINE_WORDS}-word chunks
+    (same synthesized-boundary pattern as the media fixtures); the
+    dedup math downstream of the split is the real thing: hash every
+    line, count global occurrences, and report per source how much of
+    its line mass is corpus-duplicated.
+
+    Plan at 100 TB: chunking is a map-side array projection (two bound
+    projections, no per-element re-eval); the only shuffle carries
+    (line_fp) hashes for the global count and (source, flags) partial
+    aggregates — never line text. Skew-safe: a boilerplate line that
+    appears 1e9 times is ONE group of partial counts, not a gathered
+    list.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    d = spread(d, "doc_id")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_lines = F.ceil(F.size(F.col("toks")) / LINE_WORDS).cast("int")
+    lines = d.select(
+        "doc_id", "source", toks.alias("toks")
+    ).select(
+        "doc_id",
+        "source",
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: hash64(
+                F.array_join(
+                    F.slice(F.col("toks"), i * LINE_WORDS + 1, LINE_WORDS),
+                    " ",
+                )
+            ),
+        ).alias("fps"),
+    )
+    inst = lines.select(
+        "source", F.explode("fps").alias("fp")
+    )
+    counts = inst.groupBy("fp").agg(F.count(F.lit(1)).alias("n_occ"))
+    return (
+        inst.join(counts, "fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum((F.col("n_occ") > 1).cast("long")).alias("n_dup_lines"),
+            F.count_distinct(F.col("fp")).alias("n_distinct_lines"),
+            F.floor(
+                F.sum((F.col("n_occ") > 1).cast("long"))
+                * 10000.0
+                / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("dup_lines_per_10k"),
+        )
+    )
+
+
+def _line_dedup_sql() -> str:
+    toks = r"regexp_split_to_array(trim(text), '\s+')"
+    line = (
+        f"array_to_string(toks[(i * {LINE_WORDS} + 1):"
+        f"((i + 1) * {LINE_WORDS})], ' ')"
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, source, {toks} AS toks FROM documents
+), inst AS (
+  SELECT source, {hash64_sql(line)} AS fp
+  FROM docs, LATERAL unnest(
+    range(0, cast(ceil(len(toks) / {LINE_WORDS}.0) AS bigint))) AS r(i)
+), counts AS (
+  SELECT fp, count(*) AS n_occ FROM inst GROUP BY fp
+)
+SELECT source,
+       count(*) AS n_lines,
+       cast(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS bigint)
+         AS n_dup_lines,
+       count(DISTINCT fp) AS n_distinct_lines,
+       cast(floor(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) * 10000.0
+                  / count(*)) AS bigint) AS dup_lines_per_10k
+FROM inst JOIN counts USING (fp)
+GROUP BY source
+"""
+
+
+def cross_lang_shingle_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language contamination audit: word-3-gram shingles that
+    occur in MORE THAN ONE language's documents. In a multilingual
+    pretraining corpus these flag mislabeled language IDs, embedded
+    code/quotes, or translated boilerplate — docs the per-language
+    dedup passes (which bucket by lang) would never compare. Per lang:
+    distinct shingles, shingles shared with any other lang, and the
+    shared rate per 10k.
+
+    Plan: rides the same two-projection arithmetic shingle hashing as
+    the MinHash family; shuffles carry (lang, sh) hash pairs and the
+    sh -> n_langs counts only. At 100 TB the n_langs aggregate is a
+    bounded-cardinality hash groupBy (distinct shingles), the standard
+    inverted-index asymptotic — no pairwise term anywhere.
+    """
+    sh = _shingle_hashed(spark, sf_dir)
+    lang_sh = (
+        sh.select("lang", F.explode("sh").alias("s")).distinct()
+    )
+    spread_langs = lang_sh.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_langs")
+    )
+    return (
+        lang_sh.join(spread_langs, "s")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("n_langs") > 1).cast("long")).alias("n_shared"),
+            F.floor(
+                F.sum((F.col("n_langs") > 1).cast("long"))
+                * 10000.0
+                / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("shared_per_10k"),
+        )
+    )
+
+
+def _cross_lang_sql() -> str:
+    return f"""
+WITH sh AS ({_shingle_hashed_sql()}),
+lang_sh AS (
+  SELECT DISTINCT lang, s
+  FROM (SELECT lang, unnest(sh) AS s FROM sh)
+), spreads AS (
+  SELECT s, count(*) AS n_langs FROM lang_sh GROUP BY s
+)
+SELECT lang,
+       count(*) AS n_shingles,
+       cast(sum(CASE WHEN n_langs > 1 THEN 1 ELSE 0 END) AS bigint)
+         AS n_shared,
+       cast(floor(sum(CASE WHEN n_langs > 1 THEN 1 ELSE 0 END) * 10000.0
+                  / count(*)) AS bigint) AS shared_per_10k
+FROM lang_sh JOIN spreads USING (s)
+GROUP BY lang
+"""
+
+
 QUERIES = [
     QuerySpec("dedup_exact_keep_first", dedup_exact_keep_first, DEDUP_EXACT_SQL),
     QuerySpec("ngram_jaccard_pairs", ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
@@ -835,5 +984,17 @@ QUERIES = [
     ),
     QuerySpec(
         "split_leakage_audit", split_leakage_audit, _split_leakage_sql()
+    ),
+    QuerySpec(
+        "line_dedup_stats",
+        line_dedup_stats,
+        _line_dedup_sql(),
+        "C4-style line-level boilerplate dedup accounting per source",
+    ),
+    QuerySpec(
+        "cross_lang_shingle_leakage",
+        cross_lang_shingle_leakage,
+        _cross_lang_sql(),
+        "shingles shared across languages (lang-ID/translation leaks)",
     ),
 ]
