@@ -473,6 +473,149 @@ GROUP BY CUBE (n.n_name, year(o.o_orderdate))
 """
 
 
+def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build over the event stream:
+    collapse each user's consecutive runs of the same event_type into
+    versioned rows with [valid_from, valid_to) — the dimension-history
+    pattern every warehouse ETL (and the reference's incremental-
+    update machinery) maintains, expressed as lag-change-flag +
+    cumulative version id + lead(valid_to). The registry row reports
+    the per-type version accounting (versions opened, still-open
+    versions, exact closed-version dwell seconds) so the whole history
+    hashes deterministically.
+
+    Plan: two windows and one aggregate, ALL partitioned by user_id —
+    a user's history never leaves one task, and at 100 TB the window
+    state is one user's events, not the stream. Ordering ties on ts
+    are broken by event_id on both engines, so version boundaries are
+    engine-stable."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = e.withColumn(
+        "chg",
+        (
+            F.coalesce(
+                (F.lag("event_type").over(w) != F.col("event_type")).cast(
+                    "int"
+                ),
+                F.lit(1),
+            )
+        ),
+    ).withColumn("ver", F.sum("chg").over(w))
+    versions = runs.groupBy("user_id", "ver").agg(
+        F.min("event_type").alias("event_type"),  # constant within a run
+        F.min("ts").alias("valid_from"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("ver")
+    hist = versions.withColumn(
+        "valid_to", F.lead("valid_from").over(wv)
+    )
+    return hist.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum(F.col("valid_to").isNull().cast("long")).alias("n_open"),
+        # exact integer microseconds — unix_timestamp() truncates
+        # sub-second parts per row while DuckDB's epoch() keeps them,
+        # so second-grain sums drift; _us grain is exact on both
+        F.sum(
+            F.when(
+                F.col("valid_to").isNotNull(),
+                F.unix_micros("valid_to") - F.unix_micros("valid_from"),
+            ).otherwise(F.lit(0))
+        ).alias("closed_dwell_us"),
+    )
+
+
+SCD2_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id)
+              IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+  FROM events
+), runs AS (
+  SELECT *, sum(chg) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS ver
+  FROM ordered
+), versions AS (
+  SELECT user_id, ver, min(event_type) AS event_type,
+         min(ts) AS valid_from
+  FROM runs GROUP BY user_id, ver
+), hist AS (
+  SELECT *, lead(valid_from) OVER
+              (PARTITION BY user_id ORDER BY ver) AS valid_to
+  FROM versions
+)
+SELECT event_type,
+       count(*) AS n_versions,
+       cast(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS bigint)
+         AS n_open,
+       cast(sum(CASE WHEN valid_to IS NOT NULL
+                THEN epoch_us(valid_to) - epoch_us(valid_from)
+                ELSE 0 END) AS bigint) AS closed_dwell_us
+FROM hist GROUP BY event_type
+"""
+
+
+EVENT_TRIGRAM_K = 20
+
+
+def event_trigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} behavioural trigrams: the most common length-3 event-
+    type sequences across user histories — the sequential-pattern
+    summary feeding next-event models and funnel design. Each user's
+    stream (ts, event_id order) yields one trigram per position via
+    two leads; global counts; deterministic top-K.
+
+    Plan: leads are user-partitioned windows (one user per task, no
+    global sort); the count is a map-side-combined hash aggregate on a
+    bounded key space (|types|^3); top-K is orderBy().limit() =
+    TakeOrderedAndProject, never a full sort. Scale-stable at 100 TB:
+    nothing in the plan grows beyond |types|^3 groups after the
+    partial aggregate."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        e.withColumn("t2", F.lead("event_type", 1).over(w))
+        .withColumn("t3", F.lead("event_type", 2).over(w))
+        .where(F.col("t3").isNotNull())
+    )
+    return (
+        tri.groupBy(
+            F.col("event_type").alias("e1"),
+            F.col("t2").alias("e2"),
+            F.col("t3").alias("e3"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "e1", "e2", "e3")
+        .limit(EVENT_TRIGRAM_K)
+    )
+
+
+EVENT_TRIGRAM_SQL = f"""
+WITH tri AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+         lead(event_type, 2) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+  FROM events
+)
+SELECT e1, e2, e3, count(*) AS n
+FROM tri WHERE e3 IS NOT NULL
+GROUP BY e1, e2, e3
+ORDER BY n DESC, e1, e2, e3
+LIMIT {EVENT_TRIGRAM_K}
+"""
+
+
 QUERIES = [
     QuerySpec(
         "event_funnel_conversion", event_funnel_conversion, FUNNEL_SQL
@@ -496,4 +639,16 @@ QUERIES = [
     QuerySpec("cohort_retention", cohort_retention, COHORT_SQL),
     QuerySpec("rolling_revenue_7d", rolling_revenue_7d, ROLLING_SQL),
     QuerySpec("event_type_pivot", event_type_pivot, PIVOT_SQL),
+    QuerySpec(
+        "scd2_event_type_history",
+        scd2_event_type_history,
+        SCD2_SQL,
+        "SCD type-2 version build over user event streams",
+    ),
+    QuerySpec(
+        "event_trigram_topk",
+        event_trigram_topk,
+        EVENT_TRIGRAM_SQL,
+        "top-20 behavioural event-type trigrams",
+    ),
 ]
