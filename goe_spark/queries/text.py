@@ -725,6 +725,148 @@ FROM scored GROUP BY lang, source
 """
 
 
+def token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram Shannon entropy — the lexical-diversity
+    signal curation pipelines use to spot template/boilerplate-heavy
+    sources (low H) and noise/garbage sources (H near ln|V|).
+    H = ln(N) - (1/N)·Σ c·ln(c), computed from EXACT integer token
+    counts: the Σ c·ln(c) term is fixed-point quantized PER TERM
+    (floor(c·ln(c)·1e6), BIGINT) before summation, so the sum is
+    order-free and both engines quantize the same per-term double —
+    the money.py discipline applied to log mass.
+
+    Plan: one explode + (source, token) hash aggregate (map-side
+    partial), then a source-grain rollup — two shuffles, both carrying
+    counts, never text. Per-source term cardinality is vocab-bounded,
+    so the plan is flat in corpus size at 100 TB."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", T.tokens("text").alias("toks")
+    )
+    tok = d.select("source", F.explode("toks").alias("t"))
+    counts = tok.groupBy("source", "t").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per = counts.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(
+            F.floor(F.col("c") * F.log(F.col("c")) * 1e6)
+            .cast("decimal(38,0)")
+        ).alias("slogq"),
+    )
+    ent = (
+        F.log(F.col("n_tokens"))
+        - F.col("slogq").cast("double") / 1e6 / F.col("n_tokens")
+    )
+    return per.select(
+        "source",
+        "n_tokens",
+        "n_terms",
+        F.floor(ent * 1e4 + 0.5).cast("long").alias("entropy_q4"),
+    )
+
+
+TOKEN_ENTROPY_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest({T.tokens_sql('text')}) AS t FROM documents
+), counts AS (
+  SELECT source, t, count(*) AS c FROM tok GROUP BY source, t
+), per AS (
+  SELECT source,
+         cast(sum(c) AS bigint) AS n_tokens,
+         count(*) AS n_terms,
+         sum(cast(floor(c * ln(c) * 1e6) AS bigint)) AS slogq
+  FROM counts GROUP BY source
+)
+SELECT source, n_tokens, n_terms,
+       cast(floor((ln(n_tokens) - cast(slogq AS double) / 1e6 / n_tokens)
+                  * 1e4 + 0.5) AS bigint) AS entropy_q4
+FROM per
+"""
+
+
+def vocab_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the corpus-mixing
+    diagnostic that tells a pretraining-data curator which sources are
+    lexically redundant (merge/deprioritize) vs complementary. For
+    each unordered source pair: |Va∩Vb|, |Va|, |Vb| and the Jaccard
+    similarity, fixed-point quantized.
+
+    Plan: distinct (source, token) — one hash aggregate — then a
+    token-keyed self-join whose per-token posting list is bounded by
+    the SOURCE COUNT (each token contributes at most |S|² pair hits,
+    |S| = tens-to-hundreds), then a pair-grain rollup: inverted-index
+    asymptotics, no corpus-sized pairwise term. Vocab sizes broadcast
+    into the final pair join."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", T.tokens("text").alias("toks")
+    )
+    vocab = d.select(
+        "source", F.explode("toks").alias("t")
+    ).distinct()
+    sizes = vocab.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vsize")
+    )
+    a = vocab.alias("a")
+    b = vocab.alias("b")
+    inter = (
+        a.join(b, (F.col("a.t") == F.col("b.t")))
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("vsize").alias("va")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("vsize").alias("vb")
+    )
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "va",
+            "vb",
+            F.floor(
+                F.col("n_common")
+                * 1e6
+                / (F.col("va") + F.col("vb") - F.col("n_common"))
+            )
+            .cast("long")
+            .alias("jaccard_q6"),
+        )
+    )
+
+
+VOCAB_OVERLAP_SQL = f"""
+WITH vocab AS (
+  SELECT DISTINCT source, t
+  FROM (SELECT source, unnest({T.tokens_sql('text')}) AS t FROM documents)
+), sizes AS (
+  SELECT source, count(*) AS vsize FROM vocab GROUP BY source
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         count(*) AS n_common
+  FROM vocab a JOIN vocab b ON a.t = b.t AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_common,
+       sa.vsize AS va, sb.vsize AS vb,
+       cast(floor(n_common * 1e6
+                  / (sa.vsize + sb.vsize - n_common)) AS bigint)
+         AS jaccard_q6
+FROM inter
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+"""
+
+
 QUERIES = [
     QuerySpec("sentiment_by_source", sentiment_by_source, _sentiment_sql()),
     QuerySpec("tfidf_top_terms", tfidf_top_terms, TFIDF_SQL),
@@ -741,5 +883,17 @@ QUERIES = [
     ),
     QuerySpec(
         "bigram_logprob_scores", bigram_logprob_scores, BIGRAM_LM_SQL
+    ),
+    QuerySpec(
+        "token_entropy_by_source",
+        token_entropy_by_source,
+        TOKEN_ENTROPY_SQL,
+        "per-source unigram Shannon entropy, fixed-point log mass",
+    ),
+    QuerySpec(
+        "vocab_overlap_sources",
+        vocab_overlap_sources,
+        VOCAB_OVERLAP_SQL,
+        "pairwise source vocabulary Jaccard via inverted index",
     ),
 ]
