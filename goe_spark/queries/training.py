@@ -1513,11 +1513,107 @@ FROM sizes GROUP BY 1
 """
 
 
+VOCAB_GROWTH_SHARDS = 10
+
+
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve: split the corpus into
+    {VOCAB_GROWTH_SHARDS} equal doc_id-ordered shards and report, per
+    shard, how many NEVER-SEEN-BEFORE token types it contributes —
+    the marginal-value-of-more-data diagnostic that tells a
+    pretraining run when additional crawl stops buying new vocabulary.
+    A token's first appearance is min(shard) over its occurrences, so
+    the "seen before" state needs no sequential pass.
+
+    Plan: one corpus count (scalar), one explode, one (token ->
+    min shard, total occurrences) hash aggregate, then a
+    {VOCAB_GROWTH_SHARDS}-row rollup whose cumulative sum runs on a
+    bounded relation — at 100 TB the only corpus-sized work is the
+    token aggregate, map-side combined. Dense doc_ids make the shard
+    split exact; a sparse id space would use ntile's two-pass rank
+    (operators/ranks.py) instead."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar: shard width denominator
+    shard = F.least(
+        F.lit(VOCAB_GROWTH_SHARDS - 1),
+        F.floor(
+            F.col("doc_id") * VOCAB_GROWTH_SHARDS / F.lit(float(n_docs))
+        ),
+    ).cast("int")
+    tok = d.select(shard.alias("shard"), F.explode(T.tokens("text")).alias("t"))
+    first = tok.groupBy("t").agg(
+        F.min("shard").alias("first_shard"),
+        F.count(F.lit(1)).alias("occ"),
+    )
+    per = (
+        tok.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+        .join(
+            first.groupBy(F.col("first_shard").alias("shard")).agg(
+                F.count(F.lit(1)).alias("n_new_types"),
+            ),
+            "shard",
+            "left",
+        )
+        .na.fill({"n_new_types": 0})
+    )
+    w = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per.select(
+        "shard",
+        "n_tokens",
+        "n_new_types",
+        F.sum("n_new_types").over(w).alias("cum_vocab"),
+        F.floor(F.col("n_new_types") * 1e6 / F.col("n_tokens"))
+        .cast("long")
+        .alias("new_types_per_m_tokens"),
+    )
+
+
+def _vocab_growth_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, text,
+         cast(least({VOCAB_GROWTH_SHARDS - 1},
+              floor(doc_id * {VOCAB_GROWTH_SHARDS}
+                    / cast((SELECT count(*) FROM documents) AS double)))
+              AS int) AS shard
+  FROM documents
+), tok AS (
+  SELECT shard, unnest({T.tokens_sql('text')}) AS t FROM d
+), first AS (
+  SELECT t, min(shard) AS first_shard FROM tok GROUP BY t
+), per AS (
+  SELECT tok.shard, count(*) AS n_tokens
+  FROM tok GROUP BY tok.shard
+), news AS (
+  SELECT first_shard AS shard, count(*) AS n_new_types
+  FROM first GROUP BY first_shard
+)
+SELECT per.shard, per.n_tokens,
+       cast(coalesce(news.n_new_types, 0) AS bigint) AS n_new_types,
+       cast(sum(coalesce(news.n_new_types, 0))
+            OVER (ORDER BY per.shard) AS bigint) AS cum_vocab,
+       cast(floor(coalesce(news.n_new_types, 0) * 1e6 / per.n_tokens)
+            AS bigint) AS new_types_per_m_tokens
+FROM per LEFT JOIN news ON news.shard = per.shard
+"""
+
+
 QUERIES = [
     QuerySpec(
         "weighted_sample_docs", weighted_sample_docs, WEIGHTED_SAMPLE_SQL
     ),
     QuerySpec("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_SQL),
+    QuerySpec(
+        "vocab_growth_curve",
+        vocab_growth_curve,
+        _vocab_growth_sql(),
+        "Heaps-law vocabulary growth per doc_id-ordered shard",
+    ),
     QuerySpec("dedup_keep_best", dedup_keep_best, _dedup_keep_best_sql()),
     QuerySpec(
         "stratified_sample_docs", stratified_sample_docs, STRATIFIED_SAMPLE_SQL
