@@ -1227,8 +1227,227 @@ FROM ranked GROUP BY qid
 """
 
 
+KNN_GRAPH_K = 5
+
+
+def knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN graph diagnostics over the embedding space — the
+    structure SemDeDup/clustering/graph-pruning pipelines build before
+    deciding what to drop: per coarse cell (label), each vector's
+    top-{KNN_GRAPH_K} cosine neighbours, and how reciprocal the graph
+    is (a low mutual-edge rate flags hubness/anisotropy problems that
+    make cosine pruning unreliable).
+
+    Plan: the candidate join is bounded per (label, sub) cell by the
+    same EMB_CELL_CAP sub-bucketing as embedding_near_dup_pairs — no
+    all-pairs term at any skew; cosine is codegen'd array arithmetic;
+    per-source top-k is a cell-partitioned window; the mutuality check
+    is a self-join of the k-bounded edge list (|V|·k rows). The final
+    rollup is label-cardinality. At 100 TB the label cells come from
+    the IVF quantizer (operators/ivf.py) instead of fixture labels —
+    the plan shape is identical.
+
+    Edge accounting is fixed-point (cosine already rounded to 6dp,
+    then quantized to int for the order-free mean)."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    cells = sub_bucketed_cells(emb)
+    a = cells.select(
+        "label",
+        "sub",
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("avec"),
+        _norm2(F.col("embedding")).alias("anrm"),
+    )
+    b = cells.select(
+        "label",
+        "sub",
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("bvec"),
+        _norm2(F.col("embedding")).alias("bnrm"),
+    )
+    scored = (
+        a.join(b, ["label", "sub"])
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            "label",
+            "src",
+            "dst",
+            F.round(
+                _dot(F.col("avec"), F.col("bvec"))
+                / F.sqrt(F.col("anrm") * F.col("bnrm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("label", "src").orderBy(
+        F.desc("cosine"), F.asc("dst")
+    )
+    edges = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= KNN_GRAPH_K)
+        .select("label", "src", "dst", "cosine")
+    )
+    rev = edges.select(
+        "label",
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        F.lit(1).alias("is_mutual"),
+    )
+    marked = edges.join(rev, ["label", "src", "dst"], "left")
+    return marked.groupBy("label").agg(
+        F.count_distinct("src").alias("n_vertices"),
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum(F.coalesce(F.col("is_mutual"), F.lit(0)).cast("long")).alias(
+            "n_mutual"
+        ),
+        F.floor(
+            F.sum(F.coalesce(F.col("is_mutual"), F.lit(0)).cast("long"))
+            * 1e4
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("reciprocity_q4"),
+        F.floor(
+            F.sum(
+                F.floor(F.col("cosine") * 1e6 + 0.5).cast("decimal(38,0)")
+            ).cast("double")
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("mean_cosine_q6"),
+    )
+
+
+def _knn_graph_sql() -> str:
+    from goe_spark.functions.hashing import hash64_sql
+
+    h = hash64_sql("cast(vec_id AS varchar)")
+    cap = EMB_CELL_CAP
+    nsub = f"greatest(1, (s.n_cell + {cap} - 1) // {cap})"
+    cos = (
+        f"round({DOT_SQL.format(a='a.embedding', b='b.embedding')}"
+        " / sqrt(a.nrm * b.nrm), 6)"
+    )
+    return f"""
+WITH sizes AS (
+  SELECT label, count(*) AS n_cell FROM embeddings GROUP BY label
+), cells AS (
+  SELECT e.vec_id, e.label, e.embedding,
+         {NORM2_SQL.format(a='embedding')} AS nrm,
+         (({h} % {nsub}) + {nsub}) % {nsub} AS sub
+  FROM embeddings e JOIN sizes s USING (label)
+), scored AS (
+  SELECT a.label, a.vec_id AS src, b.vec_id AS dst, {cos} AS cosine
+  FROM cells a JOIN cells b
+    ON a.label = b.label AND a.sub = b.sub AND a.vec_id != b.vec_id
+), edges AS (
+  SELECT label, src, dst, cosine FROM (
+    SELECT *, row_number() OVER
+      (PARTITION BY label, src ORDER BY cosine DESC, dst ASC) AS rk
+    FROM scored
+  ) WHERE rk <= {KNN_GRAPH_K}
+), marked AS (
+  SELECT e.label, e.src, e.dst, e.cosine,
+         CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS is_mutual
+  FROM edges e LEFT JOIN edges r
+    ON r.label = e.label AND r.src = e.dst AND r.dst = e.src
+)
+SELECT label,
+       count(DISTINCT src) AS n_vertices,
+       count(*) AS n_edges,
+       cast(sum(is_mutual) AS bigint) AS n_mutual,
+       cast(floor(sum(is_mutual) * 1e4 / count(*)) AS bigint)
+         AS reciprocity_q4,
+       cast(floor(cast(sum(cast(floor(cosine * 1e6 + 0.5) AS bigint))
+                       AS double) / count(*)) AS bigint)
+         AS mean_cosine_q6
+FROM marked GROUP BY label
+"""
+
+
+def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension moment audit of the embedding space — the
+    anisotropy check run before trusting cosine retrieval: a few
+    dominant high-variance dimensions (or strongly off-center means)
+    mean similarities are driven by a low-rank subspace and the space
+    needs centering/whitening. Per dimension: exact fixed-point mean
+    and variance from order-free integer sums.
+
+    Plan: posexplode is a map-side projection; the aggregate is a
+    64-group (d-bounded) hash groupBy with partial aggregation —
+    corpus-sized data shuffles only d·|partials| integer triples.
+    Sums accumulate in DECIMAL(38,0): per-element squares on the 1e6
+    grid reach ~4e12, so a long sum wraps after ~2e6 rows/dim — the
+    money.py headroom rule applies here too."""
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    el = emb.select(
+        F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("v").cast("double") * 1e6 + 0.5)
+        .cast("long")
+        .alias("vq"),
+    )
+    per = el.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("vq").cast("decimal(38,0)")).alias("s1"),
+        F.sum((F.col("vq") * F.col("vq")).cast("decimal(38,0)")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n") / 1e6
+    var = (
+        F.col("s2").cast("double") / F.col("n")
+        - (F.col("s1").cast("double") / F.col("n"))
+        * (F.col("s1").cast("double") / F.col("n"))
+    ) / 1e12
+    return per.select(
+        F.col("dim").cast("int").alias("dim"),
+        "n",
+        F.floor(mean * 1e6 + 0.5).cast("long").alias("mean_q6"),
+        F.floor(var * 1e6 + 0.5).cast("long").alias("var_q6"),
+    )
+
+
+EMB_DIM_STATS_SQL = """
+WITH el AS (
+  SELECT i AS dim,
+         cast(floor(cast(embedding[i] AS double) * 1e6 + 0.5) AS bigint)
+           AS vq
+  FROM embeddings,
+       LATERAL unnest(range(1, len(embedding) + 1)) AS r(i)
+), per AS (
+  SELECT dim, count(*) AS n,
+         sum(vq) AS s1,
+         sum(vq * vq) AS s2
+  FROM el GROUP BY dim
+)
+SELECT cast(dim AS int) AS dim, n,
+       cast(floor(cast(s1 AS double) / n / 1e6 * 1e6 + 0.5) AS bigint)
+         AS mean_q6,
+       cast(floor((cast(s2 AS double) / n
+                   - (cast(s1 AS double) / n) * (cast(s1 AS double) / n))
+                  / 1e12 * 1e6 + 0.5) AS bigint) AS var_q6
+FROM per
+"""
+
+
 QUERIES = [
     QuerySpec("ann_bruteforce_topk", ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
+    QuerySpec(
+        "knn_graph_stats",
+        knn_graph_stats,
+        _knn_graph_sql(),
+        "mutual-kNN graph reciprocity per embedding cell",
+    ),
+    QuerySpec(
+        "embedding_dimension_stats",
+        embedding_dimension_stats,
+        EMB_DIM_STATS_SQL,
+        "per-dimension mean/variance anisotropy audit",
+    ),
     QuerySpec(
         "hybrid_search_rrf",
         hybrid_search_rrf,
