@@ -28,73 +28,74 @@ class QuerySpec:
 # records CORRECTNESS rows for the FIRST ~50 per round — the tail of
 # the registry gets no driver row. Order therefore encodes priority,
 # and HEAD is ROTATED each round (round-5 verdict: 11 entries sat just
-# outside the window for 5 straight rounds). Round-8 window, in order:
-#   1. queries NEW this round — never driver-checked;
-#   2. all 35 entries whose last driver check was ROUND 5 (VERDICT r7
-#      task 1: they predate the full dtype discipline and include the
-#      heaviest mixed-decimal reports);
-#   3. the stalest round-6 rows filling the window to 50.
+# outside the window for 5 straight rounds). HEAD is kept at EXACTLY
+# 50 entries: round 8 listed 51 and the driver recorded only 50,
+# silently dropping q13_customer_distribution from the window
+# (round-8 ADVICE) — it leads this round's stale block instead.
+# Round-9 window, in order:
+#   1. the 10 queries NEW this round — never driver-checked;
+#   2. all 40 entries whose last driver check was ROUND 6 (q13 first:
+#      it was the entry the r8 over-long window pushed out).
 # After this rotation no registry entry's latest driver row is older
-# than round 6. Everything else keeps module order behind the window;
+# than round 7. Everything else keeps module order behind the window;
 # pytest's test_queries_oracle.py re-verifies the FULL registry against
 # DuckDB (same pandas fetch path as the driver) every run regardless of
 # position.
 HEAD = (
-    # -- new this round (multimodal header parsing, data-selection and
-    #    embedding-compression audits) --
-    "media_dimensions",
-    "dsir_importance_weights",
-    "embedding_int8_audit",
-    "matryoshka_recall_audit",
-    "k_anonymity_audit",
-    "dedup_cluster_size_histogram",
-    # -- last driver-checked in round 5 (VERDICT r7 task 1 list) --
-    "ann_pq_topk",
-    "ann_ivf_pq_topk",
-    "bpe_merge_pair_counts",
-    "brand_affinity_lift",
-    "cms_user_counts",
-    "cohort_retention",
-    "dedup_method_agreement",
-    "embedding_cluster_audit",
-    "event_funnel_conversion",
-    "event_transition_matrix",
-    "gopher_quality_filter",
-    "hopping_window_counts",
-    "lapsed_customers_except",
-    "minhash_probe_new_docs",
-    "mixture_sample_docs",
-    "mixture_sample_threshold",
-    "pii_redaction_audit",
-    "pii_scan_by_source",
-    "repetition_doc_stats",
-    "retained_customers_intersect",
-    "revenue_anomaly_days",
-    "rolling_revenue_7d",
-    "semantic_dedup_keep_first",
-    "sentiment_by_source",
-    "session_window_stats",
-    "sessionization_stats",
-    "span_corruption_stats",
-    "table_profile",
-    "term_bigram_pmi",
-    "tfidf_top_terms",
-    "timeseries_gapfill",
-    "token_dropout_stats",
-    "top_duplicate_ngrams",
-    "unattributed_purchases",
-    "weighted_sample_docs",
-    # -- stalest round-6 rows filling the window --
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_regional_revenue",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
+    # -- new this round (codec-free WAV metadata, line/cross-lang
+    #    dedup audits, SCD2 + trigram event ops, corpus diagnostics,
+    #    kNN-graph + embedding-moment audits) --
+    "media_wav_stats",
+    "line_dedup_stats",
+    "cross_lang_shingle_leakage",
+    "scd2_event_type_history",
+    "event_trigram_topk",
+    "token_entropy_by_source",
+    "vocab_overlap_sources",
+    "vocab_growth_curve",
+    "knn_graph_stats",
+    "embedding_dimension_stats",
+    # -- last driver-checked in round 6 (40 entries) --
     "q13_customer_distribution",
+    "asof_latest_order",
+    "window_top_orders_per_customer",
+    "union_mod_split_scan",
+    "semi_anti_join_customers",
+    "q14_promo_revenue",
+    "count_validate_orders",
+    "cast_probe_orders",
+    "synthetic_partition_month",
+    "synthetic_partition_number_range",
+    "synthetic_partition_string_prefix",
+    "transform_projection",
+    "value_quantiles_kll",
+    "audience_overlap_theta",
+    "order_status_islands",
+    "daily_distinct_users_hll",
+    "continuous_rollup_daily",
+    "rolling_distinct_users_hll",
+    "order_price_histogram",
+    "event_type_pivot",
+    "revenue_cube",
+    "unigram_logprob_scores",
+    "bpe_train_merges",
+    "bpe_encode_stats",
+    "split_leakage_audit",
+    "bigram_logprob_scores",
+    "media_payload_stats",
+    "asof_recent_order",
+    "asof_next_order",
+    "stratified_sample_docs",
+    "token_pack_bins",
+    "sliding_window_chunks",
+    "mixture_weights",
+    "order_value_percentiles",
+    "order_price_tiers",
+    "stream_enriched_counts",
+    "purchase_attribution",
+    "dedup_clusters",
+    "dedup_keep_best",
+    "contamination_check",
 )
 TAIL = ()
 
