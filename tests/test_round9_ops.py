@@ -1,0 +1,229 @@
+"""Edge-case pins for the round-9 operators — semantic invariants the
+sf0.01 oracle hash can't distinguish from luck (planted duplicates,
+version boundaries, graph parity, entropy bounds, monotone growth)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+# --- line_dedup_stats -------------------------------------------------------
+
+
+def test_line_dedup_planted_duplicates(spark, tmp_path):
+    """Two docs sharing one exact 10-word line (and nothing else)
+    must each report exactly one duplicated line; a unique doc none."""
+    from goe_spark.queries.dedup import line_dedup_stats
+
+    shared = " ".join(f"w{i}" for i in range(10))
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(10))
+    uniq_c = " ".join(f"c{i}" for i in range(10))
+    rows = [
+        (0, shared + " " + uniq_a, "en", "s1", 0),
+        (1, shared + " " + uniq_b, "en", "s2", 0),
+        (2, uniq_c, "en", "s3", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "docs")
+    df.coalesce(1).write.parquet(d + "/documents.parquet")
+    got = {
+        r.source: r
+        for r in line_dedup_stats(spark, d).collect()
+    }
+    assert got["s1"].n_lines == 2 and got["s1"].n_dup_lines == 1
+    assert got["s2"].n_lines == 2 and got["s2"].n_dup_lines == 1
+    assert got["s3"].n_lines == 1 and got["s3"].n_dup_lines == 0
+    assert got["s3"].dup_lines_per_10k == 0
+    assert got["s1"].dup_lines_per_10k == 5000
+
+
+# --- scd2_event_type_history ------------------------------------------------
+
+
+def test_scd2_versions_collapse_runs(spark, tmp_path):
+    """A user's stream a,a,b,a must yield versions a,b,a (3 versions,
+    1 open) — consecutive runs collapse, revisits reopen."""
+    import datetime as dt
+
+    from goe_spark.queries.events_analytics import scd2_event_type_history
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 7, "a", 0.0, "{}"),
+        (2, t0 + dt.timedelta(seconds=10), 7, "a", 0.0, "{}"),
+        (3, t0 + dt.timedelta(seconds=20), 7, "b", 0.0, "{}"),
+        (4, t0 + dt.timedelta(seconds=50), 7, "a", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path / "ev")
+    df.coalesce(1).write.parquet(d + "/events.parquet")
+    got = {r.event_type: r for r in scd2_event_type_history(spark, d).collect()}
+    assert got["a"].n_versions == 2  # [t0, t0+20) and [t0+50, open)
+    assert got["a"].n_open == 1
+    assert got["a"].closed_dwell_us == 20_000_000
+    assert got["b"].n_versions == 1 and got["b"].n_open == 0
+    assert got["b"].closed_dwell_us == 30_000_000
+
+
+# --- event_trigram_topk -----------------------------------------------------
+
+
+def test_event_trigrams_counts(spark, tmp_path):
+    """Stream v,c,p,v over one user -> trigrams (v,c,p) and (c,p,v)."""
+    import datetime as dt
+
+    from goe_spark.queries.events_analytics import event_trigram_topk
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(seconds=i), 1, t, 0.0, "{}")
+        for i, t in enumerate(["v", "c", "p", "v"])
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path / "ev3")
+    df.coalesce(1).write.parquet(d + "/events.parquet")
+    got = {(r.e1, r.e2, r.e3): r.n for r in event_trigram_topk(spark, d).collect()}
+    assert got == {("v", "c", "p"): 1, ("c", "p", "v"): 1}
+
+
+# --- knn_graph_stats --------------------------------------------------------
+
+
+def test_knn_graph_invariants(spark):
+    """Mutual edges come in (a->b, b->a) pairs, so n_mutual is even;
+    every vertex has at most K out-edges; reciprocity in [0, 1e4]."""
+    from goe_spark.queries.similarity import KNN_GRAPH_K, knn_graph_stats
+
+    rows = knn_graph_stats(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_mutual % 2 == 0
+        assert r.n_edges <= r.n_vertices * KNN_GRAPH_K
+        assert 0 <= r.reciprocity_q4 <= 10_000
+        assert -1_000_000 <= r.mean_cosine_q6 <= 1_000_000
+
+
+# --- token_entropy_by_source ------------------------------------------------
+
+
+def test_entropy_bounds(spark):
+    """0 <= H <= ln(n_terms) (uniform bound), scaled to q4."""
+    import math
+
+    from goe_spark.queries.text import token_entropy_by_source
+
+    for r in token_entropy_by_source(spark, SF).collect():
+        assert 0 <= r.entropy_q4 <= math.log(r.n_terms) * 1e4 + 1
+
+
+def test_entropy_single_repeated_token(spark, tmp_path):
+    """A source that is one token repeated has entropy exactly 0."""
+    from goe_spark.queries.text import token_entropy_by_source
+
+    df = spark.createDataFrame(
+        [(0, "x x x x x", "en", "mono", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "docs1")
+    df.coalesce(1).write.parquet(d + "/documents.parquet")
+    (r,) = token_entropy_by_source(spark, d).collect()
+    assert (r.n_tokens, r.n_terms, r.entropy_q4) == (5, 1, 0)
+
+
+# --- vocab_overlap_sources --------------------------------------------------
+
+
+def test_vocab_overlap_identical_and_disjoint(spark, tmp_path):
+    """Identical vocabularies -> Jaccard 1e6; disjoint absent from the
+    pair list (no common token joins them)."""
+    from goe_spark.queries.text import vocab_overlap_sources
+
+    rows = [
+        (0, "p q r", "en", "sa", 5),
+        (1, "p q r", "en", "sb", 5),
+        (2, "x y z", "en", "sc", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "docs2")
+    df.coalesce(1).write.parquet(d + "/documents.parquet")
+    got = {(r.source_a, r.source_b): r for r in vocab_overlap_sources(spark, d).collect()}
+    assert set(got) == {("sa", "sb")}
+    assert got[("sa", "sb")].jaccard_q6 == 1_000_000
+    assert got[("sa", "sb")].n_common == 3
+
+
+# --- vocab_growth_curve -----------------------------------------------------
+
+
+def test_vocab_growth_monotone_and_complete(spark):
+    """cum_vocab is non-decreasing and ends at the corpus vocabulary
+    size; shard 0's new types equal its distinct types."""
+    from goe_spark.catalog import load_table
+    from goe_spark.functions import text as T
+    from goe_spark.queries.training import vocab_growth_curve
+
+    rows = sorted(vocab_growth_curve(spark, SF).collect(), key=lambda r: r.shard)
+    cums = [r.cum_vocab for r in rows]
+    assert cums == sorted(cums)
+    total_vocab = (
+        load_table(spark, SF, "documents")
+        .select(F.explode(T.tokens("text")).alias("t"))
+        .agg(F.count_distinct("t"))
+        .collect()[0][0]
+    )
+    assert cums[-1] == total_vocab
+    assert sum(r.n_new_types for r in rows) == total_vocab
+
+
+# --- embedding_dimension_stats ---------------------------------------------
+
+
+def test_embedding_dimension_stats_shape(spark):
+    """One row per dimension, equal n everywhere, variance >= 0."""
+    from goe_spark.queries.similarity import embedding_dimension_stats
+
+    rows = embedding_dimension_stats(spark, SF).collect()
+    assert len(rows) == 64
+    assert {r.dim for r in rows} == set(range(1, 65))
+    assert len({r.n for r in rows}) == 1
+    assert all(r.var_q6 >= 0 for r in rows)
+
+
+# --- cross_lang_shingle_leakage ---------------------------------------------
+
+
+def test_cross_lang_planted_leak(spark, tmp_path):
+    """The same 3-word shingle planted under two langs is counted as
+    shared by both; a lang with unique text reports zero shared."""
+    from goe_spark.queries.dedup import cross_lang_shingle_leakage
+
+    rows = [
+        (0, "alpha beta gamma", "en", "s", 16),
+        (1, "alpha beta gamma", "fr", "s", 16),
+        (2, "uno dos tres", "es", "s", 12),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "docs3")
+    df.coalesce(1).write.parquet(d + "/documents.parquet")
+    got = {r.lang: r for r in cross_lang_shingle_leakage(spark, d).collect()}
+    assert got["en"].n_shared == 1 and got["fr"].n_shared == 1
+    assert got["es"].n_shared == 0
+    assert got["en"].shared_per_10k == 10_000
