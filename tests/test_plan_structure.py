@@ -765,3 +765,101 @@ def test_cluster_histogram_rides_label_table(spark):
     plan = _plan(dedup_cluster_size_histogram(spark, SF_SMALL), "simple")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_media_wav_single_scan_no_python(spark):
+    """WAV header parsing is pure codegen byte arithmetic like the
+    image-dimension parse: ONE scan, ONE aggregate exchange, no
+    Python worker, payload bytes never shuffle."""
+    from goe_spark.queries.multimodal import media_wav_stats
+
+    plan = _plan(media_wav_stats(spark, SF_SMALL), "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Python" not in plan, plan
+
+
+def test_line_dedup_shuffles_hashes_not_text(spark):
+    """Line dedup joins on 64-bit line fingerprints: no exchange may
+    carry the text (or token-array) column, and the fp join is a
+    plain equi-join (no nested loop)."""
+    import re as _re
+
+    from goe_spark.queries.dedup import line_dedup_stats
+
+    plan = _plan(line_dedup_stats(spark, SF_SMALL), "formatted")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    for m in _re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), plan
+        assert "toks" not in m.group(1), plan
+
+
+def test_knn_graph_no_cartesian_no_python(spark):
+    """The kNN candidate join is an equi-join on (label, sub) — never
+    a cartesian/BNLJ — and the whole graph build is codegen (array
+    folds), no Python worker."""
+    from goe_spark.queries.similarity import knn_graph_stats
+
+    plan = _plan(knn_graph_stats(spark, SF_SMALL), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_vocab_overlap_inverted_index_join(spark):
+    """Source-vocabulary overlap joins on the token (posting list
+    bounded by |sources|) and BROADCASTS the vocab-size tables; no
+    nested-loop pair enumeration anywhere."""
+    from goe_spark.queries.text import vocab_overlap_sources
+
+    plan = _plan(vocab_overlap_sources(spark, SF_SMALL), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_scd2_windows_user_partitioned(spark):
+    """Every SCD2 window partitions by user_id — no global window may
+    appear (a single-task sort of the event stream at 100 TB)."""
+    import re as _re
+
+    from goe_spark.queries.events_analytics import scd2_event_type_history
+
+    plan = _plan(scd2_event_type_history(spark, SF_SMALL), "formatted")
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for s in specs:
+        assert "user_id" in s, plan
+
+
+def test_trigram_topk_takeordered(spark):
+    """Trigram top-k ends in TakeOrderedAndProject (no global sort);
+    leads are user-partitioned windows."""
+    from goe_spark.queries.events_analytics import event_trigram_topk
+
+    plan = _plan(event_trigram_topk(spark, SF_SMALL), "formatted")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "windowspecdefinition(user_id" in plan, plan
+
+
+def test_entropy_two_hash_aggregates_no_join(spark):
+    """Entropy is two chained hash aggregates over one scan — no join
+    and no window anywhere in the plan."""
+    from goe_spark.queries.text import token_entropy_by_source
+
+    plan = _plan(token_entropy_by_source(spark, SF_SMALL), "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_emb_dim_stats_single_scan_bounded_groups(spark):
+    """Per-dimension moments: one scan, one aggregation exchange on
+    the 64-group dim key, no Python, no join."""
+    from goe_spark.queries.similarity import embedding_dimension_stats
+
+    plan = _plan(embedding_dimension_stats(spark, SF_SMALL), "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
