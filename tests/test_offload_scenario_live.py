@@ -320,3 +320,57 @@ def test_offload_chunked_live_backend(spark, tmp_path, derby, capsys):
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2["chunks"] == 0 and out2["rows_offloaded"] == 0
     assert spark.read.jdbc(url, BACKEND_TABLE).count() == len(BATCH_1)
+
+
+def test_parallel_offload_keeps_negative_and_null_split_keys(
+    spark, tmp_path, capsys
+):
+    """Round-8 ADVICE e2e: a FULL parallel offload whose MOD split
+    column contains negative AND NULL values must transport every row
+    — the fixed MOD(ABS(col), n) + IS-NULL-into-slice-0 template, as
+    exercised through the real CLI offload path (not just the reader
+    unit test)."""
+    jvm = spark._jvm
+    db = tmp_path / "derby-signed"
+    url = f"jdbc:derby:{db};create=true"
+    jvm.Class.forName("org.apache.derby.jdbc.EmbeddedDriver").newInstance()
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.execute(
+        "CREATE TABLE ledger (acct INT, region VARCHAR(8), "
+        "amount DECIMAL(8,2))"
+    )
+    ps = conn.prepareStatement("INSERT INTO ledger VALUES (?, ?, ?)")
+    keys = list(range(-9, 10)) + [None, None]
+    for i, k in enumerate(keys):
+        if k is None:
+            ps.setNull(1, jvm.java.sql.Types.INTEGER)
+        else:
+            ps.setInt(1, k)
+        ps.setString(2, f"R{i % 3}")
+        ps.setBigDecimal(3, jvm.java.math.BigDecimal(f"{i}.50"))
+        ps.addBatch()
+    ps.executeBatch()
+    st.close()
+    conn.close()
+
+    rc = main(
+        [
+            "offload",
+            "--owner", OWNER,
+            "--table", "ledger",
+            "--source-jdbc-url", url,
+            "--source-parallelism", "3",
+            "--source-split-column", "acct",
+            "--target-dir", str(tmp_path / "final"),
+            "--staging-dir", str(tmp_path / "staging"),
+            "--metadata-dir", str(tmp_path / "md"),
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows_staged"] == out["rows_final"] == len(keys)
+    final = spark.read.parquet(str(tmp_path / "final"))
+    assert final.count() == len(keys)
+    assert final.where(F.col("acct").isNull()).count() == 2
+    assert final.where(F.col("acct") < 0).count() == 9
