@@ -310,6 +310,7 @@ def cmd_curate(args) -> int:
         metadata_dir=args.metadata_dir,
         quality_min=args.quality_min,
         token_budget=args.token_budget,
+        line_doc_max=args.line_doc_max,
     )
     report = CurationPipeline(spark, cfg).run()
     print(
@@ -806,6 +807,12 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--metadata-dir", required=True)
     cu.add_argument("--quality-min", type=float, default=0.5)
     cu.add_argument("--token-budget", type=int, default=150_000)
+    cu.add_argument(
+        "--line-doc-max",
+        type=int,
+        default=2,
+        help="cut lines spread across more than this many documents",
+    )
     cu.set_defaults(fn=cmd_curate)
 
     ing = sub.add_parser(

@@ -8,6 +8,10 @@ the offload pipeline, composed from the repo's own operators:
   PII_REDACT     email/phone/IPv4 -> typed placeholders
                  (queries/pii.py::redact_pii) — applied BEFORE dedup
                  so fingerprints and signatures see redacted text
+  LINE_SCRUB     C4-style destructive boilerplate-line removal: lines
+                 spread across > line_doc_max documents are cut from
+                 every doc; emptied docs dropped (the accounting twin
+                 is queries/dedup.py::line_dedup_stats)
   SCORE_FILTER   quality_score >= threshold (functions/text.py)
   EXACT_DEDUP    keep-first on the normalized content fingerprint
   NEAR_DEDUP     MinHash-LSH pairs -> connected components -> keep the
@@ -51,6 +55,7 @@ from goe_spark.plans.steps import StepRunner
 STAGES = (
     "RULE_FILTER",
     "PII_REDACT",
+    "LINE_SCRUB",
     "SCORE_FILTER",
     "EXACT_DEDUP",
     "NEAR_DEDUP",
@@ -69,6 +74,11 @@ class CurationConfig:
     token_budget: int = 150_000
     owner: str = "curation"
     table_name: str = "documents"
+    # LINE_SCRUB: a line (LINE_WORDS-word chunk) occurring in MORE
+    # than this many documents corpus-wide is boilerplate and is cut
+    # from every document (C4's line-dedup rule, as a destructive
+    # stage over the accounting in queries/dedup.py::line_dedup_stats)
+    line_doc_max: int = 2
 
 
 @dataclass
@@ -133,8 +143,74 @@ class CurationPipeline:
         )
         _write_stage(red, _stage_dir(self.cfg, "PII_REDACT"))
 
-    def _score_filter(self) -> None:
+    def _line_scrub(self) -> None:
+        """Destructive boilerplate-line removal (the C4 line-dedup
+        rule): split each doc into the same deterministic LINE_WORDS
+        word chunks line_dedup_stats accounts, count each line's
+        DISTINCT-document spread corpus-wide, and cut every line whose
+        spread exceeds line_doc_max from every document; docs left
+        empty are dropped. Runs after redaction (fingerprints see
+        redacted text, same ordering argument as dedup) and before
+        scoring (a doc stripped of boilerplate is judged on what
+        remains).
+
+        Scale: the spread count shuffles (fp, doc-distinct partials)
+        only; the heavy set is boilerplate-cardinality and broadcasts
+        into an anti-join against the (doc_id, pos, line) relation;
+        the rebuild groups lines by doc_id — one doc per group, text
+        reassembled in position order."""
+        from goe_spark.queries.dedup import LINE_WORDS
+
         d = self.spark.read.parquet(_stage_dir(self.cfg, "PII_REDACT"))
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        n_chunks = F.ceil(F.size("toks") / LINE_WORDS).cast("int")
+        chunks = (
+            d.select("doc_id", "lang", "source", toks.alias("toks"))
+            .select(
+                "doc_id",
+                "lang",
+                "source",
+                F.posexplode(
+                    F.transform(
+                        F.sequence(F.lit(0), n_chunks - 1),
+                        lambda i: F.array_join(
+                            F.slice(
+                                F.col("toks"), i * LINE_WORDS + 1, LINE_WORDS
+                            ),
+                            " ",
+                        ),
+                    )
+                ).alias("pos", "line"),
+            )
+            .withColumn("fp", hash64(F.col("line")))
+        )
+        heavy = (
+            chunks.groupBy("fp")
+            .agg(F.count_distinct("doc_id").alias("n_docs"))
+            .where(F.col("n_docs") > self.cfg.line_doc_max)
+            .select("fp")
+        )
+        kept_lines = chunks.join(F.broadcast(heavy), "fp", "left_anti")
+        rebuilt = (
+            kept_lines.groupBy("doc_id", "lang", "source")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "line"))
+                        ),
+                        lambda s: s["line"],
+                    ),
+                    " ",
+                ).alias("text")
+            )
+            .where(F.length(F.trim("text")) > 0)
+            .withColumn("n_tokens", T.token_count("text"))
+        )
+        _write_stage(rebuilt, _stage_dir(self.cfg, "LINE_SCRUB"))
+
+    def _score_filter(self) -> None:
+        d = self.spark.read.parquet(_stage_dir(self.cfg, "LINE_SCRUB"))
         scored = d.select(
             "doc_id",
             "lang",
@@ -284,6 +360,7 @@ class CurationPipeline:
         try:
             runner.run("RULE_FILTER", self._rule_filter)
             runner.run("PII_REDACT", self._pii_redact)
+            runner.run("LINE_SCRUB", self._line_scrub)
             runner.run("SCORE_FILTER", self._score_filter)
             runner.run("EXACT_DEDUP", self._exact_dedup)
             runner.run("NEAR_DEDUP", self._near_dedup)

@@ -923,8 +923,17 @@ def cross_lang_shingle_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index asymptotic — no pairwise term anywhere.
     """
     sh = _shingle_hashed(spark, sf_dir)
+    # explode_OUTER, then drop the NULL rows ourselves: a plain
+    # explode makes Catalyst infer `size(sh) > 0` and push that filter
+    # BELOW the parallelizing repartition, inlining the whole
+    # md5-shingle expression into a filter that runs on the scan's
+    # (often single) split — measured 41 s single-core at sf0.1 vs
+    # ~1 s spread over 32. The outer variant generates no inferable
+    # filter, so the expensive projection stays above the exchange.
     lang_sh = (
-        sh.select("lang", F.explode("sh").alias("s")).distinct()
+        sh.select("lang", F.explode_outer("sh").alias("s"))
+        .where(F.col("s").isNotNull())
+        .distinct()
     )
     spread_langs = lang_sh.groupBy("s").agg(
         F.count(F.lit(1)).alias("n_langs")

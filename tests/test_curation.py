@@ -38,7 +38,7 @@ def test_funnel_monotone_and_persisted(spark, finished):
     with open(os.path.join(cfg.work_dir, "funnel.json")) as fh:
         disk = json.load(fh)
     assert disk["final_rows"] == report.final_rows
-    assert len(disk["funnel"]) == 6
+    assert len(disk["funnel"]) == 7  # incl. LINE_SCRUB
 
 
 def test_no_exact_duplicate_survives(spark, finished):
@@ -100,8 +100,9 @@ def test_crash_resume_skips_completed_stages(spark, tmp_path):
     assert not os.path.isdir(os.path.join(cfg.work_dir, "final"))
 
     report = pipe.run()  # resume
-    # RULE_FILTER, PII_REDACT, SCORE_FILTER, EXACT_DEDUP, NEAR_DEDUP
-    assert report.resumed_steps == 5
+    # RULE_FILTER, PII_REDACT, LINE_SCRUB, SCORE_FILTER, EXACT_DEDUP,
+    # NEAR_DEDUP
+    assert report.resumed_steps == 6
     assert report.final_rows > 0
     # History shows two executions: the failed one and the resumed one.
     from goe_spark.plans.history import ExecutionHistoryStore
@@ -129,8 +130,8 @@ def test_parameter_change_invalidates_resume(spark, tmp_path):
     r2 = CurationPipeline(spark, CurationConfig(quality_min=0.9, **base)).run()
     assert r2.resumed_steps == 0
     # A tighter threshold strictly shrinks the SCORE_FILTER stage
-    # (the first two stages don't depend on quality_min).
-    assert r2.funnel[2][1] < r1.funnel[2][1]
+    # (the stages before it don't depend on quality_min).
+    assert r2.funnel[3][1] < r1.funnel[3][1]
     assert r2.funnel[0][1] == r1.funnel[0][1]
 
 
@@ -147,12 +148,12 @@ def test_double_crash_resume_chain(spark, tmp_path):
     )
     pipe = CurationPipeline(spark, cfg)
     with pytest.raises(StepError):
-        pipe.run(error_at="NEAR_DEDUP")  # crash 1: 4 stages done
+        pipe.run(error_at="NEAR_DEDUP")  # crash 1: 5 stages done
     with pytest.raises(StepError):
-        pipe.run(error_at="FINAL_WRITE")  # crash 2: resumes 4, adds 2
+        pipe.run(error_at="FINAL_WRITE")  # crash 2: resumes 5, adds 2
     report = pipe.run()
     # Third run resumes everything up to FINAL_WRITE.
-    assert report.resumed_steps == 6
+    assert report.resumed_steps == 7
     assert report.final_rows > 0
 
 
@@ -198,3 +199,64 @@ def test_pii_redacted_and_junk_dropped(spark, tmp_path):
     ).first()[0]
     assert resid == 0
     assert report.funnel[0][1] == 2  # RULE_FILTER already dropped doc 3
+
+
+def test_line_scrub_cuts_boilerplate_keeps_unique(spark, tmp_path):
+    """A 10-word footer planted in 4 docs (> line_doc_max=2) is cut
+    from every survivor; unique body text survives verbatim; a doc
+    that was ONLY boilerplate disappears."""
+    footer = " ".join(f"foot{i}" for i in range(10))
+    bodies = [
+        " ".join(f"body{d}w{i}" for i in range(10)) for d in range(4)
+    ]
+    rows = [
+        (d, bodies[d] + " " + footer, "en", f"src{d}", 0) for d in range(4)
+    ] + [(4, footer, "en", "src4", 0)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    src = tmp_path / "src"
+    df.coalesce(1).write.parquet(str(src / "documents.parquet"))
+    cfg = CurationConfig(
+        source_sf_dir=str(src),
+        work_dir=str(tmp_path / "work"),
+        metadata_dir=str(tmp_path / "meta"),
+        quality_min=0.0,
+        token_budget=10_000,
+    )
+    report = CurationPipeline(spark, cfg).run()
+    final = spark.read.parquet(os.path.join(cfg.work_dir, "final"))
+    texts = {r.doc_id: r.text for r in final.collect()}
+    assert set(texts) == {0, 1, 2, 3}  # the footer-only doc is gone
+    for d, t in texts.items():
+        assert "foot0" not in t
+        assert t == bodies[d]
+    stages = dict((s, r) for s, r, _ in report.funnel)
+    assert stages["LINE_SCRUB"] == 4  # 5 in, footer-only doc dropped
+
+
+def test_line_scrub_respects_threshold(spark, tmp_path):
+    """The same footer in only 2 docs (== line_doc_max) survives."""
+    footer = " ".join(f"keep{i}" for i in range(10))
+    rows = [
+        (d, " ".join(f"b{d}x{i}" for i in range(10)) + " " + footer,
+         "en", f"s{d}", 0)
+        for d in range(2)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    src = tmp_path / "src2"
+    df.coalesce(1).write.parquet(str(src / "documents.parquet"))
+    cfg = CurationConfig(
+        source_sf_dir=str(src),
+        work_dir=str(tmp_path / "work2"),
+        metadata_dir=str(tmp_path / "meta2"),
+        quality_min=0.0,
+        token_budget=10_000,
+    )
+    CurationPipeline(spark, cfg).run()
+    scrubbed = spark.read.parquet(
+        os.path.join(cfg.work_dir, "stage_line_scrub")
+    )
+    assert all("keep0" in r.text for r in scrubbed.collect())

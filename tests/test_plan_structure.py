@@ -863,3 +863,18 @@ def test_emb_dim_stats_single_scan_bounded_groups(spark):
     assert plan.count("Scan parquet") == 1, plan
     assert "Join" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_cross_lang_no_hashing_below_the_spread_exchange(spark):
+    """Round-9 regression pin: a plain explode over the shingle array
+    made Catalyst infer `size(sh) > 0` and push it below the
+    parallelizing repartition, inlining the md5 shingle hashing into a
+    single-split filter (41 s single-core at sf0.1). No Filter node
+    may contain the md5 hashing — the expensive projection must stay
+    above the spread exchange."""
+    from goe_spark.queries.dedup import cross_lang_shingle_leakage
+
+    plan = _plan(cross_lang_shingle_leakage(spark, SF_SMALL), "simple")
+    for line in plan.splitlines():
+        if "Filter" in line:
+            assert "md5" not in line, line
