@@ -857,9 +857,15 @@ def line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("fps"),
     )
+    # explode_OUTER + NULL drop, not plain explode: the inferred
+    # size(fps) > 0 filter would be pushed below the spread exchange
+    # with the whole md5 line-hashing inlined, serializing the hashing
+    # onto the scan's split (see cross_lang_shingle_leakage, which
+    # measured the same shape at 41 s single-core; plan-guarded for
+    # both queries in test_plan_structure.py).
     inst = lines.select(
-        "source", F.explode("fps").alias("fp")
-    )
+        "source", F.explode_outer("fps").alias("fp")
+    ).where(F.col("fp").isNotNull())
     counts = inst.groupBy("fp").agg(F.count(F.lit(1)).alias("n_occ"))
     return (
         inst.join(counts, "fp")

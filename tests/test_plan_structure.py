@@ -874,7 +874,10 @@ def test_cross_lang_no_hashing_below_the_spread_exchange(spark):
     above the spread exchange."""
     from goe_spark.queries.dedup import cross_lang_shingle_leakage
 
-    plan = _plan(cross_lang_shingle_leakage(spark, SF_SMALL), "simple")
-    for line in plan.splitlines():
-        if "Filter" in line:
-            assert "md5" not in line, line
+    from goe_spark.queries.dedup import line_dedup_stats
+
+    for q in (cross_lang_shingle_leakage, line_dedup_stats):
+        plan = _plan(q(spark, SF_SMALL), "simple")
+        for line in plan.splitlines():
+            if "Filter" in line:
+                assert "md5" not in line, (q.__name__, line)
