@@ -37,7 +37,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(REPO, ".scale", "sf1")
+SF10 = os.path.join(REPO, ".scale", "sf10")
 N_COPIES = 10
+N_COPIES_SF10 = 100
 
 PROBE_QUERIES = [
     "minhash_lsh_pairs",
@@ -57,12 +59,22 @@ PROBE_QUERIES = [
 
 
 def ensure_sf1(spark) -> None:
+    _ensure_scaled(spark, SF1, N_COPIES)
+
+
+def ensure_sf10(spark) -> None:
+    """100x bench data (round-9): same construction as sf1 with 100
+    copies — ~60M lineitem / 500k docs / 50k embeddings."""
+    _ensure_scaled(spark, SF10, N_COPIES_SF10)
+
+
+def _ensure_scaled(spark, dst: str, n_copies: int) -> None:
     from pyspark.sql import functions as F
 
-    if os.path.exists(os.path.join(SF1, "documents.parquet")):
+    if os.path.exists(os.path.join(dst, "documents.parquet")):
         return
-    os.makedirs(SF1, exist_ok=True)
-    copies = spark.range(N_COPIES).withColumnRenamed("id", "k")
+    os.makedirs(dst, exist_ok=True)
+    copies = spark.range(n_copies).withColumnRenamed("id", "k")
 
     docs = spark.read.parquet(f"{SF01}/documents.parquet")
     k = F.col("k")
@@ -84,7 +96,7 @@ def ensure_sf1(spark) -> None:
     big_docs = (
         docs.crossJoin(copies)
         .select(
-            (F.col("doc_id") * N_COPIES + k).alias("doc_id"),
+            (F.col("doc_id") * n_copies + k).alias("doc_id"),
             F.when(k == 0, F.col("text")).otherwise(perturbed).alias("text"),
             "lang",
             "source",
@@ -92,7 +104,7 @@ def ensure_sf1(spark) -> None:
         .withColumn("n_chars", F.length("text").cast("bigint"))
     )
     big_docs.repartition(8).write.mode("overwrite").parquet(
-        os.path.join(SF1, "documents.parquet")
+        os.path.join(dst, "documents.parquet")
     )
 
     emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
@@ -104,18 +116,18 @@ def ensure_sf1(spark) -> None:
         ).cast("float"),
     )
     big_emb = emb.crossJoin(copies).select(
-        (F.col("vec_id") * N_COPIES + k).alias("vec_id"),
+        (F.col("vec_id") * n_copies + k).alias("vec_id"),
         F.when(k == 0, F.col("embedding")).otherwise(shifted).alias(
             "embedding"
         ),
         "label",
     )
     big_emb.repartition(8).write.mode("overwrite").parquet(
-        os.path.join(SF1, "embeddings.parquet")
+        os.path.join(dst, "embeddings.parquet")
     )
 
     # TPC-H facts + events scale 10x with a CONSISTENT entity remap:
-    # every entity key k' = k * N_COPIES + copy, applied identically
+    # every entity key k' = k * n_copies + copy, applied identically
     # to the primary key and every foreign key, so joins stay valid
     # and per-entity history (a customer's orders, a user's events)
     # clones into N independent entities — fact cardinality, join
@@ -124,28 +136,28 @@ def ensure_sf1(spark) -> None:
     # tables region/nation stay fixed (copies share nations, as a
     # real 10x business would).
     def remap(col_name):
-        return (F.col(col_name) * N_COPIES + k).alias(col_name)
+        return (F.col(col_name) * n_copies + k).alias(col_name)
 
     cust = spark.read.parquet(f"{SF01}/customer.parquet")
     cust.crossJoin(copies).select(
         remap("c_custkey"),
         *[c for c in cust.columns if c != "c_custkey"],
     ).repartition(8).write.mode("overwrite").parquet(
-        os.path.join(SF1, "customer.parquet")
+        os.path.join(dst, "customer.parquet")
     )
     supp = spark.read.parquet(f"{SF01}/supplier.parquet")
     supp.crossJoin(copies).select(
         remap("s_suppkey"),
         *[c for c in supp.columns if c != "s_suppkey"],
     ).repartition(8).write.mode("overwrite").parquet(
-        os.path.join(SF1, "supplier.parquet")
+        os.path.join(dst, "supplier.parquet")
     )
     part = spark.read.parquet(f"{SF01}/part.parquet")
     part.crossJoin(copies).select(
         remap("p_partkey"),
         *[c for c in part.columns if c != "p_partkey"],
     ).repartition(8).write.mode("overwrite").parquet(
-        os.path.join(SF1, "part.parquet")
+        os.path.join(dst, "part.parquet")
     )
     orders = spark.read.parquet(f"{SF01}/orders.parquet")
     orders.crossJoin(copies).select(
@@ -153,7 +165,7 @@ def ensure_sf1(spark) -> None:
         remap("o_custkey"),
         *[c for c in orders.columns if c not in ("o_orderkey", "o_custkey")],
     ).repartition(8).write.mode("overwrite").parquet(
-        os.path.join(SF1, "orders.parquet")
+        os.path.join(dst, "orders.parquet")
     )
     li = spark.read.parquet(f"{SF01}/lineitem.parquet")
     li.crossJoin(copies).select(
@@ -166,7 +178,7 @@ def ensure_sf1(spark) -> None:
             if c not in ("l_orderkey", "l_partkey", "l_suppkey")
         ],
     ).repartition(16).write.mode("overwrite").parquet(
-        os.path.join(SF1, "lineitem.parquet")
+        os.path.join(dst, "lineitem.parquet")
     )
     ev = spark.read.parquet(f"{SF01}/events.parquet")
     ev.crossJoin(copies).select(
@@ -174,13 +186,13 @@ def ensure_sf1(spark) -> None:
         remap("user_id"),
         *[c for c in ev.columns if c not in ("event_id", "user_id")],
     ).repartition(8).write.mode("overwrite").parquet(
-        os.path.join(SF1, "events.parquet")
+        os.path.join(dst, "events.parquet")
     )
     for t in "region nation".split():
-        dst = os.path.join(SF1, f"{t}.parquet")
-        if not os.path.exists(dst):
-            os.symlink(f"{SF01}/{t}.parquet", dst)
-    print(f"generated {SF1}", file=sys.stderr)
+        link = os.path.join(dst, f"{t}.parquet")
+        if not os.path.exists(link):
+            os.symlink(f"{SF01}/{t}.parquet", link)
+    print(f"generated {dst} ({n_copies} copies)", file=sys.stderr)
 
 
 def _time(fn, spark, sf_dir, runs=3):
@@ -196,29 +208,57 @@ def _time(fn, spark, sf_dir, runs=3):
     return round(statistics.median(ts), 3)
 
 
+# 100x probe set: the superlinear-risk operators plus the round-9
+# additions whose plan shape the explode_outer fix protects.
+PROBE_QUERIES_SF10 = [
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "cross_doc_ngram_coverage",
+    "semantic_dedup_keep_first",
+    "line_dedup_stats",
+    "cross_lang_shingle_leakage",
+    "token_entropy_by_source",
+    "knn_graph_stats",
+    "q1_pricing_summary",
+    "q9_product_profit",
+    "sessionization_stats",
+    "cms_user_counts",
+]
+
+
 def main() -> None:
     from goe_spark.queries import queries_dict
     from goe_spark.session import get_spark
 
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    ensure_sf1(spark)
+    sf10 = "--sf10" in sys.argv
+    if sf10:
+        ensure_sf10(spark)
+        big_dir, ratio, probes = SF10, N_COPIES_SF10, PROBE_QUERIES_SF10
+    else:
+        ensure_sf1(spark)
+        big_dir, ratio, probes = SF1, N_COPIES, PROBE_QUERIES
     if "--gen-only" in sys.argv:
         return
 
     qs = queries_dict()
     out = {}
-    for name in PROBE_QUERIES:
-        t_small = _time(qs[name], spark, SF01)
-        t_big = _time(qs[name], spark, SF1)
+    # sf10 materializations are ~100x the work; one timed run after
+    # the warm-up bounds the probe's wall clock (medians matter less
+    # when the signal is a 100x growth factor, not a 10% regression).
+    runs = 1 if sf10 else 3
+    for name in probes:
+        t_small = _time(qs[name], spark, SF01, runs=runs)
+        t_big = _time(qs[name], spark, big_dir, runs=runs)
         out[name] = {
             "sf0.1_s": t_small,
-            "sf1_s": t_big,
+            f"x{ratio}_s": t_big,
             "growth": round(t_big / t_small, 2) if t_small else None,
         }
         print(f"{name}: {t_small}s -> {t_big}s ({out[name]['growth']}x)",
               file=sys.stderr)
-    print(json.dumps({"data_ratio": N_COPIES, "queries": out}))
+    print(json.dumps({"data_ratio": ratio, "queries": out}))
 
 
 if __name__ == "__main__":
