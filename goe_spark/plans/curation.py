@@ -105,6 +105,69 @@ def _write_stage(df: DataFrame, path: str) -> None:
     os.rename(tmp, path)
 
 
+def scrub_boilerplate_lines(d: DataFrame, line_doc_max: int) -> DataFrame:
+    """Destructive boilerplate-line removal (the C4 line-dedup rule):
+    split each doc into the same deterministic LINE_WORDS word chunks
+    line_dedup_stats accounts, count each line's DISTINCT-document
+    spread corpus-wide, and cut every line whose spread exceeds
+    ``line_doc_max`` from every document; docs left empty are dropped.
+    Idempotent: every surviving line is exactly LINE_WORDS words
+    except each doc's final partial chunk, so re-chunking the rebuilt
+    text reproduces the same lines — a second pass removes nothing
+    (property-tested in tests/test_curation.py).
+
+    Scale: the spread count shuffles (fp, doc-distinct partials)
+    only; the heavy set is boilerplate-cardinality and broadcasts
+    into an anti-join against the (doc_id, pos, line) relation; the
+    rebuild groups lines by doc_id — one doc per group, text
+    reassembled in position order."""
+    from goe_spark.queries.dedup import LINE_WORDS
+
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_chunks = F.ceil(F.size("toks") / LINE_WORDS).cast("int")
+    chunks = (
+        d.select("doc_id", "lang", "source", toks.alias("toks"))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.array_join(
+                        F.slice(
+                            F.col("toks"), i * LINE_WORDS + 1, LINE_WORDS
+                        ),
+                        " ",
+                    ),
+                )
+            ).alias("pos", "line"),
+        )
+        .withColumn("fp", hash64(F.col("line")))
+    )
+    heavy = (
+        chunks.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") > line_doc_max)
+        .select("fp")
+    )
+    kept_lines = chunks.join(F.broadcast(heavy), "fp", "left_anti")
+    return (
+        kept_lines.groupBy("doc_id", "lang", "source")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                " ",
+            ).alias("text")
+        )
+        .where(F.length(F.trim("text")) > 0)
+        .withColumn("n_tokens", T.token_count("text"))
+    )
+
+
 def _counts(spark: SparkSession, path: str) -> tuple[int, int]:
     df = spark.read.parquet(path)
     row = df.agg(
@@ -144,69 +207,8 @@ class CurationPipeline:
         _write_stage(red, _stage_dir(self.cfg, "PII_REDACT"))
 
     def _line_scrub(self) -> None:
-        """Destructive boilerplate-line removal (the C4 line-dedup
-        rule): split each doc into the same deterministic LINE_WORDS
-        word chunks line_dedup_stats accounts, count each line's
-        DISTINCT-document spread corpus-wide, and cut every line whose
-        spread exceeds line_doc_max from every document; docs left
-        empty are dropped. Runs after redaction (fingerprints see
-        redacted text, same ordering argument as dedup) and before
-        scoring (a doc stripped of boilerplate is judged on what
-        remains).
-
-        Scale: the spread count shuffles (fp, doc-distinct partials)
-        only; the heavy set is boilerplate-cardinality and broadcasts
-        into an anti-join against the (doc_id, pos, line) relation;
-        the rebuild groups lines by doc_id — one doc per group, text
-        reassembled in position order."""
-        from goe_spark.queries.dedup import LINE_WORDS
-
         d = self.spark.read.parquet(_stage_dir(self.cfg, "PII_REDACT"))
-        toks = F.split(F.trim(F.col("text")), r"\s+")
-        n_chunks = F.ceil(F.size("toks") / LINE_WORDS).cast("int")
-        chunks = (
-            d.select("doc_id", "lang", "source", toks.alias("toks"))
-            .select(
-                "doc_id",
-                "lang",
-                "source",
-                F.posexplode(
-                    F.transform(
-                        F.sequence(F.lit(0), n_chunks - 1),
-                        lambda i: F.array_join(
-                            F.slice(
-                                F.col("toks"), i * LINE_WORDS + 1, LINE_WORDS
-                            ),
-                            " ",
-                        ),
-                    )
-                ).alias("pos", "line"),
-            )
-            .withColumn("fp", hash64(F.col("line")))
-        )
-        heavy = (
-            chunks.groupBy("fp")
-            .agg(F.count_distinct("doc_id").alias("n_docs"))
-            .where(F.col("n_docs") > self.cfg.line_doc_max)
-            .select("fp")
-        )
-        kept_lines = chunks.join(F.broadcast(heavy), "fp", "left_anti")
-        rebuilt = (
-            kept_lines.groupBy("doc_id", "lang", "source")
-            .agg(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("pos", "line"))
-                        ),
-                        lambda s: s["line"],
-                    ),
-                    " ",
-                ).alias("text")
-            )
-            .where(F.length(F.trim("text")) > 0)
-            .withColumn("n_tokens", T.token_count("text"))
-        )
+        rebuilt = scrub_boilerplate_lines(d, self.cfg.line_doc_max)
         _write_stage(rebuilt, _stage_dir(self.cfg, "LINE_SCRUB"))
 
     def _score_filter(self) -> None:

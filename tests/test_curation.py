@@ -260,3 +260,25 @@ def test_line_scrub_respects_threshold(spark, tmp_path):
         os.path.join(cfg.work_dir, "stage_line_scrub")
     )
     assert all("keep0" in r.text for r in scrubbed.collect())
+
+
+def test_line_scrub_idempotent(spark):
+    """scrub(scrub(corpus)) == scrub(corpus): surviving lines are all
+    exactly LINE_WORDS words (bar each doc's final partial chunk), so
+    re-chunking reproduces the same lines and their spreads only
+    shrink — a second pass must remove nothing."""
+    from goe_spark.catalog import load_table
+    from goe_spark.plans.curation import scrub_boilerplate_lines
+
+    d = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    once = scrub_boilerplate_lines(d, 2).select(
+        "doc_id", "lang", "source", "text"
+    )
+    twice = scrub_boilerplate_lines(once, 2).select(
+        "doc_id", "lang", "source", "text"
+    )
+    assert once.count() == twice.count()
+    assert once.exceptAll(twice).count() == 0
+    assert twice.exceptAll(once).count() == 0
