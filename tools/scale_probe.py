@@ -16,6 +16,13 @@ check_oracle's view registration succeeds).
 Usage:
     python tools/scale_probe.py            # generate if absent + time
     python tools/scale_probe.py --gen-only
+    python tools/scale_probe.py --sf10     # 100x bench (.scale/sf10)
+
+The --sf10 fixture reuses this construction with 100 copies. Caveat:
+the embedding perturbation's (k % 7, k % 5) parameter grid repeats
+across 100 copies, so some cross-copy embedding vectors are exact
+duplicates — fine for RUNTIME growth probes (cell caps bound the work
+regardless) but sf10 is not used for pair-count linearity claims.
 
 Timing: per query, 1 warm-up + 3 timed runs at sf0.1 then sf1;
 reports medians and the sf1/sf0.1 growth factor. Hash parity at sf1
