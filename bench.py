@@ -263,7 +263,11 @@ def main() -> None:
     # compact line carries the headline metric, the failure/degrade
     # accounting and the slowest-query tail (the part a reader acts
     # on); BENCH_FULL.json (committed) carries every median/min/max.
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    # --only runs must not clobber the committed full-sweep artifact
+    detail_name = "BENCH_PARTIAL.json" if args.only else "BENCH_FULL.json"
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), detail_name
+    )
     with open(full_path, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
         fh.write("\n")
@@ -281,7 +285,7 @@ def main() -> None:
         "runs_per_query": n_runs_req,
         "queries": slowest,
         "errors": {k: v[:80] for k, v in list(errs.items())[:5]},
-        "detail": "BENCH_FULL.json",
+        "detail": detail_name,
         "sf": sf_val,
     }
     line = json.dumps(compact)
