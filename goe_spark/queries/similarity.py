@@ -276,7 +276,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_ivf_sql() -> str:
+def _ivf_assigned_ctes() -> str:
+    """The emb -> seeds -> 1-Lloyd-step centroids -> assigned CTE
+    chain shared by the IVF ANN oracle and the IVF-cell kNN-graph
+    oracle — one definition so the quantizer replay cannot drift
+    between them."""
     from goe_spark.functions.hashing import hash64_sql
     from goe_spark.operators.ivf import CENT_DEC, DIM, N_CELLS
 
@@ -323,7 +327,12 @@ WITH emb AS (
            ) AS rk
     FROM emb e CROSS JOIN cents c
   ) WHERE rk = 1
-), qry AS (
+)"""
+
+
+def _ann_ivf_sql() -> str:
+    return _ivf_assigned_ctes() + f""",
+qry AS (
   SELECT vec_id AS qid, embedding AS qvec, vnorm2 AS qnorm2
   FROM emb WHERE vec_id < {N_QUERIES}
 ), probes AS (
@@ -1249,11 +1258,18 @@ def knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Edge accounting is fixed-point (cosine already rounded to 6dp,
     then quantized to int for the order-free mean)."""
-    from pyspark.sql.window import Window
-
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding"
     )
+    return _knn_graph_rollup(emb)
+
+
+def _knn_graph_rollup(emb: DataFrame) -> DataFrame:
+    """Shared kNN-graph build + reciprocity rollup over any coarse
+    cell column named `label` — fixture labels (knn_graph_stats) or
+    the IVF quantizer's cells (knn_graph_ivf_stats)."""
+    from pyspark.sql.window import Window
+
     cells = sub_bucketed_cells(emb)
     a = cells.select(
         "label",
@@ -1369,6 +1385,92 @@ FROM marked GROUP BY label
 """
 
 
+def knn_graph_ivf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kNN graph over the IVF QUANTIZER's cells — the exact plan
+    knn_graph_stats documents as its 100 TB form, made real: coarse
+    cells come from operators/ivf.py's sampled-k-means quantizer
+    (hash-seeded sample + one Lloyd step, the same quantizer the ANN
+    index uses) instead of fixture labels, then the identical
+    cap-sub-bucketed edge build and reciprocity rollup. Per cell:
+    vertices, edges, mutual edges, reciprocity and mean cosine.
+
+    Plan: centroid build is the audited ann_ivf shape (bounded seed
+    window, broadcast centroid argmax assignment); everything after
+    assignment is _knn_graph_rollup's equi-join-only lineage. The
+    DuckDB oracle replays the quantizer through the SAME CTE chain as
+    ann_ivf_topk (_ivf_assigned_ctes — one definition, cannot
+    drift)."""
+    from goe_spark.operators.ivf import assign_cells, centroids
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    assigned = assign_cells(emb, centroids(emb))
+    return (
+        _knn_graph_rollup(
+            assigned.select(
+                "vec_id", F.col("cell").alias("label"), "embedding"
+            )
+        )
+        .withColumn("cell", F.col("label").cast("int"))
+        .drop("label")
+        .select(
+            "cell",
+            "n_vertices",
+            "n_edges",
+            "n_mutual",
+            "reciprocity_q4",
+            "mean_cosine_q6",
+        )
+    )
+
+
+def _knn_graph_ivf_sql() -> str:
+    from goe_spark.functions.hashing import hash64_sql
+
+    h = hash64_sql("cast(vec_id AS varchar)")
+    cap = EMB_CELL_CAP
+    nsub = f"greatest(1, (s.n_cell + {cap} - 1) // {cap})"
+    cos = (
+        f"round({DOT_SQL.format(a='a.embedding', b='b.embedding')}"
+        " / sqrt(a.nrm * b.nrm), 6)"
+    )
+    return _ivf_assigned_ctes() + f""",
+sizes2 AS (
+  SELECT cell, count(*) AS n_cell FROM assigned GROUP BY cell
+), gcells AS (
+  SELECT e.vec_id, e.cell, e.embedding, e.vnorm2 AS nrm,
+         (({h} % {nsub}) + {nsub}) % {nsub} AS sub
+  FROM assigned e JOIN sizes2 s USING (cell)
+), scored AS (
+  SELECT a.cell, a.vec_id AS src, b.vec_id AS dst, {cos} AS cosine
+  FROM gcells a JOIN gcells b
+    ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id != b.vec_id
+), edges AS (
+  SELECT cell, src, dst, cosine FROM (
+    SELECT *, row_number() OVER
+      (PARTITION BY cell, src ORDER BY cosine DESC, dst ASC) AS rk
+    FROM scored
+  ) WHERE rk <= {KNN_GRAPH_K}
+), marked AS (
+  SELECT e.cell, e.src, e.dst, e.cosine,
+         CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS is_mutual
+  FROM edges e LEFT JOIN edges r
+    ON r.cell = e.cell AND r.src = e.dst AND r.dst = e.src
+)
+SELECT cast(cell AS int) AS cell,
+       count(DISTINCT src) AS n_vertices,
+       count(*) AS n_edges,
+       cast(sum(is_mutual) AS bigint) AS n_mutual,
+       cast(floor(sum(is_mutual) * 1e4 / count(*)) AS bigint)
+         AS reciprocity_q4,
+       cast(floor(cast(sum(cast(floor(cosine * 1e6 + 0.5) AS bigint))
+                       AS double) / count(*)) AS bigint)
+         AS mean_cosine_q6
+FROM marked GROUP BY cell
+"""
+
+
 def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension moment audit of the embedding space — the
     anisotropy check run before trusting cosine retrieval: a few
@@ -1447,6 +1549,12 @@ QUERIES = [
         embedding_dimension_stats,
         EMB_DIM_STATS_SQL,
         "per-dimension mean/variance anisotropy audit",
+    ),
+    QuerySpec(
+        "knn_graph_ivf_stats",
+        knn_graph_ivf_stats,
+        _knn_graph_ivf_sql(),
+        "kNN-graph reciprocity over the IVF quantizer's cells",
     ),
     QuerySpec(
         "hybrid_search_rrf",

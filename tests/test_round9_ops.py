@@ -227,3 +227,26 @@ def test_cross_lang_planted_leak(spark, tmp_path):
     assert got["en"].n_shared == 1 and got["fr"].n_shared == 1
     assert got["es"].n_shared == 0
     assert got["en"].shared_per_10k == 10_000
+
+
+def test_knn_graph_ivf_cells_invariants(spark):
+    """IVF-cell variant: cells are the quantizer's 0..N_CELLS-1, the
+    mutual-edge parity and degree bounds hold, and every embedding
+    lands in exactly one cell (vertex total == corpus size when every
+    sub-bucket has >= 2 members, else <=)."""
+    from goe_spark.catalog import load_table
+    from goe_spark.operators.ivf import N_CELLS
+    from goe_spark.queries.similarity import (
+        KNN_GRAPH_K,
+        knn_graph_ivf_stats,
+    )
+
+    rows = knn_graph_ivf_stats(spark, SF).collect()
+    assert rows
+    n_emb = load_table(spark, SF, "embeddings").count()
+    assert {r.cell for r in rows} <= set(range(N_CELLS))
+    assert sum(r.n_vertices for r in rows) <= n_emb
+    for r in rows:
+        assert r.n_mutual % 2 == 0
+        assert r.n_edges <= r.n_vertices * KNN_GRAPH_K
+        assert 0 <= r.reciprocity_q4 <= 10_000
