@@ -33,11 +33,14 @@ class QuerySpec:
 # silently dropping q13_customer_distribution from the window
 # (round-8 ADVICE) — it leads this round's stale block instead.
 # Round-9 window, in order:
-#   1. the 10 queries NEW this round — never driver-checked;
-#   2. all 40 entries whose last driver check was ROUND 6 (q13 first:
-#      it was the entry the r8 over-long window pushed out).
-# After this rotation no registry entry's latest driver row is older
-# than round 7. Everything else keeps module order behind the window;
+#   1. the 11 queries NEW this round — never driver-checked;
+#   2. 39 of the 40 entries whose last driver check was ROUND 6 (q13
+#      first: it was the entry the r8 over-long window pushed out).
+# contamination_check is the ONE r6-stale entry deliberately left
+# outside (displaced by the late-round knn_graph_ivf_stats so every
+# new operator gets a driver row) — it leads the round-10 stale block.
+# After this rotation no other registry entry's latest driver row is
+# older than round 7. Everything else keeps module order behind the window;
 # pytest's test_queries_oracle.py re-verifies the FULL registry against
 # DuckDB (same pandas fetch path as the driver) every run regardless of
 # position.
@@ -55,7 +58,8 @@ HEAD = (
     "vocab_growth_curve",
     "knn_graph_stats",
     "embedding_dimension_stats",
-    # -- last driver-checked in round 6 (40 entries) --
+    "knn_graph_ivf_stats",
+    # -- last driver-checked in round 6 (39 of 40; see note above) --
     "q13_customer_distribution",
     "asof_latest_order",
     "window_top_orders_per_customer",
@@ -95,7 +99,6 @@ HEAD = (
     "purchase_attribution",
     "dedup_clusters",
     "dedup_keep_best",
-    "contamination_check",
 )
 TAIL = ()
 
