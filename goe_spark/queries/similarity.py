@@ -1536,6 +1536,112 @@ FROM per
 """
 
 
+GRAM_Q = 1_000  # per-element fixed-point grid for the exact Gram
+GRAM_CHUNK = 1_000  # rows per int64 partial matmul (overflow headroom)
+
+
+def embedding_gram_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix G = V^T V — the covariance/PCA/whitening
+    precursor every embedding-space audit starts from — computed as
+    EXACT integer linear algebra: elements quantized to the {GRAM_Q}
+    grid, per-chunk int64 BLAS matmuls inside mapInPandas (chunks of
+    {GRAM_CHUNK} rows bound the int64 partial sums), partials summed
+    in DECIMAL(38,0). Per dimension i the registry row reports G_ii,
+    the off-diagonal absolute mass sum_j!=i |G_ij| and their ratio —
+    the cross-correlation signal that says whether dimensions carry
+    independent information (ratio << 1) or the space needs whitening.
+
+    Plan (100 TB): each task reduces its rows to ceil(rows/chunk)
+    64x64 integer matrices — the shuffle carries d^2-bounded partial
+    matrices, never vectors; the final sum is a d^2-group aggregate.
+    This is the classic treeAggregate Gram pattern (Spark MLlib's
+    computeGramianMatrix), expressed Arrow-batched with exact
+    arithmetic so the DuckDB oracle (pairwise product sums over the
+    same quantized elements) matches hash-for-hash at any scale.
+    tests/test_round9_ops.py adds the numpy cross-check and the
+    PCA-variance consumer (eigh on the collected 64x64)."""
+    import pandas as pd
+
+    from goe_spark.operators.ivf import DIM
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def partial_grams(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            Vq = np.floor(V * GRAM_Q + 0.5).astype(np.int64)
+            for lo in range(0, len(Vq), GRAM_CHUNK):
+                G = Vq[lo : lo + GRAM_CHUNK].T @ Vq[lo : lo + GRAM_CHUNK]
+                i, j = np.meshgrid(range(DIM), range(DIM), indexing="ij")
+                yield pd.DataFrame(
+                    {
+                        "i": (i.ravel() + 1).astype("int32"),
+                        "j": (j.ravel() + 1).astype("int32"),
+                        "g": G.ravel(),
+                    }
+                )
+
+    partial = emb.mapInPandas(partial_grams, "i int, j int, g long")
+    gram = partial.groupBy("i", "j").agg(
+        F.sum(F.col("g").cast("decimal(38,0)")).alias("g")
+    )
+    return gram.groupBy("i").agg(
+        F.sum(F.when(F.col("j") == F.col("i"), F.col("g"))).alias("_diag"),
+        F.sum(
+            F.when(F.col("j") != F.col("i"), F.abs(F.col("g"))).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("_off"),
+    ).select(
+        F.col("i").alias("dim"),
+        F.col("_diag").cast("double").alias("gram_diag"),
+        F.col("_off").cast("double").alias("offdiag_abs_mass"),
+        F.floor(
+            F.col("_off").cast("double")
+            / F.col("_diag").cast("double")
+            * 1e6
+        )
+        .cast("long")
+        .alias("cross_ratio_q6"),
+    )
+
+
+def _gram_sql() -> str:
+    from goe_spark.operators.ivf import DIM
+
+    q = GRAM_Q
+    return f"""
+WITH el AS (
+  SELECT vid, i, cast(floor(v * {q} + 0.5) AS bigint) AS vq
+  FROM (
+    SELECT vec_id AS vid, r.i AS i,
+           cast(embedding[r.i] AS double) AS v
+    FROM embeddings,
+         LATERAL unnest(range(1, {DIM} + 1)) AS r(i)
+  )
+), gram AS (
+  SELECT a.i AS i, b.i AS j, sum(a.vq * b.vq) AS g
+  FROM el a JOIN el b ON a.vid = b.vid
+  GROUP BY a.i, b.i
+)
+SELECT cast(i AS int) AS dim,
+       cast(sum(CASE WHEN j = i THEN g END) AS double) AS gram_diag,
+       cast(sum(CASE WHEN j != i THEN abs(g) ELSE 0 END) AS double)
+         AS offdiag_abs_mass,
+       cast(floor(cast(sum(CASE WHEN j != i THEN abs(g) ELSE 0 END)
+                       AS double)
+                  / cast(sum(CASE WHEN j = i THEN g END) AS double)
+                  * 1e6) AS bigint) AS cross_ratio_q6
+FROM gram GROUP BY i
+"""
+
+
 QUERIES = [
     QuerySpec("ann_bruteforce_topk", ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     QuerySpec(
@@ -1555,6 +1661,12 @@ QUERIES = [
         knn_graph_ivf_stats,
         _knn_graph_ivf_sql(),
         "kNN-graph reciprocity over the IVF quantizer's cells",
+    ),
+    QuerySpec(
+        "embedding_gram_summary",
+        embedding_gram_summary,
+        _gram_sql(),
+        "exact distributed Gram matrix (PCA precursor) per-dim summary",
     ),
     QuerySpec(
         "hybrid_search_rrf",

@@ -250,3 +250,35 @@ def test_knn_graph_ivf_cells_invariants(spark):
         assert r.n_mutual % 2 == 0
         assert r.n_edges <= r.n_vertices * KNN_GRAPH_K
         assert 0 <= r.reciprocity_q4 <= 10_000
+
+
+# --- embedding_gram_summary -------------------------------------------------
+
+
+def test_gram_matches_numpy_and_feeds_pca(spark):
+    """The distributed exact-integer Gram equals numpy's dense
+    V_q^T V_q bit-for-bit (diag + offdiag mass), and its collected
+    64x64 feeds eigh for the PCA variance-explained consumer —
+    eigenvalues non-negative, top-8 share in (0, 1]."""
+    import numpy as np
+
+    from goe_spark.catalog import load_table
+    from goe_spark.queries.similarity import GRAM_Q, embedding_gram_summary
+
+    rows = {
+        r.dim: r for r in embedding_gram_summary(spark, SF).collect()
+    }
+    emb = load_table(spark, SF, "embeddings").select("embedding").collect()
+    V = np.asarray([np.asarray(r.embedding, dtype=np.float64) for r in emb])
+    Vq = np.floor(V * GRAM_Q + 0.5).astype(np.int64)
+    G = Vq.T @ Vq
+    assert len(rows) == 64
+    for d in range(64):
+        assert rows[d + 1].gram_diag == float(G[d, d])
+        off = int(np.abs(G[d]).sum() - abs(G[d, d]))
+        assert rows[d + 1].offdiag_abs_mass == float(off)
+    # PCA consumer: symmetric PSD up to quantization, top-8 share
+    evals = np.linalg.eigvalsh(G.astype(np.float64))
+    assert evals.min() >= -1e-6 * evals.max()
+    share = evals[-8:].sum() / evals.sum()
+    assert 0 < share <= 1
