@@ -282,3 +282,41 @@ def test_gram_matches_numpy_and_feeds_pca(spark):
     assert evals.min() >= -1e-6 * evals.max()
     share = evals[-8:].sum() / evals.sum()
     assert 0 < share <= 1
+
+
+# --- BPE round-trip ---------------------------------------------------------
+
+
+def test_bpe_encode_decode_roundtrip(spark):
+    """Tokenizer losslessness: after applying every learned merge,
+    concatenating a word's symbols reproduces the word exactly, for
+    the ENTIRE corpus vocabulary — encode is a partition of the
+    character sequence, never a rewrite."""
+    from goe_spark.catalog import load_table
+    from goe_spark.functions import text as T
+    from goe_spark.queries.training import _fold_merge, bpe_train_merges
+
+    merges = [
+        (r.left, r.right)
+        for r in sorted(
+            bpe_train_merges(spark, SF).collect(), key=lambda r: r.step
+        )
+    ]
+    assert merges  # training produced a merge table
+    d = load_table(spark, SF, "documents")
+    words = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+        .where(F.length("w") > 0)
+        .distinct()
+    )
+    syms = F.split("w", "")
+    for left, right in merges:
+        syms = _fold_merge(syms, left, right)
+    bad = words.where(
+        F.array_join(syms, "") != F.col("w")
+    ).count()
+    assert bad == 0
+    # and the merges genuinely fired: some word has fewer symbols
+    # than characters
+    compressed = words.where(F.size(syms) < F.length("w")).count()
+    assert compressed > 0
