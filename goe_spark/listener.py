@@ -202,6 +202,7 @@ def make_handler(spark):
                         metadata_dir=spec["metadata_dir"],
                         quality_min=float(spec.get("quality_min", 0.5)),
                         token_budget=int(spec.get("token_budget", 150_000)),
+                        line_doc_max=int(spec.get("line_doc_max", 2)),
                     )
                     rep = CurationPipeline(spark, cfg).run()
                     self._reply(
