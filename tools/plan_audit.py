@@ -64,6 +64,7 @@ GLOBAL_WINDOW_OK = {
     "ann_ivf_topk",
     "ann_ivf_pq_topk",
     "ann_pq_topk",
+    "knn_graph_ivf_stats",  # rides ann_ivf's audited quantizer chain
     "embedding_cluster_audit",
     "semantic_dedup_keep_first",
     "dedup_method_agreement",
@@ -117,6 +118,7 @@ NESTED_LOOP_OK = {
     "ann_pq_topk",
     "hybrid_search_rrf",
     "matryoshka_recall_audit",
+    "knn_graph_ivf_stats",  # quantizer's broadcast centroid cross joins
     # 1-row scalar totals / thresholds cross-joined back
     "brand_affinity_lift",
     "mixture_weights",
