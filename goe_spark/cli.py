@@ -537,6 +537,61 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_explain(args) -> int:
+    """Physical-plan inspection for any registered query — the
+    debugging surface a plan-conscious user reaches for first: prints
+    .explain in the chosen mode and, with --audit, the per-query
+    hazard summary (md5-inside-Filter, unpartitioned windows,
+    nested-loop joins) the round-level tools/plan_audit.py sweep
+    checks registry-wide."""
+    import re as _re
+
+    from goe_spark.queries import queries_dict
+
+    spark = _spark("goe-explain")
+    qs = queries_dict()
+    if args.name not in qs:
+        print(f"unknown query {args.name!r}; known: {sorted(qs)}", file=sys.stderr)
+        return 2
+    df = qs[args.name](spark, args.sf_dir)
+    qe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString
+    plan = qe.explainString(mode(args.mode))
+    print(plan)
+    if args.audit:
+        simple = qe.explainString(mode("simple"))
+        formatted = qe.explainString(mode("formatted"))
+        md5 = sum(
+            1
+            for line in simple.splitlines()
+            if "Filter" in line and "md5" in line
+        )
+        gw = 0
+        for m in _re.finditer(r"windowspecdefinition\(([^)]*)\)", formatted):
+            first = m.group(1).split(",")[0].strip()
+            if (
+                " ASC" in first
+                or " DESC" in first
+                or first.startswith("specifiedwindowframe")
+            ):
+                gw += 1
+        nl = simple.count("CartesianProduct") + simple.count(
+            "BroadcastNestedLoopJoin"
+        )
+        print(
+            json.dumps(
+                {
+                    "audit": {
+                        "md5_in_filter": md5,
+                        "global_windows": gw,
+                        "nested_loop_joins": nl,
+                    }
+                }
+            )
+        )
+    return 0
+
+
 def cmd_sql(args) -> int:
     """Ad-hoc SQL over the catalog tables (and, with --view, any
     parquet target such as an offloaded table or a hybrid view's
@@ -877,6 +932,23 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     q.add_argument("--limit", type=int, default=20)
     q.set_defaults(fn=cmd_query)
+
+    ex = sub.add_parser(
+        "explain", help="print a registered query's physical plan"
+    )
+    ex.add_argument("name")
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ex.add_argument(
+        "--mode",
+        default="formatted",
+        choices=["simple", "extended", "formatted", "cost", "codegen"],
+    )
+    ex.add_argument(
+        "--audit",
+        action="store_true",
+        help="append the plan-hazard summary (tools/plan_audit.py categories)",
+    )
+    ex.set_defaults(fn=cmd_explain)
 
     sq = sub.add_parser(
         "sql", help="run ad-hoc Spark SQL over the catalog tables"

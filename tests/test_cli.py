@@ -540,3 +540,31 @@ def test_sql_hybrid_view(tmp_path, capsys, spark):
     # missing roots is a usage error, not a crash
     rc = main(["sql", "SELECT 1", "--hybrid", "sh.orders"])
     assert rc == 2
+
+
+def test_explain_command(capsys):
+    """explain prints the physical plan (scan visible) and, with
+    --audit, the per-query hazard summary JSON."""
+    rc = main(
+        [
+            "explain",
+            "q6_forecast_revenue",
+            "--mode",
+            "simple",
+            "--audit",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Scan parquet" in out
+    last = out.strip().splitlines()[-1]
+    audit = json.loads(last)["audit"]
+    assert audit == {
+        "md5_in_filter": 0,
+        "global_windows": 0,
+        "nested_loop_joins": 0,
+    }
+
+
+def test_explain_unknown_query():
+    assert main(["explain", "no_such_query"]) == 2
