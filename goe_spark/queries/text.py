@@ -867,6 +867,206 @@ JOIN sizes sb ON sb.source = source_b
 """
 
 
+ZIPF_TOP_N = 500
+ZIPF_Q = 1_000_000  # fixed-point grid for ln(rank)/ln(count) terms
+
+
+def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit — the corpus-health check that a
+    natural-language corpus obeys freq ~ rank^s with s near -1
+    (template/boilerplate corpora flatten, scraped junk steepens):
+    least-squares slope/intercept/R^2 of ln(freq) on ln(rank) over
+    the top-{ZIPF_TOP_N} tokens, plus the token-mass share those top
+    tokens cover. All regression sums are per-term fixed-point
+    quantized (ln values on the {ZIPF_Q} grid, BIGINT products)
+    before DECIMAL(38,0) summation — order-free, engine-exact; the
+    closed-form slope divides the exact sums cast to double once.
+
+    Plan at 100 TB: one map-side-combined token count is the only
+    corpus-sized op; top-N is TakeOrdered; the rank window and the
+    regression aggregate run on the {ZIPF_TOP_N}-row relation
+    (bounded-global window, whitelisted in tools/plan_audit.py)."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(T.tokens("text")).alias("t"))
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(
+        F.sum("c").alias("total_mass"),
+        F.count(F.lit(1)).alias("n_terms_all"),
+    )
+    top = counts.orderBy(F.desc("c"), F.asc("t")).limit(ZIPF_TOP_N)
+    w = Window.orderBy(F.desc("c"), F.asc("t"))
+    ranked = top.withColumn("r", F.row_number().over(w)).select(
+        F.floor(F.log(F.col("r").cast("double")) * ZIPF_Q)
+        .cast("long")
+        .alias("xq"),
+        F.floor(F.log(F.col("c").cast("double")) * ZIPF_Q)
+        .cast("long")
+        .alias("yq"),
+        "c",
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("xq"))).alias("sx"),
+        F.sum(dec(F.col("yq"))).alias("sy"),
+        F.sum(dec(F.col("xq") * F.col("yq"))).alias("sxy"),
+        F.sum(dec(F.col("xq") * F.col("xq"))).alias("sxx"),
+        F.sum(dec(F.col("yq") * F.col("yq"))).alias("syy"),
+        F.sum("c").alias("top_mass"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double") / ZIPF_Q
+    sy = F.col("sy").cast("double") / ZIPF_Q
+    sxy = F.col("sxy").cast("double") / ZIPF_Q / ZIPF_Q
+    sxx = F.col("sxx").cast("double") / ZIPF_Q / ZIPF_Q
+    syy = F.col("syy").cast("double") / ZIPF_Q / ZIPF_Q
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = (
+        (n * sxy - sx * sy)
+        * (n * sxy - sx * sy)
+        / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    )
+    return sums.crossJoin(F.broadcast(total)).select(
+        F.col("n").cast("long").alias("n_terms"),
+        "n_terms_all",
+        "total_mass",
+        "top_mass",
+        F.floor(F.col("top_mass") * 1e6 / F.col("total_mass"))
+        .cast("long")
+        .alias("top_mass_share_q6"),
+        F.floor(slope * 1e6).cast("long").alias("slope_q6"),
+        F.floor(intercept * 1e6).cast("long").alias("intercept_q6"),
+        F.floor(r2 * 1e4).cast("long").alias("r2_q4"),
+    )
+
+
+ZIPF_SQL = f"""
+WITH tok AS (
+  SELECT unnest({T.tokens_sql('text')}) AS t FROM documents
+), counts AS (
+  SELECT t, count(*) AS c FROM tok GROUP BY t
+), total AS (
+  SELECT cast(sum(c) AS bigint) AS total_mass,
+         count(*) AS n_terms_all
+  FROM counts
+), top AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, t ASC) AS r
+  FROM (SELECT * FROM counts ORDER BY c DESC, t ASC LIMIT {ZIPF_TOP_N})
+), ranked AS (
+  SELECT cast(floor(ln(cast(r AS double)) * {ZIPF_Q}) AS bigint) AS xq,
+         cast(floor(ln(cast(c AS double)) * {ZIPF_Q}) AS bigint) AS yq,
+         c
+  FROM top
+), sums AS (
+  SELECT count(*) AS n,
+         sum(xq) AS sx, sum(yq) AS sy,
+         sum(xq * yq) AS sxy, sum(xq * xq) AS sxx, sum(yq * yq) AS syy,
+         cast(sum(c) AS bigint) AS top_mass
+  FROM ranked
+)
+SELECT cast(n AS bigint) AS n_terms,
+       n_terms_all,
+       total_mass,
+       top_mass,
+       cast(floor(top_mass * 1e6 / total_mass) AS bigint)
+         AS top_mass_share_q6,
+       cast(floor(
+         (cast(n AS double) * (cast(sxy AS double) / {ZIPF_Q} / {ZIPF_Q})
+          - (cast(sx AS double) / {ZIPF_Q}) * (cast(sy AS double) / {ZIPF_Q}))
+         / (cast(n AS double) * (cast(sxx AS double) / {ZIPF_Q} / {ZIPF_Q})
+            - (cast(sx AS double) / {ZIPF_Q}) * (cast(sx AS double) / {ZIPF_Q}))
+         * 1e6) AS bigint) AS slope_q6,
+       cast(floor(
+         ((cast(sy AS double) / {ZIPF_Q})
+          - ((cast(n AS double) * (cast(sxy AS double) / {ZIPF_Q} / {ZIPF_Q})
+              - (cast(sx AS double) / {ZIPF_Q}) * (cast(sy AS double) / {ZIPF_Q}))
+             / (cast(n AS double) * (cast(sxx AS double) / {ZIPF_Q} / {ZIPF_Q})
+                - (cast(sx AS double) / {ZIPF_Q}) * (cast(sx AS double) / {ZIPF_Q})))
+            * (cast(sx AS double) / {ZIPF_Q}))
+         / cast(n AS double) * 1e6) AS bigint) AS intercept_q6,
+       cast(floor(
+         (cast(n AS double) * (cast(sxy AS double) / {ZIPF_Q} / {ZIPF_Q})
+          - (cast(sx AS double) / {ZIPF_Q}) * (cast(sy AS double) / {ZIPF_Q}))
+         * (cast(n AS double) * (cast(sxy AS double) / {ZIPF_Q} / {ZIPF_Q})
+            - (cast(sx AS double) / {ZIPF_Q}) * (cast(sy AS double) / {ZIPF_Q}))
+         / ((cast(n AS double) * (cast(sxx AS double) / {ZIPF_Q} / {ZIPF_Q})
+             - (cast(sx AS double) / {ZIPF_Q}) * (cast(sx AS double) / {ZIPF_Q}))
+            * (cast(n AS double) * (cast(syy AS double) / {ZIPF_Q} / {ZIPF_Q})
+               - (cast(sy AS double) / {ZIPF_Q}) * (cast(sy AS double) / {ZIPF_Q})))
+         * 1e4) AS bigint) AS r2_q4
+FROM sums CROSS JOIN total
+"""
+
+
+def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-threshold calibration: decile-binned quality scores
+    crossed with the exact-dup signal — the report a curator reads to
+    pick quality_min (does the low-quality tail actually hold the
+    duplicates/boilerplate?) before running the curation pipeline.
+    Per quality bin: docs, exact-dup docs (corpus fingerprint seen
+    >1x), dup rate per 10k, token mass, mean tokens.
+
+    Plan: one scan computes (q, fp, n_tokens); the fp spread count is
+    a hash-only aggregate joined back by fingerprint; the final
+    rollup is 10 bins. Same shuffle discipline as dedup_exact —
+    fingerprints move, text never does."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    docs = d.select(
+        T.quality_score("text").alias("q"),
+        hash64(norm).alias("fp"),
+        T.token_count("text").alias("n_tokens"),
+    )
+    spread = docs.groupBy("fp").agg(F.count(F.lit(1)).alias("n_occ"))
+    binned = docs.join(spread, "fp").select(
+        F.least(F.lit(9), F.floor(F.col("q") * 10))
+        .cast("int")
+        .alias("q_bin"),
+        "n_tokens",
+        (F.col("n_occ") > 1).cast("long").alias("is_dup"),
+    )
+    return binned.groupBy("q_bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_dup").alias("n_dup_docs"),
+        F.floor(F.sum("is_dup") * 10000.0 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("dup_per_10k"),
+        F.sum("n_tokens").alias("token_mass"),
+        F.floor(F.sum("n_tokens") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("mean_tokens"),
+    )
+
+
+QUALITY_CALIBRATION_SQL = f"""
+WITH docs AS (
+  SELECT {T.quality_score_sql('text')} AS q,
+         {hash64_sql(_NORM_SQL)} AS fp,
+         {T.token_count_sql('text')} AS n_tokens
+  FROM documents
+), spread AS (
+  SELECT fp, count(*) AS n_occ FROM docs GROUP BY fp
+), binned AS (
+  SELECT cast(least(9, floor(q * 10)) AS int) AS q_bin,
+         n_tokens,
+         CASE WHEN n_occ > 1 THEN 1 ELSE 0 END AS is_dup
+  FROM docs JOIN spread USING (fp)
+)
+SELECT q_bin,
+       count(*) AS n_docs,
+       cast(sum(is_dup) AS bigint) AS n_dup_docs,
+       cast(floor(sum(is_dup) * 10000.0 / count(*)) AS bigint)
+         AS dup_per_10k,
+       cast(sum(n_tokens) AS bigint) AS token_mass,
+       cast(floor(cast(sum(n_tokens) AS double) / count(*)) AS bigint)
+         AS mean_tokens
+FROM binned GROUP BY q_bin
+"""
+
+
 QUERIES = [
     QuerySpec("sentiment_by_source", sentiment_by_source, _sentiment_sql()),
     QuerySpec("tfidf_top_terms", tfidf_top_terms, TFIDF_SQL),
@@ -895,5 +1095,17 @@ QUERIES = [
         vocab_overlap_sources,
         VOCAB_OVERLAP_SQL,
         "pairwise source vocabulary Jaccard via inverted index",
+    ),
+    QuerySpec(
+        "zipf_slope_fit",
+        zipf_slope_fit,
+        ZIPF_SQL,
+        "Zipf rank-frequency least-squares fit over the top-500 tokens",
+    ),
+    QuerySpec(
+        "quality_calibration_bins",
+        quality_calibration_bins,
+        QUALITY_CALIBRATION_SQL,
+        "quality-decile x exact-dup calibration for filter thresholds",
     ),
 ]

@@ -320,3 +320,50 @@ def test_bpe_encode_decode_roundtrip(spark):
     # than characters
     compressed = words.where(F.size(syms) < F.length("w")).count()
     assert compressed > 0
+
+
+# --- zipf_slope_fit / quality_calibration_bins ------------------------------
+
+
+def test_zipf_fit_matches_numpy_polyfit(spark):
+    """The exact-sum closed form agrees with numpy's least squares on
+    the same (ln rank, ln count) points to the q6 grid, slope is
+    negative (frequencies decay), and R^2 is in (0, 1]."""
+    import numpy as np
+
+    from goe_spark.catalog import load_table
+    from goe_spark.functions import text as T
+    from goe_spark.queries.text import ZIPF_Q, ZIPF_TOP_N, zipf_slope_fit
+
+    (row,) = zipf_slope_fit(spark, SF).collect()
+    assert row.slope_q6 < 0
+    assert 0 < row.r2_q4 <= 10_000
+    assert row.top_mass <= row.total_mass
+    counts = (
+        load_table(spark, SF, "documents")
+        .select(F.explode(T.tokens("text")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("t"))
+        .limit(ZIPF_TOP_N)
+        .collect()
+    )
+    x = np.floor(np.log(np.arange(1, len(counts) + 1)) * ZIPF_Q) / ZIPF_Q
+    y = np.floor(np.log([r.c for r in counts]) * ZIPF_Q) / ZIPF_Q
+    slope, intercept = np.polyfit(x, y, 1)
+    assert abs(row.slope_q6 / 1e6 - slope) < 1e-4
+    assert abs(row.intercept_q6 / 1e6 - intercept) < 1e-4
+
+
+def test_quality_calibration_partitions_corpus(spark):
+    """Bins partition the corpus: doc counts sum to the table size,
+    dup docs never exceed bin size, bins lie in 0..9."""
+    from goe_spark.catalog import load_table
+    from goe_spark.queries.text import quality_calibration_bins
+
+    rows = quality_calibration_bins(spark, SF).collect()
+    n = load_table(spark, SF, "documents").count()
+    assert sum(r.n_docs for r in rows) == n
+    assert all(0 <= r.q_bin <= 9 for r in rows)
+    assert all(0 <= r.n_dup_docs <= r.n_docs for r in rows)
+    assert all(0 <= r.dup_per_10k <= 10_000 for r in rows)
