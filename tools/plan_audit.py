@@ -45,7 +45,15 @@ SF = os.environ.get("PLAN_AUDIT_SF_DIR", "/root/testdata/sf0.001")
 
 # Filters containing md5 that sit ABOVE the spread exchange (parallel,
 # a benign double-compute of a per-row hash) — audited round 9.
-MD5_FILTER_OK = {"dsir_importance_weights", "cms_user_counts"}
+# quality_calibration: ONE md5 per document inlined into the join's
+# inferred isnotnull(fp) at scan parallelism — per-doc (not per-token)
+# hashing, measured 0.9 s at sf0.1; the cross_lang stall class was
+# per-SHINGLE hashing forced under a repartition.
+MD5_FILTER_OK = {
+    "dsir_importance_weights",
+    "cms_user_counts",
+    "quality_calibration_bins",
+}
 
 # Unpartitioned windows over provably bounded relations — audited
 # rounds 7-9: day-grain series, the <= N_CELLS IVF seed relation,
@@ -85,6 +93,7 @@ GLOBAL_WINDOW_OK = {
     "weighted_sample_docs",
     "stratified_sample_docs",
     "filter_funnel_report",
+    "zipf_slope_fit",  # rank window on the TakeOrdered top-500 relation
 }
 
 # Nested-loop joins that are 1-row/bounded broadcast scalars —
@@ -126,6 +135,7 @@ NESTED_LOOP_OK = {
     "q11_important_stock",
     "q22_idle_customers",
     "tfidf_top_terms",
+    "zipf_slope_fit",  # 1-row regression sums x 1-row totals
 }
 
 WINDOW_RE = re.compile(r"windowspecdefinition\(([^)]*)\)")
