@@ -181,6 +181,82 @@ FROM labels GROUP BY cluster_id
 """
 
 
+def dedup_cluster_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster PROVENANCE mix — the diagnostic that tells a
+    curator whether duplication is syndication (clusters spanning
+    SOURCES: drop all but one feed) or re-crawls (single-source
+    clusters: fix the crawler), which imply different fixes upstream
+    of dedup. One summary row: clusters, clustered docs,
+    single-source vs cross-source cluster counts, cross rate per 10k,
+    and the widest cluster's source spread.
+
+    Plan: rides the capped LSH pair set and the CC labels
+    (operators/ranks-style bounded iteration, pair-bounded relation);
+    the source join moves (doc_id, source) — label-relation grain —
+    and the rollup is a single row. Nothing corpus-quadratic."""
+    labels = _cc_labels(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    per_cluster = (
+        labels.join(docs, labels.node == docs.doc_id)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+    )
+    return per_cluster.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("n_docs").alias("n_clustered_docs"),
+        F.sum((F.col("n_sources") == 1).cast("long")).alias(
+            "n_single_source"
+        ),
+        F.sum((F.col("n_sources") > 1).cast("long")).alias(
+            "n_cross_source"
+        ),
+        F.floor(
+            F.sum((F.col("n_sources") > 1).cast("long"))
+            * 10000.0
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("cross_per_10k"),
+        F.max("n_sources").alias("max_sources"),
+    )
+
+
+DEDUP_CLUSTER_SOURCE_MIX_SQL = f"""
+WITH RECURSIVE lsh_pairs AS (
+  SELECT id1, id2 FROM ({_minhash_lsh_sql()})
+), edges AS (
+  SELECT id1 AS src, id2 AS dst FROM lsh_pairs
+  UNION ALL
+  SELECT id2, id1 FROM lsh_pairs
+), reach(node, anc) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.anc FROM reach r JOIN edges e ON e.src = r.node
+), labels AS (
+  SELECT node, min(anc) AS cluster_id FROM reach GROUP BY node
+), per_cluster AS (
+  SELECT l.cluster_id,
+         count(*) AS n_docs,
+         count(DISTINCT d.source) AS n_sources
+  FROM labels l JOIN documents d ON d.doc_id = l.node
+  GROUP BY l.cluster_id
+)
+SELECT count(*) AS n_clusters,
+       cast(sum(n_docs) AS bigint) AS n_clustered_docs,
+       cast(sum(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) AS bigint)
+         AS n_single_source,
+       cast(sum(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END) AS bigint)
+         AS n_cross_source,
+       cast(floor(sum(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END)
+                  * 10000.0 / count(*)) AS bigint) AS cross_per_10k,
+       max(n_sources) AS max_sources
+FROM per_cluster
+"""
+
+
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation decision near-dup clustering exists to make: per
     cluster, KEEP the highest-quality document (ties broken by lowest
@@ -1608,6 +1684,12 @@ QUERIES = [
         "weighted_sample_docs", weighted_sample_docs, WEIGHTED_SAMPLE_SQL
     ),
     QuerySpec("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_SQL),
+    QuerySpec(
+        "dedup_cluster_source_mix",
+        dedup_cluster_source_mix,
+        DEDUP_CLUSTER_SOURCE_MIX_SQL,
+        "near-dup cluster provenance: syndication vs re-crawl mix",
+    ),
     QuerySpec(
         "vocab_growth_curve",
         vocab_growth_curve,

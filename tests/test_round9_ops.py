@@ -367,3 +367,24 @@ def test_quality_calibration_partitions_corpus(spark):
     assert all(0 <= r.q_bin <= 9 for r in rows)
     assert all(0 <= r.n_dup_docs <= r.n_docs for r in rows)
     assert all(0 <= r.dup_per_10k <= 10_000 for r in rows)
+
+
+# --- dedup_cluster_source_mix -----------------------------------------------
+
+
+def test_cluster_source_mix_consistency(spark):
+    """Single + cross source cluster counts partition the cluster
+    set; clustered docs and cluster count agree with dedup_clusters;
+    max source spread is at least 1 and bounded by the source count."""
+    from goe_spark.queries.training import (
+        dedup_cluster_source_mix,
+        dedup_clusters,
+    )
+
+    (row,) = dedup_cluster_source_mix(spark, SF).collect()
+    clusters = dedup_clusters(spark, SF).collect()
+    assert row.n_clusters == len(clusters)
+    assert row.n_clustered_docs == sum(c.n_docs for c in clusters)
+    assert row.n_single_source + row.n_cross_source == row.n_clusters
+    assert 1 <= row.max_sources <= 20
+    assert 0 <= row.cross_per_10k <= 10_000
