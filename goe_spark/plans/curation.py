@@ -317,6 +317,11 @@ class CurationPipeline:
             "source_sf_dir": cfg.source_sf_dir,
             "quality_min": cfg.quality_min,
             "budget": cfg.token_budget,
+            # every stage-shaping parameter must be part of the resume
+            # key: a changed --line-doc-max would otherwise silently
+            # reuse LINE_SCRUB output computed under the old threshold
+            # (round-9 ADVICE)
+            "line_doc_max": cfg.line_doc_max,
         }
         if resume:
             runs = [

@@ -892,16 +892,24 @@ def offload_from_spec(spark: SparkSession, spec: dict) -> dict:
             # SQL MOD keeps the dividend's sign (Derby/Oracle), so a
             # bare MOD(col, n) leaves every negative key matching NONE
             # of the k = 0..n-1 predicates — silent row loss on the
-            # parallel transport (round-8 ADVICE). ABS() makes the
-            # slice map total over negatives (the reference gets the
-            # same property by hashing: MOD(ORA_HASH(col), degree) is
-            # non-negative, oracle_offload_transport_rdbms_api.py:
-            # 754-775), and null_safe folds `col IS NULL` into slice 0
-            # so a nullable split key cannot lose rows either.
+            # parallel transport (round-8 ADVICE). The dialect template
+            # makes the slice map total over negatives the way the
+            # reference does — by hashing (MOD(ORA_HASH(col), degree),
+            # oracle_offload_transport_rdbms_api.py:754-775) where the
+            # dialect has a hash, else the sign-free double-mod. ABS()
+            # is deliberately NOT used: ABS(-2^63) raises 22003 on
+            # strict engines and folds +k/-k onto one slice (round-9
+            # ADVICE). null_safe folds `col IS NULL` into slice 0 so a
+            # nullable split key cannot lose rows either.
+            from goe_spark.sources.jdbc import dialect_from_jdbc_url
+            from goe_spark.sources.split_strategy import mod_hash_template
+
             preds = mod_split_predicates(
                 split_col,
                 par,
-                hash_template="MOD(ABS({col}), {n})",
+                hash_template=mod_hash_template(
+                    dialect_from_jdbc_url(spec["source_jdbc_url"])
+                ),
                 null_safe=True,
             )
             plan = SplitPlan(

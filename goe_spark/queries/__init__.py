@@ -32,73 +32,76 @@ class QuerySpec:
 # 50 entries: round 8 listed 51 and the driver recorded only 50,
 # silently dropping q13_customer_distribution from the window
 # (round-8 ADVICE) — it leads this round's stale block instead.
-# Round-9 window, in order:
-#   1. the 11 queries NEW this round — never driver-checked;
-#   2. 39 of the 40 entries whose last driver check was ROUND 6 (q13
-#      first: it was the entry the r8 over-long window pushed out).
-# contamination_check is the ONE r6-stale entry deliberately left
-# outside (displaced by the late-round knn_graph_ivf_stats so every
-# new operator gets a driver row) — it leads the round-10 stale block.
-# After this rotation no other registry entry's latest driver row is
-# older than round 7. Everything else keeps module order behind the window;
-# pytest's test_queries_oracle.py re-verifies the FULL registry against
-# DuckDB (same pandas fetch path as the driver) every run regardless of
+# Round-10 window, in order:
+#   1. the FIVE entries whose hard driver signal is missing (round-9
+#      verdict item 1): the four added after the r9 HEAD was cut
+#      (never driver-checked, mirror-green only) and
+#      contamination_check (last driver row r6);
+#   2. 45 of the 50 entries whose last driver check was ROUND 7.
+# Five r7-stale entries are deliberately deferred to lead the
+# round-11 stale block — the three declared-fake media transforms
+# (media_decode_features / media_frame_sample / media_resize_images,
+# deterministic fakes with no hash-drift surface) and the two
+# rows-only streaming counters (streaming_dedup_counts /
+# streaming_window_counts, no oracle hash either way). After this
+# rotation no entry's latest driver row is older than round 7.
+# Everything else keeps module order behind the window; pytest's
+# test_queries_oracle.py re-verifies the FULL registry against DuckDB
+# (same pandas fetch path as the driver) every run regardless of
 # position.
 HEAD = (
-    # -- new this round (codec-free WAV metadata, line/cross-lang
-    #    dedup audits, SCD2 + trigram event ops, corpus diagnostics,
-    #    kNN-graph + embedding-moment audits) --
-    "media_wav_stats",
-    "line_dedup_stats",
-    "cross_lang_shingle_leakage",
-    "scd2_event_type_history",
-    "event_trigram_topk",
-    "token_entropy_by_source",
-    "vocab_overlap_sources",
-    "vocab_growth_curve",
-    "knn_graph_stats",
-    "embedding_dimension_stats",
-    "knn_graph_ivf_stats",
-    # -- last driver-checked in round 6 (39 of 40; see note above) --
-    "q13_customer_distribution",
-    "asof_latest_order",
-    "window_top_orders_per_customer",
-    "union_mod_split_scan",
-    "semi_anti_join_customers",
-    "q14_promo_revenue",
-    "count_validate_orders",
-    "cast_probe_orders",
-    "synthetic_partition_month",
-    "synthetic_partition_number_range",
-    "synthetic_partition_string_prefix",
-    "transform_projection",
-    "value_quantiles_kll",
-    "audience_overlap_theta",
-    "order_status_islands",
-    "daily_distinct_users_hll",
-    "continuous_rollup_daily",
-    "rolling_distinct_users_hll",
-    "order_price_histogram",
-    "event_type_pivot",
-    "revenue_cube",
-    "unigram_logprob_scores",
-    "bpe_train_merges",
-    "bpe_encode_stats",
-    "split_leakage_audit",
-    "bigram_logprob_scores",
-    "media_payload_stats",
-    "asof_recent_order",
-    "asof_next_order",
-    "stratified_sample_docs",
-    "token_pack_bins",
-    "sliding_window_chunks",
-    "mixture_weights",
-    "order_value_percentiles",
-    "order_price_tiers",
-    "stream_enriched_counts",
-    "purchase_attribution",
-    "dedup_clusters",
-    "dedup_keep_best",
+    # -- driver-signal debt (round-9 verdict item 1) --
+    "zipf_slope_fit",
+    "quality_calibration_bins",
+    "embedding_gram_summary",
+    "dedup_cluster_source_mix",
+    "contamination_check",
+    # -- last driver-checked in round 7 (45 of 50; see note above) --
+    "agg_validate_lineitem",
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "bpe_token_stats",
+    "cross_doc_ngram_coverage",
+    "customer_value_deciles",
+    "data_type_sampling",
+    "dedup_exact_keep_first",
+    "doc_fingerprints",
+    "dq_orders_expectations",
+    "embedding_near_dup_pairs",
+    "event_type_rollup",
+    "event_type_unpivot",
+    "events_json_extract",
+    "filter_funnel_report",
+    "hybrid_search_rrf",
+    "join_skew_report",
+    "lang_id_confusion",
+    "length_curriculum_bins",
+    "media_exact_dedup",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "per_source_topk_cap",
+    "predicate_offload_slice",
+    "q11_important_stock",
+    "q12_priority_lines",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q20_promotable_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "quality_scores_by_source",
+    "rfm_segments",
+    "salted_join_revenue",
+    "segment_dedup_stats",
+    "segment_probe_new_docs",
+    "shard_manifest",
+    "simhash_pairs",
+    "staged_validation_scan",
+    "token_stats_by_lang",
 )
 TAIL = ()
 

@@ -495,16 +495,16 @@ def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", "event_type"
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # eqNullSafe mirrors the oracle's IS DISTINCT FROM exactly: it
+    # never yields NULL, consecutive NULL event_types are ONE run, and
+    # a first row (lag = NULL) opens a version iff event_type is
+    # non-NULL — the coalesce-to-1 form diverged on NULL event_types
+    # (round-9 ADVICE).
     runs = e.withColumn(
         "chg",
         (
-            F.coalesce(
-                (F.lag("event_type").over(w) != F.col("event_type")).cast(
-                    "int"
-                ),
-                F.lit(1),
-            )
-        ),
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type"))
+        ).cast("int"),
     ).withColumn("ver", F.sum("chg").over(w))
     versions = runs.groupBy("user_id", "ver").agg(
         F.min("event_type").alias("event_type"),  # constant within a run

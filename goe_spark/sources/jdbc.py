@@ -80,6 +80,19 @@ def sample_clause(dialect: str, percent: float) -> tuple[str, str] | None:
     return None
 
 
+def dialect_from_jdbc_url(url: str) -> str:
+    """Frontend dialect keyword from a JDBC URL's subprotocol
+    (``jdbc:derby:...`` -> ``derby``). Drives dialect-templated SQL
+    that runs INSIDE the source DB (sample pushdown, MOD-split hash);
+    unknown subprotocols return themselves so templated lookups fall
+    through to their safe defaults."""
+    u = url.lower()
+    if not u.startswith("jdbc:"):
+        return "ansi"
+    sub = u[len("jdbc:"):].split(":", 1)[0]
+    return {"sqlserver": "mssql", "postgres": "postgresql"}.get(sub, sub)
+
+
 def dbtable_subquery(
     table: str,
     columns: list[str] | None = None,

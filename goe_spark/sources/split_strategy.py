@@ -46,6 +46,38 @@ SPLIT_BY_NATIVE_RANGE = "NATIVE_RANGE"
 # chokes (oracle_offload_transport_rdbms_api.py:75).
 MAX_UNION_ALL_SPLITS = 1024
 
+# Per-dialect NON-NEGATIVE slice expression for the MOD split,
+# mirroring the reference's ``MOD(ORA_HASH(col), degree)``
+# (oracle_offload_transport_rdbms_api.py:754-775): hashing (a) maps
+# any key type, (b) de-skews clustered/sign-symmetric keys, and (c) is
+# already non-negative on every dialect that has it. Dialects WITHOUT
+# a SQL hash function (Derby) get the sign-free double-mod
+# ``MOD(MOD(col, n) + n, n)`` — total over negatives WITHOUT ``ABS``,
+# whose 64-bit-minimum argument raises 22003 on strict engines and
+# folds +k/-k onto one slice (round-9 ADVICE).
+_MOD_HASH_TEMPLATES = {
+    "oracle": "MOD(ORA_HASH({col}), {n})",
+    # hashtext() is int4 and may be negative; double-mod normalizes.
+    "postgresql": (
+        "MOD(MOD(hashtext(CAST({col} AS text)), {n}) + {n}, {n})"
+    ),
+    # CHECKSUM() is int4 and may be negative; T-SQL spells mod as %.
+    "mssql": "((CHECKSUM({col}) % {n}) + {n}) % {n}",
+    # HASHBUCKET(HASHROW(..)) is a non-negative bucket number.
+    "teradata": "MOD(HASHBUCKET(HASHROW({col})), {n})",
+    "derby": "MOD(MOD({col}, {n}) + {n}, {n})",
+}
+_MOD_FALLBACK_TEMPLATE = "MOD(MOD({col}, {n}) + {n}, {n})"
+
+
+def mod_hash_template(dialect: str) -> str:
+    """The dialect's non-negative ``{col}``/``{n}`` slice template for
+    :func:`mod_split_predicates`. Unknown dialects get the sign-free
+    double-mod (numeric keys only — safe, never raises, never drops)."""
+    return _MOD_HASH_TEMPLATES.get(
+        dialect.lower(), _MOD_FALLBACK_TEMPLATE
+    )
+
 
 @dataclass(frozen=True)
 class SplitPlan:
@@ -291,8 +323,15 @@ def choose_split_strategy(
     col = meta.numeric_id_column or meta.any_column
     if not col:
         raise ValueError("no splittable column available")
+    # This fallback is reached exactly when the split column is NOT
+    # proven NOT NULL (the non-nullable id took the range branch above),
+    # so the NULL arm is mandatory: HASH(NULL) is NULL on most dialects
+    # and a NULL-keyed row would match none of the `= k` slices —
+    # silent row loss on the parallel transport (round-9 ADVICE).
     return SplitPlan(
         split_type=SPLIT_BY_MOD,
-        predicates=tuple(mod_split_predicates(col, parallelism)),
+        predicates=tuple(
+            mod_split_predicates(col, parallelism, null_safe=True)
+        ),
         **base,
     )

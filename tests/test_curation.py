@@ -135,6 +135,38 @@ def test_parameter_change_invalidates_resume(spark, tmp_path):
     assert r2.funnel[0][1] == r1.funnel[0][1]
 
 
+def test_line_doc_max_change_invalidates_resume(spark, tmp_path):
+    """Round-9 ADVICE: line_doc_max shapes the LINE_SCRUB stage, so it
+    must be part of the resume key — resuming a FAILED run after
+    changing --line-doc-max must recompute from scratch, never reuse
+    LINE_SCRUB output computed under the old threshold."""
+    base = dict(
+        source_sf_dir=SF_SMALL,
+        work_dir=str(tmp_path / "work"),
+        metadata_dir=str(tmp_path / "meta"),
+        quality_min=0.4,
+        token_budget=120_000,
+    )
+    with pytest.raises(StepError):
+        CurationPipeline(
+            spark, CurationConfig(line_doc_max=2, **base)
+        ).run(error_at="SCORE_FILTER")
+    report = CurationPipeline(
+        spark, CurationConfig(line_doc_max=10_000, **base)
+    ).run()
+    assert report.resumed_steps == 0
+    # same parameters DO resume the failed run (the key is the tuple,
+    # not mere failure)
+    with pytest.raises(StepError):
+        CurationPipeline(
+            spark, CurationConfig(line_doc_max=2, **base)
+        ).run(error_at="SCORE_FILTER", resume=False)
+    r3 = CurationPipeline(
+        spark, CurationConfig(line_doc_max=2, **base)
+    ).run()
+    assert r3.resumed_steps > 0
+
+
 def test_double_crash_resume_chain(spark, tmp_path):
     """Resumed steps record 'ok' in the new execution's history, so a
     SECOND crash still resumes from the furthest completed stage

@@ -189,3 +189,66 @@ def test_mod_abs_null_safe_split_keeps_negative_and_null_keys(
         if v is not None and (v >= 0 or int(math.fmod(v, 3)) == 0)
     ]
     assert lossy.count() == len(kept)
+
+
+def test_dialect_mod_template_survives_bigint_min_and_skew(
+    spark, derby_url
+):
+    """Round-9 ADVICE: MOD(ABS(col), n) raises 22003 on Derby when col
+    is the most-negative BIGINT (ABS(-2^63) overflows), aborting the
+    whole parallel transport on ONE extreme key, and folds +k/-k onto
+    the same slice (skew on sign-symmetric keys). The Derby dialect
+    template — sign-free double-mod MOD(MOD(col, n) + n, n) — must
+    (a) transport every row including BIGINT min/max and NULLs, and
+    (b) keep +k and -k on DIFFERENT slices when n doesn't divide 2k."""
+    from goe_spark.sources.jdbc import dialect_from_jdbc_url
+    from goe_spark.sources.split_strategy import mod_hash_template
+
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(derby_url)
+    st = conn.createStatement()
+    st.execute("CREATE TABLE extreme_keys (k BIGINT, payload VARCHAR(10))")
+    lo, hi = -(2**63), 2**63 - 1
+    vals = [lo, hi, lo + 1, hi - 1, -5, -4, -1, 0, 1, 4, 5, None]
+    ps = conn.prepareStatement("INSERT INTO extreme_keys VALUES (?, ?)")
+    for i, v in enumerate(vals):
+        if v is None:
+            ps.setNull(1, jvm.java.sql.Types.BIGINT)
+        else:
+            ps.setLong(1, v)
+        ps.setString(2, f"p{i}")
+        ps.addBatch()
+    ps.executeBatch()
+
+    tmpl = mod_hash_template(dialect_from_jdbc_url(derby_url))
+    assert "ABS" not in tmpl.upper()
+    preds = mod_split_predicates("k", 3, hash_template=tmpl, null_safe=True)
+    plan = SplitPlan(split_type=SPLIT_BY_MOD, predicates=tuple(preds))
+    df = read_jdbc(spark, derby_url, "extreme_keys", plan)
+    assert df.count() == len(vals)
+    assert df.select("PAYLOAD").distinct().count() == len(vals)
+    # sign-symmetric keys land on python-% slices, NOT folded together:
+    # +4 -> slice 1, -4 -> slice 2 (the ABS template put both on 1)
+    by_slice = {
+        r["K"]: r["S"]
+        for r in df.select(
+            "K", F.spark_partition_id().alias("S")
+        ).collect()
+        if r["K"] in (4, -4)
+    }
+    assert by_slice[4] != by_slice[-4]
+    # the OLD ABS template fail-louds on BIGINT min — prove the edge is
+    # real so the double-mod's value is pinned, not assumed
+    abs_preds = mod_split_predicates(
+        "k", 3, hash_template="MOD(ABS({col}), {n})", null_safe=True
+    )
+    lossy = read_jdbc(
+        spark,
+        derby_url,
+        "extreme_keys",
+        SplitPlan(split_type=SPLIT_BY_MOD, predicates=tuple(abs_preds)),
+    )
+    with pytest.raises(Exception, match="22003|[Oo]verflow|range"):
+        lossy.count()
+    st.close()
+    conn.close()

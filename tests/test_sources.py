@@ -334,3 +334,39 @@ def test_avro_probe_reports_absence(spark):
     from goe_spark.sources.files import avro_available
 
     assert avro_available(spark) is False
+
+
+class TestDialectModTemplate:
+    def test_url_to_dialect(self):
+        from goe_spark.sources.jdbc import dialect_from_jdbc_url
+
+        assert dialect_from_jdbc_url("jdbc:derby:/tmp/x;create=true") == "derby"
+        assert dialect_from_jdbc_url("jdbc:oracle:thin:@h:1521/s") == "oracle"
+        assert (
+            dialect_from_jdbc_url("jdbc:postgresql://h/db") == "postgresql"
+        )
+        assert dialect_from_jdbc_url("jdbc:sqlserver://h;db=x") == "mssql"
+        assert dialect_from_jdbc_url("not-a-jdbc-url") == "ansi"
+
+    def test_templates_are_hash_or_signfree(self):
+        from goe_spark.sources.split_strategy import mod_hash_template
+
+        # the reference semantics: hashed where the dialect has a hash
+        assert "ORA_HASH" in mod_hash_template("oracle")
+        assert "hashtext" in mod_hash_template("postgresql")
+        assert "HASHROW" in mod_hash_template("teradata")
+        # no dialect template may use ABS (64-bit-min raises 22003)
+        for d in ("oracle", "postgresql", "mssql", "teradata", "derby", "??"):
+            t = mod_hash_template(d)
+            assert "ABS" not in t.upper()
+            rendered = t.format(col="k", n=4)
+            assert "k" in rendered and "4" in rendered
+
+    def test_signfree_mod_matches_python_mod(self):
+        # MOD(MOD(k, n) + n, n) == k % n in Python for every sign,
+        # including the 64-bit extremes ABS() dies on
+        for n in (2, 3, 7):
+            for k in (-(2**63), 2**63 - 1, -5, -1, 0, 1, 5):
+                m = ((k % n if k >= 0 else -((-k) % n)) + n) % n
+                # inner MOD is dialect truncated-mod (sign of dividend)
+                assert m == k % n
