@@ -1394,24 +1394,27 @@ def knn_graph_ivf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap-sub-bucketed edge build and reciprocity rollup. Per cell:
     vertices, edges, mutual edges, reciprocity and mean cosine.
 
-    Plan: centroid build is the audited ann_ivf shape (bounded seed
-    window, broadcast centroid argmax assignment); everything after
-    assignment is _knn_graph_rollup's equi-join-only lineage. The
+    Plan: the assignment comes from the MATERIALIZED IVF index
+    (ensure_index — the same discipline ann_ivf_topk,
+    minhash_probe_new_docs and contamination_check follow), so the
+    quantizer chain (seed sample + Lloyd step + argmax assignment) is
+    paid once per source fingerprint, not once per run: both sides of
+    the rollup's self-join are plain parquet scans of the index's
+    assigned/ files (measured 4.2 s -> ~1.7 s at sf0.1; the previous
+    form localCheckpointed an in-session rebuild every run). The
     DuckDB oracle replays the quantizer through the SAME CTE chain as
-    ann_ivf_topk (_ivf_assigned_ctes — one definition, cannot
-    drift)."""
-    from goe_spark.operators.ivf import assign_cells, centroids
+    ann_ivf_topk (_ivf_assigned_ctes — one definition, cannot drift),
+    and the persisted assignment is bit-identical to the replay
+    because build_index assigns against its own persisted centroids
+    (doubles survive parquet exactly)."""
+    import os as _os
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding"
-    )
-    # The rollup consumes the cell relation on BOTH sides of its
-    # self-join (plus the size count) — without a cut, the whole
-    # quantizer chain (seed sample + Lloyd step + argmax assignment)
-    # re-executes per consumer (measured 4.6 s vs 2.6 s at sf0.1).
-    # localCheckpoint materializes the assignment once; the same cut
-    # dedup_clusters uses for its pair table.
-    assigned = assign_cells(emb, centroids(emb)).localCheckpoint()
+    from goe_spark.operators.ivf import ensure_index
+
+    index_dir = ensure_index(spark, sf_dir)
+    assigned = spark.read.parquet(
+        _os.path.join(index_dir, "assigned")
+    ).select("vec_id", "cell", "embedding")
     return (
         _knn_graph_rollup(
             assigned.select(

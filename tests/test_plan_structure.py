@@ -807,6 +807,25 @@ def test_knn_graph_no_cartesian_no_python(spark):
     assert "Python" not in plan, plan
 
 
+def test_knn_graph_ivf_rides_materialized_index(spark):
+    """knn_graph_ivf_stats must consume the MATERIALIZED IVF index —
+    both sides of the rollup's self-join are parquet scans of the
+    index's assigned/ files, and the quantizer chain (seed sample +
+    Lloyd step + broadcast argmax) appears ZERO times in the plan
+    (round-9 verdict item 3: the in-session rebuild cost 4.2 s/run at
+    sf0.1 for work ensure_index already persisted)."""
+    from goe_spark.queries.similarity import knn_graph_ivf_stats
+
+    plan = _plan(knn_graph_ivf_stats(spark, SF_SMALL), "formatted")
+    assert "ivf_index" in plan, plan
+    # the quantizer's signature operators must be absent: the argmax
+    # assignment is a broadcast nested-loop-free crossJoin + max_by
+    assert "max_by" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "Python" not in plan, plan
+
+
 def test_vocab_overlap_inverted_index_join(spark):
     """Source-vocabulary overlap joins on the token (posting list
     bounded by |sources|) and BROADCASTS the vocab-size tables; no
