@@ -259,8 +259,11 @@ def build_index(
     away for free."""
     from goe_spark.operators.pq import encode_codes, sample_codebooks
 
+    from goe_spark.operators.index_maintenance import clear_tombstones
+
     books = sample_codebooks(emb)
     os.makedirs(index_dir, exist_ok=True)
+    clear_tombstones(index_dir)  # a fresh build hides nothing
     # Persist the codebooks WITH the index: appends and queries must
     # encode against the BUILD's codebooks, not re-derive them from
     # whatever vector set they happen to hold.
@@ -318,6 +321,22 @@ def ensure_index(
     return index_dir
 
 
+def load_assigned(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The index's assignment table with delete tombstones applied
+    (operators/index_maintenance) — the ONE reader every indexed
+    consumer (IVF probe, IVF-PQ probe, IVF-cell kNN graph) goes
+    through, so an evicted vector disappears from all of them at
+    once."""
+    from goe_spark.operators.index_maintenance import apply_tombstones
+
+    return apply_tombstones(
+        spark,
+        index_dir,
+        spark.read.parquet(os.path.join(index_dir, "assigned")),
+        "vec_id",
+    )
+
+
 def ivf_topk_indexed(
     spark: SparkSession,
     emb: DataFrame,
@@ -338,7 +357,7 @@ def ivf_topk_indexed(
     probes = probe_cells(queries, cents, nprobe)
     cells = sorted({int(r["cell"]) for r in probes.collect()})
     assigned = (
-        spark.read.parquet(os.path.join(index_dir, "assigned"))
+        load_assigned(spark, index_dir)
         .where(F.col("cell").isin(cells))
         .select("vec_id", "cell", "embedding", "vnorm2")
     )

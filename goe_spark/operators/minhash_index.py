@@ -90,7 +90,10 @@ def signature_frame(docs: DataFrame) -> DataFrame:
 def build_signature_index(
     spark: SparkSession, docs: DataFrame, index_dir: str
 ) -> None:
+    from goe_spark.operators.index_maintenance import clear_tombstones
+
     os.makedirs(index_dir, exist_ok=True)
+    clear_tombstones(index_dir)  # a fresh build hides nothing
     signature_frame(docs).write.mode("overwrite").parquet(
         os.path.join(index_dir, "signatures")
     )
@@ -129,7 +132,14 @@ def ensure_signature_index(spark: SparkSession, sf_dir: str) -> str:
 
 
 def load_signatures(spark: SparkSession, index_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(index_dir, "signatures"))
+    from goe_spark.operators.index_maintenance import apply_tombstones
+
+    return apply_tombstones(
+        spark,
+        index_dir,
+        spark.read.parquet(os.path.join(index_dir, "signatures")),
+        "doc_id",
+    )
 
 
 def append_signatures(

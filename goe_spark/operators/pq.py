@@ -336,7 +336,11 @@ def ivf_pq_topk_indexed(
     encoding for a pre-v2 index without a codes column."""
     import os as _os
 
-    from goe_spark.operators.ivf import index_codebooks, probe_cells
+    from goe_spark.operators.ivf import (
+        index_codebooks,
+        load_assigned,
+        probe_cells,
+    )
 
     cents = spark.read.parquet(_os.path.join(index_dir, "centroids"))
     queries = emb.where(F.col("vec_id") < n_queries).select(
@@ -346,7 +350,7 @@ def ivf_pq_topk_indexed(
     )
     probes = probe_cells(queries, cents)
     cells = sorted({int(r["cell"]) for r in probes.collect()})
-    raw = spark.read.parquet(_os.path.join(index_dir, "assigned"))
+    raw = load_assigned(spark, index_dir)
     if "codes" in raw.columns:
         books = index_codebooks(index_dir)
         assigned = raw.where(F.col("cell").isin(cells)).select(

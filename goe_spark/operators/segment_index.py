@@ -71,7 +71,10 @@ def segment_fp_frame(docs: DataFrame) -> DataFrame:
 def build_segment_index(
     spark: SparkSession, docs: DataFrame, index_dir: str
 ) -> None:
+    from goe_spark.operators.index_maintenance import clear_tombstones
+
     os.makedirs(index_dir, exist_ok=True)
+    clear_tombstones(index_dir)  # a fresh build hides nothing
     segment_fp_frame(docs).write.mode("overwrite").parquet(
         os.path.join(index_dir, "segments")
     )
@@ -110,7 +113,14 @@ def ensure_segment_index(spark: SparkSession, sf_dir: str) -> str:
 
 
 def load_segments(spark: SparkSession, index_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(index_dir, "segments"))
+    from goe_spark.operators.index_maintenance import apply_tombstones
+
+    return apply_tombstones(
+        spark,
+        index_dir,
+        spark.read.parquet(os.path.join(index_dir, "segments")),
+        "doc_id",
+    )
 
 
 def append_segments(

@@ -86,6 +86,7 @@ def delete_rows(
     keys: list | DataFrame,
     partition_col: str = "goe_part_key",
     use_bloom: bool = False,
+    maintain_indexes: list[str] | tuple[str, ...] = (),
 ) -> DeleteReport:
     """Delete every row whose ``key_column`` is in ``keys`` from the
     partitioned parquet table at ``path``.
@@ -105,7 +106,15 @@ def delete_rows(
     is the manifest's contract, so the result set is identical;
     unindexed partitions simply scan (correct, just unpruned).
     Rewritten partitions get their manifest dropped in the same pass
-    (stale claims die with the files they described)."""
+    (stale claims die with the files they described).
+
+    ``maintain_indexes`` lists materialized-index directories
+    (minhash / segment / IVF, operators/index_maintenance) keyed by
+    the SAME key domain as ``key_column``; each gets the doomed keys
+    tombstoned and its meta re-fingerprinted IN-PASS — O(deleted)
+    maintenance, mirroring the bloom-manifest drop — so the next
+    ensure_* neither serves deleted rows nor full-rebuilds an index
+    this pass already fixed."""
     report = DeleteReport()
     report.partitions_healed = len(heal_interrupted_swaps(path))
 
@@ -194,4 +203,15 @@ def delete_rows(
         report.partitions_affected += 1
         report.rows_deleted += n_before - n_after
         report.details.append((d, n_before - n_after))
+    if maintain_indexes:
+        from goe_spark.operators.index_maintenance import evict_keys
+
+        # Evict AFTER the corpus rewrite so the bumped fingerprint
+        # sees the post-delete source state. All requested keys are
+        # tombstoned (not just matched ones): a key absent from the
+        # corpus is also absent from its indexes, so the extra
+        # tombstone is a no-op, and eviction stays a pure function of
+        # the takedown list.
+        for idx_dir in maintain_indexes:
+            evict_keys(spark, idx_dir, keys, key_column)
     return report

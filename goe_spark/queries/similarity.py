@@ -1407,14 +1407,12 @@ def knn_graph_ivf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the persisted assignment is bit-identical to the replay
     because build_index assigns against its own persisted centroids
     (doubles survive parquet exactly)."""
-    import os as _os
-
-    from goe_spark.operators.ivf import ensure_index
+    from goe_spark.operators.ivf import ensure_index, load_assigned
 
     index_dir = ensure_index(spark, sf_dir)
-    assigned = spark.read.parquet(
-        _os.path.join(index_dir, "assigned")
-    ).select("vec_id", "cell", "embedding")
+    assigned = load_assigned(spark, index_dir).select(
+        "vec_id", "cell", "embedding"
+    )
     return (
         _knn_graph_rollup(
             assigned.select(
