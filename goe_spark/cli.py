@@ -53,6 +53,10 @@ def cmd_offload(args) -> int:
         "source_parallelism": args.source_parallelism,
         "source_split_column": args.source_split_column,
         "backend_jdbc_url": args.backend_jdbc_url,
+        "backend_warehouse": args.backend_warehouse,
+        "backend_connection": dict(
+            kv.split("=", 1) for kv in args.backend_option
+        ),
         "target_dir": args.target_dir,
         "staging_dir": args.staging_dir,
         "metadata_dir": args.metadata_dir,
@@ -680,6 +684,21 @@ def build_parser() -> argparse.ArgumentParser:
         "--backend-jdbc-url",
         help="final sink = live JDBC warehouse table (driver-side DDL "
         "+ distributed df.write.jdbc) instead of the parquet backend",
+    )
+    o.add_argument(
+        "--backend-warehouse",
+        choices=["bigquery", "snowflake"],
+        help="final sink = live cloud warehouse over its Spark "
+        "connector (jar-gated; connection options via repeated "
+        "--backend-option KEY=VALUE)",
+    )
+    o.add_argument(
+        "--backend-option",
+        action="append",
+        default=[],
+        metavar="KEY=VALUE",
+        help="connector connection option for --backend-warehouse "
+        "(e.g. parentProject=p1, sfURL=...)",
     )
     o.add_argument("--target-dir", required=True)
     o.add_argument("--staging-dir", required=True)

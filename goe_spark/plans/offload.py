@@ -780,6 +780,27 @@ def offload_from_spec(spark: SparkSession, spec: dict) -> dict:
             properties=spec.get("backend_jdbc_properties"),
             spark=spark,
         )
+    elif spec.get("backend_warehouse"):
+        # LIVE cloud warehouse (BigQuery/Snowflake) over the Spark
+        # connector, jar-gated: fail loud at plan time when the
+        # connector is absent instead of mid-offload.
+        from goe_spark.sinks.cloud_writer import (
+            CloudWarehouseWriter,
+            connector_available,
+        )
+
+        dialect = spec["backend_warehouse"]
+        if not connector_available(spark, dialect):
+            raise OffloadValidationError(
+                f"backend_warehouse={dialect!r} needs the {dialect} "
+                "Spark connector jar on the classpath"
+            )
+        backend_writer = CloudWarehouseWriter(  # pragma: no cover - jar
+            dialect,
+            spec.get("backend_owner") or spec.get("owner", "goe"),
+            spec.get("backend_table") or spec["table"],
+            connection=spec.get("backend_connection"),
+        )
 
     part = None
     if spec.get("partition_column"):

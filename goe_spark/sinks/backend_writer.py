@@ -173,6 +173,59 @@ class ParquetBackendWriter(BackendWriter):
         remove_files(list_files(self.target_dir, spark), spark)
 
 
+def warehouse_backend_column(dialect: str, col):
+    """Canonical -> backend column for a warehouse dialect — the ONE
+    cast-map entry point FakeWarehouseWriter and the live
+    CloudWarehouseWriter share, so their DDL cannot drift."""
+    if dialect == "bigquery":
+        from goe_spark.types.bigquery import canonical_to_bigquery
+
+        return canonical_to_bigquery(col)
+    from goe_spark.types.snowflake import canonical_to_snowflake
+
+    return canonical_to_snowflake(col)
+
+
+def warehouse_type_decl(bc) -> str:
+    if bc.data_precision is not None and bc.data_scale is not None:
+        return f"{bc.backend_type}({bc.data_precision},{bc.data_scale})"
+    return bc.backend_type
+
+
+def warehouse_create_table_ddl(
+    dialect: str,
+    owner: str,
+    table_name: str,
+    canonical_cols: list,
+    partition_col: str | None = None,
+    cluster_columns: list[str] | None = None,
+) -> str:
+    """The CREATE TABLE text a warehouse backend is asked to run —
+    shared by the recordable fake and the live connector writer
+    (reference: bigquery_backend_api gen_create_table + the partition/
+    cluster clause assembly in bigquery_backend_table.py)."""
+    qualified = f"{owner}.{table_name}"
+    cols = [
+        f"  {c.name} {warehouse_type_decl(warehouse_backend_column(dialect, c))}"
+        for c in canonical_cols
+    ]
+    if partition_col:
+        part_type = "STRING" if dialect == "bigquery" else "VARCHAR"
+        cols.append(f"  {partition_col} {part_type}")
+    ddl = (
+        f"CREATE TABLE IF NOT EXISTS {qualified} (\n"
+        + ",\n".join(cols)
+        + "\n)"
+    )
+    if partition_col and dialect == "bigquery":
+        # BigQuery: PARTITION BY column; Snowflake has no partition
+        # clause — micro-partitions cluster instead.
+        ddl += f"\nPARTITION BY {partition_col}"
+    if cluster_columns:
+        ddl += f"\nCLUSTER BY ({', '.join(cluster_columns)})"
+    return ddl
+
+
 class FakeWarehouseWriter(BackendWriter):
     """Parquet-backed cloud-warehouse stand-in that records connector
     semantics. ``commands`` holds every statement the writer would
@@ -189,15 +242,6 @@ class FakeWarehouseWriter(BackendWriter):
         self._qualified = None
         os.makedirs(root, exist_ok=True)
 
-    def _backend_column(self, col):
-        if self.dialect == "bigquery":
-            from goe_spark.types.bigquery import canonical_to_bigquery
-
-            return canonical_to_bigquery(col)
-        from goe_spark.types.snowflake import canonical_to_snowflake
-
-        return canonical_to_snowflake(col)
-
     def _record(self, sql: str) -> None:
         self.commands.append(sql)
         # Durable trace beside the data, one statement per line, so a
@@ -205,11 +249,6 @@ class FakeWarehouseWriter(BackendWriter):
         # have been asked to do.
         with open(os.path.join(self.root, "commands.log"), "a") as fh:
             fh.write(sql.replace("\n", " ") + "\n")
-
-    def _type_decl(self, bc) -> str:
-        if bc.data_precision is not None and bc.data_scale is not None:
-            return f"{bc.backend_type}({bc.data_precision},{bc.data_scale})"
-        return bc.backend_type
 
     def create_table(
         self,
@@ -220,25 +259,14 @@ class FakeWarehouseWriter(BackendWriter):
         cluster_columns=None,
     ) -> str:
         self._qualified = f"{owner}.{table_name}"
-        cols = [
-            f"  {c.name} {self._type_decl(self._backend_column(c))}"
-            for c in canonical_cols
-        ]
-        if partition_col:
-            part_type = "STRING" if self.dialect == "bigquery" else "VARCHAR"
-            cols.append(f"  {partition_col} {part_type}")
-        ddl = (
-            f"CREATE TABLE IF NOT EXISTS {self._qualified} (\n"
-            + ",\n".join(cols)
-            + "\n)"
+        ddl = warehouse_create_table_ddl(
+            self.dialect,
+            owner,
+            table_name,
+            canonical_cols,
+            partition_col=partition_col,
+            cluster_columns=cluster_columns,
         )
-        if partition_col:
-            # BigQuery: PARTITION BY column; Snowflake has no partition
-            # clause — micro-partitions cluster instead.
-            if self.dialect == "bigquery":
-                ddl += f"\nPARTITION BY {partition_col}"
-        if cluster_columns:
-            ddl += f"\nCLUSTER BY ({', '.join(cluster_columns)})"
         self._record(ddl)
         return ddl
 
