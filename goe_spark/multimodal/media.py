@@ -301,6 +301,17 @@ def nibble_entropy_sql(content_expr: str) -> str:
 PNG_SIG_HEX = "89504E470D0A1A0A"  # \x89PNG\r\n\x1a\n
 GIF_SIG_HEX = "474946383961"      # GIF89a
 BMP_SIG_HEX = "424D"              # BM
+JPEG_SIG_HEX = "FFD8FF"           # SOI + first marker byte
+
+# JPEG frame headers whose payload carries the pixel dimensions:
+# SOF0 (baseline), SOF1 (extended sequential), SOF2 (progressive).
+JPEG_SOF_MARKERS = ("FFC0", "FFC1", "FFC2")
+# Markers that end the header region without a frame header.
+JPEG_STOP_MARKERS = ("FFDA", "FFD9")  # SOS, EOI
+# Segment-walk iteration cap: headers are APPn/DQT/DHT/COM segments
+# before the SOF; 24 hops covers every sane file (EXIF-heavy files
+# have < 10 pre-SOF segments). Bounded so the fold is pure codegen.
+JPEG_WALK_CAP = 24
 
 
 def _hex_of(content) -> "F.Column":
@@ -322,9 +333,63 @@ def _le_pairs(h, pos: int, n_bytes: int) -> "F.Column":
     return F.concat(*pairs)
 
 
+def jpeg_sof_pos(h) -> "F.Column":
+    """1-based HEX-CHAR position of the SOF marker, by walking the
+    JPEG segment chain: each segment is marker(2B) + length(2B BE,
+    counting itself) + payload, so the next marker sits at
+    pos + 4 + 2*length hex chars. The walk is a bounded F.aggregate
+    fold (pure codegen, no UDF); it stops FOUND on SOF0/1/2, DEAD on
+    SOS/EOI, a non-FF byte, a truncated segment, or a length < 2.
+    NULL when no SOF is found within JPEG_WALK_CAP segments. Fill
+    bytes (FF padding between segments) are out of scope — they
+    parse as an unknown FFFF marker and dead-end, returning NULL
+    rather than a wrong offset."""
+    init = F.struct(
+        F.lit(5).cast("int").alias("pos"),   # first marker after SOI
+        F.lit(0).cast("int").alias("sof"),   # 0 walking, -1 dead, >0 found
+    )
+
+    def step(acc, _x):
+        pos = acc["pos"]
+        mk = h.substr(pos, F.lit(4))
+        found = mk.isin(*JPEG_SOF_MARKERS)
+        seg_len = F.conv(h.substr(pos + F.lit(4), F.lit(4)), 16, 10).cast(
+            "int"
+        )
+        dead = (
+            mk.isin(*JPEG_STOP_MARKERS)
+            | ~mk.startswith("FF")
+            | (F.length(h) < pos + F.lit(7))
+            | (F.coalesce(seg_len, F.lit(0)) < F.lit(2))
+        )
+        return (
+            F.when(acc["sof"] != 0, acc)
+            .when(
+                found,
+                F.struct(pos.alias("pos"), pos.alias("sof")),
+            )
+            .when(
+                dead,
+                F.struct(pos.alias("pos"), F.lit(-1).alias("sof")),
+            )
+            .otherwise(
+                F.struct(
+                    (pos + F.lit(4) + F.lit(2) * seg_len).alias("pos"),
+                    F.lit(0).alias("sof"),
+                )
+            )
+        )
+
+    res = F.aggregate(
+        F.sequence(F.lit(1), F.lit(JPEG_WALK_CAP)), init, step
+    )
+    return F.when(res["sof"] > 0, res["sof"])
+
+
 def image_width(content) -> "F.Column":
-    """Header-parsed pixel width: PNG/GIF/BMP dispatch on magic bytes;
-    NULL for anything else. Pure codegen byte arithmetic."""
+    """Header-parsed pixel width: PNG/GIF/BMP dispatch on magic bytes,
+    JPEG via the SOF segment walk; NULL for anything else. Pure
+    codegen byte arithmetic."""
     h = _hex_of(content)
     return (
         # PNG: sig(8B) + chunk len(4B) + 'IHDR'(4B) -> width u32 BE at
@@ -335,6 +400,12 @@ def image_width(content) -> "F.Column":
         # BMP: 'BM'(2B)+size(4B)+reserved(4B)+offset(4B)+hdrsize(4B) ->
         # width u32 LE at bytes 19-22 = chars 37-44
         .when(h.startswith(BMP_SIG_HEX), _be_hex_val(_le_pairs(h, 37, 4)))
+        # JPEG: SOF payload = len(2B) precision(1B) height(2B)
+        # width(2B) -> width u16 BE at marker + 7 bytes = +14 chars
+        .when(
+            h.startswith(JPEG_SIG_HEX),
+            _be_hex_val(h.substr(jpeg_sof_pos(h) + F.lit(14), F.lit(4))),
+        )
         .otherwise(F.lit(None).cast("int"))
     )
 
@@ -349,6 +420,11 @@ def image_height(content) -> "F.Column":
         .when(h.startswith(GIF_SIG_HEX), _be_hex_val(_le_pairs(h, 17, 2)))
         # BMP height u32 LE at bytes 23-26 = chars 45-52
         .when(h.startswith(BMP_SIG_HEX), _be_hex_val(_le_pairs(h, 45, 4)))
+        # JPEG height u16 BE at SOF marker + 5 bytes = +10 chars
+        .when(
+            h.startswith(JPEG_SIG_HEX),
+            _be_hex_val(h.substr(jpeg_sof_pos(h) + F.lit(10), F.lit(4))),
+        )
         .otherwise(F.lit(None).cast("int"))
     )
 
@@ -362,6 +438,38 @@ def _le_pairs_sql(h: str, pos: int, n_bytes: int) -> str:
 
 def _be_hex_val_sql(hex_sub: str) -> str:
     return f"cast(concat('0x', {hex_sub}) AS int)"
+
+
+def jpeg_walk_sql_ctes(hex_rel: str) -> str:
+    """DuckDB twin of jpeg_sof_pos as recursive-CTE text (expressions
+    can't recurse in SQL, so the walk is a CTE the caller composes
+    with ``WITH RECURSIVE``). ``hex_rel`` must expose (media_id, h)
+    with h = upper(hex(content)). Emits CTEs ``jpeg_walk`` and
+    ``jpeg_sof(media_id, sof_pos)`` — sof_pos NULL when no SOF is
+    found, exactly the Spark fold's contract (same stop conditions,
+    same {JPEG_WALK_CAP}-hop cap)."""
+    sof_list = ", ".join(f"'{m}'" for m in JPEG_SOF_MARKERS)
+    stop_list = ", ".join(f"'{m}'" for m in JPEG_STOP_MARKERS)
+    seg_len = "try_cast(concat('0x', substr(h, pos + 4, 4)) AS INT)"
+    return f"""jpeg_walk AS (
+  SELECT media_id, h, 5 AS pos, 0 AS sof, 0 AS it
+  FROM {hex_rel} WHERE h LIKE '{JPEG_SIG_HEX}%'
+  UNION ALL
+  SELECT media_id, h,
+    cast(pos + 4 + 2 * coalesce({seg_len}, 0) AS int) AS pos,
+    CASE
+      WHEN substr(h, pos, 4) IN ({sof_list}) THEN pos
+      WHEN substr(h, pos, 4) IN ({stop_list})
+           OR substr(h, pos, 2) <> 'FF'
+           OR length(h) < pos + 7
+           OR coalesce({seg_len}, 0) < 2 THEN -1
+      ELSE 0 END AS sof,
+    it + 1
+  FROM jpeg_walk WHERE sof = 0 AND it < {JPEG_WALK_CAP}
+), jpeg_sof AS (
+  SELECT media_id, max(CASE WHEN sof > 0 THEN sof END) AS sof_pos
+  FROM jpeg_walk GROUP BY media_id
+)"""
 
 
 def image_width_sql(content_expr: str) -> str:

@@ -220,6 +220,20 @@ FROM per_fp GROUP BY kind
 """
 
 
+# Synthetic JFIF fixture pieces (media_dimensions): everything before
+# the SOF0 height field, and everything after the width field.
+# SOI | APP0 'JFIF' v1.1 (len 16) | DQT stub (len 5) | SOF0 (len 17,
+# precision 8) — height/width u16 BE go between PRE and TAIL.
+JPEG_HDR_PRE = (
+    "FFD8"
+    "FFE0" "0010" "4A46494600" "0101" "00" "0001" "0001" "00" "00"
+    "FFDB" "0005" "010203"
+    "FFC0" "0011" "08"
+)
+# 3 components: id/sampling/quant-table triplets
+JPEG_SOF_TAIL = "03" "011100" "021101" "031101"
+
+
 def _u16le_hex(col) -> F.Column:
     """4-char hex of a u16, byte-swapped to little-endian order."""
     h = F.lpad(F.hex(col), 4, "0")
@@ -255,6 +269,7 @@ def media_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goe_spark.multimodal.media import (
         BMP_SIG_HEX,
         GIF_SIG_HEX,
+        JPEG_SIG_HEX,
         PNG_SIG_HEX,
         image_height,
         image_width,
@@ -277,10 +292,21 @@ def media_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
         _u32le_hex(w),
         _u32le_hex(h),
     )
+    # spec-true JFIF: SOI, APP0(JFIF, len 16), a DQT stub (len 5) the
+    # SOF walk must hop over, then SOF0 (len 17, 3 components) with
+    # HEIGHT before WIDTH — the parse has to walk the segment chain,
+    # not read a fixed offset (round-9 verdict item 5)
+    jpeg_hex = F.concat(
+        F.lit(JPEG_HDR_PRE),
+        F.lpad(F.hex(h), 4, "0"),
+        F.lpad(F.hex(w), 4, "0"),
+        F.lit(JPEG_SOF_TAIL),
+    )
     header_hex = (
-        F.when(F.col("doc_id") % 3 == 0, png_hex)
-        .when(F.col("doc_id") % 3 == 1, gif_hex)
-        .otherwise(bmp_hex)
+        F.when(F.col("doc_id") % 4 == 0, png_hex)
+        .when(F.col("doc_id") % 4 == 1, gif_hex)
+        .when(F.col("doc_id") % 4 == 2, bmp_hex)
+        .otherwise(jpeg_hex)
     )
     content = F.concat(
         F.unhex(header_hex), F.encode(F.substring("text", 1, 16), "UTF-8")
@@ -293,6 +319,7 @@ def media_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(hx.startswith(PNG_SIG_HEX), F.lit("png"))
         .when(hx.startswith(GIF_SIG_HEX), F.lit("gif"))
         .when(hx.startswith(BMP_SIG_HEX), F.lit("bmp"))
+        .when(hx.startswith(JPEG_SIG_HEX), F.lit("jpeg"))
         .otherwise(F.lit("unknown"))
     )
     per = media.select(
@@ -316,9 +343,11 @@ def _media_dimensions_sql() -> str:
     from goe_spark.multimodal.media import (
         BMP_SIG_HEX,
         GIF_SIG_HEX,
+        JPEG_SIG_HEX,
         PNG_SIG_HEX,
         image_height_sql,
         image_width_sql,
+        jpeg_walk_sql_ctes,
     )
 
     u16le = (
@@ -334,7 +363,7 @@ def _media_dimensions_sql() -> str:
     w_sql = image_width_sql("content")
     h_sql = image_height_sql("content")
     return f"""
-WITH built AS (
+WITH RECURSIVE built AS (
   SELECT doc_id,
          1 + doc_id % 1280 AS w,
          1 + doc_id % 720 AS h,
@@ -344,28 +373,39 @@ WITH built AS (
   SELECT doc_id AS media_id,
          from_hex(
            CASE
-             WHEN doc_id % 3 = 0 THEN concat(
+             WHEN doc_id % 4 = 0 THEN concat(
                '{PNG_SIG_HEX}0000000D49484452',
                lpad(hex(w), 8, '0'), lpad(hex(h), 8, '0'), '0806000000')
-             WHEN doc_id % 3 = 1 THEN concat(
+             WHEN doc_id % 4 = 1 THEN concat(
                '{GIF_SIG_HEX}', {u16le.format(v='w')}, {u16le.format(v='h')},
                'F70000')
-             ELSE concat(
+             WHEN doc_id % 4 = 2 THEN concat(
                '{BMP_SIG_HEX}000000000000000036000000' || '28000000',
                {u32le.format(v='w')}, {u32le.format(v='h')})
+             ELSE concat(
+               '{JPEG_HDR_PRE}',
+               lpad(hex(h), 4, '0'), lpad(hex(w), 4, '0'),
+               '{JPEG_SOF_TAIL}')
            END
          ) || encode(substr(text, 1, 16)) AS content
   FROM built
-), per AS (
+), hx AS (
+  SELECT media_id, content, upper(hex(content)) AS h FROM media
+), {jpeg_walk_sql_ctes('hx')}, per AS (
   SELECT
-    CASE WHEN upper(hex(content)) LIKE '{PNG_SIG_HEX}%' THEN 'png'
-         WHEN upper(hex(content)) LIKE '{GIF_SIG_HEX}%' THEN 'gif'
-         WHEN upper(hex(content)) LIKE '{BMP_SIG_HEX}%' THEN 'bmp'
+    CASE WHEN h LIKE '{PNG_SIG_HEX}%' THEN 'png'
+         WHEN h LIKE '{GIF_SIG_HEX}%' THEN 'gif'
+         WHEN h LIKE '{BMP_SIG_HEX}%' THEN 'bmp'
+         WHEN h LIKE '{JPEG_SIG_HEX}%' THEN 'jpeg'
          ELSE 'unknown' END AS fmt,
-    {w_sql} AS w,
-    {h_sql} AS h,
+    CASE WHEN h LIKE '{JPEG_SIG_HEX}%'
+         THEN cast(('0x' || substr(h, sof_pos + 14, 4)) AS int)
+         ELSE {w_sql} END AS w,
+    CASE WHEN h LIKE '{JPEG_SIG_HEX}%'
+         THEN cast(('0x' || substr(h, sof_pos + 10, 4)) AS int)
+         ELSE {h_sql} END AS h,
     octet_length(content) AS n_bytes
-  FROM media
+  FROM hx LEFT JOIN jpeg_sof USING (media_id)
 )
 SELECT fmt,
        count(*)                                 AS n_media,

@@ -304,3 +304,99 @@ def test_wav_parse_sql_matches_spark():
         [header.hex().upper()],
     ).fetchone()
     assert got == (True, 1, 8000)
+
+
+def _jfif(h, w, *, sof=b"\xc0", extra_segments=0, sos_first=False):
+    """Spec-true JPEG bytes: SOI, APP0(JFIF), optional extra COM
+    segments, then SOF0/SOF2 with height BEFORE width — exactly what
+    a camera/libjpeg emits up to the frame header."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    out = b"\xff\xd8" + app0
+    for i in range(extra_segments):
+        payload = bytes([i]) * 7
+        out += b"\xff\xfe" + struct.pack(">H", 2 + len(payload)) + payload
+    if sos_first:
+        out += b"\xff\xda" + struct.pack(">H", 5) + b"\x01\x02\x03"
+    out += (
+        b"\xff" + sof + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    )
+    return out + b"entropy-coded-body-bytes"
+
+
+def test_jpeg_sof_walk_real_bytes(spark):
+    """Round-9 verdict item 5: JPEG dimensions via the SOF0/SOF2
+    marker walk — pure byte arithmetic, no codec. Pins: baseline and
+    progressive SOFs, a deep multi-segment walk, SOS-before-SOF and
+    truncation return NULL (never a wrong offset)."""
+    from goe_spark.multimodal.media import (
+        JPEG_WALK_CAP,
+        image_height,
+        image_width,
+    )
+
+    payloads = [
+        (1, _jfif(480, 640)),
+        (2, _jfif(1080, 1920, sof=b"\xc2")),          # progressive
+        (3, _jfif(7, 9, extra_segments=10)),          # deep walk
+        (4, _jfif(1, 1, sos_first=True)),             # SOS first -> NULL
+        (5, _jfif(2, 2, extra_segments=JPEG_WALK_CAP)),  # cap -> NULL
+        (6, b"\xff\xd8\xff\xe0\x00"),                 # truncated
+        (7, b"\xff\xd8\xff\xc0\x00\x11\x08\x00\x05\x00\x06rest"),  # SOF immediately
+    ]
+    df = spark.createDataFrame(payloads, "media_id long, content binary")
+    got = {
+        r.media_id: (r.w, r.h)
+        for r in df.select(
+            "media_id",
+            image_width(df.content).alias("w"),
+            image_height(df.content).alias("h"),
+        ).collect()
+    }
+    assert got == {
+        1: (640, 480),
+        2: (1920, 1080),
+        3: (9, 7),
+        4: (None, None),
+        5: (None, None),
+        6: (None, None),
+        7: (6, 5),
+    }
+
+
+def test_jpeg_walk_sql_matches_spark():
+    """The DuckDB recursive-CTE walk lands on the same SOF offsets
+    and dimensions as the Spark fold, byte for byte."""
+    import duckdb
+
+    from goe_spark.multimodal.media import jpeg_walk_sql_ctes
+
+    payloads = {
+        1: _jfif(480, 640),
+        2: _jfif(1080, 1920, sof=b"\xc2"),
+        3: _jfif(7, 9, extra_segments=10),
+        4: _jfif(1, 1, sos_first=True),
+    }
+    values = ", ".join(
+        f"({k}, '{v.hex().upper()}')" for k, v in payloads.items()
+    )
+    q = f"""
+WITH RECURSIVE hx AS (
+  SELECT * FROM (VALUES {values}) t(media_id, h)
+), {jpeg_walk_sql_ctes('hx')}
+SELECT media_id,
+  cast(('0x' || substr(h, sof_pos + 14, 4)) AS int) AS w,
+  cast(('0x' || substr(h, sof_pos + 10, 4)) AS int) AS hh
+FROM hx LEFT JOIN jpeg_sof USING (media_id) ORDER BY media_id
+"""
+    got = duckdb.sql(q).fetchall()
+    assert got == [
+        (1, 640, 480),
+        (2, 1920, 1080),
+        (3, 9, 7),
+        (4, None, None),
+    ]
