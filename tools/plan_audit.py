@@ -30,6 +30,12 @@ The whitelists are the audit trail: every entry is a query the plan
 has been read and reasoned about (SCALE.md rows). A new query landing
 in any category fails --strict until it is either fixed or audited
 into the whitelist.
+
+RATCHET RULE (round-9 verdict item 8, binding): a whitelist entry may
+ONLY land in the same commit as a SCALE.md rationale row explaining
+why the hazard is bounded (1-row scalar, seed-table grain, bounded
+series, ...). An entry without a written rationale is silencing, not
+auditing — reviewers should reject it.
 """
 
 from __future__ import annotations
