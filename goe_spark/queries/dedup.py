@@ -981,6 +981,155 @@ GROUP BY lang
 """
 
 
+def minhash_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration — the audit a dedup operator runs
+    before trusting LSH thresholds at 100 TB: for every LSH candidate
+    pair, compare the SIGNATURE-estimated Jaccard (fraction of
+    agreeing minhash components) and the observed band agreements
+    against the EXACT Jaccard of the distinct shingle sets, bucketed
+    by exact Jaccard decile. Per bucket: pair count, mean estimated
+    vs mean exact Jaccard (fixed-point q6), mean absolute estimator
+    error (q6), and mean agreeing bands (q4) — the empirical banding
+    S-curve next to its ground truth.
+
+    Plan: candidates come from the SAME one-shuffle (band, sig)
+    bucket grouping as minhash_lsh_pairs; the verify join moves the
+    shingle arrays for candidates only (never all-pairs); everything
+    after the fixed-point conversion is exact integer arithmetic, so
+    the rollup is cross-engine hash-stable. All three consumers read
+    the MATERIALIZED signature index (shd + mh columns) — no shingle
+    recompute at query time."""
+    from goe_spark.operators import minhash as MH
+    from goe_spark.operators.minhash_index import (
+        ensure_signature_index,
+        load_signatures,
+    )
+
+    idx = load_signatures(spark, ensure_signature_index(spark, sf_dir))
+    sigs = idx.select("doc_id", "mh")
+    bands = sigs.select(
+        "doc_id", F.explode(MH.band_structs(F.col("mh"))).alias("bs")
+    ).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    grouped = bands.groupBy("band", "sig").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("ids")
+    )
+    n = F.size("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, n - i - 1),
+                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+            ),
+        )
+    )
+    cands = (
+        grouped.where((n >= 2) & (n <= LSH_BUCKET_CAP))
+        .select(F.explode_outer(pair_structs).alias("p"))
+        .select("p.id1", "p.id2")
+        .distinct()
+    )
+    scored = cands.join(
+        idx.select(
+            F.col("doc_id").alias("id1"),
+            F.col("shd").alias("shd1"),
+            F.col("mh").alias("mh1"),
+        ),
+        "id1",
+    ).join(
+        idx.select(
+            F.col("doc_id").alias("id2"),
+            F.col("shd").alias("shd2"),
+            F.col("mh").alias("mh2"),
+        ),
+        "id2",
+    )
+    n_common = F.size(F.array_intersect("shd1", "shd2"))
+    exact = n_common / (F.size("shd1") + F.size("shd2") - n_common)
+    est = MH.minhash_agreement(F.col("mh1"), F.col("mh2"))
+    bands_agree = sum(
+        (
+            F.slice("mh1", b * MH.LSH_ROWS + 1, MH.LSH_ROWS)
+            == F.slice("mh2", b * MH.LSH_ROWS + 1, MH.LSH_ROWS)
+        ).cast("int")
+        for b in range(MH.LSH_BANDS)
+    )
+    per = scored.select(
+        F.least(F.floor(exact * 10), F.lit(9)).cast("int").alias("bin"),
+        F.floor(est * 1e6 + 0.5).cast("bigint").alias("est_q6"),
+        F.floor(exact * 1e6 + 0.5).cast("bigint").alias("exact_q6"),
+        bands_agree.cast("bigint").alias("nb"),
+    )
+    cnt = F.count(F.lit(1))
+    return per.groupBy("bin").agg(
+        cnt.alias("n_pairs"),
+        F.floor(F.sum("est_q6") / cnt).cast("bigint").alias("mean_est_q6"),
+        F.floor(F.sum("exact_q6") / cnt)
+        .cast("bigint")
+        .alias("mean_exact_q6"),
+        F.floor(F.sum(F.abs(F.col("est_q6") - F.col("exact_q6"))) / cnt)
+        .cast("bigint")
+        .alias("mean_abs_err_q6"),
+        F.floor(F.sum(F.col("nb") * 10000) / cnt)
+        .cast("bigint")
+        .alias("mean_bands_q4"),
+    )
+
+
+def _minhash_calibration_sql() -> str:
+    from goe_spark.operators import minhash as MH
+
+    mh_expr = MH.minhash_signature_sql("shd")
+    bands_agree = " + ".join(
+        f"(CASE WHEN list_slice(sa.mh, {b * MH.LSH_ROWS + 1}, "
+        f"{(b + 1) * MH.LSH_ROWS}) = list_slice(sb.mh, "
+        f"{b * MH.LSH_ROWS + 1}, {(b + 1) * MH.LSH_ROWS}) "
+        "THEN 1 ELSE 0 END)"
+        for b in range(MH.LSH_BANDS)
+    )
+    exact = (
+        "(len(list_intersect(sa.shd, sb.shd)) / (len(sa.shd) + len(sb.shd)"
+        " - len(list_intersect(sa.shd, sb.shd))))"
+    )
+    est = MH.minhash_agreement_sql("sa.mh", "sb.mh")
+    return f"""
+WITH shingled AS (
+  SELECT doc_id, list_distinct(sh) AS shd
+  FROM ({_shingle_hashed_sql()})
+), sigs AS (
+  SELECT doc_id, {mh_expr} AS mh FROM shingled
+), swm AS (
+  SELECT s.doc_id, s.shd, g.mh FROM shingled s JOIN sigs g USING (doc_id)
+), bands AS ({MH.band_rows_sql("mh")}),
+ok_buckets AS (
+  SELECT band, sig FROM bands GROUP BY 1, 2 HAVING count(*) <= {LSH_BUCKET_CAP}
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  JOIN ok_buckets ok ON ok.band = a.band AND ok.sig = a.sig
+), per AS (
+  SELECT least(cast(floor({exact} * 10) AS int), 9) AS bin,
+         cast(floor({est} * 1e6 + 0.5) AS bigint) AS est_q6,
+         cast(floor({exact} * 1e6 + 0.5) AS bigint) AS exact_q6,
+         cast({bands_agree} AS bigint) AS nb
+  FROM cands
+  JOIN swm sa ON sa.doc_id = id1
+  JOIN swm sb ON sb.doc_id = id2
+)
+SELECT bin,
+       count(*) AS n_pairs,
+       cast(floor(sum(est_q6) / count(*)) AS bigint) AS mean_est_q6,
+       cast(floor(sum(exact_q6) / count(*)) AS bigint) AS mean_exact_q6,
+       cast(floor(sum(abs(est_q6 - exact_q6)) / count(*)) AS bigint)
+         AS mean_abs_err_q6,
+       cast(floor(sum(nb * 10000) / count(*)) AS bigint) AS mean_bands_q4
+FROM per GROUP BY bin
+"""
+
+
 QUERIES = [
     QuerySpec("dedup_exact_keep_first", dedup_exact_keep_first, DEDUP_EXACT_SQL),
     QuerySpec("ngram_jaccard_pairs", ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
@@ -1011,5 +1160,11 @@ QUERIES = [
         cross_lang_shingle_leakage,
         _cross_lang_sql(),
         "shingles shared across languages (lang-ID/translation leaks)",
+    ),
+    QuerySpec(
+        "minhash_calibration_bins",
+        minhash_calibration_bins,
+        _minhash_calibration_sql(),
+        "MinHash estimate + band S-curve vs exact Jaccard, per decile",
     ),
 ]

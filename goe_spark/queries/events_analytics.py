@@ -616,6 +616,70 @@ LIMIT {EVENT_TRIGRAM_K}
 """
 
 
+def interarrival_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap distribution as a log2 histogram —
+    the burstiness profile capacity planners and bot-detection
+    filters read (human traffic is multi-modal across decades of
+    gap; a spike in one narrow bucket is a replay/bot signature).
+    Exact integer microsecond gaps; the bucket is the gap's binary
+    magnitude (length(bin(gap)) - 1 == floor(log2(gap))) — pure
+    integer/string arithmetic, no floating log, so bucket edges can
+    never flip between engines on exact powers of two.
+
+    Plan: ONE user-partitioned window (a user's history never leaves
+    one task; at 100 TB the window state is one user's events), then
+    a ~40-key hash rollup. Ordering ties on ts break by event_id on
+    both engines."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    bucket = F.when(F.col("gap_us") <= 0, F.lit(-1)).otherwise(
+        F.length(F.bin(F.col("gap_us"))) - 1
+    )
+    return (
+        gaps.select(bucket.cast("int").alias("log2_bucket"), "gap_us", "user_id")
+        .groupBy("log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("gap_us").alias("min_us"),
+            F.max("gap_us").alias("max_us"),
+            F.sum("gap_us").alias("total_us"),
+        )
+    )
+
+
+INTERARRIVAL_SQL = """
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+), nz AS (
+  SELECT user_id, gap_us,
+         CASE WHEN gap_us <= 0 THEN -1
+              ELSE length(bin(gap_us)) - 1 END AS log2_bucket
+  FROM gaps WHERE gap_us IS NOT NULL
+)
+SELECT cast(log2_bucket AS int) AS log2_bucket,
+       count(*) AS n_gaps,
+       count(DISTINCT user_id) AS n_users,
+       min(gap_us) AS min_us,
+       max(gap_us) AS max_us,
+       cast(sum(gap_us) AS bigint) AS total_us
+FROM nz GROUP BY 1
+"""
+
+
 QUERIES = [
     QuerySpec(
         "event_funnel_conversion", event_funnel_conversion, FUNNEL_SQL
@@ -650,5 +714,11 @@ QUERIES = [
         event_trigram_topk,
         EVENT_TRIGRAM_SQL,
         "top-20 behavioural event-type trigrams",
+    ),
+    QuerySpec(
+        "interarrival_log2_histogram",
+        interarrival_log2_histogram,
+        INTERARRIVAL_SQL,
+        "per-user inter-event gap log2 histogram (burstiness/bots)",
     ),
 ]

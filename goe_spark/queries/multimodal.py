@@ -572,6 +572,157 @@ FROM per GROUP BY sample_rate
 """
 
 
+def media_audio_duration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-length curriculum bins — the audio twin of
+    length_curriculum_bins: cluster clips into 100 ms duration bins
+    so a multimodal training loader can pack/curriculum-order by
+    clip length without decoding anything. Duration comes straight
+    from the RIFF header (frames = data bytes / block align,
+    duration_ms = floor(frames * 1000 / rate)) — exact integer
+    arithmetic on header fields, no codec. Payloads are spec-true
+    canonical PCM WAV headers synthesized from doc_id (wider frame
+    range than media_wav_stats so the bins spread), parsed back ONLY
+    from the binary column.
+
+    Plan: single scan, all codegen header arithmetic, one bin-grain
+    aggregate; payload bytes never shuffle. At 100 TB this is a
+    map-side projection + small-key rollup."""
+    from goe_spark.multimodal.media import (
+        is_wav,
+        wav_bits_per_sample,
+        wav_channels,
+        wav_data_size,
+        wav_sample_rate,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    ch = (1 + F.col("doc_id") % 2).cast("int")
+    rate = (
+        F.when(F.col("doc_id") % 3 == 0, 8000)
+        .when(F.col("doc_id") % 3 == 1, 16000)
+        .otherwise(44100)
+        .cast("int")
+    )
+    bits = (8 * (1 + F.floor(F.col("doc_id") / 2) % 2)).cast("int")
+    n_frames = (100 + (F.col("doc_id") * 37) % 8000).cast("int")
+    bpf = (ch * bits / 8).cast("int")
+    dsize = (n_frames * bpf).cast("int")
+    brate = (rate * bpf).cast("int")
+    header_hex = F.concat(
+        F.lit("52494646"),
+        _u32le_hex(dsize + 36),
+        F.lit("57415645666D7420"),
+        F.lit("10000000"), F.lit("0100"),
+        _u16le_hex(ch),
+        _u32le_hex(rate),
+        _u32le_hex(brate),
+        _u16le_hex(bpf),
+        _u16le_hex(bits),
+        F.lit("64617461"),
+        _u32le_hex(dsize),
+    )
+    content = F.concat(
+        F.unhex(header_hex), F.encode(F.substring("text", 1, 8), "UTF-8")
+    )
+    media = d.select(content.alias("content"))
+    c = F.col("content")
+    frames = F.floor(
+        wav_data_size(c) * 8 / (wav_channels(c) * wav_bits_per_sample(c))
+    ).cast("long")
+    per = media.where(is_wav(c)).select(
+        wav_channels(c).alias("ch"),
+        wav_bits_per_sample(c).alias("bits"),
+        frames.alias("frames"),
+        F.floor(frames * 1000 / wav_sample_rate(c))
+        .cast("long")
+        .alias("ms"),
+    )
+    return (
+        per.withColumn("bin", F.floor(F.col("ms") / 100).cast("int"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum((F.col("ch") == 2).cast("long")).alias("n_stereo"),
+            F.sum((F.col("bits") == 16).cast("long")).alias("n_16bit"),
+            F.min("ms").alias("min_ms"),
+            F.max("ms").alias("max_ms"),
+            F.sum("frames").alias("total_frames"),
+        )
+    )
+
+
+def _media_audio_bins_sql() -> str:
+    from goe_spark.multimodal.media import (
+        is_wav_sql,
+        wav_bits_per_sample_sql,
+        wav_channels_sql,
+        wav_data_size_sql,
+        wav_sample_rate_sql,
+    )
+
+    u16le = (
+        "concat(substr(lpad(hex({v}), 4, '0'), 3, 2),"
+        " substr(lpad(hex({v}), 4, '0'), 1, 2))"
+    )
+    u32le = (
+        "concat(substr(lpad(hex({v}), 8, '0'), 7, 2),"
+        " substr(lpad(hex({v}), 8, '0'), 5, 2),"
+        " substr(lpad(hex({v}), 8, '0'), 3, 2),"
+        " substr(lpad(hex({v}), 8, '0'), 1, 2))"
+    )
+    frames = (
+        f"cast(floor({wav_data_size_sql('content')} * 8 / "
+        f"({wav_channels_sql('content')} * "
+        f"{wav_bits_per_sample_sql('content')})) AS bigint)"
+    )
+    return f"""
+WITH built AS (
+  SELECT doc_id,
+         cast(1 + doc_id % 2 AS int) AS ch,
+         cast(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+              ELSE 44100 END AS int) AS rate,
+         cast(8 * (1 + (doc_id // 2) % 2) AS int) AS bits,
+         cast(100 + (doc_id * 37) % 8000 AS int) AS n_frames,
+         text
+  FROM documents
+), sized AS (
+  SELECT *,
+         cast(ch * bits / 8 AS int) AS bpf,
+         cast(n_frames * ch * bits / 8 AS int) AS dsize,
+         cast(rate * ch * bits / 8 AS int) AS brate
+  FROM built
+), media AS (
+  SELECT from_hex(concat(
+           '52494646', {u32le.format(v='(dsize + 36)')},
+           '57415645666D7420', '10000000', '0100',
+           {u16le.format(v='ch')},
+           {u32le.format(v='rate')},
+           {u32le.format(v='brate')},
+           {u16le.format(v='bpf')},
+           {u16le.format(v='bits')},
+           '64617461', {u32le.format(v='dsize')}
+         )) || encode(substr(text, 1, 8)) AS content
+  FROM sized
+), per AS (
+  SELECT {wav_channels_sql('content')} AS ch,
+         {wav_bits_per_sample_sql('content')} AS bits,
+         {frames} AS frames,
+         cast(floor({frames} * 1000
+              / {wav_sample_rate_sql('content')}) AS bigint) AS ms
+  FROM media WHERE {is_wav_sql('content')}
+)
+SELECT cast(floor(ms / 100) AS int) AS bin,
+       count(*) AS n_clips,
+       cast(sum(CASE WHEN ch = 2 THEN 1 ELSE 0 END) AS bigint) AS n_stereo,
+       cast(sum(CASE WHEN bits = 16 THEN 1 ELSE 0 END) AS bigint)
+         AS n_16bit,
+       min(ms) AS min_ms,
+       max(ms) AS max_ms,
+       cast(sum(frames) AS bigint) AS total_frames
+FROM per GROUP BY 1
+"""
+
+
 QUERIES = [
     QuerySpec("media_decode_features", media_decode_features, MEDIA_FEATURES_SQL),
     QuerySpec("media_resize_images", media_resize_images, MEDIA_RESIZE_SQL),
@@ -596,5 +747,11 @@ QUERIES = [
         media_wav_stats,
         _media_wav_sql(),
         "header-parsed WAV channels/rate/bits/duration, codec-free",
+    ),
+    QuerySpec(
+        "media_audio_duration_bins",
+        media_audio_duration_bins,
+        _media_audio_bins_sql(),
+        "audio-length curriculum bins from RIFF headers, codec-free",
     ),
 ]

@@ -527,3 +527,82 @@ QUERIES.append(
         "salted_join_revenue", salted_join_revenue, SALTED_JOIN_SQL, "skew salting"
     )
 )
+
+
+def quantity_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles on a bounded value domain — the scale-safe
+    alternative to a global sort: l_quantity takes 50 integer values,
+    so p50/p90/p99 per return flag come from value-grain counts + a
+    50-row-per-group cumulative, never a corpus-wide rank window.
+    (Unbounded domains use the KLL sketch — value_quantiles_kll; this
+    operator is the exact path warehouses use for enum-like columns.)
+
+    Percentile convention: smallest value v with cum_count >=
+    ceil(p * n) (the lower/inverted-CDF percentile) — integer
+    arithmetic only, so cross-engine exact.
+
+    Plan: one (flag, quantity) hash aggregate (map-side partial), a
+    window over <= 50 rows per flag, then conditional mins. The
+    shuffle carries 150 rows regardless of corpus size."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("int").alias("q")
+    )
+    counts = li.groupBy("l_returnflag", "q").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("l_returnflag"))
+    )
+
+    def pct(p_num: int, p_den: int, name: str):
+        thr = F.ceil(F.col("n") * p_num / p_den)
+        return F.min(
+            F.when(F.col("cum") >= thr, F.col("q"))
+        ).alias(name)
+
+    return cum.groupBy("l_returnflag").agg(
+        F.max("n").alias("n_lines"),
+        pct(1, 2, "q_p50"),
+        pct(9, 10, "q_p90"),
+        pct(99, 100, "q_p99"),
+        F.min("q").alias("q_min"),
+        F.max("q").alias("q_max"),
+    )
+
+
+QUANTITY_PCT_SQL = """
+WITH counts AS (
+  SELECT l_returnflag, cast(l_quantity AS int) AS q, count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+), cum AS (
+  SELECT *,
+         sum(c) OVER (PARTITION BY l_returnflag ORDER BY q
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY l_returnflag) AS n
+  FROM counts
+)
+SELECT l_returnflag,
+       cast(max(n) AS bigint) AS n_lines,
+       min(CASE WHEN cum >= ceil(n * 1 / 2) THEN q END) AS q_p50,
+       min(CASE WHEN cum >= ceil(n * 9 / 10) THEN q END) AS q_p90,
+       min(CASE WHEN cum >= ceil(n * 99 / 100) THEN q END) AS q_p99,
+       min(q) AS q_min,
+       max(q) AS q_max
+FROM cum GROUP BY l_returnflag
+"""
+
+QUERIES.append(
+    QuerySpec(
+        "quantity_exact_percentiles",
+        quantity_exact_percentiles,
+        QUANTITY_PCT_SQL,
+        "exact p50/p90/p99 via bounded-domain value counts",
+    )
+)

@@ -1067,6 +1067,223 @@ FROM binned GROUP BY q_bin
 """
 
 
+KL_VOCAB_TOP_K = 1_000
+
+
+def unigram_kl_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise unigram KL divergence between sources — the
+    distribution-shift companion to vocab_overlap_sources (set
+    overlap says WHETHER vocabularies differ; KL says how much the
+    usage FREQUENCIES differ — the signal a data-mixing curator uses
+    to weight sources, cf. DoReMi/DSIR-style domain reweighting).
+    Support is the corpus top-{K} tokens (deterministic count-desc /
+    token-asc TakeOrdered), add-one smoothed over the ACTUAL support
+    size L (not the K cap — a corpus with fewer than K distinct
+    tokens must still normalize to a proper distribution, else "KL"
+    goes negative) so no source zeroes out; both directions reported
+    per unordered pair.
+
+    Plan: one explode+groupBy builds token counts; the K-row support
+    and per-source masses BROADCAST; the scoring grid is K x |S| rows
+    (vocabulary grain, never corpus grain) and is localCheckpointed
+    before its self-join so the corpus scan happens once. ln is taken
+    on INTEGERS only (the unigram_logprob_scores discipline) and each
+    token contribution is fixed-pointed to q12 before summing, so the
+    rollup is order-insensitive and cross-engine exact."""
+    K = KL_VOCAB_TOP_K
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", T.tokens("text").alias("toks")
+    )
+    tok = d.select("source", F.explode("toks").alias("t"))
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    top = counts.orderBy(F.desc("c"), F.asc("t")).limit(K).select("t")
+    sc_counts = (
+        tok.join(F.broadcast(top), "t")
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sources = d.select("source").distinct()
+    grid0 = (
+        top.crossJoin(F.broadcast(sources))
+        .join(sc_counts, ["source", "t"], "left")
+        .select(
+            "t", "source", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+        )
+    )
+    # per-source restricted mass n AND support size L in one pass —
+    # the zero-filled grid has exactly one row per (support token,
+    # source), so count(*) IS the support size
+    mass = grid0.groupBy("source").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("L")
+    )
+    grid = (
+        grid0.join(F.broadcast(mass), "source")
+        .localCheckpoint(eager=True)  # K x |S| rows; cut the corpus
+    )  # lineage so the pair self-join scans the corpus once
+    a = grid.select(
+        "t",
+        F.col("source").alias("source_a"),
+        F.col("c").alias("ca"),
+        F.col("n").alias("na"),
+        F.col("L").alias("la"),
+    )
+    b = grid.select(
+        "t",
+        F.col("source").alias("source_b"),
+        F.col("c").alias("cb"),
+        F.col("n").alias("nb"),
+        F.col("L").alias("lb"),
+    )
+    pair = a.join(b, "t").where(F.col("source_a") < F.col("source_b"))
+    ln_combo = (
+        F.log(F.col("ca") + 1)
+        - F.log(F.col("cb") + 1)
+        + F.log(F.col("nb") + F.col("lb"))
+        - F.log(F.col("na") + F.col("la"))
+    )
+    pa = (F.col("ca") + 1) / (F.col("na") + F.col("la"))
+    pb = (F.col("cb") + 1) / (F.col("nb") + F.col("lb"))
+    per = pair.select(
+        "source_a",
+        "source_b",
+        F.floor(pa * ln_combo * 1e12).cast("bigint").alias("ab_q12"),
+        F.floor(pb * -ln_combo * 1e12).cast("bigint").alias("ba_q12"),
+    )
+    return per.groupBy("source_a", "source_b").agg(
+        F.sum("ab_q12").alias("kl_ab_q12"),
+        F.sum("ba_q12").alias("kl_ba_q12"),
+    )
+
+
+def _unigram_kl_sql() -> str:
+    K = KL_VOCAB_TOP_K
+    toks = T.tokens_sql("text")
+    return f"""
+WITH tok AS (
+  SELECT source, unnest({toks}) AS t FROM documents
+), counts AS (
+  SELECT t, count(*) AS c FROM tok GROUP BY t
+), top AS (
+  SELECT t FROM counts ORDER BY c DESC, t ASC LIMIT {K}
+), sc_counts AS (
+  SELECT source, tok.t, count(*) AS c
+  FROM tok JOIN top ON tok.t = top.t
+  GROUP BY source, tok.t
+), grid0 AS (
+  SELECT top.t, s.source, coalesce(sc.c, 0) AS c
+  FROM top
+  CROSS JOIN (SELECT DISTINCT source FROM documents) s
+  LEFT JOIN sc_counts sc ON sc.t = top.t AND sc.source = s.source
+), mass AS (
+  SELECT source, sum(c) AS n, count(*) AS L FROM grid0 GROUP BY source
+), grid AS (
+  SELECT grid0.t, grid0.source, grid0.c, mass.n, mass.L
+  FROM grid0 JOIN mass ON mass.source = grid0.source
+), pair AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         a.c AS ca, a.n AS na, a.L AS la,
+         b.c AS cb, b.n AS nb, b.L AS lb
+  FROM grid a JOIN grid b ON a.t = b.t AND a.source < b.source
+), per AS (
+  SELECT source_a, source_b,
+    cast(floor((ca + 1) / (na + la)
+         * (ln(ca + 1) - ln(cb + 1) + ln(nb + lb) - ln(na + la))
+         * 1e12) AS bigint) AS ab_q12,
+    cast(floor((cb + 1) / (nb + lb)
+         * -(ln(ca + 1) - ln(cb + 1) + ln(nb + lb) - ln(na + la))
+         * 1e12) AS bigint) AS ba_q12
+  FROM pair
+)
+SELECT source_a, source_b,
+       cast(sum(ab_q12) AS bigint) AS kl_ab_q12,
+       cast(sum(ba_q12) AS bigint) AS kl_ba_q12
+FROM per GROUP BY source_a, source_b
+"""
+
+
+UNIGRAM_KL_SQL = _unigram_kl_sql()
+
+
+def doc_quality_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlation between quality score and document
+    length, per source — the curation diagnostic that catches a
+    quality scorer degenerating into a length proxy (if corr ~ 1 the
+    composite adds nothing over n_chars, a known failure mode of
+    length-weighted quality heuristics).
+
+    Determinism: the score is floor-quantized to the 1e-6 grid
+    (functions/text.quality_score), recovered as an exact INT (q6);
+    all five moment sums accumulate as DECIMAL(38,0) (the money.py
+    discipline — order-insensitive, no float folding), and doubles
+    appear only in the final r formula, computed identically on both
+    engines and floor-quantized to q6.
+
+    Plan: single scan, map-side partial aggregation to one row per
+    source — nothing but 6 numbers per source ever shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    x = F.col("n_chars").cast("decimal(38,0)")
+    y = F.floor(T.quality_score("text") * 1e6 + 0.5).cast("decimal(38,0)")
+    per = d.select("source", x.alias("x"), y.alias("y"))
+    agg = per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    num = n * F.col("sxy").cast("double") - sx * sy
+    den = F.sqrt(
+        (n * F.col("sxx").cast("double") - sx * sx)
+        * (n * F.col("syy").cast("double") - sy * sy)
+    )
+    r = F.when(den > 0, num / den).otherwise(F.lit(0.0))
+    return agg.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.floor(r * 1e6 + 0.5).cast("bigint").alias("corr_q6"),
+    )
+
+
+def _quality_length_corr_sql() -> str:
+    q = T.quality_score_sql("text")
+    return f"""
+WITH per AS (
+  SELECT source,
+         cast(n_chars AS DECIMAL(38,0)) AS x,
+         cast(floor({q} * 1e6 + 0.5) AS DECIMAL(38,0)) AS y
+  FROM documents
+), agg AS (
+  SELECT source,
+         count(*) AS n,
+         cast(sum(x) AS DECIMAL(38,0)) AS sx,
+         cast(sum(y) AS DECIMAL(38,0)) AS sy,
+         cast(sum(x * x) AS DECIMAL(38,0)) AS sxx,
+         cast(sum(x * y) AS DECIMAL(38,0)) AS sxy,
+         cast(sum(y * y) AS DECIMAL(38,0)) AS syy
+  FROM per GROUP BY source
+)
+SELECT source,
+       cast(n AS bigint) AS n_docs,
+       cast(floor(
+         CASE WHEN (cast(n AS double) * cast(sxx AS double)
+                    - cast(sx AS double) * cast(sx AS double))
+                 * (cast(n AS double) * cast(syy AS double)
+                    - cast(sy AS double) * cast(sy AS double)) > 0
+              THEN (cast(n AS double) * cast(sxy AS double)
+                    - cast(sx AS double) * cast(sy AS double))
+                   / sqrt((cast(n AS double) * cast(sxx AS double)
+                           - cast(sx AS double) * cast(sx AS double))
+                          * (cast(n AS double) * cast(syy AS double)
+                             - cast(sy AS double) * cast(sy AS double)))
+              ELSE 0.0 END * 1e6 + 0.5) AS bigint) AS corr_q6
+FROM agg
+"""
+
+
 QUERIES = [
     QuerySpec("sentiment_by_source", sentiment_by_source, _sentiment_sql()),
     QuerySpec("tfidf_top_terms", tfidf_top_terms, TFIDF_SQL),
@@ -1107,5 +1324,17 @@ QUERIES = [
         quality_calibration_bins,
         QUALITY_CALIBRATION_SQL,
         "quality-decile x exact-dup calibration for filter thresholds",
+    ),
+    QuerySpec(
+        "unigram_kl_matrix",
+        unigram_kl_matrix,
+        UNIGRAM_KL_SQL,
+        "pairwise source unigram KL divergence (domain-mix shift)",
+    ),
+    QuerySpec(
+        "doc_quality_length_corr",
+        doc_quality_length_corr,
+        _quality_length_corr_sql(),
+        "exact fixed-point Pearson r of quality vs length per source",
     ),
 ]

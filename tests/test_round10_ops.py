@@ -1,0 +1,118 @@
+"""Semantic pins for the round-10 operators (oracle hash parity is
+covered by test_queries_oracle; these pin the mathematical contracts:
+estimator-error bounds, KL non-negativity, percentile ordering,
+correlation range, gap accounting)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def test_minhash_calibration_contract(spark):
+    from goe_spark.queries.dedup import minhash_calibration_bins
+
+    rows = minhash_calibration_bins(spark, SF_SMALL).collect()
+    assert rows, "LSH candidates must exist in the fixture corpus"
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        assert 0 <= r.mean_est_q6 <= 1_000_000
+        assert 0 <= r.mean_exact_q6 <= 1_000_000
+        # a 16-permutation estimator's mean |error| stays well under
+        # 0.5 on any candidate population
+        assert r.mean_abs_err_q6 < 500_000
+        # bands agree between 1 (candidates share >= 1 band by
+        # construction... per-pair; the MEAN can exceed 1e4) and 4
+        assert 10_000 <= r.mean_bands_q4 <= 40_000
+    # the banding S-curve rises with exact Jaccard — compared only
+    # between POPULATED bins (a 1-pair bin is a single estimator
+    # sample and can sit above its neighbor, as bin 8 does at sf0.01)
+    solid = {r.bin: r for r in rows if r.n_pairs >= 5}
+    if len(solid) >= 2:
+        lo, hi = min(solid), max(solid)
+        assert solid[hi].mean_bands_q4 >= solid[lo].mean_bands_q4
+        assert solid[hi].mean_est_q6 > solid[lo].mean_est_q6
+
+
+def test_unigram_kl_nonnegative_and_complete(spark):
+    from goe_spark.queries.text import KL_VOCAB_TOP_K, unigram_kl_matrix
+
+    rows = unigram_kl_matrix(spark, SF_SMALL).collect()
+    n_sources = 20
+    assert len(rows) == n_sources * (n_sources - 1) // 2
+    for r in rows:
+        assert r.source_a < r.source_b
+        # KL >= 0 up to the per-token floor quantization (each of the
+        # <= K tokens can lose < 1 q12 unit)
+        assert r.kl_ab_q12 >= -KL_VOCAB_TOP_K
+        assert r.kl_ba_q12 >= -KL_VOCAB_TOP_K
+
+
+def test_audio_duration_bins_accounting(spark):
+    from goe_spark.catalog import load_table
+    from goe_spark.queries.multimodal import media_audio_duration_bins
+
+    rows = media_audio_duration_bins(spark, SF_SMALL).collect()
+    n_docs = load_table(spark, SF_SMALL, "documents").count()
+    assert sum(r.n_clips for r in rows) == n_docs
+    assert len(rows) > 3, "frame spread must populate several bins"
+    for r in rows:
+        assert r.bin >= 0
+        assert 100 * r.bin <= r.min_ms <= r.max_ms < 100 * (r.bin + 1)
+        assert 0 <= r.n_stereo <= r.n_clips
+        assert 0 <= r.n_16bit <= r.n_clips
+
+
+def test_quantity_percentiles_ordered_and_exact(spark):
+    from goe_spark.catalog import load_table
+    from goe_spark.queries.relational3 import quantity_exact_percentiles
+
+    rows = quantity_exact_percentiles(spark, SF_SMALL).collect()
+    li = (
+        load_table(spark, SF_SMALL, "lineitem")
+        .select("l_returnflag", F.col("l_quantity").cast("int").alias("q"))
+        .collect()
+    )
+    for r in rows:
+        qs = sorted(x.q for x in li if x.l_returnflag == r.l_returnflag)
+        assert r.n_lines == len(qs)
+        # the inverted-CDF definition, checked against a plain sort
+        import math
+
+        assert r.q_p50 == qs[math.ceil(len(qs) * 0.5) - 1]
+        assert r.q_p90 == qs[math.ceil(len(qs) * 0.9) - 1]
+        assert r.q_p99 == qs[math.ceil(len(qs) * 0.99) - 1]
+        assert r.q_min <= r.q_p50 <= r.q_p90 <= r.q_p99 <= r.q_max
+
+
+def test_quality_length_corr_range(spark):
+    from goe_spark.queries.text import doc_quality_length_corr
+
+    rows = doc_quality_length_corr(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert -1_000_000 <= r.corr_q6 <= 1_000_000
+    # the composite score is 50% length-driven: correlation with
+    # length must be strongly positive on the fixture
+    assert max(r.corr_q6 for r in rows) > 300_000
+
+
+def test_interarrival_gap_accounting(spark):
+    from goe_spark.catalog import load_table
+    from goe_spark.queries.events_analytics import (
+        interarrival_log2_histogram,
+    )
+
+    rows = interarrival_log2_histogram(spark, SF_SMALL).collect()
+    e = load_table(spark, SF_SMALL, "events")
+    n_events = e.count()
+    n_users = e.select("user_id").distinct().count()
+    # every event except each user's first contributes exactly one gap
+    assert sum(r.n_gaps for r in rows) == n_events - n_users
+    for r in rows:
+        assert r.log2_bucket >= -1
+        if r.log2_bucket >= 0:
+            # bucket b holds gaps in [2^b, 2^(b+1))
+            assert 2**r.log2_bucket <= r.min_us
+            assert r.max_us < 2 ** (r.log2_bucket + 1)
