@@ -568,3 +568,139 @@ def wav_bits_per_sample_sql(content_expr: str) -> str:
 def wav_data_size_sql(content_expr: str) -> str:
     h = f"upper(hex({content_expr}))"
     return _be_hex_val_sql(_le_pairs_sql(h, 81, 4))
+
+
+# --- MP3 (MPEG-1 Layer III) frame header parsing — codec-free -------------
+# An MP3 stream is an optional ID3v2 tag ("ID3" + 3 bytes + 4-byte
+# SYNCSAFE size, 7 bits per byte) followed by frame headers
+# (11-bit 0xFFE sync; bitrate/sample-rate/channel-mode indexed fields).
+# Same byte-arithmetic approach as the PNG/GIF/BMP/JPEG/WAV parsers:
+# hex + positional conv, identically expressible in Spark and DuckDB.
+# Bitrate table: MPEG-1 Layer III kbps by 4-bit index (0 = free,
+# 15 = invalid -> NULL).
+MP3_BITRATES = (None, 32, 40, 48, 56, 64, 80, 96, 112,
+                128, 160, 192, 224, 256, 320, None)
+MP3_SAMPLE_RATES = (44100, 48000, 32000, None)
+MP3_CHANNEL_MODES = ("stereo", "joint", "dual", "mono")
+ID3_SIG_HEX = "494433"
+
+
+def _byte_at(h, pos_chars) -> "F.Column":
+    """Unsigned byte value at a 1-based HEX-CHAR position (Column)."""
+    return F.conv(h.substr(pos_chars, F.lit(2)), 16, 10).cast("int")
+
+
+def mp3_frame_pos(content) -> "F.Column":
+    """1-based hex-char position of the first MPEG frame header:
+    char 1 for a bare stream, or just past the ID3v2 tag (syncsafe
+    size at bytes 7-10). NULL when no 0xFFEx sync sits there."""
+    h = _hex_of(content)
+    syncsafe = (
+        _byte_at(h, F.lit(13)) * (1 << 21)
+        + _byte_at(h, F.lit(15)) * (1 << 14)
+        + _byte_at(h, F.lit(17)) * (1 << 7)
+        + _byte_at(h, F.lit(19))
+    )
+    pos = F.when(
+        h.startswith(ID3_SIG_HEX), F.lit(1) + 2 * (F.lit(10) + syncsafe)
+    ).otherwise(F.lit(1))
+    b1 = _byte_at(h, pos)
+    b2 = _byte_at(h, pos + 2)
+    is_sync = (b1 == 255) & (F.floor(b2 / 32) == 7)  # 0xFFE
+    return F.when(is_sync, pos).cast("int")
+
+
+def _mp3_header_field(content, byte_off: int) -> "F.Column":
+    h = _hex_of(content)
+    return _byte_at(h, mp3_frame_pos(content) + 2 * byte_off)
+
+
+def mp3_bitrate_kbps(content) -> "F.Column":
+    """MPEG-1 Layer III bitrate from the 4-bit index (header byte 3
+    high nibble); NULL for free-format/invalid indexes or no frame."""
+    idx = F.floor(_mp3_header_field(content, 2) / 16).cast("int")
+    expr = F.lit(None).cast("int")
+    for i, v in enumerate(MP3_BITRATES):
+        if v is not None:
+            expr = F.when(idx == i, F.lit(v)).otherwise(expr)
+    return expr
+
+
+def mp3_sample_rate(content) -> "F.Column":
+    """Sample rate from the 2-bit index (byte 3 bits 2-3)."""
+    idx = (F.floor(_mp3_header_field(content, 2) / 4) % 4).cast("int")
+    expr = F.lit(None).cast("int")
+    for i, v in enumerate(MP3_SAMPLE_RATES):
+        if v is not None:
+            expr = F.when(idx == i, F.lit(v)).otherwise(expr)
+    return expr
+
+
+def mp3_channel_mode(content) -> "F.Column":
+    """Channel mode from byte 4's top 2 bits."""
+    idx = F.floor(_mp3_header_field(content, 3) / 64).cast("int")
+    expr = F.lit(None).cast("string")
+    for i, v in enumerate(MP3_CHANNEL_MODES):
+        expr = F.when(idx == i, F.lit(v)).otherwise(expr)
+    return expr
+
+
+def _mp3_pos_sql(content_expr: str) -> str:
+    h = f"upper(hex({content_expr}))"
+    b = "cast(('0x' || substr({h}, {pos}, 2)) AS int)"
+    syncsafe = (
+        f"({b.format(h=h, pos=13)} * 2097152"
+        f" + {b.format(h=h, pos=15)} * 16384"
+        f" + {b.format(h=h, pos=17)} * 128"
+        f" + {b.format(h=h, pos=19)})"
+    )
+    pos = (
+        f"(CASE WHEN {h} LIKE '{ID3_SIG_HEX}%'"
+        f" THEN 1 + 2 * (10 + {syncsafe}) ELSE 1 END)"
+    )
+    return pos
+
+
+def mp3_frame_pos_sql(content_expr: str) -> str:
+    h = f"upper(hex({content_expr}))"
+    pos = _mp3_pos_sql(content_expr)
+    b1 = f"try_cast(('0x' || substr({h}, {pos}, 2)) AS int)"
+    b2 = f"try_cast(('0x' || substr({h}, {pos} + 2, 2)) AS int)"
+    return (
+        f"(CASE WHEN {b1} = 255 AND {b2} // 32 = 7"
+        f" THEN cast({pos} AS int) END)"
+    )
+
+
+def _mp3_field_sql(content_expr: str, byte_off: int) -> str:
+    h = f"upper(hex({content_expr}))"
+    pos = mp3_frame_pos_sql(content_expr)
+    return f"try_cast(('0x' || substr({h}, {pos} + {2 * byte_off}, 2)) AS int)"
+
+
+def mp3_bitrate_kbps_sql(content_expr: str) -> str:
+    idx = f"({_mp3_field_sql(content_expr, 2)} // 16)"
+    whens = " ".join(
+        f"WHEN {i} THEN {v}"
+        for i, v in enumerate(MP3_BITRATES)
+        if v is not None
+    )
+    return f"(CASE {idx} {whens} ELSE NULL END)"
+
+
+def mp3_sample_rate_sql(content_expr: str) -> str:
+    idx = f"(({_mp3_field_sql(content_expr, 2)} // 4) % 4)"
+    whens = " ".join(
+        f"WHEN {i} THEN {v}"
+        for i, v in enumerate(MP3_SAMPLE_RATES)
+        if v is not None
+    )
+    return f"(CASE {idx} {whens} ELSE NULL END)"
+
+
+def mp3_channel_mode_sql(content_expr: str) -> str:
+    idx = f"({_mp3_field_sql(content_expr, 3)} // 64)"
+    whens = " ".join(
+        f"WHEN {i} THEN '{v}'" for i, v in enumerate(MP3_CHANNEL_MODES)
+    )
+    return f"(CASE {idx} {whens} END)"

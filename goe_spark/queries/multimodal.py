@@ -723,6 +723,119 @@ FROM per GROUP BY 1
 """
 
 
+def media_mp3_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-parsed MP3 stream metadata — the compressed-audio twin
+    of media_wav_stats: bitrate / sample rate / channel mode read from
+    the first MPEG-1 Layer III frame header, AFTER skipping an
+    optional ID3v2 tag via its SYNCSAFE 7-bit-per-byte size field
+    (multimodal/media.py mp3_*). No codec anywhere. Payloads are
+    synthesized spec-true from doc_id (half carry an ID3v2 tag of
+    varying size, bitrate/sample-rate/mode indexes cycle) and parsed
+    back EXCLUSIVELY from the binary column. Per sample-rate: file
+    count, tag mix, channel-mode mix, exact bitrate stats.
+
+    Plan: single scan, all codegen hex arithmetic, one 3-row
+    aggregate; payload bytes never shuffle."""
+    from goe_spark.multimodal.media import (
+        mp3_bitrate_kbps,
+        mp3_channel_mode,
+        mp3_frame_pos,
+        mp3_sample_rate,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    br_idx = (1 + F.col("doc_id") % 14).cast("int")
+    sr_idx = (F.col("doc_id") % 3).cast("int")
+    mode = (F.col("doc_id") % 4).cast("int")
+    tag_size = (50 + F.col("doc_id") % 100).cast("int")  # < 16384
+    id3_hex = F.concat(
+        F.lit("494433" + "040000" + "0000"),
+        F.lpad(F.hex(F.floor(tag_size / 128)), 2, "0"),
+        F.lpad(F.hex(tag_size % 128), 2, "0"),
+        F.lit("78" * 149).substr(F.lit(1), tag_size * 2),
+    )
+    frame_hex = F.concat(
+        F.lit("FFFB"),
+        F.lpad(F.hex(br_idx * 16 + sr_idx * 4), 2, "0"),
+        F.lpad(F.hex(mode * 64), 2, "0"),
+    )
+    header_hex = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, id3_hex).otherwise(F.lit("")),
+        frame_hex,
+    )
+    content = F.concat(
+        F.unhex(header_hex), F.encode(F.substring("text", 1, 12), "UTF-8")
+    )
+    media = d.select(content.alias("content"))
+    c = F.col("content")
+    per = media.select(
+        mp3_frame_pos(c).alias("pos"),
+        mp3_bitrate_kbps(c).alias("kbps"),
+        mp3_sample_rate(c).alias("sr"),
+        mp3_channel_mode(c).alias("mode"),
+    ).where(F.col("pos").isNotNull())
+    return per.groupBy("sr").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum((F.col("pos") > 1).cast("long")).alias("n_tagged"),
+        F.sum((F.col("mode") == "stereo").cast("long")).alias("n_stereo"),
+        F.sum((F.col("mode") == "mono").cast("long")).alias("n_mono"),
+        F.sum("kbps").cast("bigint").alias("sum_kbps"),
+        F.min("kbps").alias("min_kbps"),
+        F.max("kbps").alias("max_kbps"),
+    )
+
+
+def _media_mp3_sql() -> str:
+    from goe_spark.multimodal.media import (
+        mp3_bitrate_kbps_sql,
+        mp3_channel_mode_sql,
+        mp3_frame_pos_sql,
+        mp3_sample_rate_sql,
+    )
+
+    return f"""
+WITH built AS (
+  SELECT doc_id,
+         cast(1 + doc_id % 14 AS int) AS br_idx,
+         cast(doc_id % 3 AS int) AS sr_idx,
+         cast(doc_id % 4 AS int) AS mode,
+         cast(50 + doc_id % 100 AS int) AS tag_size,
+         text
+  FROM documents
+), media AS (
+  SELECT from_hex(concat(
+           CASE WHEN doc_id % 2 = 0 THEN concat(
+             '4944330400000000',
+             lpad(hex(tag_size // 128), 2, '0'),
+             lpad(hex(tag_size % 128), 2, '0'),
+             repeat('78', tag_size)
+           ) ELSE '' END,
+           'FFFB',
+           lpad(hex(br_idx * 16 + sr_idx * 4), 2, '0'),
+           lpad(hex(mode * 64), 2, '0')
+         )) || encode(substr(text, 1, 12)) AS content
+  FROM built
+), per AS (
+  SELECT {mp3_frame_pos_sql('content')} AS pos,
+         {mp3_bitrate_kbps_sql('content')} AS kbps,
+         {mp3_sample_rate_sql('content')} AS sr,
+         {mp3_channel_mode_sql('content')} AS mode
+  FROM media
+)
+SELECT sr,
+       count(*) AS n_files,
+       cast(sum(CASE WHEN pos > 1 THEN 1 ELSE 0 END) AS bigint) AS n_tagged,
+       cast(sum(CASE WHEN mode = 'stereo' THEN 1 ELSE 0 END) AS bigint)
+         AS n_stereo,
+       cast(sum(CASE WHEN mode = 'mono' THEN 1 ELSE 0 END) AS bigint)
+         AS n_mono,
+       cast(sum(kbps) AS bigint) AS sum_kbps,
+       min(kbps) AS min_kbps,
+       max(kbps) AS max_kbps
+FROM per WHERE pos IS NOT NULL GROUP BY sr
+"""
+
+
 QUERIES = [
     QuerySpec("media_decode_features", media_decode_features, MEDIA_FEATURES_SQL),
     QuerySpec("media_resize_images", media_resize_images, MEDIA_RESIZE_SQL),
@@ -753,5 +866,11 @@ QUERIES = [
         media_audio_duration_bins,
         _media_audio_bins_sql(),
         "audio-length curriculum bins from RIFF headers, codec-free",
+    ),
+    QuerySpec(
+        "media_mp3_stats",
+        media_mp3_stats,
+        _media_mp3_sql(),
+        "MP3 frame-header bitrate/rate/mode past ID3v2, codec-free",
     ),
 ]

@@ -400,3 +400,62 @@ FROM hx LEFT JOIN jpeg_sof USING (media_id) ORDER BY media_id
         (3, 9, 7),
         (4, None, None),
     ]
+
+
+def test_mp3_frame_parse_real_bytes(spark):
+    """MP3 frame-header fields parsed from spec-true bytes: bare
+    streams, ID3v2-tagged streams (syncsafe size walk), free-format
+    bitrate -> NULL, tag-without-frame and garbage -> no frame."""
+    from pyspark.sql import functions as F
+
+    from goe_spark.multimodal.media import (
+        mp3_bitrate_kbps,
+        mp3_channel_mode,
+        mp3_frame_pos,
+        mp3_sample_rate,
+    )
+
+    def mk(id3_size=None, bitrate_idx=9, sr_idx=0, mode=3):
+        hdr = bytes(
+            [0xFF, 0xFB, (bitrate_idx << 4) | (sr_idx << 2), mode << 6]
+        ) + b"framedata"
+        if id3_size is None:
+            return hdr
+        ss = bytes(
+            [
+                (id3_size >> 21) & 0x7F,
+                (id3_size >> 14) & 0x7F,
+                (id3_size >> 7) & 0x7F,
+                id3_size & 0x7F,
+            ]
+        )
+        return b"ID3" + bytes([4, 0, 0]) + ss + b"x" * id3_size + hdr
+
+    payloads = [
+        (1, mk()),                                             # 128/44100/mono
+        (2, mk(id3_size=200, bitrate_idx=14, sr_idx=1, mode=0)),
+        (3, mk(id3_size=300, bitrate_idx=0, sr_idx=2, mode=1)),  # free -> NULL
+        (4, mk(id3_size=20000, bitrate_idx=5, sr_idx=0, mode=2)),  # 2-byte syncsafe
+        (5, b"ID3" + bytes([4, 0, 0, 0, 0, 0, 10]) + b"0123456789nothdr"),
+        (6, b"garbage"),
+    ]
+    df = spark.createDataFrame(payloads, "media_id long, content binary")
+    c = df.content
+    got = {
+        r.media_id: (r.pos, r.kbps, r.sr, r.mode)
+        for r in df.select(
+            "media_id",
+            mp3_frame_pos(c).alias("pos"),
+            mp3_bitrate_kbps(c).alias("kbps"),
+            mp3_sample_rate(c).alias("sr"),
+            mp3_channel_mode(c).alias("mode"),
+        ).collect()
+    }
+    assert got == {
+        1: (1, 128, 44100, "mono"),
+        2: (421, 320, 48000, "stereo"),
+        3: (621, None, 32000, "joint"),
+        4: (40021, 64, 44100, "dual"),
+        5: (None, None, None, None),
+        6: (None, None, None, None),
+    }
