@@ -22,15 +22,23 @@ TOMBSTONES:
 - a full rebuild (build_*) CLEARS the tombstones — a fresh index has
   no deletions to hide.
 
+UPSERT (the merge/incremental-update path) is the LSM-lite
+composition of the two primitives: ``upsert_*`` tombstones the
+changed keys (hiding their BASE rows) and lands the recomputed rows
+in ``index_dir/overrides`` — a second, small store every reader
+unions in AFTER the tombstone anti-join. Eviction prunes overrides
+too (delete-after-upsert cannot resurrect a row), and a full rebuild
+clears both side stores.
+
 Caveats, by design:
-- Re-ingesting a previously-evicted key via append_* stays hidden
-  until the next full rebuild (tombstones are key-level, not
-  version-level). The orchestration path that re-adds keys is a
-  rebuild anyway (changed source fingerprint on a non-evicting
-  write).
+- Re-ingesting a previously-evicted key via the plain ``append_*``
+  APIs stays hidden (tombstones are key-level) — route re-adds and
+  changes through ``upsert_*``, which is exactly what they are for.
 - Tombstones accumulate until the next rebuild; they are O(total
   deleted), the standard LSM trade, and the broadcast anti-join keeps
-  their read cost one small hash table per scan.
+  their read cost one small hash table per scan. Overrides are
+  O(total changed) and are compacted (rewritten minus pruned keys)
+  on every eviction that touches them.
 
 Reference parity: the reference delegates DELETE to its warehouse
 backend and rebuilds derived state; this module is the Spark-first
@@ -48,6 +56,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 TOMBSTONE_DIR = "tombstones"
+OVERRIDE_DIR = "overrides"
 # Tombstones are stored under ONE canonical column name so indexes
 # with different key columns (doc_id, vec_id) share the store format.
 TOMBSTONE_COL = "key"
@@ -55,6 +64,29 @@ TOMBSTONE_COL = "key"
 
 def _tombstone_path(index_dir: str) -> str:
     return os.path.join(index_dir, TOMBSTONE_DIR)
+
+
+def _override_path(index_dir: str) -> str:
+    return os.path.join(index_dir, OVERRIDE_DIR)
+
+
+def _prune_overrides(
+    spark: SparkSession, index_dir: str, keys, key_column: str
+) -> None:
+    """Rewrite the overrides store minus ``keys`` — keeps
+    delete-after-upsert from resurrecting a row through the override
+    union. O(total overrides), which is O(total changed keys)."""
+    opath = _override_path(index_dir)
+    if not os.path.isdir(opath):
+        return
+    cur = spark.read.parquet(opath)
+    kept = cur.join(F.broadcast(keys), key_column, "left_anti")
+    tmp = opath + "_tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    kept.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(opath)
+    os.rename(tmp, opath)
 
 
 def evict_keys(
@@ -82,10 +114,17 @@ def evict_keys(
                 [(k,) for k in keys], [TOMBSTONE_COL]
             ).distinct()
         )
+    t = t.localCheckpoint(eager=True)  # read 3x: count, store, prune
     n = t.count()
     if n:
         t.coalesce(1).write.mode("append").parquet(
             _tombstone_path(index_dir)
+        )
+        _prune_overrides(
+            spark,
+            index_dir,
+            t.select(F.col(TOMBSTONE_COL).alias(key_column)),
+            key_column,
         )
     with open(meta_path) as f:
         meta = json.load(f)
@@ -103,24 +142,106 @@ def evict_keys(
 def apply_tombstones(
     spark: SparkSession, index_dir: str, df: DataFrame, key_column: str
 ) -> DataFrame:
-    """Anti-join ``df`` against the index's tombstones on
-    ``key_column``. No tombstones -> the input plan unchanged (zero
-    overhead for never-deleted indexes); otherwise one broadcast hash
-    anti-join against the O(deleted) key set."""
+    """The maintenance view of an index's base relation: anti-join
+    ``df`` against the tombstones on ``key_column``, then union in the
+    overrides store (rows recomputed by upserts). No side stores ->
+    the input plan unchanged (zero overhead for never-maintained
+    indexes); otherwise one broadcast hash anti-join against the
+    O(deleted) key set + one small parquet scan."""
     tpath = _tombstone_path(index_dir)
-    if not os.path.isdir(tpath):
-        return df
-    t = (
-        spark.read.parquet(tpath)
-        .select(F.col(TOMBSTONE_COL).alias(key_column))
-        .distinct()
-    )
-    return df.join(F.broadcast(t), key_column, "left_anti")
+    if os.path.isdir(tpath):
+        t = (
+            spark.read.parquet(tpath)
+            .select(F.col(TOMBSTONE_COL).alias(key_column))
+            .distinct()
+        )
+        df = df.join(F.broadcast(t), key_column, "left_anti")
+    opath = _override_path(index_dir)
+    if os.path.isdir(opath):
+        ov = spark.read.parquet(opath)
+        df = df.unionByName(ov.select(*df.columns))
+    return df
 
 
 def clear_tombstones(index_dir: str) -> None:
-    """Drop the tombstone set — called by every full build (a fresh
-    index has no deletions to hide)."""
-    tpath = _tombstone_path(index_dir)
-    if os.path.isdir(tpath):
-        shutil.rmtree(tpath)
+    """Drop both side stores — called by every full build (a fresh
+    index has no deletions to hide and no overrides to serve)."""
+    for p in (_tombstone_path(index_dir), _override_path(index_dir)):
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+
+
+def upsert_signatures(
+    spark: SparkSession, index_dir: str, changed_docs: DataFrame
+) -> int:
+    """O(changed) minhash-index maintenance under UPSERT (the merge/
+    incremental-update path): tombstone the changed doc_ids (their
+    BASE rows must not serve) and land signatures recomputed from the
+    NEW text in the overrides store. Probe results are identical to a
+    full rebuild over the post-upsert corpus — per-doc signatures are
+    independent rows. Returns the number of re-indexed docs (a doc
+    shrinking below shingle-ability is simply evicted)."""
+    from goe_spark.operators.minhash_index import signature_frame
+
+    keys = (
+        changed_docs.select("doc_id").distinct().localCheckpoint(eager=True)
+    )
+    sigs = signature_frame(changed_docs).localCheckpoint(eager=True)
+    evict_keys(spark, index_dir, keys, "doc_id")
+    n = sigs.count()
+    if n:
+        sigs.write.mode("append").parquet(_override_path(index_dir))
+    return n
+
+
+def upsert_segments(
+    spark: SparkSession, index_dir: str, changed_docs: DataFrame
+) -> int:
+    """O(changed) segment-index maintenance under UPSERT (see
+    upsert_signatures; a doc's rows in the overrides store are ALL of
+    its (fp, n_seg) rows, recomputed)."""
+    from goe_spark.operators.segment_index import segment_fp_frame
+
+    keys = (
+        changed_docs.select("doc_id").distinct().localCheckpoint(eager=True)
+    )
+    segs = segment_fp_frame(changed_docs).localCheckpoint(eager=True)
+    evict_keys(spark, index_dir, keys, "doc_id")
+    n = segs.count()
+    if n:
+        segs.write.mode("append").parquet(_override_path(index_dir))
+    return n
+
+
+def upsert_vectors(
+    spark: SparkSession, index_dir: str, changed_vecs: DataFrame
+) -> int:
+    """O(changed) IVF-index maintenance under UPSERT: tombstone the
+    changed vec_ids, then assign the NEW vectors against the BUILD's
+    persisted centroids (and encode against the BUILD's codebooks
+    when the index carries PQ codes) into the overrides store — probe
+    equals probing the post-upsert corpus with the same quantizer,
+    the append_to_index contract's upsert twin."""
+    import os as _os
+
+    from goe_spark.operators.ivf import assign_cells
+
+    keys = (
+        changed_vecs.select("vec_id").distinct().localCheckpoint(eager=True)
+    )
+    cents = spark.read.parquet(_os.path.join(index_dir, "centroids"))
+    out = assign_cells(changed_vecs, cents)
+    base = spark.read.parquet(_os.path.join(index_dir, "assigned"))
+    if "codes" in base.columns:
+        from goe_spark.operators.ivf import index_codebooks
+        from goe_spark.operators.pq import encode_codes
+
+        out = out.withColumn(
+            "codes", encode_codes("embedding", index_codebooks(index_dir))
+        )
+    out = out.select(*base.columns).localCheckpoint(eager=True)
+    evict_keys(spark, index_dir, keys, "vec_id")
+    n = out.count()
+    if n:
+        out.write.mode("append").parquet(_override_path(index_dir))
+    return n

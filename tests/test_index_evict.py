@@ -192,3 +192,100 @@ def test_evict_requires_managed_index(spark, tmp_path):
 
     with pytest.raises(ValueError, match="managed index"):
         evict_keys(spark, str(tmp_path), [1, 2], "doc_id")
+
+
+def test_minhash_upsert_matches_rebuild_and_delete_after_upsert(
+    spark, doc_corpus
+):
+    """UPSERT maintenance (evict + overrides): re-indexed docs serve
+    their NEW signatures, results are bit-identical to a full rebuild
+    over the modified corpus, a second upsert of the same key wins,
+    and a delete AFTER an upsert cannot resurrect the row through the
+    overrides store."""
+    from goe_spark.operators.index_maintenance import upsert_signatures
+    from goe_spark.operators.minhash_index import (
+        build_signature_index,
+        ensure_signature_index,
+        load_signatures,
+    )
+
+    corpus_dir, path = doc_corpus
+    idx = ensure_signature_index(spark, corpus_dir)
+    base = spark.read.parquet(path)
+    victims = [r[0] for r in base.select("doc_id").orderBy("doc_id").limit(2).collect()]
+
+    changed = (
+        base.where(F.col("doc_id").isin(victims))
+        .withColumn(
+            "text",
+            F.concat(
+                F.lit("completely new text body for upsert "), F.col("text")
+            ),
+        )
+        # materialize BEFORE the delete rewrites the files it reads
+        .localCheckpoint(eager=True)
+    )
+    # write the modified corpus (delete + append of changed rows)
+    delete_rows(spark, path, "doc_id", victims, maintain_indexes=[idx])
+    changed.write.mode("append").partitionBy("goe_part_key").parquet(path)
+    n = upsert_signatures(spark, idx, changed.drop("goe_part_key"))
+    assert n == 2
+
+    sigs = load_signatures(spark, idx)
+    rebuilt_dir = idx + "_upsert_rebuilt"
+    build_signature_index(
+        spark, spark.read.parquet(path).drop("goe_part_key"), rebuilt_dir
+    )
+    rebuilt = spark.read.parquet(os.path.join(rebuilt_dir, "signatures"))
+    assert sigs.exceptAll(rebuilt).count() == 0
+    assert rebuilt.exceptAll(sigs).count() == 0
+
+    # second upsert of the same key: latest wins, no duplicates
+    changed2 = changed.withColumn(
+        "text", F.concat(F.lit("third version "), F.col("text"))
+    ).drop("goe_part_key")
+    upsert_signatures(spark, idx, changed2)
+    per_key = (
+        load_signatures(spark, idx)
+        .where(F.col("doc_id").isin(victims))
+        .groupBy("doc_id")
+        .count()
+        .collect()
+    )
+    assert {r["count"] for r in per_key} == {1}
+
+    # delete AFTER upsert: the overrides row must die too
+    delete_rows(spark, path, "doc_id", [victims[0]], maintain_indexes=[idx])
+    assert (
+        load_signatures(spark, idx)
+        .where(F.col("doc_id") == victims[0])
+        .count()
+        == 0
+    )
+
+
+def test_ivf_upsert_serves_new_vector(spark, emb_corpus):
+    from goe_spark.operators.index_maintenance import upsert_vectors
+    from goe_spark.operators.ivf import ensure_index, load_assigned
+
+    corpus_dir, path = emb_corpus
+    idx = ensure_index(spark, corpus_dir)
+    vid = spark.read.parquet(path).select(F.min("vec_id")).first()[0]
+    changed = (
+        spark.read.parquet(path)
+        .where(F.col("vec_id") == vid)
+        .drop("goe_part_key")
+        .withColumn(
+            "embedding",
+            F.transform("embedding", lambda x: (x * 2.0).cast("float")),
+        )
+    )
+    old = load_assigned(spark, idx).where(F.col("vec_id") == vid).first()
+    assert upsert_vectors(spark, idx, changed) == 1
+    rows = load_assigned(spark, idx).where(F.col("vec_id") == vid).collect()
+    assert len(rows) == 1
+    got = rows[0]
+    assert got.embedding[0] == old.embedding[0] * 2.0
+    # PQ codes ride the upsert when the index carries them
+    if "codes" in rows[0].__fields__:
+        assert got.codes is not None
