@@ -1284,6 +1284,129 @@ FROM agg
 """
 
 
+def quality_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise two-sample Kolmogorov-Smirnov statistic between the
+    per-source quality-score distributions — the drift test a data
+    curator runs before assuming one quality_min threshold fits every
+    source (a large KS means per-source calibration, cf.
+    quality_calibration_bins). EXACT, not sampled: scores live on a
+    1e-3 bucket grid (the score is already 1e-6-quantized), the step
+    CDFs jump only at observed buckets, and the max |CDF_a - CDF_b|
+    over jump points IS the KS statistic. All comparisons are
+    cross-multiplied integers (|cum_a*n_b - cum_b*n_a|), so the
+    result is exact and cross-engine hash-stable; ks_q6 divides out
+    at the end.
+
+    Plan: one scan to (source, bucket) counts; the zero-filled grid
+    is <= 1001 buckets x |sources| rows; the cumulative window runs
+    over <= 1001 rows per source; the pair join is grid-grain. At
+    100 TB only the first aggregate touches the corpus."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.floor(T.quality_score("text") * 1000).cast("int")
+    counts = (
+        d.select("source", bucket.alias("b"))
+        .groupBy("source", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    buckets = counts.select("b").distinct()
+    sources = d.select("source").distinct()
+    grid = (
+        buckets.crossJoin(F.broadcast(sources))
+        .join(counts, ["source", "b"], "left")
+        .select("source", "b", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cdf = grid.select(
+        "source",
+        "b",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy("source")).alias("n"),
+    ).localCheckpoint(eager=True)  # bucket-grain; cut the corpus scan
+    a = cdf.select(
+        F.col("source").alias("source_a"),
+        "b",
+        F.col("cum").alias("ca"),
+        F.col("n").alias("na"),
+    )
+    bb = cdf.select(
+        F.col("source").alias("source_b"),
+        "b",
+        F.col("cum").alias("cb"),
+        F.col("n").alias("nb"),
+    )
+    pair = a.join(bb, "b").where(F.col("source_a") < F.col("source_b"))
+    # DECIMAL(38,0): cum * n reaches ~1e20 at 1e10 docs — past int64;
+    # the q6 scale-up adds 6 more digits, still 12 under the ceiling
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    gap = F.abs(dec("ca") * dec("nb") - dec("cb") * dec("na"))
+    return (
+        pair.groupBy("source_a", "source_b")
+        .agg(
+            F.max(gap).alias("max_gap"),
+            F.max("na").alias("n_a"),
+            F.max("nb").alias("n_b"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            F.floor(
+                F.col("max_gap").cast("decimal(38,0)")
+                * 1000000
+                / (
+                    F.col("n_a").cast("decimal(19,0)")
+                    * F.col("n_b").cast("decimal(19,0)")
+                )
+            )
+            .cast("bigint")
+            .alias("ks_q6"),
+        )
+    )
+
+
+def _quality_ks_sql() -> str:
+    q = T.quality_score_sql("text")
+    return f"""
+WITH counts AS (
+  SELECT source, cast(floor({q} * 1000) AS int) AS b, count(*) AS c
+  FROM documents GROUP BY 1, 2
+), grid AS (
+  SELECT s.source, bk.b, coalesce(counts.c, 0) AS c
+  FROM (SELECT DISTINCT b FROM counts) bk
+  CROSS JOIN (SELECT DISTINCT source FROM documents) s
+  LEFT JOIN counts ON counts.source = s.source AND counts.b = bk.b
+), cdf AS (
+  SELECT source, b,
+         sum(c) OVER (PARTITION BY source ORDER BY b
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY source) AS n
+  FROM grid
+), pair AS (
+  SELECT a.source AS source_a, b2.source AS source_b,
+         abs(cast(a.cum AS DECIMAL(19,0)) * cast(b2.n AS DECIMAL(19,0))
+             - cast(b2.cum AS DECIMAL(19,0)) * cast(a.n AS DECIMAL(19,0)))
+           AS gap,
+         a.n AS na, b2.n AS nb
+  FROM cdf a JOIN cdf b2 ON a.b = b2.b AND a.source < b2.source
+)
+SELECT source_a, source_b,
+       cast(max(na) AS bigint) AS n_a,
+       cast(max(nb) AS bigint) AS n_b,
+       cast(floor(cast(max(gap) AS DECIMAL(38,0)) * 1000000
+                  / (cast(max(na) AS DECIMAL(19,0))
+                     * cast(max(nb) AS DECIMAL(19,0)))) AS bigint)
+         AS ks_q6
+FROM pair GROUP BY source_a, source_b
+"""
+
+
 QUERIES = [
     QuerySpec("sentiment_by_source", sentiment_by_source, _sentiment_sql()),
     QuerySpec("tfidf_top_terms", tfidf_top_terms, TFIDF_SQL),
@@ -1336,5 +1459,11 @@ QUERIES = [
         doc_quality_length_corr,
         _quality_length_corr_sql(),
         "exact fixed-point Pearson r of quality vs length per source",
+    ),
+    QuerySpec(
+        "quality_ks_drift",
+        quality_ks_drift,
+        _quality_ks_sql(),
+        "exact pairwise KS drift between source quality distributions",
     ),
 ]

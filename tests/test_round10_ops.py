@@ -116,3 +116,49 @@ def test_interarrival_gap_accounting(spark):
             # bucket b holds gaps in [2^b, 2^(b+1))
             assert 2**r.log2_bucket <= r.min_us
             assert r.max_us < 2 ** (r.log2_bucket + 1)
+
+
+def test_quality_ks_exact_vs_scipy_style(spark):
+    """The cross-multiplied-integer KS equals the classic max
+    |ECDF_a - ECDF_b| computed driver-side on the same bucketed
+    scores, and is bounded in [0, 1e6]."""
+    from goe_spark.catalog import load_table
+    from goe_spark.functions.text import quality_score
+    from goe_spark.queries.text import quality_ks_drift
+
+    rows = quality_ks_drift(spark, SF_SMALL).collect()
+    n_sources = 20
+    assert len(rows) == n_sources * (n_sources - 1) // 2
+    scored = (
+        load_table(spark, SF_SMALL, "documents")
+        .select(
+            "source",
+            F.floor(quality_score("text") * 1000).cast("int").alias("b"),
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in scored:
+        per[r.source].append(r.b)
+    import bisect
+
+    checked = 0
+    for r in rows[:12]:
+        xa = sorted(per[r.source_a])
+        xb = sorted(per[r.source_b])
+        grid = sorted(set(xa) | set(xb))
+        ks = max(
+            abs(
+                bisect.bisect_right(xa, g) / len(xa)
+                - bisect.bisect_right(xb, g) / len(xb)
+            )
+            for g in grid
+        )
+        assert 0 <= r.ks_q6 <= 1_000_000
+        assert r.ks_q6 == int(ks * 1_000_000) or abs(
+            r.ks_q6 - ks * 1_000_000
+        ) < 1.0
+        checked += 1
+    assert checked == 12
