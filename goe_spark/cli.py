@@ -596,6 +596,63 @@ def cmd_explain(args) -> int:
     return 0
 
 
+def cmd_udf(args) -> int:
+    """Persistent SQL-UDF catalog management (reference C7 surface:
+    create_udf / list_udfs / udf_details — bigquery_backend_api.py
+    :1060-1093, :1903-1929, :2170-2211) over plans/udf_catalog."""
+    import json as _json
+
+    from goe_spark.plans.udf_catalog import (
+        create_udf,
+        drop_udf,
+        list_udfs,
+        udf_details,
+    )
+
+    spark = _spark("goe-udf")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {args.db}")
+    if args.action == "create":
+        if not (args.returns and args.body):
+            print(_json.dumps({"error": "create needs --returns and --body"}))
+            return 2
+        sql = create_udf(
+            spark,
+            args.db,
+            args.name,
+            args.returns,
+            None,
+            args.body,
+            or_replace=args.or_replace,
+            spec_as_string=args.params or "",
+        )
+        print(_json.dumps({"created": f"{args.db}.{args.name}", "sql": sql}))
+    elif args.action == "list":
+        rows = list_udfs(
+            spark, args.db, udf_name_filter=args.filter,
+            case_sensitive=not args.ignore_case,
+        )
+        print(_json.dumps({"udfs": [
+            {"name": n, "returns": t} for n, t in rows
+        ]}))
+    elif args.action == "describe":
+        det = udf_details(spark, args.db, args.name)
+        if not det:
+            print(_json.dumps({"error": f"no such udf {args.db}.{args.name}"}))
+            return 1
+        d = det[0]
+        print(_json.dumps({
+            "name": f"{d.db_name}.{d.udf_name}",
+            "returns": d.return_type,
+            "parameters": [
+                {"name": pp.name, "type": pp.data_type} for pp in d.parameters
+            ],
+        }))
+    else:  # drop
+        drop_udf(spark, args.db, args.name)
+        print(_json.dumps({"dropped": f"{args.db}.{args.name}"}))
+    return 0
+
+
 def cmd_sql(args) -> int:
     """Ad-hoc SQL over the catalog tables (and, with --view, any
     parquet target such as an offloaded table or a hybrid view's
@@ -945,6 +1002,18 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--staging-dir")
     c.add_argument("--metadata-dir")
     c.set_defaults(fn=cmd_connect)
+
+    u = sub.add_parser("udf", help="persistent SQL-UDF catalog (C7)")
+    u.add_argument("action", choices=["create", "list", "describe", "drop"])
+    u.add_argument("--db", required=True)
+    u.add_argument("--name")
+    u.add_argument("--returns", help="return type (create)")
+    u.add_argument("--params", help="'a INT, b DOUBLE' (create)")
+    u.add_argument("--body", help="SQL expression body (create)")
+    u.add_argument("--or-replace", action="store_true")
+    u.add_argument("--filter", help="LIKE pattern for list")
+    u.add_argument("--ignore-case", action="store_true")
+    u.set_defaults(fn=cmd_udf)
 
     q = sub.add_parser("query", help="run a registered query")
     q.add_argument("name")

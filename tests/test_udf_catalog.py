@@ -112,3 +112,29 @@ def test_validation_and_spec_as_string(spark):
     assert spark.sql(f"SELECT {DB}.raw_spec(2, 3) AS v").first().v == 5
     assert format_parameter_tuples([("x", "INT")]) == "x INT"
     assert format_parameter_tuples(None) == ""
+
+
+def test_cli_udf_roundtrip(spark, capsys):
+    """The udf CLI drives create/list/describe/drop end to end."""
+    import json
+
+    from goe_spark.cli import main
+
+    db = "goe_udf_cli"
+    assert main([
+        "udf", "create", "--db", db, "--name", "double_it",
+        "--returns", "BIGINT", "--params", "x BIGINT",
+        "--body", "x * 2", "--or-replace",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["created"] == f"{db}.double_it"
+    assert main(["udf", "list", "--db", db, "--filter", "double%"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["udfs"] == [{"name": "double_it", "returns": "BIGINT"}]
+    assert main(["udf", "describe", "--db", db, "--name", "double_it"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["parameters"] == [{"name": "x", "type": "BIGINT"}]
+    assert spark.sql(f"SELECT {db}.double_it(21) v").first().v == 42
+    assert main(["udf", "drop", "--db", db, "--name", "double_it"]) == 0
+    json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
