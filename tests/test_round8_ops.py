@@ -88,16 +88,17 @@ def test_dsir_target_slice_scores_higher(spark):
 
 
 def test_media_dimensions_groups_and_counts(spark):
-    """The three header formats each appear with the fixture's
-    round-robin share and plausible dimension ranges."""
+    """The four header formats (JPEG joined in round 10 via the SOF
+    marker walk) each appear with the fixture's round-robin share and
+    plausible dimension ranges."""
     from goe_spark.queries.multimodal import media_dimensions
 
     rows = {r["fmt"]: r for r in media_dimensions(spark, SF_SMALL).collect()}
-    assert set(rows) == {"png", "gif", "bmp"}
+    assert set(rows) == {"png", "gif", "bmp", "jpeg"}
     total = sum(r["n_media"] for r in rows.values())
     for r in rows.values():
         assert 1 <= r["min_width"] <= r["max_width"] <= 1280
         assert 1 <= r["min_height"] <= r["max_height"] <= 720
         assert r["total_pixels"] > 0
-        # round-robin by doc_id % 3: shares within 1 of each other
-        assert abs(r["n_media"] - total / 3) <= 1
+        # round-robin by doc_id % 4: shares within 1 of each other
+        assert abs(r["n_media"] - total / 4) <= 1
