@@ -1407,6 +1407,73 @@ FROM pair GROUP BY source_a, source_b
 """
 
 
+POSITIONAL_P = 16
+
+
+def positional_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token entropy BY POSITION over the first {P} token slots — the
+    templated-document detector: corpora stamped from a boilerplate
+    skeleton show a low-entropy prefix (every doc opens with the same
+    words) that corpus-wide entropy (token_entropy_by_source)
+    averages away. Per position: contributing docs, distinct tokens,
+    and Shannon entropy in the same exact fixed-point arithmetic as
+    the corpus-wide op (per-term floor(c*ln(c)*1e6) BIGINT mass, ln
+    on integers, order-free DECIMAL sums).
+
+    Plan: one posexplode over a 16-token slice (bounded fan-out, not
+    the whole doc), one (pos, token) hash aggregate (map-side
+    partial), then a 16-row rollup — nothing text-sized shuffles and
+    the output is position-bounded at any corpus size."""
+    P = POSITIONAL_P
+    d = load_table(spark, sf_dir, "documents").select(
+        T.tokens("text").alias("toks")
+    )
+    pt = d.select(
+        F.posexplode(F.slice("toks", 1, P)).alias("pos", "t")
+    )
+    counts = pt.groupBy("pos", "t").agg(F.count(F.lit(1)).alias("c"))
+    per = counts.groupBy("pos").agg(
+        F.sum("c").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(
+            F.floor(F.col("c") * F.log(F.col("c")) * 1e6)
+            .cast("decimal(38,0)")
+        ).alias("slogq"),
+    )
+    ent = (
+        F.log(F.col("n_docs"))
+        - F.col("slogq").cast("double") / 1e6 / F.col("n_docs")
+    )
+    return per.select(
+        F.col("pos").cast("int").alias("pos"),
+        "n_docs",
+        "n_terms",
+        F.floor(ent * 1e4 + 0.5).cast("long").alias("entropy_q4"),
+    )
+
+
+POSITIONAL_ENTROPY_SQL = f"""
+WITH toks AS (
+  SELECT {T.tokens_sql('text')} AS tk FROM documents
+), pt AS (
+  SELECT cast(i AS int) AS pos, tk[i + 1] AS t
+  FROM toks, LATERAL unnest(range(0, least(len(tk), {POSITIONAL_P}))) u(i)
+), counts AS (
+  SELECT pos, t, count(*) AS c FROM pt GROUP BY pos, t
+), per AS (
+  SELECT pos,
+         cast(sum(c) AS bigint) AS n_docs,
+         count(*) AS n_terms,
+         sum(cast(floor(c * ln(c) * 1e6) AS bigint)) AS slogq
+  FROM counts GROUP BY pos
+)
+SELECT pos, n_docs, n_terms,
+       cast(floor((ln(n_docs) - cast(slogq AS double) / 1e6 / n_docs)
+                  * 1e4 + 0.5) AS bigint) AS entropy_q4
+FROM per
+"""
+
+
 QUERIES = [
     QuerySpec("sentiment_by_source", sentiment_by_source, _sentiment_sql()),
     QuerySpec("tfidf_top_terms", tfidf_top_terms, TFIDF_SQL),
@@ -1465,5 +1532,11 @@ QUERIES = [
         quality_ks_drift,
         _quality_ks_sql(),
         "exact pairwise KS drift between source quality distributions",
+    ),
+    QuerySpec(
+        "positional_entropy_profile",
+        positional_entropy_profile,
+        POSITIONAL_ENTROPY_SQL,
+        "token entropy by position (templated-prefix detector)",
     ),
 ]

@@ -1562,6 +1562,99 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitivity (chaining) audit of the near-dup clusters — the
+    known failure mode of connected-component dedup: A~B and B~C
+    chain A and C into one cluster even when A and C are NOT
+    near-dups, so a keep-one pass silently drops non-duplicates. Per
+    log2 cluster-size bucket: cluster count, mean edge density
+    (2E / sz(sz-1), fixed-point q4 — density 1 = a clique, every
+    member pairwise-similar; low density on big clusters = chaining)
+    and how many clusters are non-cliques. This is the number that
+    says whether CC labels can be trusted as "duplicate groups" or
+    only as "merge candidates for review".
+
+    Plan: rides the SAME pair-bounded label table as dedup_clusters
+    (the corpus never enters); edge counts come from one join of the
+    capped pair list against the labels; everything after is integer
+    arithmetic at cluster grain then a <= 64-row rollup."""
+    edges = (
+        minhash_lsh_pairs(spark, sf_dir)
+        .select("id1", "id2")
+        .localCheckpoint(eager=True)
+    )
+    labels = _cc_labels(spark, sf_dir)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
+    # every LSH pair is within one component by construction, so the
+    # per-cluster edge count is a single label join on one endpoint
+    e_per = (
+        edges.join(
+            labels.select(F.col("node").alias("id1"), "label"), "id1"
+        )
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    per = sizes.join(e_per, "label").select(
+        "sz",
+        "n_edges",
+        F.floor(
+            F.col("n_edges") * 20000 / (F.col("sz") * (F.col("sz") - 1))
+        )
+        .cast("bigint")
+        .alias("dens_q4"),
+    )
+    return per.groupBy(
+        F.floor(F.log2("sz")).cast("int").alias("log2_size")
+    ).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("n_edges").alias("n_edges"),
+        F.floor(F.sum("dens_q4") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("mean_density_q4"),
+        F.min("dens_q4").alias("min_density_q4"),
+        F.sum((F.col("dens_q4") < 10000).cast("long")).alias(
+            "n_chained"
+        ),
+    )
+
+
+def _chain_audit_sql() -> str:
+    return f"""
+WITH RECURSIVE lsh_pairs AS (
+  SELECT id1, id2 FROM ({_minhash_lsh_sql()})
+), edges AS (
+  SELECT id1 AS src, id2 AS dst FROM lsh_pairs
+  UNION ALL
+  SELECT id2, id1 FROM lsh_pairs
+), reach(node, anc) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.anc FROM reach r JOIN edges e ON e.src = r.node
+), labels AS (
+  SELECT node, min(anc) AS label FROM reach GROUP BY node
+), sizes AS (
+  SELECT label, count(*) AS sz FROM labels GROUP BY label
+), e_per AS (
+  SELECT l.label, count(*) AS n_edges
+  FROM lsh_pairs p JOIN labels l ON l.node = p.id1
+  GROUP BY l.label
+), per AS (
+  SELECT sz, n_edges,
+         cast(floor(n_edges * 20000 / (sz * (sz - 1))) AS bigint)
+           AS dens_q4
+  FROM sizes JOIN e_per USING (label)
+)
+SELECT cast(floor(log2(sz)) AS int) AS log2_size,
+       count(*) AS n_clusters,
+       cast(sum(n_edges) AS bigint) AS n_edges,
+       cast(floor(sum(dens_q4) / count(*)) AS bigint) AS mean_density_q4,
+       min(dens_q4) AS min_density_q4,
+       cast(sum(CASE WHEN dens_q4 < 10000 THEN 1 ELSE 0 END) AS bigint)
+         AS n_chained
+FROM per GROUP BY 1
+"""
+
+
 def _cluster_hist_sql() -> str:
     return f"""
 WITH RECURSIVE lsh_pairs AS (
@@ -1736,5 +1829,11 @@ QUERIES = [
         dedup_cluster_size_histogram,
         _cluster_hist_sql(),
         "log2 near-dup cluster-size distribution",
+    ),
+    QuerySpec(
+        "dedup_chain_audit",
+        dedup_chain_audit,
+        _chain_audit_sql(),
+        "CC chaining audit: edge density per cluster-size bucket",
     ),
 ]

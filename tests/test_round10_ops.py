@@ -162,3 +162,35 @@ def test_quality_ks_exact_vs_scipy_style(spark):
         ) < 1.0
         checked += 1
     assert checked == 12
+
+
+def test_positional_entropy_bounds(spark):
+    from goe_spark.catalog import load_table
+    from goe_spark.queries.text import (
+        POSITIONAL_P,
+        positional_entropy_profile,
+    )
+
+    rows = positional_entropy_profile(spark, SF_SMALL).collect()
+    assert {r.pos for r in rows} == set(range(POSITIONAL_P))
+    n_docs = load_table(spark, SF_SMALL, "documents").count()
+    import math
+
+    for r in rows:
+        assert 1 <= r.n_terms <= r.n_docs <= n_docs
+        # 0 <= H <= ln(n_terms)
+        assert 0 <= r.entropy_q4 <= int(math.log(max(r.n_terms, 2)) * 1e4) + 1
+
+
+def test_dedup_chain_density_contract(spark):
+    from goe_spark.queries.training import dedup_chain_audit
+
+    rows = dedup_chain_audit(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.mean_density_q4 <= 10_000
+        assert 0 < r.min_density_q4 <= 10_000
+        assert 0 <= r.n_chained <= r.n_clusters
+        if r.log2_size == 1:
+            # size-2 clusters are cliques by definition
+            assert r.min_density_q4 == 10_000 and r.n_chained == 0
