@@ -33,22 +33,22 @@ class QuerySpec:
 # silently dropping q13_customer_distribution from the window
 # (round-8 ADVICE) — it leads this round's stale block instead.
 # Round-10 window, in order:
-#   1. the TEN queries NEW this round (estimator calibration, KL
+#   1. the ELEVEN queries NEW this round (estimator calibration, KL
 #      shift, audio bins, MP3 frame-header stats, exact
 #      bounded-domain percentiles, fixed-point correlation, exact KS
-#      drift, positional entropy, CC chaining audit, interarrival
-#      histogram) plus media_dimensions, whose semantics
+#      drift, positional entropy, CC chaining audit, embedding centroid
+#      shift, interarrival histogram) plus media_dimensions, whose semantics
 #      CHANGED this round (JPEG SOF rows added) — all need a fresh
 #      driver hash;
 #   2. the FIVE entries whose hard driver signal was missing after
 #      round 9 (verdict item 1): the four late-round-9 additions and
 #      contamination_check (last driver row r6);
-#   3. 34 of the 50 entries whose last driver check was ROUND 7.
-# Sixteen r7-stale entries are deferred to lead the round-11 stale
+#   3. 33 of the 50 entries whose last driver check was ROUND 7.
+# Seventeen r7-stale entries are deferred to lead the round-11 stale
 # block: the three declared-fake media transforms and two rows-only
 # streaming counters (no hash surface either way), plus the tail of
 # the r7 list displaced by this round's new queries
-# (q22_idle_customers, q2_min_cost_supplier, quality_scores_by_source, rfm_segments, salted_join_revenue, segment_dedup_stats, segment_probe_new_docs, shard_manifest, simhash_pairs, staged_validation_scan, token_stats_by_lang).
+# (q21_waiting_suppliers, q22_idle_customers, q2_min_cost_supplier, quality_scores_by_source, rfm_segments, salted_join_revenue, segment_dedup_stats, segment_probe_new_docs, shard_manifest, simhash_pairs, staged_validation_scan, token_stats_by_lang).
 # After this rotation no entry's latest driver row is older than
 # round 7. Everything else keeps module order behind the window;
 # pytest's test_queries_oracle.py re-verifies the FULL registry
@@ -62,6 +62,7 @@ HEAD = (
     "quality_ks_drift",
     "positional_entropy_profile",
     "dedup_chain_audit",
+    "embedding_centroid_shift",
     "media_audio_duration_bins",
     "quantity_exact_percentiles",
     "interarrival_log2_histogram",
@@ -73,7 +74,7 @@ HEAD = (
     "embedding_gram_summary",
     "dedup_cluster_source_mix",
     "contamination_check",
-    # -- last driver-checked in round 7 (34 of 50; see note above) --
+    # -- last driver-checked in round 7 (33 of 50; see note above) --
     "agg_validate_lineitem",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
@@ -107,7 +108,6 @@ HEAD = (
     "q18_large_orders",
     "q19_discounted_revenue",
     "q20_promotable_suppliers",
-    "q21_waiting_suppliers",
 )
 TAIL = ()
 

@@ -1649,6 +1649,116 @@ FROM gram GROUP BY i
 """
 
 
+def embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise label-centroid geometry — the embedding-modality twin
+    of unigram_kl_matrix: how far apart (cosine) the per-label mean
+    vectors sit, and how their magnitudes compare. A retrieval/dedup
+    operator reads this before trusting one ANN threshold across
+    labels (collapsing centroids = labels are not separable in this
+    space; a big norm ratio = per-label score calibration needed).
+
+    Determinism: centroids are exact per-dimension DECIMAL({CENT_DEC})
+    sums divided by exact counts (the ivf.centroids discipline);
+    cosine/ratio are fixed sequential-fold double expressions floor-
+    quantized to q6.
+
+    Plan: ONE corpus aggregate to |labels| x {DIM} decimal sums
+    (map-side partial); the pair join is a label-cardinality scalar
+    table joined to itself (bounded by the label count, whitelisted
+    in tools/plan_audit.py with a SCALE.md row) — the corpus is
+    touched exactly once."""
+    from goe_spark.operators.ivf import CENT_DEC, DIM
+    from goe_spark.operators.vector import dot, norm2
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", "embedding"
+    )
+    sums = emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.element_at("embedding", i + 1).cast(CENT_DEC)).alias(
+                f"s{i}"
+            )
+            for i in range(DIM)
+        ],
+    )
+    cvec = F.array(
+        *[
+            (F.col(f"s{i}").cast("double") / F.col("n"))
+            for i in range(DIM)
+        ]
+    )
+    cents = sums.select(
+        "label", F.col("n"), cvec.alias("cvec")
+    ).localCheckpoint(eager=True)  # |labels| rows; corpus scans once
+    a = cents.select(
+        F.col("label").alias("label_a"),
+        F.col("n").alias("n_a"),
+        F.col("cvec").alias("ca"),
+    )
+    b = cents.select(
+        F.col("label").alias("label_b"),
+        F.col("n").alias("n_b"),
+        F.col("cvec").alias("cb"),
+    )
+    pair = a.crossJoin(b).where(F.col("label_a") < F.col("label_b"))
+    cos = dot(F.col("ca"), F.col("cb")) / F.sqrt(
+        norm2(F.col("ca")) * norm2(F.col("cb"))
+    )
+    ratio = F.sqrt(
+        F.least(norm2(F.col("ca")), norm2(F.col("cb")))
+        / F.greatest(norm2(F.col("ca")), norm2(F.col("cb")))
+    )
+    return pair.select(
+        F.col("label_a").cast("int").alias("label_a"),
+        F.col("label_b").cast("int").alias("label_b"),
+        "n_a",
+        "n_b",
+        F.floor(cos * 1e6 + 0.5).cast("bigint").alias("cos_q6"),
+        F.floor(ratio * 1e6 + 0.5).cast("bigint").alias("norm_ratio_q6"),
+    )
+
+
+def _centroid_shift_sql() -> str:
+    from goe_spark.operators.ivf import CENT_DEC, DIM
+
+    sum_cols = ", ".join(
+        f"sum(CAST(embedding[{i + 1}] AS {CENT_DEC})) AS s{i}"
+        for i in range(DIM)
+    )
+    cvec = (
+        "["
+        + ", ".join(f"CAST(s{i} AS DOUBLE) / n" for i in range(DIM))
+        + "]"
+    )
+    cos = (
+        f"{DOT_SQL.format(a='a.ca', b='b.cb')}"
+        f" / sqrt({NORM2_SQL.format(a='a.ca')}"
+        f" * {NORM2_SQL.format(a='b.cb')})"
+    )
+    ratio = (
+        f"sqrt(least({NORM2_SQL.format(a='a.ca')},"
+        f" {NORM2_SQL.format(a='b.cb')})"
+        f" / greatest({NORM2_SQL.format(a='a.ca')},"
+        f" {NORM2_SQL.format(a='b.cb')}))"
+    )
+    return f"""
+WITH sums AS (
+  SELECT label, count(*) AS n, {sum_cols}
+  FROM embeddings GROUP BY label
+), cents AS (
+  SELECT label, n, {cvec} AS cv FROM sums
+), a AS (SELECT label AS label_a, n AS n_a, cv AS ca FROM cents),
+b AS (SELECT label AS label_b, n AS n_b, cv AS cb FROM cents)
+SELECT cast(label_a AS int) AS label_a,
+       cast(label_b AS int) AS label_b,
+       n_a, n_b,
+       cast(floor(({cos}) * 1e6 + 0.5) AS bigint) AS cos_q6,
+       cast(floor(({ratio}) * 1e6 + 0.5) AS bigint) AS norm_ratio_q6
+FROM a JOIN b ON label_a < label_b
+"""
+
+
 QUERIES = [
     QuerySpec("ann_bruteforce_topk", ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     QuerySpec(
@@ -1710,5 +1820,11 @@ QUERIES = [
         matryoshka_recall_audit,
         _matryoshka_sql(),
         "top-k recall surviving dimension truncation",
+    ),
+    QuerySpec(
+        "embedding_centroid_shift",
+        embedding_centroid_shift,
+        _centroid_shift_sql(),
+        "pairwise label-centroid cosine/norm geometry (embedding drift)",
     ),
 ]

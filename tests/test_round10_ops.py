@@ -194,3 +194,32 @@ def test_dedup_chain_density_contract(spark):
         if r.log2_size == 1:
             # size-2 clusters are cliques by definition
             assert r.min_density_q4 == 10_000 and r.n_chained == 0
+
+
+def test_centroid_shift_matches_numpy(spark):
+    """Centroid pairwise cosine/norm-ratio equals a numpy computation
+    over the same vectors (float64), within the q6 grid."""
+    import numpy as np
+
+    from goe_spark.catalog import load_table
+    from goe_spark.queries.similarity import embedding_centroid_shift
+
+    rows = embedding_centroid_shift(spark, SF_SMALL).collect()
+    assert rows
+    emb = load_table(spark, SF_SMALL, "embeddings").collect()
+    by_label = {}
+    for r in emb:
+        by_label.setdefault(r.label, []).append(np.array(r.embedding, dtype=np.float64))
+    cents = {k: np.mean(np.stack(v), axis=0) for k, v in by_label.items()}
+    n_labels = len(cents)
+    assert len(rows) == n_labels * (n_labels - 1) // 2
+    for r in rows[:10]:
+        ca, cb = cents[r.label_a], cents[r.label_b]
+        cos = float(ca @ cb / (np.linalg.norm(ca) * np.linalg.norm(cb)))
+        ratio = float(
+            min(np.linalg.norm(ca), np.linalg.norm(cb))
+            / max(np.linalg.norm(ca), np.linalg.norm(cb))
+        )
+        assert abs(r.cos_q6 - cos * 1e6) <= 2
+        assert abs(r.norm_ratio_q6 - ratio * 1e6) <= 2
+        assert r.n_a == len(by_label[r.label_a])

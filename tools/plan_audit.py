@@ -142,6 +142,10 @@ NESTED_LOOP_OK = {
     "q22_idle_customers",
     "tfidf_top_terms",
     "zipf_slope_fit",  # 1-row regression sums x 1-row totals
+    # label-cardinality centroid table self-joined on label_a <
+    # label_b: |labels| x |labels| rows (tens), corpus touched once
+    # upstream — SCALE.md round-10 row
+    "embedding_centroid_shift",
 }
 
 WINDOW_RE = re.compile(r"windowspecdefinition\(([^)]*)\)")
