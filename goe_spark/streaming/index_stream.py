@@ -84,3 +84,28 @@ def maintain_signature_index_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def make_vector_index_sink(
+    index_dir: str,
+    checkpoint_dir: str,
+    metadata_dir: str,
+    owner: str = "default",
+    table: str = "ivf_index",
+):
+    """The IVF twin: streamed embedding batches (vec_id, embedding)
+    upsert into the materialized ANN index — assignment against the
+    BUILD's persisted centroids, PQ codes against its codebooks, so a
+    streamed vector probes identically to one present at build time.
+    Same idempotence contract as the signature sink."""
+    from goe_spark.operators.index_maintenance import upsert_vectors
+
+    ledger = BatchLedger(metadata_dir, owner, table, checkpoint_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if int(batch_id) in ledger.committed():
+            return
+        upsert_vectors(batch_df.sparkSession, index_dir, batch_df)
+        ledger.commit(batch_id)
+
+    return sink

@@ -163,3 +163,50 @@ def test_sink_redelivery_idempotent(spark, corpus, tmp_path):
     sink(batch, 0)
     again = one().collect()
     assert again == first
+
+
+def test_vector_sink_upserts_and_probes(spark, tmp_path):
+    """Streamed embedding batches land in the IVF index and probe
+    identically to build-time vectors (assignment against the
+    persisted quantizer); re-delivery converges."""
+    from goe_spark.operators.ivf import ensure_index, load_assigned
+    from goe_spark.streaming.index_stream import make_vector_index_sink
+
+    corpus_dir = str(tmp_path / "vcorpus")
+    os.makedirs(corpus_dir)
+    load_table(spark, SF_SMALL, "embeddings").write.parquet(
+        os.path.join(corpus_dir, "embeddings.parquet")
+    )
+    idx = ensure_index(spark, corpus_dir)
+    sink = make_vector_index_sink(
+        idx, str(tmp_path / "ck"), str(tmp_path / "md")
+    )
+    vec = (
+        load_table(spark, SF_SMALL, "embeddings")
+        .orderBy("vec_id")
+        .limit(1)
+        .select(
+            (F.col("vec_id") + 800_000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: (x * 1.01).cast("float")
+            ).alias("embedding"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sink(vec, 0)
+    got = (
+        load_assigned(spark, idx)
+        .where(F.col("vec_id") >= 800_000)
+        .collect()
+    )
+    assert len(got) == 1 and got[0].cell is not None
+    # re-delivery with lost ledger: still exactly one copy
+    for f in os.listdir(str(tmp_path / "md")):
+        os.remove(os.path.join(str(tmp_path / "md"), f))
+    sink(vec, 0)
+    assert (
+        load_assigned(spark, idx)
+        .where(F.col("vec_id") >= 800_000)
+        .count()
+        == 1
+    )
