@@ -98,18 +98,26 @@ def _cc_labels_driver(spark: SparkSession, edges: DataFrame) -> DataFrame:
 
 
 def _cc_labels(
-    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    docs: DataFrame | None = None,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """(node, label) per doc appearing in any near-dup pair; label =
     the component's min doc_id (iterative min-label propagation).
-    ``docs`` narrows pair generation to a pipeline stage's subset."""
-    edges = (
-        minhash_lsh_pairs(spark, sf_dir, docs)
-        .select("id1", "id2")
-        # The pair generator is itself a multi-stage job; checkpoint so
-        # the CC loop's 2xITERS references don't replay it every round.
-        .localCheckpoint(eager=True)
-    )
+    ``docs`` narrows pair generation to a pipeline stage's subset;
+    ``edges`` (already-checkpointed (id1, id2)) skips pair generation
+    entirely — callers that also consume the pair table pass it so
+    the LSH job runs once, not twice."""
+    if edges is None:
+        edges = (
+            minhash_lsh_pairs(spark, sf_dir, docs)
+            .select("id1", "id2")
+            # The pair generator is itself a multi-stage job;
+            # checkpoint so the CC loop's 2xITERS references don't
+            # replay it every round.
+            .localCheckpoint(eager=True)
+        )
     if edges.count() <= CC_DRIVER_EDGE_CAP:
         return _cc_labels_driver(spark, edges)
     sym = edges.union(
@@ -1583,7 +1591,7 @@ def dedup_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id1", "id2")
         .localCheckpoint(eager=True)
     )
-    labels = _cc_labels(spark, sf_dir)
+    labels = _cc_labels(spark, sf_dir, edges=edges)
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
     # every LSH pair is within one component by construction, so the
     # per-cluster edge count is a single label join on one endpoint
