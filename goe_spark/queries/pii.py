@@ -395,6 +395,61 @@ FROM groups GROUP BY lang
 """
 
 
+def pii_cooccurrence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-kind co-occurrence per source — the re-identification-risk
+    sharpener on top of pii_scan_by_source: one PII kind in a doc is
+    a contact detail, MULTIPLE kinds together (email + phone + IP) is
+    a linkable identity record, the thing takedown/k-anonymity policy
+    actually triggers on. Per source: docs by number of distinct PII
+    kinds present (0/1/2/3) and the count of each pairwise
+    combination.
+
+    Plan: the same single codegen-regex scan as the PII battery; one
+    source-cardinality aggregate. Counts are exact integers."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "aug", augmented_text()
+    )
+    has = {
+        k: (pii_count("aug", pat) > 0).cast("int")
+        for k, pat, _ in PII_KINDS
+    }
+    nkinds = sum(has.values())
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((nkinds == 0).cast("long")).alias("n_zero"),
+        F.sum((nkinds == 1).cast("long")).alias("n_one"),
+        F.sum((nkinds == 2).cast("long")).alias("n_two"),
+        F.sum((nkinds == 3).cast("long")).alias("n_three"),
+        F.sum((has["email"] * has["phone"]).cast("long")).alias(
+            "n_email_phone"
+        ),
+        F.sum((has["email"] * has["ip"]).cast("long")).alias("n_email_ip"),
+        F.sum((has["phone"] * has["ip"]).cast("long")).alias("n_phone_ip"),
+    )
+
+
+def _cooccurrence_sql() -> str:
+    e = f"(CASE WHEN {pii_count_sql('aug', EMAIL_RE)} > 0 THEN 1 ELSE 0 END)"
+    p = f"(CASE WHEN {pii_count_sql('aug', PHONE_RE)} > 0 THEN 1 ELSE 0 END)"
+    i = f"(CASE WHEN {pii_count_sql('aug', IPV4_RE)} > 0 THEN 1 ELSE 0 END)"
+    nk = f"({e} + {p} + {i})"
+    return f"""
+WITH aug AS (
+  SELECT source, {AUGMENTED_TEXT_SQL} AS aug FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       cast(sum(CASE WHEN {nk} = 0 THEN 1 ELSE 0 END) AS bigint) AS n_zero,
+       cast(sum(CASE WHEN {nk} = 1 THEN 1 ELSE 0 END) AS bigint) AS n_one,
+       cast(sum(CASE WHEN {nk} = 2 THEN 1 ELSE 0 END) AS bigint) AS n_two,
+       cast(sum(CASE WHEN {nk} = 3 THEN 1 ELSE 0 END) AS bigint) AS n_three,
+       cast(sum({e} * {p}) AS bigint) AS n_email_phone,
+       cast(sum({e} * {i}) AS bigint) AS n_email_ip,
+       cast(sum({p} * {i}) AS bigint) AS n_phone_ip
+FROM aug GROUP BY source
+"""
+
+
 QUERIES = [
     QuerySpec("pii_scan_by_source", pii_scan_by_source, _scan_sql()),
     QuerySpec("pii_redaction_audit", pii_redaction_audit, _redact_sql()),
@@ -404,5 +459,11 @@ QUERIES = [
         k_anonymity_audit,
         K_ANON_SQL,
         "quasi-identifier k-anonymity risk audit",
+    ),
+    QuerySpec(
+        "pii_cooccurrence_audit",
+        pii_cooccurrence_audit,
+        _cooccurrence_sql(),
+        "multi-kind PII co-occurrence (linkable-identity risk)",
     ),
 ]

@@ -606,3 +606,76 @@ QUERIES.append(
         "exact p50/p90/p99 via bounded-domain value counts",
     )
 )
+
+
+def reorder_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer reorder cadence: the distribution of day gaps between
+    a customer's consecutive orders, log2-bucketed — the lifecycle
+    signal behind churn models and replenishment forecasts (a mass at
+    small gaps = habitual buyers; a fat tail = one-shot customers).
+    Buckets are binary magnitudes (length(bin(days)) - 1), the same
+    float-free edge discipline as interarrival_log2_histogram.
+
+    Plan: ONE customer-partitioned window (a customer's order history
+    never leaves a task), then a ~12-key rollup; same-day repeat
+    orders land in the -1 bucket rather than vanishing."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            "o_orderdate", F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    ).where(F.col("gap_days").isNotNull())
+    bucket = F.when(F.col("gap_days") <= 0, F.lit(-1)).otherwise(
+        F.length(F.bin(F.col("gap_days"))) - 1
+    )
+    return (
+        gaps.select(bucket.cast("int").alias("log2_bucket"), "gap_days", "o_custkey")
+        .groupBy("log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.min("gap_days").alias("min_days"),
+            F.max("gap_days").alias("max_days"),
+            F.sum("gap_days").cast("bigint").alias("total_days"),
+        )
+    )
+
+
+REORDER_GAP_SQL = """
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   lag(o_orderdate) OVER
+                     (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap_days
+  FROM orders
+), nz AS (
+  SELECT o_custkey, gap_days,
+         CASE WHEN gap_days <= 0 THEN -1
+              ELSE length(bin(gap_days)) - 1 END AS log2_bucket
+  FROM gaps WHERE gap_days IS NOT NULL
+)
+SELECT cast(log2_bucket AS int) AS log2_bucket,
+       count(*) AS n_gaps,
+       count(DISTINCT o_custkey) AS n_customers,
+       min(gap_days) AS min_days,
+       max(gap_days) AS max_days,
+       cast(sum(gap_days) AS bigint) AS total_days
+FROM nz GROUP BY 1
+"""
+
+QUERIES.append(
+    QuerySpec(
+        "reorder_gap_histogram",
+        reorder_gap_histogram,
+        REORDER_GAP_SQL,
+        "customer reorder-cadence log2 histogram",
+    )
+)
