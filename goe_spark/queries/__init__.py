@@ -50,7 +50,10 @@ class QuerySpec:
 # the r7 list displaced by this round's new queries
 # (q21_waiting_suppliers, q22_idle_customers, q2_min_cost_supplier, quality_scores_by_source, rfm_segments, salted_join_revenue, segment_dedup_stats, segment_probe_new_docs, shard_manifest, simhash_pairs, staged_validation_scan, token_stats_by_lang).
 # After this rotation no entry's latest driver row is older than
-# round 7. Everything else keeps module order behind the window;
+# round 7. The two LATE round-10 additions (pii_cooccurrence_audit,
+# reorder_gap_histogram) sit behind the window — never driver-checked
+# yet, they lead the round-11 HEAD together with the deferred block
+# above. Everything else keeps module order behind the window;
 # pytest's test_queries_oracle.py re-verifies the FULL registry
 # against DuckDB (same pandas fetch path as the driver) every run
 # regardless of position.
