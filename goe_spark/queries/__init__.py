@@ -33,31 +33,49 @@ class QuerySpec:
 # silently dropping q13_customer_distribution from the window
 # (round-8 ADVICE) — it leads this round's stale block instead.
 # Round-10 window, in order:
-#   1. the ELEVEN queries NEW this round (estimator calibration, KL
-#      shift, audio bins, MP3 frame-header stats, exact
-#      bounded-domain percentiles, fixed-point correlation, exact KS
-#      drift, positional entropy, CC chaining audit, embedding centroid
-#      shift, interarrival histogram) plus media_dimensions, whose semantics
-#      CHANGED this round (JPEG SOF rows added) — all need a fresh
-#      driver hash;
-#   2. the FIVE entries whose hard driver signal was missing after
+#   1. the NINE queries added in the round's second session —
+#      Levenshtein near-dup pairs, shingle containment, source
+#      concentration (Gini/HHI), Benford audit, Markov next-event
+#      entropy, trigram diversity, median/MAD outliers, PII
+#      co-occurrence, reorder-gap histogram — none has ever had a
+#      driver row;
+#   2. the ELEVEN queries new in the first session (estimator
+#      calibration, KL shift, audio bins, MP3 frame-header stats,
+#      exact bounded-domain percentiles, fixed-point correlation,
+#      exact KS drift, positional entropy, CC chaining audit,
+#      embedding centroid shift, interarrival histogram) plus
+#      media_dimensions, whose semantics CHANGED this round (JPEG SOF
+#      rows added) — all need a fresh driver hash;
+#   3. the FIVE entries whose hard driver signal was missing after
 #      round 9 (verdict item 1): the four late-round-9 additions and
 #      contamination_check (last driver row r6);
-#   3. 33 of the 50 entries whose last driver check was ROUND 7.
-# Seventeen r7-stale entries are deferred to lead the round-11 stale
-# block: the three declared-fake media transforms and two rows-only
-# streaming counters (no hash surface either way), plus the tail of
-# the r7 list displaced by this round's new queries
+#   4. 24 of the 50 entries whose last driver check was ROUND 7.
+# The r7-stale entries displaced by the session-2 additions
+# (predicate_offload_slice, q11_important_stock, q12_priority_lines, q15_top_supplier,
+# q16_supplier_part_counts, q17_small_qty_revenue, q18_large_orders,
+# q19_discounted_revenue, q20_promotable_suppliers) join the
+# seventeen already deferred to lead the round-11 stale block: the
+# three declared-fake media transforms and two rows-only streaming
+# counters (no hash surface either way), plus the tail of the r7
+# list displaced in session 1
 # (q21_waiting_suppliers, q22_idle_customers, q2_min_cost_supplier, quality_scores_by_source, rfm_segments, salted_join_revenue, segment_dedup_stats, segment_probe_new_docs, shard_manifest, simhash_pairs, staged_validation_scan, token_stats_by_lang).
 # After this rotation no entry's latest driver row is older than
-# round 7. The two LATE round-10 additions (pii_cooccurrence_audit,
-# reorder_gap_histogram) sit behind the window — never driver-checked
-# yet, they lead the round-11 HEAD together with the deferred block
-# above. Everything else keeps module order behind the window;
+# round 7 except the deferred q-suite block above (all r7-green,
+# queued first for round 11). Everything else keeps module order behind the window;
 # pytest's test_queries_oracle.py re-verifies the FULL registry
 # against DuckDB (same pandas fetch path as the driver) every run
 # regardless of position.
 HEAD = (
+    # -- new this round, second session: never driver-checked --
+    "editdist_near_dup_pairs",
+    "shingle_containment_pairs",
+    "source_concentration",
+    "benford_first_digit_audit",
+    "event_markov_entropy",
+    "ngram_diversity_by_source",
+    "value_mad_outliers",
+    "pii_cooccurrence_audit",
+    "reorder_gap_histogram",
     # -- new or semantics-changed this round --
     "minhash_calibration_bins",
     "unigram_kl_matrix",
@@ -77,7 +95,7 @@ HEAD = (
     "embedding_gram_summary",
     "dedup_cluster_source_mix",
     "contamination_check",
-    # -- last driver-checked in round 7 (33 of 50; see note above) --
+    # -- last driver-checked in round 7 (24 of 50; see note above) --
     "agg_validate_lineitem",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
@@ -102,15 +120,6 @@ HEAD = (
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "per_source_topk_cap",
-    "predicate_offload_slice",
-    "q11_important_stock",
-    "q12_priority_lines",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "q20_promotable_suppliers",
 )
 TAIL = ()
 

@@ -1130,6 +1130,257 @@ FROM per GROUP BY bin
 """
 
 
+# Edit-distance verification truncates normalized text to this many
+# chars: Levenshtein is O(len^2) per pair, so the cap bounds verify
+# CPU at 256^2 cells regardless of document length — the standard
+# trade in record-linkage verify stages (distance over a prefix is a
+# lower bound on full-text distance, so no false rejects at the
+# relative-distance threshold, only extra accepts on docs that agree
+# in their first 256 chars).
+EDIT_PREFIX_CHARS = 256
+
+# Posting-list cap for containment blocking: a shingle held by more
+# than this many docs emits no candidate pairs (boilerplate shingles
+# would otherwise fan out quadratically). Rare-shingle co-occurrence
+# is the standard blocking key for CONTAINMENT — LSH bands estimate
+# Jaccard, which is low for a short doc inside a long one, so the
+# minhash buckets systematically miss exactly the pairs this
+# operator exists to find.
+CONTAINMENT_DF_CAP = 16
+
+
+def editdist_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage near-dup: LSH candidate generation + EXACT
+    Levenshtein verification — the two-stage shape (block, then
+    verify with an expensive exact measure) every dedup pipeline at
+    100 TB uses when set-based Jaccard is too loose (it ignores word
+    ORDER; edit distance catches scrambled near-dups Jaccard scores
+    as identical).
+
+    Plan: candidates come from the same materialized MinHash band
+    buckets as ngram_jaccard_pairs (bucket size tracks signature
+    collisions, not corpus size; LSH_BUCKET_CAP bounds the worst
+    bucket), so the quadratic Levenshtein kernel runs ONLY on
+    candidate pairs, each over a 256-char normalized prefix
+    (EDIT_PREFIX_CHARS bounds per-pair CPU). The verify join moves
+    truncated text for candidates only — never all-pairs, never the
+    full corpus. All compute is codegen (levenshtein is a JVM
+    built-in); zero Python.
+
+    Output: pairs with relative edit distance <= 0.5 (distance over
+    the longer prefix), id1 < id2.
+    """
+    from goe_spark.operators import minhash as MH
+    from goe_spark.operators.minhash_index import (
+        ensure_signature_index,
+        load_signatures,
+    )
+
+    idx = load_signatures(spark, ensure_signature_index(spark, sf_dir))
+    bands = idx.select(
+        "doc_id", F.explode(MH.band_structs(F.col("mh"))).alias("bs")
+    ).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    grouped = bands.groupBy("band", "sig").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("ids")
+    )
+    n = F.size("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, n - i - 1),
+                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+            ),
+        )
+    )
+    cands = (
+        grouped.where((n >= 2) & (n <= LSH_BUCKET_CAP))
+        .select(F.explode_outer(pair_structs).alias("p"))
+        .select("p.id1", "p.id2")
+        .distinct()
+    )
+    norm = F.substring(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+        1,
+        EDIT_PREFIX_CHARS,
+    )
+    texts = load_table(spark, sf_dir, "documents").select(
+        "doc_id", norm.alias("t")
+    )
+    scored = cands.join(
+        texts.select(F.col("doc_id").alias("id1"), F.col("t").alias("t1")),
+        "id1",
+    ).join(
+        texts.select(F.col("doc_id").alias("id2"), F.col("t").alias("t2")),
+        "id2",
+    )
+    dist = F.levenshtein("t1", "t2")
+    rel = F.round(dist / F.greatest(F.length("t1"), F.length("t2")), 6)
+    return scored.select(
+        "id1",
+        "id2",
+        dist.alias("edit_dist"),
+        rel.alias("rel_edit"),
+    ).where(F.col("rel_edit") <= 0.5)
+
+
+def _editdist_sql() -> str:
+    from goe_spark.operators import minhash as MH
+
+    mh_expr = MH.minhash_signature_sql("shd")
+    norm = (
+        r"substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, "
+        f"{EDIT_PREFIX_CHARS})"
+    )
+    return f"""
+WITH shingled AS (
+  SELECT doc_id, list_distinct(sh) AS shd
+  FROM ({_shingle_hashed_sql()})
+), sigs AS (
+  SELECT doc_id, {mh_expr} AS mh FROM shingled
+), bands AS ({MH.band_rows_sql("mh")}),
+ok_buckets AS (
+  SELECT band, sig FROM bands GROUP BY 1, 2 HAVING count(*) <= {LSH_BUCKET_CAP}
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  JOIN ok_buckets ok ON ok.band = a.band AND ok.sig = a.sig
+), texts AS (
+  SELECT doc_id, {norm} AS t FROM documents
+), scored AS (
+  SELECT id1, id2,
+         levenshtein(ta.t, tb.t) AS edit_dist,
+         round(levenshtein(ta.t, tb.t)
+               / greatest(length(ta.t), length(tb.t)), 6) AS rel_edit
+  FROM cands
+  JOIN texts ta ON ta.doc_id = id1
+  JOIN texts tb ON tb.doc_id = id2
+)
+SELECT id1, id2, edit_dist, rel_edit FROM scored WHERE rel_edit <= 0.5
+"""
+
+
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment detection — partial copies Jaccard
+    misses: a 50-shingle doc pasted inside a 500-shingle doc scores
+    Jaccard 0.1 (below every near-dup threshold) but containment 1.0.
+    Containment C = |A ∩ B| / min(|A|, |B|); pairs with C >= 0.5 are
+    quote-heavy syndication, excerpting, or template stuffing.
+
+    Blocking is RARE-SHINGLE co-occurrence, not LSH: minhash bands
+    estimate Jaccard, which is exactly the measure containment pairs
+    fail, so LSH buckets systematically miss them. Instead: explode
+    the materialized shingle index, keep shingles with document
+    frequency in [2, CONTAINMENT_DF_CAP], and pair docs sharing one.
+    The DF cap bounds per-shingle fanout at CAP*(CAP-1)/2 pairs; at
+    100 TB the posting-list explode shuffles (shingle, doc_id) pairs
+    only for rare shingles — boilerplate never pairs. Exact
+    verification then intersects the full shingle arrays for the
+    (small) candidate set.
+
+    Output: id1 < id2, shingle-set sizes, common count, containment
+    (q6), and which side is contained.
+    """
+    from goe_spark.operators.minhash_index import (
+        ensure_signature_index,
+        load_signatures,
+    )
+
+    idx = load_signatures(spark, ensure_signature_index(spark, sf_dir))
+    shingled = idx.select("doc_id", "shd")
+    posts = shingled.select(
+        "doc_id", F.explode("shd").alias("sh")
+    )
+    rare = (
+        posts.groupBy("sh")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .where(
+            (F.size("ids") >= 2) & (F.size("ids") <= CONTAINMENT_DF_CAP)
+        )
+    )
+    n = F.size("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, n - i - 1),
+                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+            ),
+        )
+    )
+    cands = (
+        rare.select(F.explode_outer(pair_structs).alias("p"))
+        .select("p.id1", "p.id2")
+        .distinct()
+    )
+    scored = cands.join(
+        shingled.select(
+            F.col("doc_id").alias("id1"), F.col("shd").alias("shd1")
+        ),
+        "id1",
+    ).join(
+        shingled.select(
+            F.col("doc_id").alias("id2"), F.col("shd").alias("shd2")
+        ),
+        "id2",
+    )
+    n_common = F.size(F.array_intersect("shd1", "shd2"))
+    containment = F.round(
+        n_common / F.least(F.size("shd1"), F.size("shd2")), 6
+    )
+    return (
+        scored.select(
+            "id1",
+            "id2",
+            F.size("shd1").alias("n_sh1"),
+            F.size("shd2").alias("n_sh2"),
+            n_common.alias("n_common"),
+            containment.alias("containment"),
+            F.when(F.size("shd1") < F.size("shd2"), F.lit("left_in_right"))
+            .when(F.size("shd2") < F.size("shd1"), F.lit("right_in_left"))
+            .otherwise(F.lit("same_size"))
+            .alias("relation"),
+        )
+        .where(F.col("containment") >= 0.5)
+    )
+
+
+def _containment_sql() -> str:
+    return f"""
+WITH shingled AS (
+  SELECT doc_id, list_distinct(sh) AS shd
+  FROM ({_shingle_hashed_sql()})
+), posts AS (
+  SELECT doc_id, unnest(shd) AS sh FROM shingled
+), rare AS (
+  SELECT sh FROM posts GROUP BY sh
+  HAVING count(*) BETWEEN 2 AND {CONTAINMENT_DF_CAP}
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM posts a JOIN posts b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  JOIN rare r ON r.sh = a.sh
+), scored AS (
+  SELECT id1, id2,
+         len(sa.shd) AS n_sh1,
+         len(sb.shd) AS n_sh2,
+         len(list_intersect(sa.shd, sb.shd)) AS n_common,
+         round(len(list_intersect(sa.shd, sb.shd))
+               / least(len(sa.shd), len(sb.shd)), 6) AS containment
+  FROM cands
+  JOIN shingled sa ON sa.doc_id = id1
+  JOIN shingled sb ON sb.doc_id = id2
+)
+SELECT id1, id2, n_sh1, n_sh2, n_common, containment,
+       CASE WHEN n_sh1 < n_sh2 THEN 'left_in_right'
+            WHEN n_sh2 < n_sh1 THEN 'right_in_left'
+            ELSE 'same_size' END AS relation
+FROM scored WHERE containment >= 0.5
+"""
+
+
 QUERIES = [
     QuerySpec("dedup_exact_keep_first", dedup_exact_keep_first, DEDUP_EXACT_SQL),
     QuerySpec("ngram_jaccard_pairs", ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
@@ -1166,5 +1417,17 @@ QUERIES = [
         minhash_calibration_bins,
         _minhash_calibration_sql(),
         "MinHash estimate + band S-curve vs exact Jaccard, per decile",
+    ),
+    QuerySpec(
+        "editdist_near_dup_pairs",
+        editdist_near_dup_pairs,
+        _editdist_sql(),
+        "LSH-blocked Levenshtein verification (order-sensitive dedup)",
+    ),
+    QuerySpec(
+        "shingle_containment_pairs",
+        shingle_containment_pairs,
+        _containment_sql(),
+        "rare-shingle-blocked asymmetric containment (partial copies)",
     ),
 ]

@@ -235,8 +235,311 @@ FROM (
     return " UNION ALL ".join(parts)
 
 
+def source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus concentration audit — how dominated each language slice
+    is by a few sources. A training mixture whose 'en' slice is 90%
+    one crawl inherits that crawl's biases; this operator quantifies
+    it with the three standard concentration measures: HHI
+    (sum of squared source shares), the Gini coefficient over source
+    doc-counts, and the share held by the top-3 sources.
+
+    Gini uses the exact rank formula over counts sorted ascending
+    (ties broken by source name for cross-engine determinism):
+    G = (2 * sum(i * c_i) - (n+1) * sum(c)) / (n * sum(c)).
+
+    Plan: one (lang, source) hash aggregate — the only corpus-scale
+    shuffle — then windows partitioned BY LANG over source-count
+    rows (sources per lang is catalog-bounded, ~20 here, maybe 1e4
+    at 100 TB; never corpus-scale). Integer arithmetic until the
+    final divisions, so the q6 rounding is cross-engine exact."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_asc = Window.partitionBy("lang").orderBy(
+        F.col("c").asc(), F.col("source").asc()
+    )
+    w_desc = Window.partitionBy("lang").orderBy(
+        F.col("c").desc(), F.col("source").asc()
+    )
+    w_all = Window.partitionBy("lang")
+    ranked = counts.select(
+        "lang",
+        "c",
+        F.row_number().over(w_asc).alias("i"),
+        F.row_number().over(w_desc).alias("rd"),
+        F.sum("c").over(w_all).alias("n_docs"),
+        F.count(F.lit(1)).over(w_all).alias("n_sources"),
+    )
+    return ranked.groupBy("lang").agg(
+        F.max("n_sources").alias("n_sources"),
+        F.max("n_docs").alias("n_docs"),
+        F.round(
+            F.sum(F.col("c") * F.col("c"))
+            / (F.max("n_docs") * F.max("n_docs")),
+            6,
+        ).alias("hhi"),
+        F.round(
+            (
+                2 * F.sum(F.col("i") * F.col("c"))
+                - (F.max("n_sources") + 1) * F.max("n_docs")
+            )
+            / (F.max("n_sources") * F.max("n_docs")),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.sum(F.when(F.col("rd") <= 3, F.col("c")).otherwise(0))
+            / F.max("n_docs"),
+            6,
+        ).alias("top3_share"),
+    )
+
+
+CONCENTRATION_SQL = """
+WITH counts AS (
+  SELECT lang, source, count(*) AS c
+  FROM documents GROUP BY 1, 2
+), ranked AS (
+  SELECT lang, c,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY c ASC, source ASC)  AS i,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY c DESC, source ASC) AS rd,
+         sum(c)   OVER (PARTITION BY lang) AS n_docs,
+         count(*) OVER (PARTITION BY lang) AS n_sources
+  FROM counts
+)
+SELECT lang,
+       max(n_sources)                                   AS n_sources,
+       cast(max(n_docs) AS bigint)                      AS n_docs,
+       round(sum(c * c) / (1.0 * max(n_docs) * max(n_docs)), 6) AS hhi,
+       round((2 * sum(i * c) - (max(n_sources) + 1) * max(n_docs))
+             / (1.0 * max(n_sources) * max(n_docs)), 6) AS gini,
+       round(sum(CASE WHEN rd <= 3 THEN c ELSE 0 END)
+             / (1.0 * max(n_docs)), 6)                  AS top3_share
+FROM ranked GROUP BY lang
+"""
+
+
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit on order totals — the classic synthetic /
+    fabricated-data detector a warehouse DQ suite runs on money
+    columns: the observed first-significant-digit distribution versus
+    Benford's log10(1 + 1/d), with the per-digit deviation. (TPC-H
+    prices are uniform-ish, so they FAIL Benford loudly — which is
+    the point: the operator's output is the evidence, not a pass.)
+
+    First digit via integer/string arithmetic (floor -> bigint ->
+    first char), never log10 of the value itself — log-based digit
+    extraction can mis-bin values like 999.9999 on float boundaries;
+    the expected shares are the only float math, and a 6-decimal
+    round is ulp-safe for all nine log10 constants.
+
+    Plan: map-side digit extraction, one 9-group hash aggregate; the
+    corpus never shuffles anything but (digit, partial count)."""
+    o = load_table(spark, sf_dir, "orders")
+    n_total = o.count()  # scalar; driver-bounded by definition
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        o.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    obs = F.col("n_orders") / F.lit(float(n_total))
+    exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return counts.select(
+        "digit",
+        "n_orders",
+        F.round(obs, 6).alias("obs_share"),
+        F.round(exp, 6).alias("benford_share"),
+        F.round(obs - exp, 6).alias("deviation"),
+        F.round((obs - exp) * (obs - exp) / exp, 6).alias("chi2_term"),
+    )
+
+
+BENFORD_SQL = """
+WITH counts AS (
+  SELECT cast(substr(cast(cast(floor(o_totalprice) AS bigint) AS varchar),
+                     1, 1) AS int) AS digit,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1
+), tot AS (SELECT count(*) AS n FROM orders)
+SELECT digit,
+       n_orders,
+       round(n_orders / (1.0 * tot.n), 6)            AS obs_share,
+       round(log10(1 + 1.0 / digit), 6)              AS benford_share,
+       round(n_orders / (1.0 * tot.n)
+             - log10(1 + 1.0 / digit), 6)            AS deviation,
+       round(pow(n_orders / (1.0 * tot.n)
+                 - log10(1 + 1.0 / digit), 2)
+             / log10(1 + 1.0 / digit), 6)            AS chi2_term
+FROM counts, tot
+"""
+
+
+def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection with median / MAD — the screen that
+    survives what breaks mean/stddev z-scores: a single 1e9 corrupt
+    value inflates sigma until nothing is an outlier, while the
+    median absolute deviation doesn't move. Flags event values with
+    |x - median| > 3 * 1.4826 * MAD (the normal-consistent cutoff).
+
+    Both medians are EXACT, via the bounded-domain trick
+    (quantity_exact_percentiles): event values are cents-grain, so
+    (type, cents) counts + a cumulative window over the value grain
+    give the inverted-CDF median in pure integer arithmetic — and the
+    DEVIATION grain is at most twice the value grain, so the second
+    median (the MAD) rides the same machinery. The outlier test
+    compares dev * 10000 > 44478 * mad — integers end to end, no
+    cross-engine float boundary anywhere.
+
+    Plan: ONE corpus-scale hash aggregate to the (type, cents) grain;
+    every window and join after it runs on grain tables bounded by
+    the value domain, not the corpus. At 100 TB with a genuinely
+    unbounded domain the KLL sketch (value_quantiles_kll) replaces
+    the exact grain — stated trade, same output contract."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    counts = (
+        e.select(F.col("event_type").alias("et"), v.alias("v"))
+        .groupBy("et", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = (
+        Window.partitionBy("et")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("et")
+    cum = counts.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(wall)
+    )
+    med = cum.groupBy("et").agg(
+        F.max("n").alias("n_events"),
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.col("n") / 2), F.col("v"))
+        ).alias("med"),
+    )
+    dev = (
+        counts.join(med, "et")
+        .select("et", "n_events", "med",
+                F.abs(F.col("v") - F.col("med")).alias("d"), "c")
+        .groupBy("et", "n_events", "med", "d")
+        .agg(F.sum("c").alias("c"))
+    )
+    wdev = (
+        Window.partitionBy("et")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dcum = dev.withColumn("cum", F.sum("c").over(wdev))
+    stats = dcum.groupBy("et", "n_events", "med").agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.col("n_events") / 2), F.col("d")
+            )
+        ).alias("mad"),
+        F.max("d").alias("max_dev"),
+    )
+    # outlier pass on the deviation GRAIN (not raw rows): dev counts
+    # already hold per-value multiplicities
+    out = (
+        dev.join(stats.select("et", "mad"), "et")
+        .where(F.col("d") * 10000 > F.lit(44478) * F.col("mad"))
+        .groupBy("et")
+        .agg(F.sum("c").alias("n_outliers"))
+    )
+    return (
+        stats.join(out, "et", "left")
+        .select(
+            F.col("et").alias("event_type"),
+            "n_events",
+            F.col("med").alias("median_cents"),
+            F.col("mad").alias("mad_cents"),
+            F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
+            F.round(
+                F.coalesce("n_outliers", F.lit(0)) / F.col("n_events"), 6
+            ).alias("outlier_share"),
+            F.col("max_dev").alias("max_dev_cents"),
+        )
+    )
+
+
+MAD_OUTLIERS_SQL = """
+WITH counts AS (
+  SELECT event_type AS et,
+         cast(floor(value * 100 + 0.5) AS bigint) AS v,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT *,
+         sum(c) OVER (PARTITION BY et ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY et) AS n
+  FROM counts
+), med AS (
+  SELECT et, cast(max(n) AS bigint) AS n_events,
+         min(CASE WHEN cum >= ceil(n / 2.0) THEN v END) AS med
+  FROM cum GROUP BY et
+), dev AS (
+  SELECT counts.et, n_events, med, abs(v - med) AS d,
+         cast(sum(c) AS bigint) AS c
+  FROM counts JOIN med ON counts.et = med.et
+  GROUP BY 1, 2, 3, 4
+), dcum AS (
+  SELECT *,
+         sum(c) OVER (PARTITION BY et ORDER BY d
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM dev
+), stats AS (
+  SELECT et, n_events, med,
+         min(CASE WHEN cum >= ceil(n_events / 2.0) THEN d END) AS mad,
+         max(d) AS max_dev
+  FROM dcum GROUP BY 1, 2, 3
+), outs AS (
+  SELECT dev.et, cast(sum(c) AS bigint) AS n_outliers
+  FROM dev JOIN stats ON dev.et = stats.et
+  WHERE d * 10000 > 44478 * mad
+  GROUP BY 1
+)
+SELECT stats.et AS event_type,
+       n_events,
+       med AS median_cents,
+       mad AS mad_cents,
+       coalesce(n_outliers, 0) AS n_outliers,
+       round(coalesce(n_outliers, 0) / (1.0 * n_events), 6)
+         AS outlier_share,
+       max_dev AS max_dev_cents
+FROM stats LEFT JOIN outs ON stats.et = outs.et
+"""
+
+
 QUERIES = [
     QuerySpec("table_profile", table_profile, _profile_sql()),
     QuerySpec("order_price_histogram", order_price_histogram, HISTOGRAM_SQL),
     QuerySpec("join_skew_report", join_skew_report, _skew_sql()),
+    QuerySpec(
+        "source_concentration",
+        source_concentration,
+        CONCENTRATION_SQL,
+        "HHI / Gini / top-3 share of sources per language slice",
+    ),
+    QuerySpec(
+        "benford_first_digit_audit",
+        benford_first_digit_audit,
+        BENFORD_SQL,
+        "first-digit distribution vs Benford's law on order totals",
+    ),
+    QuerySpec(
+        "value_mad_outliers",
+        value_mad_outliers,
+        MAD_OUTLIERS_SQL,
+        "exact median/MAD robust outlier screen, integer end-to-end",
+    ),
 ]

@@ -1474,8 +1474,79 @@ FROM per
 """
 
 
+def ngram_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram diversity (trigram type-token ratio) per source — the
+    standard lexical-diversity screen for machine-generated or
+    template-stuffed corpora: a source whose distinct/total trigram
+    ratio collapses is emitting the same phrases over and over, even
+    when exact and near-dup both pass (repetition lives BELOW the
+    document grain).
+
+    Reuses the canonical hashed-shingle lineage (queries/dedup), so
+    'trigram' here is the same 60-bit arithmetic hash every dedup
+    operator blocks on — distinct counting on the hash equals distinct
+    counting on the string up to a 2^-60 collision, at ~8 bytes per
+    shuffled element instead of the text.
+
+    Plan: map-side shingle hashing (codegen md5), one
+    (source, shingle) explode for the exact distinct — the honest
+    corpus-scale shuffle exact distinct requires (the sketch path for
+    when 100 TB makes it too hot is daily_distinct_users_hll's HLL
+    pattern) — then a source-grain rollup."""
+    from goe_spark.queries.dedup import _shingle_hashed
+
+    sh = _shingle_hashed(spark, sf_dir)
+    per_doc = sh.select(
+        "source", F.size("sh").alias("n_tri"), F.col("sh")
+    )
+    totals = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tri").alias("n_trigrams"),
+    )
+    distincts = (
+        per_doc.select("source", F.explode("sh").alias("t"))
+        .groupBy("source")
+        .agg(F.countDistinct("t").alias("n_distinct"))
+    )
+    return totals.join(distincts, "source").select(
+        "source",
+        "n_docs",
+        "n_trigrams",
+        "n_distinct",
+        F.round(F.col("n_distinct") / F.col("n_trigrams"), 6).alias(
+            "diversity"
+        ),
+    )
+
+
+def _ngram_diversity_sql() -> str:
+    from goe_spark.queries.dedup import _shingle_hashed_sql
+
+    return f"""
+WITH sh AS ({_shingle_hashed_sql()}),
+totals AS (
+  SELECT source, count(*) AS n_docs,
+         cast(sum(len(sh)) AS bigint) AS n_trigrams
+  FROM sh GROUP BY source
+), distincts AS (
+  SELECT source, count(DISTINCT t) AS n_distinct
+  FROM (SELECT source, unnest(sh) AS t FROM sh)
+  GROUP BY source
+)
+SELECT totals.source, n_docs, n_trigrams, n_distinct,
+       round(n_distinct / (1.0 * n_trigrams), 6) AS diversity
+FROM totals JOIN distincts ON totals.source = distincts.source
+"""
+
+
 QUERIES = [
     QuerySpec("sentiment_by_source", sentiment_by_source, _sentiment_sql()),
+    QuerySpec(
+        "ngram_diversity_by_source",
+        ngram_diversity_by_source,
+        _ngram_diversity_sql(),
+        "trigram type-token ratio per source (template/genai screen)",
+    ),
     QuerySpec("tfidf_top_terms", tfidf_top_terms, TFIDF_SQL),
     QuerySpec("token_stats_by_lang", token_stats_by_lang, TOKEN_STATS_SQL),
     QuerySpec("bpe_token_stats", bpe_token_stats, BPE_TOKEN_SQL),

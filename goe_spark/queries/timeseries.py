@@ -364,6 +364,85 @@ FROM counted
 """
 
 
+def event_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state entropy of the first-order Markov chain — which
+    event types are behavioral dead-ends (entropy ~0: the next event
+    is predictable) versus branch points (entropy ~log2(K)). The
+    session-analytics counterpart of per-source token entropy: same
+    H = -sum(p log2 p), over the NEXT-EVENT distribution.
+
+    Plan: identical single user-partitioned lag window as
+    event_transition_matrix (one shuffle of raw events), then all
+    entropy math happens on the K^2-row transition grain — 25 rows
+    here, bounded by event-type-cardinality squared at any corpus
+    size, never corpus-scale.
+
+    Output per previous state: transition count, distinct next
+    states, entropy (bits, q6), the most likely next state and its
+    probability (q6; ties broken by type name for determinism)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    counted = (
+        e.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = Window.partitionBy("prev_type")
+    rank = Window.partitionBy("prev_type").orderBy(
+        F.col("c").desc(), F.col("next_type").asc()
+    )
+    p = F.col("c") / F.sum("c").over(tot)
+    scored = counted.select(
+        "prev_type",
+        "next_type",
+        "c",
+        p.alias("p"),
+        F.row_number().over(rank).alias("rn"),
+    )
+    return scored.groupBy("prev_type").agg(
+        F.sum("c").alias("n_transitions"),
+        F.count(F.lit(1)).alias("n_next_types"),
+        F.round(-F.sum(F.col("p") * F.log2("p")), 6).alias("entropy_bits"),
+        F.max(F.when(F.col("rn") == 1, F.col("next_type"))).alias(
+            "top_next_type"
+        ),
+        F.round(F.max(F.when(F.col("rn") == 1, F.col("p"))), 6).alias(
+            "top_next_p"
+        ),
+    )
+
+
+MARKOV_ENTROPY_SQL = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type AS next_type
+  FROM events
+), counted AS (
+  SELECT prev_type, next_type, count(*) AS c
+  FROM pairs WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+), scored AS (
+  SELECT prev_type, next_type, c,
+         c / cast(sum(c) OVER (PARTITION BY prev_type) AS double) AS p,
+         row_number() OVER (PARTITION BY prev_type
+                            ORDER BY c DESC, next_type ASC) AS rn
+  FROM counted
+)
+SELECT prev_type,
+       cast(sum(c) AS bigint)                          AS n_transitions,
+       count(*)                                        AS n_next_types,
+       round(-sum(p * log2(p)), 6)                     AS entropy_bits,
+       max(CASE WHEN rn = 1 THEN next_type END)        AS top_next_type,
+       round(max(CASE WHEN rn = 1 THEN p END), 6)      AS top_next_p
+FROM scored GROUP BY prev_type
+"""
+
+
 def _halfup_2dp(doubled_hundredths: str):
     """Half-up mean to 2 decimals in pure integer arithmetic:
     ``doubled_hundredths`` must evaluate to 2 * (sum in hundredths);
@@ -535,5 +614,11 @@ QUERIES = [
     QuerySpec("order_status_islands", order_status_islands, ISLANDS_SQL),
     QuerySpec(
         "event_transition_matrix", event_transition_matrix, TRANSITION_SQL
+    ),
+    QuerySpec(
+        "event_markov_entropy",
+        event_markov_entropy,
+        MARKOV_ENTROPY_SQL,
+        "per-state next-event entropy (behavioral predictability)",
     ),
 ]
