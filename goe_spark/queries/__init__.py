@@ -33,12 +33,13 @@ class QuerySpec:
 # silently dropping q13_customer_distribution from the window
 # (round-8 ADVICE) — it leads this round's stale block instead.
 # Round-10 window, in order:
-#   1. the NINE queries added in the round's second session —
+#   1. the TWELVE queries added in the round's second session —
 #      Levenshtein near-dup pairs, shingle containment, source
 #      concentration (Gini/HHI), Benford audit, Markov next-event
-#      entropy, trigram diversity, median/MAD outliers, PII
-#      co-occurrence, reorder-gap histogram — none has ever had a
-#      driver row;
+#      entropy, trigram diversity, median/MAD outliers, DOW
+#      seasonality, CUSUM changepoint, referential-integrity audit,
+#      PII co-occurrence, reorder-gap histogram — none has ever had
+#      a driver row;
 #   2. the ELEVEN queries new in the first session (estimator
 #      calibration, KL shift, audio bins, MP3 frame-header stats,
 #      exact bounded-domain percentiles, fixed-point correlation,
@@ -49,9 +50,10 @@ class QuerySpec:
 #   3. the FIVE entries whose hard driver signal was missing after
 #      round 9 (verdict item 1): the four late-round-9 additions and
 #      contamination_check (last driver row r6);
-#   4. 24 of the 50 entries whose last driver check was ROUND 7.
+#   4. 21 of the 50 entries whose last driver check was ROUND 7.
 # The r7-stale entries displaced by the session-2 additions
-# (predicate_offload_slice, q11_important_stock, q12_priority_lines, q15_top_supplier,
+# (minhash_lsh_pairs, ngram_jaccard_pairs, per_source_topk_cap,
+# predicate_offload_slice, q11_important_stock, q12_priority_lines, q15_top_supplier,
 # q16_supplier_part_counts, q17_small_qty_revenue, q18_large_orders,
 # q19_discounted_revenue, q20_promotable_suppliers) join the
 # seventeen already deferred to lead the round-11 stale block: the
@@ -74,6 +76,9 @@ HEAD = (
     "event_markov_entropy",
     "ngram_diversity_by_source",
     "value_mad_outliers",
+    "dow_seasonality_index",
+    "cusum_revenue_shift",
+    "referential_integrity_audit",
     "pii_cooccurrence_audit",
     "reorder_gap_histogram",
     # -- new or semantics-changed this round --
@@ -95,7 +100,7 @@ HEAD = (
     "embedding_gram_summary",
     "dedup_cluster_source_mix",
     "contamination_check",
-    # -- last driver-checked in round 7 (24 of 50; see note above) --
+    # -- last driver-checked in round 7 (21 of 50; see note above) --
     "agg_validate_lineitem",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
@@ -117,9 +122,6 @@ HEAD = (
     "lang_id_confusion",
     "length_curriculum_bins",
     "media_exact_dedup",
-    "minhash_lsh_pairs",
-    "ngram_jaccard_pairs",
-    "per_source_topk_cap",
 )
 TAIL = ()
 

@@ -443,6 +443,160 @@ FROM scored GROUP BY prev_type
 """
 
 
+def dow_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile of order flow — the first
+    chart every ops dashboard draws, and the denominator any anomaly
+    detector needs before it can call a quiet Sunday an incident.
+    Index = (share of orders on that weekday) * 7, so 1.0 = flat.
+
+    Weekday convention pinned cross-engine: ISO (Mon=1..Sun=7) —
+    Spark's weekday() (Mon=0) + 1 versus DuckDB's isodow(); the
+    engines' default dayofweek disagree (Sun=1 vs Sun=0), a classic
+    silent off-by-one this operator's oracle hash would catch.
+
+    Plan: map-side weekday extraction + cents-fixed-point revenue,
+    one 7-group hash aggregate; integer until the final divisions."""
+    o = load_table(spark, sf_dir, "orders")
+    n_total = o.count()  # scalar; driver-bounded by definition
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    per = (
+        o.select(
+            (F.weekday("o_orderdate") + 1).alias("iso_dow"),
+            cents.alias("cents"),
+        )
+        .groupBy("iso_dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+    total_cents = F.sum("revenue_cents").over(Window.partitionBy())
+    # 7-row global window: bounded by the weekday domain, never data
+    return per.select(
+        "iso_dow",
+        "n_orders",
+        "revenue_cents",
+        F.round(F.col("n_orders") * 7 / F.lit(float(n_total)), 6).alias(
+            "order_index"
+        ),
+        F.round(F.col("revenue_cents") * 7 / total_cents, 6).alias(
+            "revenue_index"
+        ),
+    )
+
+
+DOW_SEASONALITY_SQL = """
+WITH per AS (
+  SELECT isodow(o_orderdate) AS iso_dow,
+         count(*) AS n_orders,
+         cast(sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint))
+              AS bigint) AS revenue_cents
+  FROM orders GROUP BY 1
+)
+SELECT iso_dow, n_orders, revenue_cents,
+       round(n_orders * 7 / (SELECT cast(count(*) AS double) FROM orders),
+             6) AS order_index,
+       round(revenue_cents * 7
+             / cast(sum(revenue_cents) OVER () AS double), 6)
+         AS revenue_index
+FROM per
+"""
+
+
+def cusum_revenue_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on daily revenue, per year — the
+    classic mean-shift detector: the day where the cumulative
+    deviation from the year's mean peaks is the most likely structural
+    break (demand regime change, pipeline backfill seam, currency
+    glitch). Rolling z-scores (revenue_anomaly_days) find SPIKES;
+    CUSUM finds sustained LEVEL SHIFTS those miss.
+
+    Exact integer form: with daily cents r_i, mean-centered cumsum
+    scaled by n — cusum'_t = n * sum_{i<=t} r_i - t * sum(r) — avoids
+    the mean division entirely; |cusum'| peaks at the same t, and the
+    reported magnitude is normalized to cusum_share = max|cusum'| /
+    (n * total). int64 headroom: 366 * (366-day year at ~1e13
+    cents/day) ~ 1e18, inside int64 at bench scales; the DECIMAL(38,0)
+    upgrade is one cast if a 100 TB tenant's daily revenue exceeds it.
+
+    Plan: one corpus aggregate to (year, day) grain, then windows
+    partitioned BY YEAR (<= 366 rows per partition — never a global
+    window), then a year-grain argmax. Ties on |cusum'| break to the
+    earliest day, pinned on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    daily = (
+        o.select(
+            F.year("o_orderdate").alias("yr"),
+            F.col("o_orderdate").alias("day"),
+            cents.alias("cents"),
+        )
+        .groupBy("yr", "day")
+        .agg(F.sum("cents").alias("r"))
+    )
+    wcum = (
+        Window.partitionBy("yr")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wyr = Window.partitionBy("yr")
+    scored = (
+        daily.withColumn("cum", F.sum("r").over(wcum))
+        .withColumn("t", F.row_number().over(
+            Window.partitionBy("yr").orderBy("day")))
+        .withColumn("n", F.count(F.lit(1)).over(wyr))
+        .withColumn("tot", F.sum("r").over(wyr))
+        .withColumn(
+            "cusum",
+            F.abs(F.col("n") * F.col("cum") - F.col("t") * F.col("tot")),
+        )
+    )
+    pick = Window.partitionBy("yr").orderBy(
+        F.col("cusum").desc(), F.col("day").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "yr",
+            F.col("n").alias("n_days"),
+            F.col("day").alias("shift_day"),
+            F.col("cusum").alias("max_abs_cusum"),
+            F.round(
+                F.col("cusum") / (F.col("n") * F.col("tot")), 6
+            ).alias("cusum_share"),
+        )
+    )
+
+
+CUSUM_SQL = """
+WITH daily AS (
+  SELECT year(o_orderdate) AS yr, o_orderdate AS day,
+         cast(sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint))
+              AS bigint) AS r
+  FROM orders GROUP BY 1, 2
+), scored AS (
+  SELECT yr, day,
+         cast(count(*) OVER (PARTITION BY yr) AS bigint) AS n,
+         row_number() OVER (PARTITION BY yr ORDER BY day) AS t,
+         cast(sum(r) OVER (PARTITION BY yr ORDER BY day
+                           ROWS UNBOUNDED PRECEDING) AS bigint) AS cum,
+         cast(sum(r) OVER (PARTITION BY yr) AS bigint) AS tot
+  FROM daily
+), ranked AS (
+  SELECT yr, n, day, tot, abs(n * cum - t * tot) AS cusum,
+         row_number() OVER (PARTITION BY yr
+                            ORDER BY abs(n * cum - t * tot) DESC,
+                                     day ASC) AS rn
+  FROM scored
+)
+SELECT yr, n AS n_days, day AS shift_day,
+       cusum AS max_abs_cusum,
+       round(cusum / (1.0 * n * tot), 6) AS cusum_share
+FROM ranked WHERE rn = 1
+"""
+
+
 def _halfup_2dp(doubled_hundredths: str):
     """Half-up mean to 2 decimals in pure integer arithmetic:
     ``doubled_hundredths`` must evaluate to 2 * (sum in hundredths);
@@ -620,5 +774,17 @@ QUERIES = [
         event_markov_entropy,
         MARKOV_ENTROPY_SQL,
         "per-state next-event entropy (behavioral predictability)",
+    ),
+    QuerySpec(
+        "dow_seasonality_index",
+        dow_seasonality_index,
+        DOW_SEASONALITY_SQL,
+        "ISO-weekday order/revenue seasonality profile",
+    ),
+    QuerySpec(
+        "cusum_revenue_shift",
+        cusum_revenue_shift,
+        CUSUM_SQL,
+        "per-year CUSUM mean-shift changepoint on daily revenue",
     ),
 ]

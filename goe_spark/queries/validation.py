@@ -387,8 +387,134 @@ DQ_ORDERS_SQL = (
 )
 
 
+def referential_integrity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-table referential-integrity battery — the checks a
+    warehouse runs after every load before opening the tables to
+    queries: FK orphans in both directions, childless parents, and
+    PK uniqueness. A clean corpus returns zero violations (which is
+    itself the assertion; the reference's validation suite runs the
+    same always-on shape, `agg_validate` per table pair).
+
+    Plan: each FK check is a LEFT ANTI join aggregated to one row —
+    Spark broadcasts the smaller distinct-key side where it fits and
+    the whole check is a null-produce-count; the PK check is a
+    keys-only groupBy. Nothing wider than a key column ever
+    shuffles; all checks run in one union of independent one-row
+    aggregates (shared scans via exchange reuse where AQE finds
+    them)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def one(name: str, viol: DataFrame, total: DataFrame) -> DataFrame:
+        v = viol.agg(F.count(F.lit(1)).alias("n_violations"))
+        t = total.agg(F.count(F.lit(1)).alias("n_total"))
+        return v.crossJoin(t).select(
+            F.lit(name).alias("check_name"),
+            "n_violations",
+            "n_total",
+            F.round(F.col("n_violations") / F.col("n_total"), 6).alias(
+                "violation_share"
+            ),
+        )
+
+    lk = li.select("l_orderkey")
+    ok = o.select("o_orderkey")
+    checks = [
+        one(
+            "lineitem_orphan_orderkey",
+            lk.join(ok, lk.l_orderkey == ok.o_orderkey, "left_anti"),
+            lk,
+        ),
+        one(
+            "orders_orphan_custkey",
+            o.select("o_custkey").join(
+                c.select("c_custkey"),
+                F.col("o_custkey") == F.col("c_custkey"),
+                "left_anti",
+            ),
+            o.select("o_custkey"),
+        ),
+        one(
+            "orders_without_lineitems",
+            ok.join(lk, ok.o_orderkey == lk.l_orderkey, "left_anti"),
+            ok,
+        ),
+        one(
+            "duplicate_orderkeys",
+            ok.groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 1),
+            ok,
+        ),
+        one("null_orderkeys", ok.where(F.col("o_orderkey").isNull()), ok),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionAll(ch)
+    return out
+
+
+REF_INTEGRITY_SQL = """
+SELECT 'lineitem_orphan_orderkey' AS check_name,
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+         AS n_violations,
+       (SELECT count(*) FROM lineitem) AS n_total,
+       round((SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+             / (1.0 * (SELECT count(*) FROM lineitem)), 6)
+         AS violation_share
+UNION ALL
+SELECT 'orders_orphan_custkey',
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)),
+       (SELECT count(*) FROM orders),
+       round((SELECT count(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))
+             / (1.0 * (SELECT count(*) FROM orders)), 6)
+UNION ALL
+SELECT 'orders_without_lineitems',
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey)),
+       (SELECT count(*) FROM orders),
+       round((SELECT count(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                WHERE l.l_orderkey = o.o_orderkey))
+             / (1.0 * (SELECT count(*) FROM orders)), 6)
+UNION ALL
+SELECT 'duplicate_orderkeys',
+       (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+                              GROUP BY o_orderkey HAVING count(*) > 1)),
+       (SELECT count(*) FROM orders),
+       round((SELECT count(*) FROM (SELECT o_orderkey FROM orders
+                                    GROUP BY o_orderkey
+                                    HAVING count(*) > 1))
+             / (1.0 * (SELECT count(*) FROM orders)), 6)
+UNION ALL
+SELECT 'null_orderkeys',
+       (SELECT count(*) FROM orders WHERE o_orderkey IS NULL),
+       (SELECT count(*) FROM orders),
+       round((SELECT count(*) FROM orders WHERE o_orderkey IS NULL)
+             / (1.0 * (SELECT count(*) FROM orders)), 6)
+"""
+
+
 QUERIES = [
     QuerySpec("agg_validate_lineitem", agg_validate_lineitem, AGG_VALIDATE_SQL),
+    QuerySpec(
+        "referential_integrity_audit",
+        referential_integrity_audit,
+        REF_INTEGRITY_SQL,
+        "FK-orphan / childless-parent / PK-uniqueness battery",
+    ),
     QuerySpec("dq_orders_expectations", dq_orders_expectations, DQ_ORDERS_SQL),
     QuerySpec("count_validate_orders", count_validate_orders, COUNT_VALIDATE_SQL),
     QuerySpec("staged_validation_scan", staged_validation_scan, STAGED_VALIDATION_SQL),

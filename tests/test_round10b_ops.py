@@ -239,6 +239,111 @@ def test_mad_outliers_invariants(spark):
         assert 0 <= r.outlier_share <= 1
 
 
+def test_dow_seasonality_accounting(spark):
+    from goe_spark.catalog import load_table
+    from goe_spark.queries.timeseries import dow_seasonality_index
+
+    rows = dow_seasonality_index(spark, SF_SMALL).collect()
+    n_orders = load_table(spark, SF_SMALL, "orders").count()
+    assert sum(r.n_orders for r in rows) == n_orders
+    assert {r.iso_dow for r in rows} <= set(range(1, 8))
+    # indexes are shares * 7: they sum to 7 when weighted equally-ish;
+    # the hard invariant is the share identity per row
+    for r in rows:
+        assert abs(r.order_index - r.n_orders * 7 / n_orders) < 2e-6
+        assert r.revenue_index > 0
+
+
+def test_cusum_crafted_shift(spark):
+    """Five days at 100.00 then five at 200.00: the n-scaled CUSUM
+    |n*cum - t*tot| peaks at t=5 (the last pre-shift day) with value
+    |10*50000 - 5*150000| = 250000; share = 250000/(10*150000)."""
+    import datetime
+
+    from goe_spark.queries import timeseries as TS
+
+    rows = [
+        (i, 1, "O", 100.0 if i <= 5 else 200.0, datetime.date(2024, 1, i),
+         "1-URGENT", "c", 0, "x")
+        for i in range(1, 11)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate date, o_orderpriority string,"
+        " o_clerk string, o_shippriority int, o_comment string",
+    )
+    import goe_spark.catalog as cat
+
+    orig = cat.load_table
+    try:
+        cat.load_table = lambda s, d, n: df if n == "orders" else orig(s, d, n)
+        TS.load_table = cat.load_table
+        got = TS.cusum_revenue_shift(spark, "ignored").collect()
+    finally:
+        cat.load_table = orig
+        TS.load_table = orig
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_days == 10
+    assert r.shift_day == datetime.date(2024, 1, 5)
+    assert r.max_abs_cusum == 250000
+    assert abs(r.cusum_share - 250000 / 1500000) < 2e-6
+
+
+def test_referential_integrity_crafted(spark):
+    from goe_spark.queries import validation as V
+
+    orders = spark.createDataFrame(
+        [(1, 1), (2, 99)], "o_orderkey long, o_custkey long"
+    )
+    customer = spark.createDataFrame([(1,)], "c_custkey long")
+    lineitem = spark.createDataFrame(
+        [(1,), (999,)], "l_orderkey long"
+    )
+    frames = {"orders": orders, "customer": customer, "lineitem": lineitem}
+    import goe_spark.catalog as cat
+
+    orig = cat.load_table
+    try:
+        cat.load_table = lambda s, d, n: frames.get(n) or orig(s, d, n)
+        V.load_table = cat.load_table
+        got = {r.check_name: r for r in V.referential_integrity_audit(
+            spark, "ignored").collect()}
+    finally:
+        cat.load_table = orig
+        V.load_table = orig
+    assert got["lineitem_orphan_orderkey"].n_violations == 1  # 999
+    assert got["orders_orphan_custkey"].n_violations == 1     # cust 99
+    assert got["orders_without_lineitems"].n_violations == 1  # order 2
+    assert got["duplicate_orderkeys"].n_violations == 0
+    assert got["null_orderkeys"].n_violations == 0
+    assert got["lineitem_orphan_orderkey"].violation_share == 0.5
+
+
+def test_referential_integrity_fixture(spark):
+    """FK orphans / dup / null PKs are clean on the fixture;
+    childless orders genuinely exist (the generator emits orders with
+    no lineitems) — pin that count against an independent distinct-key
+    subtraction rather than assuming TPC-H's 1-7 lineitem guarantee."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from goe_spark.catalog import load_table
+    from goe_spark.queries.validation import referential_integrity_audit
+
+    got = {r.check_name: r for r in referential_integrity_audit(
+        spark, SF_SMALL).collect()}
+    assert len(got) == 5
+    for name in ("lineitem_orphan_orderkey", "orders_orphan_custkey",
+                 "duplicate_orderkeys", "null_orderkeys"):
+        assert got[name].n_violations == 0, f"{name} dirty on fixture"
+        assert got[name].n_total > 0
+    o = load_table(spark, SF_SMALL, "orders")
+    li = load_table(spark, SF_SMALL, "lineitem")
+    expected_childless = o.count() - li.select("l_orderkey").distinct().count()
+    assert got["orders_without_lineitems"].n_violations == expected_childless
+
+
 def test_containment_blocking_respects_df_cap(spark):
     """Every emitted pair must share at least one rare shingle — a
     pair whose ONLY common shingles are boilerplate (df > cap) is

@@ -100,6 +100,10 @@ GLOBAL_WINDOW_OK = {
     "stratified_sample_docs",
     "filter_funnel_report",
     "zipf_slope_fit",  # rank window on the TakeOrdered top-500 relation
+    # revenue-share total over the 7-row POST-AGGREGATE weekday
+    # frame: the window input is domain-bounded (7 rows at any corpus
+    # size) — SCALE.md round-10 session-2 row
+    "dow_seasonality_index",
 }
 
 # Nested-loop joins that are 1-row/bounded broadcast scalars —
@@ -146,6 +150,9 @@ NESTED_LOOP_OK = {
     # label_b: |labels| x |labels| rows (tens), corpus touched once
     # upstream — SCALE.md round-10 row
     "embedding_centroid_shift",
+    # five 1-row x 1-row crossJoins (violation count x total count
+    # per integrity check) — SCALE.md round-10 session-2 row
+    "referential_integrity_audit",
 }
 
 WINDOW_RE = re.compile(r"windowspecdefinition\(([^)]*)\)")
