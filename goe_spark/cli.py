@@ -535,7 +535,14 @@ def cmd_query(args) -> int:
     if args.name not in qs:
         print(f"unknown query {args.name!r}; known: {sorted(qs)}", file=sys.stderr)
         return 2
-    df = qs[args.name](spark, args.sf_dir)
+    if getattr(args, "cached", False):
+        from goe_spark.plans.result_cache import get_or_build
+
+        df, hit = get_or_build(spark, args.name, args.sf_dir, qs[args.name])
+        print(f"-- result cache: {'HIT' if hit else 'MISS (built)'}",
+              file=sys.stderr)
+    else:
+        df = qs[args.name](spark, args.sf_dir)
     for row in df.limit(args.limit).collect():
         print(json.dumps(row.asDict(), default=str))
     return 0
@@ -1019,6 +1026,12 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("name")
     q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     q.add_argument("--limit", type=int, default=20)
+    q.add_argument(
+        "--cached",
+        action="store_true",
+        help="serve from the source-fingerprint result cache "
+        "(plans/result_cache.py), building on miss",
+    )
     q.set_defaults(fn=cmd_query)
 
     ex = sub.add_parser(

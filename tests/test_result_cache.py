@@ -1,0 +1,117 @@
+"""Result cache (plans/result_cache.py): hit/miss semantics,
+structural staleness via source fingerprints, eviction, and value
+equality between the built and cached paths."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from goe_spark.plans import result_cache as RC
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(autouse=True)
+def clean_cache():
+    RC.clear()
+    yield
+    RC.clear()
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_hit_after_miss_and_value_equality(spark):
+    calls = []
+
+    def build(s, d):
+        calls.append(1)
+        from goe_spark.queries.profiling import benford_first_digit_audit
+
+        return benford_first_digit_audit(s, d)
+
+    df1, hit1 = RC.get_or_build(spark, "benford", SF_SMALL, build)
+    r1 = _rows(df1)
+    df2, hit2 = RC.get_or_build(spark, "benford", SF_SMALL, build)
+    r2 = _rows(df2)
+    assert (hit1, hit2) == (False, True)
+    assert len(calls) == 1, "build must run exactly once"
+    assert r1 == r2
+    # schema identical between miss (read-back) and hit paths
+    assert df1.schema == df2.schema
+
+
+def test_source_change_invalidates(spark, tmp_path):
+    """Copy the fixture, warm the cache, rewrite one source file —
+    the key changes, the old entry is evicted, build runs again."""
+    d = str(tmp_path / "fix")
+    os.makedirs(d)
+    for t in ("orders", "customer", "lineitem"):
+        src = os.path.join(SF_SMALL, f"{t}.parquet")
+        shutil.copy(src, os.path.join(d, f"{t}.parquet"))
+
+    calls = []
+
+    def build(s, sf):
+        calls.append(1)
+        return (
+            s.read.parquet(os.path.join(sf, "orders.parquet"))
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    _, h1 = RC.get_or_build(spark, "probe", d, build)
+    _, h2 = RC.get_or_build(spark, "probe", d, build)
+    assert (h1, h2) == (False, True) and len(calls) == 1
+
+    # mutate a source: append a byte + bump mtime -> new fingerprint
+    p = os.path.join(d, "orders.parquet")
+    spark.read.parquet(p).limit(10).write.mode("overwrite").parquet(
+        p + ".new"
+    )
+    shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+    os.rename(p + ".new", p)
+    os.utime(p, (time.time() + 5, time.time() + 5))
+
+    _, h3 = RC.get_or_build(spark, "probe", d, build)
+    assert h3 is False and len(calls) == 2
+    # stale entry evicted: exactly one dir for this name remains
+    entries = [
+        e for e in os.listdir(RC.CACHE_ROOT) if e.startswith("probe--")
+    ]
+    assert len(entries) == 1
+
+
+def test_distinct_names_do_not_collide(spark):
+    def build_a(s, d):
+        return s.range(3).select(F.col("id").alias("a"))
+
+    def build_b(s, d):
+        return s.range(5).select(F.col("id").alias("b"))
+
+    da, _ = RC.get_or_build(spark, "qa", SF_SMALL, build_a)
+    db, _ = RC.get_or_build(spark, "qb", SF_SMALL, build_b)
+    assert da.count() == 3 and db.count() == 5
+    da2, hit = RC.get_or_build(spark, "qa", SF_SMALL, build_a)
+    assert hit and da2.columns == ["a"]
+
+
+def test_cli_query_cached(spark):
+    from goe_spark.cli import main
+
+    rc = main(
+        ["query", "benford_first_digit_audit", "--sf-dir", SF_SMALL,
+         "--cached", "--limit", "3"]
+    )
+    assert rc == 0
+    rc = main(
+        ["query", "benford_first_digit_audit", "--sf-dir", SF_SMALL,
+         "--cached", "--limit", "3"]
+    )
+    assert rc == 0
+    assert RC.lookup("benford_first_digit_audit", SF_SMALL) is not None
