@@ -386,9 +386,33 @@ GROUP BY 1, 2
 """
 
 
+def streaming_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming CUSUM drift detector (applyInPandasWithState,
+    O(1) int64 state per event type — streaming/drift.py). On a
+    finite availableNow drain the summary equals the batch twin
+    cusum_event_drift, whose window closed form the DuckDB oracle
+    replays — so a CUSTOM STATEFUL STREAMING OPERATOR gets a full
+    hash-compared oracle, not a rows-only waiver."""
+    from goe_spark.streaming.drift import drift_summary_stream
+
+    return drift_summary_stream(spark, sf_dir)
+
+
+def _cusum_drift_oracle() -> str:
+    from goe_spark.queries.timeseries import CUSUM_DRIFT_SQL
+
+    return CUSUM_DRIFT_SQL
+
+
 QUERIES = [
     QuerySpec(
         "streaming_window_counts", streaming_window_counts, STREAMING_WINDOW_SQL
+    ),
+    QuerySpec(
+        "streaming_cusum_drift",
+        streaming_cusum_drift,
+        _cusum_drift_oracle(),
+        "stateful online CUSUM per event type; oracle = closed form",
     ),
     QuerySpec(
         "continuous_rollup_daily", continuous_rollup_daily, CONTINUOUS_ROLLUP_SQL

@@ -597,6 +597,129 @@ FROM ranked WHERE rn = 1
 """
 
 
+# Online CUSUM parameters (cents): reference level, allowance k, and
+# decision threshold h — shared by the batch twin below and the
+# stateful streaming detector (streaming/drift.py), so the two are
+# comparable row-for-row.
+CUSUM_TARGET_CENTS = 5000
+CUSUM_K_CENTS = 100
+CUSUM_H_CENTS = 10000
+
+
+def cusum_event_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online CUSUM drift detector over per-type event values — the
+    batch twin of the stateful streaming detector
+    (streaming/drift.py): same recurrence, same constants, pinned
+    row-identical in tests/test_streaming_drift.py.
+
+    Uses the reset-free CUSUM's closed form: S+_t = max(0, S+_{t-1}
+    + x_t - target - k) equals cum_t - min_{i<=t} cum_i (cumsum minus
+    running minimum), and symmetrically S-_t = running max - cum'_t —
+    so the sequential recurrence becomes two prefix windows and the
+    DuckDB oracle can replay it exactly. An ONSET is a row where the
+    statistic first exceeds h (previous row at or below), counted via
+    lag. All arithmetic is integer cents.
+
+    Scale note: the corpus window partitions by event_type — a LOW
+    cardinality key, so at 100 TB a whole type funnels through one
+    task. That is inherent to a sequential statistic over a per-type
+    stream, and the 100 TB path is exactly the STREAMING twin: O(1)
+    state per type, one pass, no window — this batch form exists as
+    the verifiable oracle surface."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    base = e.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (cents - CUSUM_TARGET_CENTS - CUSUM_K_CENTS).alias("d_up"),
+        (cents - CUSUM_TARGET_CENTS + CUSUM_K_CENTS).alias("d_dn"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wl = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    scored = (
+        base.withColumn("cum_up", F.sum("d_up").over(w))
+        .withColumn("cum_dn", F.sum("d_dn").over(w))
+        .withColumn(
+            "s_up", F.col("cum_up") - F.least(
+                F.min("cum_up").over(w), F.lit(0)
+            )
+        )
+        .withColumn(
+            "s_dn", F.greatest(F.max("cum_dn").over(w), F.lit(0))
+            - F.col("cum_dn")
+        )
+    )
+    h = CUSUM_H_CENTS
+    flagged = scored.select(
+        "event_type",
+        "s_up",
+        "s_dn",
+        (
+            (F.col("s_up") > h)
+            & (F.coalesce(F.lag("s_up").over(wl), F.lit(0)) <= h)
+        ).cast("int").alias("onset_up"),
+        (
+            (F.col("s_dn") > h)
+            & (F.coalesce(F.lag("s_dn").over(wl), F.lit(0)) <= h)
+        ).cast("int").alias("onset_dn"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("onset_up").alias("n_onsets_up"),
+        F.sum("onset_dn").alias("n_onsets_down"),
+        F.max("s_up").alias("max_s_up"),
+        F.max("s_dn").alias("max_s_down"),
+    )
+
+
+CUSUM_DRIFT_SQL = f"""
+WITH base AS (
+  SELECT event_type, ts, event_id,
+         cast(floor(value * 100 + 0.5) AS bigint)
+           - {CUSUM_TARGET_CENTS} - {CUSUM_K_CENTS} AS d_up,
+         cast(floor(value * 100 + 0.5) AS bigint)
+           - {CUSUM_TARGET_CENTS} + {CUSUM_K_CENTS} AS d_dn
+  FROM events
+), cums AS (
+  SELECT event_type, ts, event_id,
+         sum(d_up) OVER w AS cum_up,
+         sum(d_dn) OVER w AS cum_dn
+  FROM base
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)
+), scored AS (
+  SELECT event_type, ts, event_id,
+         cum_up - least(min(cum_up) OVER w2, 0) AS s_up,
+         greatest(max(cum_dn) OVER w2, 0) - cum_dn AS s_dn
+  FROM cums
+  WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING)
+), flagged AS (
+  SELECT event_type, s_up, s_dn,
+         CASE WHEN s_up > {CUSUM_H_CENTS}
+               AND coalesce(lag(s_up) OVER wl, 0) <= {CUSUM_H_CENTS}
+              THEN 1 ELSE 0 END AS onset_up,
+         CASE WHEN s_dn > {CUSUM_H_CENTS}
+               AND coalesce(lag(s_dn) OVER wl, 0) <= {CUSUM_H_CENTS}
+              THEN 1 ELSE 0 END AS onset_dn
+  FROM scored
+  WINDOW wl AS (PARTITION BY event_type ORDER BY ts, event_id)
+)
+SELECT event_type,
+       count(*) AS n_events,
+       cast(sum(onset_up) AS bigint)   AS n_onsets_up,
+       cast(sum(onset_dn) AS bigint)   AS n_onsets_down,
+       cast(max(s_up) AS bigint)       AS max_s_up,
+       cast(max(s_dn) AS bigint)       AS max_s_down
+FROM flagged GROUP BY event_type
+"""
+
+
 def _halfup_2dp(doubled_hundredths: str):
     """Half-up mean to 2 decimals in pure integer arithmetic:
     ``doubled_hundredths`` must evaluate to 2 * (sum in hundredths);
@@ -786,5 +909,12 @@ QUERIES = [
         cusum_revenue_shift,
         CUSUM_SQL,
         "per-year CUSUM mean-shift changepoint on daily revenue",
+    ),
+    QuerySpec(
+        "cusum_event_drift",
+        cusum_event_drift,
+        CUSUM_DRIFT_SQL,
+        "reset-free online CUSUM per event type (batch twin of the "
+        "stateful streaming detector)",
     ),
 ]
