@@ -340,14 +340,19 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: map-side digit extraction, one 9-group hash aggregate; the
     corpus never shuffles anything but (digit, partial count)."""
     o = load_table(spark, sf_dir, "orders")
-    n_total = o.count()  # scalar; driver-bounded by definition
     digit = F.substring(
         F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
     ).cast("int")
-    counts = (
-        o.select(digit.alias("digit"))
-        .groupBy("digit")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
+    # values < 1 have first digit 0 under integer extraction (the
+    # mantissa digit needs log scaling); Benford applies to
+    # magnitudes >= 1 — excluded identically in the oracle, and the
+    # share denominator counts VALID rows only
+    valid = o.select(digit.alias("digit")).where(
+        F.col("digit").between(1, 9)
+    )
+    n_total = valid.count()  # scalar; driver-bounded by definition
+    counts = valid.groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_orders")
     )
     obs = F.col("n_orders") / F.lit(float(n_total))
     exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
@@ -362,12 +367,14 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BENFORD_SQL = """
-WITH counts AS (
+WITH digits AS (
   SELECT cast(substr(cast(cast(floor(o_totalprice) AS bigint) AS varchar),
-                     1, 1) AS int) AS digit,
-         count(*) AS n_orders
-  FROM orders GROUP BY 1
-), tot AS (SELECT count(*) AS n FROM orders)
+                     1, 1) AS int) AS digit
+  FROM orders
+), valid AS (SELECT digit FROM digits WHERE digit BETWEEN 1 AND 9),
+counts AS (
+  SELECT digit, count(*) AS n_orders FROM valid GROUP BY 1
+), tot AS (SELECT count(*) AS n FROM valid)
 SELECT digit,
        n_orders,
        round(n_orders / (1.0 * tot.n), 6)            AS obs_share,

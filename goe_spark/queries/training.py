@@ -1780,7 +1780,131 @@ FROM per LEFT JOIN news ON news.shard = per.shard
 """
 
 
+# PageRank over the near-dup graph: fixed-point scale, iteration
+# count and report size. Integer-exact so the unrolled-CTE oracle
+# replays the loop bit-for-bit (the BPE discipline applied to a graph
+# algorithm).
+PR_SCALE = 10**12
+PR_ITERS = 10
+PR_TOP_K = 20
+
+
+def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the near-dup pair graph — which
+    documents sit at the CENTER of duplication neighborhoods (the
+    canonical-representative signal template-cluster triage wants:
+    high-PR nodes are the "original" boilerplate carriers, leaves are
+    one-off copies). The graph is the capped LSH pair table, so this
+    is an ITERATIVE algorithm over a pair-bounded relation — the
+    corpus never enters the loop (the dedup_clusters CC discipline).
+
+    Integer-exact fixed point: rank mass is int64 at PR_SCALE=1e12;
+    per-edge contribution is pr div deg (truncating division,
+    positive operands so floor); damping is (85 * insum) div 100 plus
+    the teleport base floor(0.15 * SCALE / n). Integer sums are
+    order-insensitive, so Spark's shuffle order and DuckDB's scan
+    order cannot produce different hashes — the standard float
+    PageRank would diverge in the last ulp.
+
+    Plan: pair generation localCheckpoint'd once; each of the 10
+    iterations is one (edge join + target-grain aggregate) on the
+    pair-bounded symmetric edge list, checkpointed so lineage stays
+    flat. Output: top-20 by rank (ties broken by doc_id — a
+    deterministic SET, so LIMIT agrees cross-engine)."""
+    edges = (
+        minhash_lsh_pairs(spark, sf_dir)
+        .select("id1", "id2")
+        .localCheckpoint(eager=True)
+    )
+    sym = edges.union(
+        edges.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
+    ).select(F.col("id1").alias("s"), F.col("id2").alias("d"))
+    deg = sym.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    n = deg.count()  # scalar; pair-bounded, never corpus-scale
+    base = 15 * PR_SCALE // (100 * n)
+    pr = deg.select(
+        "node", "deg", F.lit(PR_SCALE // n).cast("long").alias("pr")
+    ).localCheckpoint(eager=True)
+    for _ in range(PR_ITERS):
+        contrib = sym.join(
+            pr.select(
+                F.col("node").alias("s"),
+                F.expr("pr div deg").alias("c"),
+            ),
+            "s",
+        )
+        insum = contrib.groupBy(F.col("d").alias("node")).agg(
+            F.sum("c").alias("insum")
+        )
+        pr = (
+            deg.join(insum, "node", "left")
+            .select(
+                "node",
+                "deg",
+                (
+                    F.lit(base)
+                    + F.expr("85 * coalesce(insum, 0) div 100")
+                ).cast("long").alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        pr.orderBy(F.col("pr").desc(), F.col("node").asc())
+        .limit(PR_TOP_K)
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("pr").alias("pr_q12"),
+            F.col("deg").alias("degree"),
+        )
+    )
+
+
+def _pagerank_sql() -> str:
+    prev = "pr0"
+    iters = []
+    for i in range(1, PR_ITERS + 1):
+        iters.append(f"""it{i} AS (
+  SELECT g.node, g.deg,
+         (SELECT (15 * {PR_SCALE}) // (100 * n) FROM nn)
+         + (85 * coalesce(sum(p.pr // p.deg), 0)) // 100 AS pr
+  FROM deg g
+  LEFT JOIN sym e ON e.d = g.node
+  LEFT JOIN {prev} p ON p.node = e.s
+  GROUP BY g.node, g.deg
+)""")
+        prev = f"it{i}"
+    chain = ",\n".join(iters)
+    # AS MATERIALIZED is load-bearing: sym/deg are referenced by all
+    # ten iteration CTEs, and without the hint DuckDB inlines the
+    # whole minhash-pair chain into each one (measured 100 s vs ~3 s)
+    return f"""
+WITH pairs AS MATERIALIZED ({_minhash_lsh_sql()}),
+sym AS MATERIALIZED (
+  SELECT id1 AS s, id2 AS d FROM pairs
+  UNION ALL
+  SELECT id2, id1 FROM pairs
+),
+deg AS MATERIALIZED (
+  SELECT s AS node, count(*) AS deg FROM sym GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM deg),
+pr0 AS (SELECT node, deg, (SELECT {PR_SCALE} // n FROM nn) AS pr FROM deg),
+{chain}
+SELECT node AS doc_id, cast(pr AS bigint) AS pr_q12,
+       cast(deg AS bigint) AS degree
+FROM {prev}
+ORDER BY pr DESC, node ASC LIMIT {PR_TOP_K}
+"""
+
+
 QUERIES = [
+    QuerySpec(
+        "pagerank_dedup_graph",
+        pagerank_dedup_graph,
+        _pagerank_sql(),
+        "integer-exact PageRank over the capped near-dup pair graph",
+    ),
     QuerySpec(
         "weighted_sample_docs", weighted_sample_docs, WEIGHTED_SAMPLE_SQL
     ),

@@ -104,7 +104,7 @@ def _drift_fn(key, pdf_iter, state):
          onsets_up, onsets_dn, max_s_up, max_s_dn,
          prev_s_up, prev_s_dn)
     )
-    yield __import__("pandas").DataFrame(
+    yield pd.DataFrame(
         {
             "event_type": [event_type],
             "n_events": [n],

@@ -344,6 +344,65 @@ def test_referential_integrity_fixture(spark):
     assert got["orders_without_lineitems"].n_violations == expected_childless
 
 
+def test_pagerank_matches_python_reference(spark):
+    """Third independent implementation: replay the integer PageRank
+    recurrence in pure Python over the same edge list and require the
+    full top-20 (ids AND q12 ranks) to match exactly."""
+    from collections import defaultdict
+
+    from goe_spark.queries.dedup import minhash_lsh_pairs
+    from goe_spark.queries.training import (
+        PR_ITERS,
+        PR_SCALE,
+        PR_TOP_K,
+        pagerank_dedup_graph,
+    )
+
+    edges = minhash_lsh_pairs(spark, SF_SMALL).select("id1", "id2").collect()
+    assert edges
+    deg: dict[int, int] = defaultdict(int)
+    inc: dict[int, list[int]] = defaultdict(list)
+    for r in edges:
+        deg[r.id1] += 1
+        deg[r.id2] += 1
+        inc[r.id1].append(r.id2)
+        inc[r.id2].append(r.id1)
+    n = len(deg)
+    base = 15 * PR_SCALE // (100 * n)
+    pr = {v: PR_SCALE // n for v in deg}
+    for _ in range(PR_ITERS):
+        pr = {
+            v: base + 85 * sum(pr[s] // deg[s] for s in inc[v]) // 100
+            for v in deg
+        }
+    expected = sorted(pr.items(), key=lambda kv: (-kv[1], kv[0]))[:PR_TOP_K]
+    got = pagerank_dedup_graph(spark, SF_SMALL).collect()
+    assert [(r.doc_id, r.pr_q12) for r in got] == expected
+    for r in got:
+        assert r.degree == deg[r.doc_id]
+
+
+def test_pagerank_star_graph(spark):
+    """Star graph: the hub must out-rank every leaf."""
+    from goe_spark.queries import training as T
+
+    star = spark.createDataFrame(
+        [(1, k) for k in range(2, 7)], "id1 long, id2 long"
+    )
+    orig = T.minhash_lsh_pairs
+    try:
+        T.minhash_lsh_pairs = lambda s, d, docs=None: star
+        rows = T.pagerank_dedup_graph(spark, "ignored").collect()
+    finally:
+        T.minhash_lsh_pairs = orig
+    by_id = {r.doc_id: r for r in rows}
+    hub, leaves = by_id[1], [by_id[k] for k in range(2, 7)]
+    assert hub.degree == 5
+    assert all(hub.pr_q12 > leaf.pr_q12 for leaf in leaves)
+    # leaves are symmetric: identical rank
+    assert len({leaf.pr_q12 for leaf in leaves}) == 1
+
+
 def test_containment_blocking_respects_df_cap(spark):
     """Every emitted pair must share at least one rare shingle — a
     pair whose ONLY common shingles are boilerplate (df > cap) is

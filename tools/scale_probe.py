@@ -55,6 +55,10 @@ PROBE_QUERIES = [
     "ngram_jaccard_pairs",
     "ann_pq_topk",
     "semantic_dedup_keep_first",
+    # round-10 session-2 pair generators (LSH_BUCKET_CAP /
+    # CONTAINMENT_DF_CAP must hold the quadratic term down)
+    "editdist_near_dup_pairs",
+    "shingle_containment_pairs",
     # relational family (10x facts, consistent key remap)
     "q1_pricing_summary",
     "q9_product_profit",
