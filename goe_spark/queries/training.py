@@ -1898,7 +1898,119 @@ ORDER BY pr DESC, node ASC LIMIT {PR_TOP_K}
 """
 
 
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + local clustering coefficient over the
+    near-dup pair graph — the structural complement of
+    dedup_chain_audit: chain audit measures per-CLUSTER edge density,
+    the clustering coefficient says per NODE whether its neighbors
+    also match each other. A near-dup neighborhood that is a clique
+    (coef 1) is one duplicated artifact; coef ~0 with high degree is
+    chaining through a hub (boilerplate stitching unrelated docs) —
+    the case where transitive-closure dedup over-merges.
+
+    Triangle counting uses the oriented-edge join: with edges kept as
+    id1 < id2, triangles are (a<b<c) with all three edges present —
+    each triangle counted exactly once by joining the ordered edge
+    list with itself on the shared endpoint and probing the closing
+    edge. On the CAPPED pair graph (LSH_BUCKET_CAP) the join is
+    pair-bounded; the corpus never appears.
+
+    Output per log2-degree bucket: nodes, triangles (node-summed),
+    mean clustering coefficient (q6) — bounded rows at any scale."""
+    edges = (
+        minhash_lsh_pairs(spark, sf_dir)
+        .select("id1", "id2")
+        .localCheckpoint(eager=True)
+    )
+    # wedges a<b<c from ordered edges (a,b) and (b,c)... two forms:
+    # (a,b)+(a,c) share the smaller endpoint; close with (b,c).
+    e1 = edges.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+    wedge = e1.join(
+        edges.select(F.col("id1").alias("a"), F.col("id2").alias("c")),
+        "a",
+    ).where(F.col("b") < F.col("c"))
+    tri = wedge.join(
+        edges.select(F.col("id1").alias("b"), F.col("id2").alias("c")),
+        ["b", "c"],
+    ).select("a", "b", "c")
+    # per-node triangle participation: each triangle touches 3 nodes
+    node_tri = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    sym = edges.union(
+        edges.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
+    )
+    deg = sym.groupBy(F.col("id1").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    scored = deg.join(node_tri, "node", "left").select(
+        "node",
+        "deg",
+        F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
+        F.when(
+            F.col("deg") >= 2,
+            F.round(
+                2 * F.coalesce("n_tri", F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1)),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("coef"),
+    )
+    bucket = F.length(F.bin(F.col("deg"))) - 1  # log2 magnitude
+    return scored.groupBy(bucket.alias("deg_log2")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("n_tri").alias("n_triangles"),
+        F.round(F.avg("coef"), 6).alias("mean_coef"),
+    )
+
+
+def _triangles_sql() -> str:
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT id1, id2 FROM ({_minhash_lsh_sql()})
+), wedge AS (
+  SELECT x.id1 AS a, x.id2 AS b, y.id2 AS c
+  FROM pairs x JOIN pairs y ON x.id1 = y.id1 AND x.id2 < y.id2
+), tri AS (
+  SELECT a, b, c FROM wedge
+  JOIN pairs z ON z.id1 = wedge.b AND z.id2 = wedge.c
+), node_tri AS (
+  SELECT node, count(*) AS n_tri
+  FROM (SELECT a AS node FROM tri UNION ALL
+        SELECT b FROM tri UNION ALL
+        SELECT c FROM tri)
+  GROUP BY node
+), sym AS (
+  SELECT id1, id2 FROM pairs
+  UNION ALL SELECT id2, id1 FROM pairs
+), deg AS (
+  SELECT id1 AS node, count(*) AS deg FROM sym GROUP BY 1
+), scored AS (
+  SELECT d.node, d.deg,
+         coalesce(t.n_tri, 0) AS n_tri,
+         CASE WHEN d.deg >= 2
+              THEN round(2.0 * coalesce(t.n_tri, 0)
+                         / (d.deg * (d.deg - 1)), 6)
+              ELSE 0.0 END AS coef
+  FROM deg d LEFT JOIN node_tri t ON t.node = d.node
+)
+SELECT length(bin(deg)) - 1 AS deg_log2,
+       count(*) AS n_nodes,
+       cast(sum(n_tri) AS bigint) AS n_triangles,
+       round(avg(coef), 6) AS mean_coef
+FROM scored GROUP BY 1
+"""
+
+
 QUERIES = [
+    QuerySpec(
+        "dedup_graph_triangles",
+        dedup_graph_triangles,
+        _triangles_sql(),
+        "triangle count + clustering coefficient per degree bucket",
+    ),
     QuerySpec(
         "pagerank_dedup_graph",
         pagerank_dedup_graph,

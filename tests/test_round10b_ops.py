@@ -403,6 +403,37 @@ def test_pagerank_star_graph(spark):
     assert len({leaf.pr_q12 for leaf in leaves}) == 1
 
 
+def test_triangles_clique_and_star(spark):
+    """4-clique: every node has degree 3 and sits in C(3,2)=3
+    triangles -> coef 1.0, node-summed triangles 12. Star: zero
+    triangles, coef 0."""
+    from itertools import combinations
+
+    from goe_spark.queries import training as T
+
+    def run(edges):
+        df = spark.createDataFrame(edges, "id1 long, id2 long")
+        orig = T.minhash_lsh_pairs
+        try:
+            T.minhash_lsh_pairs = lambda s, d, docs=None: df
+            return T.dedup_graph_triangles(spark, "ignored").collect()
+        finally:
+            T.minhash_lsh_pairs = orig
+
+    clique = run(list(combinations(range(1, 5), 2)))
+    assert len(clique) == 1
+    r = clique[0]
+    assert r.deg_log2 == 1  # degree 3 -> log2 bucket 1
+    assert r.n_nodes == 4
+    assert r.n_triangles == 12  # 4 triangles x 3 member nodes
+    assert r.mean_coef == 1.0
+
+    star = run([(1, k) for k in range(2, 7)])
+    assert sum(r.n_triangles for r in star) == 0
+    for r in star:
+        assert r.mean_coef == 0.0
+
+
 def test_containment_blocking_respects_df_cap(spark):
     """Every emitted pair must share at least one rare shingle — a
     pair whose ONLY common shingles are boilerplate (df > cap) is
