@@ -315,6 +315,7 @@ def cmd_curate(args) -> int:
         quality_min=args.quality_min,
         token_budget=args.token_budget,
         line_doc_max=args.line_doc_max,
+        containment_min=args.containment_min,
     )
     report = CurationPipeline(spark, cfg).run()
     print(
@@ -950,6 +951,13 @@ def build_parser() -> argparse.ArgumentParser:
         type=int,
         default=2,
         help="cut lines spread across more than this many documents",
+    )
+    cu.add_argument(
+        "--containment-min",
+        type=float,
+        default=0.9,
+        help="drop the contained side of doc pairs at or above this "
+        "shingle containment",
     )
     cu.set_defaults(fn=cmd_curate)
 

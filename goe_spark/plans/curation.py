@@ -17,6 +17,12 @@ the offload pipeline, composed from the repo's own operators:
   NEAR_DEDUP     MinHash-LSH pairs -> connected components -> keep the
                  highest-quality doc per cluster (queries/dedup.py +
                  queries/training.py machinery on the filtered subset)
+  CONTAINMENT_SCRUB
+                 rare-shingle containment pass (the partial-copy family
+                 minhash-threshold dedup misses, C >= containment_min):
+                 the CONTAINED side (fewer shingles; ties keep-first)
+                 is dropped — queries/dedup.py containment machinery on
+                 the surviving subset
   MIXTURE_SAMPLE per-source temperature budgets spent via the map-side
                  hash threshold (the scale form)
   FINAL_WRITE    survivors written lang-partitioned, doc_id-sorted
@@ -59,6 +65,7 @@ STAGES = (
     "SCORE_FILTER",
     "EXACT_DEDUP",
     "NEAR_DEDUP",
+    "CONTAINMENT_SCRUB",
     "MIXTURE_SAMPLE",
     "FINAL_WRITE",
     "VERIFY",
@@ -79,6 +86,9 @@ class CurationConfig:
     # from every document (C4's line-dedup rule, as a destructive
     # stage over the accounting in queries/dedup.py::line_dedup_stats)
     line_doc_max: int = 2
+    # CONTAINMENT_SCRUB: drop the contained side of pairs whose
+    # shingle containment |A∩B|/min(|A|,|B|) meets this threshold
+    containment_min: float = 0.9
 
 
 @dataclass
@@ -262,10 +272,76 @@ class CurationPipeline:
         kept = d.join(F.broadcast(doomed), "doc_id", "left_anti")
         _write_stage(kept, _stage_dir(self.cfg, "NEAR_DEDUP"))
 
+    def _containment_scrub(self) -> None:
+        from goe_spark.queries.dedup import (
+            CONTAINMENT_DF_CAP,
+            _shingle_hashed,
+        )
+
+        d = self.spark.read.parquet(_stage_dir(self.cfg, "NEAR_DEDUP"))
+        shingled = _shingle_hashed(
+            self.spark, self.cfg.source_sf_dir, docs=d
+        ).select("doc_id", F.array_distinct("sh").alias("shd"))
+        posts = shingled.select("doc_id", F.explode("shd").alias("sh"))
+        rare = (
+            posts.groupBy("sh")
+            .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+            .where(
+                (F.size("ids") >= 2) & (F.size("ids") <= CONTAINMENT_DF_CAP)
+            )
+        )
+        n = F.size("ids")
+        pair_structs = F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + 2, n - i - 1),
+                    lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+                ),
+            )
+        )
+        cands = (
+            rare.where(n >= 2)
+            .select(F.explode_outer(pair_structs).alias("p"))
+            .select("p.id1", "p.id2")
+            .distinct()
+        )
+        scored = cands.join(
+            shingled.select(
+                F.col("doc_id").alias("id1"), F.col("shd").alias("shd1")
+            ),
+            "id1",
+        ).join(
+            shingled.select(
+                F.col("doc_id").alias("id2"), F.col("shd").alias("shd2")
+            ),
+            "id2",
+        )
+        n_common = F.size(F.array_intersect("shd1", "shd2"))
+        containment = n_common / F.least(F.size("shd1"), F.size("shd2"))
+        # drop the CONTAINED side: fewer shingles loses; equal sizes
+        # keep-first (higher doc_id loses)
+        doomed = (
+            scored.where(containment >= self.cfg.containment_min)
+            .select(
+                F.when(
+                    F.size("shd1") < F.size("shd2"), F.col("id1")
+                )
+                .when(F.size("shd2") < F.size("shd1"), F.col("id2"))
+                .otherwise(F.greatest("id1", "id2"))
+                .alias("doc_id")
+            )
+            .distinct()
+        )
+        kept = d.join(F.broadcast(doomed), "doc_id", "left_anti")
+        _write_stage(kept, _stage_dir(self.cfg, "CONTAINMENT_SCRUB"))
+
     def _mixture_sample(self) -> None:
         from goe_spark.queries.training import mixture_threshold_pick
 
-        d = self.spark.read.parquet(_stage_dir(self.cfg, "NEAR_DEDUP"))
+        d = self.spark.read.parquet(
+            _stage_dir(self.cfg, "CONTAINMENT_SCRUB")
+        )
         picked = mixture_threshold_pick(d, self.cfg.token_budget)
         _write_stage(
             picked.drop("total_tokens", "budget_tokens"),
@@ -322,6 +398,7 @@ class CurationPipeline:
             # reuse LINE_SCRUB output computed under the old threshold
             # (round-9 ADVICE)
             "line_doc_max": cfg.line_doc_max,
+            "containment_min": cfg.containment_min,
         }
         if resume:
             runs = [
@@ -371,6 +448,7 @@ class CurationPipeline:
             runner.run("SCORE_FILTER", self._score_filter)
             runner.run("EXACT_DEDUP", self._exact_dedup)
             runner.run("NEAR_DEDUP", self._near_dedup)
+            runner.run("CONTAINMENT_SCRUB", self._containment_scrub)
             runner.run("MIXTURE_SAMPLE", self._mixture_sample)
             runner.run("FINAL_WRITE", self._final_write)
             n_final = runner.run("VERIFY", self._verify)

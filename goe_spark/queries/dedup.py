@@ -1133,10 +1133,11 @@ FROM per GROUP BY bin
 # Edit-distance verification truncates normalized text to this many
 # chars: Levenshtein is O(len^2) per pair, so the cap bounds verify
 # CPU at 256^2 cells regardless of document length — the standard
-# trade in record-linkage verify stages (distance over a prefix is a
-# lower bound on full-text distance, so no false rejects at the
-# relative-distance threshold, only extra accepts on docs that agree
-# in their first 256 chars).
+# truncation trade in record-linkage verify stages: the score is the
+# PREFIX distance, exact for docs shorter than the cap and a proxy
+# beyond it (two docs identical in their first 256 chars score 0
+# even if their tails differ — acceptable here because the LSH
+# candidate stage already requires whole-document shingle agreement).
 EDIT_PREFIX_CHARS = 256
 
 # Posting-list cap for containment blocking: a shingle held by more

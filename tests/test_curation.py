@@ -38,7 +38,7 @@ def test_funnel_monotone_and_persisted(spark, finished):
     with open(os.path.join(cfg.work_dir, "funnel.json")) as fh:
         disk = json.load(fh)
     assert disk["final_rows"] == report.final_rows
-    assert len(disk["funnel"]) == 7  # incl. LINE_SCRUB
+    assert len(disk["funnel"]) == 8  # incl. LINE_SCRUB + CONTAINMENT_SCRUB
 
 
 def test_no_exact_duplicate_survives(spark, finished):
@@ -101,8 +101,8 @@ def test_crash_resume_skips_completed_stages(spark, tmp_path):
 
     report = pipe.run()  # resume
     # RULE_FILTER, PII_REDACT, LINE_SCRUB, SCORE_FILTER, EXACT_DEDUP,
-    # NEAR_DEDUP
-    assert report.resumed_steps == 6
+    # NEAR_DEDUP, CONTAINMENT_SCRUB
+    assert report.resumed_steps == 7
     assert report.final_rows > 0
     # History shows two executions: the failed one and the resumed one.
     from goe_spark.plans.history import ExecutionHistoryStore
@@ -185,7 +185,7 @@ def test_double_crash_resume_chain(spark, tmp_path):
         pipe.run(error_at="FINAL_WRITE")  # crash 2: resumes 5, adds 2
     report = pipe.run()
     # Third run resumes everything up to FINAL_WRITE.
-    assert report.resumed_steps == 7
+    assert report.resumed_steps == 8
     assert report.final_rows > 0
 
 
@@ -314,3 +314,47 @@ def test_line_scrub_idempotent(spark):
     assert once.count() == twice.count()
     assert once.exceptAll(twice).count() == 0
     assert twice.exceptAll(once).count() == 0
+
+
+def test_containment_scrub_catches_prefix_copy(spark, tmp_path):
+    """A 25-word prefix copy of a 100-word doc has shingle Jaccard
+    ~0.23 — below the LSH banding knee, so NEAR_DEDUP keeps it — but
+    containment 1.0: CONTAINMENT_SCRUB must be the stage that drops
+    it (the partial-copy blind spot the stage exists for)."""
+    import pandas as pd
+
+    from goe_spark.plans.curation import CurationConfig, CurationPipeline
+
+    words = [f"alpha{i:02d}" for i in range(100)]
+    a = " ".join(words)
+    e = " ".join(words[:25])
+    b = " ".join(f"beta{i:02d}" for i in range(30))
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [a, e, b],
+            "lang": ["en"] * 3,
+            "source": ["s0"] * 3,
+            "n_chars": [len(a), len(e), len(b)],
+        }
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(docs).coalesce(1).write.parquet(
+        str(src / "documents.parquet")
+    )
+    cfg = CurationConfig(
+        source_sf_dir=str(src),
+        work_dir=str(tmp_path / "work"),
+        metadata_dir=str(tmp_path / "meta"),
+        quality_min=0.0,
+        token_budget=10_000_000,
+        containment_min=0.8,
+    )
+    report = CurationPipeline(spark, cfg).run(resume=False)
+    stages = {s: r for s, r, _ in report.funnel}
+    assert stages["NEAR_DEDUP"] == 3, "LSH must NOT pair the prefix copy"
+    assert stages["CONTAINMENT_SCRUB"] == 2
+    final = spark.read.parquet(str(tmp_path / "work" / "final"))
+    kept = {r.doc_id for r in final.select("doc_id").collect()}
+    assert kept == {1, 3}, "the CONTAINED doc (2) must be dropped"
