@@ -33,14 +33,14 @@ class QuerySpec:
 # silently dropping q13_customer_distribution from the window
 # (round-8 ADVICE) — it leads this round's stale block instead.
 # Round-10 window, in order:
-#   1. the SIXTEEN queries added in the round's second session —
+#   1. the SEVENTEEN queries added in the round's second session —
 #      Levenshtein near-dup pairs, shingle containment, source
 #      concentration (Gini/HHI), Benford audit, Markov next-event
 #      entropy, trigram diversity, median/MAD outliers, DOW
 #      seasonality, CUSUM changepoint (batch + the stateful streaming
 #      twin, both hash-compared), integer-exact PageRank over the
 #      near-dup graph plus its triangle/clustering-coefficient
-#      audit, referential-integrity audit,
+#      audit, the embedding norm-outlier screen, referential-integrity audit,
 #      PII co-occurrence, reorder-gap histogram — none has ever had
 #      a driver row;
 #   2. the ELEVEN queries new in the first session (estimator
@@ -53,9 +53,9 @@ class QuerySpec:
 #   3. the FIVE entries whose hard driver signal was missing after
 #      round 9 (verdict item 1): the four late-round-9 additions and
 #      contamination_check (last driver row r6);
-#   4. 17 of the 50 entries whose last driver check was ROUND 7.
+#   4. 16 of the 50 entries whose last driver check was ROUND 7.
 # The r7-stale entries displaced by the session-2 additions
-# (join_skew_report, lang_id_confusion, length_curriculum_bins, media_exact_dedup,
+# (hybrid_search_rrf, join_skew_report, lang_id_confusion, length_curriculum_bins, media_exact_dedup,
 # minhash_lsh_pairs, ngram_jaccard_pairs, per_source_topk_cap,
 # predicate_offload_slice, q11_important_stock, q12_priority_lines, q15_top_supplier,
 # q16_supplier_part_counts, q17_small_qty_revenue, q18_large_orders,
@@ -87,6 +87,7 @@ HEAD = (
     "streaming_cusum_drift",
     "pagerank_dedup_graph",
     "dedup_graph_triangles",
+    "embedding_norm_outliers",
     "pii_cooccurrence_audit",
     "reorder_gap_histogram",
     # -- new or semantics-changed this round --
@@ -108,7 +109,7 @@ HEAD = (
     "embedding_gram_summary",
     "dedup_cluster_source_mix",
     "contamination_check",
-    # -- last driver-checked in round 7 (17 of 50; see note above) --
+    # -- last driver-checked in round 7 (16 of 50; see note above) --
     "agg_validate_lineitem",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
@@ -125,7 +126,6 @@ HEAD = (
     "event_type_unpivot",
     "events_json_extract",
     "filter_funnel_report",
-    "hybrid_search_rrf",
 )
 TAIL = ()
 

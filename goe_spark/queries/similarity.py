@@ -1759,7 +1759,170 @@ FROM a JOIN b ON label_a < label_b
 """
 
 
+# Norm-outlier screen: quantized squared-norm bucket width. Values on
+# the 1e6 grid give per-vector norm² up to ~1.8e13 on this fixture's
+# 64 dims; 1e10 buckets bound the grain table at a few thousand rows
+# at ANY corpus size (the domain is the value range, not the corpus).
+NORM_BUCKET = 10**10
+
+
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust corrupt-vector screen: per label, median/MAD outlier
+    detection on the QUANTIZED squared L2 norm — zeroed vectors,
+    double-scaled ingests and NaN-poisoned rows all land in norm
+    buckets far from their label's median, and median/MAD doesn't
+    move when they do (the value_mad_outliers discipline applied to
+    the embedding table).
+
+    Exactness: each vector's norm² is an integer sum of squares on
+    the 1e6 grid (map-side F.aggregate fold, no explode, no Python),
+    bucketed to a BOUNDED domain (NORM_BUCKET) so the exact
+    median/MAD grain machinery applies at any corpus size. The
+    cutoff is |bucket - med| * 10000 > 44478 * max(mad, 1) — integer
+    end-to-end; max(mad, 1) keeps a degenerate zero-MAD label from
+    flagging every off-median vector.
+
+    Plan: one corpus scan with a codegen array fold, one (label,
+    bucket) hash aggregate; all windows run on the bounded grain."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1e6 + 0.5).cast("long"),
+    )
+    nq2 = F.aggregate(
+        q, F.lit(0).cast("long"), lambda acc, v: acc + v * v
+    )
+    counts = (
+        # integer `div`, NOT double division + cast: a quotient one
+        # ulp below an integer would truncate differently from
+        # DuckDB's exact `//` on bigints
+        emb.select("label", nq2.alias("nq2"))
+        .select(
+            "label", F.expr(f"nq2 div {NORM_BUCKET}").alias("b")
+        )
+        .groupBy("label", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = (
+        Window.partitionBy("label")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("label")
+    cum = counts.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(wall)
+    )
+    med = cum.groupBy("label").agg(
+        F.max("n").alias("n_vecs"),
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.col("n") / 2), F.col("b"))
+        ).alias("med"),
+    )
+    dev = (
+        counts.join(med, "label")
+        .select(
+            "label", "n_vecs", "med",
+            F.abs(F.col("b") - F.col("med")).alias("d"), "c",
+        )
+        .groupBy("label", "n_vecs", "med", "d")
+        .agg(F.sum("c").alias("c"))
+    )
+    wdev = (
+        Window.partitionBy("label")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dcum = dev.withColumn("cum", F.sum("c").over(wdev))
+    stats = dcum.groupBy("label", "n_vecs", "med").agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.col("n_vecs") / 2), F.col("d")
+            )
+        ).alias("mad"),
+        F.max("d").alias("max_dev"),
+    )
+    out = (
+        dev.join(stats.select("label", "mad"), "label")
+        .where(
+            F.col("d") * 10000
+            > F.lit(44478) * F.greatest(F.col("mad"), F.lit(1))
+        )
+        .groupBy("label")
+        .agg(F.sum("c").alias("n_outliers"))
+    )
+    return stats.join(out, "label", "left").select(
+        "label",
+        "n_vecs",
+        F.col("med").alias("med_bucket"),
+        F.col("mad").alias("mad_bucket"),
+        F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
+        F.round(
+            F.coalesce("n_outliers", F.lit(0)) / F.col("n_vecs"), 6
+        ).alias("outlier_share"),
+        F.col("max_dev").alias("max_dev_bucket"),
+    )
+
+
+NORM_OUTLIERS_SQL = f"""
+WITH counts AS (
+  SELECT label,
+         cast(list_sum(list_transform(embedding,
+                x -> cast(floor(cast(x AS double) * 1e6 + 0.5) AS bigint)
+                     * cast(floor(cast(x AS double) * 1e6 + 0.5) AS bigint)))
+              // {NORM_BUCKET} AS bigint) AS b,
+         count(*) AS c
+  FROM embeddings GROUP BY 1, 2
+), cum AS (
+  SELECT *,
+         sum(c) OVER (PARTITION BY label ORDER BY b
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY label) AS n
+  FROM counts
+), med AS (
+  SELECT label, cast(max(n) AS bigint) AS n_vecs,
+         min(CASE WHEN cum >= ceil(n / 2.0) THEN b END) AS med
+  FROM cum GROUP BY label
+), dev AS (
+  SELECT counts.label, n_vecs, med, abs(b - med) AS d,
+         cast(sum(c) AS bigint) AS c
+  FROM counts JOIN med ON counts.label = med.label
+  GROUP BY 1, 2, 3, 4
+), dcum AS (
+  SELECT *,
+         sum(c) OVER (PARTITION BY label ORDER BY d
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM dev
+), stats AS (
+  SELECT label, n_vecs, med,
+         min(CASE WHEN cum >= ceil(n_vecs / 2.0) THEN d END) AS mad,
+         max(d) AS max_dev
+  FROM dcum GROUP BY 1, 2, 3
+), outs AS (
+  SELECT dev.label, cast(sum(c) AS bigint) AS n_outliers
+  FROM dev JOIN stats ON dev.label = stats.label
+  WHERE d * 10000 > 44478 * greatest(mad, 1)
+  GROUP BY 1
+)
+SELECT stats.label, n_vecs,
+       med AS med_bucket,
+       mad AS mad_bucket,
+       coalesce(n_outliers, 0) AS n_outliers,
+       round(coalesce(n_outliers, 0) / (1.0 * n_vecs), 6)
+         AS outlier_share,
+       max_dev AS max_dev_bucket
+FROM stats LEFT JOIN outs ON stats.label = outs.label
+"""
+
+
 QUERIES = [
+    QuerySpec(
+        "embedding_norm_outliers",
+        embedding_norm_outliers,
+        NORM_OUTLIERS_SQL,
+        "median/MAD corrupt-vector screen on quantized norms",
+    ),
     QuerySpec("ann_bruteforce_topk", ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     QuerySpec(
         "knn_graph_stats",

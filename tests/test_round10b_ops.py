@@ -434,6 +434,51 @@ def test_triangles_clique_and_star(spark):
         assert r.mean_coef == 0.0
 
 
+def test_embedding_norm_outliers_crafted(spark):
+    """20 healthy vectors (all 0.5^16 -> bucket 400), one zeroed and
+    one 6x-scaled: both corrupt rows must be flagged, healthy none."""
+    from goe_spark.queries import similarity as S
+
+    healthy = [0.5] * 16
+    rows = [(i, healthy, "a") for i in range(20)]
+    rows.append((100, [0.0] * 16, "a"))
+    rows.append((101, [3.0] * 16, "a"))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    import goe_spark.catalog as cat
+
+    orig = cat.load_table
+    try:
+        cat.load_table = (
+            lambda s, d, n: df if n == "embeddings" else orig(s, d, n)
+        )
+        S.load_table = cat.load_table
+        got = S.embedding_norm_outliers(spark, "ignored").collect()
+    finally:
+        cat.load_table = orig
+        S.load_table = orig
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_vecs == 22
+    assert r.med_bucket == 400  # (0.5e6)^2 * 16 / 1e10
+    assert r.mad_bucket == 0
+    assert r.n_outliers == 2
+    assert r.max_dev_bucket == 14000  # the 3.0-scaled vector
+
+
+def test_embedding_norm_outliers_fixture_invariants(spark):
+    from goe_spark.queries.similarity import embedding_norm_outliers
+
+    rows = embedding_norm_outliers(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.n_outliers <= r.n_vecs
+        assert r.mad_bucket >= 0
+        assert r.max_dev_bucket >= r.mad_bucket
+        assert 0 <= r.outlier_share <= 1
+
+
 def test_containment_blocking_respects_df_cap(spark):
     """Every emitted pair must share at least one rare shingle — a
     pair whose ONLY common shingles are boilerplate (df > cap) is
