@@ -80,9 +80,16 @@ def _drift_fn(key, pdf_iter, state):
         n = onsets_up = onsets_dn = max_s_up = max_s_dn = 0
         prev_s_up = prev_s_dn = 0
 
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for v in pdf["value"]:
+    # CONCATENATE the per-key chunks before sorting: a multi-file
+    # source delivers several pandas chunks per key per batch, in
+    # arbitrary, range-interleaved order — sorting each chunk
+    # independently silently breaks the sequential statistic (caught
+    # by sf1 hash parity: 8-file events table, onset counts diverged
+    # from the batch twin).
+    pdfs = list(pdf_iter)
+    if pdfs:
+        batch = pd.concat(pdfs).sort_values(["ts", "event_id"])
+        for v in batch["value"]:
             cents = int(math.floor(v * 100 + 0.5))
             cum_up += cents - CUSUM_TARGET_CENTS - CUSUM_K_CENTS
             cum_dn += cents - CUSUM_TARGET_CENTS + CUSUM_K_CENTS

@@ -169,8 +169,13 @@ def _sessionize_fn(key, pdf_iter, state, use_timeout: bool = False):
         n, total = 0, 0.0
 
     out = []
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values("ts")
+    # CONCATENATE the per-key chunks before sorting: a multi-file
+    # source delivers several pandas chunks per key per batch in
+    # arbitrary, range-interleaved order — sorting each chunk
+    # independently breaks gap detection (same defect caught by sf1
+    # hash parity on the CUSUM twin, streaming/drift.py).
+    pdfs = list(pdf_iter)
+    for pdf in ([pd.concat(pdfs).sort_values("ts")] if pdfs else []):
         for ts, value in zip(pdf["ts"], pdf["value"]):
             t = round(ts.timestamp() * 1_000_000)  # integer micros
             if last_ts is not None and t - last_ts > gap:
