@@ -248,6 +248,8 @@ def _time(fn, spark, sf_dir, runs=3):
 # additions whose plan shape the explode_outer fix protects.
 PROBE_QUERIES_SF10 = [
     "minhash_lsh_pairs",
+    "editdist_near_dup_pairs",
+    "shingle_containment_pairs",
     "ngram_jaccard_pairs",
     "cross_doc_ngram_coverage",
     "semantic_dedup_keep_first",
