@@ -283,12 +283,20 @@ class CurationPipeline:
             self.spark, self.cfg.source_sf_dir, docs=d
         ).select("doc_id", F.array_distinct("sh").alias("shd"))
         posts = shingled.select("doc_id", F.explode("shd").alias("sh"))
-        rare = (
+        # count-first-then-collect: never materialize a boilerplate
+        # shingle's full posting list (queries/dedup.py, sf10 lesson)
+        rare_sh = (
             posts.groupBy("sh")
-            .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+            .agg(F.count(F.lit(1)).alias("df"))
             .where(
-                (F.size("ids") >= 2) & (F.size("ids") <= CONTAINMENT_DF_CAP)
+                (F.col("df") >= 2) & (F.col("df") <= CONTAINMENT_DF_CAP)
             )
+            .select("sh")
+        )
+        rare = (
+            posts.join(rare_sh, "sh")
+            .groupBy("sh")
+            .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
         )
         n = F.size("ids")
         pair_structs = F.flatten(
