@@ -549,6 +549,32 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_cache(args) -> int:
+    """Result-cache management: list entries (name, key, bytes) or
+    clear the cache root (plans/result_cache.py)."""
+    import os as _os
+
+    from goe_spark.plans import result_cache as RC
+
+    if args.action == "clear":
+        RC.clear()
+        print(json.dumps({"cleared": True}))
+        return 0
+    entries = []
+    if _os.path.isdir(RC.CACHE_ROOT):
+        for e in sorted(_os.listdir(RC.CACHE_ROOT)):
+            d = _os.path.join(RC.CACHE_ROOT, e)
+            size = sum(
+                _os.path.getsize(_os.path.join(root, f))
+                for root, _, fs in _os.walk(d)
+                for f in fs
+            )
+            name, _, key = e.rpartition("--")
+            entries.append({"name": name, "key": key, "bytes": size})
+    print(json.dumps({"entries": entries}))
+    return 0
+
+
 def cmd_explain(args) -> int:
     """Physical-plan inspection for any registered query — the
     debugging surface a plan-conscious user reaches for first: prints
@@ -1041,6 +1067,12 @@ def build_parser() -> argparse.ArgumentParser:
         "(plans/result_cache.py), building on miss",
     )
     q.set_defaults(fn=cmd_query)
+
+    ca = sub.add_parser(
+        "cache", help="result-cache management (plans/result_cache.py)"
+    )
+    ca.add_argument("action", choices=["list", "clear"])
+    ca.set_defaults(fn=cmd_cache)
 
     ex = sub.add_parser(
         "explain", help="print a registered query's physical plan"

@@ -101,6 +101,20 @@ def test_distinct_names_do_not_collide(spark):
     assert hit and da2.columns == ["a"]
 
 
+def test_cli_cache_list_and_clear(spark, capsys):
+    import json
+
+    from goe_spark.cli import main
+    from goe_spark.queries.profiling import benford_first_digit_audit
+
+    RC.get_or_build(spark, "bf", SF_SMALL, benford_first_digit_audit)
+    assert main(["cache", "list"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert any(e["name"] == "bf" and e["bytes"] > 0 for e in out["entries"])
+    assert main(["cache", "clear"]) == 0
+    assert RC.lookup("bf", SF_SMALL) is None
+
+
 def test_cli_query_cached(spark):
     from goe_spark.cli import main
 
