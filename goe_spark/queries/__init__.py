@@ -27,105 +27,75 @@ class QuerySpec:
 # The correctness driver evaluates queries() in registry order and
 # records CORRECTNESS rows for the FIRST ~50 per round — the tail of
 # the registry gets no driver row. Order therefore encodes priority,
-# and HEAD is ROTATED each round (round-5 verdict: 11 entries sat just
-# outside the window for 5 straight rounds). HEAD is kept at EXACTLY
-# 50 entries: round 8 listed 51 and the driver recorded only 50,
-# silently dropping q13_customer_distribution from the window
-# (round-8 ADVICE) — it leads this round's stale block instead.
-# Round-10 window, in order:
-#   1. the SEVENTEEN queries added in the round's second session —
-#      Levenshtein near-dup pairs, shingle containment, source
-#      concentration (Gini/HHI), Benford audit, Markov next-event
-#      entropy, trigram diversity, median/MAD outliers, DOW
-#      seasonality, CUSUM changepoint (batch + the stateful streaming
-#      twin, both hash-compared), integer-exact PageRank over the
-#      near-dup graph plus its triangle/clustering-coefficient
-#      audit, the embedding norm-outlier screen, referential-integrity audit,
-#      PII co-occurrence, reorder-gap histogram — none has ever had
-#      a driver row;
-#   2. the ELEVEN queries new in the first session (estimator
-#      calibration, KL shift, audio bins, MP3 frame-header stats,
-#      exact bounded-domain percentiles, fixed-point correlation,
-#      exact KS drift, positional entropy, CC chaining audit,
-#      embedding centroid shift, interarrival histogram) plus
-#      media_dimensions, whose semantics CHANGED this round (JPEG SOF
-#      rows added) — all need a fresh driver hash;
-#   3. the FIVE entries whose hard driver signal was missing after
-#      round 9 (verdict item 1): the four late-round-9 additions and
-#      contamination_check (last driver row r6);
-#   4. 16 of the 50 entries whose last driver check was ROUND 7.
-# The r7-stale entries displaced by the session-2 additions
-# (hybrid_search_rrf, join_skew_report, lang_id_confusion, length_curriculum_bins, media_exact_dedup,
-# minhash_lsh_pairs, ngram_jaccard_pairs, per_source_topk_cap,
-# predicate_offload_slice, q11_important_stock, q12_priority_lines, q15_top_supplier,
-# q16_supplier_part_counts, q17_small_qty_revenue, q18_large_orders,
-# q19_discounted_revenue, q20_promotable_suppliers) join the
-# seventeen already deferred to lead the round-11 stale block: the
-# three declared-fake media transforms and two rows-only streaming
-# counters (no hash surface either way), plus the tail of the r7
-# list displaced in session 1
-# (q21_waiting_suppliers, q22_idle_customers, q2_min_cost_supplier, quality_scores_by_source, rfm_segments, salted_join_revenue, segment_dedup_stats, segment_probe_new_docs, shard_manifest, simhash_pairs, staged_validation_scan, token_stats_by_lang).
-# After this rotation no entry's latest driver row is older than
-# round 7 except the deferred q-suite block above (all r7-green,
-# queued first for round 11). Everything else keeps module order behind the window;
-# pytest's test_queries_oracle.py re-verifies the FULL registry
-# against DuckDB (same pandas fetch path as the driver) every run
-# regardless of position.
+# and HEAD is ROTATED each round. HEAD is kept at EXACTLY 50 entries
+# (round 8 listed 51 and the driver silently dropped the 51st).
+# Round-11 window, in order (round-10 verdict item 1):
+#   1. the THIRTY-FOUR queries whose latest driver row is ROUND 7 —
+#      the q-suite block deferred through rounds 9-10 (q2, q11, q12,
+#      q15-q22), the minhash/simhash/segment fuzzy-dedup family, the
+#      text battery (token stats, lang-ID confusion, quality scores),
+#      streaming counters, the declared-fake media transforms,
+#      hybrid RRF retrieval, RFM/skew/salting analytics and the
+#      curation shard/cap/curriculum trio. After this rotation the
+#      registry's max driver-row staleness drops from r7 to r8.
+#   2. queries NEW in round 11 (never driver-checked) — inserted
+#      here as they land; each displaces one r8 filler below.
+#   3. r8-stale fillers (module order) to pad the window to 50.
 HEAD = (
-    # -- new this round, second session: never driver-checked --
-    "editdist_near_dup_pairs",
-    "shingle_containment_pairs",
-    "source_concentration",
-    "benford_first_digit_audit",
-    "event_markov_entropy",
-    "ngram_diversity_by_source",
-    "value_mad_outliers",
-    "dow_seasonality_index",
-    "cusum_revenue_shift",
-    "referential_integrity_audit",
-    "cusum_event_drift",
-    "streaming_cusum_drift",
-    "pagerank_dedup_graph",
-    "dedup_graph_triangles",
-    "embedding_norm_outliers",
-    "pii_cooccurrence_audit",
-    "reorder_gap_histogram",
-    # -- new or semantics-changed this round --
-    "minhash_calibration_bins",
-    "unigram_kl_matrix",
-    "doc_quality_length_corr",
-    "quality_ks_drift",
-    "positional_entropy_profile",
-    "dedup_chain_audit",
-    "embedding_centroid_shift",
-    "media_audio_duration_bins",
-    "quantity_exact_percentiles",
-    "interarrival_log2_histogram",
-    "media_dimensions",
-    "media_mp3_stats",
-    # -- driver-signal debt (round-9 verdict item 1) --
-    "zipf_slope_fit",
-    "quality_calibration_bins",
-    "embedding_gram_summary",
-    "dedup_cluster_source_mix",
-    "contamination_check",
-    # -- last driver-checked in round 7 (16 of 50; see note above) --
-    "agg_validate_lineitem",
-    "ann_bruteforce_topk",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "bpe_token_stats",
-    "cross_doc_ngram_coverage",
-    "customer_value_deciles",
-    "data_type_sampling",
-    "dedup_exact_keep_first",
-    "doc_fingerprints",
-    "dq_orders_expectations",
-    "embedding_near_dup_pairs",
-    "event_type_rollup",
-    "event_type_unpivot",
-    "events_json_extract",
-    "filter_funnel_report",
+    # -- last driver-checked in round 7: the full 34-query stale block --
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q12_priority_lines",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q20_promotable_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_pairs",
+    "segment_dedup_stats",
+    "segment_probe_new_docs",
+    "streaming_window_counts",
+    "streaming_dedup_counts",
+    "hybrid_search_rrf",
+    "rfm_segments",
+    "salted_join_revenue",
+    "staged_validation_scan",
+    "predicate_offload_slice",
+    "token_stats_by_lang",
+    "lang_id_confusion",
+    "quality_scores_by_source",
+    "join_skew_report",
+    "length_curriculum_bins",
+    "per_source_topk_cap",
+    "shard_manifest",
+    "media_decode_features",
+    "media_resize_images",
+    "media_frame_sample",
+    "media_exact_dedup",
+    # -- new in round 11: never driver-checked --
+    # (inserted as they land)
+    # -- r8-stale fillers to pad the window to 50 --
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "q10_returned_items",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "top_duplicate_ngrams",
+    "minhash_probe_new_docs",
+    "sentiment_by_source",
+    "tfidf_top_terms",
+    "repetition_doc_stats",
+    "term_bigram_pmi",
+    "pii_scan_by_source",
 )
 TAIL = ()
 
