@@ -30,11 +30,18 @@ Each query is materialized with the noop sink so we time full plan
 execution (scan → shuffle → aggregate) without collect() overhead on
 the driver, the same way a cluster job would be bounded by the final
 stage rather than result transfer.
+
+A fixed-work CPU calibration probe (chained sha256 in Python + an
+xxhash64 codegen fold in the JVM) runs before and after the sweep and
+lands in the JSON as "calibration"/"throttle_factor"/
+"value_normalized", so environment slowdown is measured rather than
+attributed (round-10 VERDICT task 2).
 """
 
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
 import os
 import statistics
@@ -162,6 +169,50 @@ def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+# --- CPU calibration probe (round-10 VERDICT task 2) -----------------
+# Round 10's headline drifted 1.26x vs round 9 with a uniform
+# multiplier on CPU-bound work and flat streaming floors — consistent
+# with VM throttle, but only ATTRIBUTABLE, not measurable, because no
+# fixed-work probe existed. These two probes run before and after the
+# sweep: a chained-sha256 loop (Python-worker speed, fully
+# deterministic) and a whole-stage-codegen xxhash64 fold over
+# spark.range (JVM speed, no shuffle, no data dependence). Reference
+# values are pinned from an idle round-11 measurement on the driver
+# VM; throttle_factor = geomean(measured/ref), and value_normalized
+# divides the headline by it so a real plan regression can no longer
+# hide behind "the VM was slow".
+CALIB_PY_ITERS = 2_000_000
+CALIB_SPARK_ROWS = 2_000_000_000
+CALIB_REF = {"python_s": 0.96, "spark_s": 0.40}  # pinned r11, idle VM
+
+
+def _calib_python(iters: int = CALIB_PY_ITERS) -> float:
+    h = hashlib.sha256(b"\x5a" * 64)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        h = hashlib.sha256(h.digest())
+    return time.perf_counter() - t0
+
+
+def _calib_spark(spark, rows: int = CALIB_SPARK_ROWS) -> float:
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    spark.range(0, rows, 1, 32).select(
+        F.sum(F.xxhash64("id")).alias("s")
+    ).collect()
+    return time.perf_counter() - t0
+
+
+def run_calibration(spark) -> dict[str, float]:
+    """One warm-up then median-of-3 for each probe kind."""
+    _calib_python(CALIB_PY_ITERS // 10)
+    py = statistics.median(_calib_python() for _ in range(3))
+    _calib_spark(spark, CALIB_SPARK_ROWS // 20)
+    sp = statistics.median(_calib_spark(spark) for _ in range(3))
+    return {"python_s": round(py, 4), "spark_s": round(sp, 4)}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--runs", type=int, default=N_RUNS)
@@ -180,6 +231,8 @@ def main() -> None:
 
     # JVM/codegen warmup outside the timed region.
     materialize(load_table(spark, sf_dir, "lineitem").limit(1000))
+
+    calib_pre = run_calibration(spark)
 
     qs = queries_dict()
     if args.only:
@@ -228,9 +281,19 @@ def main() -> None:
         mins[name] = round(min(runs), 3)
         maxs[name] = round(max(runs), 3)
 
+    calib_post = run_calibration(spark)
+    # Throttle factor: geometric mean of (mean of pre/post) over ref,
+    # per probe kind. 1.0 = this VM runs at the pinned reference
+    # speed; 1.3 = CPU work takes 1.3x longer than at the pin.
+    _factors = [
+        ((calib_pre[k] + calib_post[k]) / 2) / CALIB_REF[k] for k in CALIB_REF
+    ]
+    throttle = round((_factors[0] * _factors[1]) ** 0.5, 4)
+
     # With --only the headline intersection is partial, so a summed
     # "value" would be misleadingly small (round-8 ADVICE): emit null.
     total = None if args.only else round(sum(med.get(n, 0.0) for n in HEADLINE), 3)
+    total_norm = None if total is None else round(total / throttle, 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -253,6 +316,11 @@ def main() -> None:
         "budget_s": budget_s,
         "errors": errs,
         "n_failed": len(errs),
+        "calibration": {"pre": calib_pre, "post": calib_post},
+        "calibration_ref": CALIB_REF,
+        "throttle_factor": throttle,
+        "value_normalized": total_norm,
+        "value_full_normalized": round(sum(med.values()) / throttle, 3),
         "sf": sf_val,
     }
     # Full per-query detail goes to a FILE; stdout gets ONE COMPACT
@@ -282,6 +350,8 @@ def main() -> None:
         "n_headline": full["n_headline"],
         "n_failed": len(errs),
         "n_degraded": len(degraded),
+        "throttle_factor": throttle,
+        "value_normalized": total_norm,
         "runs_per_query": n_runs_req,
         "queries": slowest,
         "errors": {k: v[:80] for k, v in list(errs.items())[:5]},
