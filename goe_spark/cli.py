@@ -20,6 +20,7 @@ import argparse
 import json
 import os
 import sys
+import time
 
 
 def _spark(app: str):
@@ -561,6 +562,7 @@ def cmd_cache(args) -> int:
         print(json.dumps({"cleared": True}))
         return 0
     entries = []
+    tmp_dirs = []
     if _os.path.isdir(RC.CACHE_ROOT):
         for e in sorted(_os.listdir(RC.CACHE_ROOT)):
             d = _os.path.join(RC.CACHE_ROOT, e)
@@ -569,9 +571,23 @@ def cmd_cache(args) -> int:
                 for root, _, fs in _os.walk(d)
                 for f in fs
             )
+            # a crashed writer's '{name}--{key}.tmp-{pid}' build dir is
+            # not a cache entry: label it separately (with its age, so
+            # a reader can tell orphan from in-flight) instead of
+            # reporting a mangled '{key}.tmp-{pid}' key
+            if ".tmp-" in e:
+                tmp_dirs.append({
+                    "dir": e,
+                    "bytes": size,
+                    "age_s": round(time.time() - _os.path.getmtime(d), 1),
+                })
+                continue
             name, _, key = e.rpartition("--")
             entries.append({"name": name, "key": key, "bytes": size})
-    print(json.dumps({"entries": entries}))
+    n_gc = RC._gc_orphan_tmps()
+    print(json.dumps(
+        {"entries": entries, "tmp_dirs": tmp_dirs, "tmp_gc_removed": n_gc}
+    ))
     return 0
 
 

@@ -39,6 +39,7 @@ import hashlib
 import json
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -87,15 +88,50 @@ def lookup(name: str, sf_dir: str) -> str | None:
     return None
 
 
+#: tmp build dirs older than this are presumed orphaned by a crashed
+#: writer and safe to garbage-collect; a LIVE writer finishes a build
+#: in seconds-to-minutes, far inside this window.
+TMP_GC_AGE_S = 24 * 3600
+
+
 def _evict_other_keys(name: str, keep_key: str) -> int:
-    """Drop entries for `name` under any other key (stale sources)."""
+    """Drop COMPLETED entries for `name` under any other key (stale
+    sources). In-progress ``.tmp-<pid>`` build dirs are never touched
+    here — a concurrent writer of a different key may be mid-parquet
+    -write in one, and rmtree'ing it would crash that run (the
+    loser-reads-winner rename race only protects same-key writers).
+    Orphaned tmp dirs are aged out separately by `_gc_orphan_tmps`."""
     if not os.path.isdir(CACHE_ROOT):
         return 0
     n = 0
     prefix = f"{name}--"
     for entry in os.listdir(CACHE_ROOT):
+        if ".tmp-" in entry:
+            continue
         if entry.startswith(prefix) and entry != f"{name}--{keep_key}":
             shutil.rmtree(os.path.join(CACHE_ROOT, entry), ignore_errors=True)
+            n += 1
+    return n
+
+
+def _gc_orphan_tmps(max_age_s: float = TMP_GC_AGE_S) -> int:
+    """Remove ``.tmp-<pid>`` build dirs left behind by crashed
+    writers, identified purely by age — never by pid liveness, which
+    is unreliable across containers sharing the cache root."""
+    if not os.path.isdir(CACHE_ROOT):
+        return 0
+    n = 0
+    now = time.time()
+    for entry in os.listdir(CACHE_ROOT):
+        if ".tmp-" not in entry:
+            continue
+        p = os.path.join(CACHE_ROOT, entry)
+        try:
+            age = now - os.path.getmtime(p)
+        except OSError:
+            continue  # racing writer renamed/removed it — fine
+        if age > max_age_s:
+            shutil.rmtree(p, ignore_errors=True)
             n += 1
     return n
 
@@ -130,6 +166,7 @@ def get_or_build(
         # deterministic result is already in place; use theirs
         shutil.rmtree(tmp, ignore_errors=True)
     _evict_other_keys(name, key)
+    _gc_orphan_tmps()
     return spark.read.parquet(os.path.join(final, "data")), False
 
 

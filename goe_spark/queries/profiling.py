@@ -273,20 +273,30 @@ def source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(w_all).alias("n_docs"),
         F.count(F.lit(1)).over(w_all).alias("n_sources"),
     )
+    # c*c and i*c are summed as decimal(38,0): a (lang,source) count
+    # past ~3e9 would silently wrap an int64 square under non-ANSI
+    # mode while DuckDB promotes to HUGEINT (round-10 ADVICE). The
+    # exact decimal sum is cast to double ONLY at the division, which
+    # is exactly when DuckDB's hugeint hits `1.0 *` — both engines
+    # round the same double. max*max in the denominators stays int64:
+    # n_docs is corpus docs per lang (~1e11 at 100 TB), squared as
+    # double after the cast below.
+    cc = F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)"))
+    ic = F.sum((F.col("i") * F.col("c")).cast("decimal(38,0)"))
     return ranked.groupBy("lang").agg(
         F.max("n_sources").alias("n_sources"),
         F.max("n_docs").alias("n_docs"),
         F.round(
-            F.sum(F.col("c") * F.col("c"))
-            / (F.max("n_docs") * F.max("n_docs")),
+            cc.cast("double")
+            / (F.max("n_docs").cast("double") * F.max("n_docs")),
             6,
         ).alias("hhi"),
         F.round(
             (
-                2 * F.sum(F.col("i") * F.col("c"))
+                2 * ic.cast("double")
                 - (F.max("n_sources") + 1) * F.max("n_docs")
             )
-            / (F.max("n_sources") * F.max("n_docs")),
+            / (F.max("n_sources").cast("double") * F.max("n_docs")),
             6,
         ).alias("gini"),
         F.round(
@@ -314,8 +324,10 @@ WITH counts AS (
 SELECT lang,
        max(n_sources)                                   AS n_sources,
        cast(max(n_docs) AS bigint)                      AS n_docs,
-       round(sum(c * c) / (1.0 * max(n_docs) * max(n_docs)), 6) AS hhi,
-       round((2 * sum(i * c) - (max(n_sources) + 1) * max(n_docs))
+       round(cast(sum(c * c) AS double)
+             / (1.0 * max(n_docs) * max(n_docs)), 6) AS hhi,
+       round((2 * cast(sum(i * c) AS double)
+              - (max(n_sources) + 1) * max(n_docs))
              / (1.0 * max(n_sources) * max(n_docs)), 6) AS gini,
        round(sum(CASE WHEN rd <= 3 THEN c ELSE 0 END)
              / (1.0 * max(n_docs)), 6)                  AS top3_share
@@ -368,8 +380,11 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BENFORD_SQL = """
 WITH digits AS (
-  SELECT cast(substr(cast(cast(floor(o_totalprice) AS bigint) AS varchar),
-                     1, 1) AS int) AS digit
+  -- try_cast, not cast: a negative total's first char is '-', which
+  -- Spark's .cast('int') nulls out and the BETWEEN filter drops —
+  -- strict cast would make DuckDB ERROR where Spark silently excludes
+  SELECT try_cast(substr(cast(cast(floor(o_totalprice) AS bigint) AS varchar),
+                         1, 1) AS int) AS digit
   FROM orders
 ), valid AS (SELECT digit FROM digits WHERE digit BETWEEN 1 AND 9),
 counts AS (

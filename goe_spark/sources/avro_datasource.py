@@ -41,6 +41,7 @@ from pyspark.sql.datasource import (
 
 from goe_spark.sources.avro_io import (
     _arrow_type,
+    _AVRO_TO_SPARK,
     _field_plan,
     _read_stream,
     read_avro_schema,
@@ -72,9 +73,13 @@ def _avro_files(d: str) -> list[str]:
 
 
 class GoeAvroReader(DataSourceReader):
-    def __init__(self, options: dict, schema_json: str):
+    def __init__(self, options: dict, schema_json: str, want: list[str]):
         self._dir = _resolve_dir(options)
         self._schema_json = schema_json
+        #: field names in the order Spark declared them — a user
+        #: supplying an explicit subset/reordered schema gets a real
+        #: projection, not an arrow/declared-schema mismatch error
+        self._want = want
 
     def partitions(self):
         return [_AvroFilePartition(p) for p in _avro_files(self._dir)]
@@ -83,7 +88,7 @@ class GoeAvroReader(DataSourceReader):
         import pyarrow as pa
 
         sch = json.loads(self._schema_json)
-        plan = _field_plan(sch)
+        by_name = {name: t for name, t, _null in _field_plan(sch)}
         with open(partition.path, "rb") as f:
             file_schema, rows = _read_stream(f)
         if file_schema != sch:
@@ -95,11 +100,13 @@ class GoeAvroReader(DataSourceReader):
             return  # header-only file (zero-row staging partition)
         yield pa.RecordBatch.from_arrays(
             [
-                pa.array([r[name] for r in rows], type=_arrow_type(t))
-                for name, t, _null in plan
+                pa.array(
+                    [r[name] for r in rows], type=_arrow_type(by_name[name])
+                )
+                for name in self._want
             ],
             schema=pa.schema(
-                [(name, _arrow_type(t)) for name, t, _null in plan]
+                [(name, _arrow_type(by_name[name])) for name in self._want]
             ),
         )
 
@@ -122,8 +129,34 @@ class GoeAvroDataSource(DataSource):
         if avro_schema is None:  # explicit user schema path skips schema()
             first = _avro_files(_resolve_dir(self.options))[0]
             avro_schema = read_avro_schema(first)
+        # Validate the Spark-declared schema against the file at PLAN
+        # time: a subset / reordered user schema becomes a projection
+        # (GoeAvroReader._want); an unknown field or a type mismatch
+        # fails here with the file's actual type instead of surfacing
+        # as an arrow/declared-schema error mid-job.
+        file_types = {
+            name: _AVRO_TO_SPARK[t] for name, t, _null in _field_plan(avro_schema)
+        }
+        want = []
+        for f in schema.fields:
+            declared = f.dataType.simpleString()
+            actual = file_types.get(f.name)
+            if actual is None:
+                raise ValueError(
+                    f"goe-avro: field {f.name!r} not in the avro file "
+                    f"(has: {sorted(file_types)})"
+                )
+            if declared.lower() != actual.lower():
+                raise ValueError(
+                    f"goe-avro: field {f.name!r} declared {declared} but "
+                    f"the avro file stores {actual} — the reader projects "
+                    "and reorders, it does not cast"
+                )
+            want.append(f.name)
         return GoeAvroReader(
-            self.options, json.dumps(avro_schema, separators=(",", ":"))
+            self.options,
+            json.dumps(avro_schema, separators=(",", ":")),
+            want,
         )
 
 

@@ -82,3 +82,38 @@ def test_datasource_null_fidelity(spark, staging_dir):
     assert len(nulls) == 1 and nulls[0]["id"] == 999
     # projected read still decodes correctly (pruning is post-decode)
     assert ds.select("id").where(F.col("id") == 999).count() == 1
+
+
+def test_datasource_user_schema_projection(spark, staging_dir):
+    """An explicit subset / reordered user schema is a real projection
+    (round-10 ADVICE): the reader reorders arrays to the declared
+    schema instead of erroring on an arrow/schema mismatch."""
+    from goe_spark.sources.avro_datasource import register
+
+    register(spark)
+    full = spark.read.format("goe-avro").load(staging_dir)
+    ddl = dict(full.dtypes)
+    sub = (
+        spark.read.format("goe-avro")
+        .schema(f"flag {ddl['flag']}, id {ddl['id']}")
+        .load(staging_dir)
+    )
+    assert sub.columns == ["flag", "id"]
+    key = lambda rows: sorted(  # noqa: E731
+        (r["id"], r["flag"]) for r in rows
+    )
+    assert key(sub.collect()) == key(full.select("id", "flag").collect())
+
+
+def test_datasource_user_schema_mismatch_raises(spark, staging_dir):
+    from goe_spark.sources.avro_datasource import register
+
+    register(spark)
+    with pytest.raises(Exception, match="goe-avro"):
+        spark.read.format("goe-avro").schema("id int").load(
+            staging_dir
+        ).collect()
+    with pytest.raises(Exception, match="goe-avro"):
+        spark.read.format("goe-avro").schema("nope bigint").load(
+            staging_dir
+        ).collect()

@@ -129,3 +129,48 @@ def test_cli_query_cached(spark):
     )
     assert rc == 0
     assert RC.lookup("benford_first_digit_audit", SF_SMALL) is not None
+
+
+def test_evict_skips_live_tmp_dirs(spark):
+    """A concurrent writer's in-progress .tmp-<pid> build dir must
+    survive another writer's eviction pass (round-10 ADVICE): only
+    completed entries are evicted; tmp dirs age out separately."""
+    def build(s, d):
+        return s.range(3).select(F.col("id").alias("x"))
+
+    RC.get_or_build(spark, "ev", SF_SMALL, build)
+    # simulate a concurrent writer of a DIFFERENT key mid-build
+    tmp = os.path.join(RC.CACHE_ROOT, "ev--deadbeefdeadbeef.tmp-99999")
+    os.makedirs(tmp)
+    stale = os.path.join(RC.CACHE_ROOT, "ev--0123456789abcdef")
+    os.makedirs(stale)
+    n = RC._evict_other_keys("ev", RC.cache_key("ev", SF_SMALL))
+    assert n == 1
+    assert os.path.isdir(tmp), "in-progress tmp dir was rmtree'd"
+    assert not os.path.isdir(stale)
+    # age-based GC: fresh tmp survives, old tmp goes
+    assert RC._gc_orphan_tmps() == 0
+    old = time.time() - 2 * RC.TMP_GC_AGE_S
+    os.utime(tmp, (old, old))
+    assert RC._gc_orphan_tmps() == 1
+    assert not os.path.isdir(tmp)
+
+
+def test_cli_cache_list_labels_tmp_dirs(spark, capsys):
+    import json
+
+    from goe_spark.cli import main
+
+    def build(s, d):
+        return s.range(2).select(F.col("id").alias("x"))
+
+    RC.get_or_build(spark, "lv", SF_SMALL, build)
+    tmp = os.path.join(RC.CACHE_ROOT, "lv--feedfacefeedface.tmp-12345")
+    os.makedirs(tmp)
+    assert main(["cache", "list"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert all(".tmp-" not in e["key"] for e in out["entries"])
+    assert [t["dir"] for t in out["tmp_dirs"]] == [
+        "lv--feedfacefeedface.tmp-12345"
+    ]
+    assert out["tmp_dirs"][0]["age_s"] < 60
