@@ -704,3 +704,292 @@ def mp3_channel_mode_sql(content_expr: str) -> str:
         f"WHEN {i} THEN '{v}'" for i, v in enumerate(MP3_CHANNEL_MODES)
     )
     return f"(CASE {idx} {whens} END)"
+
+
+# --- MP4 / ISO-BMFF box walk — codec-free video metadata --------------------
+# An ISO-BMFF file is a sibling chain of boxes: u32 BE size + 4-char
+# type + payload; containers (moov, trak) nest the same chain. The
+# movie header (mvhd) carries timescale + duration (u32 in version 0,
+# u64 duration in version 1); the track header (tkhd) carries
+# presentation width/height as 16.16 fixed-point. moov may sit before
+# OR after mdat (faststart vs natural mux order), so the parse is a
+# real walk, never a fixed offset. Same bounded-fold approach as
+# jpeg_sof_pos: pure codegen, no UDF, identically expressible as a
+# DuckDB recursive CTE. (Reference scope: SURVEY.md §2 multimodal —
+# media as opaque binary + typed metadata; this completes the
+# image (PNG/GIF/BMP/JPEG) + audio (WAV/MP3) + video family.)
+MP4_FTYP_HEX = "66747970"  # 'ftyp' at byte 5
+MP4_MOOV_HEX = "6D6F6F76"
+MP4_MVHD_HEX = "6D766864"
+MP4_TRAK_HEX = "7472616B"
+MP4_TKHD_HEX = "746B6864"
+#: sibling boxes per level before the walk gives up — top level is
+#: ftyp [+free] [+mdat] +moov, moov is [free] mvhd [free] trak [...];
+#: real muxers emit < 8 siblings at every level we touch
+MP4_WALK_CAP = 8
+
+
+def mp4_is_bmff(content) -> "F.Column":
+    return F.substring(_hex_of(content), 9, 8) == MP4_FTYP_HEX
+
+
+#: one fold pass covers all three levels: ≤ MP4_WALK_CAP siblings at
+#: top level, inside moov, and inside trak
+_MP4_TOTAL_CAP = 3 * MP4_WALK_CAP
+
+
+def mp4_walk(h) -> "F.Column":
+    """ONE bounded fold walking all three box levels as a state
+    machine, returning struct(moov_pos, mvhd_pos, tkhd_pos) — each
+    NULL when the box is absent/truncated. A single pass, because
+    composing per-level find() folds inlines EXPONENTIALLY under
+    projection collapse (the tkhd find re-evaluates the trak find
+    twice, each re-evaluating the moov find twice — measured 60s for
+    6k rows at sf0.01; this walker is one interpreted fold per row).
+    Callers must land the struct behind a Generate barrier
+    (``F.inline(F.array(...))``) so Catalyst evaluates it once, then
+    parse fields from the POSITION columns with plain substr/conv.
+
+    Stages: 0 = top-level scan for moov; 1 = moov-child scan
+    recording mvhd and the first trak (in either order); 2 = trak-
+    child scan for tkhd; 3 = done; -1 = dead (truncated box, size <
+    8 bytes, or container exhausted)."""
+    # positions/sizes are 64-bit: a garbage "box" (non-BMFF bytes
+    # parsed as a size field) can claim ~4 GiB and 2*size must not
+    # wrap — the walk then dies on the readable check instead
+    init = F.struct(
+        F.lit(0).cast("int").alias("stage"),
+        F.lit(1).cast("bigint").alias("pos"),
+        (F.length(h) + 1).cast("bigint").alias("lim"),
+        F.lit(0).cast("bigint").alias("moov"),
+        F.lit(0).cast("bigint").alias("mvhd"),
+        F.lit(0).cast("bigint").alias("trak"),
+        F.lit(0).cast("bigint").alias("trak_end"),
+        F.lit(0).cast("bigint").alias("tkhd"),
+    )
+
+    def mk(stage, pos, lim, moov, mvhd, trak, trak_end, tkhd):
+        return F.struct(
+            stage.alias("stage") if hasattr(stage, "alias") else F.lit(stage).cast("int").alias("stage"),
+            pos.alias("pos"),
+            lim.alias("lim"),
+            moov.alias("moov"),
+            mvhd.alias("mvhd"),
+            trak.alias("trak"),
+            trak_end.alias("trak_end"),
+            tkhd.alias("tkhd"),
+        )
+
+    def step(acc, _x):
+        stage, pos, lim = acc["stage"], acc["pos"], acc["lim"]
+        size2 = F.conv(h.substr(pos, F.lit(8)), 16, 10).cast("bigint") * 2
+        typ = h.substr(pos + F.lit(8), F.lit(8))
+        readable = (pos + F.lit(15)) <= lim
+        bad = (~readable) | (F.coalesce(size2, F.lit(0)) < F.lit(16))
+        nxt = (pos + size2).cast("bigint")
+        dead = mk(
+            F.lit(-1).cast("int"), pos, lim, acc["moov"], acc["mvhd"],
+            acc["trak"], acc["trak_end"], acc["tkhd"],
+        )
+        return (
+            F.when((stage == 3) | (stage == -1), acc)
+            .when(
+                stage == 0,
+                F.when(readable & (typ == MP4_MOOV_HEX), mk(
+                    F.lit(1).cast("int"), (pos + F.lit(16)).cast("bigint"),
+                    nxt, pos, acc["mvhd"], acc["trak"],
+                    acc["trak_end"], acc["tkhd"],
+                ))
+                .when(bad, dead)
+                .otherwise(mk(
+                    stage, nxt, lim, acc["moov"], acc["mvhd"],
+                    acc["trak"], acc["trak_end"], acc["tkhd"],
+                )),
+            )
+            .when(
+                stage == 1,
+                # container exhausted or corrupt child: jump into the
+                # recorded trak for tkhd, or die if none was seen
+                F.when(
+                    bad,
+                    F.when(acc["trak"] > 0, mk(
+                        F.lit(2).cast("int"),
+                        (acc["trak"] + F.lit(16)).cast("bigint"),
+                        acc["trak_end"], acc["moov"], acc["mvhd"],
+                        acc["trak"], acc["trak_end"], acc["tkhd"],
+                    )).otherwise(dead),
+                ).otherwise(mk(
+                    stage, nxt, lim, acc["moov"],
+                    F.when(
+                        (typ == MP4_MVHD_HEX) & (acc["mvhd"] == 0), pos
+                    ).otherwise(acc["mvhd"]).cast("bigint"),
+                    F.when(
+                        (typ == MP4_TRAK_HEX) & (acc["trak"] == 0), pos
+                    ).otherwise(acc["trak"]).cast("bigint"),
+                    F.when(
+                        (typ == MP4_TRAK_HEX) & (acc["trak"] == 0), nxt
+                    ).otherwise(acc["trak_end"]).cast("bigint"),
+                    acc["tkhd"],
+                )),
+            )
+            # stage 2: trak children
+            .when(readable & (typ == MP4_TKHD_HEX), mk(
+                F.lit(3).cast("int"), pos, lim, acc["moov"], acc["mvhd"],
+                acc["trak"], acc["trak_end"], pos,
+            ))
+            .when(bad, dead)
+            .otherwise(mk(
+                stage, nxt, lim, acc["moov"], acc["mvhd"],
+                acc["trak"], acc["trak_end"], acc["tkhd"],
+            ))
+        )
+
+    res = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_MP4_TOTAL_CAP)), init, step
+    )
+    return F.struct(
+        F.when(res["moov"] > 0, res["moov"]).alias("moov_pos"),
+        F.when(res["mvhd"] > 0, res["mvhd"]).alias("mvhd_pos"),
+        F.when(res["tkhd"] > 0, res["tkhd"]).alias("tkhd_pos"),
+    )
+
+
+def _u32_at(h, pos) -> "F.Column":
+    return F.conv(h.substr(pos, F.lit(8)), 16, 10).cast("bigint")
+
+
+def _u64_at(h, pos) -> "F.Column":
+    return F.conv(h.substr(pos, F.lit(16)), 16, 10).cast("bigint")
+
+
+def mp4_timescale(h, mvhd) -> "F.Column":
+    """mvhd timescale (ticks/second): u32 at payload offset 12 (v0)
+    or 20 (v1 — the creation/modification stamps widen to u64)."""
+    v = F.conv(h.substr(mvhd + F.lit(16), F.lit(2)), 16, 10).cast("int")
+    return F.when(v == 0, _u32_at(h, mvhd + F.lit(40))).otherwise(
+        _u32_at(h, mvhd + F.lit(56))
+    )
+
+
+def mp4_duration_units(h, mvhd) -> "F.Column":
+    """mvhd duration in timescale ticks: u32 at payload offset 16
+    (v0) or u64 at offset 24 (v1)."""
+    v = F.conv(h.substr(mvhd + F.lit(16), F.lit(2)), 16, 10).cast("int")
+    return F.when(v == 0, _u32_at(h, mvhd + F.lit(48))).otherwise(
+        _u64_at(h, mvhd + F.lit(64))
+    )
+
+
+def mp4_mvhd_version(h, mvhd) -> "F.Column":
+    return F.conv(h.substr(mvhd + F.lit(16), F.lit(2)), 16, 10).cast("int")
+
+
+def mp4_track_width(h, tkhd) -> "F.Column":
+    """tkhd presentation width in pixels: integer part (high u16) of
+    the 16.16 fixed-point u32 at payload offset 76 (v0) / 88 (v1)."""
+    v = F.conv(h.substr(tkhd + F.lit(16), F.lit(2)), 16, 10).cast("int")
+    pos = F.when(v == 0, tkhd + F.lit(168)).otherwise(tkhd + F.lit(192))
+    return F.conv(h.substr(pos, F.lit(4)), 16, 10).cast("int")
+
+
+def mp4_track_height(h, tkhd) -> "F.Column":
+    v = F.conv(h.substr(tkhd + F.lit(16), F.lit(2)), 16, 10).cast("int")
+    pos = F.when(v == 0, tkhd + F.lit(176)).otherwise(tkhd + F.lit(200))
+    return F.conv(h.substr(pos, F.lit(4)), 16, 10).cast("int")
+
+
+def mp4_walk_sql_ctes(hex_rel: str) -> str:
+    """DuckDB twin of the three-level box walk as recursive-CTE text.
+    ``hex_rel`` must expose (media_id, h) with h = upper(hex(content)).
+    Emits ``mp4_loc(media_id, h, moov_pos, mvhd_pos, tkhd_pos)`` —
+    positions NULL exactly when the Spark folds return NULL (same
+    dead/truncation conditions, same {MP4_WALK_CAP}-sibling cap)."""
+    size2 = "2 * try_cast(concat('0x', substr(h, pos, 8)) AS bigint)"
+
+    def walk(name, src, start, limit, target):
+        return f"""{name}_walk AS (
+  SELECT media_id, h, cast({start} AS bigint) AS pos,
+         cast({limit} AS bigint) AS lim, 0 AS it
+  FROM {src}
+  UNION ALL
+  SELECT media_id, h, cast(pos + coalesce({size2}, 0) AS bigint), lim, it + 1
+  FROM {name}_walk
+  WHERE substr(h, pos + 8, 8) <> '{target}'
+    AND pos + 15 <= lim
+    AND coalesce({size2}, 0) >= 16
+    AND it < {MP4_WALK_CAP}
+), {name} AS (
+  SELECT media_id, h,
+         min(CASE WHEN substr(h, pos + 8, 8) = '{target}'
+                  AND pos + 15 <= lim THEN pos END) AS {name}_pos
+  FROM {name}_walk GROUP BY media_id, h
+)"""
+
+    box_end = (
+        "{p} + 2 * try_cast(concat('0x', substr(h, {p}, 8)) AS int)"
+    )
+    return f"""{walk('mp4moov', hex_rel, 1, 'length(h) + 1', MP4_MOOV_HEX)},
+mp4moov_b AS (
+  SELECT media_id, h, mp4moov_pos,
+         {box_end.format(p='mp4moov_pos')} AS moov_end
+  FROM mp4moov WHERE mp4moov_pos IS NOT NULL
+),
+{walk('mp4mvhd', 'mp4moov_b', 'mp4moov_pos + 16', 'moov_end', MP4_MVHD_HEX)},
+{walk('mp4trak', 'mp4moov_b', 'mp4moov_pos + 16', 'moov_end', MP4_TRAK_HEX)},
+mp4trak_b AS (
+  SELECT media_id, h, mp4trak_pos,
+         {box_end.format(p='mp4trak_pos')} AS trak_end
+  FROM mp4trak WHERE mp4trak_pos IS NOT NULL
+),
+{walk('mp4tkhd', 'mp4trak_b', 'mp4trak_pos + 16', 'trak_end', MP4_TKHD_HEX)},
+mp4_loc AS (
+  SELECT m.media_id, m.h, m.mp4moov_pos AS moov_pos,
+         v.mp4mvhd_pos AS mvhd_pos, t.mp4tkhd_pos AS tkhd_pos
+  FROM mp4moov m
+  LEFT JOIN mp4mvhd v USING (media_id)
+  LEFT JOIN mp4tkhd t USING (media_id)
+)"""
+
+
+def _mp4_u32_sql(h: str, pos: str) -> str:
+    return f"try_cast(concat('0x', substr({h}, {pos}, 8)) AS bigint)"
+
+
+def _mp4_u64_sql(h: str, pos: str) -> str:
+    return f"try_cast(concat('0x', substr({h}, {pos}, 16)) AS bigint)"
+
+
+def mp4_mvhd_version_sql(h: str, mvhd: str) -> str:
+    return f"try_cast(concat('0x', substr({h}, {mvhd} + 16, 2)) AS int)"
+
+
+def mp4_timescale_sql(h: str, mvhd: str) -> str:
+    v = mp4_mvhd_version_sql(h, mvhd)
+    return (
+        f"CASE WHEN {v} = 0 THEN {_mp4_u32_sql(h, f'{mvhd} + 40')} "
+        f"ELSE {_mp4_u32_sql(h, f'{mvhd} + 56')} END"
+    )
+
+
+def mp4_duration_units_sql(h: str, mvhd: str) -> str:
+    v = mp4_mvhd_version_sql(h, mvhd)
+    return (
+        f"CASE WHEN {v} = 0 THEN {_mp4_u32_sql(h, f'{mvhd} + 48')} "
+        f"ELSE {_mp4_u64_sql(h, f'{mvhd} + 64')} END"
+    )
+
+
+def mp4_track_width_sql(h: str, tkhd: str) -> str:
+    v = f"try_cast(concat('0x', substr({h}, {tkhd} + 16, 2)) AS int)"
+    return (
+        f"try_cast(concat('0x', substr({h}, CASE WHEN {v} = 0 "
+        f"THEN {tkhd} + 168 ELSE {tkhd} + 192 END, 4)) AS int)"
+    )
+
+
+def mp4_track_height_sql(h: str, tkhd: str) -> str:
+    v = f"try_cast(concat('0x', substr({h}, {tkhd} + 16, 2)) AS int)"
+    return (
+        f"try_cast(concat('0x', substr({h}, CASE WHEN {v} = 0 "
+        f"THEN {tkhd} + 176 ELSE {tkhd} + 200 END, 4)) AS int)"
+    )

@@ -78,7 +78,7 @@ HEAD = (
     "media_frame_sample",
     "media_exact_dedup",
     # -- new in round 11: never driver-checked --
-    # (inserted as they land)
+    "media_mp4_stats",
     # -- r8-stale fillers to pad the window to 50 --
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -95,7 +95,6 @@ HEAD = (
     "tfidf_top_terms",
     "repetition_doc_stats",
     "term_bigram_pmi",
-    "pii_scan_by_source",
 )
 TAIL = ()
 

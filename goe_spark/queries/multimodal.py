@@ -836,6 +836,277 @@ FROM per WHERE pos IS NOT NULL GROUP BY sr
 """
 
 
+# identity transform matrix shared by the synthesized mvhd/tkhd boxes
+_MP4_MATRIX_HEX = (
+    "00010000" + "00000000" * 3 + "00010000" + "00000000" * 3 + "40000000"
+)
+# mvhd tail after duration: rate, volume, 10B reserved, matrix,
+# 24B predefined, next_track_ID
+_MP4_MVHD_TAIL = (
+    "00010000" + "0100" + "00" * 10 + _MP4_MATRIX_HEX + "00" * 24 + "00000002"
+)
+# tkhd tail between duration and width: 8B reserved, layer, alt_group,
+# volume, 2B reserved, matrix
+_MP4_TKHD_MID = "00" * 8 + "0000" + "0000" + "0100" + "0000" + _MP4_MATRIX_HEX
+
+
+def media_mp4_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box-walked MP4 / ISO-BMFF video metadata — movie duration from
+    the mvhd box (timescale ticks, u32 in version 0 / u64 in version
+    1) and track presentation dimensions from tkhd (16.16 fixed
+    point), found by WALKING the box chain (multimodal/media.py
+    mp4_*): moov sits before OR after mdat (faststart vs natural mux
+    order, varied by doc_id), free boxes pad the chain at top level
+    and inside moov, so fixed offsets would mis-parse half the corpus.
+    Completes codec-free image (PNG/GIF/BMP/JPEG) + audio (WAV/MP3) +
+    video coverage. Payloads are synthesized spec-true from doc_id and
+    parsed back EXCLUSIVELY from the binary column.
+
+    Plan: single scan, three bounded codegen folds (top/moov/trak
+    sibling chains, MP4_WALK_CAP each), one 3-row aggregate; payload
+    bytes never shuffle. At 100 TB: header-only parse per file —
+    width is the content column read, pruned everywhere else."""
+    from goe_spark.multimodal.media import (
+        mp4_duration_units,
+        mp4_mvhd_version,
+        mp4_timescale,
+        mp4_track_height,
+        mp4_track_width,
+        mp4_walk,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ts = (
+        F.when(did % 3 == 0, 600)
+        .when(did % 3 == 1, 1000)
+        .otherwise(90000)
+        .cast("bigint")
+    )
+    du = ts * (1 + did % 30) + did % 7
+    mv_v = (F.floor(did / 2) % 2).cast("int")
+    tk_v = (F.floor(did / 4) % 2).cast("int")
+    w_px = (160 + (did % 60) * 8).cast("bigint")
+    h_px = (96 + (did % 40) * 8).cast("bigint")
+    wfrac = F.when(did % 4 == 0, 32768).otherwise(0).cast("bigint")
+    pad = (did % 32).cast("int")
+
+    def u32h(c):
+        return F.lpad(F.hex(c.cast("bigint")), 8, "0")
+
+    def u64h(c):
+        return F.lpad(F.hex(c.cast("bigint")), 16, "0")
+
+    mvhd_hex = F.when(
+        mv_v == 0,
+        F.concat(
+            F.lit("0000006C" + "6D766864" + "00000000" + "00000000" * 2),
+            u32h(ts),
+            u32h(du),
+            F.lit(_MP4_MVHD_TAIL),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("00000078" + "6D766864" + "01000000" + "0" * 32),
+            u32h(ts),
+            u64h(du),
+            F.lit(_MP4_MVHD_TAIL),
+        )
+    )
+    tkhd_hex = F.when(
+        tk_v == 0,
+        F.concat(
+            F.lit(
+                "0000005C" + "746B6864" + "00000003" + "00000000" * 2
+                + "00000001" + "00000000"
+            ),
+            u32h(du),
+            F.lit(_MP4_TKHD_MID),
+            u32h(w_px * 65536 + wfrac),
+            u32h(h_px * 65536),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit(
+                "00000068" + "746B6864" + "01000003" + "0" * 32
+                + "00000001" + "00000000"
+            ),
+            u64h(du),
+            F.lit(_MP4_TKHD_MID),
+            u32h(w_px * 65536 + wfrac),
+            u32h(h_px * 65536),
+        )
+    )
+    tkhd_size = F.when(tk_v == 0, 92).otherwise(104)
+    trak_hex = F.concat(u32h(tkhd_size + 8), F.lit("7472616B"), tkhd_hex)
+    free_in1 = F.when(did % 5 == 0, F.lit("0000000C6672656500000000")).otherwise(
+        F.lit("")
+    )
+    free_in2 = F.when(
+        did % 7 == 0, F.lit("0000001066726565" + "00" * 8)
+    ).otherwise(F.lit(""))
+    moov_size = (
+        F.lit(8)
+        + F.when(did % 5 == 0, 12).otherwise(0)
+        + F.when(mv_v == 0, 108).otherwise(120)
+        + F.when(did % 7 == 0, 16).otherwise(0)
+        + tkhd_size
+        + 8
+    )
+    moov_hex = F.concat(
+        u32h(moov_size), F.lit("6D6F6F76"), free_in1, mvhd_hex, free_in2, trak_hex
+    )
+    ftyp_hex = F.lit("00000010" + "66747970" + "69736F6D" + "00000000")
+    free_top = F.concat(
+        u32h(pad + 8), F.lit("66726565"), F.lit("00" * 31).substr(F.lit(1), pad * 2)
+    )
+    mdat_hex = F.lit("0000000C" + "6D646174" + "74657874")
+    content_hex = F.when(
+        did % 2 == 0, F.concat(ftyp_hex, moov_hex, mdat_hex)
+    ).otherwise(F.concat(ftyp_hex, free_top, mdat_hex, moov_hex))
+    media = d.select(F.unhex(content_hex).alias("content"))
+
+    # The walker fold runs ONCE per row behind the inline() Generate
+    # barrier — projection collapse would otherwise duplicate it into
+    # every parse column (nested per-level find() folds measured
+    # 10 ms/row); the parses below are plain substr/conv over the
+    # emitted position columns.
+    h = F.upper(F.hex(F.col("content")))
+    located = media.select(F.col("content"), F.inline(F.array(mp4_walk(h))))
+    hh = F.upper(F.hex(F.col("content")))
+    mvhd_p = F.col("mvhd_pos")
+    tkhd_p = F.col("tkhd_pos")
+    per = located.select(
+        mp4_timescale(hh, mvhd_p).alias("p_ts"),
+        mp4_duration_units(hh, mvhd_p).alias("p_du"),
+        mp4_mvhd_version(hh, mvhd_p).alias("p_v"),
+        mp4_track_width(hh, tkhd_p).alias("p_w"),
+        mp4_track_height(hh, tkhd_p).alias("p_h"),
+        (F.col("moov_pos") > 33).cast("long").alias("trailing"),
+    ).where(F.col("p_ts").isNotNull())
+    dur_ms = F.floor(F.col("p_du") * 1000 / F.col("p_ts")).cast("bigint")
+    return per.groupBy(F.col("p_ts").alias("timescale")).agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("p_v").cast("bigint").alias("n_v1_mvhd"),
+        F.sum("trailing").alias("n_moov_trailing"),
+        F.sum(dur_ms).alias("sum_duration_ms"),
+        F.min(dur_ms).alias("min_duration_ms"),
+        F.max(dur_ms).alias("max_duration_ms"),
+        F.sum("p_w").cast("bigint").alias("sum_width_px"),
+        F.min("p_w").alias("min_width_px"),
+        F.max("p_w").alias("max_width_px"),
+        F.sum("p_h").cast("bigint").alias("sum_height_px"),
+    )
+
+
+def _media_mp4_sql() -> str:
+    from goe_spark.multimodal.media import (
+        mp4_duration_units_sql,
+        mp4_mvhd_version_sql,
+        mp4_timescale_sql,
+        mp4_track_height_sql,
+        mp4_track_width_sql,
+        mp4_walk_sql_ctes,
+    )
+
+    return f"""
+WITH RECURSIVE built AS (
+  SELECT doc_id,
+         cast(CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+              ELSE 90000 END AS bigint) AS ts,
+         cast(doc_id // 2 % 2 AS int) AS mv_v,
+         cast(doc_id // 4 % 2 AS int) AS tk_v,
+         cast(160 + (doc_id % 60) * 8 AS bigint) AS w_px,
+         cast(96 + (doc_id % 40) * 8 AS bigint) AS h_px,
+         cast(CASE WHEN doc_id % 4 = 0 THEN 32768 ELSE 0 END AS bigint)
+           AS wfrac,
+         cast(doc_id % 32 AS int) AS pad,
+         doc_id % 2 AS layout,
+         doc_id % 5 AS m5, doc_id % 7 AS m7
+  FROM documents
+), built2 AS (
+  SELECT *, ts * (1 + doc_id % 30) + doc_id % 7 AS du FROM built
+), boxes AS (
+  SELECT doc_id, layout,
+         '0000001066747970' || '69736F6D00000000' AS ftyp,
+         concat(lpad(hex(pad + 8), 8, '0'), '66726565',
+                substr(repeat('00', 31), 1, pad * 2)) AS free_top,
+         '0000000C6D64617474657874' AS mdat,
+         CASE WHEN m5 = 0 THEN '0000000C6672656500000000' ELSE '' END
+           AS free_in1,
+         CASE WHEN m7 = 0 THEN concat('0000001066726565', repeat('00', 8))
+              ELSE '' END AS free_in2,
+         CASE WHEN mv_v = 0 THEN concat(
+             '0000006C6D76686400000000', repeat('0', 16),
+             lpad(hex(ts), 8, '0'), lpad(hex(du), 8, '0'),
+             '{_MP4_MVHD_TAIL}')
+         ELSE concat(
+             '000000786D76686401000000', repeat('0', 32),
+             lpad(hex(ts), 8, '0'), lpad(hex(du), 16, '0'),
+             '{_MP4_MVHD_TAIL}')
+         END AS mvhd,
+         CASE WHEN tk_v = 0 THEN concat(
+             '0000005C746B686400000003', repeat('0', 16),
+             '0000000100000000', lpad(hex(du), 8, '0'),
+             '{_MP4_TKHD_MID}',
+             lpad(hex(w_px * 65536 + wfrac), 8, '0'),
+             lpad(hex(h_px * 65536), 8, '0'))
+         ELSE concat(
+             '00000068746B686401000003', repeat('0', 32),
+             '0000000100000000', lpad(hex(du), 16, '0'),
+             '{_MP4_TKHD_MID}',
+             lpad(hex(w_px * 65536 + wfrac), 8, '0'),
+             lpad(hex(h_px * 65536), 8, '0'))
+         END AS tkhd,
+         CASE WHEN tk_v = 0 THEN 92 ELSE 104 END AS tkhd_size,
+         8 + CASE WHEN m5 = 0 THEN 12 ELSE 0 END
+           + CASE WHEN mv_v = 0 THEN 108 ELSE 120 END
+           + CASE WHEN m7 = 0 THEN 16 ELSE 0 END
+           + CASE WHEN tk_v = 0 THEN 92 ELSE 104 END + 8 AS moov_size
+  FROM built2
+), media AS (
+  SELECT doc_id AS media_id,
+         from_hex(CASE WHEN layout = 0
+           THEN concat(ftyp,
+                       lpad(hex(moov_size), 8, '0'), '6D6F6F76',
+                       free_in1, mvhd, free_in2,
+                       lpad(hex(tkhd_size + 8), 8, '0'), '7472616B', tkhd,
+                       mdat)
+           ELSE concat(ftyp, free_top, mdat,
+                       lpad(hex(moov_size), 8, '0'), '6D6F6F76',
+                       free_in1, mvhd, free_in2,
+                       lpad(hex(tkhd_size + 8), 8, '0'), '7472616B', tkhd)
+         END) AS content
+  FROM boxes
+), hexed AS (
+  SELECT media_id, upper(hex(content)) AS h FROM media
+),
+{mp4_walk_sql_ctes('hexed')},
+per AS (
+  SELECT {mp4_timescale_sql('h', 'mvhd_pos')} AS p_ts,
+         {mp4_duration_units_sql('h', 'mvhd_pos')} AS p_du,
+         {mp4_mvhd_version_sql('h', 'mvhd_pos')} AS p_v,
+         {mp4_track_width_sql('h', 'tkhd_pos')} AS p_w,
+         {mp4_track_height_sql('h', 'tkhd_pos')} AS p_h,
+         CASE WHEN moov_pos > 33 THEN 1 ELSE 0 END AS moov_trail
+  FROM mp4_loc
+)
+SELECT p_ts AS timescale,
+       count(*) AS n_files,
+       cast(sum(p_v) AS bigint) AS n_v1_mvhd,
+       cast(sum(moov_trail) AS bigint) AS n_moov_trailing,
+       cast(sum(floor(p_du * 1000 / p_ts)) AS bigint) AS sum_duration_ms,
+       cast(min(floor(p_du * 1000 / p_ts)) AS bigint) AS min_duration_ms,
+       cast(max(floor(p_du * 1000 / p_ts)) AS bigint) AS max_duration_ms,
+       cast(sum(p_w) AS bigint) AS sum_width_px,
+       min(p_w) AS min_width_px,
+       max(p_w) AS max_width_px,
+       cast(sum(p_h) AS bigint) AS sum_height_px
+FROM per WHERE p_ts IS NOT NULL
+GROUP BY p_ts
+"""
+
+
 QUERIES = [
     QuerySpec("media_decode_features", media_decode_features, MEDIA_FEATURES_SQL),
     QuerySpec("media_resize_images", media_resize_images, MEDIA_RESIZE_SQL),
@@ -872,5 +1143,11 @@ QUERIES = [
         media_mp3_stats,
         _media_mp3_sql(),
         "MP3 frame-header bitrate/rate/mode past ID3v2, codec-free",
+    ),
+    QuerySpec(
+        "media_mp4_stats",
+        media_mp4_stats,
+        _media_mp4_sql(),
+        "MP4 box-walked mvhd duration + tkhd dimensions, codec-free",
     ),
 ]

@@ -459,3 +459,163 @@ def test_mp3_frame_parse_real_bytes(spark):
         5: (None, None, None, None),
         6: (None, None, None, None),
     }
+
+
+def _mp4_box(typ: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def _mp4_fixture_cases():
+    """Handcrafted struct-packed ISO-BMFF payloads pinning the box
+    walk: faststart + natural mux order, v0/v1 headers, free-box
+    padding, mvhd after trak, truncation, non-BMFF."""
+    import struct
+
+    matrix = struct.pack(
+        ">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+    )
+
+    def mvhd(version, ts, dur):
+        if version == 0:
+            p = bytes([0, 0, 0, 0]) + struct.pack(">IIII", 0, 0, ts, dur)
+        else:
+            p = (
+                bytes([1, 0, 0, 0])
+                + struct.pack(">QQ", 0, 0)
+                + struct.pack(">I", ts)
+                + struct.pack(">Q", dur)
+            )
+        return _mp4_box(
+            b"mvhd",
+            p + struct.pack(">I", 0x10000) + struct.pack(">H", 0x100)
+            + b"\0" * 10 + matrix + b"\0" * 24 + struct.pack(">I", 2),
+        )
+
+    def tkhd(version, dur, w_fixed, h_fixed):
+        if version == 0:
+            p = bytes([0, 0, 0, 3]) + struct.pack(">IIIII", 0, 0, 1, 0, dur)
+        else:
+            p = (
+                bytes([1, 0, 0, 3])
+                + struct.pack(">QQII", 0, 0, 1, 0)
+                + struct.pack(">Q", dur)
+            )
+        return _mp4_box(
+            b"tkhd",
+            p + b"\0" * 8 + struct.pack(">HHHH", 0, 0, 0x100, 0) + matrix
+            + struct.pack(">II", w_fixed, h_fixed),
+        )
+
+    import struct as _s
+
+    ftyp = _mp4_box(b"ftyp", b"isom" + b"\0\0\0\0")
+    mdat = _mp4_box(b"mdat", b"textpayload!")
+    free = _mp4_box(b"free", b"\0" * 20)
+    cases = []
+    moov = _mp4_box(
+        b"moov",
+        mvhd(0, 600, 600 * 12 + 5)
+        + _mp4_box(b"trak", tkhd(0, 600 * 12, (640 << 16) + 0x8000, 360 << 16)),
+    )
+    cases.append((1, ftyp + moov + mdat, (600, 7205, 0, 640, 360)))
+    moov2 = _mp4_box(
+        b"moov",
+        free
+        + mvhd(1, 90000, 90000 * 7 + 123)
+        + free
+        + _mp4_box(b"trak", tkhd(1, 90000 * 7, 1920 << 16, 1080 << 16)),
+    )
+    cases.append(
+        (2, ftyp + free + mdat + moov2, (90000, 630123, 1, 1920, 1080))
+    )
+    moov3 = _mp4_box(
+        b"moov",
+        _mp4_box(b"trak", free + tkhd(0, 100, 320 << 16, 240 << 16))
+        + mvhd(0, 1000, 4567),
+    )
+    cases.append((3, ftyp + moov3 + mdat, (1000, 4567, 0, 320, 240)))
+    cases.append(
+        (4, ftyp + _s.pack(">I", 9999) + b"moov" + b"\0" * 8,
+         (None,) * 5)
+    )
+    cases.append((5, b"RIFFxxxxWAVEfmt " + b"\0" * 32, (None,) * 5))
+    return cases
+
+
+def test_mp4_box_walk_real_bytes(spark):
+    from pyspark.sql import functions as F
+
+    from goe_spark.multimodal.media import (
+        _hex_of,
+        mp4_duration_units,
+        mp4_mvhd_version,
+        mp4_timescale,
+        mp4_track_height,
+        mp4_track_width,
+        mp4_walk,
+    )
+
+    cases = _mp4_fixture_cases()
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b, _ in cases],
+        "media_id long, content binary",
+    )
+    loc = df.select(
+        "media_id", "content", F.inline(F.array(mp4_walk(_hex_of(F.col("content")))))
+    )
+    h = _hex_of(F.col("content"))
+    got = {
+        r.media_id: (r.ts, r.du, r.v, r.w, r.hh)
+        for r in loc.select(
+            "media_id",
+            mp4_timescale(h, F.col("mvhd_pos")).alias("ts"),
+            mp4_duration_units(h, F.col("mvhd_pos")).alias("du"),
+            mp4_mvhd_version(h, F.col("mvhd_pos")).alias("v"),
+            mp4_track_width(h, F.col("tkhd_pos")).alias("w"),
+            mp4_track_height(h, F.col("tkhd_pos")).alias("hh"),
+        ).collect()
+    }
+    assert got == {i: want for i, _, want in cases}
+
+
+def test_mp4_walk_sql_matches_spark():
+    """DuckDB recursive-CTE walk twin returns the identical parses on
+    the handcrafted payloads (same dead/truncation conditions)."""
+    import duckdb
+
+    from goe_spark.multimodal.media import (
+        mp4_duration_units_sql,
+        mp4_mvhd_version_sql,
+        mp4_timescale_sql,
+        mp4_track_height_sql,
+        mp4_track_width_sql,
+        mp4_walk_sql_ctes,
+    )
+
+    cases = _mp4_fixture_cases()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE media (media_id BIGINT, content BLOB)"
+    )
+    for i, b, _ in cases:
+        con.execute("INSERT INTO media VALUES (?, ?)", [i, b])
+    sql = f"""
+WITH RECURSIVE hexed AS (
+  SELECT media_id, upper(hex(content)) AS h FROM media
+),
+{mp4_walk_sql_ctes('hexed')}
+SELECT l.media_id,
+       {mp4_timescale_sql('l.h', 'l.mvhd_pos')} AS ts,
+       {mp4_duration_units_sql('l.h', 'l.mvhd_pos')} AS du,
+       {mp4_mvhd_version_sql('l.h', 'l.mvhd_pos')} AS v,
+       {mp4_track_width_sql('l.h', 'l.tkhd_pos')} AS w,
+       {mp4_track_height_sql('l.h', 'l.tkhd_pos')} AS hh
+FROM mp4_loc l
+"""
+    got = {r[0]: tuple(r[1:]) for r in con.execute(sql).fetchall()}
+    for i, _, want in cases:
+        # non-BMFF rows may be absent from the walk entirely — both
+        # mean "no parse"
+        assert got.get(i, (None,) * 5) == want, (i, got.get(i))
