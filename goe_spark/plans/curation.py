@@ -13,6 +13,14 @@ the offload pipeline, composed from the repo's own operators:
                  every doc; emptied docs dropped (the accounting twin
                  is queries/dedup.py::line_dedup_stats)
   SCORE_FILTER   quality_score >= threshold (functions/text.py)
+  CLASSIFIER_FILTER
+                 broadcast linear quality-classifier inference
+                 (functions/classifier.py): every doc gets a
+                 cls_logit_milli column; docs below
+                 classifier_min_logit_milli are cut when the
+                 threshold is set (None = score-and-keep, the
+                 annotate-only mode production pipelines use to
+                 calibrate a threshold before enforcing it)
   EXACT_DEDUP    keep-first on the normalized content fingerprint
   NEAR_DEDUP     MinHash-LSH pairs -> connected components -> keep the
                  highest-quality doc per cluster (queries/dedup.py +
@@ -63,6 +71,7 @@ STAGES = (
     "PII_REDACT",
     "LINE_SCRUB",
     "SCORE_FILTER",
+    "CLASSIFIER_FILTER",
     "EXACT_DEDUP",
     "NEAR_DEDUP",
     "CONTAINMENT_SCRUB",
@@ -89,6 +98,10 @@ class CurationConfig:
     # CONTAINMENT_SCRUB: drop the contained side of pairs whose
     # shingle containment |A∩B|/min(|A|,|B|) meets this threshold
     containment_min: float = 0.9
+    # CLASSIFIER_FILTER: cut docs whose fixed-point classifier logit
+    # (functions/classifier.py) is below this many milli-units; None
+    # annotates (cls_logit_milli column) without cutting
+    classifier_min_logit_milli: int | None = None
 
 
 @dataclass
@@ -233,10 +246,26 @@ class CurationPipeline:
         ).where(F.col("quality") >= self.cfg.quality_min)
         _write_stage(scored, _stage_dir(self.cfg, "SCORE_FILTER"))
 
+    def _classifier_filter(self) -> None:
+        from goe_spark.functions.classifier import classifier_logit_milli
+
+        d = self.spark.read.parquet(_stage_dir(self.cfg, "SCORE_FILTER"))
+        scored = d.withColumn(
+            "cls_logit_milli", classifier_logit_milli(F.col("text"))
+        )
+        if self.cfg.classifier_min_logit_milli is not None:
+            scored = scored.where(
+                F.col("cls_logit_milli")
+                >= int(self.cfg.classifier_min_logit_milli)
+            )
+        _write_stage(scored, _stage_dir(self.cfg, "CLASSIFIER_FILTER"))
+
     def _exact_dedup(self) -> None:
         from pyspark.sql.window import Window
 
-        d = self.spark.read.parquet(_stage_dir(self.cfg, "SCORE_FILTER"))
+        d = self.spark.read.parquet(
+            _stage_dir(self.cfg, "CLASSIFIER_FILTER")
+        )
         norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
         w = Window.partitionBy(hash64(norm))
         kept = (
@@ -407,6 +436,7 @@ class CurationPipeline:
             # (round-9 ADVICE)
             "line_doc_max": cfg.line_doc_max,
             "containment_min": cfg.containment_min,
+            "classifier_min_logit_milli": cfg.classifier_min_logit_milli,
         }
         if resume:
             runs = [
@@ -454,6 +484,7 @@ class CurationPipeline:
             runner.run("PII_REDACT", self._pii_redact)
             runner.run("LINE_SCRUB", self._line_scrub)
             runner.run("SCORE_FILTER", self._score_filter)
+            runner.run("CLASSIFIER_FILTER", self._classifier_filter)
             runner.run("EXACT_DEDUP", self._exact_dedup)
             runner.run("NEAR_DEDUP", self._near_dedup)
             runner.run("CONTAINMENT_SCRUB", self._containment_scrub)

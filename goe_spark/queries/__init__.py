@@ -79,6 +79,7 @@ HEAD = (
     "media_exact_dedup",
     # -- new in round 11: never driver-checked --
     "media_mp4_stats",
+    "classifier_scores",
     # -- r8-stale fillers to pad the window to 50 --
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -94,7 +95,6 @@ HEAD = (
     "sentiment_by_source",
     "tfidf_top_terms",
     "repetition_doc_stats",
-    "term_bigram_pmi",
 )
 TAIL = ()
 

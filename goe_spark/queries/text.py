@@ -1540,8 +1540,68 @@ FROM posts GROUP BY source
 """
 
 
+def classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast linear quality-classifier inference over the corpus —
+    the model-scoring stage (fastText/logistic quality classifier)
+    every production curation pipeline runs after rule filters:
+    per-document logit = bias + mean weight of hashed unigrams, with
+    the fixed-point weight vector shipped inside the plan
+    (functions/classifier.py). Per-language report: docs, keeps
+    (logit > 0), strong keeps (> 500 milli), exact logit sum and
+    min/max, mean logit.
+
+    Plan: ZERO joins and zero explodes — scoring is a per-row codegen
+    aggregate() fold over the token array against the plan-literal
+    weight array (the broadcast-small-model pattern); the only
+    shuffle is the lang-grain rollup. Integer milli-unit logits make
+    the DuckDB replay bit-identical. At 100 TB this is one corpus
+    scan, embarrassingly parallel."""
+    from goe_spark.functions.classifier import classifier_logit_milli
+
+    d = load_table(spark, sf_dir, "documents")
+    per = d.select(
+        "lang", classifier_logit_milli(F.col("text")).alias("logit")
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("logit") > 0).cast("long")).alias("n_keep"),
+        F.sum((F.col("logit") > 500).cast("long")).alias("n_strong"),
+        F.sum("logit").alias("sum_logit_milli"),
+        F.min("logit").alias("min_logit_milli"),
+        F.max("logit").alias("max_logit_milli"),
+        F.round(F.avg("logit"), 4).alias("avg_logit_milli"),
+    )
+
+
+def _classifier_sql() -> str:
+    from goe_spark.functions.classifier import classifier_logit_milli_sql
+
+    return f"""
+WITH per AS (
+  SELECT lang, {classifier_logit_milli_sql('text')} AS logit
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       cast(sum(CASE WHEN logit > 0 THEN 1 ELSE 0 END) AS bigint) AS n_keep,
+       cast(sum(CASE WHEN logit > 500 THEN 1 ELSE 0 END) AS bigint)
+         AS n_strong,
+       cast(sum(logit) AS bigint) AS sum_logit_milli,
+       min(logit) AS min_logit_milli,
+       max(logit) AS max_logit_milli,
+       round(avg(logit), 4) AS avg_logit_milli
+FROM per GROUP BY lang
+"""
+
+
 QUERIES = [
     QuerySpec("sentiment_by_source", sentiment_by_source, _sentiment_sql()),
+    QuerySpec(
+        "classifier_scores",
+        classifier_scores,
+        _classifier_sql(),
+        "broadcast fixed-point linear quality-classifier inference",
+    ),
     QuerySpec(
         "ngram_diversity_by_source",
         ngram_diversity_by_source,

@@ -38,7 +38,7 @@ def test_funnel_monotone_and_persisted(spark, finished):
     with open(os.path.join(cfg.work_dir, "funnel.json")) as fh:
         disk = json.load(fh)
     assert disk["final_rows"] == report.final_rows
-    assert len(disk["funnel"]) == 8  # incl. LINE_SCRUB + CONTAINMENT_SCRUB
+    assert len(disk["funnel"]) == 9  # incl. CLASSIFIER_FILTER
 
 
 def test_no_exact_duplicate_survives(spark, finished):
@@ -100,9 +100,9 @@ def test_crash_resume_skips_completed_stages(spark, tmp_path):
     assert not os.path.isdir(os.path.join(cfg.work_dir, "final"))
 
     report = pipe.run()  # resume
-    # RULE_FILTER, PII_REDACT, LINE_SCRUB, SCORE_FILTER, EXACT_DEDUP,
-    # NEAR_DEDUP, CONTAINMENT_SCRUB
-    assert report.resumed_steps == 7
+    # RULE_FILTER, PII_REDACT, LINE_SCRUB, SCORE_FILTER,
+    # CLASSIFIER_FILTER, EXACT_DEDUP, NEAR_DEDUP, CONTAINMENT_SCRUB
+    assert report.resumed_steps == 8
     assert report.final_rows > 0
     # History shows two executions: the failed one and the resumed one.
     from goe_spark.plans.history import ExecutionHistoryStore
@@ -180,12 +180,12 @@ def test_double_crash_resume_chain(spark, tmp_path):
     )
     pipe = CurationPipeline(spark, cfg)
     with pytest.raises(StepError):
-        pipe.run(error_at="NEAR_DEDUP")  # crash 1: 5 stages done
+        pipe.run(error_at="NEAR_DEDUP")  # crash 1: 6 stages done
     with pytest.raises(StepError):
-        pipe.run(error_at="FINAL_WRITE")  # crash 2: resumes 5, adds 2
+        pipe.run(error_at="FINAL_WRITE")  # crash 2: resumes 6, adds 2
     report = pipe.run()
     # Third run resumes everything up to FINAL_WRITE.
-    assert report.resumed_steps == 8
+    assert report.resumed_steps == 9
     assert report.final_rows > 0
 
 
@@ -358,3 +358,61 @@ def test_containment_scrub_catches_prefix_copy(spark, tmp_path):
     final = spark.read.parquet(str(tmp_path / "work" / "final"))
     kept = {r.doc_id for r in final.select("doc_id").collect()}
     assert kept == {1, 3}, "the CONTAINED doc (2) must be dropped"
+
+
+def test_classifier_stage_annotates_and_filters(spark, tmp_path):
+    """Default (threshold None) annotates every survivor with
+    cls_logit_milli without cutting; a set threshold cuts exactly the
+    docs below it and is part of the resume key."""
+    base = dict(
+        source_sf_dir=SF_SMALL,
+        metadata_dir=str(tmp_path / "meta"),
+        token_budget=120_000,
+        quality_min=0.0,
+    )
+    r1 = CurationPipeline(
+        spark, CurationConfig(work_dir=str(tmp_path / "w1"), **base)
+    ).run()
+    stages1 = {s: r for s, r, _ in r1.funnel}
+    assert stages1["CLASSIFIER_FILTER"] == stages1["SCORE_FILTER"]
+    annotated = spark.read.parquet(
+        str(tmp_path / "w1" / "stage_classifier_filter")
+    )
+    assert "cls_logit_milli" in annotated.columns
+    logits = [r.cls_logit_milli for r in annotated.collect()]
+    assert all(l is not None for l in logits)
+
+    # threshold at the median logit cuts part of the stage input
+    cut_at = sorted(logits)[len(logits) // 2]
+    r2 = CurationPipeline(
+        spark,
+        CurationConfig(
+            work_dir=str(tmp_path / "w2"),
+            classifier_min_logit_milli=int(cut_at),
+            **base,
+        ),
+    ).run()
+    stages2 = {s: r for s, r, _ in r2.funnel}
+    assert stages2["SCORE_FILTER"] == stages1["SCORE_FILTER"]
+    assert stages2["CLASSIFIER_FILTER"] == sum(
+        1 for l in logits if l >= cut_at
+    )
+    assert 0 < stages2["CLASSIFIER_FILTER"] < stages2["SCORE_FILTER"]
+
+
+def test_classifier_matches_registry_operator(spark, tmp_path):
+    """The stage's scores are the SAME inference the classifier_scores
+    registry operator runs (one code path, two surfaces)."""
+    from goe_spark.functions.classifier import classifier_logit_milli
+    from pyspark.sql import functions as F
+
+    from goe_spark.catalog import load_table
+
+    d = load_table(spark, SF_SMALL, "documents").limit(20)
+    a = {
+        r.doc_id: r.l
+        for r in d.select(
+            "doc_id", classifier_logit_milli(F.col("text")).alias("l")
+        ).collect()
+    }
+    assert len(a) == 20 and all(v is not None for v in a.values())
