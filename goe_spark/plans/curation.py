@@ -25,6 +25,13 @@ the offload pipeline, composed from the repo's own operators:
   NEAR_DEDUP     MinHash-LSH pairs -> connected components -> keep the
                  highest-quality doc per cluster (queries/dedup.py +
                  queries/training.py machinery on the filtered subset)
+  PARAGRAPH_SCRUB
+                 sub-document fuzzy dedup: paragraphs (PARA_WORDS-word
+                 chunks) with a cross-doc MinHash near-dup keep only
+                 the smallest-(doc, idx) copy; later copies are cut
+                 from their docs and texts rebuilt (the grain
+                 line-exact and doc-level fuzzy dedup both miss —
+                 queries/dedup.py paragraph machinery)
   CONTAINMENT_SCRUB
                  rare-shingle containment pass (the partial-copy family
                  minhash-threshold dedup misses, C >= containment_min):
@@ -74,6 +81,7 @@ STAGES = (
     "CLASSIFIER_FILTER",
     "EXACT_DEDUP",
     "NEAR_DEDUP",
+    "PARAGRAPH_SCRUB",
     "CONTAINMENT_SCRUB",
     "MIXTURE_SAMPLE",
     "FINAL_WRITE",
@@ -102,6 +110,9 @@ class CurationConfig:
     # (functions/classifier.py) is below this many milli-units; None
     # annotates (cls_logit_milli column) without cutting
     classifier_min_logit_milli: int | None = None
+    # PARAGRAPH_SCRUB: MinHash agreement floor for a cross-doc
+    # paragraph duplicate (queries/dedup.py PARA_SIM_MIN)
+    para_sim_min: float = 0.6
 
 
 @dataclass
@@ -189,6 +200,78 @@ def scrub_boilerplate_lines(d: DataFrame, line_doc_max: int) -> DataFrame:
         .where(F.length(F.trim("text")) > 0)
         .withColumn("n_tokens", T.token_count("text"))
     )
+
+
+
+def scrub_duplicate_paragraphs(d: DataFrame, sim_min: float) -> DataFrame:
+    """Destructive sub-document near-dup removal: a paragraph
+    (PARA_WORDS-word chunk) with a cross-doc MinHash near-dup keeps
+    only its smallest-(doc_id, idx) copy corpus-wide; later copies
+    are cut from their documents, texts rebuilt from the surviving
+    chunks, emptied docs dropped, token counts recomputed.
+
+    Plan: the pair generator is the SAME banded-LSH path as
+    paragraph_dedup_stats (queries/dedup.py::paragraph_dup_pairs);
+    the cut set aggregates to (doc_id, [idx]) — pair-bounded, tiny
+    next to the corpus — and the text rebuild is map-side array
+    surgery after that one join: paragraph token arrays never
+    shuffle."""
+    from goe_spark.queries.dedup import (
+        PARA_KEY_BASE,
+        PARA_WORDS,
+        _paragraph_sigs,
+        paragraph_dup_pairs,
+    )
+
+    spark = d.sparkSession
+    sigs = _paragraph_sigs(spark, "", docs=d)
+    pairs = paragraph_dup_pairs(sigs, sim_min)
+    # pid1 < pid2 and keep-first: only the LARGER side of a pair is cut
+    cut_idx = (
+        pairs.select(F.col("pid2").alias("pid"))
+        .distinct()
+        .select(
+            F.floor(F.col("pid") / PARA_KEY_BASE)
+            .cast("long")
+            .alias("doc_id"),
+            F.pmod(F.col("pid"), F.lit(PARA_KEY_BASE)).cast("int").alias("i"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("i").alias("cut_idxs"))
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_paras = F.ceil(F.size(F.col("toks")) / PARA_WORDS).cast("int")
+    with_ps = d.withColumn("toks", toks).withColumn(
+        "ps",
+        F.transform(
+            F.sequence(F.lit(0), n_paras - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("idx"),
+                F.slice(F.col("toks"), i * PARA_WORDS + 1, PARA_WORDS).alias(
+                    "ptoks"
+                ),
+            ),
+        ),
+    )
+    kept_ps = F.filter(
+        F.col("ps"),
+        lambda p: F.col("cut_idxs").isNull()
+        | ~F.array_contains(F.col("cut_idxs"), p["idx"]),
+    )
+    rebuilt = (
+        with_ps.join(cut_idx, "doc_id", "left")
+        .withColumn(
+            "text",
+            F.array_join(
+                F.flatten(F.transform(kept_ps, lambda p: p["ptoks"])), " "
+            ),
+        )
+        .where(F.size(kept_ps) > 0)
+        .drop("toks", "ps", "cut_idxs")
+    )
+    if "n_tokens" in d.columns:
+        rebuilt = rebuilt.withColumn("n_tokens", T.token_count("text"))
+    return rebuilt.select(*d.columns)
 
 
 def _counts(spark: SparkSession, path: str) -> tuple[int, int]:
@@ -301,13 +384,20 @@ class CurationPipeline:
         kept = d.join(F.broadcast(doomed), "doc_id", "left_anti")
         _write_stage(kept, _stage_dir(self.cfg, "NEAR_DEDUP"))
 
+    def _paragraph_scrub(self) -> None:
+        d = self.spark.read.parquet(_stage_dir(self.cfg, "NEAR_DEDUP"))
+        kept = scrub_duplicate_paragraphs(d, self.cfg.para_sim_min)
+        _write_stage(kept, _stage_dir(self.cfg, "PARAGRAPH_SCRUB"))
+
     def _containment_scrub(self) -> None:
         from goe_spark.queries.dedup import (
             CONTAINMENT_DF_CAP,
             _shingle_hashed,
         )
 
-        d = self.spark.read.parquet(_stage_dir(self.cfg, "NEAR_DEDUP"))
+        d = self.spark.read.parquet(
+            _stage_dir(self.cfg, "PARAGRAPH_SCRUB")
+        )
         shingled = _shingle_hashed(
             self.spark, self.cfg.source_sf_dir, docs=d
         ).select("doc_id", F.array_distinct("sh").alias("shd"))
@@ -437,6 +527,7 @@ class CurationPipeline:
             "line_doc_max": cfg.line_doc_max,
             "containment_min": cfg.containment_min,
             "classifier_min_logit_milli": cfg.classifier_min_logit_milli,
+            "para_sim_min": cfg.para_sim_min,
         }
         if resume:
             runs = [
@@ -487,6 +578,7 @@ class CurationPipeline:
             runner.run("CLASSIFIER_FILTER", self._classifier_filter)
             runner.run("EXACT_DEDUP", self._exact_dedup)
             runner.run("NEAR_DEDUP", self._near_dedup)
+            runner.run("PARAGRAPH_SCRUB", self._paragraph_scrub)
             runner.run("CONTAINMENT_SCRUB", self._containment_scrub)
             runner.run("MIXTURE_SAMPLE", self._mixture_sample)
             runner.run("FINAL_WRITE", self._final_write)

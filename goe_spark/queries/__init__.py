@@ -80,6 +80,7 @@ HEAD = (
     # -- new in round 11: never driver-checked --
     "media_mp4_stats",
     "classifier_scores",
+    "paragraph_dedup_stats",
     # -- r8-stale fillers to pad the window to 50 --
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -94,7 +95,6 @@ HEAD = (
     "minhash_probe_new_docs",
     "sentiment_by_source",
     "tfidf_top_terms",
-    "repetition_doc_stats",
 )
 TAIL = ()
 

@@ -1393,8 +1393,255 @@ FROM scored WHERE containment >= 0.5
 """
 
 
+# --- paragraph-grain fuzzy dedup -------------------------------------------
+# Sub-document near-dup removal — the grain production pipelines
+# actually scrub (quoted passages, syndicated intros, shared
+# boilerplate paragraphs survive BOTH line-level exact dedup — a
+# single changed word defeats the line hash — and doc-level minhash,
+# whose whole-document signature dilutes a shared paragraph below
+# threshold). The fixture corpus has no paragraph breaks, so a
+# "paragraph" is a deterministic PARA_WORDS-word chunk (same
+# synthesized-boundary convention as LINE_WORDS).
+PARA_WORDS = 20
+PARA_SIM_MIN = 0.6  # est_jaccard floor for a cross-doc paragraph dup
+#: paragraph key = doc_id * PARA_KEY_BASE + idx: one int64 key rides
+#: the band machinery unchanged; docs beyond 65536 paragraphs (1.3M
+#: words at PARA_WORDS=20) are outside the fixture and any sane web doc
+PARA_KEY_BASE = 65536
+
+
+def _paragraph_sigs(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, lang, idx, n_paras, mh): MinHash signature per
+    synthesized paragraph, map-side end-to-end. Paragraphs shorter
+    than 3 tokens (the shingle width) carry a NULL signature and
+    never enter the LSH stage — they still count in n_paras."""
+    from goe_spark.operators import minhash as MH
+
+    d = (
+        docs if docs is not None else load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "lang", "text")
+    d = spread(d, "doc_id")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_paras = F.ceil(F.size(F.col("toks")) / PARA_WORDS).cast("int")
+    paras = d.select("doc_id", "lang", toks.alias("toks")).select(
+        "doc_id",
+        "lang",
+        n_paras.alias("n_paras"),
+        F.transform(
+            F.sequence(F.lit(0), n_paras - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("idx"),
+                F.slice(F.col("toks"), i * PARA_WORDS + 1, PARA_WORDS).alias(
+                    "ptoks"
+                ),
+            ),
+        ).alias("ps"),
+    )
+    # explode_outer + NULL drop (not plain explode): see line_dedup's
+    # plan note — an inferred size filter would push the hashing
+    # below the spread exchange and serialize it onto one split
+    inst = paras.select(
+        "doc_id", "lang", "n_paras", F.explode_outer("ps").alias("p")
+    ).where(F.col("p").isNotNull())
+    th = MH.token_hashes(F.col("p.ptoks"))
+    return inst.select(
+        "doc_id",
+        "lang",
+        "n_paras",
+        F.col("p.idx").alias("idx"),
+        F.when(
+            F.size(F.col("p.ptoks")) >= 3,
+            MH.minhash_signature(MH.arith_shingle_hashes(th)),
+        ).alias("mh"),
+    )
+
+
+def paragraph_dup_pairs(
+    sigs: DataFrame, sim_min: float = PARA_SIM_MIN
+) -> DataFrame:
+    """(pid1, pid2) with pid1 < pid2: CROSS-DOC paragraph pairs whose
+    MinHash agreement meets ``sim_min``, from a `_paragraph_sigs`
+    frame. The LSH band groupBy is the only corpus-scale shuffle,
+    bucket-capped like minhash_lsh_pairs; shared by the stats query
+    and the curation PARAGRAPH_SCRUB stage (one code path, two
+    surfaces)."""
+    from goe_spark.operators import minhash as MH
+
+    with_sig = sigs.where(F.col("mh").isNotNull()).select(
+        (F.col("doc_id") * PARA_KEY_BASE + F.col("idx")).alias("pid"),
+        "doc_id",
+        "mh",
+    )
+    bands = with_sig.select(
+        F.struct("pid", "doc_id", "mh").alias("doc"),
+        F.explode(MH.band_structs(F.col("mh"))).alias("bs"),
+    ).select(
+        "doc", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    grouped = bands.groupBy("band", "sig").agg(
+        F.array_sort(F.collect_set("doc")).alias("docs")
+    )
+    n = F.size("docs")
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, n - i - 1),
+                lambda y: F.struct(
+                    x["pid"].alias("pid1"),
+                    y["pid"].alias("pid2"),
+                    (
+                        (x["doc_id"] != y["doc_id"])
+                        & (
+                            MH.minhash_agreement(x["mh"], y["mh"])
+                            >= sim_min
+                        )
+                    ).alias("dup"),
+                ),
+            ),
+        )
+    )
+    return (
+        grouped.where((n >= 2) & (n <= LSH_BUCKET_CAP))
+        .select(F.explode_outer(pair_structs).alias("p"))
+        .where(F.col("p.dup"))
+        .select("p.pid1", "p.pid2")
+        .distinct()
+    )
+
+
+def paragraph_dedup_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Paragraph-grain MinHash near-dup accounting with DOC-LEVEL
+    reconstruction: per language — paragraphs, cross-doc duplicated
+    paragraphs (est_jaccard >= {PARA_SIM_MIN} with a paragraph of
+    ANOTHER doc), docs touched, and docs FULLY reconstructible from
+    other documents' paragraphs (every paragraph duplicated — the
+    doc-level dedup miss this grain exists to catch).
+
+    Plan: paragraph signatures are map-side (one spread exchange
+    bounds the md5 work per task); the LSH band groupBy is the only
+    corpus-scale shuffle, capped per bucket like minhash_lsh_pairs;
+    dup flags aggregate at (doc, idx) grain, then one lang rollup.
+    Nothing quadratic outside genuinely colliding buckets."""
+    sigs = _paragraph_sigs(spark, sf_dir)
+    pairs = paragraph_dup_pairs(sigs)
+    dup_pids = (
+        pairs.select(F.col("pid1").alias("pid"))
+        .union(pairs.select(F.col("pid2").alias("pid")))
+        .distinct()
+    )
+    para_flags = sigs.join(
+        dup_pids,
+        (F.col("doc_id") * PARA_KEY_BASE + F.col("idx")) == F.col("pid"),
+        "left",
+    ).select(
+        "doc_id", "lang", "n_paras",
+        F.col("pid").isNotNull().cast("long").alias("is_dup"),
+    )
+    per_doc = para_flags.groupBy("doc_id", "lang").agg(
+        F.max("n_paras").alias("n_paras"),
+        F.sum("is_dup").alias("n_dup"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_paras").alias("n_paragraphs"),
+        F.sum("n_dup").alias("n_dup_paragraphs"),
+        F.sum((F.col("n_dup") > 0).cast("long")).alias("n_docs_affected"),
+        F.sum(
+            (F.col("n_dup") == F.col("n_paras")).cast("long")
+        ).alias("n_docs_fully_dup"),
+        F.floor(
+            F.sum("n_dup") * 10000.0 / F.sum("n_paras")
+        ).cast("long").alias("dup_paras_per_10k"),
+    )
+
+
+def _paragraph_dedup_sql() -> str:
+    from goe_spark.operators import minhash as MH
+
+    toks = r"regexp_split_to_array(trim(text), '\s+')"
+    ptoks = f"toks[(i * {PARA_WORDS} + 1):((i + 1) * {PARA_WORDS})]"
+    th = MH.token_hashes_sql("ptoks")
+    mh = MH.minhash_signature_sql("sh")
+    agree = MH.minhash_agreement_sql("s1.mh", "s2.mh")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, lang, {toks} AS toks FROM documents
+), paras AS (
+  SELECT doc_id, lang,
+         cast(ceil(len(toks) / {PARA_WORDS}.0) AS int) AS n_paras,
+         cast(i AS int) AS idx, {ptoks} AS ptoks
+  FROM docs, LATERAL unnest(
+    range(0, cast(ceil(len(toks) / {PARA_WORDS}.0) AS bigint))) AS r(i)
+), hashed AS (
+  SELECT doc_id, lang, n_paras, idx, {th} AS th FROM paras
+), allsigs AS (
+  SELECT doc_id, lang, n_paras, idx,
+         CASE WHEN len(th) >= 3
+              THEN (SELECT {mh} FROM (SELECT
+                    {MH.arith_shingle_hashes_sql('th')} AS sh))
+         END AS mh
+  FROM hashed
+), sigs AS (
+  SELECT doc_id * {PARA_KEY_BASE} + idx AS doc_id, mh
+  FROM allsigs WHERE mh IS NOT NULL
+), bands AS ({MH.band_rows_sql("mh")}),
+ok_buckets AS (
+  SELECT band, sig FROM bands GROUP BY 1, 2 HAVING count(*) <= {LSH_BUCKET_CAP}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS pid1, b.doc_id AS pid2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  JOIN ok_buckets ok ON ok.band = a.band AND ok.sig = a.sig
+  WHERE a.doc_id // {PARA_KEY_BASE} <> b.doc_id // {PARA_KEY_BASE}
+),
+dup_pairs AS (
+  SELECT pid1, pid2
+  FROM cands
+  JOIN sigs s1 ON s1.doc_id = pid1
+  JOIN sigs s2 ON s2.doc_id = pid2
+  WHERE {agree} >= {PARA_SIM_MIN}
+),
+dup_pids AS (
+  SELECT pid1 AS pid FROM dup_pairs
+  UNION SELECT pid2 FROM dup_pairs
+),
+per_doc AS (
+  SELECT a.doc_id, a.lang, max(a.n_paras) AS n_paras,
+         cast(sum(CASE WHEN d.pid IS NOT NULL THEN 1 ELSE 0 END)
+              AS bigint) AS n_dup
+  FROM allsigs a
+  LEFT JOIN dup_pids d
+    ON a.doc_id * {PARA_KEY_BASE} + a.idx = d.pid
+  GROUP BY a.doc_id, a.lang
+)
+SELECT lang,
+       count(*) AS n_docs,
+       cast(sum(n_paras) AS bigint) AS n_paragraphs,
+       cast(sum(n_dup) AS bigint) AS n_dup_paragraphs,
+       cast(sum(CASE WHEN n_dup > 0 THEN 1 ELSE 0 END) AS bigint)
+         AS n_docs_affected,
+       cast(sum(CASE WHEN n_dup = n_paras THEN 1 ELSE 0 END) AS bigint)
+         AS n_docs_fully_dup,
+       cast(floor(sum(n_dup) * 10000.0 / sum(n_paras)) AS bigint)
+         AS dup_paras_per_10k
+FROM per_doc GROUP BY lang
+"""
+
+
 QUERIES = [
     QuerySpec("dedup_exact_keep_first", dedup_exact_keep_first, DEDUP_EXACT_SQL),
+    QuerySpec(
+        "paragraph_dedup_stats",
+        paragraph_dedup_stats,
+        _paragraph_dedup_sql(),
+        "sub-document MinHash dedup with doc reconstruction accounting",
+    ),
     QuerySpec("ngram_jaccard_pairs", ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
     QuerySpec("minhash_lsh_pairs", minhash_lsh_pairs, _minhash_lsh_sql()),
     QuerySpec("simhash_pairs", simhash_pairs, _simhash_sql()),

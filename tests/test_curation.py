@@ -38,7 +38,7 @@ def test_funnel_monotone_and_persisted(spark, finished):
     with open(os.path.join(cfg.work_dir, "funnel.json")) as fh:
         disk = json.load(fh)
     assert disk["final_rows"] == report.final_rows
-    assert len(disk["funnel"]) == 9  # incl. CLASSIFIER_FILTER
+    assert len(disk["funnel"]) == 10  # incl. CLASSIFIER_FILTER + PARAGRAPH_SCRUB
 
 
 def test_no_exact_duplicate_survives(spark, finished):
@@ -101,8 +101,9 @@ def test_crash_resume_skips_completed_stages(spark, tmp_path):
 
     report = pipe.run()  # resume
     # RULE_FILTER, PII_REDACT, LINE_SCRUB, SCORE_FILTER,
-    # CLASSIFIER_FILTER, EXACT_DEDUP, NEAR_DEDUP, CONTAINMENT_SCRUB
-    assert report.resumed_steps == 8
+    # CLASSIFIER_FILTER, EXACT_DEDUP, NEAR_DEDUP, PARAGRAPH_SCRUB,
+    # CONTAINMENT_SCRUB
+    assert report.resumed_steps == 9
     assert report.final_rows > 0
     # History shows two executions: the failed one and the resumed one.
     from goe_spark.plans.history import ExecutionHistoryStore
@@ -185,7 +186,7 @@ def test_double_crash_resume_chain(spark, tmp_path):
         pipe.run(error_at="FINAL_WRITE")  # crash 2: resumes 6, adds 2
     report = pipe.run()
     # Third run resumes everything up to FINAL_WRITE.
-    assert report.resumed_steps == 9
+    assert report.resumed_steps == 10
     assert report.final_rows > 0
 
 
@@ -416,3 +417,65 @@ def test_classifier_matches_registry_operator(spark, tmp_path):
         ).collect()
     }
     assert len(a) == 20 and all(v is not None for v in a.values())
+
+
+def test_paragraph_scrub_cuts_shared_paragraph(spark):
+    """A paragraph copied between two docs keeps only the
+    smallest-(doc, idx) copy; the host documents survive with the
+    copy cut and token counts rebuilt; unrelated docs are untouched."""
+    import pandas as pd
+
+    from goe_spark.plans.curation import scrub_duplicate_paragraphs
+    from goe_spark.queries.dedup import PARA_WORDS
+
+    shared = " ".join(f"shared{i}" for i in range(PARA_WORDS))
+    a_own = " ".join(f"alpha{i}" for i in range(PARA_WORDS))
+    b_own = " ".join(f"beta{i}" for i in range(PARA_WORDS))
+    c_own = " ".join(f"gamma{i}" for i in range(PARA_WORDS))
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "lang": ["en"] * 3,
+                "text": [
+                    a_own + " " + shared,   # doc 1: owns para 0, shared at 1
+                    shared + " " + b_own,   # doc 2: shared at 0 -> cut
+                    c_own,                  # doc 3: untouched
+                ],
+            }
+        )
+    ).withColumn("n_tokens", F.size(F.split(F.trim("text"), r"\s+")))
+    out = {r.doc_id: r for r in scrub_duplicate_paragraphs(docs, 0.6).collect()}
+    assert set(out) == {1, 2, 3}
+    # doc 1 keeps both paragraphs (its shared copy is the canonical,
+    # smallest pid); doc 2 loses the shared paragraph
+    assert "shared0" in out[1].text and "alpha0" in out[1].text
+    assert "shared0" not in out[2].text and "beta0" in out[2].text
+    assert out[2].n_tokens == PARA_WORDS
+    assert out[3].text == c_own
+    # fully-duplicated doc disappears
+    dup_only = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 9], "lang": ["en"] * 2, "text": [shared, shared]}
+        )
+    ).withColumn("n_tokens", F.size(F.split(F.trim("text"), r"\s+")))
+    out2 = {r.doc_id for r in scrub_duplicate_paragraphs(dup_only, 0.6).collect()}
+    assert out2 == {1}
+
+
+def test_paragraph_scrub_stage_in_funnel(spark, finished):
+    cfg, report = finished
+    stages = {s: r for s, r, _ in report.funnel}
+    assert "PARAGRAPH_SCRUB" in stages
+    assert stages["PARAGRAPH_SCRUB"] <= stages["NEAR_DEDUP"]
+    # re-running pair generation over the scrubbed stage finds no
+    # remaining cross-doc paragraph dup
+    from goe_spark.plans.curation import _stage_dir
+    from goe_spark.queries.dedup import (
+        _paragraph_sigs,
+        paragraph_dup_pairs,
+    )
+
+    scrubbed = spark.read.parquet(_stage_dir(cfg, "PARAGRAPH_SCRUB"))
+    sigs = _paragraph_sigs(spark, "", docs=scrubbed)
+    assert paragraph_dup_pairs(sigs, cfg.para_sim_min).count() == 0
