@@ -245,3 +245,25 @@ def upsert_vectors(
     if n:
         out.write.mode("append").parquet(_override_path(index_dir))
     return n
+
+
+def upsert_for_index(
+    spark: SparkSession, index_dir: str, changed_rows: DataFrame
+) -> int:
+    """Dispatch an upsert batch to the right maintainer by the index's
+    on-disk layout: ``signatures/`` -> minhash, ``segments/`` ->
+    segment chunk index, ``centroids/`` -> IVF. ``changed_rows``
+    carries the POST-merge new row versions (documents for the text
+    indexes, vec_id+embedding for IVF). The merge-update hook
+    (plans/merge_update.py ``maintain_indexes``) routes through here
+    so one merge maintains heterogeneous indexes in-pass."""
+    if os.path.isdir(os.path.join(index_dir, "signatures")):
+        return upsert_signatures(spark, index_dir, changed_rows)
+    if os.path.isdir(os.path.join(index_dir, "segments")):
+        return upsert_segments(spark, index_dir, changed_rows)
+    if os.path.isdir(os.path.join(index_dir, "centroids")):
+        return upsert_vectors(spark, index_dir, changed_rows)
+    raise ValueError(
+        f"{index_dir}: unrecognized index layout (none of signatures/, "
+        "segments/, centroids/)"
+    )

@@ -101,9 +101,19 @@ def merge_rows(
     updates: DataFrame,
     partition: PartitionSpec,
     partition_col: str = SYNTHETIC_COL,
+    maintain_indexes: list | None = None,
 ) -> MergeReport:
     """Upsert ``updates`` (frontend-shaped rows, no synthetic column)
-    into the partitioned parquet table at ``path``."""
+    into the partitioned parquet table at ``path``.
+
+    ``maintain_indexes``: managed index dirs (minhash / segment / IVF)
+    to maintain IN-PASS with O(changed) work — each changed key is
+    tombstoned and its recomputed row lands in the index's overrides
+    store (operators/index_maintenance.upsert_for_index), the upsert
+    twin of delete_rows' eviction. Runs AFTER the corpus rewrite so
+    the bumped fingerprint reflects the post-merge source; a crash
+    between the rewrite and the index hook leaves a STALE fingerprint,
+    so the next ensure_* full-rebuilds — slower, never wrong."""
     report = MergeReport()
     if heal_pending_merge(spark, path):
         report.merges_healed = 1
@@ -165,7 +175,22 @@ def merge_rows(
     )
     upd.write.mode("append").partitionBy(partition_col).parquet(path)
     os.remove(os.path.join(path, MERGE_MARKER))
-    shutil.rmtree(staging)
+
+    if maintain_indexes:
+        from goe_spark.operators.index_maintenance import upsert_for_index
+
+        # the staged copy IS the frozen new-row versions: checkpoint
+        # it (O(changed)), DROP the staging dir, THEN upsert — the
+        # eviction re-fingerprints the table dir, so staging (which
+        # lives inside it) must be gone first or the recorded
+        # fingerprint never matches the post-merge table and the next
+        # ensure_* would full-rebuild away the side stores
+        new_rows = upd.drop(partition_col).localCheckpoint(eager=True)
+        shutil.rmtree(staging)
+        for idx_dir in maintain_indexes:
+            upsert_for_index(spark, idx_dir, new_rows)
+    else:
+        shutil.rmtree(staging)
 
     report.partitions_affected = del_rep.partitions_affected
     report.partitions_healed = del_rep.partitions_healed

@@ -216,3 +216,133 @@ def test_null_key_updates_rejected(spark, offloaded_orders):
     )
     with pytest.raises(ValueError, match="NULL o_orderkey"):
         merge_rows(spark, target, "o_orderkey", updates, spec)
+
+
+def test_merge_maintains_minhash_index_o_changed(spark, tmp_path):
+    """merge_rows(maintain_indexes=...): probe state after the merge
+    is bit-identical to a full rebuild over the post-merge corpus,
+    with O(changed) index work (override/tombstone stores hold exactly
+    the merged keys) and no rebuild on the next ensure_*."""
+    import os
+
+    from goe_spark.catalog import load_table
+    from goe_spark.operators.index_maintenance import (
+        OVERRIDE_DIR,
+        TOMBSTONE_DIR,
+    )
+    from goe_spark.operators.minhash_index import (
+        build_signature_index,
+        ensure_signature_index,
+        load_signatures,
+    )
+    from goe_spark.plans.offload import SYNTHETIC_COL, PartitionSpec
+    from tests.conftest import SF_SMALL
+
+    spec = PartitionSpec("doc_id", "number", granularity=100)
+    corpus_dir = str(tmp_path / "corpus")
+    os.makedirs(corpus_dir)
+    path = os.path.join(corpus_dir, "documents.parquet")
+    base = load_table(spark, SF_SMALL, "documents")
+    base.withColumn(SYNTHETIC_COL, spec.expr()).write.partitionBy(
+        SYNTHETIC_COL
+    ).parquet(path)
+    idx = ensure_signature_index(spark, corpus_dir)
+
+    victims = [
+        r[0]
+        for r in base.select("doc_id").orderBy("doc_id").limit(2).collect()
+    ]
+    new_key = base.agg(F.max("doc_id")).first()[0] + 7
+    changed = (
+        base.where(F.col("doc_id").isin(victims))
+        .withColumn(
+            "text", F.concat(F.lit("merged new body "), F.col("text"))
+        )
+    )
+    inserted = base.limit(1).select(
+        F.lit(new_key).alias("doc_id"),
+        *[F.col(c) for c in base.columns if c != "doc_id"],
+    )
+    updates = changed.unionByName(inserted).localCheckpoint(eager=True)
+    rep = merge_rows(
+        spark, path, "doc_id", updates, spec, maintain_indexes=[idx]
+    )
+    assert rep.rows_updated == 2 and rep.rows_inserted == 1
+
+    # O(changed): side stores hold exactly the merged keys
+    tomb = spark.read.parquet(os.path.join(idx, TOMBSTONE_DIR))
+    assert sorted(r[0] for r in tomb.collect()) == sorted(
+        victims + [new_key]
+    )
+    over = spark.read.parquet(os.path.join(idx, OVERRIDE_DIR))
+    assert over.count() == 3
+
+    # probe state == full rebuild over the post-merge corpus
+    sigs = load_signatures(spark, idx)
+    rebuilt_dir = idx + "_merge_rebuilt"
+    build_signature_index(
+        spark,
+        spark.read.parquet(path).drop(SYNTHETIC_COL),
+        rebuilt_dir,
+    )
+    rebuilt = spark.read.parquet(os.path.join(rebuilt_dir, "signatures"))
+    assert sigs.exceptAll(rebuilt).count() == 0
+    assert rebuilt.exceptAll(sigs).count() == 0
+
+    # fingerprint was bumped in-pass: ensure does NOT rebuild (the
+    # side stores survive — a rebuild would clear them)
+    assert ensure_signature_index(spark, corpus_dir) == idx
+    assert os.path.isdir(os.path.join(idx, OVERRIDE_DIR))
+
+
+def test_merge_maintains_ivf_index(spark, tmp_path):
+    """The same merge hook dispatches vector tables to the IVF
+    maintainer: the changed vector serves its NEW cell assignment
+    (computed against the BUILD's centroids) after the merge."""
+    import os
+
+    from goe_spark.catalog import load_table
+    from goe_spark.operators.index_maintenance import apply_tombstones
+    from goe_spark.operators.ivf import assign_cells, ensure_index
+    from goe_spark.plans.offload import SYNTHETIC_COL, PartitionSpec
+    from tests.conftest import SF_SMALL
+
+    spec = PartitionSpec("vec_id", "number", granularity=64)
+    corpus_dir = str(tmp_path / "vcorpus")
+    os.makedirs(corpus_dir)
+    path = os.path.join(corpus_dir, "embeddings.parquet")
+    base = load_table(spark, SF_SMALL, "embeddings")
+    base.withColumn(SYNTHETIC_COL, spec.expr()).write.partitionBy(
+        SYNTHETIC_COL
+    ).parquet(path)
+    idx = ensure_index(spark, corpus_dir)
+
+    victim = base.select("vec_id").orderBy("vec_id").first()[0]
+    donor = base.orderBy(F.desc("vec_id")).first()
+    updates = base.where(F.col("vec_id") == victim).select(
+        "vec_id",
+        *[
+            F.lit(donor[c]).alias(c) if c == "embedding" else F.col(c)
+            for c in base.columns
+            if c != "vec_id"
+        ],
+    ).localCheckpoint(eager=True)
+    rep = merge_rows(
+        spark, path, "vec_id", updates, spec, maintain_indexes=[idx]
+    )
+    assert rep.rows_updated == 1
+
+    assigned = apply_tombstones(
+        spark,
+        idx,
+        spark.read.parquet(os.path.join(idx, "assigned")),
+        "vec_id",
+    )
+    got = assigned.where(F.col("vec_id") == victim).collect()
+    assert len(got) == 1
+    cents = spark.read.parquet(os.path.join(idx, "centroids"))
+    want = (
+        assign_cells(updates.select("vec_id", "embedding"), cents)
+        .first()["cell"]
+    )
+    assert got[0]["cell"] == want
