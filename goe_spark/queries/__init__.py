@@ -81,6 +81,8 @@ HEAD = (
     "media_mp4_stats",
     "classifier_scores",
     "paragraph_dedup_stats",
+    "text_hygiene_audit",
+    "embedding_dead_dims",
     # -- r8-stale fillers to pad the window to 50 --
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -93,8 +95,6 @@ HEAD = (
     "q9_product_profit",
     "top_duplicate_ngrams",
     "minhash_probe_new_docs",
-    "sentiment_by_source",
-    "tfidf_top_terms",
 )
 TAIL = ()
 

@@ -1916,7 +1916,80 @@ FROM stats LEFT JOIN outs ON stats.label = outs.label
 """
 
 
+#: a dimension whose quantized variance is below this is "dead" —
+#: carries no signal, wastes index bytes, and poisons PQ codebooks
+DEAD_DIM_VAR = 1e-6
+
+
+def embedding_dead_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution audit over the embedding corpus —
+    the pre-quantization screen: a DEAD dimension (near-zero variance)
+    wastes PQ codebook capacity and signals an upstream projection
+    bug; a HOT dimension dominates L2 distances. Per dim: exact
+    fixed-point mean/variance (1e6-grid integer sums like
+    embedding_norm_outliers; the squared sums ride decimal(38,0) so a
+    1e9-vector corpus cannot wrap int64), min/max, and the dead flag.
+
+    Plan: posexplode to (dim, q) rides map-side partial aggregation —
+    the shuffle carries 64 x n_partitions partial rows, never the
+    corpus; output is dimension-grain (64 rows) at any scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1e6 + 0.5).cast("long"),
+    )
+    per = emb.select(F.posexplode(q).alias("dim", "qv"))
+    n = F.count(F.lit(1))
+    sq = F.sum("qv")
+    sqq = F.sum((F.col("qv") * F.col("qv")).cast("decimal(38,0)"))
+    mean = sq.cast("double") / n / 1e6
+    var = (
+        sqq.cast("double") / n
+        - (sq.cast("double") / n) * (sq.cast("double") / n)
+    ) / 1e12
+    return per.groupBy("dim").agg(
+        n.alias("n_vecs"),
+        F.round(mean, 6).alias("mean_r6"),
+        F.round(var, 8).alias("var_r8"),
+        F.min("qv").alias("min_q"),
+        F.max("qv").alias("max_q"),
+        (var < F.lit(DEAD_DIM_VAR)).cast("long").alias("is_dead"),
+    )
+
+
+DEAD_DIMS_SQL = f"""
+WITH per AS (
+  SELECT cast(d AS int) AS dim,
+         cast(floor(cast(embedding[d + 1] AS double) * 1e6 + 0.5)
+              AS bigint) AS qv
+  FROM embeddings, LATERAL unnest(range(64)) AS r(d)
+)
+SELECT dim,
+       count(*) AS n_vecs,
+       round(cast(sum(qv) AS double) / count(*) / 1e6, 6) AS mean_r6,
+       round((cast(sum(cast(qv AS hugeint) * qv) AS double) / count(*)
+              - (cast(sum(qv) AS double) / count(*))
+                * (cast(sum(qv) AS double) / count(*))) / 1e12, 8)
+         AS var_r8,
+       min(qv) AS min_q,
+       max(qv) AS max_q,
+       cast(CASE WHEN (cast(sum(cast(qv AS hugeint) * qv) AS double)
+                       / count(*)
+                       - (cast(sum(qv) AS double) / count(*))
+                         * (cast(sum(qv) AS double) / count(*))) / 1e12
+                      < {DEAD_DIM_VAR} THEN 1 ELSE 0 END AS bigint)
+         AS is_dead
+FROM per GROUP BY dim
+"""
+
+
 QUERIES = [
+    QuerySpec(
+        "embedding_dead_dims",
+        embedding_dead_dims,
+        DEAD_DIMS_SQL,
+        "per-dimension variance audit (dead-dim / PQ-prep screen)",
+    ),
     QuerySpec(
         "embedding_norm_outliers",
         embedding_norm_outliers,

@@ -1594,8 +1594,132 @@ FROM per GROUP BY lang
 """
 
 
+# text-hygiene defect classes: control chars (minus \t\n\r — C4 keeps
+# those), the U+FFFD replacement char (encoding damage), zero-width
+# chars (homoglyph spam / watermarking), run-on whitespace, non-ASCII.
+# Java regex and RE2 spell the classes differently; same codepoints.
+_CTRL_JAVA = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+_CTRL_RE2 = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
+_ZW_JAVA = "[\\u200B\\u200C\\u200D\\uFEFF]"
+_ZW_RE2 = r"[\x{200B}\x{200C}\x{200D}\x{FEFF}]"
+
+
+def text_hygiene_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-hygiene screen — the pre-tokenizer scrub every web
+    pipeline runs: control characters (broken extraction), U+FFFD
+    (encoding damage), zero-width characters (spam/homoglyph
+    carriers), run-on whitespace, and non-ASCII share, plus the
+    character mass a scrub pass would remove. The fixture corpus is
+    clean ASCII, so defects are INJECTED deterministically from
+    doc_id (the media-fixture convention) and detected back purely
+    from the dirty string — the detection/scrub expressions are the
+    operator; the injection is the fixture.
+
+    Plan: single scan, all codegen regexp arithmetic, one
+    source-grain aggregate. At 100 TB: map-side only."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    dirty = F.concat(
+        F.col("text"),
+        F.when(did % 7 == 0, F.lit("\u0007")).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit("broken \uFFFD char")).otherwise(
+            F.lit("")
+        ),
+        F.when(did % 13 == 0, F.lit("zero\u200Bwidth")).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit("  doubled  spaces")).otherwise(
+            F.lit("")
+        ),
+        F.when(did % 17 == 0, F.lit(" caf\u00E9")).otherwise(F.lit("")),
+    )
+    scrub_class = f"({_CTRL_JAVA}|\\uFFFD|{_ZW_JAVA})"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(dirty, scrub_class, ""), " {2,}", " "
+    )
+    per = d.select(
+        "source",
+        dirty.alias("t"),
+        (F.length(dirty) - F.length(scrubbed)).cast("long").alias("removed"),
+    ).select(
+        "source",
+        "removed",
+        F.col("t").rlike(_CTRL_JAVA).cast("long").alias("has_ctrl"),
+        F.col("t").rlike("\\uFFFD").cast("long").alias("has_fffd"),
+        F.col("t").rlike(_ZW_JAVA).cast("long").alias("has_zw"),
+        F.col("t").rlike(" {2,}").cast("long").alias("has_msp"),
+        F.col("t").rlike("[^\\x00-\\x7F]").cast("long").alias("has_na"),
+    )
+    clean = (
+        (F.col("has_ctrl") + F.col("has_fffd") + F.col("has_zw")
+         + F.col("has_msp") + F.col("has_na")) == 0
+    ).cast("long")
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("has_ctrl").alias("n_ctrl"),
+        F.sum("has_fffd").alias("n_replacement"),
+        F.sum("has_zw").alias("n_zero_width"),
+        F.sum("has_msp").alias("n_multispace"),
+        F.sum("has_na").alias("n_nonascii"),
+        F.sum(clean).alias("n_clean"),
+        F.sum("removed").alias("chars_scrubbed"),
+    )
+
+
+def _hygiene_sql() -> str:
+    return f"""
+WITH dirty AS (
+  SELECT source,
+         concat(text,
+           CASE WHEN doc_id % 7 = 0 THEN chr(7) ELSE '' END,
+           CASE WHEN doc_id % 11 = 0
+                THEN 'broken ' || chr(65533) || ' char' ELSE '' END,
+           CASE WHEN doc_id % 13 = 0
+                THEN 'zero' || chr(8203) || 'width' ELSE '' END,
+           CASE WHEN doc_id % 5 = 0 THEN '  doubled  spaces' ELSE '' END,
+           CASE WHEN doc_id % 17 = 0 THEN ' caf' || chr(233) ELSE '' END
+         ) AS t
+  FROM documents
+), per AS (
+  SELECT source,
+         length(t) - length(
+           regexp_replace(
+             regexp_replace(t, '({_CTRL_RE2}|\\x{{FFFD}}|{_ZW_RE2})', '',
+                            'g'),
+             ' {{2,}}', ' ', 'g')
+         ) AS removed,
+         CASE WHEN regexp_matches(t, '{_CTRL_RE2}') THEN 1 ELSE 0 END
+           AS has_ctrl,
+         CASE WHEN regexp_matches(t, '\\x{{FFFD}}') THEN 1 ELSE 0 END
+           AS has_fffd,
+         CASE WHEN regexp_matches(t, '{_ZW_RE2}') THEN 1 ELSE 0 END
+           AS has_zw,
+         CASE WHEN regexp_matches(t, ' {{2,}}') THEN 1 ELSE 0 END
+           AS has_msp,
+         CASE WHEN regexp_matches(t, '[^\\x00-\\x7F]') THEN 1 ELSE 0 END
+           AS has_na
+  FROM dirty
+)
+SELECT source,
+       count(*) AS n_docs,
+       cast(sum(has_ctrl) AS bigint) AS n_ctrl,
+       cast(sum(has_fffd) AS bigint) AS n_replacement,
+       cast(sum(has_zw) AS bigint) AS n_zero_width,
+       cast(sum(has_msp) AS bigint) AS n_multispace,
+       cast(sum(has_na) AS bigint) AS n_nonascii,
+       cast(sum(CASE WHEN has_ctrl + has_fffd + has_zw + has_msp + has_na
+                     = 0 THEN 1 ELSE 0 END) AS bigint) AS n_clean,
+       cast(sum(removed) AS bigint) AS chars_scrubbed
+FROM per GROUP BY source
+"""
+
+
 QUERIES = [
     QuerySpec("sentiment_by_source", sentiment_by_source, _sentiment_sql()),
+    QuerySpec(
+        "text_hygiene_audit",
+        text_hygiene_audit,
+        _hygiene_sql(),
+        "unicode-hygiene screen: ctrl/U+FFFD/zero-width/whitespace",
+    ),
     QuerySpec(
         "classifier_scores",
         classifier_scores,
