@@ -135,6 +135,7 @@ def cmd_delete(args) -> int:
         keys,
         partition_col=args.partition_column,
         use_bloom=args.use_bloom,
+        maintain_indexes=args.maintain_index or None,
     )
     print(
         json.dumps(
@@ -142,6 +143,48 @@ def cmd_delete(args) -> int:
                 "rows_deleted": rep.rows_deleted,
                 "partitions_affected": rep.partitions_affected,
                 "partitions_healed": rep.partitions_healed,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_merge(args) -> int:
+    """Keyed merge/upsert of a CDC batch (parquet of full-row new
+    versions, unique per key) into an offloaded target — the
+    reference's Incremental Update as a CLI verb. --maintain-index
+    keeps minhash/segment/IVF indexes fresh in-pass with O(changed)
+    work (plans/merge_update.py)."""
+    from goe_spark.plans.merge_update import merge_rows
+    from goe_spark.plans.offload import PartitionSpec
+
+    spark = _spark("goe-merge")
+    updates = spark.read.parquet(args.updates)
+    spec = PartitionSpec(
+        args.partition_source_column,
+        args.partition_kind,
+        granularity=(
+            int(args.granularity)
+            if args.partition_kind != "date"
+            else args.granularity
+        ),
+        digits=args.digits,
+    )
+    rep = merge_rows(
+        spark,
+        args.target_dir,
+        args.key_column,
+        updates,
+        spec,
+        maintain_indexes=args.maintain_index or None,
+    )
+    print(
+        json.dumps(
+            {
+                "rows_updated": rep.rows_updated,
+                "rows_inserted": rep.rows_inserted,
+                "partitions_affected": rep.partitions_affected,
+                "merges_healed": rep.merges_healed,
             }
         )
     )
@@ -916,7 +959,42 @@ def build_parser() -> argparse.ArgumentParser:
         help="bound the find-affected-partitions scan with the "
         "per-partition bloom manifests (build with `bloom` first)",
     )
+    dl.add_argument(
+        "--maintain-index",
+        action="append",
+        default=[],
+        help="managed index dir to maintain in-pass (repeatable); "
+        "tombstones the deleted keys instead of full-rebuilding",
+    )
     dl.set_defaults(fn=cmd_delete)
+
+    mg = sub.add_parser(
+        "merge",
+        help="keyed merge/upsert of a CDC batch into an offloaded "
+        "target (incremental update); rewrites only affected "
+        "partitions and appends the new versions",
+    )
+    mg.add_argument("--target-dir", required=True)
+    mg.add_argument("--key-column", required=True)
+    mg.add_argument(
+        "--updates", required=True,
+        help="parquet dir of full-row new versions, unique per key",
+    )
+    mg.add_argument("--partition-source-column", required=True)
+    mg.add_argument(
+        "--partition-kind", choices=("date", "number", "string"),
+        required=True,
+    )
+    mg.add_argument("--granularity", default="M")
+    mg.add_argument("--digits", type=int, default=None)
+    mg.add_argument(
+        "--maintain-index",
+        action="append",
+        default=[],
+        help="managed index dir to maintain in-pass (repeatable); "
+        "upserts the changed keys instead of full-rebuilding",
+    )
+    mg.set_defaults(fn=cmd_merge)
 
     bl = sub.add_parser(
         "bloom",

@@ -258,7 +258,7 @@ def test_curate_command(tmp_path, capsys):
     assert rc == 0
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["final_rows"] > 0
-    assert len(res["funnel"]) == 8  # incl. LINE_SCRUB + CONTAINMENT_SCRUB
+    assert len(res["funnel"]) == 10  # incl. CLASSIFIER_FILTER + PARAGRAPH_SCRUB
 
 
 def test_heal_command_recovers_crashed_merge_and_zorder(tmp_path, capsys, spark):
@@ -568,3 +568,65 @@ def test_explain_command(capsys):
 
 def test_explain_unknown_query():
     assert main(["explain", "no_such_query"]) == 2
+
+
+def test_merge_command_with_index_maintenance(tmp_path, capsys, spark):
+    """`merge` upserts a CDC parquet batch through the CLI, and
+    --maintain-index keeps a minhash index fresh in-pass."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from goe_spark.catalog import load_table
+    from goe_spark.operators.minhash_index import (
+        ensure_signature_index,
+        load_signatures,
+    )
+    from goe_spark.plans.offload import SYNTHETIC_COL, PartitionSpec
+
+    spec = PartitionSpec("doc_id", "number", granularity=100)
+    corpus_dir = str(tmp_path / "corpus")
+    os.makedirs(corpus_dir)
+    target = os.path.join(corpus_dir, "documents.parquet")
+    base = load_table(spark, SF_SMALL, "documents")
+    base.withColumn(SYNTHETIC_COL, spec.expr()).write.partitionBy(
+        SYNTHETIC_COL
+    ).parquet(target)
+    idx = ensure_signature_index(spark, corpus_dir)
+
+    victim = base.select("doc_id").orderBy("doc_id").first()[0]
+    updates_dir = str(tmp_path / "updates")
+    base.where(F.col("doc_id") == victim).withColumn(
+        "text", F.concat(F.lit("cli merged body "), F.col("text"))
+    ).write.parquet(updates_dir)
+
+    rc = main(
+        [
+            "merge",
+            "--target-dir", target,
+            "--key-column", "doc_id",
+            "--updates", updates_dir,
+            "--partition-source-column", "doc_id",
+            "--partition-kind", "number",
+            "--granularity", "100",
+            "--maintain-index", idx,
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows_updated"] == 1 and out["rows_inserted"] == 0
+    got = (
+        spark.read.parquet(target)
+        .where(F.col("doc_id") == victim)
+        .first()["text"]
+    )
+    assert got.startswith("cli merged body ")
+    # index maintained in-pass: the victim's signature reflects the
+    # NEW text (one row, present in the overrides store)
+    assert (
+        load_signatures(spark, idx)
+        .where(F.col("doc_id") == victim)
+        .count()
+        == 1
+    )
+    assert os.path.isdir(os.path.join(idx, "overrides"))
