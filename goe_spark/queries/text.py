@@ -1712,8 +1712,97 @@ FROM per GROUP BY source
 """
 
 
+def classifier_calibration_bins(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Classifier-threshold calibration — the report a curator reads
+    before setting classifier_min_logit_milli (the CLASSIFIER_FILTER
+    stage's cut): documents binned by the model's fixed-point logit
+    (200-milli bins, clamped to ±5) and crossed with the two signals
+    a threshold should align with — the heuristic quality score and
+    the exact-duplicate mass. A model whose low-logit bins do NOT
+    hold the dups/low-quality tail is mis-calibrated for this corpus.
+
+    Plan: the logit is the same zero-join aggregate() fold as
+    classifier_scores; the dup signal reuses the fingerprint-spread
+    shuffle (hashes move, text never does); the rollup is <= 11
+    bins."""
+    from goe_spark.functions.classifier import classifier_logit_milli
+
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    docs = d.select(
+        classifier_logit_milli(F.col("text")).alias("logit"),
+        T.quality_score("text").alias("q"),
+        hash64(norm).alias("fp"),
+        T.token_count("text").alias("n_tokens"),
+    )
+    spread = docs.groupBy("fp").agg(F.count(F.lit(1)).alias("n_occ"))
+    binned = docs.join(spread, "fp").select(
+        F.least(
+            F.lit(5),
+            F.greatest(
+                F.lit(-5),
+                F.floor(F.col("logit") / 200.0).cast("int"),
+            ),
+        ).cast("int").alias("cls_bin"),
+        "q",
+        "n_tokens",
+        (F.col("n_occ") > 1).cast("long").alias("is_dup"),
+    )
+    return binned.groupBy("cls_bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_dup").alias("n_dup_docs"),
+        F.floor(F.sum("is_dup") * 10000.0 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("dup_per_10k"),
+        F.round(F.avg("q"), 4).alias("avg_quality"),
+        F.sum("n_tokens").alias("token_mass"),
+        F.floor(F.sum("n_tokens") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("mean_tokens"),
+    )
+
+
+def _classifier_calibration_sql() -> str:
+    from goe_spark.functions.classifier import classifier_logit_milli_sql
+
+    return f"""
+WITH docs AS (
+  SELECT {classifier_logit_milli_sql('text')} AS logit,
+         {T.quality_score_sql('text')} AS q,
+         {hash64_sql(_NORM_SQL)} AS fp,
+         {T.token_count_sql('text')} AS n_tokens
+  FROM documents
+), spread AS (
+  SELECT fp, count(*) AS n_occ FROM docs GROUP BY fp
+), binned AS (
+  SELECT cast(least(5, greatest(-5, floor(logit / 200.0))) AS int)
+           AS cls_bin,
+         q, n_tokens,
+         CASE WHEN n_occ > 1 THEN 1 ELSE 0 END AS is_dup
+  FROM docs JOIN spread USING (fp)
+)
+SELECT cls_bin,
+       count(*) AS n_docs,
+       cast(sum(is_dup) AS bigint) AS n_dup_docs,
+       cast(floor(sum(is_dup) * 10000.0 / count(*)) AS bigint)
+         AS dup_per_10k,
+       round(avg(q), 4) AS avg_quality,
+       cast(sum(n_tokens) AS bigint) AS token_mass,
+       cast(floor(sum(n_tokens) / count(*)) AS bigint) AS mean_tokens
+FROM binned GROUP BY cls_bin
+"""
+
+
 QUERIES = [
     QuerySpec("sentiment_by_source", sentiment_by_source, _sentiment_sql()),
+    QuerySpec(
+        "classifier_calibration_bins",
+        classifier_calibration_bins,
+        _classifier_calibration_sql(),
+        "classifier-logit bins vs quality + dup mass (threshold pick)",
+    ),
     QuerySpec(
         "text_hygiene_audit",
         text_hygiene_audit,
