@@ -753,12 +753,19 @@ def mp4_walk(h) -> "F.Column":
     Stages: 0 = top-level scan for moov; 1 = moov-child scan
     recording mvhd and the first trak (in either order); 2 = trak-
     child scan for tkhd; 3 = done; -1 = dead (truncated box, size <
-    8 bytes, or container exhausted)."""
+    8 bytes, container exhausted, or more than MP4_WALK_CAP sibling
+    hops at the current level — the `it` field counts boxes examined
+    PER LEVEL and resets on stage transitions, matching the DuckDB
+    recursive CTE's per-level `it < cap` exactly; a corrupt-SIZE
+    target box is the one residual asymmetry: the CTE's final
+    min(CASE) still sees it, the fold dies first — unreachable for
+    spec-true payloads, NULL-vs-NULL for truncated ones)."""
     # positions/sizes are 64-bit: a garbage "box" (non-BMFF bytes
     # parsed as a size field) can claim ~4 GiB and 2*size must not
     # wrap — the walk then dies on the readable check instead
     init = F.struct(
         F.lit(0).cast("int").alias("stage"),
+        F.lit(0).cast("int").alias("it"),
         F.lit(1).cast("bigint").alias("pos"),
         (F.length(h) + 1).cast("bigint").alias("lim"),
         F.lit(0).cast("bigint").alias("moov"),
@@ -768,9 +775,10 @@ def mp4_walk(h) -> "F.Column":
         F.lit(0).cast("bigint").alias("tkhd"),
     )
 
-    def mk(stage, pos, lim, moov, mvhd, trak, trak_end, tkhd):
+    def mk(stage, it, pos, lim, moov, mvhd, trak, trak_end, tkhd):
         return F.struct(
             stage.alias("stage") if hasattr(stage, "alias") else F.lit(stage).cast("int").alias("stage"),
+            it.cast("int").alias("it"),
             pos.alias("pos"),
             lim.alias("lim"),
             moov.alias("moov"),
@@ -782,44 +790,55 @@ def mp4_walk(h) -> "F.Column":
 
     def step(acc, _x):
         stage, pos, lim = acc["stage"], acc["pos"], acc["lim"]
+        it1 = (acc["it"] + F.lit(1)).cast("int")
+        zero = F.lit(0).cast("int")
         size2 = F.conv(h.substr(pos, F.lit(8)), 16, 10).cast("bigint") * 2
         typ = h.substr(pos + F.lit(8), F.lit(8))
         readable = (pos + F.lit(15)) <= lim
-        bad = (~readable) | (F.coalesce(size2, F.lit(0)) < F.lit(16))
+        capped = acc["it"] > F.lit(MP4_WALK_CAP)
+        bad = (
+            (~readable)
+            | (F.coalesce(size2, F.lit(0)) < F.lit(16))
+            | capped
+        )
         nxt = (pos + size2).cast("bigint")
         dead = mk(
-            F.lit(-1).cast("int"), pos, lim, acc["moov"], acc["mvhd"],
-            acc["trak"], acc["trak_end"], acc["tkhd"],
+            F.lit(-1).cast("int"), acc["it"], pos, lim, acc["moov"],
+            acc["mvhd"], acc["trak"], acc["trak_end"], acc["tkhd"],
         )
         return (
             F.when((stage == 3) | (stage == -1), acc)
             .when(
                 stage == 0,
-                F.when(readable & (typ == MP4_MOOV_HEX), mk(
-                    F.lit(1).cast("int"), (pos + F.lit(16)).cast("bigint"),
-                    nxt, pos, acc["mvhd"], acc["trak"],
-                    acc["trak_end"], acc["tkhd"],
-                ))
+                F.when(
+                    (~capped) & readable & (typ == MP4_MOOV_HEX), mk(
+                        F.lit(1).cast("int"), zero,
+                        (pos + F.lit(16)).cast("bigint"),
+                        nxt, pos, acc["mvhd"], acc["trak"],
+                        acc["trak_end"], acc["tkhd"],
+                    )
+                )
                 .when(bad, dead)
                 .otherwise(mk(
-                    stage, nxt, lim, acc["moov"], acc["mvhd"],
+                    stage, it1, nxt, lim, acc["moov"], acc["mvhd"],
                     acc["trak"], acc["trak_end"], acc["tkhd"],
                 )),
             )
             .when(
                 stage == 1,
-                # container exhausted or corrupt child: jump into the
-                # recorded trak for tkhd, or die if none was seen
+                # container exhausted, corrupt child or level cap:
+                # jump into the recorded trak for tkhd, or die if
+                # none was seen
                 F.when(
                     bad,
                     F.when(acc["trak"] > 0, mk(
-                        F.lit(2).cast("int"),
+                        F.lit(2).cast("int"), zero,
                         (acc["trak"] + F.lit(16)).cast("bigint"),
                         acc["trak_end"], acc["moov"], acc["mvhd"],
                         acc["trak"], acc["trak_end"], acc["tkhd"],
                     )).otherwise(dead),
                 ).otherwise(mk(
-                    stage, nxt, lim, acc["moov"],
+                    stage, it1, nxt, lim, acc["moov"],
                     F.when(
                         (typ == MP4_MVHD_HEX) & (acc["mvhd"] == 0), pos
                     ).otherwise(acc["mvhd"]).cast("bigint"),
@@ -833,19 +852,22 @@ def mp4_walk(h) -> "F.Column":
                 )),
             )
             # stage 2: trak children
-            .when(readable & (typ == MP4_TKHD_HEX), mk(
-                F.lit(3).cast("int"), pos, lim, acc["moov"], acc["mvhd"],
-                acc["trak"], acc["trak_end"], pos,
-            ))
+            .when(
+                (~capped) & readable & (typ == MP4_TKHD_HEX), mk(
+                    F.lit(3).cast("int"), acc["it"], pos, lim,
+                    acc["moov"], acc["mvhd"],
+                    acc["trak"], acc["trak_end"], pos,
+                )
+            )
             .when(bad, dead)
             .otherwise(mk(
-                stage, nxt, lim, acc["moov"], acc["mvhd"],
+                stage, it1, nxt, lim, acc["moov"], acc["mvhd"],
                 acc["trak"], acc["trak_end"], acc["tkhd"],
             ))
         )
 
     res = F.aggregate(
-        F.sequence(F.lit(1), F.lit(_MP4_TOTAL_CAP)), init, step
+        F.sequence(F.lit(1), F.lit(3 * (MP4_WALK_CAP + 2))), init, step
     )
     return F.struct(
         F.when(res["moov"] > 0, res["moov"]).alias("moov_pos"),

@@ -619,3 +619,72 @@ FROM mp4_loc l
         # non-BMFF rows may be absent from the walk entirely — both
         # mean "no parse"
         assert got.get(i, (None,) * 5) == want, (i, got.get(i))
+
+
+def test_mp4_per_level_cap_matches_duckdb(spark):
+    """A moov with the first trak early but mvhd past MP4_WALK_CAP
+    siblings: both engines find tkhd, neither finds mvhd — the Spark
+    fold's per-level `it` counter matches the CTE's per-level cap."""
+    import struct
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from goe_spark.multimodal.media import (
+        MP4_WALK_CAP,
+        _hex_of,
+        mp4_timescale,
+        mp4_track_width,
+        mp4_walk,
+        mp4_walk_sql_ctes,
+    )
+
+    ftyp = _mp4_box(b"ftyp", b"isom" + b"\0\0\0\0")
+    free = _mp4_box(b"free", b"\0" * 4)
+    # moov: trak first, then MP4_WALK_CAP+2 free boxes, then mvhd
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    tkhd = _mp4_box(
+        b"tkhd",
+        bytes([0, 0, 0, 3]) + struct.pack(">IIIII", 0, 0, 1, 0, 100)
+        + b"\0" * 8 + struct.pack(">HHHH", 0, 0, 0x100, 0) + matrix
+        + struct.pack(">II", 320 << 16, 240 << 16),
+    )
+    mvhd = _mp4_box(
+        b"mvhd",
+        bytes([0, 0, 0, 0]) + struct.pack(">IIII", 0, 0, 600, 1200)
+        + struct.pack(">I", 0x10000) + struct.pack(">H", 0x100)
+        + b"\0" * 10 + matrix + b"\0" * 24 + struct.pack(">I", 2),
+    )
+    moov = _mp4_box(
+        b"moov",
+        _mp4_box(b"trak", tkhd)
+        + free * (MP4_WALK_CAP + 2)
+        + mvhd,
+    )
+    payload = ftyp + moov
+
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, content binary"
+    )
+    loc = df.select(
+        "media_id", "content",
+        F.inline(F.array(mp4_walk(_hex_of(F.col("content"))))),
+    )
+    h = _hex_of(F.col("content"))
+    row = loc.select(
+        mp4_timescale(h, F.col("mvhd_pos")).alias("ts"),
+        mp4_track_width(h, F.col("tkhd_pos")).alias("w"),
+    ).first()
+    assert row.w == 320 and row.ts is None
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE media (media_id BIGINT, content BLOB)")
+    con.execute("INSERT INTO media VALUES (1, ?)", [payload])
+    got = con.execute(f"""
+WITH RECURSIVE hexed AS (
+  SELECT media_id, upper(hex(content)) AS h FROM media
+),
+{mp4_walk_sql_ctes('hexed')}
+SELECT mvhd_pos IS NULL, tkhd_pos IS NOT NULL FROM mp4_loc
+""").fetchone()
+    assert got == (True, True)

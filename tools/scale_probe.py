@@ -59,6 +59,9 @@ PROBE_QUERIES = [
     # CONTAINMENT_DF_CAP must hold the quadratic term down)
     "editdist_near_dup_pairs",
     "shingle_containment_pairs",
+    # round-11 pair generator (paragraph-grain LSH: bucket cap must
+    # hold with ~3x the signature count of doc-grain minhash)
+    "paragraph_dedup_stats",
     # relational family (10x facts, consistent key remap)
     "q1_pricing_summary",
     "q9_product_profit",
@@ -250,6 +253,7 @@ PROBE_QUERIES_SF10 = [
     "minhash_lsh_pairs",
     "editdist_near_dup_pairs",
     "shingle_containment_pairs",
+    "paragraph_dedup_stats",
     "ngram_jaccard_pairs",
     "cross_doc_ngram_coverage",
     "semantic_dedup_keep_first",
