@@ -213,6 +213,25 @@ def upsert_segments(
     return n
 
 
+def upsert_paragraphs(
+    spark: SparkSession, index_dir: str, changed_docs: DataFrame
+) -> int:
+    """O(changed) paragraph-index maintenance under UPSERT (see
+    upsert_signatures; a doc's rows in the overrides store are ALL of
+    its (idx, mh) paragraph rows, recomputed from the new text)."""
+    from goe_spark.operators.paragraph_index import paragraph_sig_frame
+
+    keys = (
+        changed_docs.select("doc_id").distinct().localCheckpoint(eager=True)
+    )
+    sigs = paragraph_sig_frame(changed_docs).localCheckpoint(eager=True)
+    evict_keys(spark, index_dir, keys, "doc_id")
+    n = sigs.count()
+    if n:
+        sigs.write.mode("append").parquet(_override_path(index_dir))
+    return n
+
+
 def upsert_vectors(
     spark: SparkSession, index_dir: str, changed_vecs: DataFrame
 ) -> int:
@@ -261,9 +280,11 @@ def upsert_for_index(
         return upsert_signatures(spark, index_dir, changed_rows)
     if os.path.isdir(os.path.join(index_dir, "segments")):
         return upsert_segments(spark, index_dir, changed_rows)
+    if os.path.isdir(os.path.join(index_dir, "paragraphs")):
+        return upsert_paragraphs(spark, index_dir, changed_rows)
     if os.path.isdir(os.path.join(index_dir, "centroids")):
         return upsert_vectors(spark, index_dir, changed_rows)
     raise ValueError(
         f"{index_dir}: unrecognized index layout (none of signatures/, "
-        "segments/, centroids/)"
+        "segments/, paragraphs/, centroids/)"
     )

@@ -1527,7 +1527,16 @@ def paragraph_dedup_stats(
     corpus-scale shuffle, capped per bucket like minhash_lsh_pairs;
     dup flags aggregate at (doc, idx) grain, then one lang rollup.
     Nothing quadratic outside genuinely colliding buckets."""
-    sigs = _paragraph_sigs(spark, sf_dir)
+    # Full-catalog run: read the materialized paragraph index
+    # (operators/paragraph_index, fingerprint-fresh) instead of
+    # re-shingling the corpus — the same persisted signatures the
+    # incremental probe scans.
+    from goe_spark.operators.paragraph_index import (
+        ensure_paragraph_index,
+        load_paragraphs,
+    )
+
+    sigs = load_paragraphs(spark, ensure_paragraph_index(spark, sf_dir))
     pairs = paragraph_dup_pairs(sigs)
     dup_pids = (
         pairs.select(F.col("pid1").alias("pid"))
@@ -1560,16 +1569,169 @@ def paragraph_dedup_stats(
     )
 
 
-def _paragraph_dedup_sql() -> str:
+def paragraph_probe_new_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental paragraph-grain probe: new docs (doc_id %
+    {NEW_DOC_MOD} == 0, the daily-increment stand-in) against the
+    MATERIALIZED corpus paragraph index — does any paragraph of an
+    incoming doc already exist (near-duplicate, agreement >=
+    {PARA_SIM_MIN}) in the standing corpus? The sub-document twin of
+    minhash_probe_new_docs: only the batch pays signature
+    computation; the index side scans persisted (doc_id, idx, mh)
+    rows, no text. Bucket occupancy is capped on the UNION of index
+    and batch band rows, exactly like the full pair join, so the
+    probe stays a strict restriction of it.
+
+    Output: one row per new doc with >= 1 matched paragraph —
+    paragraph counts, matched-paragraph count, best agreement, and
+    the fully-duplicated flag (every signed paragraph already in the
+    corpus: the doc adds nothing)."""
+    from goe_spark.operators import minhash as MH
+    from goe_spark.operators.paragraph_index import (
+        ensure_paragraph_index,
+        load_paragraphs,
+    )
+
+    is_new = F.col("doc_id") % NEW_DOC_MOD == 0
+    idx_dir = ensure_paragraph_index(spark, sf_dir)
+    idx_sigs = load_paragraphs(spark, idx_dir).where(~is_new)
+    new_all = _paragraph_sigs(
+        spark, sf_dir, docs=load_table(spark, sf_dir, "documents").where(is_new)
+    )
+
+    def bands_of(sigs: DataFrame, pid_name: str, mh_name: str) -> DataFrame:
+        keyed = sigs.where(F.col("mh").isNotNull()).select(
+            (F.col("doc_id") * PARA_KEY_BASE + F.col("idx")).alias(pid_name),
+            F.col("mh").alias(mh_name),
+        )
+        return keyed.select(
+            pid_name,
+            mh_name,
+            F.explode(MH.band_structs(F.col(mh_name))).alias("bs"),
+        ).select(
+            pid_name,
+            mh_name,
+            F.col("bs.band").alias("band"),
+            F.col("bs.sig").alias("sig"),
+        )
+
+    new_b = bands_of(new_all, "new_pid", "new_mh")
+    idx_b = bands_of(idx_sigs, "idx_pid", "idx_mh")
+    occ = idx_b.select("band", "sig").unionByName(
+        new_b.select("band", "sig")
+    )
+    ok = (
+        occ.groupBy("band", "sig")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") <= LSH_BUCKET_CAP)
+        .select("band", "sig")
+    )
+    cands = (
+        new_b.join(idx_b.join(ok, ["band", "sig"]), ["band", "sig"])
+        .select(
+            "new_pid",
+            "idx_pid",
+            F.round(
+                MH.minhash_agreement(F.col("new_mh"), F.col("idx_mh")), 6
+            ).alias("est"),
+        )
+        .distinct()
+        .where(F.col("est") >= PARA_SIM_MIN)
+    )
+    per_para = cands.groupBy("new_pid").agg(F.max("est").alias("best_est"))
+    joined = new_all.join(
+        per_para,
+        (F.col("doc_id") * PARA_KEY_BASE + F.col("idx"))
+        == F.col("new_pid"),
+        "left",
+    )
+    per_doc = joined.groupBy("doc_id").agg(
+        F.max("n_paras").alias("n_paras"),
+        F.sum(F.col("mh").isNotNull().cast("long")).alias("n_signed"),
+        F.sum(F.col("new_pid").isNotNull().cast("long")).alias(
+            "n_matched_paras"
+        ),
+        F.round(F.max("best_est"), 6).alias("best_est_jaccard"),
+    )
+    return per_doc.where(F.col("n_matched_paras") > 0).select(
+        "doc_id",
+        "n_paras",
+        "n_signed",
+        "n_matched_paras",
+        "best_est_jaccard",
+        (
+            (F.col("n_signed") > 0)
+            & (F.col("n_matched_paras") == F.col("n_signed"))
+        ).cast("long").alias("fully_dup"),
+    )
+
+
+def _paragraph_probe_sql() -> str:
+    from goe_spark.operators import minhash as MH
+
+    agree = MH.minhash_agreement_sql("s1.mh", "s2.mh")
+    return f"""
+WITH {_paragraph_sig_ctes_sql()}, bands AS ({MH.band_rows_sql("mh")}),
+new_b AS (
+  SELECT * FROM bands WHERE doc_id // {PARA_KEY_BASE} % {NEW_DOC_MOD} = 0
+),
+idx_b AS (
+  SELECT * FROM bands WHERE doc_id // {PARA_KEY_BASE} % {NEW_DOC_MOD} <> 0
+),
+ok AS (
+  SELECT band, sig FROM bands GROUP BY 1, 2
+  HAVING count(*) <= {LSH_BUCKET_CAP}
+),
+cands AS (
+  SELECT DISTINCT n.doc_id AS new_pid, i.doc_id AS idx_pid
+  FROM new_b n
+  JOIN idx_b i ON i.band = n.band AND i.sig = n.sig
+  JOIN ok ON ok.band = n.band AND ok.sig = n.sig
+),
+scored AS (
+  SELECT new_pid, round({agree}, 6) AS est
+  FROM cands
+  JOIN sigs s1 ON s1.doc_id = new_pid
+  JOIN sigs s2 ON s2.doc_id = idx_pid
+  WHERE {agree} >= {PARA_SIM_MIN}
+),
+per_para AS (
+  SELECT new_pid, max(est) AS best_est FROM scored GROUP BY new_pid
+),
+per_doc AS (
+  SELECT a.doc_id,
+         max(a.n_paras) AS n_paras,
+         cast(sum(CASE WHEN a.mh IS NOT NULL THEN 1 ELSE 0 END)
+              AS bigint) AS n_signed,
+         cast(sum(CASE WHEN p.new_pid IS NOT NULL THEN 1 ELSE 0 END)
+              AS bigint) AS n_matched_paras,
+         round(max(p.best_est), 6) AS best_est_jaccard
+  FROM allsigs a
+  LEFT JOIN per_para p
+    ON a.doc_id * {PARA_KEY_BASE} + a.idx = p.new_pid
+  WHERE a.doc_id % {NEW_DOC_MOD} = 0
+  GROUP BY a.doc_id
+)
+SELECT doc_id, n_paras, n_signed, n_matched_paras, best_est_jaccard,
+       cast(CASE WHEN n_signed > 0 AND n_matched_paras = n_signed
+                 THEN 1 ELSE 0 END AS bigint) AS fully_dup
+FROM per_doc WHERE n_matched_paras > 0
+"""
+
+
+def _paragraph_sig_ctes_sql() -> str:
+    """Shared DuckDB CTE block recomputing the paragraph signature
+    lineage (docs -> paras -> hashed -> allsigs -> pid-keyed sigs) —
+    one text, used by the stats oracle and the probe oracle so the
+    lineages cannot drift."""
     from goe_spark.operators import minhash as MH
 
     toks = r"regexp_split_to_array(trim(text), '\s+')"
     ptoks = f"toks[(i * {PARA_WORDS} + 1):((i + 1) * {PARA_WORDS})]"
     th = MH.token_hashes_sql("ptoks")
     mh = MH.minhash_signature_sql("sh")
-    agree = MH.minhash_agreement_sql("s1.mh", "s2.mh")
-    return f"""
-WITH docs AS (
+    return f"""docs AS (
   SELECT doc_id, lang, {toks} AS toks FROM documents
 ), paras AS (
   SELECT doc_id, lang,
@@ -1589,7 +1751,15 @@ WITH docs AS (
 ), sigs AS (
   SELECT doc_id * {PARA_KEY_BASE} + idx AS doc_id, mh
   FROM allsigs WHERE mh IS NOT NULL
-), bands AS ({MH.band_rows_sql("mh")}),
+)"""
+
+
+def _paragraph_dedup_sql() -> str:
+    from goe_spark.operators import minhash as MH
+
+    agree = MH.minhash_agreement_sql("s1.mh", "s2.mh")
+    return f"""
+WITH {_paragraph_sig_ctes_sql()}, bands AS ({MH.band_rows_sql("mh")}),
 ok_buckets AS (
   SELECT band, sig FROM bands GROUP BY 1, 2 HAVING count(*) <= {LSH_BUCKET_CAP}
 ),
@@ -1641,6 +1811,12 @@ QUERIES = [
         paragraph_dedup_stats,
         _paragraph_dedup_sql(),
         "sub-document MinHash dedup with doc reconstruction accounting",
+    ),
+    QuerySpec(
+        "paragraph_probe_new_docs",
+        paragraph_probe_new_docs,
+        _paragraph_probe_sql(),
+        "incremental paragraph probe vs the materialized index",
     ),
     QuerySpec("ngram_jaccard_pairs", ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
     QuerySpec("minhash_lsh_pairs", minhash_lsh_pairs, _minhash_lsh_sql()),

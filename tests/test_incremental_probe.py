@@ -293,3 +293,83 @@ def test_bigram_lm_report_invariants(spark):
         assert r.n_docs == uni[lang].n_docs
         assert r.avg_logprob < 0
         assert r.worst_logprob <= r.avg_logprob
+
+
+def test_paragraph_index_append_is_bit_identical_to_rebuild(spark, tmp_path):
+    """The paragraph index obeys the same append contract as the
+    doc-grain signature index: per-paragraph rows are pure functions
+    of their doc's text."""
+    from goe_spark.catalog import load_table
+    from goe_spark.operators.paragraph_index import (
+        append_paragraphs,
+        build_paragraph_index,
+        load_paragraphs,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+
+    inc_dir = str(tmp_path / "inc")
+    build_paragraph_index(spark, old, inc_dir)
+    n = append_paragraphs(spark, inc_dir, new)
+    assert n > 0
+
+    full_dir = str(tmp_path / "full")
+    build_paragraph_index(spark, docs, full_dir)
+
+    def key(df):
+        return {
+            (r.doc_id, r.idx, tuple(r.mh) if r.mh is not None else None)
+            for r in df.collect()
+        }
+
+    assert key(load_paragraphs(spark, inc_dir)) == key(
+        load_paragraphs(spark, full_dir)
+    )
+
+
+def test_paragraph_index_upsert_and_merge_dispatch(spark, tmp_path):
+    """upsert_for_index routes a documents batch to the paragraph
+    maintainer (paragraphs/ layout); the upserted doc serves its NEW
+    paragraph signatures, identical to a rebuild."""
+    import os
+
+    from goe_spark.catalog import load_table
+    from goe_spark.operators.index_maintenance import upsert_for_index
+    from goe_spark.operators.paragraph_index import (
+        build_paragraph_index,
+        load_paragraphs,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").localCheckpoint(
+        eager=True
+    )
+    idx_dir = str(tmp_path / "pidx")
+    build_paragraph_index(spark, docs, idx_dir)
+    os.makedirs(idx_dir, exist_ok=True)
+    import json as _json
+
+    with open(os.path.join(idx_dir, "_INDEX_META.json"), "w") as f:
+        _json.dump({"source": None, "fingerprint": "x", "version": 1}, f)
+
+    victim = docs.select("doc_id").orderBy("doc_id").first()[0]
+    changed = docs.where(F.col("doc_id") == victim).withColumn(
+        "text", F.concat(F.lit("rewritten paragraph body "), F.col("text"))
+    ).localCheckpoint(eager=True)
+    n = upsert_for_index(spark, idx_dir, changed)
+    assert n > 0
+
+    rebuilt_dir = str(tmp_path / "rebuilt")
+    merged_docs = docs.where(F.col("doc_id") != victim).unionByName(changed)
+    build_paragraph_index(spark, merged_docs, rebuilt_dir)
+
+    def rows(df, did):
+        return {
+            (r.idx, tuple(r.mh) if r.mh is not None else None)
+            for r in df.where(F.col("doc_id") == did).collect()
+        }
+
+    assert rows(load_paragraphs(spark, idx_dir), victim) == rows(
+        load_paragraphs(spark, rebuilt_dir), victim
+    )
