@@ -1445,15 +1445,39 @@ def _paragraph_sigs(
     inst = paras.select(
         "doc_id", "lang", "n_paras", F.explode_outer("ps").alias("p")
     ).where(F.col("p").isNotNull())
-    th = MH.token_hashes(F.col("p.ptoks"))
-    return inst.select(
+    # THREE bound-column projections (token hashes -> shingle hashes
+    # -> signature), the signature_frame discipline: an inline
+    # composition would duplicate the md5 token hashing into all 16
+    # array_min references of minhash_signature (measured: the sf10
+    # probe crawled at ~16x the expected per-paragraph cost).
+    # CollapseProject keeps non-cheap aliases referenced more than
+    # once as separate projects, so md5 runs once per token.
+    th_f = inst.select(
         "doc_id",
         "lang",
         "n_paras",
         F.col("p.idx").alias("idx"),
         F.when(
             F.size(F.col("p.ptoks")) >= 3,
-            MH.minhash_signature(MH.arith_shingle_hashes(th)),
+            MH.token_hashes(F.col("p.ptoks")),
+        ).alias("th"),
+    )
+    sh_f = th_f.select(
+        "doc_id",
+        "lang",
+        "n_paras",
+        "idx",
+        F.when(
+            F.col("th").isNotNull(), MH.arith_shingle_hashes(F.col("th"))
+        ).alias("sh"),
+    )
+    return sh_f.select(
+        "doc_id",
+        "lang",
+        "n_paras",
+        "idx",
+        F.when(
+            F.col("sh").isNotNull(), MH.minhash_signature(F.col("sh"))
         ).alias("mh"),
     )
 
