@@ -900,3 +900,37 @@ def test_cross_lang_no_hashing_below_the_spread_exchange(spark):
         for line in plan.splitlines():
             if "Filter" in line:
                 assert "md5" not in line, (q.__name__, line)
+
+
+def test_paragraph_pairs_no_quadratic_join_no_text_shuffle(spark):
+    """Paragraph pair generation is the banded-LSH shape: no
+    cartesian/BNLJ, no exchange carrying text or token arrays, and no
+    md5 hashing pushed into a Filter below the spread exchange (the
+    cross_lang/line_dedup plan discipline at paragraph grain)."""
+    import re as _re
+
+    from goe_spark.queries.dedup import _paragraph_sigs, paragraph_dup_pairs
+
+    sigs = _paragraph_sigs(spark, SF_SMALL)
+    plan = _plan(paragraph_dup_pairs(sigs), "formatted")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    for m in _re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), plan
+        assert "ptoks" not in m.group(1), plan
+    for line in plan.splitlines():
+        if "Filter" in line:
+            assert "md5" not in line, line
+
+
+def test_paragraph_stats_reads_materialized_index(spark):
+    """Full-catalog paragraph_dedup_stats consumes the persisted
+    paragraph index: the plan scans the index parquet and contains
+    ZERO md5 shingle hashing (signatures are never recomputed)."""
+    from goe_spark.operators.paragraph_index import ensure_paragraph_index
+    from goe_spark.queries.dedup import paragraph_dedup_stats
+
+    ensure_paragraph_index(spark, SF_SMALL)
+    plan = _plan(paragraph_dedup_stats(spark, SF_SMALL), "simple")
+    assert "paragraph_index" in plan, plan
+    assert "md5" not in plan, plan
