@@ -139,7 +139,7 @@ def test_curate_route(base_url, tmp_path):
     )
     assert status == 200
     assert body["final_rows"] > 0
-    assert len(body["funnel"]) == 8  # incl. LINE_SCRUB + CONTAINMENT_SCRUB
+    assert len(body["funnel"]) == 10  # incl. CLASSIFIER_FILTER + PARAGRAPH_SCRUB
 
 
 def test_curate_route_missing_field_400(base_url):
