@@ -875,7 +875,12 @@ def media_mp4_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         mp4_walk,
     )
 
-    d = load_table(spark, sf_dir, "documents")
+    from goe_spark.catalog import spread
+
+    # the synthesis + walker fold is CPU-bound interpreted work; a
+    # single-split documents scan would serialize it onto one task
+    # (measured 5 s at sf0.1) — spread parallelizes it across cores
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     did = F.col("doc_id")
     ts = (
         F.when(did % 3 == 0, 600)
