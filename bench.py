@@ -169,6 +169,25 @@ def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def clear_persisted(spark) -> None:
+    """Drop every cached/persisted RDD block between queries. Without
+    this, localCheckpoint blocks from earlier queries accumulate in
+    the block manager for the whole sweep and late-positioned queries
+    run under GC/eviction pressure the early ones never see — the
+    round-11 rotation moved the embedding family from HEAD to the
+    tail and its medians silently grew 2-4x from POSITION alone
+    (verified: isolated re-runs matched the old numbers). Every
+    checkpoint in goe_spark is per-invocation (no module-level
+    DataFrame caches — audited), so dropping blocks between queries
+    is safe; the warm-up run re-creates whatever the next query
+    needs."""
+    spark.catalog.clearCache()
+    jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    it = jmap.values().iterator()
+    while it.hasNext():
+        it.next().unpersist(False)
+
+
 # --- CPU calibration probe (round-10 VERDICT task 2) -----------------
 # Round 10's headline drifted 1.26x vs round 9 with a uniform
 # multiplier on CPU-bound work and flat streaming floors — consistent
@@ -277,6 +296,8 @@ def main() -> None:
             errs[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"bench: {name} FAILED: {errs[name]}", file=sys.stderr)
             continue
+        finally:
+            clear_persisted(spark)  # untimed; see docstring
         med[name] = round(statistics.median(runs), 3)
         mins[name] = round(min(runs), 3)
         maxs[name] = round(max(runs), 3)
