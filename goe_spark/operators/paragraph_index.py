@@ -7,7 +7,7 @@ standing corpus they are persisted ONCE per source fingerprint — the
 exact discipline the doc-grain signature index (operators/
 minhash_index.py), the segment index and the IVF index follow:
 
-- paragraphs/: parquet (doc_id, lang, n_paras, idx, mh array<long>)
+- paragraphs/: parquet (doc_id, lang, n_paras, idx, signed, mh)
   — one row per paragraph INCLUDING sub-shingle-width ones (mh NULL),
   so doc-level reconstruction accounting (n_paras, full-dup docs)
   rebuilds entirely from the index without touching text.
@@ -38,7 +38,10 @@ from pyspark.sql import DataFrame, SparkSession
 from goe_spark.operators.ivf import _REPO_ROOT, _source_fingerprint
 
 INDEX_ROOT = os.path.join(_REPO_ROOT, "spark-warehouse", "paragraph_index")
-INDEX_VERSION = 1
+# v2 adds the cheap `signed` column (pre-hashing shingle-ability
+# flag) so LSH consumers never filter on mh IS NOT NULL — that
+# predicate inlines the md5 signature lineage into a Filter
+INDEX_VERSION = 2
 
 
 def paragraph_sig_frame(docs: DataFrame) -> DataFrame:

@@ -85,6 +85,7 @@ HEAD = (
     "embedding_dead_dims",
     "classifier_calibration_bins",
     "paragraph_probe_new_docs",
+    "dedup_survivor_bias_audit",
     # -- r8-stale fillers to pad the window to 50 --
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -94,7 +95,6 @@ HEAD = (
     "q6_forecast_revenue",
     "q7_volume_shipping",
     "q8_market_share",
-    "q9_product_profit",
 )
 TAIL = ()
 

@@ -1457,6 +1457,12 @@ def _paragraph_sigs(
         "lang",
         "n_paras",
         F.col("p.idx").alias("idx"),
+        # `signed` is the CHEAP pre-hashing shingle-ability flag:
+        # downstream LSH consumers filter on it, never on
+        # mh.isNotNull() — that predicate would inline the whole md5
+        # signature lineage into a Filter (the md5_in_filter hazard
+        # class the plan audit polices)
+        (F.size(F.col("p.ptoks")) >= 3).alias("signed"),
         F.when(
             F.size(F.col("p.ptoks")) >= 3,
             MH.token_hashes(F.col("p.ptoks")),
@@ -1467,6 +1473,7 @@ def _paragraph_sigs(
         "lang",
         "n_paras",
         "idx",
+        "signed",
         F.when(
             F.col("th").isNotNull(), MH.arith_shingle_hashes(F.col("th"))
         ).alias("sh"),
@@ -1476,6 +1483,7 @@ def _paragraph_sigs(
         "lang",
         "n_paras",
         "idx",
+        "signed",
         F.when(
             F.col("sh").isNotNull(), MH.minhash_signature(F.col("sh"))
         ).alias("mh"),
@@ -1493,7 +1501,7 @@ def paragraph_dup_pairs(
     surfaces)."""
     from goe_spark.operators import minhash as MH
 
-    with_sig = sigs.where(F.col("mh").isNotNull()).select(
+    with_sig = sigs.where(F.col("signed")).select(
         (F.col("doc_id") * PARA_KEY_BASE + F.col("idx")).alias("pid"),
         "doc_id",
         "mh",
@@ -1625,7 +1633,7 @@ def paragraph_probe_new_docs(
     )
 
     def bands_of(sigs: DataFrame, pid_name: str, mh_name: str) -> DataFrame:
-        keyed = sigs.where(F.col("mh").isNotNull()).select(
+        keyed = sigs.where(F.col("signed")).select(
             (F.col("doc_id") * PARA_KEY_BASE + F.col("idx")).alias(pid_name),
             F.col("mh").alias(mh_name),
         )

@@ -335,6 +335,133 @@ FROM ranked GROUP BY cluster_id
 """
 
 
+def dedup_survivor_bias_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """What the keep-best dedup rule REMOVES, per source — the bias
+    audit a curator runs before trusting a dedup pass: a source whose
+    docs disproportionately lose the per-cluster quality argmax is
+    being silently downweighted by dedup (syndicated feeds whose
+    copies are marginally worse, re-crawls with boilerplate drift).
+    Per source: docs, clustered docs, removed docs (non-survivors
+    under the SAME keep-best rule as dedup_keep_best), removal rate
+    per 10k, token mass removed, and mean quality of removed vs
+    surviving clustered docs.
+
+    Plan: rides the pair-bounded CC labels; quality/token scoring
+    joins only clustered docs (label-relation grain); the per-source
+    totals are one cheap corpus aggregate joined at source grain
+    (<= catalog-bounded rows). Nothing corpus-quadratic."""
+    from pyspark.sql.window import Window
+
+    labels = _cc_labels(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        T.quality_score("text").alias("quality"),
+        T.token_count("text").alias("n_tokens"),
+    )
+    scored = labels.join(d, labels.node == d.doc_id).select(
+        F.col("label").alias("cluster_id"),
+        "doc_id",
+        "source",
+        "quality",
+        "n_tokens",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    ranked = scored.withColumn(
+        "removed", (F.row_number().over(w) > 1).cast("long")
+    )
+    per_source_cluster = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_clustered"),
+        F.sum("removed").alias("n_removed"),
+        F.sum(F.col("removed") * F.col("n_tokens")).alias(
+            "tokens_removed"
+        ),
+        F.round(
+            F.sum(F.col("removed") * F.col("quality"))
+            / F.sum("removed"),
+            6,
+        ).alias("avg_quality_removed"),
+        F.round(
+            F.sum((1 - F.col("removed")) * F.col("quality"))
+            / F.sum(1 - F.col("removed")),
+            6,
+        ).alias("avg_quality_kept"),
+    )
+    totals = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        totals.join(per_source_cluster, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_clustered", F.lit(0)).alias("n_clustered"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            F.floor(
+                F.coalesce("n_removed", F.lit(0)) * 10000.0 / F.col("n_docs")
+            ).cast("long").alias("removed_per_10k"),
+            F.coalesce("tokens_removed", F.lit(0)).alias("tokens_removed"),
+            "avg_quality_removed",
+            "avg_quality_kept",
+        )
+    )
+
+
+def _survivor_bias_sql() -> str:
+    from goe_spark.functions.text import quality_score_sql, token_count_sql
+
+    return f"""
+WITH RECURSIVE lsh_pairs AS (
+  SELECT id1, id2 FROM ({_minhash_lsh_sql()})
+), edges AS (
+  SELECT id1 AS src, id2 AS dst FROM lsh_pairs
+  UNION ALL
+  SELECT id2, id1 FROM lsh_pairs
+), reach(node, anc) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.anc FROM reach r JOIN edges e ON e.src = r.node
+), labels AS (
+  SELECT node, min(anc) AS cluster_id FROM reach GROUP BY node
+), scored AS (
+  SELECT l.cluster_id, d.doc_id, d.source,
+         {quality_score_sql('d.text')} AS quality,
+         {token_count_sql('d.text')} AS n_tokens
+  FROM labels l JOIN documents d ON d.doc_id = l.node
+), ranked AS (
+  SELECT *, CASE WHEN row_number() OVER (
+              PARTITION BY cluster_id
+              ORDER BY quality DESC, doc_id ASC) > 1
+            THEN 1 ELSE 0 END AS removed
+  FROM scored
+), per_source AS (
+  SELECT source,
+         count(*) AS n_clustered,
+         cast(sum(removed) AS bigint) AS n_removed,
+         cast(sum(removed * n_tokens) AS bigint) AS tokens_removed,
+         round(sum(removed * quality) / sum(removed), 6)
+           AS avg_quality_removed,
+         round(sum((1 - removed) * quality) / sum(1 - removed), 6)
+           AS avg_quality_kept
+  FROM ranked GROUP BY source
+), totals AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+)
+SELECT t.source,
+       t.n_docs,
+       coalesce(p.n_clustered, 0) AS n_clustered,
+       coalesce(p.n_removed, 0) AS n_removed,
+       cast(floor(coalesce(p.n_removed, 0) * 10000.0 / t.n_docs)
+            AS bigint) AS removed_per_10k,
+       coalesce(p.tokens_removed, 0) AS tokens_removed,
+       p.avg_quality_removed,
+       p.avg_quality_kept
+FROM totals t LEFT JOIN per_source p USING (source)
+"""
+
+
 def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language sampling audit: hash doc_id into 100
     buckets, keep buckets below the language's rate. Output is the
@@ -2041,6 +2168,12 @@ QUERIES = [
         "Heaps-law vocabulary growth per doc_id-ordered shard",
     ),
     QuerySpec("dedup_keep_best", dedup_keep_best, _dedup_keep_best_sql()),
+    QuerySpec(
+        "dedup_survivor_bias_audit",
+        dedup_survivor_bias_audit,
+        _survivor_bias_sql(),
+        "per-source removal bias of the keep-best dedup rule",
+    ),
     QuerySpec(
         "stratified_sample_docs", stratified_sample_docs, STRATIFIED_SAMPLE_SQL
     ),

@@ -59,6 +59,11 @@ MD5_FILTER_OK = {
     "dsir_importance_weights",
     "cms_user_counts",
     "quality_calibration_bins",
+    # r11: identical shape to quality_calibration_bins — the fp
+    # (hash64 of normalized text) join's inferred isnotnull lands ONE
+    # per-doc md5 in a Filter at scan parallelism; rationale row in
+    # SCALE.md
+    "classifier_calibration_bins",
 }
 
 # Unpartitioned windows over provably bounded relations — audited
