@@ -146,3 +146,33 @@ def lang_scores_sql(expr: str) -> dict[str, str]:
         lst = ", ".join(f"'{w}'" for w in ws)
         out[lang] = f"len(list_filter({tokens_sql(expr)}, t -> t IN ({lst})))"
     return out
+
+
+# text-hygiene defect classes: control chars (minus \t\n\r — C4 keeps
+# those), the U+FFFD replacement char (encoding damage), zero-width
+# chars (homoglyph spam / watermarking), run-on whitespace. Java
+# regex and RE2 spell the classes differently; same codepoints.
+CTRL_JAVA = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+CTRL_RE2 = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
+ZW_JAVA = "[\\u200B\\u200C\\u200D\\uFEFF]"
+ZW_RE2 = r"[\x{200B}\x{200C}\x{200D}\x{FEFF}]"
+
+
+def hygiene_scrub(col: Column | str) -> Column:
+    """The pre-tokenizer unicode scrub every web pipeline runs first:
+    strip control chars / U+FFFD / zero-width chars, collapse run-on
+    whitespace. ONE code path for the text_hygiene_audit report and
+    the curation HYGIENE_SCRUB stage."""
+    c = F.col(col) if isinstance(col, str) else col
+    scrub_class = f"({CTRL_JAVA}|\\uFFFD|{ZW_JAVA})"
+    return F.regexp_replace(
+        F.regexp_replace(c, scrub_class, ""), " {2,}", " "
+    )
+
+
+def hygiene_scrub_sql(expr: str) -> str:
+    return (
+        f"regexp_replace(regexp_replace({expr}, "
+        f"'({CTRL_RE2}|\\x{{FFFD}}|{ZW_RE2})', '', 'g'), "
+        "' {2,}', ' ', 'g')"
+    )

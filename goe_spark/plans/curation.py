@@ -1,6 +1,13 @@
 """End-to-end corpus curation pipeline — the training-data analogue of
 the offload pipeline, composed from the repo's own operators:
 
+  HYGIENE_SCRUB  pre-tokenizer unicode scrub (control chars, U+FFFD
+                 encoding damage, zero-width chars, run-on whitespace
+                 — functions/text.py::hygiene_scrub, the same ONE
+                 expression the text_hygiene_audit report measures);
+                 docs scrubbed empty are dropped. Runs FIRST so every
+                 later stage — rule gate, fingerprints, signatures —
+                 sees clean text
   RULE_FILTER    Gopher-style rule gate (word count / mean token
                  length / alpha fraction; the English-marker stopword
                  rule stays OFF in the multilingual pipeline —
@@ -74,6 +81,7 @@ from goe_spark.plans.metadata import atomic_write_json
 from goe_spark.plans.steps import StepRunner
 
 STAGES = (
+    "HYGIENE_SCRUB",
     "RULE_FILTER",
     "PII_REDACT",
     "LINE_SCRUB",
@@ -289,11 +297,26 @@ class CurationPipeline:
 
     # ---- stages ------------------------------------------------------
 
-    def _rule_filter(self) -> None:
+    def _hygiene_scrub(self) -> None:
         from goe_spark.catalog import load_table
-        from goe_spark.queries.pii import gopher_keep
 
         d = load_table(self.spark, self.cfg.source_sf_dir, "documents")
+        scrubbed = d.select(
+            "doc_id",
+            "lang",
+            "source",
+            T.hygiene_scrub("text").alias("text"),
+        ).where(F.length(F.trim("text")) > 0).withColumn(
+            "n_tokens", T.token_count("text")
+        )
+        _write_stage(scrubbed, _stage_dir(self.cfg, "HYGIENE_SCRUB"))
+
+    def _rule_filter(self) -> None:
+        from goe_spark.queries.pii import gopher_keep
+
+        d = self.spark.read.parquet(
+            _stage_dir(self.cfg, "HYGIENE_SCRUB")
+        )
         kept = d.select(
             "doc_id",
             "lang",
@@ -571,6 +594,7 @@ class CurationPipeline:
             log=lambda *_: None,
         )
         try:
+            runner.run("HYGIENE_SCRUB", self._hygiene_scrub)
             runner.run("RULE_FILTER", self._rule_filter)
             runner.run("PII_REDACT", self._pii_redact)
             runner.run("LINE_SCRUB", self._line_scrub)

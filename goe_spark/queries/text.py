@@ -1594,14 +1594,12 @@ FROM per GROUP BY lang
 """
 
 
-# text-hygiene defect classes: control chars (minus \t\n\r — C4 keeps
-# those), the U+FFFD replacement char (encoding damage), zero-width
-# chars (homoglyph spam / watermarking), run-on whitespace, non-ASCII.
-# Java regex and RE2 spell the classes differently; same codepoints.
-_CTRL_JAVA = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
-_CTRL_RE2 = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
-_ZW_JAVA = "[\\u200B\\u200C\\u200D\\uFEFF]"
-_ZW_RE2 = r"[\x{200B}\x{200C}\x{200D}\x{FEFF}]"
+# Hygiene defect classes + the scrub expression live in
+# functions/text.py (shared with the curation HYGIENE_SCRUB stage).
+_CTRL_JAVA = T.CTRL_JAVA
+_CTRL_RE2 = T.CTRL_RE2
+_ZW_JAVA = T.ZW_JAVA
+_ZW_RE2 = T.ZW_RE2
 
 
 def text_hygiene_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1631,10 +1629,7 @@ def text_hygiene_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(did % 17 == 0, F.lit(" caf\u00E9")).otherwise(F.lit("")),
     )
-    scrub_class = f"({_CTRL_JAVA}|\\uFFFD|{_ZW_JAVA})"
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(dirty, scrub_class, ""), " {2,}", " "
-    )
+    scrubbed = T.hygiene_scrub(dirty)
     per = d.select(
         "source",
         dirty.alias("t"),
@@ -1680,12 +1675,7 @@ WITH dirty AS (
   FROM documents
 ), per AS (
   SELECT source,
-         length(t) - length(
-           regexp_replace(
-             regexp_replace(t, '({_CTRL_RE2}|\\x{{FFFD}}|{_ZW_RE2})', '',
-                            'g'),
-             ' {{2,}}', ' ', 'g')
-         ) AS removed,
+         length(t) - length({T.hygiene_scrub_sql('t')}) AS removed,
          CASE WHEN regexp_matches(t, '{_CTRL_RE2}') THEN 1 ELSE 0 END
            AS has_ctrl,
          CASE WHEN regexp_matches(t, '\\x{{FFFD}}') THEN 1 ELSE 0 END

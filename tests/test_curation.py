@@ -38,7 +38,7 @@ def test_funnel_monotone_and_persisted(spark, finished):
     with open(os.path.join(cfg.work_dir, "funnel.json")) as fh:
         disk = json.load(fh)
     assert disk["final_rows"] == report.final_rows
-    assert len(disk["funnel"]) == 10  # incl. CLASSIFIER_FILTER + PARAGRAPH_SCRUB
+    assert len(disk["funnel"]) == 11  # incl. HYGIENE/CLASSIFIER/PARAGRAPH stages
 
 
 def test_no_exact_duplicate_survives(spark, finished):
@@ -100,10 +100,10 @@ def test_crash_resume_skips_completed_stages(spark, tmp_path):
     assert not os.path.isdir(os.path.join(cfg.work_dir, "final"))
 
     report = pipe.run()  # resume
-    # RULE_FILTER, PII_REDACT, LINE_SCRUB, SCORE_FILTER,
-    # CLASSIFIER_FILTER, EXACT_DEDUP, NEAR_DEDUP, PARAGRAPH_SCRUB,
-    # CONTAINMENT_SCRUB
-    assert report.resumed_steps == 9
+    # HYGIENE_SCRUB, RULE_FILTER, PII_REDACT, LINE_SCRUB,
+    # SCORE_FILTER, CLASSIFIER_FILTER, EXACT_DEDUP, NEAR_DEDUP,
+    # PARAGRAPH_SCRUB, CONTAINMENT_SCRUB
+    assert report.resumed_steps == 10
     assert report.final_rows > 0
     # History shows two executions: the failed one and the resumed one.
     from goe_spark.plans.history import ExecutionHistoryStore
@@ -132,7 +132,7 @@ def test_parameter_change_invalidates_resume(spark, tmp_path):
     assert r2.resumed_steps == 0
     # A tighter threshold strictly shrinks the SCORE_FILTER stage
     # (the stages before it don't depend on quality_min).
-    assert r2.funnel[3][1] < r1.funnel[3][1]
+    assert r2.funnel[4][1] < r1.funnel[4][1]
     assert r2.funnel[0][1] == r1.funnel[0][1]
 
 
@@ -186,7 +186,7 @@ def test_double_crash_resume_chain(spark, tmp_path):
         pipe.run(error_at="FINAL_WRITE")  # crash 2: resumes 6, adds 2
     report = pipe.run()
     # Third run resumes everything up to FINAL_WRITE.
-    assert report.resumed_steps == 10
+    assert report.resumed_steps == 11
     assert report.final_rows > 0
 
 
@@ -231,7 +231,7 @@ def test_pii_redacted_and_junk_dropped(spark, tmp_path):
         F.sum(sum(pii_count("text", pat) for _, pat, _ in PII_KINDS))
     ).first()[0]
     assert resid == 0
-    assert report.funnel[0][1] == 2  # RULE_FILTER already dropped doc 3
+    assert report.funnel[1][1] == 2  # RULE_FILTER already dropped doc 3
 
 
 def test_line_scrub_cuts_boilerplate_keeps_unique(spark, tmp_path):
@@ -479,3 +479,46 @@ def test_paragraph_scrub_stage_in_funnel(spark, finished):
     scrubbed = spark.read.parquet(_stage_dir(cfg, "PARAGRAPH_SCRUB"))
     sigs = _paragraph_sigs(spark, "", docs=scrubbed)
     assert paragraph_dup_pairs(sigs, cfg.para_sim_min).count() == 0
+
+
+def test_hygiene_scrub_defeats_zero_width_dup_evasion(spark, tmp_path):
+    """Two docs identical except an injected zero-width char (the
+    classic dedup-evasion/watermark vector) collapse to ONE at
+    EXACT_DEDUP because HYGIENE_SCRUB removed the char before any
+    fingerprint saw the text; a doc that scrubs to nothing dies at
+    the hygiene stage itself."""
+    import pandas as pd
+
+    words = " ".join(["alpha beta gamma delta"] * 10)
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                words,
+                words[:20] + "\u200B" + words[20:],  # zero-width clone
+                "\u0007\u200B",  # scrubs to empty
+            ],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "quality": [0.9] * 3,
+        }
+    )
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    spark.createDataFrame(docs).write.parquet(
+        str(src_dir / "documents.parquet")
+    )
+    cfg = CurationConfig(
+        source_sf_dir=str(src_dir),
+        work_dir=str(tmp_path / "work"),
+        metadata_dir=str(tmp_path / "meta"),
+        quality_min=0.0,
+        token_budget=10_000,
+    )
+    report = CurationPipeline(spark, cfg).run()
+    stages = {s: r for s, r, _ in report.funnel}
+    assert stages["HYGIENE_SCRUB"] == 2  # empty-after-scrub doc dropped
+    assert stages["EXACT_DEDUP"] == 1    # zero-width clone collapsed
+    out = spark.read.parquet(os.path.join(cfg.work_dir, "final"))
+    assert out.count() == 1
+    assert "\u200B" not in out.first().text

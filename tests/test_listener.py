@@ -139,7 +139,7 @@ def test_curate_route(base_url, tmp_path):
     )
     assert status == 200
     assert body["final_rows"] > 0
-    assert len(body["funnel"]) == 10  # incl. CLASSIFIER_FILTER + PARAGRAPH_SCRUB
+    assert len(body["funnel"]) == 11  # incl. HYGIENE/CLASSIFIER/PARAGRAPH stages
 
 
 def test_curate_route_missing_field_400(base_url):
