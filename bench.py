@@ -245,7 +245,13 @@ def main() -> None:
     from goe_spark.queries import queries_dict
     from goe_spark.session import get_spark
 
-    spark = get_spark("goe-spark-bench")
+    # Driver parity: bench under the same ANSI-on semantics the
+    # driver's correctness session uses, so a query that only works
+    # ANSI-off can never be bench-green.
+    spark = get_spark(
+        "goe-spark-bench",
+        extra_conf={"spark.sql.ansi.enabled": "true"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # JVM/codegen warmup outside the timed region.

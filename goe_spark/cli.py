@@ -609,11 +609,18 @@ def cmd_cache(args) -> int:
     if _os.path.isdir(RC.CACHE_ROOT):
         for e in sorted(_os.listdir(RC.CACHE_ROOT)):
             d = _os.path.join(RC.CACHE_ROOT, e)
-            size = sum(
-                _os.path.getsize(_os.path.join(root, f))
-                for root, _, fs in _os.walk(d)
-                for f in fs
-            )
+            # an entry can vanish between listdir and stat (another
+            # process's _gc_orphan_tmps, a concurrent `cache clear`) —
+            # skip it, same tolerance the GC helper itself has
+            try:
+                size = sum(
+                    _os.path.getsize(_os.path.join(root, f))
+                    for root, _, fs in _os.walk(d)
+                    for f in fs
+                )
+                mtime = _os.path.getmtime(d)
+            except OSError:
+                continue
             # a crashed writer's '{name}--{key}.tmp-{pid}' build dir is
             # not a cache entry: label it separately (with its age, so
             # a reader can tell orphan from in-flight) instead of
@@ -622,7 +629,7 @@ def cmd_cache(args) -> int:
                 tmp_dirs.append({
                     "dir": e,
                     "bytes": size,
-                    "age_s": round(time.time() - _os.path.getmtime(d), 1),
+                    "age_s": round(time.time() - mtime, 1),
                 })
                 continue
             name, _, key = e.rpartition("--")

@@ -212,36 +212,50 @@ def scrub_boilerplate_lines(d: DataFrame, line_doc_max: int) -> DataFrame:
 
 
 def scrub_duplicate_paragraphs(d: DataFrame, sim_min: float) -> DataFrame:
-    """Destructive sub-document near-dup removal: a paragraph
-    (PARA_WORDS-word chunk) with a cross-doc MinHash near-dup keeps
-    only its smallest-(doc_id, idx) copy corpus-wide; later copies
-    are cut from their documents, texts rebuilt from the surviving
-    chunks, emptied docs dropped, token counts recomputed.
+    """Destructive sub-document near-dup removal with TRANSITIVE
+    cluster semantics (same rule as the NEAR_DEDUP stage): connected
+    components over the cross-doc paragraph near-dup pair graph, one
+    survivor per component — the smallest-(doc_id, idx) member — and
+    every other member is cut from its document; texts rebuilt from
+    the surviving chunks, emptied docs dropped, token counts
+    recomputed. (Pre-r12 this cut pid2 of every pair, which kept
+    non-minimal nodes that never appeared as a pair's larger side —
+    inconsistent with NEAR_DEDUP's CC labels.)
 
     Plan: the pair generator is the SAME banded-LSH path as
     paragraph_dedup_stats (queries/dedup.py::paragraph_dup_pairs);
-    the cut set aggregates to (doc_id, [idx]) — pair-bounded, tiny
-    next to the corpus — and the text rebuild is map-side array
-    surgery after that one join: paragraph token arrays never
-    shuffle."""
+    CC runs on the pair-bounded edge list only (driver union-find
+    under CC_DRIVER_EDGE_CAP, distributed min-label propagation
+    above); the cut set aggregates to (doc_id, [idx]) — tiny next to
+    the corpus — and the text rebuild is map-side array surgery after
+    that one join: paragraph token arrays never shuffle."""
     from goe_spark.queries.dedup import (
         PARA_KEY_BASE,
         PARA_WORDS,
         _paragraph_sigs,
         paragraph_dup_pairs,
     )
+    from goe_spark.queries.training import _cc_labels
 
     spark = d.sparkSession
     sigs = _paragraph_sigs(spark, "", docs=d)
-    pairs = paragraph_dup_pairs(sigs, sim_min)
-    # pid1 < pid2 and keep-first: only the LARGER side of a pair is cut
+    # checkpoint: _cc_labels counts the edges and then iterates over
+    # them — without this the LSH pair job would replay per reference
+    edges = (
+        paragraph_dup_pairs(sigs, sim_min)
+        .select(F.col("pid1").alias("id1"), F.col("pid2").alias("id2"))
+        .localCheckpoint(eager=True)
+    )
+    labels = _cc_labels(spark, "", edges=edges)
+    # keep the component-min pid; cut every other member. doc_id
+    # decode uses exact integer division (`div`) — F.floor(pid /
+    # base) goes through double and loses exactness past 2^53, i.e.
+    # doc_id above ~1.4e11, inside the 100 TB design regime.
     cut_idx = (
-        pairs.select(F.col("pid2").alias("pid"))
-        .distinct()
+        labels.where(F.col("node") != F.col("label"))
+        .select(F.col("node").alias("pid"))
         .select(
-            F.floor(F.col("pid") / PARA_KEY_BASE)
-            .cast("long")
-            .alias("doc_id"),
+            F.expr(f"pid div {PARA_KEY_BASE}").cast("long").alias("doc_id"),
             F.pmod(F.col("pid"), F.lit(PARA_KEY_BASE)).cast("int").alias("i"),
         )
         .groupBy("doc_id")

@@ -1659,17 +1659,22 @@ def paragraph_probe_new_docs(
         .where(F.col("n") <= LSH_BUCKET_CAP)
         .select("band", "sig")
     )
+    # filter on the RAW agreement (the oracle SQL does too) and round
+    # only the emitted est column — filtering the rounded value was a
+    # latent cross-engine divergence had K_MINHASH or the threshold
+    # stopped quantizing agreement to multiples of 1/16.
     cands = (
         new_b.join(idx_b.join(ok, ["band", "sig"]), ["band", "sig"])
         .select(
             "new_pid",
             "idx_pid",
-            F.round(
-                MH.minhash_agreement(F.col("new_mh"), F.col("idx_mh")), 6
-            ).alias("est"),
+            MH.minhash_agreement(F.col("new_mh"), F.col("idx_mh")).alias(
+                "agree"
+            ),
         )
         .distinct()
-        .where(F.col("est") >= PARA_SIM_MIN)
+        .where(F.col("agree") >= PARA_SIM_MIN)
+        .select("new_pid", "idx_pid", F.round("agree", 6).alias("est"))
     )
     per_para = cands.groupBy("new_pid").agg(F.max("est").alias("best_est"))
     joined = new_all.join(

@@ -380,14 +380,23 @@ def dedup_survivor_bias_audit(
         F.sum(F.col("removed") * F.col("n_tokens")).alias(
             "tokens_removed"
         ),
+        # try_divide: a source whose clustered docs are ALL rank-1
+        # survivors has sum(removed)=0 — the ratio must be NULL (as
+        # DuckDB's /0 yields) rather than raise under the driver's
+        # ANSI-on session. kept-denominator is provably >=1 per group
+        # but hardened identically for free.
         F.round(
-            F.sum(F.col("removed") * F.col("quality"))
-            / F.sum("removed"),
+            F.try_divide(
+                F.sum(F.col("removed") * F.col("quality")),
+                F.sum("removed"),
+            ),
             6,
         ).alias("avg_quality_removed"),
         F.round(
-            F.sum((1 - F.col("removed")) * F.col("quality"))
-            / F.sum(1 - F.col("removed")),
+            F.try_divide(
+                F.sum((1 - F.col("removed")) * F.col("quality")),
+                F.sum(1 - F.col("removed")),
+            ),
             6,
         ).alias("avg_quality_kept"),
     )

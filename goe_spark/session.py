@@ -30,8 +30,13 @@ _DEFAULT_CONF = {
     # load-bearing config we rely on.
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
-    # ANSI off: GOE semantics are "cast failure => NULL" (SAFE_CAST);
-    # we use try_* functions explicitly where it matters.
+    # ANSI off by default: GOE semantics are "cast failure => NULL"
+    # (SAFE_CAST); we use try_* functions explicitly where it matters.
+    # The VERIFICATION stack (tools/check_oracle.py, the oracle pytest
+    # gate, bench.py) overrides this to "true" for driver parity —
+    # round 11 proved an ANSI-off mirror is blind to DIVIDE_BY_ZERO /
+    # CAST_INVALID_INPUT bugs the driver's ANSI-on session raises.
+    # Env override SPARK_GRAFT_ANSI=1/0 wins over both.
     "spark.sql.ansi.enabled": "false",
     # events.parquet carries TIMESTAMP(NANOS) which Spark has no native
     # type for; read as long and convert in catalog.load_table.
@@ -64,6 +69,11 @@ def get_spark(
     conf["spark.sql.shuffle.partitions"] = str(nshuffle)
     if extra_conf:
         conf.update(extra_conf)
+    ansi_env = os.environ.get("SPARK_GRAFT_ANSI")
+    if ansi_env is not None:
+        conf["spark.sql.ansi.enabled"] = (
+            "true" if ansi_env.lower() in ("1", "true") else "false"
+        )
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -15,7 +15,16 @@ SF_MEDIUM = "/root/testdata/sf0.01"
 def spark():
     from goe_spark.session import get_spark
 
-    s = get_spark("goe-spark-tests", shuffle_partitions=8)
+    # Driver parity: run the test session ANSI-on (the driver's
+    # correctness gate does) so ANSI-semantics bugs (DIVIDE_BY_ZERO,
+    # CAST_INVALID_INPUT) surface locally instead of shipping.
+    # GOE_TEST_ANSI=0 restores the engine's non-ANSI default.
+    ansi = os.environ.get("GOE_TEST_ANSI", "1").lower() in ("1", "true")
+    s = get_spark(
+        "goe-spark-tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.ansi.enabled": "true" if ansi else "false"},
+    )
     s.sparkContext.setLogLevel("ERROR")
     yield s
 

@@ -145,7 +145,17 @@ def main() -> int:
     from goe_spark.session import get_spark
 
     only = set(sys.argv[1:])
-    spark = get_spark("check-oracle", shuffle_partitions=8)
+    # Driver parity: the driver's session runs spark.sql.ansi.enabled
+    # =true, so the mirror MUST too — round 11's only red row
+    # (DIVIDE_BY_ZERO in dedup_survivor_bias_audit) passed 8/8 under
+    # the old ANSI-off mirror. CHECK_ANSI=0 restores the engine's
+    # documented non-ANSI SAFE_CAST semantics for debugging.
+    ansi = os.environ.get("CHECK_ANSI", "1").lower() in ("1", "true")
+    spark = get_spark(
+        "check-oracle",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.ansi.enabled": "true" if ansi else "false"},
+    )
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events "
