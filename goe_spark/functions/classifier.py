@@ -57,15 +57,24 @@ def _bucket(tok: Column) -> Column:
     return F.pmod(hash64(tok), F.lit(CLS_DIM)).cast("int")
 
 
-def classifier_logit_milli(text: Column | str) -> Column:
-    """Per-document logit in milli-units: CLS_BIAS_MILLI +
-    floor(mean of token weights). Integer end-to-end; NULL only for
-    NULL text. The weight vector rides the plan as an array literal —
-    executors receive it once with the serialized plan, the classic
-    broadcast-small-model pattern."""
-    c = F.col(text) if isinstance(text, str) else text
-    w = F.array(*[F.lit(x) for x in classifier_weights_milli()])
-    toks = tokens(c)
+def classifier_logit_from_tokens(
+    toks: Column, weights_milli: list[int] | None = None
+) -> Column:
+    """Logit fold over an ALREADY-TOKENIZED bound column — the shared
+    inference kernel: ``weights_milli`` defaults to the fixture model
+    but accepts any learned vector (the training loop re-broadcasts
+    its epoch weights through this exact path, so trained weights feed
+    the same scoring fold classifier_scores uses)."""
+    w = F.array(
+        *[
+            F.lit(x)
+            for x in (
+                weights_milli
+                if weights_milli is not None
+                else classifier_weights_milli()
+            )
+        ]
+    )
     wsum = F.aggregate(
         toks,
         F.lit(0).cast("bigint"),
@@ -76,11 +85,137 @@ def classifier_logit_milli(text: Column | str) -> Column:
     ).cast("bigint")
 
 
-def classifier_logit_milli_sql(expr: str) -> str:
+def classifier_logit_milli(
+    text: Column | str, weights_milli: list[int] | None = None
+) -> Column:
+    """Per-document logit in milli-units: CLS_BIAS_MILLI +
+    floor(mean of token weights). Integer end-to-end; NULL only for
+    NULL text. The weight vector rides the plan as an array literal —
+    executors receive it once with the serialized plan, the classic
+    broadcast-small-model pattern."""
+    c = F.col(text) if isinstance(text, str) else text
+    return classifier_logit_from_tokens(tokens(c), weights_milli)
+
+
+def hard_sigmoid_milli(z: Column) -> Column:
+    """Piecewise-linear sigmoid in milli-units:
+    clamp(500 + floor(z/4), 0, 1000). Transcendental exp() cannot be
+    made bit-identical across engines; the hard sigmoid is pure
+    integer arithmetic (floor of an exact small-magnitude division)
+    and is the standard fixed-point substitute (e.g. quantized
+    inference runtimes)."""
+    return F.least(
+        F.lit(1000).cast("bigint"),
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            (F.lit(500) + F.floor(z / F.lit(4.0))).cast("bigint"),
+        ),
+    )
+
+
+def hard_sigmoid_milli_sql(z: str) -> str:
+    return (
+        f"least(1000, greatest(0, 500 + cast(floor(({z}) / 4.0) AS bigint)))"
+    )
+
+
+#: full-batch gradient epochs for the fixture trainer
+CLS_EPOCHS = 3
+#: label rule: quality_score(text) >= this is the positive class
+CLS_LABEL_Q = 0.7
+
+
+def train_classifier_epochs(
+    docs, epochs: int = CLS_EPOCHS
+) -> tuple[list[int], list[tuple]]:
+    """Batch logistic-regression training over hashed unigram
+    features with EXACT fixed-point arithmetic — the train side of the
+    quality classifier (reference parity: GOE has no trainer; this is
+    the production-pipeline operator the curation stack needs).
+
+    Per epoch (the same iterative discipline as bpe_train_merges,
+    queries/training.py): one corpus pass scores every doc with the
+    CURRENT weight vector (plan-literal broadcast, zero joins), the
+    per-bucket gradient sum(err_milli) over exploded tokens is
+    collected at CLS_DIM grain (<= 1024 rows — the bounded
+    vocabulary-grain argmax pattern, not a data collect), and the
+    driver applies w[j] := clamp(w[j] - floor(grad_j / n_docs)).
+    Loss is squared error through a hard sigmoid, so err = p - y and
+    every quantity is an integer — Spark, Python and the DuckDB
+    oracle agree bit for bit (the two floor-divisions are exact below
+    2^53; at 100 TB promote the gradient sums to decimal(38,0), same
+    plan shape — see SCALE.md).
+
+    Each epoch's (toks, y, z) frame is localCheckpoint'd so the
+    metrics pass and the gradient pass share one materialization (a
+    real deployment checkpoints to DFS).
+
+    Returns (final_weights_milli, per-epoch metric tuples):
+    (epoch, n_docs, n_pos, n_correct, sum_abs_err_milli, w_l1_after,
+    w_checksum_after) — n_correct uses the PRE-update weights (the
+    forward pass that produced the gradient)."""
+    from goe_spark.functions.text import quality_score
+
+    toksed = docs.select(
+        tokens(F.col("text")).alias("toks"),
+        (quality_score("text") >= F.lit(CLS_LABEL_Q))
+        .cast("int")
+        .alias("y"),
+    ).where(F.size("toks") > 0)
+    w = [0] * CLS_DIM
+    rows: list[tuple] = []
+    for epoch in range(1, epochs + 1):
+        scored = toksed.select(
+            "toks",
+            "y",
+            classifier_logit_from_tokens(F.col("toks"), w).alias("z"),
+        ).localCheckpoint(eager=True)
+        err = hard_sigmoid_milli(F.col("z")) - 1000 * F.col("y")
+        m = scored.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.sum(
+                ((F.col("z") >= 0).cast("int") == F.col("y")).cast("long")
+            ).alias("n_correct"),
+            F.sum(F.abs(err)).cast("long").alias("sae"),
+        ).first()
+        n_docs = int(m["n_docs"])
+        grads = {
+            int(r["j"]): int(r["g"])
+            for r in (
+                scored.select(err.alias("err"), F.explode("toks").alias("t"))
+                .groupBy(_bucket(F.col("t")).alias("j"))
+                .agg(F.sum("err").alias("g"))
+                .collect()
+            )
+        }
+        w = [
+            max(-1000, min(1000, w[j] - grads.get(j, 0) // n_docs))
+            for j in range(CLS_DIM)
+        ]
+        rows.append(
+            (
+                epoch,
+                n_docs,
+                int(m["n_pos"]),
+                int(m["n_correct"]),
+                int(m["sae"]),
+                sum(abs(x) for x in w),
+                sum((j + 1) * x for j, x in enumerate(w)),
+            )
+        )
+    return w, rows
+
+
+def classifier_logit_milli_sql(
+    expr: str, weights_milli: list[int] | None = None
+) -> str:
     """The identical fixed-point inference in DuckDB SQL: the same
     weight list as a literal, the same md5 bucket hash, the same
     floor-mean — scores match Spark bit for bit."""
-    wlist = ", ".join(str(x) for x in classifier_weights_milli())
+    if weights_milli is None:
+        weights_milli = classifier_weights_milli()
+    wlist = ", ".join(str(x) for x in weights_milli)
     h = HASH64_SQL_TEMPLATE.format(expr="t")
     return f"""(
   SELECT {CLS_BIAS_MILLI} + cast(floor(

@@ -1706,6 +1706,116 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def classifier_train_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier TRAINING over the documents corpus — the
+    train side of functions/classifier.py's broadcast inference:
+    {CLS_EPOCHS} full-batch epochs of exact fixed-point logistic
+    regression (hard sigmoid, squared loss) over hashed unigram
+    features, labels from the rule-based quality score
+    (y = quality >= {CLS_LABEL_Q}) — the standard bootstrap where a
+    cheap heuristic labels the seed set for a learned classifier.
+    One row per epoch: docs, positives, forward-pass accuracy count,
+    total absolute error (milli), and the post-update weight vector's
+    L1 mass and position-weighted checksum.
+
+    Plan: per epoch ONE corpus pass (plan-literal weight broadcast,
+    zero joins) materialized via localCheckpoint, then a CLS_DIM-grain
+    (<= 1024 rows) gradient collect — the bounded vocabulary-grain
+    pattern of bpe_train_merges. The DuckDB oracle replays the
+    unrolled epochs as CTE blocks bit-for-bit."""
+    from goe_spark.catalog import spread
+    from goe_spark.functions.classifier import train_classifier_epochs
+
+    d = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
+    _, rows = train_classifier_epochs(d)
+    return spark.createDataFrame(
+        rows,
+        "epoch int, n_docs bigint, n_pos bigint, n_correct bigint,"
+        " sum_abs_err_milli bigint, w_l1_after bigint,"
+        " w_checksum_after bigint",
+    )
+
+
+def _classifier_train_sql() -> str:
+    from goe_spark.functions.classifier import (
+        CLS_BIAS_MILLI,
+        CLS_DIM,
+        CLS_EPOCHS,
+        CLS_LABEL_Q,
+        hard_sigmoid_milli_sql,
+    )
+    from goe_spark.functions.text import quality_score_sql, tokens_sql
+
+    h = hash64_sql("t")
+    ctes = [
+        f"""base AS (
+  SELECT doc_id, toks, y FROM (
+    SELECT doc_id, {tokens_sql('text')} AS toks,
+           CASE WHEN {quality_score_sql('text')} >= {CLS_LABEL_Q}
+                THEN 1 ELSE 0 END AS y
+    FROM documents
+  ) WHERE len(toks) > 0
+), bt AS (
+  SELECT b.doc_id, ({h} % {CLS_DIM}) AS j
+  FROM base b, unnest(b.toks) AS u(t)
+), nd AS (SELECT count(*) AS n FROM base),
+w0 AS (SELECT cast(r.range AS bigint) AS j, cast(0 AS bigint) AS w
+       FROM range({CLS_DIM}) r)"""
+    ]
+    selects = []
+    for e in range(1, CLS_EPOCHS + 1):
+        p = e - 1
+        ctes.append(
+            f"""z{e} AS (
+  SELECT t.doc_id, max(b.y) AS y,
+         {CLS_BIAS_MILLI}
+           + cast(floor(sum(w.w) / count(*)) AS bigint) AS z
+  FROM bt t JOIN w{p} w USING (j) JOIN base b ON b.doc_id = t.doc_id
+  GROUP BY t.doc_id
+), e{e} AS (
+  SELECT doc_id, y, z,
+         {hard_sigmoid_milli_sql('z')} - 1000 * y AS err
+  FROM z{e}
+), g{e} AS (
+  SELECT t.j, cast(sum(e.err) AS bigint) AS g
+  FROM bt t JOIN e{e} e USING (doc_id) GROUP BY t.j
+), w{e} AS (
+  SELECT w.j,
+         greatest(-1000, least(1000,
+           w.w - cast(floor(coalesce(g.g, 0)
+                            / (SELECT cast(n AS double) FROM nd))
+                      AS bigint))) AS w
+  FROM w{p} w LEFT JOIN g{e} g USING (j)
+), m{e} AS (
+  SELECT {e} AS epoch,
+         count(*) AS n_docs,
+         cast(sum(y) AS bigint) AS n_pos,
+         cast(sum(CASE WHEN (z >= 0) = (y = 1) THEN 1 ELSE 0 END)
+              AS bigint) AS n_correct,
+         cast(sum(abs(err)) AS bigint) AS sum_abs_err_milli
+  FROM e{e}
+), ws{e} AS (
+  SELECT cast(sum(abs(w)) AS bigint) AS w_l1_after,
+         cast(sum((j + 1) * w) AS bigint) AS w_checksum_after
+  FROM w{e}
+)"""
+        )
+        selects.append(
+            f"SELECT m{e}.*, ws{e}.w_l1_after, ws{e}.w_checksum_after"
+            f" FROM m{e}, ws{e}"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY epoch"
+    )
+
+
 def dedup_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitivity (chaining) audit of the near-dup clusters — the
     known failure mode of connected-component dedup: A~B and B~C
@@ -2228,5 +2338,11 @@ QUERIES = [
         dedup_chain_audit,
         _chain_audit_sql(),
         "CC chaining audit: edge density per cluster-size bucket",
+    ),
+    QuerySpec(
+        "classifier_train_epochs",
+        classifier_train_epochs,
+        _classifier_train_sql(),
+        "fixed-point logistic-regression training epochs",
     ),
 ]

@@ -297,3 +297,53 @@ def test_weighted_sample_deterministic_and_biased(spark):
     )
     sample_mean = sum(r.n_chars for r in a) / len(a)
     assert sample_mean > corpus_mean
+
+
+def test_classifier_training_learns_and_feeds_inference(spark):
+    """The fixed-point trainer's absolute error must fall across
+    epochs, and the learned weights must plug straight into the SAME
+    scoring fold classifier_scores uses (classifier_logit_from_tokens)
+    and beat the majority-class baseline on the training labels."""
+    from goe_spark.catalog import load_table
+    from goe_spark.functions.classifier import (
+        CLS_LABEL_Q,
+        classifier_logit_from_tokens,
+        train_classifier_epochs,
+    )
+    from goe_spark.functions.text import quality_score, tokens
+
+    d = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    w, rows = train_classifier_epochs(d)
+    assert len(w) == 1024 and all(isinstance(x, int) for x in w)
+    assert len(rows) == 3
+    # squared-error mass must not increase over full-batch epochs on
+    # the training set (monotone for this step size on this fixture)
+    saes = [r[4] for r in rows]
+    assert saes[-1] < saes[0]
+    # learned weights through the INFERENCE path: accuracy >= majority
+    scored = (
+        d.select(
+            tokens(F.col("text")).alias("toks"),
+            (quality_score("text") >= F.lit(CLS_LABEL_Q))
+            .cast("int")
+            .alias("y"),
+        )
+        .where(F.size("toks") > 0)
+        .select(
+            "y",
+            classifier_logit_from_tokens(F.col("toks"), w).alias("z"),
+        )
+    )
+    m = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("npos"),
+        F.sum(
+            ((F.col("z") >= 0).cast("int") == F.col("y")).cast("long")
+        ).alias("ncorrect"),
+    ).first()
+    majority = max(int(m["npos"]), int(m["n"]) - int(m["npos"]))
+    assert int(m["ncorrect"]) >= majority
+    # and the post-epoch-3 forward pass equals what the trainer would
+    # see: epoch metrics used PRE-update weights, so accuracy with the
+    # final weights must be >= the last recorded forward pass
+    assert int(m["ncorrect"]) >= rows[-1][3]
