@@ -39,6 +39,12 @@ the offload pipeline, composed from the repo's own operators:
                  from their docs and texts rebuilt (the grain
                  line-exact and doc-level fuzzy dedup both miss —
                  queries/dedup.py paragraph machinery)
+  SPAN_SCRUB     ExactSubstr-style cross-doc duplicated-SPAN removal
+                 (Lee et al. 2022 keep-first): token positions covered
+                 by a word-3-gram occurring in another document are cut
+                 unless this doc is the gram's min-doc_id owner; texts
+                 rebuilt, emptied docs dropped (accounting twin:
+                 queries/dedup.py::span_scrub_stats)
   CONTAINMENT_SCRUB
                  rare-shingle containment pass (the partial-copy family
                  minhash-threshold dedup misses, C >= containment_min):
@@ -90,6 +96,7 @@ STAGES = (
     "EXACT_DEDUP",
     "NEAR_DEDUP",
     "PARAGRAPH_SCRUB",
+    "SPAN_SCRUB",
     "CONTAINMENT_SCRUB",
     "MIXTURE_SAMPLE",
     "FINAL_WRITE",
@@ -296,6 +303,47 @@ def scrub_duplicate_paragraphs(d: DataFrame, sim_min: float) -> DataFrame:
     return rebuilt.select(*d.columns)
 
 
+def scrub_duplicate_spans(d: DataFrame) -> DataFrame:
+    """Destructive ExactSubstr-style cross-doc duplicated-span removal
+    with keep-first semantics: every token position covered by a
+    word-3-gram that also occurs in another document is cut, unless
+    this document is the gram's min-doc_id owner — so exactly one copy
+    of every cross-doc span survives the corpus. Texts rebuilt from
+    surviving tokens, emptied docs dropped, token counts recomputed.
+    (Lee et al. 2022 "Deduplicating Training Data Makes Language
+    Models Better" — the destructive twin of the
+    cross_doc_ngram_coverage diagnostic; the accounting query is
+    queries/dedup.py::span_scrub_stats.)
+
+    Plan: the cut sets come from queries/dedup.py::_span_cuts
+    (gram-grain min/max stats, 1:1 fan-out join — nothing
+    corpus-quadratic); the rebuild is map-side array surgery after one
+    doc-grain join, same shape as scrub_duplicate_paragraphs."""
+    from goe_spark.queries.dedup import _span_cuts
+
+    cuts = _span_cuts(d).select("doc_id", "cut_idxs")
+    with_toks = d.withColumn(
+        "toks", F.split(F.trim(F.col("text")), r"\s+")
+    )
+    kept_toks = F.when(
+        F.col("cut_idxs").isNull(), F.col("toks")
+    ).otherwise(
+        F.filter(
+            F.col("toks"),
+            lambda x, i: ~F.array_contains(F.col("cut_idxs"), i),
+        )
+    )
+    rebuilt = (
+        with_toks.join(cuts, "doc_id", "left")
+        .withColumn("text", F.array_join(kept_toks, " "))
+        .where(F.size(kept_toks) > 0)
+        .drop("toks", "cut_idxs")
+    )
+    if "n_tokens" in d.columns:
+        rebuilt = rebuilt.withColumn("n_tokens", T.token_count("text"))
+    return rebuilt.select(*d.columns)
+
+
 def _counts(spark: SparkSession, path: str) -> tuple[int, int]:
     df = spark.read.parquet(path)
     row = df.agg(
@@ -426,15 +474,34 @@ class CurationPipeline:
         kept = scrub_duplicate_paragraphs(d, self.cfg.para_sim_min)
         _write_stage(kept, _stage_dir(self.cfg, "PARAGRAPH_SCRUB"))
 
+    def _span_scrub(self) -> None:
+        from pyspark.sql.window import Window
+
+        d = self.spark.read.parquet(
+            _stage_dir(self.cfg, "PARAGRAPH_SCRUB")
+        )
+        kept = scrub_duplicate_spans(d)
+        # Span removal can make two previously-distinct docs
+        # textually IDENTICAL (their only difference was the cut
+        # span), silently undoing EXACT_DEDUP's invariant — so the
+        # stage re-establishes it with the same keep-first fingerprint
+        # rule, one hash-groupBy over the stage's (shrunken) output.
+        norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        w = Window.partitionBy(hash64(norm))
+        kept = (
+            kept.withColumn("keep_id", F.min("doc_id").over(w))
+            .where(F.col("doc_id") == F.col("keep_id"))
+            .drop("keep_id")
+        )
+        _write_stage(kept, _stage_dir(self.cfg, "SPAN_SCRUB"))
+
     def _containment_scrub(self) -> None:
         from goe_spark.queries.dedup import (
             CONTAINMENT_DF_CAP,
             _shingle_hashed,
         )
 
-        d = self.spark.read.parquet(
-            _stage_dir(self.cfg, "PARAGRAPH_SCRUB")
-        )
+        d = self.spark.read.parquet(_stage_dir(self.cfg, "SPAN_SCRUB"))
         shingled = _shingle_hashed(
             self.spark, self.cfg.source_sf_dir, docs=d
         ).select("doc_id", F.array_distinct("sh").alias("shd"))
@@ -617,6 +684,7 @@ class CurationPipeline:
             runner.run("EXACT_DEDUP", self._exact_dedup)
             runner.run("NEAR_DEDUP", self._near_dedup)
             runner.run("PARAGRAPH_SCRUB", self._paragraph_scrub)
+            runner.run("SPAN_SCRUB", self._span_scrub)
             runner.run("CONTAINMENT_SCRUB", self._containment_scrub)
             runner.run("MIXTURE_SAMPLE", self._mixture_sample)
             runner.run("FINAL_WRITE", self._final_write)

@@ -511,6 +511,146 @@ FROM per_doc GROUP BY source
 """
 
 
+def _span_cuts(d: DataFrame) -> DataFrame:
+    """(doc_id, cut_idxs, n_cut): the 0-BASED token positions each
+    document loses under ExactSubstr-style cross-doc duplicated-span
+    removal with keep-first semantics (Lee et al. 2022's destructive
+    counterpart to the cross_doc_ngram_coverage diagnostic, at
+    word-3-gram grain): a shingle occurring in >= 2 distinct docs is
+    OWNED by its min-doc_id occurrence; in every other doc the three
+    token positions it covers are cut. Within-doc repeats are not cut
+    (cross-doc removal), and the owner doc keeps its copy — so every
+    removed span remains reconstructible from the surviving corpus.
+
+    Plan: token/shingle hashing in two bound-column projections (the
+    O(n^2)-inlining discipline of operators/minhash.py); the gram
+    stats groupBy uses min/max(doc_id) — cross-doc iff min != max, no
+    count-distinct, no posting-list collect; the occurrence-vs-owner
+    join fans out 1:1 (gram grain on one side), stop-gram skew is
+    AQE's skew-join case; the cut set aggregates to (doc,
+    positions) — bounded by duplicated-occurrence volume, tiny next
+    to the corpus."""
+    from goe_spark.catalog import spread
+    from goe_spark.operators import minhash as MH
+
+    base = spread(d.select("doc_id", "text"), "doc_id")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    th_df = (
+        base.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select("doc_id", MH.token_hashes(F.col("toks")).alias("th"))
+    )
+    sh_df = th_df.select(
+        "doc_id", MH.arith_shingle_hashes(F.col("th")).alias("sh")
+    )
+    # posexplode_OUTER: the non-outer Generate injects an implicit
+    # size(sh) > 0 predicate that projection collapse inlines as a
+    # full md5-bearing Filter below the hashing projections (the
+    # md5-in-Filter hazard) — outer adds no predicate, and empty sh
+    # cannot occur past the size(toks) >= 3 guard; the g-isnotnull
+    # the joins need is a cheap filter on the GENERATED attribute.
+    occ = sh_df.select(
+        "doc_id", F.posexplode_outer("sh").alias("pos", "g")
+    ).where(F.col("g").isNotNull())
+    dup_g = (
+        occ.groupBy("g")
+        .agg(F.min("doc_id").alias("owner"), F.max("doc_id").alias("mx"))
+        .where(F.col("owner") != F.col("mx"))
+        .select("g", "owner")
+    )
+    return (
+        occ.join(dup_g, "g")
+        .where(F.col("doc_id") != F.col("owner"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + 2)
+            ).alias("i"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.collect_set("i").alias("cut_idxs"),
+            F.count_distinct("i").alias("n_cut"),
+        )
+    )
+
+
+def span_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruction accounting for cross-doc duplicated-span
+    removal (the destructive ExactSubstr twin of
+    cross_doc_ngram_coverage) per source: docs, token mass in, docs
+    touched by a cut, tokens cut, docs fully emptied (every token
+    inside a cross-doc duplicated span), and surviving token mass —
+    exactly what plans/curation.py's SPAN_SCRUB stage removes, so a
+    curator can audit the stage's bias before running it.
+
+    Plan: rides _span_cuts (gram-grain min/max stats, 1:1 fan-out
+    join, doc-grain cut sets); the accounting is one source-grain
+    rollup over doc-grain rows."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    cuts = _span_cuts(d)
+    per_doc = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_toks"),
+    ).join(cuts.select("doc_id", "n_cut"), "doc_id", "left")
+    n_cut = F.coalesce("n_cut", F.lit(0))
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("tokens_in"),
+        F.sum((n_cut > 0).cast("long")).alias("docs_touched"),
+        F.sum(n_cut).alias("tokens_cut"),
+        F.sum((n_cut == F.col("n_toks")).cast("long")).alias(
+            "docs_emptied"
+        ),
+        F.sum(F.col("n_toks") - n_cut).alias("tokens_kept"),
+    )
+
+
+def _span_scrub_sql() -> str:
+    from goe_spark.operators import minhash as MH
+
+    toks_sql = r"regexp_split_to_array(trim(text), '\s+')"
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, {toks_sql} AS toks FROM documents
+), th AS (
+  SELECT doc_id, {MH.token_hashes_sql('toks')} AS th
+  FROM base WHERE len(toks) >= 3
+), shd AS (
+  SELECT doc_id, {MH.arith_shingle_hashes_sql('th')} AS sh FROM th
+), occ AS (
+  SELECT doc_id, unnest(sh) AS g, generate_subscripts(sh, 1) AS pos
+  FROM shd
+), gs AS (
+  SELECT g, min(doc_id) AS owner
+  FROM occ GROUP BY g HAVING min(doc_id) <> max(doc_id)
+), cuts AS (
+  SELECT o.doc_id, unnest([o.pos, o.pos + 1, o.pos + 2]) AS i
+  FROM occ o JOIN gs ON gs.g = o.g
+  WHERE o.doc_id <> gs.owner
+), cut_per_doc AS (
+  SELECT doc_id, count(DISTINCT i) AS n_cut FROM cuts GROUP BY doc_id
+), per_doc AS (
+  SELECT b.doc_id, b.source, len(b.toks) AS n_toks,
+         coalesce(c.n_cut, 0) AS n_cut
+  FROM base b LEFT JOIN cut_per_doc c USING (doc_id)
+)
+SELECT source,
+       count(*) AS n_docs,
+       cast(sum(n_toks) AS bigint) AS tokens_in,
+       cast(sum(CASE WHEN n_cut > 0 THEN 1 ELSE 0 END) AS bigint)
+         AS docs_touched,
+       cast(sum(n_cut) AS bigint) AS tokens_cut,
+       cast(sum(CASE WHEN n_cut = n_toks THEN 1 ELSE 0 END) AS bigint)
+         AS docs_emptied,
+       cast(sum(n_toks - n_cut) AS bigint) AS tokens_kept
+FROM per_doc GROUP BY source
+"""
+
+
 TOP_DUP_NGRAMS_K = 20
 
 
@@ -1862,6 +2002,12 @@ QUERIES = [
         "cross_doc_ngram_coverage",
         cross_doc_ngram_coverage,
         CROSS_DOC_NGRAM_SQL,
+    ),
+    QuerySpec(
+        "span_scrub_stats",
+        span_scrub_stats,
+        _span_scrub_sql(),
+        "ExactSubstr-style cross-doc span removal accounting",
     ),
     QuerySpec(
         "top_duplicate_ngrams", top_duplicate_ngrams, TOP_DUP_NGRAMS_SQL

@@ -38,7 +38,7 @@ def test_funnel_monotone_and_persisted(spark, finished):
     with open(os.path.join(cfg.work_dir, "funnel.json")) as fh:
         disk = json.load(fh)
     assert disk["final_rows"] == report.final_rows
-    assert len(disk["funnel"]) == 11  # incl. HYGIENE/CLASSIFIER/PARAGRAPH stages
+    assert len(disk["funnel"]) == 12  # incl. HYGIENE/CLASSIFIER/SPAN stages
 
 
 def test_no_exact_duplicate_survives(spark, finished):
@@ -102,8 +102,8 @@ def test_crash_resume_skips_completed_stages(spark, tmp_path):
     report = pipe.run()  # resume
     # HYGIENE_SCRUB, RULE_FILTER, PII_REDACT, LINE_SCRUB,
     # SCORE_FILTER, CLASSIFIER_FILTER, EXACT_DEDUP, NEAR_DEDUP,
-    # PARAGRAPH_SCRUB, CONTAINMENT_SCRUB
-    assert report.resumed_steps == 10
+    # PARAGRAPH_SCRUB, SPAN_SCRUB, CONTAINMENT_SCRUB
+    assert report.resumed_steps == 11
     assert report.final_rows > 0
     # History shows two executions: the failed one and the resumed one.
     from goe_spark.plans.history import ExecutionHistoryStore
@@ -186,7 +186,7 @@ def test_double_crash_resume_chain(spark, tmp_path):
         pipe.run(error_at="FINAL_WRITE")  # crash 2: resumes 6, adds 2
     report = pipe.run()
     # Third run resumes everything up to FINAL_WRITE.
-    assert report.resumed_steps == 11
+    assert report.resumed_steps == 12
     assert report.final_rows > 0
 
 
@@ -522,3 +522,39 @@ def test_hygiene_scrub_defeats_zero_width_dup_evasion(spark, tmp_path):
     out = spark.read.parquet(os.path.join(cfg.work_dir, "final"))
     assert out.count() == 1
     assert "\u200B" not in out.first().text
+
+
+def test_span_scrub_keep_first_and_reconstruction(spark):
+    """A 3-gram span copied between two docs survives only in the
+    min-doc_id owner; the other doc loses exactly the covered
+    positions; docs made entirely of duplicated spans disappear; and
+    the removed mass is reconstructible (the surviving corpus still
+    contains every cut span — keep-first, not delete-everywhere)."""
+    import pandas as pd
+
+    from goe_spark.plans.curation import scrub_duplicate_spans
+
+    span = "copied span here"          # one shared 3-gram
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "lang": ["en"] * 4,
+                "source": ["web"] * 4,
+                "text": [
+                    span + " plus owner suffix words",  # owner keeps all
+                    "intro words then " + span,         # loses the span
+                    "totally unrelated text body",      # untouched
+                    span,                               # fully dup -> dropped
+                ],
+            }
+        )
+    ).withColumn("n_tokens", F.size(F.split(F.trim("text"), r"\s+")))
+    out = {r.doc_id: r for r in scrub_duplicate_spans(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].text.startswith(span)          # owner untouched
+    assert "copied" not in out[2].text and out[2].text == "intro words then"
+    assert out[2].n_tokens == 3
+    assert out[3].text == "totally unrelated text body"
+    # reconstruction: every cut token sequence still exists in doc 1
+    assert span in out[1].text
