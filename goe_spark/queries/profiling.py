@@ -542,6 +542,138 @@ FROM stats LEFT JOIN outs ON stats.et = outs.et
 """
 
 
+def _synth_url_exprs() -> tuple:
+    """(raw_url, canonical_url, host) column triple over the
+    documents columns — the synthesis is a deterministic fixture (the
+    corpus ships no URL column), the CANONICALIZATION is the
+    operator: lowercase the host, strip query string, fragment and
+    trailing slash. Raw-URL noise models crawler reality: case
+    variance on the host (doc_id % 7), per-fetch tracking params
+    (utm/ref or session ids embedding doc_id), trailing-slash and
+    fragment variants."""
+    did = F.col("doc_id")
+    host_raw = F.concat(
+        F.when((did % 7) == 0, F.upper("source")).otherwise(
+            F.col("source")
+        ),
+        F.lit(".example.com"),
+    )
+    q = (
+        F.when((did % 3) == 0, F.concat(F.lit("?utm_source=feed&ref="), did))
+        .when((did % 3) == 1, F.concat(F.lit("?session="), did))
+        .otherwise(F.lit(""))
+    )
+    raw = F.concat(
+        F.lit("https://"),
+        host_raw,
+        F.lit("/"),
+        F.col("lang"),
+        F.lit("/page-"),
+        (did % 50).cast("string"),
+        F.when((did % 2) == 0, F.lit("/")).otherwise(F.lit("")),
+        q,
+        F.when((did % 5) == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+    host = F.lower(F.regexp_extract(raw, r"^https://([^/]+)", 1))
+    path = F.regexp_replace(
+        F.regexp_extract(raw, r"^https://[^/]+([^?#]*)", 1), r"/$", ""
+    )
+    canon = F.concat(F.lit("https://"), host, path)
+    return raw, canon, host
+
+
+def url_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-grain corpus provenance dedup — the crawl-dedup stage that
+    runs BEFORE any content dedup in production pipelines (re-fetches
+    of the same page are the cheapest duplicates to kill: no text ever
+    needs hashing). Canonicalizes each document's URL (lowercase host,
+    strip tracking query/fragment/trailing slash), keeps the
+    min-doc_id fetch per canonical URL, and reports per host: fetches,
+    raw URL variants, canonical URLs, duplicate fetches (and their
+    rate per 10k), byte mass fetched vs kept — the per-host
+    concentration view that complements source_concentration.
+
+    Plan: pure string expressions in one projection (no UDF, no md5),
+    then a (host, url) hash aggregate — URL grain, the corpus's
+    natural key — and a host-grain rollup (catalog-bounded rows). At
+    100 TB this is exactly one corpus-scale shuffle on the canonical
+    URL; keep-first uses min/min_by inside the same aggregate, never
+    a window over the corpus."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    raw, canon, host = _synth_url_exprs()
+    fetches = d.select(
+        host.alias("host"),
+        raw.alias("raw_url"),
+        canon.alias("url"),
+        "doc_id",
+        "n_chars",
+    )
+    per_url = fetches.groupBy("host", "url").agg(
+        F.count(F.lit(1)).alias("nf"),
+        F.count_distinct("raw_url").alias("nraw"),
+        F.sum("n_chars").alias("bytes_fetched"),
+        F.min_by("n_chars", "doc_id").alias("bytes_kept"),
+    )
+    return per_url.groupBy("host").agg(
+        F.sum("nf").alias("n_fetches"),
+        F.sum("nraw").alias("n_raw_urls"),
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum(F.col("nf") - 1).alias("dup_fetches"),
+        F.floor(
+            F.sum(F.col("nf") - 1) * 10000 / F.sum("nf")
+        ).cast("long").alias("dup_per_10k"),
+        F.sum("bytes_fetched").alias("bytes_fetched"),
+        F.sum("bytes_kept").alias("bytes_kept"),
+    )
+
+
+URL_DEDUP_SQL = """
+WITH fetches AS (
+  SELECT doc_id, n_chars,
+         lower(regexp_extract(raw, '^https://([^/]+)', 1)) AS host,
+         raw AS raw_url,
+         'https://' || lower(regexp_extract(raw, '^https://([^/]+)', 1))
+           || regexp_replace(
+                regexp_extract(raw, '^https://[^/]+([^?#]*)', 1),
+                '/$', '') AS url
+  FROM (
+    SELECT doc_id, n_chars,
+           'https://'
+             || CASE WHEN doc_id % 7 = 0 THEN upper(source)
+                     ELSE source END || '.example.com'
+             || '/' || lang || '/page-' || (doc_id % 50)
+             || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+             || CASE WHEN doc_id % 3 = 0
+                     THEN '?utm_source=feed&ref=' || doc_id
+                     WHEN doc_id % 3 = 1 THEN '?session=' || doc_id
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN '#section-2'
+                     ELSE '' END AS raw
+    FROM documents
+  )
+), per_url AS (
+  SELECT host, url,
+         count(*) AS nf,
+         count(DISTINCT raw_url) AS nraw,
+         sum(n_chars) AS bytes_fetched,
+         min_by(n_chars, doc_id) AS bytes_kept
+  FROM fetches GROUP BY host, url
+)
+SELECT host,
+       cast(sum(nf) AS bigint) AS n_fetches,
+       cast(sum(nraw) AS bigint) AS n_raw_urls,
+       count(*) AS n_urls,
+       cast(sum(nf - 1) AS bigint) AS dup_fetches,
+       cast(floor(sum(nf - 1) * 10000 / (1.0 * sum(nf))) AS bigint)
+         AS dup_per_10k,
+       cast(sum(bytes_fetched) AS bigint) AS bytes_fetched,
+       cast(sum(bytes_kept) AS bigint) AS bytes_kept
+FROM per_url GROUP BY host
+"""
+
+
 QUERIES = [
     QuerySpec("table_profile", table_profile, _profile_sql()),
     QuerySpec("order_price_histogram", order_price_histogram, HISTOGRAM_SQL),
@@ -563,5 +695,11 @@ QUERIES = [
         value_mad_outliers,
         MAD_OUTLIERS_SQL,
         "exact median/MAD robust outlier screen, integer end-to-end",
+    ),
+    QuerySpec(
+        "url_dedup_stats",
+        url_dedup_stats,
+        URL_DEDUP_SQL,
+        "URL-canonicalization crawl dedup + per-host concentration",
     ),
 ]
