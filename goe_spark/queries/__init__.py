@@ -29,72 +29,69 @@ class QuerySpec:
 # the registry gets no driver row. Order therefore encodes priority,
 # and HEAD is ROTATED each round. HEAD is kept at EXACTLY 50 entries
 # (round 8 listed 51 and the driver silently dropped the 51st).
-# Round-11 window, in order (round-10 verdict item 1):
-#   1. the THIRTY-FOUR queries whose latest driver row is ROUND 7 —
-#      the q-suite block deferred through rounds 9-10 (q2, q11, q12,
-#      q15-q22), the minhash/simhash/segment fuzzy-dedup family, the
-#      text battery (token stats, lang-ID confusion, quality scores),
-#      streaming counters, the declared-fake media transforms,
-#      hybrid RRF retrieval, RFM/skew/salting analytics and the
-#      curation shard/cap/curriculum trio. After this rotation the
-#      registry's max driver-row staleness drops from r7 to r8.
-#   2. queries NEW in round 11 (never driver-checked) — inserted
-#      here as they land; each displaces one r8 filler below.
-#   3. r8-stale fillers (module order) to pad the window to 50.
+# Round-12 window, in order (round-11 verdict item 3):
+#   1. the FORTY-ONE queries whose latest driver row is ROUND 8
+#      (the block named verbatim in VERDICT r11 item 3, including
+#      dedup_survivor_bias_audit whose r11 row was the ANSI
+#      DIVIDE_BY_ZERO red — re-recorded green after the try_divide
+#      fix). After this rotation max registry staleness drops to r9.
+#   2. queries NEW in round 12 (never driver-checked) — inserted
+#      as they land; each displaces one r9 filler below.
+#   3. r9-stale fillers (registry order) to pad the window to 50.
 HEAD = (
-    # -- last driver-checked in round 7: the full 34-query stale block --
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q12_priority_lines",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "q20_promotable_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    "minhash_lsh_pairs",
-    "ngram_jaccard_pairs",
-    "simhash_pairs",
-    "segment_dedup_stats",
-    "segment_probe_new_docs",
-    "streaming_window_counts",
-    "streaming_dedup_counts",
-    "hybrid_search_rrf",
-    "rfm_segments",
-    "salted_join_revenue",
-    "staged_validation_scan",
-    "predicate_offload_slice",
-    "token_stats_by_lang",
-    "lang_id_confusion",
-    "quality_scores_by_source",
-    "join_skew_report",
-    "length_curriculum_bins",
-    "per_source_topk_cap",
-    "shard_manifest",
-    "media_decode_features",
-    "media_resize_images",
-    "media_frame_sample",
-    "media_exact_dedup",
-    # -- new in round 11: never driver-checked --
-    "media_mp4_stats",
-    "classifier_scores",
-    "paragraph_dedup_stats",
-    "text_hygiene_audit",
-    "embedding_dead_dims",
-    "classifier_calibration_bins",
-    "paragraph_probe_new_docs",
+    # -- last driver-checked in round 8: the 41-query stale block --
+    "ann_pq_topk",
+    "ann_ivf_pq_topk",
+    "bpe_merge_pair_counts",
+    "brand_affinity_lift",
+    "cms_user_counts",
+    "cohort_retention",
+    "dedup_cluster_size_histogram",
+    "dedup_method_agreement",
+    "dsir_importance_weights",
+    "embedding_cluster_audit",
+    "embedding_int8_audit",
+    "event_funnel_conversion",
+    "event_transition_matrix",
+    "gopher_quality_filter",
+    "hopping_window_counts",
+    "k_anonymity_audit",
+    "lapsed_customers_except",
+    "matryoshka_recall_audit",
+    "minhash_probe_new_docs",
+    "mixture_sample_docs",
+    "mixture_sample_threshold",
+    "pii_redaction_audit",
+    "pii_scan_by_source",
+    "q9_product_profit",
+    "repetition_doc_stats",
+    "retained_customers_intersect",
+    "revenue_anomaly_days",
+    "rolling_revenue_7d",
+    "semantic_dedup_keep_first",
+    "sentiment_by_source",
+    "session_window_stats",
+    "sessionization_stats",
+    "span_corruption_stats",
+    "table_profile",
+    "term_bigram_pmi",
+    "tfidf_top_terms",
+    "timeseries_gapfill",
+    "token_dropout_stats",
+    "top_duplicate_ngrams",
+    "unattributed_purchases",
     "dedup_survivor_bias_audit",
-    # -- r8-stale fillers to pad the window to 50 --
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_regional_revenue",
-    "q10_returned_items",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
+    # -- new in round 12: never driver-checked --
+    "classifier_train_epochs",
+    "span_scrub_stats",
+    "url_dedup_stats",
+    # -- r9-stale fillers to pad the window to 50 --
+    "asof_latest_order",
+    "asof_next_order",
+    "asof_recent_order",
+    "window_top_orders_per_customer",
+    "union_mod_split_scan",
+    "semi_anti_join_customers",
 )
 TAIL = ()
 
