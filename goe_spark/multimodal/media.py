@@ -1015,3 +1015,209 @@ def mp4_track_height_sql(h: str, tkhd: str) -> str:
         f"try_cast(concat('0x', substr({h}, CASE WHEN {v} = 0 "
         f"THEN {tkhd} + 176 ELSE {tkhd} + 200 END, 4)) AS int)"
     )
+
+
+# --- FLAC STREAMINFO parsing — codec-free audio metadata --------------------
+# A FLAC file opens with 'fLaC' and a STREAMINFO metadata block whose
+# packed 64-bit region carries sample rate (20 bits), channels-1
+# (3 bits), bits-per-sample-1 (5 bits) and total samples (36 bits) —
+# public spec (https://xiph.org/flac/format.html), parsed at nibble
+# grain: 20 bits = hex chars 37-41, the channel/bps split lands on
+# nibbles 42-43, the 36-bit sample count is exactly chars 44-52.
+# Same hex + positional-conv approach as the PNG/WAV/MP3/MP4 parsers
+# (reference treats media as opaque binary + typed metadata).
+FLAC_SIG_HEX = "664C6143"  # 'fLaC'
+
+
+def _nibble_at(h, pos: int) -> "F.Column":
+    """Value of the single hex digit at 1-based char ``pos``."""
+    return F.conv(F.substring(h, pos, 1), 16, 10).cast("int")
+
+
+def is_flac(content) -> "F.Column":
+    """Magic + first-block-is-STREAMINFO (type bits 0, with or
+    without the last-metadata-block flag)."""
+    h = _hex_of(content)
+    return h.startswith(FLAC_SIG_HEX) & F.substring(h, 9, 2).isin(
+        "00", "80"
+    )
+
+
+def flac_sample_rate(content) -> "F.Column":
+    return F.conv(F.substring(_hex_of(content), 37, 5), 16, 10).cast("int")
+
+
+def flac_channels(content) -> "F.Column":
+    return (
+        F.floor(_nibble_at(_hex_of(content), 42) / 2).cast("int") + 1
+    )
+
+
+def flac_bits_per_sample(content) -> "F.Column":
+    h = _hex_of(content)
+    return (
+        F.pmod(_nibble_at(h, 42), F.lit(2)) * 16 + _nibble_at(h, 43) + 1
+    ).cast("int")
+
+
+def flac_total_samples(content) -> "F.Column":
+    return F.conv(F.substring(_hex_of(content), 44, 9), 16, 10).cast(
+        "long"
+    )
+
+
+def is_flac_sql(content_expr: str) -> str:
+    h = f"upper(hex({content_expr}))"
+    return (
+        f"({h} LIKE '{FLAC_SIG_HEX}%' AND "
+        f"substr({h}, 9, 2) IN ('00', '80'))"
+    )
+
+
+def flac_sample_rate_sql(content_expr: str) -> str:
+    h = f"upper(hex({content_expr}))"
+    return f"cast(concat('0x', substr({h}, 37, 5)) AS int)"
+
+
+def flac_channels_sql(content_expr: str) -> str:
+    h = f"upper(hex({content_expr}))"
+    return (
+        f"(cast(floor(cast(concat('0x', substr({h}, 42, 1)) AS int)"
+        f" / 2) AS int) + 1)"
+    )
+
+
+def flac_bits_per_sample_sql(content_expr: str) -> str:
+    h = f"upper(hex({content_expr}))"
+    n42 = f"cast(concat('0x', substr({h}, 42, 1)) AS int)"
+    n43 = f"cast(concat('0x', substr({h}, 43, 1)) AS int)"
+    return f"(({n42} % 2) * 16 + {n43} + 1)"
+
+
+def flac_total_samples_sql(content_expr: str) -> str:
+    h = f"upper(hex({content_expr}))"
+    return f"cast(concat('0x', substr({h}, 44, 9)) AS bigint)"
+
+
+# --- TIFF IFD walking — codec-free image metadata ---------------------------
+# A TIFF opens with a byte-order mark ('II' little-endian / 'MM'
+# big-endian) + magic 42 + a u32 offset to the first IFD: entry count
+# (u16) then 12-byte entries (tag u16, type u16, count u32,
+# value/offset u32). ImageWidth is tag 256, ImageLength tag 257. The
+# parse must FOLLOW the IFD offset and SCAN the entry table (entries
+# are sorted by tag but width/height's slot depends on what other
+# tags precede them) — a bounded transform over entry indexes, pure
+# codegen, the same level-capped-walk discipline as the MP4 box walk.
+# Scope: type LONG (4) values (the common form for dimensions written
+# by scanners/encoders; SHORT-typed files parse as NULL), first IFD
+# only, entry scan capped at TIFF_ENTRY_CAP.
+TIFF_LE_SIG_HEX = "49492A00"  # 'II' + 42 LE
+TIFF_BE_SIG_HEX = "4D4D002A"  # 'MM' + 42 BE
+TIFF_ENTRY_CAP = 16
+_TAG_WIDTH = 256
+_TAG_LENGTH = 257
+_TYPE_LONG = 4
+
+
+def tiff_endian(content) -> "F.Column":
+    """'II' / 'MM' / NULL."""
+    h = _hex_of(content)
+    return (
+        F.when(h.startswith(TIFF_LE_SIG_HEX), F.lit("II"))
+        .when(h.startswith(TIFF_BE_SIG_HEX), F.lit("MM"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def _u16_end(h, char_pos, le) -> "F.Column":
+    """u16 at a COLUMN 1-based hex-char position, endian by flag."""
+    b1 = F.conv(h.substr(char_pos, F.lit(2)), 16, 10).cast("long")
+    b2 = F.conv(h.substr(char_pos + 2, F.lit(2)), 16, 10).cast("long")
+    return F.when(le, b2 * 256 + b1).otherwise(b1 * 256 + b2)
+
+
+def _u32_end(h, char_pos, le) -> "F.Column":
+    lo = _u16_end(h, char_pos, le)
+    hi = _u16_end(h, char_pos + 4, le)
+    return F.when(le, hi * 65536 + lo).otherwise(lo * 65536 + hi)
+
+
+def _tiff_tag_value(content, tag: int) -> "F.Column":
+    """Value of LONG-typed IFD entry ``tag`` in the first IFD, NULL
+    when absent / not LONG / not a TIFF. Bounded entry scan."""
+    h = _hex_of(content)
+    le = h.startswith(TIFF_LE_SIG_HEX)
+    is_tiff = le | h.startswith(TIFF_BE_SIG_HEX)
+    ifd_off = _u32_end(h, F.lit(9), le)  # bytes 5-8
+    ifd_chars = ifd_off * 2 + 1  # 0-based byte offset -> 1-based char
+    n_ent = F.least(
+        _u16_end(h, ifd_chars, le), F.lit(TIFF_ENTRY_CAP).cast("long")
+    )
+    def entry(i):
+        pos = ifd_chars + 4 + i * 24  # 12 bytes/entry = 24 chars
+        return F.struct(
+            _u16_end(h, pos, le).alias("tag"),
+            _u16_end(h, pos + 4, le).alias("typ"),
+            _u32_end(h, pos + 16, le).alias("val"),
+        )
+    hits = F.when(
+        is_tiff & (n_ent >= 1),
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), (n_ent - 1).cast("int")), entry
+            ),
+            lambda e: (e["tag"] == tag) & (e["typ"] == _TYPE_LONG),
+        ),
+    )
+    # F.get: NULL (never an ANSI index error) for the empty/NULL list
+    return F.get(hits, 0)["val"].cast("int")
+
+
+def tiff_width(content) -> "F.Column":
+    return _tiff_tag_value(content, _TAG_WIDTH)
+
+
+def tiff_height(content) -> "F.Column":
+    return _tiff_tag_value(content, _TAG_LENGTH)
+
+
+def _u16_end_sql(h: str, pos: str, le: str) -> str:
+    b1 = f"cast(concat('0x', substr({h}, {pos}, 2)) AS bigint)"
+    b2 = f"cast(concat('0x', substr({h}, ({pos}) + 2, 2)) AS bigint)"
+    return f"(CASE WHEN {le} THEN {b2} * 256 + {b1} ELSE {b1} * 256 + {b2} END)"
+
+
+def _u32_end_sql(h: str, pos: str, le: str) -> str:
+    lo = _u16_end_sql(h, pos, le)
+    hi = _u16_end_sql(h, f"({pos}) + 4", le)
+    return f"(CASE WHEN {le} THEN {hi} * 65536 + {lo} ELSE {lo} * 65536 + {hi} END)"
+
+
+def tiff_endian_sql(content_expr: str) -> str:
+    h = f"upper(hex({content_expr}))"
+    return (
+        f"(CASE WHEN {h} LIKE '{TIFF_LE_SIG_HEX}%' THEN 'II' "
+        f"WHEN {h} LIKE '{TIFF_BE_SIG_HEX}%' THEN 'MM' END)"
+    )
+
+
+def tiff_tag_value_sql(content_expr: str, tag: int) -> str:
+    """DuckDB twin of _tiff_tag_value: list comprehension over entry
+    indexes, filtered to the LONG-typed target tag."""
+    h = f"upper(hex({content_expr}))"
+    le = f"({h} LIKE '{TIFF_LE_SIG_HEX}%')"
+    is_tiff = (
+        f"({h} LIKE '{TIFF_LE_SIG_HEX}%' OR {h} LIKE '{TIFF_BE_SIG_HEX}%')"
+    )
+    ifd_chars = f"({_u32_end_sql(h, '9', le)} * 2 + 1)"
+    n_ent = f"least({_u16_end_sql(h, ifd_chars, le)}, {TIFF_ENTRY_CAP})"
+    pos = f"({ifd_chars} + 4 + (i - 1) * 24)"
+    tag_e = _u16_end_sql(h, pos, le)
+    typ_e = _u16_end_sql(h, f"({pos}) + 4", le)
+    val_e = _u32_end_sql(h, f"({pos}) + 16", le)
+    return f"""(
+  SELECT cast(vals[1] AS int) FROM (SELECT CASE WHEN {is_tiff} THEN
+    [ {val_e} FOR i IN range(1, cast({n_ent} AS int) + 1)
+      IF {tag_e} = {tag} AND {typ_e} = {_TYPE_LONG} ]
+    END AS vals)
+)"""

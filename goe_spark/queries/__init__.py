@@ -85,13 +85,13 @@ HEAD = (
     "classifier_train_epochs",
     "span_scrub_stats",
     "url_dedup_stats",
+    "media_flac_stats",
+    "media_tiff_stats",
     # -- r9-stale fillers to pad the window to 50 --
     "asof_latest_order",
     "asof_next_order",
     "asof_recent_order",
     "window_top_orders_per_customer",
-    "union_mod_split_scan",
-    "semi_anti_join_customers",
 )
 TAIL = ()
 

@@ -1112,6 +1112,293 @@ GROUP BY p_ts
 """
 
 
+def media_flac_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-parsed FLAC STREAMINFO metadata — lossless-audio twin of
+    media_wav_stats (closing the codec-free parser family the round-11
+    review named: FLAC/TIFF were the remaining targets): sample rate
+    (20-bit field), channels and bit depth (packed 3/5-bit fields that
+    straddle nibble boundaries) and the 36-bit total-sample count read
+    straight out of the STREAMINFO block bytes
+    (multimodal/media.py flac_*), no audio codec anywhere. Payloads
+    are synthesized with spec-true 42-byte fLaC+STREAMINFO headers
+    (field values derived from doc_id, text bytes as body; every 11th
+    doc is a bare text payload the is_flac filter must reject) and
+    parsed back exclusively from the binary column. Per sample-rate:
+    file count, stereo and 24-bit mix, exact total samples, exact
+    floor-quantized duration.
+
+    Plan: single scan, all codegen (hex/substr/conv nibble
+    arithmetic), one 5-row aggregate; payload bytes never shuffle."""
+    from goe_spark.multimodal.media import (
+        flac_bits_per_sample,
+        flac_channels,
+        flac_sample_rate,
+        flac_total_samples,
+        is_flac,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    rate = (
+        F.when(did % 5 == 0, 8000)
+        .when(did % 5 == 1, 16000)
+        .when(did % 5 == 2, 22050)
+        .when(did % 5 == 3, 44100)
+        .otherwise(48000)
+        .cast("int")
+    )
+    ch = (1 + did % 2).cast("int")
+    bps = (16 + 8 * (F.floor(did / 2) % 2)).cast("int")
+    samples = (1000 + did % 100000).cast("long")
+    packed = F.concat(
+        F.lpad(F.hex(rate), 5, "0"),
+        F.hex((ch - 1) * 2 + F.floor((bps - 1) / 16).cast("int")),
+        F.hex(F.pmod(bps - 1, F.lit(16))),
+        F.lpad(F.hex(samples), 9, "0"),
+    )
+    header_hex = F.concat(
+        F.lit("664C6143"),      # 'fLaC'
+        F.lit("80"),            # last-metadata-block + STREAMINFO
+        F.lit("000022"),        # length 34
+        F.lit("10001000"),      # min/max blocksize 4096
+        F.lit("000000000000"),  # min/max framesize unknown
+        packed,
+        F.lit("0" * 32),        # md5 signature (zeros)
+    )
+    content = F.when(
+        did % 11 == 0, F.encode("text", "UTF-8")
+    ).otherwise(
+        F.concat(
+            F.unhex(header_hex),
+            F.encode(F.substring("text", 1, 8), "UTF-8"),
+        )
+    )
+    media = d.select(content.alias("content"))
+    c = F.col("content")
+    per = media.where(is_flac(c)).select(
+        flac_sample_rate(c).alias("sample_rate"),
+        flac_channels(c).alias("ch"),
+        flac_bits_per_sample(c).alias("bps"),
+        flac_total_samples(c).alias("samples"),
+    )
+    return per.groupBy("sample_rate").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum((F.col("ch") == 2).cast("long")).alias("n_stereo"),
+        F.sum((F.col("bps") == 24).cast("long")).alias("n_24bit"),
+        F.sum("samples").alias("total_samples"),
+        F.sum(
+            F.floor(F.col("samples") * 1000.0 / F.col("sample_rate"))
+            .cast("long")
+        ).alias("total_duration_ms"),
+    )
+
+
+def _media_flac_sql() -> str:
+    from goe_spark.multimodal.media import (
+        flac_bits_per_sample_sql,
+        flac_channels_sql,
+        flac_sample_rate_sql,
+        flac_total_samples_sql,
+        is_flac_sql,
+    )
+
+    return f"""
+WITH built AS (
+  SELECT doc_id, text,
+         cast(CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+              WHEN 2 THEN 22050 WHEN 3 THEN 44100
+              ELSE 48000 END AS int) AS rate,
+         cast(1 + doc_id % 2 AS int) AS ch,
+         cast(16 + 8 * ((doc_id // 2) % 2) AS int) AS bps,
+         cast(1000 + doc_id % 100000 AS bigint) AS samples
+  FROM documents
+), media AS (
+  SELECT CASE WHEN doc_id % 11 = 0 THEN encode(text)
+         ELSE from_hex(concat(
+           '664C6143', '80', '000022', '10001000', '000000000000',
+           lpad(hex(rate), 5, '0'),
+           hex((ch - 1) * 2 + (bps - 1) // 16),
+           hex((bps - 1) % 16),
+           lpad(hex(samples), 9, '0'),
+           repeat('0', 32)
+         )) || encode(substr(text, 1, 8)) END AS content
+  FROM built
+), per AS (
+  SELECT {flac_sample_rate_sql('content')} AS sample_rate,
+         {flac_channels_sql('content')} AS ch,
+         {flac_bits_per_sample_sql('content')} AS bps,
+         {flac_total_samples_sql('content')} AS samples
+  FROM media WHERE {is_flac_sql('content')}
+)
+SELECT sample_rate,
+       count(*) AS n_files,
+       cast(sum(CASE WHEN ch = 2 THEN 1 ELSE 0 END) AS bigint) AS n_stereo,
+       cast(sum(CASE WHEN bps = 24 THEN 1 ELSE 0 END) AS bigint) AS n_24bit,
+       cast(sum(samples) AS bigint) AS total_samples,
+       cast(sum(cast(floor(samples * 1000.0 / sample_rate) AS bigint))
+            AS bigint) AS total_duration_ms
+FROM per GROUP BY sample_rate
+"""
+
+
+def media_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IFD-walked TIFF image metadata — the directory-structured twin
+    of media_dimensions and the second of the two codec-free targets
+    the round-11 review named (FLAC/TIFF): the parse must follow the
+    u32 IFD offset (NOT a fixed header position — odd docs place the
+    IFD after 12 junk bytes), honor the byte-order mark ('II'
+    little-endian vs 'MM' big-endian, alternating by doc), and SCAN
+    the 12-byte entry table for the ImageWidth(256)/ImageLength(257)
+    LONG entries among neighbors (254, 259) — the same bounded-walk
+    discipline as the MP4 box walker, as a pure codegen transform
+    over entry indexes (multimodal/media.py tiff_*). Every 7th doc is
+    a bare text payload the endian sniff must reject. Per byte order:
+    files, max dimensions, exact pixel mass, large-image count.
+
+    Plan: single scan, all codegen, one 2-row aggregate; payload
+    bytes never shuffle."""
+    from goe_spark.multimodal.media import (
+        tiff_endian,
+        tiff_height,
+        tiff_width,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    w = (1 + did % 4000).cast("long")
+    h = (1 + did % 3000).cast("long")
+    ifd_off = F.when(did % 3 == 0, 8).otherwise(20).cast("long")
+
+    def u16(v, le):
+        be = F.lpad(F.hex(v), 4, "0")
+        return _u16le_hex(v) if le else be
+
+    def u32(v, le):
+        be = F.lpad(F.hex(v), 8, "0")
+        return _u32le_hex(v) if le else be
+
+    def entry(tag, typ, val, le):
+        return F.concat(
+            u16(F.lit(tag).cast("long"), le),
+            u16(F.lit(typ).cast("long"), le),
+            u32(F.lit(1).cast("long"), le),
+            u32(val, le),
+        )
+
+    def build(le: bool):
+        sig = "49492A00" if le else "4D4D002A"
+        return F.concat(
+            F.lit(sig),
+            u32(ifd_off, le),
+            F.when(did % 3 == 0, F.lit("")).otherwise(F.lit("00" * 12)),
+            u16(F.lit(4).cast("long"), le),
+            entry(254, 4, F.lit(0).cast("long"), le),   # NewSubfileType
+            entry(256, 4, w, le),                       # ImageWidth
+            entry(257, 4, h, le),                       # ImageLength
+            entry(259, 4, F.lit(1).cast("long"), le),   # Compression
+            u32(F.lit(0).cast("long"), le),             # next IFD: none
+        )
+    header_hex = F.when(did % 2 == 0, build(True)).otherwise(build(False))
+    content = F.when(
+        did % 7 == 0, F.encode("text", "UTF-8")
+    ).otherwise(
+        F.concat(
+            F.unhex(header_hex),
+            F.encode(F.substring("text", 1, 8), "UTF-8"),
+        )
+    )
+    media = d.select(content.alias("content"))
+    c = F.col("content")
+    per = media.select(
+        tiff_endian(c).alias("endian"),
+        tiff_width(c).alias("w"),
+        tiff_height(c).alias("h"),
+    ).where(F.col("endian").isNotNull())
+    return per.groupBy("endian").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.max("w").alias("max_w"),
+        F.max("h").alias("max_h"),
+        F.sum(F.col("w").cast("long") * F.col("h")).alias("total_pixels"),
+        F.sum(
+            ((F.col("w").cast("long") * F.col("h")) > 4_000_000)
+            .cast("long")
+        ).alias("n_large"),
+    )
+
+
+def _media_tiff_sql() -> str:
+    from goe_spark.multimodal.media import (
+        tiff_endian_sql,
+        tiff_tag_value_sql,
+    )
+
+    u16le = (
+        "concat(substr(lpad(hex({v}), 4, '0'), 3, 2),"
+        " substr(lpad(hex({v}), 4, '0'), 1, 2))"
+    )
+    u32le = (
+        "concat(substr(lpad(hex({v}), 8, '0'), 7, 2),"
+        " substr(lpad(hex({v}), 8, '0'), 5, 2),"
+        " substr(lpad(hex({v}), 8, '0'), 3, 2),"
+        " substr(lpad(hex({v}), 8, '0'), 1, 2))"
+    )
+
+    def u16(v, le):
+        return u16le.format(v=v) if le else f"lpad(hex({v}), 4, '0')"
+
+    def u32(v, le):
+        return u32le.format(v=v) if le else f"lpad(hex({v}), 8, '0')"
+
+    def entry(tag, typ, val, le):
+        return (
+            f"concat({u16(str(tag), le)}, {u16(str(typ), le)}, "
+            f"{u32('1', le)}, {u32(val, le)})"
+        )
+
+    def build(le):
+        sig = "'49492A00'" if le else "'4D4D002A'"
+        return (
+            f"concat({sig}, {u32('ifd_off', le)}, "
+            f"CASE WHEN doc_id % 3 = 0 THEN '' "
+            f"ELSE repeat('00', 12) END, "
+            f"{u16('4', le)}, "
+            f"{entry(254, 4, '0', le)}, {entry(256, 4, 'w', le)}, "
+            f"{entry(257, 4, 'h', le)}, {entry(259, 4, '1', le)}, "
+            f"{u32('0', le)})"
+        )
+
+    return f"""
+WITH built AS (
+  SELECT doc_id, text,
+         cast(1 + doc_id % 4000 AS bigint) AS w,
+         cast(1 + doc_id % 3000 AS bigint) AS h,
+         cast(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 20 END AS bigint)
+           AS ifd_off
+  FROM documents
+), media AS (
+  SELECT CASE WHEN doc_id % 7 = 0 THEN encode(text)
+         ELSE from_hex(CASE WHEN doc_id % 2 = 0
+                       THEN {build(True)}
+                       ELSE {build(False)} END)
+              || encode(substr(text, 1, 8)) END AS content
+  FROM built
+), per AS (
+  SELECT {tiff_endian_sql('content')} AS endian,
+         {tiff_tag_value_sql('content', 256)} AS w,
+         {tiff_tag_value_sql('content', 257)} AS h
+  FROM media
+)
+SELECT endian,
+       count(*) AS n_files,
+       max(w) AS max_w,
+       max(h) AS max_h,
+       cast(sum(cast(w AS bigint) * h) AS bigint) AS total_pixels,
+       cast(sum(CASE WHEN cast(w AS bigint) * h > 4000000
+                THEN 1 ELSE 0 END) AS bigint) AS n_large
+FROM per WHERE endian IS NOT NULL GROUP BY endian
+"""
+
+
 QUERIES = [
     QuerySpec("media_decode_features", media_decode_features, MEDIA_FEATURES_SQL),
     QuerySpec("media_resize_images", media_resize_images, MEDIA_RESIZE_SQL),
@@ -1154,5 +1441,17 @@ QUERIES = [
         media_mp4_stats,
         _media_mp4_sql(),
         "MP4 box-walked mvhd duration + tkhd dimensions, codec-free",
+    ),
+    QuerySpec(
+        "media_flac_stats",
+        media_flac_stats,
+        _media_flac_sql(),
+        "FLAC STREAMINFO packed-bitfield audio metadata, codec-free",
+    ),
+    QuerySpec(
+        "media_tiff_stats",
+        media_tiff_stats,
+        _media_tiff_sql(),
+        "TIFF IFD-walked dual-endian dimensions, codec-free",
     ),
 ]

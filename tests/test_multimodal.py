@@ -688,3 +688,117 @@ WITH RECURSIVE hexed AS (
 SELECT mvhd_pos IS NULL, tkhd_pos IS NOT NULL FROM mp4_loc
 """).fetchone()
     assert got == (True, True)
+
+
+def test_flac_streaminfo_real_bytes(spark):
+    """Handcrafted spec-true FLAC header: 44.1 kHz stereo 16-bit,
+    441000 total samples (10 s). The packed-bitfield parse must
+    recover every field; a non-FLAC payload must be rejected."""
+    from goe_spark.multimodal.media import (
+        flac_bits_per_sample,
+        flac_channels,
+        flac_sample_rate,
+        flac_total_samples,
+        is_flac,
+    )
+
+    # fLaC | last+STREAMINFO | len 34 | blocksizes | framesizes |
+    # rate 0x0AC44 | nib (ch-1)<<1|bpsHi = 2 | bps low nib = F |
+    # samples 0x00006BAA8 | 16-byte md5 of zeros
+    hex_header = (
+        "664C6143" + "80" + "000022" + "10001000" + "000000000000"
+        + "0AC44" + "2" + "F" + "00006BAA8" + "0" * 32
+    )
+    payload = bytes.fromhex(hex_header) + b"audio-body"
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"not a flac file"))],
+        "media_id long, content binary",
+    )
+    c = F.col("content")
+    rows = {
+        r.media_id: r
+        for r in df.select(
+            "media_id",
+            is_flac(c).alias("ok"),
+            flac_sample_rate(c).alias("rate"),
+            flac_channels(c).alias("ch"),
+            flac_bits_per_sample(c).alias("bps"),
+            flac_total_samples(c).alias("samples"),
+        ).collect()
+    }
+    assert rows[1].ok and not rows[2].ok
+    assert rows[1].rate == 44100
+    assert rows[1].ch == 2
+    assert rows[1].bps == 16
+    assert rows[1].samples == 441000
+
+
+def test_tiff_ifd_walk_real_bytes(spark):
+    """Handcrafted TIFFs in BOTH byte orders: the parse must follow
+    the IFD offset, scan entries and read the LONG-typed width/height
+    with the right endianness; a SHORT-typed width parses NULL
+    (declared out of scope) and non-TIFF bytes are rejected."""
+    import duckdb
+
+    from goe_spark.multimodal.media import (
+        tiff_endian,
+        tiff_height,
+        tiff_tag_value_sql,
+        tiff_width,
+    )
+
+    le = bytes.fromhex(
+        "49492A00" + "08000000"          # II, IFD at offset 8
+        + "0200"                          # 2 entries
+        + "0001" + "0400" + "01000000" + "80020000"   # 256 LONG 640
+        + "0101" + "0400" + "01000000" + "E0010000"   # 257 LONG 480
+        + "00000000"
+    )
+    be = bytes.fromhex(
+        "4D4D002A" + "00000010"          # MM, IFD at offset 16
+        + "00" * 8                        # junk the offset must skip
+        + "0002"
+        + "0100" + "0004" + "00000001" + "00000320"   # 256 LONG 800
+        + "0101" + "0004" + "00000001" + "00000258"   # 257 LONG 600
+        + "00000000"
+    )
+    short_typed = bytes.fromhex(
+        "49492A00" + "08000000" + "0100"
+        + "0001" + "0300" + "01000000" + "8002" + "0000"  # 256 SHORT
+        + "00000000"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(le)),
+            (2, bytearray(be)),
+            (3, bytearray(short_typed)),
+            (4, bytearray(b"plain text")),
+        ],
+        "media_id long, content binary",
+    )
+    c = F.col("content")
+    rows = {
+        r.media_id: r
+        for r in df.select(
+            "media_id",
+            tiff_endian(c).alias("e"),
+            tiff_width(c).alias("w"),
+            tiff_height(c).alias("h"),
+        ).collect()
+    }
+    assert (rows[1].e, rows[1].w, rows[1].h) == ("II", 640, 480)
+    assert (rows[2].e, rows[2].w, rows[2].h) == ("MM", 800, 600)
+    assert rows[3].e == "II" and rows[3].w is None
+    assert rows[4].e is None and rows[4].w is None
+
+    # DuckDB twin agrees byte-for-byte on the same payloads
+    con = duckdb.connect()
+    con.execute("CREATE TABLE media (media_id BIGINT, content BLOB)")
+    for mid, p in [(1, le), (2, be), (3, short_typed)]:
+        con.execute("INSERT INTO media VALUES (?, ?)", [mid, p])
+    got = con.execute(
+        f"SELECT media_id, {tiff_tag_value_sql('content', 256)},"
+        f" {tiff_tag_value_sql('content', 257)}"
+        " FROM media ORDER BY media_id"
+    ).fetchall()
+    assert got == [(1, 640, 480), (2, 800, 600), (3, None, None)]

@@ -36,6 +36,15 @@ ONLY land in the same commit as a SCALE.md rationale row explaining
 why the hazard is bounded (1-row scalar, seed-table grain, bounded
 series, ...). An entry without a written rationale is silencing, not
 auditing — reviewers should reject it.
+
+PREFER FIXING OVER WHITELISTING (round-11 verdict item 7): when a hit
+can be removed at the source, do that instead of auditing it in — the
+round-11 paragraph family pre-hashed a cheap `signed` flag so the
+filter sat below the hashing projections, and round 12's
+span_scrub_stats switched to posexplode_outer to stop the implicit
+size>0 predicate from inlining the md5 expression. A whitelist entry
+is the LAST resort for hazards that are structurally bounded, not a
+shortcut past a fixable plan.
 """
 
 from __future__ import annotations
