@@ -87,11 +87,11 @@ HEAD = (
     "url_dedup_stats",
     "media_flac_stats",
     "media_tiff_stats",
+    "embedding_power_iteration",
     # -- r9-stale fillers to pad the window to 50 --
     "asof_latest_order",
     "asof_next_order",
     "asof_recent_order",
-    "window_top_orders_per_customer",
 )
 TAIL = ()
 

@@ -1649,6 +1649,160 @@ FROM gram GROUP BY i
 """
 
 
+#: power-iteration rounds for the top-PC audit
+PI_ITERS = 4
+#: fixed-point grid for quantized embedding components and the
+#: iterated eigenvector (milli-units)
+PI_Q = 1000
+
+
+def embedding_power_iteration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dominant principal direction of the embedding corpus via
+    {PI_ITERS} rounds of EXACT fixed-point power iteration on the
+    (uncentered) second-moment matrix M = sum(x xᵀ) — the anisotropy
+    audit (Ethayarajh 2019-style): a corpus whose top component holds
+    most of the energy has embeddings collapsed into a cone, which
+    degrades cosine retrieval and PQ codebooks alike. Per iteration:
+    the Rayleigh quotient λ̂ = vᵀMv / vᵀv, its share of trace(M)
+    (the anisotropy number), and the updated eigenvector's L1 mass
+    and position checksum.
+
+    Exactness: components quantize to the {PI_Q} grid; Mv is computed
+    WITHOUT materializing M — per row s = q·v (int fold), then
+    w_j = sum(s * q_j), an integer sum collected at DIMENSION grain
+    (64 rows — the bounded vocabulary-grain pattern of
+    classifier_train_epochs); v renormalizes on the driver with ONE
+    double sqrt/division per component (norm² summed exactly in
+    integers first, so no float accumulation order exists), matching
+    the DuckDB oracle's unrolled-iteration CTEs bit for bit. Integer
+    magnitudes stay under 2^53 through sf10; a 1e9-vector corpus
+    promotes w to decimal(38,0), same plan shape (SCALE.md).
+
+    Plan: ONE corpus pass per iteration (v rides the plan as a
+    literal array, zero joins); posexplode (dim, s*q) rides map-side
+    partial aggregation so the shuffle carries 64 x n_partitions
+    partial rows, never the corpus."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qcol = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * PI_Q + 0.5).cast("long"),
+    )
+    base = emb.select(qcol.alias("q"))
+    trace_row = base.select(
+        F.explode("q").alias("qv")
+    ).agg(F.sum(F.col("qv") * F.col("qv")).alias("tr")).first()
+    trace = int(trace_row["tr"])
+
+    dim = 64
+    v = [PI_Q] * dim
+    rows = []
+    for it in range(1, PI_ITERS + 1):
+        vlit = F.array(*[F.lit(x) for x in v])
+        s = F.aggregate(
+            F.zip_with(F.col("q"), vlit, lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        w_rows = (
+            base.select("q", s.alias("s"))
+            .select(F.col("s"), F.posexplode("q").alias("dim", "qv"))
+            .groupBy("dim")
+            .agg(F.sum(F.col("s") * F.col("qv")).alias("w"))
+            .collect()
+        )
+        w = [0] * dim
+        for r in w_rows:
+            w[int(r["dim"])] = int(r["w"])
+        r_num = sum(vj * wj for vj, wj in zip(v, w))      # exact int
+        r_den = sum(vj * vj for vj in v)                  # exact int
+        n2 = sum(wj * wj for wj in w)                     # exact int
+        norm = math.sqrt(float(n2))
+        v = [
+            math.floor(float(wj) / norm * PI_Q + 0.5) for wj in w
+        ]
+        lam = float(r_num) / r_den
+        rows.append(
+            (
+                it,
+                round(lam, 3),
+                round(lam / trace, 6),
+                sum(abs(x) for x in v),
+                sum((j + 1) * x for j, x in enumerate(v)),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "iter int, rayleigh_r3 double, energy_share_r6 double,"
+        " v_l1 bigint, v_checksum bigint",
+    )
+
+
+def _power_iteration_sql() -> str:
+    ctes = [
+        f"""base AS (
+  SELECT vec_id,
+         [cast(floor(cast(x AS double) * {PI_Q} + 0.5) AS bigint)
+          FOR x IN embedding] AS q
+  FROM embeddings
+), qd AS (
+  SELECT vec_id, unnest(q) AS qv,
+         generate_subscripts(q, 1) - 1 AS dim
+  FROM base
+), tr AS (
+  SELECT sum(cast(qv AS hugeint) * qv) AS trace FROM qd
+), v0 AS (
+  SELECT cast(r.range AS bigint) AS dim, cast({PI_Q} AS bigint) AS v
+  FROM range(64) r
+)"""
+    ]
+    selects = []
+    for it in range(1, PI_ITERS + 1):
+        p = it - 1
+        ctes.append(
+            f"""s{it} AS (
+  SELECT d.vec_id, sum(d.qv * v.v) AS s
+  FROM qd d JOIN v{p} v USING (dim) GROUP BY d.vec_id
+), w{it} AS (
+  SELECT d.dim, sum(cast(s.s AS hugeint) * d.qv) AS w
+  FROM qd d JOIN s{it} s USING (vec_id) GROUP BY d.dim
+), st{it} AS (
+  SELECT sum(cast(v.v AS hugeint) * w.w) AS r_num,
+         sum(cast(v.v AS hugeint) * v.v) AS r_den,
+         sum(cast(w.w AS hugeint) * w.w) AS n2
+  FROM w{it} w JOIN v{p} v USING (dim)
+), v{it} AS (
+  SELECT w.dim,
+         cast(floor(cast(w.w AS double)
+                    / sqrt(cast(st.n2 AS double)) * {PI_Q} + 0.5)
+              AS bigint) AS v
+  FROM w{it} w, st{it} st
+), m{it} AS (
+  SELECT {it} AS iter,
+         round(cast(st.r_num AS double) / cast(st.r_den AS double), 3)
+           AS rayleigh_r3,
+         round(cast(st.r_num AS double) / cast(st.r_den AS double)
+               / cast(tr.trace AS double), 6) AS energy_share_r6,
+         (SELECT cast(sum(abs(v)) AS bigint) FROM v{it})
+           AS v_l1,
+         (SELECT cast(sum((dim + 1) * v) AS bigint) FROM v{it})
+           AS v_checksum
+  FROM st{it} st, tr
+)"""
+        )
+        selects.append(f"SELECT * FROM m{it}")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY iter"
+    )
+
+
 def embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise label-centroid geometry — the embedding-modality twin
     of unigram_kl_matrix: how far apart (cosine) the per-label mean
@@ -2062,5 +2216,11 @@ QUERIES = [
         embedding_centroid_shift,
         _centroid_shift_sql(),
         "pairwise label-centroid cosine/norm geometry (embedding drift)",
+    ),
+    QuerySpec(
+        "embedding_power_iteration",
+        embedding_power_iteration,
+        _power_iteration_sql(),
+        "fixed-point power-iteration top-PC anisotropy audit",
     ),
 ]

@@ -1,0 +1,71 @@
+"""Round-12 operators: fixed-point power iteration, span scrub
+accounting identities, URL canonicalization."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def test_power_iteration_properties(spark):
+    """Power-iteration invariants on the real fixture: the Rayleigh
+    quotient is nondecreasing across iterations, never exceeds the
+    true top eigenvalue (numpy cross-check on the same quantized
+    matrix), and the energy share stays in (0, 1]."""
+    import numpy as np
+
+    from goe_spark.catalog import load_table
+    from goe_spark.queries.similarity import (
+        PI_Q,
+        embedding_power_iteration,
+    )
+
+    rows = sorted(
+        embedding_power_iteration(spark, SF_SMALL).collect(),
+        key=lambda r: r["iter"],
+    )
+    assert [r["iter"] for r in rows] == [1, 2, 3, 4]
+    ray = [r.rayleigh_r3 for r in rows]
+    assert all(b >= a for a, b in zip(ray, ray[1:]))
+    assert all(0 < r.energy_share_r6 <= 1 for r in rows)
+    # numpy ground truth on the SAME quantization
+    emb = np.array(
+        load_table(spark, SF_SMALL, "embeddings")
+        .select("embedding")
+        .toPandas()["embedding"]
+        .tolist(),
+        dtype=np.float64,
+    )
+    q = np.floor(emb * PI_Q + 0.5)
+    m = q.T @ q
+    lam_max = float(np.linalg.eigvalsh(m).max())
+    assert ray[-1] <= lam_max * (1 + 1e-9)
+    # 4 rounds from the all-ones start must capture a decent fraction
+    # of the true top eigenvalue on this fixture
+    assert ray[-1] >= 0.5 * lam_max
+
+
+def test_span_scrub_accounting_identity(spark):
+    """tokens_kept + tokens_cut == tokens_in per source, docs_emptied
+    <= docs_touched <= n_docs — the reconstruction ledger closes."""
+    from goe_spark.queries.dedup import span_scrub_stats
+
+    for r in span_scrub_stats(spark, SF_SMALL).collect():
+        assert r.tokens_kept + r.tokens_cut == r.tokens_in
+        assert r.docs_emptied <= r.docs_touched <= r.n_docs
+
+
+def test_url_canonicalization_collapses_variants(spark):
+    """Tracking params, host case, trailing slash and fragments must
+    all collapse: canonical URLs < raw variants <= fetches, and the
+    dup ledger closes per host."""
+    from goe_spark.queries.profiling import url_dedup_stats
+
+    rows = url_dedup_stats(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.n_urls <= r.n_raw_urls <= r.n_fetches
+        assert r.dup_fetches == r.n_fetches - r.n_urls
+        assert r.bytes_kept <= r.bytes_fetched
+    assert sum(r.n_raw_urls for r in rows) > sum(r.n_urls for r in rows)
