@@ -1,6 +1,15 @@
 """End-to-end corpus curation pipeline — the training-data analogue of
 the offload pipeline, composed from the repo's own operators:
 
+  CRAWL_DEDUP    URL-grain provenance dedup — the stage that precedes
+                 ALL content processing in a crawl pipeline: re-fetches
+                 of the same canonical URL (lowercased host, tracking
+                 query/fragment/trailing-slash stripped) keep only the
+                 min-doc_id fetch, killing the cheapest duplicates
+                 before any text is hashed (accounting twin:
+                 queries/profiling.py::url_dedup_stats; the URL is the
+                 same deterministic fixture synthesis — a real corpus
+                 carries the column)
   HYGIENE_SCRUB  pre-tokenizer unicode scrub (control chars, U+FFFD
                  encoding damage, zero-width chars, run-on whitespace
                  — functions/text.py::hygiene_scrub, the same ONE
@@ -87,6 +96,7 @@ from goe_spark.plans.metadata import atomic_write_json
 from goe_spark.plans.steps import StepRunner
 
 STAGES = (
+    "CRAWL_DEDUP",
     "HYGIENE_SCRUB",
     "RULE_FILTER",
     "PII_REDACT",
@@ -359,10 +369,25 @@ class CurationPipeline:
 
     # ---- stages ------------------------------------------------------
 
-    def _hygiene_scrub(self) -> None:
+    def _crawl_dedup(self) -> None:
+        from pyspark.sql.window import Window
+
         from goe_spark.catalog import load_table
+        from goe_spark.queries.profiling import _synth_url_exprs
 
         d = load_table(self.spark, self.cfg.source_sf_dir, "documents")
+        _, canon, _ = _synth_url_exprs()
+        w = Window.partitionBy(canon)
+        kept = (
+            d.withColumn("keep_id", F.min("doc_id").over(w))
+            .where(F.col("doc_id") == F.col("keep_id"))
+            .drop("keep_id")
+            .withColumn("n_tokens", T.token_count("text"))
+        )
+        _write_stage(kept, _stage_dir(self.cfg, "CRAWL_DEDUP"))
+
+    def _hygiene_scrub(self) -> None:
+        d = self.spark.read.parquet(_stage_dir(self.cfg, "CRAWL_DEDUP"))
         scrubbed = d.select(
             "doc_id",
             "lang",
@@ -675,6 +700,7 @@ class CurationPipeline:
             log=lambda *_: None,
         )
         try:
+            runner.run("CRAWL_DEDUP", self._crawl_dedup)
             runner.run("HYGIENE_SCRUB", self._hygiene_scrub)
             runner.run("RULE_FILTER", self._rule_filter)
             runner.run("PII_REDACT", self._pii_redact)

@@ -258,7 +258,7 @@ def test_curate_command(tmp_path, capsys):
     assert rc == 0
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["final_rows"] > 0
-    assert len(res["funnel"]) == 12  # incl. HYGIENE/CLASSIFIER/SPAN stages
+    assert len(res["funnel"]) == 13  # incl. CRAWL/HYGIENE/CLASSIFIER/SPAN stages
 
 
 def test_heal_command_recovers_crashed_merge_and_zorder(tmp_path, capsys, spark):

@@ -38,7 +38,7 @@ def test_funnel_monotone_and_persisted(spark, finished):
     with open(os.path.join(cfg.work_dir, "funnel.json")) as fh:
         disk = json.load(fh)
     assert disk["final_rows"] == report.final_rows
-    assert len(disk["funnel"]) == 12  # incl. HYGIENE/CLASSIFIER/SPAN stages
+    assert len(disk["funnel"]) == 13  # incl. CRAWL/HYGIENE/CLASSIFIER/SPAN stages
 
 
 def test_no_exact_duplicate_survives(spark, finished):
@@ -100,10 +100,10 @@ def test_crash_resume_skips_completed_stages(spark, tmp_path):
     assert not os.path.isdir(os.path.join(cfg.work_dir, "final"))
 
     report = pipe.run()  # resume
-    # HYGIENE_SCRUB, RULE_FILTER, PII_REDACT, LINE_SCRUB,
+    # CRAWL_DEDUP, HYGIENE_SCRUB, RULE_FILTER, PII_REDACT, LINE_SCRUB,
     # SCORE_FILTER, CLASSIFIER_FILTER, EXACT_DEDUP, NEAR_DEDUP,
     # PARAGRAPH_SCRUB, SPAN_SCRUB, CONTAINMENT_SCRUB
-    assert report.resumed_steps == 11
+    assert report.resumed_steps == 12
     assert report.final_rows > 0
     # History shows two executions: the failed one and the resumed one.
     from goe_spark.plans.history import ExecutionHistoryStore
@@ -132,7 +132,7 @@ def test_parameter_change_invalidates_resume(spark, tmp_path):
     assert r2.resumed_steps == 0
     # A tighter threshold strictly shrinks the SCORE_FILTER stage
     # (the stages before it don't depend on quality_min).
-    assert r2.funnel[4][1] < r1.funnel[4][1]
+    assert r2.funnel[5][1] < r1.funnel[5][1]
     assert r2.funnel[0][1] == r1.funnel[0][1]
 
 
@@ -186,7 +186,7 @@ def test_double_crash_resume_chain(spark, tmp_path):
         pipe.run(error_at="FINAL_WRITE")  # crash 2: resumes 6, adds 2
     report = pipe.run()
     # Third run resumes everything up to FINAL_WRITE.
-    assert report.resumed_steps == 12
+    assert report.resumed_steps == 13
     assert report.final_rows > 0
 
 
@@ -231,7 +231,7 @@ def test_pii_redacted_and_junk_dropped(spark, tmp_path):
         F.sum(sum(pii_count("text", pat) for _, pat, _ in PII_KINDS))
     ).first()[0]
     assert resid == 0
-    assert report.funnel[1][1] == 2  # RULE_FILTER already dropped doc 3
+    assert report.funnel[2][1] == 2  # RULE_FILTER already dropped doc 3
 
 
 def test_line_scrub_cuts_boilerplate_keeps_unique(spark, tmp_path):

@@ -139,7 +139,7 @@ def test_curate_route(base_url, tmp_path):
     )
     assert status == 200
     assert body["final_rows"] > 0
-    assert len(body["funnel"]) == 12  # incl. HYGIENE/CLASSIFIER/SPAN stages
+    assert len(body["funnel"]) == 13  # incl. CRAWL/HYGIENE/CLASSIFIER/SPAN stages
 
 
 def test_curate_route_missing_field_400(base_url):
