@@ -88,10 +88,10 @@ HEAD = (
     "media_flac_stats",
     "media_tiff_stats",
     "embedding_power_iteration",
+    "corpus_novelty_curve",
     # -- r9-stale fillers to pad the window to 50 --
     "asof_latest_order",
     "asof_next_order",
-    "asof_recent_order",
 )
 TAIL = ()
 

@@ -511,6 +511,75 @@ FROM per_doc GROUP BY source
 """
 
 
+def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-saturation curve: treating doc_id as crawl order, what
+    fraction of each decile's distinct word-3-gram shingles is NOVEL
+    (first seen in that document — no smaller doc_id contains it)?
+    A flattening novelty curve is the curator's 'more crawling buys
+    little new data' signal; a late-decile novelty spike flags a new
+    content source entering the crawl. Per doc_id decile: docs,
+    distinct grams, novel grams, novelty per 10k.
+
+    Plan: per-doc distinct shingles (the _shingle_hashed bound-column
+    lineage), one gram-grain groupBy for min(doc_id) — first-seen
+    attribution without posting lists — then a 1:1 join back and a
+    10-row decile rollup. The decile edge rides a driver-inlined
+    max(doc_id) scalar (one bounded 1-row aggregate, the BPE-argmax
+    pattern) so no global window and no broadcast-scalar nested loop
+    exists in the plan."""
+    d = load_table(spark, sf_dir, "documents")
+    max_id = int(d.agg(F.max("doc_id")).first()[0])
+    grams = _shingle_hashed(spark, sf_dir).select(
+        "doc_id", F.explode(F.array_distinct("sh")).alias("g")
+    )
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("fs"))
+    per_doc = (
+        grams.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("fs") == F.col("doc_id")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+    )
+    bucket = F.least(
+        F.lit(9), F.floor(F.col("doc_id") * 10 / (max_id + 1))
+    ).cast("int")
+    return per_doc.groupBy(bucket.alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_grams").alias("total_grams"),
+        F.sum("n_novel").alias("novel_grams"),
+        F.floor(F.sum("n_novel") * 10000 / F.sum("n_grams"))
+        .cast("long")
+        .alias("novelty_per_10k"),
+    )
+
+
+def _novelty_curve_sql() -> str:
+    return f"""
+WITH shingled AS ({_shingle_hashed_sql()}),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(sh)) AS g FROM shingled
+), first_seen AS (
+  SELECT g, min(doc_id) AS fs FROM grams GROUP BY g
+), per_doc AS (
+  SELECT gr.doc_id,
+         count(*) AS n_grams,
+         sum(CASE WHEN f.fs = gr.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM grams gr JOIN first_seen f USING (g)
+  GROUP BY gr.doc_id
+), edge AS (SELECT max(doc_id) AS mx FROM documents)
+SELECT cast(least(9, (doc_id * 10) // (mx + 1)) AS int) AS decile,
+       count(*) AS n_docs,
+       cast(sum(n_grams) AS bigint) AS total_grams,
+       cast(sum(n_novel) AS bigint) AS novel_grams,
+       cast(floor(sum(n_novel) * 10000 / (1.0 * sum(n_grams)))
+            AS bigint) AS novelty_per_10k
+FROM per_doc, edge GROUP BY 1
+"""
+
+
 def _span_cuts(d: DataFrame) -> DataFrame:
     """(doc_id, cut_idxs, n_cut): the 0-BASED token positions each
     document loses under ExactSubstr-style cross-doc duplicated-span
@@ -2008,6 +2077,12 @@ QUERIES = [
         span_scrub_stats,
         _span_scrub_sql(),
         "ExactSubstr-style cross-doc span removal accounting",
+    ),
+    QuerySpec(
+        "corpus_novelty_curve",
+        corpus_novelty_curve,
+        _novelty_curve_sql(),
+        "first-seen shingle novelty per crawl-order decile",
     ),
     QuerySpec(
         "top_duplicate_ngrams", top_duplicate_ngrams, TOP_DUP_NGRAMS_SQL
