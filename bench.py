@@ -217,8 +217,12 @@ def _calib_spark(spark, rows: int = CALIB_SPARK_ROWS) -> float:
     from pyspark.sql import functions as F
 
     t0 = time.perf_counter()
+    # shiftright before the sum: raw xxhash64 values wrap int64 in
+    # SUM, which the bench's ANSI-on session raises on (non-ANSI
+    # silently wrapped — the probe only burns CPU, the value is
+    # discarded, and the hashing work is unchanged)
     spark.range(0, rows, 1, 32).select(
-        F.sum(F.xxhash64("id")).alias("s")
+        F.sum(F.shiftright(F.xxhash64("id"), 32)).alias("s")
     ).collect()
     return time.perf_counter() - t0
 

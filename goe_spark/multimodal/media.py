@@ -1142,9 +1142,13 @@ def _u32_end(h, char_pos, le) -> "F.Column":
     return F.when(le, hi * 65536 + lo).otherwise(lo * 65536 + hi)
 
 
-def _tiff_tag_value(content, tag: int) -> "F.Column":
-    """Value of LONG-typed IFD entry ``tag`` in the first IFD, NULL
-    when absent / not LONG / not a TIFF. Bounded entry scan."""
+def tiff_entries(content) -> "F.Column":
+    """The first IFD's (tag, typ, val) entry structs as an array
+    column (NULL for non-TIFF bytes), capped at TIFF_ENTRY_CAP.
+    Consumers that read several tags should BIND this to a column
+    once and extract with tiff_tag_from_entries — the scan expression
+    is large (per-entry endian-switched u16/u32 chains), and building
+    it once per tag doubles codegen compile time."""
     h = _hex_of(content)
     le = h.startswith(TIFF_LE_SIG_HEX)
     is_tiff = le | h.startswith(TIFF_BE_SIG_HEX)
@@ -1160,25 +1164,30 @@ def _tiff_tag_value(content, tag: int) -> "F.Column":
             _u16_end(h, pos + 4, le).alias("typ"),
             _u32_end(h, pos + 16, le).alias("val"),
         )
-    hits = F.when(
+    return F.when(
         is_tiff & (n_ent >= 1),
-        F.filter(
-            F.transform(
-                F.sequence(F.lit(0), (n_ent - 1).cast("int")), entry
-            ),
-            lambda e: (e["tag"] == tag) & (e["typ"] == _TYPE_LONG),
+        F.transform(
+            F.sequence(F.lit(0), (n_ent - 1).cast("int")), entry
         ),
+    )
+
+
+def tiff_tag_from_entries(ents, tag: int) -> "F.Column":
+    """Value of the LONG-typed entry ``tag`` from a bound
+    tiff_entries column; NULL when absent / not LONG / NULL array."""
+    hits = F.filter(
+        ents, lambda e: (e["tag"] == tag) & (e["typ"] == _TYPE_LONG)
     )
     # F.get: NULL (never an ANSI index error) for the empty/NULL list
     return F.get(hits, 0)["val"].cast("int")
 
 
 def tiff_width(content) -> "F.Column":
-    return _tiff_tag_value(content, _TAG_WIDTH)
+    return tiff_tag_from_entries(tiff_entries(content), _TAG_WIDTH)
 
 
 def tiff_height(content) -> "F.Column":
-    return _tiff_tag_value(content, _TAG_LENGTH)
+    return tiff_tag_from_entries(tiff_entries(content), _TAG_LENGTH)
 
 
 def _u16_end_sql(h: str, pos: str, le: str) -> str:

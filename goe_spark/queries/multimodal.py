@@ -1258,9 +1258,11 @@ def media_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: single scan, all codegen, one 2-row aggregate; payload
     bytes never shuffle."""
     from goe_spark.multimodal.media import (
+        _TAG_LENGTH,
+        _TAG_WIDTH,
         tiff_endian,
-        tiff_height,
-        tiff_width,
+        tiff_entries,
+        tiff_tag_from_entries,
     )
 
     d = load_table(spark, sf_dir, "documents")
@@ -1309,11 +1311,20 @@ def media_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = d.select(content.alias("content"))
     c = F.col("content")
-    per = media.select(
-        tiff_endian(c).alias("endian"),
-        tiff_width(c).alias("w"),
-        tiff_height(c).alias("h"),
-    ).where(F.col("endian").isNotNull())
+    # bind the entry scan ONCE (it is the expensive expression), then
+    # extract both tags from the bound column
+    per = (
+        media.select(
+            tiff_endian(c).alias("endian"),
+            tiff_entries(c).alias("ents"),
+        )
+        .select(
+            "endian",
+            tiff_tag_from_entries(F.col("ents"), _TAG_WIDTH).alias("w"),
+            tiff_tag_from_entries(F.col("ents"), _TAG_LENGTH).alias("h"),
+        )
+        .where(F.col("endian").isNotNull())
+    )
     return per.groupBy("endian").agg(
         F.count(F.lit(1)).alias("n_files"),
         F.max("w").alias("max_w"),
