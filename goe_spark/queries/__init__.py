@@ -89,9 +89,9 @@ HEAD = (
     "media_tiff_stats",
     "embedding_power_iteration",
     "corpus_novelty_curve",
+    "knn_label_agreement",
     # -- r9-stale fillers to pad the window to 50 --
     "asof_latest_order",
-    "asof_next_order",
 )
 TAIL = ()
 

@@ -1649,6 +1649,156 @@ FROM gram GROUP BY i
 """
 
 
+def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit (the confident-learning shape, Northcutt et
+    al.): each vector's top-{KNN_GRAPH_K} cosine neighbours inside its
+    IVF cell vote on its label — a vector whose neighbourhood
+    disagrees with its recorded label is a mislabeled-example
+    candidate, the screen run before trusting labels for classifier
+    training or stratified sampling. Per label: vectors with
+    neighbours, kNN edges, label-agreeing edges, agreement per 10k,
+    and suspects (strict minority agreement, 2*agree < k).
+
+    Plan: the neighbour candidates are bounded per (IVF cell, sub)
+    exactly like knn_graph_ivf_stats — the quantizer assignment comes
+    from the MATERIALIZED index (ensure_index, paid once per source
+    fingerprint), cells above EMB_CELL_CAP sub-bucket by the vec_id
+    hash, no all-pairs term at any skew; fixture labels join back 1:1
+    at vector grain; the rollup is label-cardinality. The DuckDB
+    oracle replays the quantizer through the SAME _ivf_assigned_ctes
+    chain as ann_ivf_topk."""
+    from pyspark.sql.window import Window
+
+    from goe_spark.functions.hashing import hash64
+    from goe_spark.operators.ivf import ensure_index, load_assigned
+
+    cap = EMB_CELL_CAP
+    index_dir = ensure_index(spark, sf_dir)
+    assigned = load_assigned(spark, index_dir).select(
+        "vec_id", "cell", "embedding"
+    )
+    lbl = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label"
+    )
+    emb = assigned.join(lbl, "vec_id")
+    sizes = emb.groupBy("cell").agg(F.count(F.lit(1)).alias("n_cell"))
+    n_sub = F.expr(f"greatest(1, (n_cell + {cap} - 1) div {cap})")
+    g = (
+        emb.join(F.broadcast(sizes), "cell")
+        .withColumn(
+            "sub", F.pmod(hash64(F.col("vec_id").cast("string")), n_sub)
+        )
+        .select(
+            "cell",
+            "sub",
+            "vec_id",
+            "label",
+            "embedding",
+            _norm2(F.col("embedding")).alias("nrm"),
+        )
+    )
+    a = g.select(
+        "cell",
+        "sub",
+        F.col("vec_id").alias("src"),
+        F.col("label").alias("slabel"),
+        F.col("embedding").alias("avec"),
+        F.col("nrm").alias("anrm"),
+    )
+    b = g.select(
+        "cell",
+        "sub",
+        F.col("vec_id").alias("dst"),
+        F.col("label").alias("dlabel"),
+        F.col("embedding").alias("bvec"),
+        F.col("nrm").alias("bnrm"),
+    )
+    scored = (
+        a.join(b, ["cell", "sub"])
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "slabel",
+            "dst",
+            "dlabel",
+            F.round(
+                _dot(F.col("avec"), F.col("bvec"))
+                / F.sqrt(F.col("anrm") * F.col("bnrm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    nn = scored.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= KNN_GRAPH_K
+    )
+    per_vec = nn.groupBy("src", "slabel").agg(
+        F.count(F.lit(1)).alias("k_actual"),
+        F.sum((F.col("slabel") == F.col("dlabel")).cast("long")).alias(
+            "agree"
+        ),
+    )
+    return per_vec.groupBy(F.col("slabel").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("k_actual").alias("n_edges"),
+        F.sum("agree").alias("n_agree"),
+        F.floor(F.sum("agree") * 10000 / F.sum("k_actual"))
+        .cast("long")
+        .alias("agreement_per_10k"),
+        F.sum((2 * F.col("agree") < F.col("k_actual")).cast("long")).alias(
+            "n_suspect"
+        ),
+    )
+
+
+def _knn_label_agreement_sql() -> str:
+    from goe_spark.functions.hashing import hash64_sql
+
+    h = hash64_sql("cast(vec_id AS varchar)")
+    cap = EMB_CELL_CAP
+    nsub = f"greatest(1, (s.n_cell + {cap} - 1) // {cap})"
+    cos = (
+        f"round({DOT_SQL.format(a='a.embedding', b='b.embedding')}"
+        " / sqrt(a.nrm * b.nrm), 6)"
+    )
+    return _ivf_assigned_ctes() + f""",
+lbl AS (
+  SELECT vec_id, label FROM embeddings
+), sizes2 AS (
+  SELECT cell, count(*) AS n_cell FROM assigned GROUP BY cell
+), gcells AS (
+  SELECT e.vec_id, e.cell, e.embedding, e.vnorm2 AS nrm, l.label,
+         (({h} % {nsub}) + {nsub}) % {nsub} AS sub
+  FROM assigned e JOIN sizes2 s USING (cell) JOIN lbl l USING (vec_id)
+), scored AS (
+  SELECT a.vec_id AS src, a.label AS slabel,
+         b.vec_id AS dst, b.label AS dlabel, {cos} AS cosine
+  FROM gcells a JOIN gcells b
+    ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id != b.vec_id
+), nn AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER
+      (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rk
+    FROM scored
+  ) WHERE rk <= {KNN_GRAPH_K}
+), per_vec AS (
+  SELECT src, slabel,
+         count(*) AS k_actual,
+         sum(CASE WHEN slabel = dlabel THEN 1 ELSE 0 END) AS agree
+  FROM nn GROUP BY 1, 2
+)
+SELECT slabel AS label,
+       count(*) AS n_vecs,
+       cast(sum(k_actual) AS bigint) AS n_edges,
+       cast(sum(agree) AS bigint) AS n_agree,
+       cast(floor(sum(agree) * 10000 / (1.0 * sum(k_actual)))
+            AS bigint) AS agreement_per_10k,
+       cast(sum(CASE WHEN 2 * agree < k_actual THEN 1 ELSE 0 END)
+            AS bigint) AS n_suspect
+FROM per_vec GROUP BY slabel
+"""
+
+
 #: power-iteration rounds for the top-PC audit
 PI_ITERS = 4
 #: fixed-point grid for quantized embedding components and the
@@ -2222,5 +2372,11 @@ QUERIES = [
         embedding_power_iteration,
         _power_iteration_sql(),
         "fixed-point power-iteration top-PC anisotropy audit",
+    ),
+    QuerySpec(
+        "knn_label_agreement",
+        knn_label_agreement,
+        _knn_label_agreement_sql(),
+        "kNN label-noise audit over IVF-bounded neighbourhoods",
     ),
 ]
