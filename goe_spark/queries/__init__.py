@@ -90,8 +90,7 @@ HEAD = (
     "embedding_power_iteration",
     "corpus_novelty_curve",
     "knn_label_agreement",
-    # -- r9-stale fillers to pad the window to 50 --
-    "asof_latest_order",
+    "streaming_classifier_counts",
 )
 TAIL = ()
 

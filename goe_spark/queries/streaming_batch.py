@@ -404,6 +404,37 @@ def _cusum_drift_oracle() -> str:
     return CUSUM_DRIFT_SQL
 
 
+def streaming_classifier_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Model inference on ingest: the fixed-point quality classifier
+    scoring the DOCUMENT stream (streaming/docs.py) — the oracle is
+    the plain batch group-by, so it matches only if the stream scored
+    every doc exactly once with bit-identical arithmetic."""
+    from goe_spark.streaming.docs import classifier_scored_counts
+
+    return classifier_scored_counts(spark, sf_dir)
+
+
+def _streaming_classifier_sql() -> str:
+    from goe_spark.functions.classifier import classifier_logit_milli_sql
+
+    return f"""
+WITH per AS (
+  SELECT lang, {classifier_logit_milli_sql('text')} AS logit
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       cast(sum(CASE WHEN logit > 0 THEN 1 ELSE 0 END) AS bigint)
+         AS n_keep,
+       cast(sum(CASE WHEN logit > 500 THEN 1 ELSE 0 END) AS bigint)
+         AS n_strong,
+       cast(sum(logit) AS bigint) AS sum_logit_milli
+FROM per GROUP BY lang
+"""
+
+
 QUERIES = [
     QuerySpec(
         "streaming_window_counts", streaming_window_counts, STREAMING_WINDOW_SQL
@@ -433,5 +464,11 @@ QUERIES = [
     ),
     QuerySpec(
         "unattributed_purchases", unattributed_purchases, UNATTRIBUTED_SQL
+    ),
+    QuerySpec(
+        "streaming_classifier_counts",
+        streaming_classifier_counts,
+        _streaming_classifier_sql(),
+        "classifier inference on the document stream; oracle = batch",
     ),
 ]

@@ -1,0 +1,88 @@
+"""Streaming DOCUMENT ingest — model inference on arrival.
+
+Additive scope over the reference (its transport is batch-only): the
+quality-classifier scoring stage (functions/classifier.py) applied as
+documents land, the production shape where a crawl's output is scored
+continuously and routing decisions (keep / quarantine) happen before
+anything is persisted downstream. The scoring fold is STATELESS
+map-side work inside the micro-batch — the same plan-literal weight
+broadcast as the batch path, so stream and batch scores are
+bit-identical (the correctness oracle is the plain batch group-by).
+
+At 100 TB/day each micro-batch is one projection + a lang-grain
+aggregate; the only state Structured Streaming keeps is the running
+aggregate (lang-cardinality rows).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the documents parquet — same
+    directory-vs-single-file handling as streaming/events.py's
+    events_stream (pathGlobFilter matches FILES only)."""
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    table_path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(table_path):
+        return reader.parquet(table_path)
+    return reader.option("pathGlobFilter", "documents.parquet").parquet(
+        sf_dir
+    )
+
+
+def classifier_scored_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-language classifier scoring of the document stream,
+    drained with availableNow into a memory sink: docs, keeps
+    (logit > 0), strong keeps (> 500 milli), exact logit sum.
+    Complete output mode on finite input equals the batch group-by —
+    the oracle — iff the stream-side fold scores every doc exactly
+    once with the identical fixed-point arithmetic."""
+    from goe_spark.functions.classifier import classifier_logit_milli
+
+    stream = documents_stream(spark, sf_dir)
+    agg = (
+        stream.select(
+            "lang", classifier_logit_milli(F.col("text")).alias("logit")
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("logit") > 0).cast("long")).alias("n_keep"),
+            F.sum((F.col("logit") > 500).cast("long")).alias("n_strong"),
+            F.sum("logit").alias("sum_logit_milli"),
+        )
+    )
+    sink = f"cls_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

@@ -554,3 +554,39 @@ def test_events_stream_directory_table(spark, tmp_path):
     got = windowed_event_counts(spark, sf_dir)
     want = ev.count()
     assert got.agg({"n_events": "sum"}).first()[0] == want
+
+
+def test_streaming_classifier_matches_batch(spark):
+    """Stream-side classifier scoring equals the batch fold row for
+    row — the fixed-point weights broadcast identically into the
+    micro-batch plan."""
+    from goe_spark.functions.classifier import classifier_logit_milli
+    from goe_spark.streaming.docs import classifier_scored_counts
+    from tests.conftest import SF_SMALL
+
+    got = {
+        r.lang: r for r in classifier_scored_counts(spark, SF_SMALL).collect()
+    }
+    exp = {
+        r.lang: r
+        for r in (
+            spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+            .select(
+                "lang", classifier_logit_milli(F.col("text")).alias("logit")
+            )
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum((F.col("logit") > 0).cast("long")).alias("n_keep"),
+                F.sum((F.col("logit") > 500).cast("long")).alias("n_strong"),
+                F.sum("logit").alias("sum_logit_milli"),
+            )
+            .collect()
+        )
+    }
+    assert set(got) == set(exp)
+    for lang, g in got.items():
+        e = exp[lang]
+        assert (g.n_docs, g.n_keep, g.n_strong, g.sum_logit_milli) == (
+            e.n_docs, e.n_keep, e.n_strong, e.sum_logit_milli
+        )
