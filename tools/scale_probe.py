@@ -70,6 +70,12 @@ PROBE_QUERIES = [
     "sessionization_stats",
     "event_funnel_conversion",
     "cms_user_counts",
+    # round-12: the new gram-grain joins (occ-vs-owner / first-seen)
+    # and the iterative fixed-point loops must stay ~linear
+    "span_scrub_stats",
+    "corpus_novelty_curve",
+    "classifier_train_epochs",
+    "embedding_power_iteration",
 ]
 
 
