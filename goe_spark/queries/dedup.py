@@ -644,6 +644,107 @@ def _span_cuts(d: DataFrame) -> DataFrame:
     )
 
 
+def span_run_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-RUN length distribution — the diagnostic that picks
+    an ExactSubstr minimum-span threshold (Lee et al. cut 50-token
+    runs; cutting every duplicated 3-gram position, as SPAN_SCRUB
+    does, is the aggressive end): consecutive cut positions within a
+    doc coalesce into runs, reported per source as run counts by
+    length bucket (1-2 / 3-7 / 8-31 / 32+), the longest run, and the
+    token mass sitting in runs of 8+ — if most duplicated mass is in
+    long runs, a conservative threshold still reclaims it.
+
+    Plan: rides _span_cuts; runs come from the classic gaps-and-
+    islands trick (pos - row_number per doc) with the window
+    partitioned at DOC grain (never corpus); rollups are source-grain.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    cuts = _span_cuts(d).select(
+        "doc_id", F.explode("cut_idxs").alias("i")
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    runs = (
+        cuts.withColumn("grp", F.col("i") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    per = runs.join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    rl = F.col("run_len")
+    return per.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_docs_touched"),
+        F.count(F.lit(1)).alias("n_runs"),
+        F.sum("run_len").alias("tokens_cut"),
+        F.max("run_len").alias("max_run_len"),
+        F.sum((rl <= 2).cast("long")).alias("runs_1_2"),
+        F.sum(((rl >= 3) & (rl <= 7)).cast("long")).alias("runs_3_7"),
+        F.sum(((rl >= 8) & (rl <= 31)).cast("long")).alias("runs_8_31"),
+        F.sum((rl >= 32).cast("long")).alias("runs_32p"),
+        F.sum(F.when(rl >= 8, rl).otherwise(0)).alias(
+            "tokens_in_runs_8p"
+        ),
+    )
+
+
+def _span_run_sql() -> str:
+    from goe_spark.operators import minhash as MH
+
+    toks_sql = r"regexp_split_to_array(trim(text), '\s+')"
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, {toks_sql} AS toks FROM documents
+), th AS (
+  SELECT doc_id, {MH.token_hashes_sql('toks')} AS th
+  FROM base WHERE len(toks) >= 3
+), shd AS (
+  SELECT doc_id, {MH.arith_shingle_hashes_sql('th')} AS sh FROM th
+), occ AS (
+  SELECT doc_id, unnest(sh) AS g, generate_subscripts(sh, 1) AS pos
+  FROM shd
+), gs AS (
+  SELECT g, min(doc_id) AS owner
+  FROM occ GROUP BY g HAVING min(doc_id) <> max(doc_id)
+), cuts AS (
+  SELECT DISTINCT o.doc_id, i FROM (
+    SELECT o.doc_id, unnest([o.pos, o.pos + 1, o.pos + 2]) AS i
+    FROM occ o JOIN gs ON gs.g = o.g
+    WHERE o.doc_id <> gs.owner
+  ) o
+), runs AS (
+  SELECT doc_id, grp, count(*) AS run_len FROM (
+    SELECT doc_id, i,
+           i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+             AS grp
+    FROM cuts
+  ) GROUP BY doc_id, grp
+), per AS (
+  SELECT r.doc_id, b.source, r.run_len
+  FROM runs r JOIN base b USING (doc_id)
+)
+SELECT source,
+       count(DISTINCT doc_id) AS n_docs_touched,
+       count(*) AS n_runs,
+       cast(sum(run_len) AS bigint) AS tokens_cut,
+       cast(max(run_len) AS bigint) AS max_run_len,
+       cast(sum(CASE WHEN run_len <= 2 THEN 1 ELSE 0 END) AS bigint)
+         AS runs_1_2,
+       cast(sum(CASE WHEN run_len BETWEEN 3 AND 7 THEN 1 ELSE 0 END)
+            AS bigint) AS runs_3_7,
+       cast(sum(CASE WHEN run_len BETWEEN 8 AND 31 THEN 1 ELSE 0 END)
+            AS bigint) AS runs_8_31,
+       cast(sum(CASE WHEN run_len >= 32 THEN 1 ELSE 0 END) AS bigint)
+         AS runs_32p,
+       cast(sum(CASE WHEN run_len >= 8 THEN run_len ELSE 0 END)
+            AS bigint) AS tokens_in_runs_8p
+FROM per GROUP BY source
+"""
+
+
 def span_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reconstruction accounting for cross-doc duplicated-span
     removal (the destructive ExactSubstr twin of
@@ -2083,6 +2184,12 @@ QUERIES = [
         corpus_novelty_curve,
         _novelty_curve_sql(),
         "first-seen shingle novelty per crawl-order decile",
+    ),
+    QuerySpec(
+        "span_run_stats",
+        span_run_stats,
+        _span_run_sql(),
+        "duplicated-run length distribution (min-span threshold pick)",
     ),
     QuerySpec(
         "top_duplicate_ngrams", top_duplicate_ngrams, TOP_DUP_NGRAMS_SQL

@@ -69,3 +69,20 @@ def test_url_canonicalization_collapses_variants(spark):
         assert r.dup_fetches == r.n_fetches - r.n_urls
         assert r.bytes_kept <= r.bytes_fetched
     assert sum(r.n_raw_urls for r in rows) > sum(r.n_urls for r in rows)
+
+
+def test_span_run_ledger_matches_scrub_ledger(spark):
+    """The run-length view and the scrub accounting view must agree on
+    the cut token mass per source (same cut sets, two rollups)."""
+    from goe_spark.queries.dedup import span_run_stats, span_scrub_stats
+
+    runs = {r.source: r for r in span_run_stats(spark, SF_SMALL).collect()}
+    scrub = {
+        r.source: r for r in span_scrub_stats(spark, SF_SMALL).collect()
+    }
+    touched = {s for s, r in scrub.items() if r.docs_touched > 0}
+    assert set(runs) == touched
+    for s, r in runs.items():
+        assert r.tokens_cut == scrub[s].tokens_cut
+        assert r.n_docs_touched == scrub[s].docs_touched
+        assert r.max_run_len <= r.tokens_cut
