@@ -1785,6 +1785,148 @@ FROM binned GROUP BY cls_bin
 """
 
 
+def html_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction — the stage that precedes EVERYTHING in
+    a web-crawl pipeline (trafilatura/jusText reduced to its
+    deterministic regex core): drop boilerplate ELEMENTS (nav, footer,
+    ad divs) wholesale, strip remaining tags, unescape the common
+    entities, collapse whitespace. The corpus ships plain text, so the
+    docs are first wrapped in a deterministic spec-true HTML shell
+    (title/nav/optional ad block/p-wrapped body/footer — build columns
+    never reach the extractor, which sees ONLY the html column); the
+    EXTRACTION chain is the operator. Per source: docs, html bytes,
+    extracted bytes, extraction yield per 10k bytes, boilerplate
+    removed, ad-bearing docs, and docs whose extracted text round-trips
+    the original exactly (the correctness anchor: a lossless extractor
+    must recover the body it was handed).
+
+    Plan: synthesis + extraction are ONE projection of codegen
+    regexp_replace chains (no UDF, no shuffle before the source
+    rollup); at 100 TB this is the classic map-only pass."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    did = F.col("doc_id")
+    # Entities: the body escapes & < > like a real serializer would.
+    body = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"
+        ),
+        ">",
+        "&gt;",
+    )
+    ad = F.when(
+        did % 3 == 0,
+        F.lit('<div class="ad">SPONSORED buy now limited offer</div>'),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        did.cast("string"),
+        F.lit("</title></head><body><nav>home | about | contact</nav>"),
+        ad,
+        F.lit("<p>"),
+        body,
+        F.lit("</p><footer>(c) example.com · terms · privacy</footer>"),
+        F.lit("</body></html>"),
+    )
+    page = d.select("source", "text", html.alias("html"))
+    h = F.col("html")
+    # explicit alternation, no backreference: the DuckDB twin runs on
+    # RE2, which has no \1
+    no_blocks = F.regexp_replace(
+        h,
+        r"(?s)<nav>.*?</nav>|<footer>.*?</footer>"
+        r"|<script>.*?</script>|<style>.*?</style>"
+        r'|<div class="ad">.*?</div>'
+        r"|<head>.*?</head>",
+        "",
+    )
+    no_tags = F.regexp_replace(no_blocks, r"<[^>]*>", " ")
+    unescaped = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(no_tags, "&lt;", "<"), "&gt;", ">"
+        ),
+        "&amp;",
+        "&",
+    )
+    extracted = F.trim(F.regexp_replace(unescaped, r"\s+", " "))
+    per = page.select(
+        "source",
+        F.length("html").cast("long").alias("html_bytes"),
+        F.length(extracted).cast("long").alias("ext_bytes"),
+        (extracted == F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+        .cast("long")
+        .alias("roundtrip"),
+        h.contains('<div class="ad">').cast("long").alias("has_ad"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("html_bytes").alias("html_bytes"),
+        F.sum("ext_bytes").alias("extracted_bytes"),
+        F.floor(F.sum("ext_bytes") * 10000 / F.sum("html_bytes"))
+        .cast("long")
+        .alias("yield_per_10k"),
+        F.sum(F.col("html_bytes") - F.col("ext_bytes")).alias(
+            "bytes_removed"
+        ),
+        F.sum("has_ad").alias("n_with_ads"),
+        F.sum("roundtrip").alias("n_roundtrip_exact"),
+    )
+
+
+def _html_extract_sql() -> str:
+    return r"""
+WITH page AS (
+  SELECT source, text,
+         '<html><head><title>Doc ' || doc_id
+         || '</title></head><body><nav>home | about | contact</nav>'
+         || CASE WHEN doc_id % 3 = 0
+            THEN '<div class="ad">SPONSORED buy now limited offer</div>'
+            ELSE '' END
+         || '<p>'
+         || replace(replace(replace(text, '&', '&amp;'),
+                            '<', '&lt;'), '>', '&gt;')
+         || '</p><footer>(c) example.com · terms · privacy</footer>'
+         || '</body></html>' AS html
+  FROM documents
+), ext AS (
+  SELECT source, html, text,
+         trim(regexp_replace(
+           replace(replace(replace(
+             regexp_replace(
+               regexp_replace(html,
+                 '(?s)<nav>.*?</nav>|<footer>.*?</footer>'
+                 || '|<script>.*?</script>|<style>.*?</style>'
+                 || '|<div class="ad">.*?</div>'
+                 || '|<head>.*?</head>', '', 'g'),
+               '<[^>]*>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+           '\s+', ' ', 'g')) AS extracted
+  FROM page
+), per AS (
+  SELECT source,
+         length(html) AS html_bytes,
+         length(extracted) AS ext_bytes,
+         CASE WHEN extracted
+                   = trim(regexp_replace(text, '\s+', ' ', 'g'))
+              THEN 1 ELSE 0 END AS roundtrip,
+         CASE WHEN contains(html, '<div class="ad">')
+              THEN 1 ELSE 0 END AS has_ad
+  FROM ext
+)
+SELECT source,
+       count(*) AS n_docs,
+       cast(sum(html_bytes) AS bigint) AS html_bytes,
+       cast(sum(ext_bytes) AS bigint) AS extracted_bytes,
+       cast(floor(sum(ext_bytes) * 10000 / (1.0 * sum(html_bytes)))
+            AS bigint) AS yield_per_10k,
+       cast(sum(html_bytes - ext_bytes) AS bigint) AS bytes_removed,
+       cast(sum(has_ad) AS bigint) AS n_with_ads,
+       cast(sum(roundtrip) AS bigint) AS n_roundtrip_exact
+FROM per GROUP BY source
+"""
+
+
 QUERIES = [
     QuerySpec("sentiment_by_source", sentiment_by_source, _sentiment_sql()),
     QuerySpec(
@@ -1873,5 +2015,11 @@ QUERIES = [
         positional_entropy_profile,
         POSITIONAL_ENTROPY_SQL,
         "token entropy by position (templated-prefix detector)",
+    ),
+    QuerySpec(
+        "html_extract_stats",
+        html_extract_stats,
+        _html_extract_sql(),
+        "HTML boilerplate-block removal + tag strip + entity unescape",
     ),
 ]
