@@ -1785,6 +1785,68 @@ FROM binned GROUP BY cls_bin
 """
 
 
+def classifier_threshold_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source classifier-threshold calibration — the equity move
+    production pipelines make after scoring: one GLOBAL logit cutoff
+    silently empties sources whose score distribution sits low (CCNet
+    keeps per-segment thresholds for exactly this reason). Per source:
+    exact logit quartiles (the p50 IS the per-source threshold for a
+    50% keep rate) and the keep rate a global zero-cutoff would
+    actually give that source, per 10k — the spread of that column
+    across sources is the inequity a per-source threshold removes.
+
+    Plan: one scoring pass (plan-literal weights, zero joins), one
+    source-grain exact-percentile aggregate (groups are catalog-
+    bounded; at 100 TB swap approx_percentile as order_value_
+    percentiles documents)."""
+    from goe_spark.functions.classifier import classifier_logit_milli
+
+    d = load_table(spark, sf_dir, "documents")
+    per = d.select(
+        "source", classifier_logit_milli(F.col("text")).alias("logit")
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.percentile("logit", F.lit(0.25)), 2).alias("p25"),
+        F.round(F.percentile("logit", F.lit(0.5)), 2).alias(
+            "threshold_keep50"
+        ),
+        F.round(F.percentile("logit", F.lit(0.75)), 2).alias("p75"),
+        F.min("logit").alias("min_logit"),
+        F.max("logit").alias("max_logit"),
+        F.floor(
+            F.sum((F.col("logit") > 0).cast("long")) * 10000
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("keep_at_zero_per_10k"),
+    )
+
+
+def _classifier_threshold_sql() -> str:
+    from goe_spark.functions.classifier import classifier_logit_milli_sql
+
+    return f"""
+WITH per AS (
+  SELECT source, {classifier_logit_milli_sql('text')} AS logit
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(quantile_cont(logit, 0.25), 2) AS p25,
+       round(quantile_cont(logit, 0.5), 2) AS threshold_keep50,
+       round(quantile_cont(logit, 0.75), 2) AS p75,
+       min(logit) AS min_logit,
+       max(logit) AS max_logit,
+       cast(floor(sum(CASE WHEN logit > 0 THEN 1 ELSE 0 END) * 10000
+                  / (1.0 * count(*))) AS bigint)
+         AS keep_at_zero_per_10k
+FROM per GROUP BY source
+"""
+
+
 def html_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML -> text extraction — the stage that precedes EVERYTHING in
     a web-crawl pipeline (trafilatura/jusText reduced to its
@@ -2021,5 +2083,11 @@ QUERIES = [
         html_extract_stats,
         _html_extract_sql(),
         "HTML boilerplate-block removal + tag strip + entity unescape",
+    ),
+    QuerySpec(
+        "classifier_threshold_by_source",
+        classifier_threshold_by_source,
+        _classifier_threshold_sql(),
+        "per-source classifier threshold calibration (CCNet-style)",
     ),
 ]
