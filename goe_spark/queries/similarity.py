@@ -1806,42 +1806,25 @@ PI_ITERS = 4
 PI_Q = 1000
 
 
-def embedding_power_iteration(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Dominant principal direction of the embedding corpus via
-    {PI_ITERS} rounds of EXACT fixed-point power iteration on the
-    (uncentered) second-moment matrix M = sum(x xᵀ) — the anisotropy
-    audit (Ethayarajh 2019-style): a corpus whose top component holds
-    most of the energy has embeddings collapsed into a cone, which
-    degrades cosine retrieval and PQ codebooks alike. Per iteration:
-    the Rayleigh quotient λ̂ = vᵀMv / vᵀv, its share of trace(M)
-    (the anisotropy number), and the updated eigenvector's L1 mass
-    and position checksum.
-
-    Exactness: components quantize to the {PI_Q} grid; Mv is computed
-    WITHOUT materializing M — per row s = q·v (int fold), then
-    w_j = sum(s * q_j), an integer sum collected at DIMENSION grain
-    (64 rows — the bounded vocabulary-grain pattern of
-    classifier_train_epochs); v renormalizes on the driver with ONE
-    double sqrt/division per component (norm² summed exactly in
-    integers first, so no float accumulation order exists), matching
-    the DuckDB oracle's unrolled-iteration CTEs bit for bit. Integer
-    magnitudes stay under 2^53 through sf10; a 1e9-vector corpus
-    promotes w to decimal(38,0), same plan shape (SCALE.md).
-
-    Plan: ONE corpus pass per iteration (v rides the plan as a
-    literal array, zero joins); posexplode (dim, s*q) rides map-side
-    partial aggregation so the shuffle carries 64 x n_partitions
-    partial rows, never the corpus."""
-    import math
-
+def _quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, q): embeddings quantized to the PI_Q fixed-point grid
+    — the shared input of the power-iteration family."""
     emb = load_table(spark, sf_dir, "embeddings")
     qcol = F.transform(
         "embedding",
         lambda x: F.floor(x.cast("double") * PI_Q + 0.5).cast("long"),
     )
-    base = emb.select(qcol.alias("q"))
+    return emb.select("label", qcol.alias("q"))
+
+
+def _power_iterate(base: DataFrame) -> tuple[list[int], list[tuple], int]:
+    """Run PI_ITERS exact fixed-point power-iteration rounds over a
+    frame with a quantized `q` array column; returns (final
+    eigenvector milli-ints, per-iteration metric tuples, trace).
+    See embedding_power_iteration for the exactness contract."""
+    import math
+
+    spark = base.sparkSession
     trace_row = base.select(
         F.explode("q").alias("qv")
     ).agg(F.sum(F.col("qv") * F.col("qv")).alias("tr")).first()
@@ -1849,7 +1832,7 @@ def embedding_power_iteration(
 
     dim = 64
     v = [PI_Q] * dim
-    rows = []
+    rows: list[tuple] = []
     for it in range(1, PI_ITERS + 1):
         vlit = F.array(*[F.lit(x) for x in v])
         s = F.aggregate(
@@ -1884,6 +1867,39 @@ def embedding_power_iteration(
                 sum((j + 1) * x for j, x in enumerate(v)),
             )
         )
+    return v, rows, trace
+
+
+def embedding_power_iteration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dominant principal direction of the embedding corpus via
+    {PI_ITERS} rounds of EXACT fixed-point power iteration on the
+    (uncentered) second-moment matrix M = sum(x xᵀ) — the anisotropy
+    audit (Ethayarajh 2019-style): a corpus whose top component holds
+    most of the energy has embeddings collapsed into a cone, which
+    degrades cosine retrieval and PQ codebooks alike. Per iteration:
+    the Rayleigh quotient λ̂ = vᵀMv / vᵀv, its share of trace(M)
+    (the anisotropy number), and the updated eigenvector's L1 mass
+    and position checksum.
+
+    Exactness: components quantize to the {PI_Q} grid; Mv is computed
+    WITHOUT materializing M — per row s = q·v (int fold), then
+    w_j = sum(s * q_j), an integer sum collected at DIMENSION grain
+    (64 rows — the bounded vocabulary-grain pattern of
+    classifier_train_epochs); v renormalizes on the driver with ONE
+    double sqrt/division per component (norm² summed exactly in
+    integers first, so no float accumulation order exists), matching
+    the DuckDB oracle's unrolled-iteration CTEs bit for bit. Integer
+    magnitudes stay under 2^53 through sf10; a 1e9-vector corpus
+    promotes w to decimal(38,0), same plan shape (SCALE.md).
+
+    Plan: ONE corpus pass per iteration (v rides the plan as a
+    literal array, zero joins); posexplode (dim, s*q) rides map-side
+    partial aggregation so the shuffle carries 64 x n_partitions
+    partial rows, never the corpus."""
+    base = _quantized_embeddings(spark, sf_dir).select("q")
+    v, rows, _ = _power_iterate(base)
     return spark.createDataFrame(
         rows,
         "iter int, rayleigh_r3 double, energy_share_r6 double,"
@@ -1891,7 +1907,11 @@ def embedding_power_iteration(
     )
 
 
-def _power_iteration_sql() -> str:
+def _power_iteration_cte_list() -> tuple[list[str], list[str]]:
+    """(cte blocks, per-iteration metric selects) — shared by the
+    power-iteration oracle and the anisotropy-by-label oracle so the
+    quantizer + iteration replay cannot drift between them. The last
+    eigenvector relation is v{PI_ITERS}."""
     ctes = [
         f"""base AS (
   SELECT vec_id,
@@ -1944,12 +1964,107 @@ def _power_iteration_sql() -> str:
 )"""
         )
         selects.append(f"SELECT * FROM m{it}")
+    return ctes, selects
+
+
+def _power_iteration_sql() -> str:
+    ctes, selects = _power_iteration_cte_list()
     return (
         "WITH "
         + ",\n".join(ctes)
         + "\n"
         + "\nUNION ALL\n".join(selects)
         + "\nORDER BY iter"
+    )
+
+
+def embedding_anisotropy_by_label(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """How much of each label cell's energy lies along the corpus's
+    TOP principal direction — the per-slice anisotropy report (the
+    'all-but-the-top' diagnostic, Mu & Viswanath 2018): a label whose
+    vectors ride the global dominant direction contributes little
+    contrast to cosine retrieval, and removing the top component
+    would change that slice most. Per label: vectors, mean/max of
+    cos²(q, v₁) in ppm (the energy fraction along v₁), and the count
+    above 10%.
+
+    Exactness: v₁ comes from the SAME _power_iterate loop as
+    embedding_power_iteration (4 rounds); per row the energy fraction
+    is (q·v)² / (|q|²·|v|²) — three exact int64 dot products and ONE
+    double division, floored to ppm, so both engines compute the
+    identical integer. Rollup is label-cardinality.
+
+    Plan: 4 training passes (dimension-grain collects) + one scoring
+    pass with the eigenvector as a plan literal; zero joins."""
+    base = _quantized_embeddings(spark, sf_dir)
+    v, _, _ = _power_iterate(base.select("q"))
+    vlit = F.array(*[F.lit(x) for x in v])
+    vv = sum(x * x for x in v)  # exact int, plan literal
+    qv = F.aggregate(
+        F.zip_with(F.col("q"), vlit, lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    qq = F.aggregate(
+        F.transform(F.col("q"), lambda a: a * a),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = base.select("label", qv.alias("qv"), qq.alias("qq")).where(
+        F.col("qq") > 0
+    )
+    frac_ppm = F.floor(
+        (F.col("qv") * F.col("qv"))
+        / (F.col("qq") * F.lit(float(vv)))
+        * 1e6
+    ).cast("long")
+    per = scored.select("label", frac_ppm.alias("f"))
+    return per.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.floor(F.sum("f") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("mean_energy_ppm"),
+        F.max("f").alias("max_energy_ppm"),
+        F.sum((F.col("f") >= 100_000).cast("long")).alias(
+            "n_above_10pct"
+        ),
+    )
+
+
+def _anisotropy_by_label_sql() -> str:
+    ctes, _ = _power_iteration_cte_list()
+    last = f"v{PI_ITERS}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+vv AS (
+  SELECT sum(cast(v AS hugeint) * v) AS vv FROM {last}
+), dots AS (
+  SELECT d.vec_id,
+         sum(d.qv * v.v) AS qv,
+         sum(d.qv * d.qv) AS qq
+  FROM qd d JOIN {last} v USING (dim)
+  GROUP BY d.vec_id
+), per AS (
+  SELECT e.label,
+         cast(floor((cast(d.qv AS double) * d.qv)
+                    / (d.qq * cast(vv.vv AS double)) * 1e6)
+              AS bigint) AS f
+  FROM dots d JOIN embeddings e USING (vec_id), vv
+  WHERE d.qq > 0
+)
+SELECT label,
+       count(*) AS n_vecs,
+       cast(floor(sum(f) / (1.0 * count(*))) AS bigint)
+         AS mean_energy_ppm,
+       max(f) AS max_energy_ppm,
+       cast(sum(CASE WHEN f >= 100000 THEN 1 ELSE 0 END) AS bigint)
+         AS n_above_10pct
+FROM per GROUP BY label
+"""
     )
 
 
@@ -2378,5 +2493,11 @@ QUERIES = [
         knn_label_agreement,
         _knn_label_agreement_sql(),
         "kNN label-noise audit over IVF-bounded neighbourhoods",
+    ),
+    QuerySpec(
+        "embedding_anisotropy_by_label",
+        embedding_anisotropy_by_label,
+        _anisotropy_by_label_sql(),
+        "per-label energy share along the power-iterated top PC",
     ),
 ]
