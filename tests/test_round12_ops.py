@@ -86,3 +86,57 @@ def test_span_run_ledger_matches_scrub_ledger(spark):
         assert r.tokens_cut == scrub[s].tokens_cut
         assert r.n_docs_touched == scrub[s].docs_touched
         assert r.max_run_len <= r.tokens_cut
+
+
+def test_url_canonicalization_pinned_cases(spark):
+    """Planted messy URLs through the canonicalization expressions:
+    host case, tracking params, fragments, trailing slash — and
+    idempotence (canonicalizing a canonical URL is a no-op)."""
+    import pandas as pd
+
+    from goe_spark.queries.profiling import _synth_url_exprs
+
+    # doc_id values chosen to hit every noise branch:
+    # 0: %7=0 upper host, %2=0 slash, %3=0 utm, %5=0 fragment
+    # 1: %3=1 session param        2: %3=2 no query, %2=0 slash
+    # 7: %7=0 upper host only      9: fragment w/o slash? 9%2=1,%5!=0
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 7, 9],
+                "source": ["alpha"] * 5,
+                "lang": ["en"] * 5,
+                "n_chars": [10] * 5,
+            }
+        )
+    )
+    raw, canon, host = _synth_url_exprs()
+    rows = {
+        r.doc_id: r
+        for r in docs.select(
+            "doc_id", raw.alias("raw"), canon.alias("url"), host.alias("h")
+        ).collect()
+    }
+    assert rows[0].raw.startswith("https://ALPHA.example.com/")
+    assert "?utm_source" in rows[0].raw and "#section-2" in rows[0].raw
+    assert rows[0].url == "https://alpha.example.com/en/page-0"
+    assert "?session=1" in rows[1].raw
+    assert rows[1].url == "https://alpha.example.com/en/page-1"
+    assert rows[2].raw.endswith("/")
+    assert not rows[2].url.endswith("/")
+    assert rows[7].h == "alpha.example.com"
+    assert all(r.url.startswith("https://alpha.example.com/") for r in rows.values())
+    # idempotence: re-canonicalizing the canonical form is a no-op
+    cdf = docs.select("doc_id", canon.alias("text"))
+    recanon = F.concat(
+        F.lit("https://"),
+        F.lower(F.regexp_extract("text", r"^https://([^/]+)", 1)),
+        F.regexp_replace(
+            F.regexp_extract("text", r"^https://[^/]+([^?#]*)", 1),
+            r"/$",
+            "",
+        ),
+    )
+    again = {r.doc_id: r for r in cdf.select("doc_id", "text", recanon.alias("c2")).collect()}
+    for r in again.values():
+        assert r.c2 == r.text
