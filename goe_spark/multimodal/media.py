@@ -437,7 +437,7 @@ def _le_pairs_sql(h: str, pos: int, n_bytes: int) -> str:
 
 
 def _be_hex_val_sql(hex_sub: str) -> str:
-    return f"cast(concat('0x', {hex_sub}) AS int)"
+    return f"try_cast(concat('0x', {hex_sub}) AS int)"
 
 
 def jpeg_walk_sql_ctes(hex_rel: str) -> str:
@@ -1076,27 +1076,27 @@ def is_flac_sql(content_expr: str) -> str:
 
 def flac_sample_rate_sql(content_expr: str) -> str:
     h = f"upper(hex({content_expr}))"
-    return f"cast(concat('0x', substr({h}, 37, 5)) AS int)"
+    return f"try_cast(concat('0x', substr({h}, 37, 5)) AS int)"
 
 
 def flac_channels_sql(content_expr: str) -> str:
     h = f"upper(hex({content_expr}))"
     return (
-        f"(cast(floor(cast(concat('0x', substr({h}, 42, 1)) AS int)"
+        f"(cast(floor(try_cast(concat('0x', substr({h}, 42, 1)) AS int)"
         f" / 2) AS int) + 1)"
     )
 
 
 def flac_bits_per_sample_sql(content_expr: str) -> str:
     h = f"upper(hex({content_expr}))"
-    n42 = f"cast(concat('0x', substr({h}, 42, 1)) AS int)"
-    n43 = f"cast(concat('0x', substr({h}, 43, 1)) AS int)"
+    n42 = f"try_cast(concat('0x', substr({h}, 42, 1)) AS int)"
+    n43 = f"try_cast(concat('0x', substr({h}, 43, 1)) AS int)"
     return f"(({n42} % 2) * 16 + {n43} + 1)"
 
 
 def flac_total_samples_sql(content_expr: str) -> str:
     h = f"upper(hex({content_expr}))"
-    return f"cast(concat('0x', substr({h}, 44, 9)) AS bigint)"
+    return f"try_cast(concat('0x', substr({h}, 44, 9)) AS bigint)"
 
 
 # --- TIFF IFD walking — codec-free image metadata ---------------------------
@@ -1191,8 +1191,8 @@ def tiff_height(content) -> "F.Column":
 
 
 def _u16_end_sql(h: str, pos: str, le: str) -> str:
-    b1 = f"cast(concat('0x', substr({h}, {pos}, 2)) AS bigint)"
-    b2 = f"cast(concat('0x', substr({h}, ({pos}) + 2, 2)) AS bigint)"
+    b1 = f"try_cast(concat('0x', substr({h}, {pos}, 2)) AS bigint)"
+    b2 = f"try_cast(concat('0x', substr({h}, ({pos}) + 2, 2)) AS bigint)"
     return f"(CASE WHEN {le} THEN {b2} * 256 + {b1} ELSE {b1} * 256 + {b2} END)"
 
 

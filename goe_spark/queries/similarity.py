@@ -1830,7 +1830,7 @@ def _power_iterate(base: DataFrame) -> tuple[list[int], list[tuple], int]:
     ).agg(F.sum(F.col("qv") * F.col("qv")).alias("tr")).first()
     trace = int(trace_row["tr"])
 
-    dim = 64
+    dim = EMB_DIM
     v = [PI_Q] * dim
     rows: list[tuple] = []
     for it in range(1, PI_ITERS + 1):
@@ -1926,7 +1926,7 @@ def _power_iteration_cte_list() -> tuple[list[str], list[str]]:
   SELECT sum(cast(qv AS hugeint) * qv) AS trace FROM qd
 ), v0 AS (
   SELECT cast(r.range AS bigint) AS dim, cast({PI_Q} AS bigint) AS v
-  FROM range(64) r
+  FROM range({EMB_DIM}) r
 )"""
     ]
     selects = []
@@ -2381,7 +2381,7 @@ WITH per AS (
   SELECT cast(d AS int) AS dim,
          cast(floor(cast(embedding[d + 1] AS double) * 1e6 + 0.5)
               AS bigint) AS qv
-  FROM embeddings, LATERAL unnest(range(64)) AS r(d)
+  FROM embeddings, LATERAL unnest(range({EMB_DIM})) AS r(d)
 )
 SELECT dim,
        count(*) AS n_vecs,
