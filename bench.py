@@ -3,10 +3,17 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric", "value", "unit", "queries", "sf", ...}.
 
-Measurement discipline: every query gets ONE untimed warm-up pass
-(JVM/codegen/Python-worker spin-up, IVF index build, file-listing
-caches) followed by BENCH_RUNS (default 3) timed passes. The headline
-"value" is the sum of per-query MEDIANS over the HEADLINE list ONLY.
+Measurement discipline: every HEADLINE query gets ONE untimed
+warm-up pass (JVM/codegen/Python-worker spin-up, IVF index build,
+file-listing caches) followed by BENCH_RUNS (default 3) timed
+passes; non-headline queries skip the explicit warm-up and take
+BENCH_RUNS timed passes directly — the MEDIAN of 3 discards the
+cold first pass, so the reported number is still a warm-run median
+at 3/4 the wall-clock (round-12 VERDICT task 2: warmup+3 for all
+204 queries overran the pacing budget and demoted 21 tail queries
+to single cold runs — a worse trade than a robust median). The
+headline "value" is the sum of per-query MEDIANS over the HEADLINE
+list ONLY, and its warmup+3 methodology is unchanged across rounds.
 HEADLINE's composition is FROZEN as of round 8 (85 queries) and
 stamped into the output as "headline_rev": rounds sharing a rev are
 apples-to-apples; a rev bump means the sum is NOT comparable to the
@@ -54,9 +61,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_RUNS = max(1, int(os.environ.get("BENCH_RUNS", "3")))
 # Wall-clock budget: a bench that overruns whatever patience the
 # caller has produces ZERO timings (round 3's lesson, in time rather
-# than errors). Past 60% of budget remaining queries drop to
-# warm-up + 1 timed run; past 85%, to a single cold run. Degraded
-# queries are listed in the JSON so a reader can discount them.
+# than errors). The budget is now an EMERGENCY valve only: past 90%
+# of budget remaining queries drop to a single cold run. The
+# steady-state plan (headline warmup+3, tail bare 3) fits ~1080 s
+# with ~40% headroom, so n_degraded should be 0 on a healthy box;
+# degraded queries are listed in the JSON so a reader can discount
+# them.
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1080"))
 
 # Representative slice of the registry: scan-agg, broadcast star join,
@@ -286,12 +296,13 @@ def main() -> None:
     degraded: list[str] = []
     for name in names:
         elapsed = time.perf_counter() - bench_t0
-        warmups, n_runs = 1, n_runs_req
-        if elapsed > 0.85 * budget_s:
+        # Headline queries keep the frozen warmup+N methodology (the
+        # cross-round comparable); the tail runs N bare passes and
+        # relies on median-of-N to discard its cold first pass.
+        warmups = 1 if name in HEADLINE else 0
+        n_runs = n_runs_req
+        if elapsed > 0.90 * budget_s:
             warmups, n_runs = 0, 1
-        elif elapsed > 0.60 * budget_s:
-            warmups, n_runs = 1, 1
-        if (warmups, n_runs) != (1, n_runs_req):
             degraded.append(name)
         try:
             fn = qs[name]
