@@ -360,6 +360,7 @@ def cmd_curate(args) -> int:
         token_budget=args.token_budget,
         line_doc_max=args.line_doc_max,
         containment_min=args.containment_min,
+        span_min_run=args.span_min_run,
     )
     report = CurationPipeline(spark, cfg).run()
     print(
@@ -1085,6 +1086,14 @@ def build_parser() -> argparse.ArgumentParser:
         default=0.9,
         help="drop the contained side of doc pairs at or above this "
         "shingle containment",
+    )
+    cu.add_argument(
+        "--span-min-run",
+        type=int,
+        default=1,
+        help="SPAN_SCRUB cuts only duplicated runs of at least this "
+        "many tokens (1 = every duplicated 3-gram position; "
+        "calibrate with span_run_stats)",
     )
     cu.set_defaults(fn=cmd_curate)
 

@@ -138,6 +138,11 @@ class CurationConfig:
     # PARAGRAPH_SCRUB: MinHash agreement floor for a cross-doc
     # paragraph duplicate (queries/dedup.py PARA_SIM_MIN)
     para_sim_min: float = 0.6
+    # SPAN_SCRUB: minimum duplicated-run length (tokens) a cut must
+    # sit in; 1 = cut every duplicated 3-gram position (the
+    # aggressive pre-round-13 behaviour), higher = Lee et al.'s
+    # minimum-span threshold, calibrated with span_run_stats
+    span_min_run: int = 1
 
 
 @dataclass
@@ -313,25 +318,38 @@ def scrub_duplicate_paragraphs(d: DataFrame, sim_min: float) -> DataFrame:
     return rebuilt.select(*d.columns)
 
 
-def scrub_duplicate_spans(d: DataFrame) -> DataFrame:
+def scrub_duplicate_spans(d: DataFrame, min_run: int = 1) -> DataFrame:
     """Destructive ExactSubstr-style cross-doc duplicated-span removal
     with keep-first semantics: every token position covered by a
     word-3-gram that also occurs in another document is cut, unless
-    this document is the gram's min-doc_id owner — so exactly one copy
-    of every cross-doc span survives the corpus. Texts rebuilt from
-    surviving tokens, emptied docs dropped, token counts recomputed.
-    (Lee et al. 2022 "Deduplicating Training Data Makes Language
-    Models Better" — the destructive twin of the
-    cross_doc_ngram_coverage diagnostic; the accounting query is
-    queries/dedup.py::span_scrub_stats.)
+    this document is the gram's min-doc_id owner. The owner keeps its
+    copy of the grams IT owns, but where duplicated grams with
+    different owners overlap, an owned position can still be cut by a
+    neighbouring gram owned elsewhere — so "one copy survives" holds
+    per gram, and for whole spans only when they don't overlap
+    distinct-owner grams (see _span_cuts and
+    tests/test_curation.py::test_span_scrub_overlapping_owners).
+    Texts rebuilt from surviving tokens, emptied docs dropped, token
+    counts recomputed. (Lee et al. 2022 "Deduplicating Training Data
+    Makes Language Models Better" — the destructive twin of the
+    cross_doc_ngram_coverage diagnostic; the accounting queries are
+    queries/dedup.py::span_scrub_stats /
+    span_scrub_thresholded_stats.)
+
+    min_run > 1 applies Lee et al.'s minimum-span threshold: only
+    maximal runs of >= min_run consecutive duplicated positions are
+    cut, so short incidental overlaps survive. min_run=1 cuts every
+    duplicated position (the aggressive end).
 
     Plan: the cut sets come from queries/dedup.py::_span_cuts
     (gram-grain min/max stats, 1:1 fan-out join — nothing
-    corpus-quadratic); the rebuild is map-side array surgery after one
-    doc-grain join, same shape as scrub_duplicate_paragraphs."""
+    corpus-quadratic; thresholding adds doc-partitioned
+    gaps-and-islands windows over candidate rows only); the rebuild
+    is map-side array surgery after one doc-grain join, same shape
+    as scrub_duplicate_paragraphs."""
     from goe_spark.queries.dedup import _span_cuts
 
-    cuts = _span_cuts(d).select("doc_id", "cut_idxs")
+    cuts = _span_cuts(d, min_run=min_run).select("doc_id", "cut_idxs")
     with_toks = d.withColumn(
         "toks", F.split(F.trim(F.col("text")), r"\s+")
     )
@@ -505,7 +523,7 @@ class CurationPipeline:
         d = self.spark.read.parquet(
             _stage_dir(self.cfg, "PARAGRAPH_SCRUB")
         )
-        kept = scrub_duplicate_spans(d)
+        kept = scrub_duplicate_spans(d, self.cfg.span_min_run)
         # Span removal can make two previously-distinct docs
         # textually IDENTICAL (their only difference was the cut
         # span), silently undoing EXACT_DEDUP's invariant — so the
@@ -657,6 +675,7 @@ class CurationPipeline:
             "containment_min": cfg.containment_min,
             "classifier_min_logit_milli": cfg.classifier_min_logit_milli,
             "para_sim_min": cfg.para_sim_min,
+            "span_min_run": cfg.span_min_run,
         }
         if resume:
             runs = [

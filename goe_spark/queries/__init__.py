@@ -29,68 +29,69 @@ class QuerySpec:
 # the registry gets no driver row. Order therefore encodes priority,
 # and HEAD is ROTATED each round. HEAD is kept at EXACTLY 50 entries
 # (round 8 listed 51 and the driver silently dropped the 51st).
-# Round-12 window, in order (round-11 verdict item 3):
-#   1. the FORTY-ONE queries whose latest driver row is ROUND 8
-#      (the block named verbatim in VERDICT r11 item 3, including
-#      dedup_survivor_bias_audit whose r11 row was the ANSI
-#      DIVIDE_BY_ZERO red — re-recorded green after the try_divide
-#      fix). After this rotation max registry staleness drops to r9.
-#   2. queries NEW in round 12 (never driver-checked) — inserted
-#      as they land; each displaces one r9 filler below.
-#   3. r9-stale fillers (registry order) to pad the window to 50.
+# Round-13 window, in order (round-12 verdict item 1):
+#   1. the FOUR round-12 queries that landed after the r12 driver
+#      window filled and have NEVER been driver-checked.
+#   2. weighted_sample_docs — the one remaining r8-stale row.
+#   3. queries NEW in round 13 — inserted as they land; each
+#      displaces the LAST r9 filler below.
+#   4. r9-stale fillers to pad the window to 50 (45 of the 50
+#      r9-stale queries fit; the rest rotate next round).
 HEAD = (
-    # -- last driver-checked in round 8: the 41-query stale block --
-    "ann_pq_topk",
-    "ann_ivf_pq_topk",
-    "bpe_merge_pair_counts",
-    "brand_affinity_lift",
-    "cms_user_counts",
-    "cohort_retention",
-    "dedup_cluster_size_histogram",
-    "dedup_method_agreement",
-    "dsir_importance_weights",
-    "embedding_cluster_audit",
-    "embedding_int8_audit",
-    "event_funnel_conversion",
-    "event_transition_matrix",
-    "gopher_quality_filter",
-    "hopping_window_counts",
-    "k_anonymity_audit",
-    "lapsed_customers_except",
-    "matryoshka_recall_audit",
-    "minhash_probe_new_docs",
-    "mixture_sample_docs",
-    "mixture_sample_threshold",
-    "pii_redaction_audit",
-    "pii_scan_by_source",
-    "q9_product_profit",
-    "repetition_doc_stats",
-    "retained_customers_intersect",
-    "revenue_anomaly_days",
-    "rolling_revenue_7d",
-    "semantic_dedup_keep_first",
-    "sentiment_by_source",
-    "session_window_stats",
-    "sessionization_stats",
-    "span_corruption_stats",
-    "table_profile",
-    "term_bigram_pmi",
-    "tfidf_top_terms",
-    "timeseries_gapfill",
-    "token_dropout_stats",
-    "top_duplicate_ngrams",
-    "unattributed_purchases",
-    "dedup_survivor_bias_audit",
-    # -- new in round 12: never driver-checked --
-    "classifier_train_epochs",
-    "span_scrub_stats",
-    "url_dedup_stats",
-    "media_flac_stats",
-    "media_tiff_stats",
-    "embedding_power_iteration",
-    "corpus_novelty_curve",
-    "knn_label_agreement",
-    "streaming_classifier_counts",
+    # -- landed after the r12 driver run: never driver-checked --
+    "classifier_threshold_by_source",
+    "embedding_anisotropy_by_label",
+    "html_extract_stats",
+    "span_run_stats",
+    # -- last driver-checked in round 8 --
+    "weighted_sample_docs",
+    # -- new in round 13: never driver-checked --
+    "span_scrub_thresholded_stats",
+    # -- r9-stale fillers (registry order) --
+    "asof_latest_order",
+    "asof_next_order",
+    "asof_recent_order",
+    "window_top_orders_per_customer",
+    "union_mod_split_scan",
+    "semi_anti_join_customers",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "order_value_percentiles",
+    "order_price_tiers",
+    "count_validate_orders",
+    "cast_probe_orders",
+    "synthetic_partition_month",
+    "synthetic_partition_number_range",
+    "synthetic_partition_string_prefix",
+    "transform_projection",
+    "split_leakage_audit",
+    "line_dedup_stats",
+    "cross_lang_shingle_leakage",
+    "unigram_logprob_scores",
+    "bigram_logprob_scores",
+    "token_entropy_by_source",
+    "vocab_overlap_sources",
+    "order_status_islands",
+    "daily_distinct_users_hll",
+    "rolling_distinct_users_hll",
+    "value_quantiles_kll",
+    "audience_overlap_theta",
+    "order_price_histogram",
+    "dedup_clusters",
+    "vocab_growth_curve",
+    "dedup_keep_best",
+    "stratified_sample_docs",
+    "token_pack_bins",
+    "sliding_window_chunks",
+    "mixture_weights",
+    "bpe_train_merges",
+    "bpe_encode_stats",
+    "knn_graph_stats",
+    "embedding_dimension_stats",
+    "knn_graph_ivf_stats",
+    "continuous_rollup_daily",
+    "stream_enriched_counts",
+    "purchase_attribution",
 )
 TAIL = ()
 

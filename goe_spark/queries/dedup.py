@@ -580,7 +580,7 @@ FROM per_doc, edge GROUP BY 1
 """
 
 
-def _span_cuts(d: DataFrame) -> DataFrame:
+def _span_cuts(d: DataFrame, min_run: int = 1) -> DataFrame:
     """(doc_id, cut_idxs, n_cut): the 0-BASED token positions each
     document loses under ExactSubstr-style cross-doc duplicated-span
     removal with keep-first semantics (Lee et al. 2022's destructive
@@ -588,8 +588,24 @@ def _span_cuts(d: DataFrame) -> DataFrame:
     word-3-gram grain): a shingle occurring in >= 2 distinct docs is
     OWNED by its min-doc_id occurrence; in every other doc the three
     token positions it covers are cut. Within-doc repeats are not cut
-    (cross-doc removal), and the owner doc keeps its copy — so every
-    removed span remains reconstructible from the surviving corpus.
+    (cross-doc removal), and the owner doc keeps its own copy of the
+    grams it owns. NOTE the keep-first guarantee is per-GRAM, not
+    per-SPAN: when duplicated 3-grams with different owners overlap,
+    a position the doc owns through one gram can still be cut by a
+    neighbouring gram owned elsewhere, so a span can disappear from
+    every document (doc1='a b c x', doc2='a b c d e', doc3='b c d e
+    z': doc2 owns (b,c,d) yet loses positions 0-2 to doc1's (a,b,c),
+    and doc3 loses its copy too — 'b c d' survives nowhere).
+    Full reconstructibility of removed mass therefore holds only for
+    duplicated spans that do not overlap distinct-owner grams; see
+    tests/test_curation.py::test_span_scrub_overlapping_owners.
+
+    min_run > 1 is Lee et al.'s actual minimum-span threshold: a
+    candidate position is cut only when it sits in a maximal run of
+    >= min_run consecutive candidate positions, so short incidental
+    overlaps (idioms, boilerplate fragments) survive and only long
+    duplicated spans are scrubbed. min_run=1 is the aggressive
+    every-position behaviour and takes the window-free fast path.
 
     Plan: token/shingle hashing in two bound-column projections (the
     O(n^2)-inlining discipline of operators/minhash.py); the gram
@@ -598,7 +614,9 @@ def _span_cuts(d: DataFrame) -> DataFrame:
     join fans out 1:1 (gram grain on one side), stop-gram skew is
     AQE's skew-join case; the cut set aggregates to (doc,
     positions) — bounded by duplicated-occurrence volume, tiny next
-    to the corpus."""
+    to the corpus. The min_run path adds one (doc_id, i) distinct +
+    two DOC-partitioned windows (gaps-and-islands run length) over
+    cut-candidate rows only — never corpus-grain."""
     from goe_spark.catalog import spread
     from goe_spark.operators import minhash as MH
 
@@ -627,7 +645,7 @@ def _span_cuts(d: DataFrame) -> DataFrame:
         .where(F.col("owner") != F.col("mx"))
         .select("g", "owner")
     )
-    return (
+    cand = (
         occ.join(dup_g, "g")
         .where(F.col("doc_id") != F.col("owner"))
         .select(
@@ -636,10 +654,25 @@ def _span_cuts(d: DataFrame) -> DataFrame:
                 F.sequence(F.col("pos"), F.col("pos") + 2)
             ).alias("i"),
         )
+    )
+    if min_run <= 1:
+        return cand.groupBy("doc_id").agg(
+            F.collect_set("i").alias("cut_idxs"),
+            F.count_distinct("i").alias("n_cut"),
+        )
+    from pyspark.sql.window import Window
+
+    w_ord = Window.partitionBy("doc_id").orderBy("i")
+    w_run = Window.partitionBy("doc_id", "grp")
+    return (
+        cand.distinct()
+        .withColumn("grp", F.col("i") - F.row_number().over(w_ord))
+        .withColumn("run_len", F.count(F.lit(1)).over(w_run))
+        .where(F.col("run_len") >= min_run)
         .groupBy("doc_id")
         .agg(
             F.collect_set("i").alias("cut_idxs"),
-            F.count_distinct("i").alias("n_cut"),
+            F.count(F.lit(1)).alias("n_cut"),
         )
     )
 
@@ -745,6 +778,16 @@ FROM per GROUP BY source
 """
 
 
+# Minimum-run threshold the THRESHOLDED span-scrub audit (and the
+# curation stage's --span-min-run default recommendation) uses: the
+# span_run_stats 8-31 bucket boundary — long enough that idioms and
+# short boilerplate fragments (runs 1-7) survive, short enough that
+# real duplicated passages are still reclaimed (Lee et al. used
+# 50 BPE tokens on web-scale corpora; 8 word-tokens is the same
+# knee on the small fixtures' run-length distribution).
+SPAN_AUDIT_MIN_RUN = 8
+
+
 def span_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reconstruction accounting for cross-doc duplicated-span
     removal (the destructive ExactSubstr twin of
@@ -757,10 +800,36 @@ def span_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: rides _span_cuts (gram-grain min/max stats, 1:1 fan-out
     join, doc-grain cut sets); the accounting is one source-grain
     rollup over doc-grain rows."""
+    return _span_scrub_accounting(spark, sf_dir, min_run=1)
+
+
+def span_scrub_thresholded_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """span_scrub_stats under the Lee-et-al. minimum-span threshold
+    (min_run={SPAN_AUDIT_MIN_RUN}): only maximal runs of >=
+    SPAN_AUDIT_MIN_RUN consecutive duplicated positions are cut, so
+    the report shows what the PRODUCTION setting of the SPAN_SCRUB
+    stage (--span-min-run) would remove — the conservative
+    counterpart the round-12 span_run_stats diagnostic exists to
+    calibrate. Compare tokens_cut here vs span_scrub_stats to see
+    the mass short incidental overlaps contribute.
+
+    Plan: same shape as span_scrub_stats plus the doc-partitioned
+    gaps-and-islands windows of _span_cuts(min_run>1) — windows run
+    over cut-candidate rows only, never the corpus."""
+    return _span_scrub_accounting(
+        spark, sf_dir, min_run=SPAN_AUDIT_MIN_RUN
+    )
+
+
+def _span_scrub_accounting(
+    spark: SparkSession, sf_dir: str, min_run: int
+) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    cuts = _span_cuts(d)
+    cuts = _span_cuts(d, min_run=min_run)
     per_doc = d.select(
         "doc_id",
         "source",
@@ -779,10 +848,29 @@ def span_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _span_scrub_sql() -> str:
+def _span_scrub_sql(min_run: int = 1) -> str:
     from goe_spark.operators import minhash as MH
 
     toks_sql = r"regexp_split_to_array(trim(text), '\s+')"
+    if min_run <= 1:
+        cut_per_doc = (
+            "SELECT doc_id, count(DISTINCT i) AS n_cut"
+            " FROM cuts GROUP BY doc_id"
+        )
+    else:
+        # gaps-and-islands over DISTINCT candidate positions, cut
+        # only runs >= min_run — the DuckDB twin of
+        # _span_cuts(min_run>1)'s doc-partitioned windows.
+        cut_per_doc = f"""SELECT doc_id, count(*) AS n_cut FROM (
+    SELECT doc_id, grp,
+           count(*) OVER (PARTITION BY doc_id, grp) AS run_len
+    FROM (
+      SELECT doc_id, i,
+             i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+               AS grp
+      FROM (SELECT DISTINCT doc_id, i FROM cuts)
+    )
+  ) WHERE run_len >= {min_run} GROUP BY doc_id"""
     return f"""
 WITH base AS (
   SELECT doc_id, source, {toks_sql} AS toks FROM documents
@@ -802,7 +890,7 @@ WITH base AS (
   FROM occ o JOIN gs ON gs.g = o.g
   WHERE o.doc_id <> gs.owner
 ), cut_per_doc AS (
-  SELECT doc_id, count(DISTINCT i) AS n_cut FROM cuts GROUP BY doc_id
+  {cut_per_doc}
 ), per_doc AS (
   SELECT b.doc_id, b.source, len(b.toks) AS n_toks,
          coalesce(c.n_cut, 0) AS n_cut
@@ -2177,7 +2265,15 @@ QUERIES = [
         "span_scrub_stats",
         span_scrub_stats,
         _span_scrub_sql(),
-        "ExactSubstr-style cross-doc span removal accounting",
+        "cross-doc duplicated-span removal accounting (aggressive, "
+        "every duplicated position)",
+    ),
+    QuerySpec(
+        "span_scrub_thresholded_stats",
+        span_scrub_thresholded_stats,
+        _span_scrub_sql(min_run=SPAN_AUDIT_MIN_RUN),
+        "span removal accounting at the Lee-et-al. minimum-run "
+        f"threshold (runs >= {SPAN_AUDIT_MIN_RUN} only)",
     ),
     QuerySpec(
         "corpus_novelty_curve",

@@ -528,8 +528,10 @@ def test_span_scrub_keep_first_and_reconstruction(spark):
     """A 3-gram span copied between two docs survives only in the
     min-doc_id owner; the other doc loses exactly the covered
     positions; docs made entirely of duplicated spans disappear; and
-    the removed mass is reconstructible (the surviving corpus still
-    contains every cut span — keep-first, not delete-everywhere)."""
+    — for NON-overlapping duplicated spans like this fixture's — the
+    removed mass is reconstructible (the surviving corpus still
+    contains every cut span). Overlapping distinct-owner grams break
+    that guarantee: see test_span_scrub_overlapping_owners."""
     import pandas as pd
 
     from goe_spark.plans.curation import scrub_duplicate_spans
@@ -558,3 +560,80 @@ def test_span_scrub_keep_first_and_reconstruction(spark):
     assert out[3].text == "totally unrelated text body"
     # reconstruction: every cut token sequence still exists in doc 1
     assert span in out[1].text
+
+
+def _docs_frame(spark, texts: list[str]):
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": list(range(1, len(texts) + 1)),
+                "lang": ["en"] * len(texts),
+                "source": ["web"] * len(texts),
+                "text": texts,
+            }
+        )
+    ).withColumn("n_tokens", F.size(F.split(F.trim("text"), r"\s+")))
+
+
+def test_span_scrub_overlapping_owners(spark):
+    """Keep-first is a per-GRAM guarantee, not per-SPAN: when
+    duplicated 3-grams with different owners overlap, a doc's copy of
+    a gram it OWNS can be cut by a neighbouring gram owned elsewhere,
+    and a span can vanish from every surviving doc (the round-12
+    ADVICE example). Pinned so the scoped docstring claim stays
+    honest."""
+    from goe_spark.plans.curation import scrub_duplicate_spans
+
+    docs = _docs_frame(
+        spark, ["a b c x", "a b c d e", "b c d e z"]
+    )
+    out = {r.doc_id: r for r in scrub_duplicate_spans(docs).collect()}
+    # doc1 owns (a,b,c) and keeps everything
+    assert out[1].text == "a b c x"
+    # doc2 OWNS (b,c,d) and (c,d,e) yet loses positions 0-2 to
+    # doc1-owned (a,b,c) — its copy of 'b c' goes with them
+    assert out[2].text == "d e"
+    # doc3 loses 0-3 to the doc2-owned grams, keeping only 'z'
+    assert out[3].text == "z"
+    # the span 'b c d' survives NOWHERE — reconstruction does not
+    # hold once distinct-owner grams overlap
+    assert all("b c d" not in r.text for r in out.values())
+
+
+def test_span_scrub_min_run_keeps_short_overlaps(spark):
+    """--span-min-run (Lee et al.'s minimum-span threshold): at a
+    mid threshold a short incidental overlap (one shared 3-gram)
+    survives while a long duplicated span is still scrubbed; at
+    min_run=1 the stage reduces to the aggressive cut-every-position
+    behaviour."""
+    from goe_spark.plans.curation import scrub_duplicate_spans
+
+    long_span = "one two three four five six seven eight nine ten"
+    short_span = "new york city"
+    docs = _docs_frame(
+        spark,
+        [
+            long_span + " pad1 pad2 " + short_span,  # owner of both
+            "intro1 intro2 " + long_span + " tail1 tail2",
+            short_span + " misc1 misc2 misc3",
+        ],
+    )
+    thresholded = {
+        r.doc_id: r for r in scrub_duplicate_spans(docs, 8).collect()
+    }
+    # the 10-token duplicated run is >= 8: still cut from doc2
+    assert thresholded[2].text == "intro1 intro2 tail1 tail2"
+    # the 3-token incidental overlap is < 8: doc3 keeps it
+    assert thresholded[3].text == short_span + " misc1 misc2 misc3"
+    # the owner is untouched either way
+    assert thresholded[1].text.startswith(long_span)
+
+    # min_run=1 must equal the default aggressive behaviour
+    default = {r.doc_id: r.text for r in scrub_duplicate_spans(docs).collect()}
+    explicit = {
+        r.doc_id: r.text for r in scrub_duplicate_spans(docs, 1).collect()
+    }
+    assert default == explicit
+    assert explicit[3] == "misc1 misc2 misc3"  # short overlap cut at L=1
