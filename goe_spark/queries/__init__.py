@@ -47,6 +47,7 @@ HEAD = (
     "weighted_sample_docs",
     # -- new in round 13: never driver-checked --
     "span_scrub_thresholded_stats",
+    "classifier_eval_holdout",
     # -- r9-stale fillers (registry order) --
     "asof_latest_order",
     "asof_next_order",
@@ -91,7 +92,6 @@ HEAD = (
     "knn_graph_ivf_stats",
     "continuous_rollup_daily",
     "stream_enriched_counts",
-    "purchase_attribution",
 )
 TAIL = ()
 

@@ -1739,7 +1739,13 @@ def classifier_train_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _classifier_train_sql() -> str:
+def _classifier_train_ctes(extra_where: str = "") -> list[str]:
+    """The unrolled-epoch CTE blocks the DuckDB oracles replay the
+    trainer with — shared by _classifier_train_sql (full corpus) and
+    _classifier_eval_holdout_sql (train split only, via
+    ``extra_where``). The final weight vector is CTE
+    ``w{CLS_EPOCHS}``; per-epoch metrics are ``m{e}``/``ws{e}``
+    (unreferenced CTEs cost nothing in DuckDB)."""
     from goe_spark.functions.classifier import (
         CLS_BIAS_MILLI,
         CLS_DIM,
@@ -1757,7 +1763,7 @@ def _classifier_train_sql() -> str:
            CASE WHEN {quality_score_sql('text')} >= {CLS_LABEL_Q}
                 THEN 1 ELSE 0 END AS y
     FROM documents
-  ) WHERE len(toks) > 0
+  ) WHERE len(toks) > 0{extra_where}
 ), bt AS (
   SELECT b.doc_id, ({h} % {CLS_DIM}) AS j
   FROM base b, unnest(b.toks) AS u(t)
@@ -1765,7 +1771,6 @@ def _classifier_train_sql() -> str:
 w0 AS (SELECT cast(r.range AS bigint) AS j, cast(0 AS bigint) AS w
        FROM range({CLS_DIM}) r)"""
     ]
-    selects = []
     for e in range(1, CLS_EPOCHS + 1):
         p = e - 1
         ctes.append(
@@ -1803,16 +1808,193 @@ w0 AS (SELECT cast(r.range AS bigint) AS j, cast(0 AS bigint) AS w
   FROM w{e}
 )"""
         )
-        selects.append(
-            f"SELECT m{e}.*, ws{e}.w_l1_after, ws{e}.w_checksum_after"
-            f" FROM m{e}, ws{e}"
-        )
+    return ctes
+
+
+def _classifier_train_sql() -> str:
+    from goe_spark.functions.classifier import CLS_EPOCHS
+
+    ctes = _classifier_train_ctes()
+    selects = [
+        f"SELECT m{e}.*, ws{e}.w_l1_after, ws{e}.w_checksum_after"
+        f" FROM m{e}, ws{e}"
+        for e in range(1, CLS_EPOCHS + 1)
+    ]
     return (
         "WITH "
         + ",\n".join(ctes)
         + "\n"
         + "\nUNION ALL\n".join(selects)
         + "\nORDER BY epoch"
+    )
+
+
+# Logit cutoffs (milli-units) the holdout evaluation sweeps — a
+# symmetric band around the global-zero cutoff the curation stage's
+# --classifier-min-logit-milli would use.
+CLS_EVAL_THRESHOLDS = (-250, -100, 0, 100, 250)
+
+
+def classifier_eval_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holdout evaluation of the TRAINED quality classifier — the
+    round-12 gap: classifier_train_epochs learns weights and
+    classifier_threshold_by_source calibrates cutoffs, but nothing
+    measured the learned model on documents the trainer never saw.
+    Documents get the split-leakage audit's deterministic hash split
+    (md5-hash bucket of doc_id, < {SPLIT_TRAIN_PCT}% = train); the
+    classifier trains CLS_EPOCHS epochs on the TRAIN side only, the
+    final weight vector scores the HOLDOUT side through the same
+    broadcast fold, and each row reports the confusion matrix +
+    fixed-point precision/recall/accuracy (per 10k) at one logit
+    threshold vs the rule-based labels (y = quality >= CLS_LABEL_Q).
+    Train-split metrics would be optimistically biased by
+    memorization; this is the honest number a curator thresholds on.
+
+    Plan: training is the bounded CLS_DIM-grain iterative pattern of
+    classifier_train_epochs (over ~80% of the corpus); holdout
+    scoring is ONE map-only pass (plan-literal learned weights, zero
+    joins); the threshold sweep explodes a {len(CLS_EVAL_THRESHOLDS)}-
+    element literal array before a tiny threshold-grain aggregate.
+    The DuckDB oracle replays the unrolled epochs on the same train
+    split, then scores the holdout with CTE w{{CLS_EPOCHS}} — bit-
+    identical end to end."""
+    from goe_spark.catalog import spread
+    from goe_spark.functions.classifier import (
+        CLS_LABEL_Q,
+        classifier_logit_from_tokens,
+        train_classifier_epochs,
+    )
+    from goe_spark.functions.hashing import hash64
+    from goe_spark.functions.text import quality_score, tokens
+    from goe_spark.queries.dedup import SPLIT_TRAIN_PCT
+
+    d = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
+    bucket = F.pmod(hash64(F.col("doc_id").cast("string")), F.lit(100))
+    w, _ = train_classifier_epochs(d.where(bucket < SPLIT_TRAIN_PCT))
+    scored = (
+        d.where(bucket >= SPLIT_TRAIN_PCT)
+        .select(
+            tokens(F.col("text")).alias("toks"),
+            (quality_score("text") >= F.lit(CLS_LABEL_Q))
+            .cast("int")
+            .alias("y"),
+        )
+        .where(F.size("toks") > 0)
+        .select(
+            "y",
+            classifier_logit_from_tokens(F.col("toks"), w).alias("z"),
+        )
+    )
+    per = scored.select(
+        "y",
+        "z",
+        F.explode(
+            F.array(*[F.lit(int(t)) for t in CLS_EVAL_THRESHOLDS])
+        ).alias("thr"),
+    )
+    pred = (F.col("z") >= F.col("thr")).cast("int")
+    y = F.col("y")
+    agg = per.groupBy("thr").agg(
+        F.count(F.lit(1)).alias("n_holdout"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(((pred == 1) & (y == 1)).cast("long")).alias("tp"),
+        F.sum(((pred == 1) & (y == 0)).cast("long")).alias("fp"),
+        F.sum(((pred == 0) & (y == 1)).cast("long")).alias("fn"),
+        F.sum(((pred == 0) & (y == 0)).cast("long")).alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    return agg.select(
+        "thr",
+        "n_holdout",
+        "n_pos",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(tp + fp > 0, F.floor(tp * 10000 / (tp + fp)))
+        .cast("long")
+        .alias("precision_per_10k"),
+        F.when(tp + fn > 0, F.floor(tp * 10000 / (tp + fn)))
+        .cast("long")
+        .alias("recall_per_10k"),
+        F.when(
+            F.col("n_holdout") > 0,
+            F.floor((tp + tn) * 10000 / F.col("n_holdout")),
+        )
+        .cast("long")
+        .alias("acc_per_10k"),
+    )
+
+
+def _classifier_eval_holdout_sql() -> str:
+    from goe_spark.functions.classifier import (
+        CLS_BIAS_MILLI,
+        CLS_DIM,
+        CLS_EPOCHS,
+        CLS_LABEL_Q,
+    )
+    from goe_spark.functions.text import quality_score_sql, tokens_sql
+    from goe_spark.queries.dedup import SPLIT_TRAIN_PCT
+
+    split = f"({hash64_sql('cast(doc_id AS varchar)')}) % 100"
+    ctes = _classifier_train_ctes(
+        extra_where=f" AND {split} < {SPLIT_TRAIN_PCT}"
+    )
+    h = hash64_sql("t")
+    thrs = ", ".join(str(int(t)) for t in CLS_EVAL_THRESHOLDS)
+    ctes.append(
+        f"""hold AS (
+  SELECT doc_id, toks, y FROM (
+    SELECT doc_id, {tokens_sql('text')} AS toks,
+           CASE WHEN {quality_score_sql('text')} >= {CLS_LABEL_Q}
+                THEN 1 ELSE 0 END AS y
+    FROM documents
+  ) WHERE len(toks) > 0 AND {split} >= {SPLIT_TRAIN_PCT}
+), hbt AS (
+  SELECT b.doc_id, ({h} % {CLS_DIM}) AS j
+  FROM hold b, unnest(b.toks) AS u(t)
+), hz AS (
+  SELECT t.doc_id, max(b.y) AS y,
+         {CLS_BIAS_MILLI}
+           + cast(floor(sum(w.w) / count(*)) AS bigint) AS z
+  FROM hbt t JOIN w{CLS_EPOCHS} w USING (j)
+  JOIN hold b ON b.doc_id = t.doc_id
+  GROUP BY t.doc_id
+), thrs AS (SELECT cast(unnest([{thrs}]) AS int) AS thr)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT thr,
+       count(*) AS n_holdout,
+       cast(sum(y) AS bigint) AS n_pos,
+       cast(sum(CASE WHEN z >= thr AND y = 1 THEN 1 ELSE 0 END)
+            AS bigint) AS tp,
+       cast(sum(CASE WHEN z >= thr AND y = 0 THEN 1 ELSE 0 END)
+            AS bigint) AS fp,
+       cast(sum(CASE WHEN z < thr AND y = 1 THEN 1 ELSE 0 END)
+            AS bigint) AS fn,
+       cast(sum(CASE WHEN z < thr AND y = 0 THEN 1 ELSE 0 END)
+            AS bigint) AS tn,
+       cast(CASE WHEN sum(CASE WHEN z >= thr THEN 1 ELSE 0 END) > 0
+            THEN floor(sum(CASE WHEN z >= thr AND y = 1 THEN 1 ELSE 0 END)
+                       * 10000.0
+                       / sum(CASE WHEN z >= thr THEN 1 ELSE 0 END))
+            END AS bigint) AS precision_per_10k,
+       cast(CASE WHEN sum(y) > 0
+            THEN floor(sum(CASE WHEN z >= thr AND y = 1 THEN 1 ELSE 0 END)
+                       * 10000.0 / sum(y))
+            END AS bigint) AS recall_per_10k,
+       cast(CASE WHEN count(*) > 0
+            THEN floor((sum(CASE WHEN z >= thr AND y = 1 THEN 1 ELSE 0 END)
+                        + sum(CASE WHEN z < thr AND y = 0 THEN 1 ELSE 0 END))
+                       * 10000.0 / count(*))
+            END AS bigint) AS acc_per_10k
+FROM hz CROSS JOIN thrs GROUP BY thr"""
     )
 
 
@@ -2344,5 +2526,12 @@ QUERIES = [
         classifier_train_epochs,
         _classifier_train_sql(),
         "fixed-point logistic-regression training epochs",
+    ),
+    QuerySpec(
+        "classifier_eval_holdout",
+        classifier_eval_holdout,
+        _classifier_eval_holdout_sql(),
+        "train-split classifier evaluated on the hash-split holdout: "
+        "per-threshold confusion/precision/recall vs rule labels",
     ),
 ]
