@@ -48,6 +48,7 @@ HEAD = (
     # -- new in round 13: never driver-checked --
     "span_scrub_thresholded_stats",
     "classifier_eval_holdout",
+    "dedup_stage_overlap",
     # -- r9-stale fillers (registry order) --
     "asof_latest_order",
     "asof_next_order",
@@ -91,7 +92,6 @@ HEAD = (
     "embedding_dimension_stats",
     "knn_graph_ivf_stats",
     "continuous_rollup_daily",
-    "stream_enriched_counts",
 )
 TAIL = ()
 

@@ -2239,6 +2239,470 @@ FROM per_doc GROUP BY lang
 """
 
 
+# The curation pipeline's seven dedup grains, in pipeline order
+# (plans/curation.py STAGES restricted to the dedup stages). The
+# thresholds mirror the CurationConfig defaults so the report
+# describes the pipeline a default `goe curate` run executes.
+DEDUP_STAGE_ORDER = (
+    ("URL_DEDUP", 1),
+    ("LINE_SCRUB", 2),
+    ("EXACT_DEDUP", 3),
+    ("NEAR_DEDUP", 4),
+    ("PARAGRAPH_SCRUB", 5),
+    ("SPAN_SCRUB", 6),
+    ("CONTAINMENT_SCRUB", 7),
+)
+LINE_SCRUB_DOC_MAX = 2  # CurationConfig.line_doc_max default
+CONT_SCRUB_MIN = 0.9  # CurationConfig.containment_min default
+
+
+def dedup_stage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curator's budget-allocation report (round-12 verdict item
+    5): the pipeline runs seven dedup grains, and each stage's VALUE
+    is the token mass it reclaims that NO earlier stage would have
+    reclaimed — a stage whose standalone reclaim is huge but whose
+    unique reclaim is near zero is pure overlap with cheaper earlier
+    stages and can be dropped from the budget. Per stage (pipeline
+    order): docs/tokens it would reclaim STANDALONE on the raw
+    corpus, tokens only it reclaims given its pipeline position
+    (unique = credited to the earliest stage that would reclaim each
+    token), and the overlap mass (standalone - unique).
+
+    Attribution model: whole-doc stages (URL/exact/near/containment)
+    reclaim every token of a dropped doc; scrub stages (line/
+    paragraph/span) reclaim their cut positions. Each (doc, token
+    position) is credited to the MINIMUM stage_ord that reclaims it,
+    where a doc-drop stage reclaims all positions of its dropped
+    docs. Stage semantics and thresholds are exactly the destructive
+    stages' (plans/curation.py), each computed INDEPENDENTLY on the
+    raw corpus — the counterfactual "would have reclaimed", not the
+    sequential funnel delta (which the funnel already reports).
+
+    Plan: every per-stage set rides machinery that is already
+    pair- or duplication-bounded (window-min keep-first, CC over
+    LSH-capped pair lists, _span_cuts, chunk-hash heavy sets). The
+    ONLY new shuffle is the (doc_id, pos) min-ord groupBy, whose
+    cardinality is the union of CUT positions — duplicated-mass
+    grain, not corpus grain — plus a doc-grain rollup for whole-doc
+    residuals; dropped-doc tokens are counted arithmetically
+    (n_toks - n_cut_positions), never exploded. See SCALE.md."""
+    from pyspark.sql.window import Window
+
+    from goe_spark.queries.profiling import _synth_url_exprs
+    from goe_spark.queries.training import _cc_labels
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    docs = spread(d, "doc_id")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    ntoks = docs.select("doc_id", F.size(toks).alias("n_toks"))
+
+    # -- whole-doc drop sets (stage semantics from plans/curation.py)
+    _, canon, _ = _synth_url_exprs()
+    url_drop = (
+        docs.select("doc_id", "lang", "source")
+        .withColumn("keep", F.min("doc_id").over(Window.partitionBy(canon)))
+        .where(F.col("doc_id") != F.col("keep"))
+        .select("doc_id")
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    exact_drop = (
+        docs.select("doc_id", "text")
+        .withColumn(
+            "keep",
+            F.min("doc_id").over(Window.partitionBy(hash64(norm))),
+        )
+        .where(F.col("doc_id") != F.col("keep"))
+        .select("doc_id")
+    )
+    labels = _cc_labels(spark, sf_dir)
+    quality = docs.select(
+        "doc_id", T.quality_score("text").alias("quality")
+    )
+    near_drop = (
+        labels.join(quality, labels.node == quality.doc_id)
+        .select("label", "doc_id", "quality")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("label").orderBy(
+                    F.col("quality").desc(), F.col("doc_id").asc()
+                )
+            ),
+        )
+        .where(F.col("rn") > 1)
+        .select("doc_id")
+    )
+    cpairs = shingle_containment_pairs(spark, sf_dir).where(
+        F.col("containment") >= CONT_SCRUB_MIN
+    )
+    cont_drop = cpairs.select(
+        F.when(F.col("n_sh1") < F.col("n_sh2"), F.col("id1"))
+        .when(F.col("n_sh2") < F.col("n_sh1"), F.col("id2"))
+        .otherwise(F.greatest("id1", "id2"))
+        .alias("doc_id")
+    ).distinct()
+
+    # -- cut-position sets (0-based token positions)
+    tok_df = docs.select("doc_id", toks.alias("toks"))
+    n_chunks = F.ceil(F.size(F.col("toks")) / LINE_WORDS).cast("int")
+    chunks = tok_df.select(
+        "doc_id",
+        F.size("toks").alias("nt"),
+        F.posexplode_outer(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: hash64(
+                    F.array_join(
+                        F.slice(
+                            F.col("toks"), i * LINE_WORDS + 1, LINE_WORDS
+                        ),
+                        " ",
+                    )
+                ),
+            )
+        ).alias("pos", "fp"),
+    ).where(F.col("fp").isNotNull())
+    heavy = (
+        chunks.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") > LINE_SCRUB_DOC_MAX)
+        .select("fp")
+    )
+    line_cut = chunks.join(F.broadcast(heavy), "fp").select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.col("pos") * LINE_WORDS,
+                F.least(
+                    F.col("pos") * LINE_WORDS + LINE_WORDS, F.col("nt")
+                )
+                - 1,
+            )
+        ).alias("i"),
+    )
+    sigs = _paragraph_sigs(spark, sf_dir, docs=d)
+    pedges = (
+        paragraph_dup_pairs(sigs, PARA_SIM_MIN)
+        .select(F.col("pid1").alias("id1"), F.col("pid2").alias("id2"))
+        .localCheckpoint(eager=True)
+    )
+    plabels = _cc_labels(spark, sf_dir, edges=pedges)
+    para_cut = (
+        plabels.where(F.col("node") != F.col("label"))
+        .select(
+            F.expr(f"node div {PARA_KEY_BASE}").cast("long").alias("doc_id"),
+            F.pmod(F.col("node"), F.lit(PARA_KEY_BASE))
+            .cast("int")
+            .alias("idx"),
+        )
+        .join(ntoks, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("idx") * PARA_WORDS,
+                    F.least(
+                        F.col("idx") * PARA_WORDS + PARA_WORDS,
+                        F.col("n_toks"),
+                    )
+                    - 1,
+                )
+            ).alias("i"),
+        )
+    )
+    span_cut = _span_cuts(d).select(
+        "doc_id", F.explode("cut_idxs").alias("i")
+    )
+
+    def _tag_doc(df: DataFrame, ord_: int) -> DataFrame:
+        return df.select("doc_id", F.lit(ord_).alias("ord"))
+
+    def _tag_pos(df: DataFrame, ord_: int) -> DataFrame:
+        return df.select("doc_id", "i", F.lit(ord_).alias("ord"))
+
+    drops = (
+        _tag_doc(url_drop, 1)
+        .unionAll(_tag_doc(exact_drop, 3))
+        .unionAll(_tag_doc(near_drop, 4))
+        .unionAll(_tag_doc(cont_drop, 7))
+    )
+    cuts = (
+        _tag_pos(line_cut, 2)
+        .unionAll(_tag_pos(para_cut, 5))
+        .unionAll(_tag_pos(span_cut, 6))
+    )
+    drop_min = drops.groupBy("doc_id").agg(F.min("ord").alias("drop_ord"))
+    pos_min = cuts.groupBy("doc_id", "i").agg(
+        F.min("ord").alias("scrub_ord")
+    )
+    pos_win = pos_min.join(drop_min, "doc_id", "left").select(
+        F.least(
+            F.col("scrub_ord"), F.coalesce("drop_ord", F.lit(99))
+        ).alias("win"),
+        F.lit(1).cast("long").alias("toks"),
+    )
+    cut_per_doc = pos_min.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_cutpos")
+    )
+    resid = (
+        drop_min.join(ntoks, "doc_id")
+        .join(cut_per_doc, "doc_id", "left")
+        .select(
+            F.col("drop_ord").alias("win"),
+            (
+                F.col("n_toks") - F.coalesce("n_cutpos", F.lit(0))
+            )
+            .cast("long")
+            .alias("toks"),
+        )
+    )
+    uniq = (
+        pos_win.unionAll(resid)
+        .groupBy("win")
+        .agg(F.sum("toks").alias("tokens_unique"))
+    )
+    sd = (
+        drops.join(ntoks, "doc_id")
+        .groupBy("ord")
+        .agg(
+            F.count(F.lit(1)).alias("docs_standalone"),
+            F.sum("n_toks").alias("tokens_standalone"),
+        )
+    )
+    ss = cuts.groupBy("ord").agg(
+        F.count_distinct("doc_id").alias("docs_standalone"),
+        F.count(F.lit(1)).alias("tokens_standalone"),
+    )
+    stage_dim = spark.createDataFrame(
+        [(o, n) for n, o in DEDUP_STAGE_ORDER], "stage_ord int, stage string"
+    )
+    stand = sd.unionAll(ss)
+    return (
+        stage_dim.join(stand, stage_dim.stage_ord == stand.ord, "left")
+        .join(uniq, stage_dim.stage_ord == uniq.win, "left")
+        .select(
+            "stage_ord",
+            "stage",
+            F.coalesce("docs_standalone", F.lit(0))
+            .cast("long")
+            .alias("docs_standalone"),
+            F.coalesce("tokens_standalone", F.lit(0))
+            .cast("long")
+            .alias("tokens_standalone"),
+            F.coalesce("tokens_unique", F.lit(0))
+            .cast("long")
+            .alias("tokens_unique"),
+            (
+                F.coalesce("tokens_standalone", F.lit(0))
+                - F.coalesce("tokens_unique", F.lit(0))
+            )
+            .cast("long")
+            .alias("tokens_overlap"),
+        )
+    )
+
+
+def _stage_overlap_sql() -> str:
+    from goe_spark.functions.text import quality_score_sql
+    from goe_spark.operators import minhash as MH
+
+    toks = r"regexp_split_to_array(trim(text), '\s+')"
+    line = (
+        f"array_to_string(toks[(i * {LINE_WORDS} + 1):"
+        f"((i + 1) * {LINE_WORDS})], ' ')"
+    )
+    norm = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+    agree = MH.minhash_agreement_sql("s1.mh", "s2.mh")
+    stage_vals = ", ".join(
+        f"({o}, '{n}')" for n, o in DEDUP_STAGE_ORDER
+    )
+    return f"""
+WITH RECURSIVE docs0 AS (
+  SELECT doc_id, len({toks}) AS n_toks FROM documents
+), urld AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY url) AS keep FROM (
+      SELECT doc_id,
+             'https://' || lower(regexp_extract(raw, '^https://([^/]+)', 1))
+               || regexp_replace(
+                    regexp_extract(raw, '^https://[^/]+([^?#]*)', 1),
+                    '/$', '') AS url
+      FROM (
+        SELECT doc_id,
+               'https://'
+                 || CASE WHEN doc_id % 7 = 0 THEN upper(source)
+                         ELSE source END || '.example.com'
+                 || '/' || lang || '/page-' || (doc_id % 50)
+                 || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN '?utm_source=feed&ref=' || doc_id
+                         WHEN doc_id % 3 = 1 THEN '?session=' || doc_id
+                         ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0 THEN '#section-2'
+                         ELSE '' END AS raw
+        FROM documents
+      )
+    )
+  ) WHERE doc_id <> keep
+), exd AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS keep
+    FROM (SELECT doc_id, {hash64_sql(norm)} AS fp FROM documents)
+  ) WHERE doc_id <> keep
+), lsh_pairs AS (
+  SELECT id1, id2 FROM ({_minhash_lsh_sql()})
+), nedges AS (
+  SELECT id1 AS src, id2 AS dst FROM lsh_pairs
+  UNION ALL
+  SELECT id2, id1 FROM lsh_pairs
+), nreach(node, anc) AS (
+  SELECT DISTINCT src, src FROM nedges
+  UNION
+  SELECT e.dst, r.anc FROM nreach r JOIN nedges e ON e.src = r.node
+), nlabels AS (
+  SELECT node, min(anc) AS label FROM nreach GROUP BY node
+), nranked AS (
+  SELECT l.label, d.doc_id,
+         row_number() OVER (
+           PARTITION BY l.label
+           ORDER BY {quality_score_sql('d.text')} DESC, d.doc_id ASC
+         ) AS rn
+  FROM nlabels l JOIN documents d ON d.doc_id = l.node
+), neard AS (
+  SELECT doc_id FROM nranked WHERE rn > 1
+), contd AS (
+  SELECT DISTINCT CASE WHEN n_sh1 < n_sh2 THEN id1
+                       WHEN n_sh2 < n_sh1 THEN id2
+                       ELSE greatest(id1, id2) END AS doc_id
+  FROM ({_containment_sql()}) WHERE containment >= {CONT_SCRUB_MIN}
+), lchunks AS (
+  SELECT doc_id, len(toks) AS nt, cast(i AS int) AS pos,
+         {hash64_sql(line)} AS fp
+  FROM (SELECT doc_id, {toks} AS toks FROM documents),
+       LATERAL unnest(
+         range(0, cast(ceil(len(toks) / {LINE_WORDS}.0) AS bigint))
+       ) AS r(i)
+), lheavy AS (
+  SELECT fp FROM lchunks GROUP BY fp
+  HAVING count(DISTINCT doc_id) > {LINE_SCRUB_DOC_MAX}
+), lpos AS (
+  SELECT c.doc_id, cast(p AS int) AS i
+  FROM lchunks c JOIN lheavy USING (fp),
+       LATERAL unnest(range(pos * {LINE_WORDS},
+                            least(pos * {LINE_WORDS} + {LINE_WORDS},
+                                  nt))) AS u(p)
+), {_paragraph_sig_ctes_sql()}, bands AS ({MH.band_rows_sql("mh")}),
+ok_buckets AS (
+  SELECT band, sig FROM bands GROUP BY 1, 2
+  HAVING count(*) <= {LSH_BUCKET_CAP}
+), pcands AS (
+  SELECT DISTINCT a.doc_id AS pid1, b.doc_id AS pid2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  JOIN ok_buckets ok ON ok.band = a.band AND ok.sig = a.sig
+  WHERE a.doc_id // {PARA_KEY_BASE} <> b.doc_id // {PARA_KEY_BASE}
+), ppairs AS (
+  SELECT pid1, pid2
+  FROM pcands
+  JOIN sigs s1 ON s1.doc_id = pid1
+  JOIN sigs s2 ON s2.doc_id = pid2
+  WHERE {agree} >= {PARA_SIM_MIN}
+), pedges AS (
+  SELECT pid1 AS src, pid2 AS dst FROM ppairs
+  UNION ALL
+  SELECT pid2, pid1 FROM ppairs
+), preach(node, anc) AS (
+  SELECT DISTINCT src, src FROM pedges
+  UNION
+  SELECT e.dst, r.anc FROM preach r JOIN pedges e ON e.src = r.node
+), plabels AS (
+  SELECT node, min(anc) AS label FROM preach GROUP BY node
+), ppos AS (
+  SELECT p.doc_id, cast(u.q AS int) AS i
+  FROM (SELECT node // {PARA_KEY_BASE} AS doc_id,
+               cast(node % {PARA_KEY_BASE} AS int) AS idx
+        FROM plabels WHERE node <> label) p
+  JOIN docs0 d USING (doc_id),
+       LATERAL unnest(range(idx * {PARA_WORDS},
+                            least(idx * {PARA_WORDS} + {PARA_WORDS},
+                                  d.n_toks))) AS u(q)
+), sth AS (
+  SELECT doc_id, {MH.token_hashes_sql('toks')} AS th
+  FROM (SELECT doc_id, {toks} AS toks FROM documents)
+  WHERE len(toks) >= 3
+), sshd AS (
+  SELECT doc_id, {MH.arith_shingle_hashes_sql('th')} AS sh FROM sth
+), socc AS (
+  SELECT doc_id, unnest(sh) AS g,
+         generate_subscripts(sh, 1) - 1 AS pos
+  FROM sshd
+), sgs AS (
+  SELECT g, min(doc_id) AS owner
+  FROM socc GROUP BY g HAVING min(doc_id) <> max(doc_id)
+), spos AS (
+  SELECT DISTINCT o.doc_id, i FROM (
+    SELECT o.doc_id, unnest([o.pos, o.pos + 1, o.pos + 2]) AS i
+    FROM socc o JOIN sgs ON sgs.g = o.g
+    WHERE o.doc_id <> sgs.owner
+  ) o
+), drops AS (
+  SELECT doc_id, 1 AS ord FROM urld
+  UNION ALL SELECT doc_id, 3 FROM exd
+  UNION ALL SELECT doc_id, 4 FROM neard
+  UNION ALL SELECT doc_id, 7 FROM contd
+), dropmin AS (
+  SELECT doc_id, min(ord) AS drop_ord FROM drops GROUP BY doc_id
+), cuts AS (
+  SELECT doc_id, i, 2 AS ord FROM lpos
+  UNION ALL SELECT doc_id, i, 5 FROM ppos
+  UNION ALL SELECT doc_id, i, 6 FROM spos
+), posmin AS (
+  SELECT doc_id, i, min(ord) AS scrub_ord FROM cuts GROUP BY doc_id, i
+), poswin AS (
+  SELECT least(p.scrub_ord, coalesce(dm.drop_ord, 99)) AS win,
+         cast(1 AS bigint) AS toks
+  FROM posmin p LEFT JOIN dropmin dm USING (doc_id)
+), cutperdoc AS (
+  SELECT doc_id, count(*) AS n_cutpos FROM posmin GROUP BY doc_id
+), resid AS (
+  SELECT dm.drop_ord AS win,
+         cast(d.n_toks - coalesce(c.n_cutpos, 0) AS bigint) AS toks
+  FROM dropmin dm JOIN docs0 d USING (doc_id)
+  LEFT JOIN cutperdoc c USING (doc_id)
+), uniq AS (
+  SELECT win AS ord, cast(sum(toks) AS bigint) AS tokens_unique
+  FROM (SELECT win, toks FROM poswin
+        UNION ALL SELECT win, toks FROM resid)
+  GROUP BY win
+), sd AS (
+  SELECT ord, count(*) AS docs_standalone,
+         cast(sum(n_toks) AS bigint) AS tokens_standalone
+  FROM drops JOIN docs0 USING (doc_id) GROUP BY ord
+), ss AS (
+  SELECT ord, count(DISTINCT doc_id) AS docs_standalone,
+         count(*) AS tokens_standalone
+  FROM cuts GROUP BY ord
+), stand AS (
+  SELECT * FROM sd UNION ALL SELECT * FROM ss
+), stages(stage_ord, stage) AS (
+  VALUES {stage_vals}
+)
+SELECT s.stage_ord, s.stage,
+       cast(coalesce(st.docs_standalone, 0) AS bigint)
+         AS docs_standalone,
+       cast(coalesce(st.tokens_standalone, 0) AS bigint)
+         AS tokens_standalone,
+       cast(coalesce(u.tokens_unique, 0) AS bigint) AS tokens_unique,
+       cast(coalesce(st.tokens_standalone, 0)
+            - coalesce(u.tokens_unique, 0) AS bigint) AS tokens_overlap
+FROM stages s
+LEFT JOIN stand st ON st.ord = s.stage_ord
+LEFT JOIN uniq u ON u.ord = s.stage_ord
+"""
+
+
 QUERIES = [
     QuerySpec("dedup_exact_keep_first", dedup_exact_keep_first, DEDUP_EXACT_SQL),
     QuerySpec(
@@ -2274,6 +2738,13 @@ QUERIES = [
         _span_scrub_sql(min_run=SPAN_AUDIT_MIN_RUN),
         "span removal accounting at the Lee-et-al. minimum-run "
         f"threshold (runs >= {SPAN_AUDIT_MIN_RUN} only)",
+    ),
+    QuerySpec(
+        "dedup_stage_overlap",
+        dedup_stage_overlap,
+        _stage_overlap_sql(),
+        "budget-allocation report: per dedup stage, standalone vs "
+        "unique token reclaim (min-stage-ord attribution)",
     ),
     QuerySpec(
         "corpus_novelty_curve",

@@ -73,6 +73,12 @@ MD5_FILTER_OK = {
     # per-doc md5 in a Filter at scan parallelism; rationale row in
     # SCALE.md
     "classifier_calibration_bins",
+    # r13: the train/holdout hash split IS the operator — ONE md5 of
+    # the stringified doc_id (8-16 bytes, not text) per row in each
+    # side's Filter at scan parallelism; no cheap pre-hash flag can
+    # exist because the hash is the predicate. Rationale row in
+    # SCALE.md round-13 additions.
+    "classifier_eval_holdout",
 }
 
 # Unpartitioned windows over provably bounded relations — audited
