@@ -49,6 +49,7 @@ HEAD = (
     "span_scrub_thresholded_stats",
     "classifier_eval_holdout",
     "dedup_stage_overlap",
+    "bpe_fertility_by_language",
     # -- r9-stale fillers (registry order) --
     "asof_latest_order",
     "asof_next_order",
@@ -91,7 +92,6 @@ HEAD = (
     "knn_graph_stats",
     "embedding_dimension_stats",
     "knn_graph_ivf_stats",
-    "continuous_rollup_daily",
 )
 TAIL = ()
 
