@@ -35,8 +35,8 @@ class QuerySpec:
 #   2. weighted_sample_docs — the one remaining r8-stale row.
 #   3. queries NEW in round 13 — inserted as they land; each
 #      displaces the LAST r9 filler below.
-#   4. r9-stale fillers to pad the window to 50 (45 of the 50
-#      r9-stale queries fit; the rest rotate next round).
+#   4. r9-stale fillers to pad the window to 50 (the r9-stale
+#      queries that no longer fit rotate next round).
 HEAD = (
     # -- landed after the r12 driver run: never driver-checked --
     "classifier_threshold_by_source",
@@ -50,6 +50,10 @@ HEAD = (
     "classifier_eval_holdout",
     "dedup_stage_overlap",
     "bpe_fertility_by_language",
+    "mixture_temperature_sweep",
+    "embedding_dispersion_by_label",
+    "packing_waste_curve",
+    "hard_negative_mining_stats",
     # -- r9-stale fillers (registry order) --
     "asof_latest_order",
     "asof_next_order",
@@ -88,10 +92,6 @@ HEAD = (
     "sliding_window_chunks",
     "mixture_weights",
     "bpe_train_merges",
-    "bpe_encode_stats",
-    "knn_graph_stats",
-    "embedding_dimension_stats",
-    "knn_graph_ivf_stats",
 )
 TAIL = ()
 

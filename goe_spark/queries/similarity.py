@@ -1649,26 +1649,14 @@ FROM gram GROUP BY i
 """
 
 
-def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Label-noise audit (the confident-learning shape, Northcutt et
-    al.): each vector's top-{KNN_GRAPH_K} cosine neighbours inside its
-    IVF cell vote on its label — a vector whose neighbourhood
-    disagrees with its recorded label is a mislabeled-example
-    candidate, the screen run before trusting labels for classifier
-    training or stratified sampling. Per label: vectors with
-    neighbours, kNN edges, label-agreeing edges, agreement per 10k,
-    and suspects (strict minority agreement, 2*agree < k).
-
-    Plan: the neighbour candidates are bounded per (IVF cell, sub)
-    exactly like knn_graph_ivf_stats — the quantizer assignment comes
-    from the MATERIALIZED index (ensure_index, paid once per source
-    fingerprint), cells above EMB_CELL_CAP sub-bucket by the vec_id
-    hash, no all-pairs term at any skew; fixture labels join back 1:1
-    at vector grain; the rollup is label-cardinality. The DuckDB
-    oracle replays the quantizer through the SAME _ivf_assigned_ctes
-    chain as ann_ivf_topk."""
-    from pyspark.sql.window import Window
-
+def _labeled_cell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, slabel, dst, dlabel, cosine): all ordered candidate
+    pairs inside each (IVF cell, sub-bucket), labels joined at vector
+    grain — the shared kNN-candidate construction of
+    knn_label_agreement and hard_negative_mining_stats. Cell fan-out
+    is bounded by EMB_CELL_CAP sub-bucketing exactly like
+    knn_graph_ivf_stats; the quantizer assignment comes from the
+    materialized index."""
     from goe_spark.functions.hashing import hash64
     from goe_spark.operators.ivf import ensure_index, load_assigned
 
@@ -1713,7 +1701,7 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("bvec"),
         F.col("nrm").alias("bnrm"),
     )
-    scored = (
+    return (
         a.join(b, ["cell", "sub"])
         .where(F.col("src") != F.col("dst"))
         .select(
@@ -1728,6 +1716,29 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+
+
+def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit (the confident-learning shape, Northcutt et
+    al.): each vector's top-{KNN_GRAPH_K} cosine neighbours inside its
+    IVF cell vote on its label — a vector whose neighbourhood
+    disagrees with its recorded label is a mislabeled-example
+    candidate, the screen run before trusting labels for classifier
+    training or stratified sampling. Per label: vectors with
+    neighbours, kNN edges, label-agreeing edges, agreement per 10k,
+    and suspects (strict minority agreement, 2*agree < k).
+
+    Plan: the neighbour candidates are bounded per (IVF cell, sub)
+    exactly like knn_graph_ivf_stats — the quantizer assignment comes
+    from the MATERIALIZED index (ensure_index, paid once per source
+    fingerprint), cells above EMB_CELL_CAP sub-bucket by the vec_id
+    hash, no all-pairs term at any skew; fixture labels join back 1:1
+    at vector grain; the rollup is label-cardinality. The DuckDB
+    oracle replays the quantizer through the SAME _ivf_assigned_ctes
+    chain as ann_ivf_topk."""
+    from pyspark.sql.window import Window
+
+    scored = _labeled_cell_pairs(spark, sf_dir)
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
     nn = scored.withColumn("rk", F.row_number().over(w)).where(
         F.col("rk") <= KNN_GRAPH_K
@@ -1751,7 +1762,9 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _knn_label_agreement_sql() -> str:
+def _labeled_cell_pairs_ctes_sql() -> str:
+    """Shared DuckDB CTE chain ending in ``scored(src, slabel, dst,
+    dlabel, cosine)`` — the twin of _labeled_cell_pairs."""
     from goe_spark.functions.hashing import hash64_sql
 
     h = hash64_sql("cast(vec_id AS varchar)")
@@ -1775,7 +1788,11 @@ lbl AS (
          b.vec_id AS dst, b.label AS dlabel, {cos} AS cosine
   FROM gcells a JOIN gcells b
     ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id != b.vec_id
-), nn AS (
+)"""
+
+
+def _knn_label_agreement_sql() -> str:
+    return _labeled_cell_pairs_ctes_sql() + f""", nn AS (
   SELECT * FROM (
     SELECT *, row_number() OVER
       (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rk
@@ -1796,6 +1813,115 @@ SELECT slabel AS label,
        cast(sum(CASE WHEN 2 * agree < k_actual THEN 1 ELSE 0 END)
             AS bigint) AS n_suspect
 FROM per_vec GROUP BY slabel
+"""
+
+
+def hard_negative_mining_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hard-negative mining audit — the contrastive-training prep
+    step (retrieval/embedding fine-tuning mines, per anchor, the
+    highest-similarity CROSS-label neighbours as hard negatives): per
+    label, anchors with candidates, anchors that have a cross-label
+    candidate at all, hard-negative edges inside the top-{KNN_GRAPH_K}
+    (the pairs a contrastive batch would actually use), the mean rank
+    of the FIRST cross-label neighbour (low rank = negatives crowd
+    the anchor, hard mining pays off; rank near k = negatives are
+    easy), and the mean margin best-same-label-cosine minus
+    best-cross-label-cosine in 1e-6 units (negative margin = the
+    nearest neighbour is a different label — a label-noise or
+    boundary anchor).
+
+    Determinism: cosines are rounded to 1e-6 then quantized to
+    integers BEFORE any summation, so margins aggregate as exact
+    ints. Plan: rides the SAME bounded (cell, sub) candidate pairs as
+    knn_label_agreement (_labeled_cell_pairs — one shared
+    construction, two audits); one per-anchor aggregate, one
+    label-grain rollup."""
+    from pyspark.sql.window import Window
+
+    scored = _labeled_cell_pairs(spark, sf_dir)
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    qcos = F.floor(F.col("cosine") * 1e6 + 0.5).cast("long")
+    same = F.col("slabel") == F.col("dlabel")
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    per_src = ranked.groupBy("src", "slabel").agg(
+        F.max(F.when(same, qcos)).alias("best_pos_q"),
+        F.max(F.when(~same, qcos)).alias("best_neg_q"),
+        F.min(F.when(~same, F.col("rk"))).alias("first_neg_rank"),
+        F.sum((~same & (F.col("rk") <= KNN_GRAPH_K)).cast("long")).alias(
+            "hard_in_topk"
+        ),
+    )
+    both = F.col("best_pos_q").isNotNull() & F.col(
+        "best_neg_q"
+    ).isNotNull()
+    n_with_neg = F.sum(F.col("best_neg_q").isNotNull().cast("long"))
+    n_both = F.sum(both.cast("long"))
+    return per_src.groupBy(F.col("slabel").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_anchors"),
+        n_with_neg.alias("n_with_neg"),
+        F.sum("hard_in_topk").alias("hard_neg_edges_topk"),
+        F.when(
+            n_with_neg > 0,
+            F.floor(
+                F.sum("first_neg_rank") * 10000 / n_with_neg
+            ),
+        )
+        .cast("long")
+        .alias("mean_first_neg_rank_q4"),
+        F.when(
+            n_both > 0,
+            F.floor(
+                F.sum(
+                    F.when(
+                        both, F.col("best_pos_q") - F.col("best_neg_q")
+                    )
+                )
+                / n_both
+            ),
+        )
+        .cast("long")
+        .alias("mean_margin_q6"),
+    )
+
+
+def _hard_negative_sql() -> str:
+    return _labeled_cell_pairs_ctes_sql() + f""", ranked AS (
+  SELECT *, row_number() OVER
+    (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rk,
+         cast(floor(cosine * 1e6 + 0.5) AS bigint) AS qcos
+  FROM scored
+), per_src AS (
+  SELECT src, slabel,
+         max(CASE WHEN slabel = dlabel THEN qcos END) AS best_pos_q,
+         max(CASE WHEN slabel <> dlabel THEN qcos END) AS best_neg_q,
+         min(CASE WHEN slabel <> dlabel THEN rk END) AS first_neg_rank,
+         sum(CASE WHEN slabel <> dlabel AND rk <= {KNN_GRAPH_K}
+                  THEN 1 ELSE 0 END) AS hard_in_topk
+  FROM ranked GROUP BY 1, 2
+)
+SELECT slabel AS label,
+       count(*) AS n_anchors,
+       cast(sum(CASE WHEN best_neg_q IS NOT NULL THEN 1 ELSE 0 END)
+            AS bigint) AS n_with_neg,
+       cast(sum(hard_in_topk) AS bigint) AS hard_neg_edges_topk,
+       cast(CASE WHEN sum(CASE WHEN best_neg_q IS NOT NULL
+                               THEN 1 ELSE 0 END) > 0 THEN
+         floor(sum(first_neg_rank) * 10000.0
+               / sum(CASE WHEN best_neg_q IS NOT NULL THEN 1 ELSE 0 END))
+       END AS bigint) AS mean_first_neg_rank_q4,
+       cast(CASE WHEN sum(CASE WHEN best_pos_q IS NOT NULL
+                               AND best_neg_q IS NOT NULL
+                               THEN 1 ELSE 0 END) > 0 THEN
+         floor(sum(CASE WHEN best_pos_q IS NOT NULL
+                        AND best_neg_q IS NOT NULL
+                        THEN best_pos_q - best_neg_q END)
+               / (1.0 * sum(CASE WHEN best_pos_q IS NOT NULL
+                                 AND best_neg_q IS NOT NULL
+                                 THEN 1 ELSE 0 END)))
+       END AS bigint) AS mean_margin_q6
+FROM per_src GROUP BY slabel
 """
 
 
@@ -2402,12 +2528,112 @@ FROM per GROUP BY dim
 """
 
 
+def embedding_dispersion_by_label(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Within-label embedding DISPERSION — the diversity/coherence
+    number a curator reads before using labels for stratified
+    sampling or hard-negative mining: per label, the EXACT mean
+    pairwise dot product over all n*(n-1) ordered pairs and the mean
+    squared distance, computed WITHOUT forming a single pair via the
+    sum-vector identity sum_{{u != v}} <u,v> = ||sum v||^2 - sum ||v||^2.
+    A label whose mean pairwise dot approaches its mean self-dot is a
+    near-duplicate cluster (low diversity); a label near zero is
+    incoherent.
+
+    Exactness discipline: vectors quantize to the 1e6 integer grid
+    (the embedding_dead_dims convention); per-dim sums are int64, the
+    squared sums ride decimal(38,0) (hugeint in DuckDB) so nothing
+    wraps at corpus scale; each metric is ONE double expression over
+    exact integer totals, so summation order cannot move the hash.
+
+    Plan: the O(n^2) pair semantics costs ONE corpus pass — posexplode
+    to (label, dim, qv) with map-side partial aggregation, a
+    (label x {EMB_DIM})-row intermediate, then a label-grain rollup.
+    Compare embedding_near_dup_pairs, which pays the real pair join;
+    this is the aggregate-only counterpart at any scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1e6 + 0.5).cast("long"),
+    )
+    qd = emb.select("label", F.posexplode(q).alias("dim", "qv"))
+    per_dim = qd.groupBy("label", "dim").agg(
+        F.sum("qv").alias("s"),
+        F.sum((F.col("qv") * F.col("qv")).cast("decimal(38,0)")).alias(
+            "ss"
+        ),
+    )
+    lab = per_dim.groupBy("label").agg(
+        F.sum(
+            F.col("s").cast("decimal(38,0)")
+            * F.col("s").cast("decimal(38,0)")
+        ).alias("s2"),
+        F.sum("ss").alias("ssq"),
+    )
+    nv = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    j = lab.join(nv, "label")
+    n = F.col("n")
+    self_dot = F.col("ssq").cast("double") / n / 1e12
+    pair_dot = (
+        (F.col("s2").cast("double") - F.col("ssq").cast("double"))
+        / (n * (n - F.lit(1)))
+        / 1e12
+    )
+    return j.select(
+        "label",
+        n.cast("long").alias("n_vecs"),
+        F.round(self_dot, 6).alias("mean_self_dot_q6"),
+        F.when(n > 1, F.round(pair_dot, 6)).alias("mean_pair_dot_q6"),
+        F.when(n > 1, F.round(2 * (self_dot - pair_dot), 6)).alias(
+            "mean_sq_dist_q6"
+        ),
+    )
+
+
+DISPERSION_SQL = f"""
+WITH qd AS (
+  SELECT label, cast(d AS int) AS dim,
+         cast(floor(cast(embedding[d + 1] AS double) * 1e6 + 0.5)
+              AS bigint) AS qv
+  FROM embeddings, LATERAL unnest(range({EMB_DIM})) AS r(d)
+), per_dim AS (
+  SELECT label, dim, cast(sum(qv) AS bigint) AS s,
+         sum(cast(qv AS hugeint) * qv) AS ss
+  FROM qd GROUP BY label, dim
+), lab AS (
+  SELECT label, sum(cast(s AS hugeint) * s) AS s2, sum(ss) AS ssq
+  FROM per_dim GROUP BY label
+), nv AS (
+  SELECT label, count(*) AS n FROM embeddings GROUP BY label
+)
+SELECT l.label,
+       cast(n AS bigint) AS n_vecs,
+       round(cast(ssq AS double) / n / 1e12, 6) AS mean_self_dot_q6,
+       CASE WHEN n > 1 THEN
+         round((cast(s2 AS double) - cast(ssq AS double))
+               / (n * (n - 1)) / 1e12, 6) END AS mean_pair_dot_q6,
+       CASE WHEN n > 1 THEN
+         round(2 * (cast(ssq AS double) / n / 1e12
+                    - (cast(s2 AS double) - cast(ssq AS double))
+                      / (n * (n - 1)) / 1e12), 6) END AS mean_sq_dist_q6
+FROM lab l JOIN nv USING (label)
+"""
+
+
 QUERIES = [
     QuerySpec(
         "embedding_dead_dims",
         embedding_dead_dims,
         DEAD_DIMS_SQL,
         "per-dimension variance audit (dead-dim / PQ-prep screen)",
+    ),
+    QuerySpec(
+        "embedding_dispersion_by_label",
+        embedding_dispersion_by_label,
+        DISPERSION_SQL,
+        "exact mean pairwise dot / squared distance per label via the "
+        "sum-vector identity (no pair join)",
     ),
     QuerySpec(
         "embedding_norm_outliers",
@@ -2493,6 +2719,13 @@ QUERIES = [
         knn_label_agreement,
         _knn_label_agreement_sql(),
         "kNN label-noise audit over IVF-bounded neighbourhoods",
+    ),
+    QuerySpec(
+        "hard_negative_mining_stats",
+        hard_negative_mining_stats,
+        _hard_negative_sql(),
+        "contrastive-training prep: per-label hard-negative ranks and "
+        "pos/neg cosine margins",
     ),
     QuerySpec(
         "embedding_anisotropy_by_label",

@@ -569,6 +569,187 @@ FROM per_bin GROUP BY lang
 """
 
 
+# Context lengths the packing-waste sweep evaluates (tokens).
+PACK_SWEEP_LENS = (512, 1024, 2048, 4096)
+
+
+def packing_waste_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing waste across candidate context lengths — the
+    table that picks a training context length and packing strategy:
+    per (lang, seq_len in {PACK_SWEEP_LENS}), BOTH packing models'
+    costs. Pad model (one doc per sequence, ceil(t/L) sequences):
+    sequence count and padding waste. Concat model (GPT-style stream
+    chunking in doc_id order per shard): sequence count, tail waste
+    (only the last partial chunk of each shard pads), and
+    docs_split — documents straddling a chunk boundary, the
+    fragmentation cost concat packing pays instead of padding. Short
+    contexts waste little padding but split many docs; long contexts
+    invert the trade.
+
+    Plan: ONE cumulative-sum window per (lang, shard) — the
+    token_pack_bins shard discipline that bounds any language's
+    partition — shared by every seq_len via arithmetic (no per-L
+    window); the sweep explodes a {len(PACK_SWEEP_LENS)}-element
+    struct array; rollups are (lang x seq_len)-grain, and the shard
+    tail frame is (lang x shard)-grain."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", T.token_count("text").alias("n_tokens")
+    )
+    shard = F.pmod(
+        hash64(F.col("doc_id").cast("string")), F.lit(PACK_SHARDS)
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = (
+        d.withColumn("shard", shard)
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn("start", F.col("cum") - F.col("n_tokens"))
+    )
+    t = F.col("n_tokens")
+    doc_sweep = base.select(
+        "lang",
+        "n_tokens",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(L).alias("seq_len"),
+                        (
+                            F.floor(F.col("start") / F.lit(L))
+                            != F.floor((F.col("cum") - 1) / F.lit(L))
+                        )
+                        .cast("long")
+                        .alias("crosses"),
+                        F.floor((t + F.lit(L - 1)) / F.lit(L))
+                        .cast("long")
+                        .alias("pad_seqs"),
+                    )
+                    for L in PACK_SWEEP_LENS
+                ]
+            )
+        ).alias("x"),
+    )
+    docs_agg = doc_sweep.groupBy(
+        "lang", F.col("x.seq_len").alias("seq_len")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("x.crosses").alias("docs_split"),
+        F.sum("x.pad_seqs").alias("pad_seqs"),
+    )
+    shard_tot = base.groupBy("lang", "shard").agg(
+        F.max("cum").alias("st")
+    )
+    tail_sweep = shard_tot.select(
+        "lang",
+        "st",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(L).alias("seq_len"),
+                        F.floor((F.col("st") + F.lit(L - 1)) / F.lit(L))
+                        .cast("long")
+                        .alias("cseqs"),
+                    )
+                    for L in PACK_SWEEP_LENS
+                ]
+            )
+        ).alias("x"),
+    )
+    tails_agg = tail_sweep.groupBy(
+        "lang", F.col("x.seq_len").alias("seq_len")
+    ).agg(
+        F.sum("x.cseqs").alias("concat_seqs"),
+        (
+            F.sum(F.col("x.cseqs") * F.col("x.seq_len")) - F.sum("st")
+        ).alias("concat_tail_waste"),
+    )
+    j = docs_agg.join(tails_agg, ["lang", "seq_len"])
+    pad_waste = (
+        F.col("pad_seqs") * F.col("seq_len") - F.col("total_tokens")
+    )
+    return j.select(
+        "lang",
+        "seq_len",
+        "n_docs",
+        "total_tokens",
+        "docs_split",
+        F.floor(F.col("docs_split") * 10000 / F.col("n_docs"))
+        .cast("long")
+        .alias("split_per_10k"),
+        "pad_seqs",
+        pad_waste.cast("long").alias("pad_waste"),
+        F.floor(
+            pad_waste * 10000 / (F.col("pad_seqs") * F.col("seq_len"))
+        )
+        .cast("long")
+        .alias("pad_waste_per_10k"),
+        "concat_seqs",
+        F.col("concat_tail_waste").cast("long").alias("concat_tail_waste"),
+    )
+
+
+def _packing_sweep_sql() -> str:
+    lens_vals = ", ".join(f"({L})" for L in PACK_SWEEP_LENS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         {T.token_count_sql('text')} AS n_tokens,
+         ({hash64_sql('cast(doc_id AS varchar)')} % {PACK_SHARDS}) AS shard
+  FROM documents
+), base AS (
+  SELECT lang, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks
+), doc_sweep AS (
+  SELECT lang, n_tokens, l.seq_len,
+         CASE WHEN floor((cum - n_tokens) / (1.0 * l.seq_len))
+                   <> floor((cum - 1) / (1.0 * l.seq_len))
+              THEN 1 ELSE 0 END AS crosses,
+         cast(floor((n_tokens + l.seq_len - 1) / (1.0 * l.seq_len))
+              AS bigint) AS pad_seqs
+  FROM base CROSS JOIN (VALUES {lens_vals}) AS l(seq_len)
+), docs_agg AS (
+  SELECT lang, seq_len,
+         count(*) AS n_docs,
+         cast(sum(n_tokens) AS bigint) AS total_tokens,
+         cast(sum(crosses) AS bigint) AS docs_split,
+         cast(sum(pad_seqs) AS bigint) AS pad_seqs
+  FROM doc_sweep GROUP BY lang, seq_len
+), shard_tot AS (
+  SELECT lang, shard, max(cum) AS st FROM base GROUP BY lang, shard
+), tails_agg AS (
+  SELECT lang, l.seq_len,
+         cast(sum(floor((st + l.seq_len - 1) / (1.0 * l.seq_len)))
+              AS bigint) AS concat_seqs,
+         cast(sum(floor((st + l.seq_len - 1) / (1.0 * l.seq_len))
+                  * l.seq_len) - sum(st) AS bigint)
+           AS concat_tail_waste
+  FROM shard_tot CROSS JOIN (VALUES {lens_vals}) AS l(seq_len)
+  GROUP BY lang, l.seq_len
+)
+SELECT d.lang, cast(d.seq_len AS int) AS seq_len, d.n_docs,
+       d.total_tokens, d.docs_split,
+       cast(floor(d.docs_split * 10000.0 / d.n_docs) AS bigint)
+         AS split_per_10k,
+       d.pad_seqs,
+       cast(d.pad_seqs * d.seq_len - d.total_tokens AS bigint)
+         AS pad_waste,
+       cast(floor((d.pad_seqs * d.seq_len - d.total_tokens) * 10000.0
+                  / (d.pad_seqs * d.seq_len)) AS bigint)
+         AS pad_waste_per_10k,
+       t.concat_seqs, t.concat_tail_waste
+FROM docs_agg d JOIN tails_agg t USING (lang, seq_len)
+"""
+
+
 EVAL_SOURCE = "src0"  # the fixture slice standing in for a benchmark
 MIN_SHARED_SHINGLES = 5
 
@@ -767,6 +948,126 @@ FROM per
 
 # Global token budget one mixture-sampling epoch may spend.
 MIX_TOKEN_BUDGET = 150_000
+
+# Temperature exponents for the sweep, in percent. Chosen so every
+# power is an EXACT composition of IEEE-correctly-rounded ops
+# (sqrt/sqrt-of-sqrt/their product) — pow(x, 0.3) is not guaranteed
+# correctly rounded and could differ by an ulp between the JVM and
+# DuckDB's libm, flipping a rounded weight at a boundary.
+MIX_SWEEP_ALPHAS = (25, 50, 75, 100)
+
+
+def mixture_temperature_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sampling-temperature sweep — the design table a multilingual /
+    multi-domain pretraining run is tuned from (mT5/XLM-R style):
+    for each temperature alpha in {MIX_SWEEP_ALPHAS} (percent), the
+    per-source sampling weight w_s = tokens_s^alpha / sum tokens^alpha,
+    the token budget share of a {MIX_TOKEN_BUDGET}-token epoch, and
+    the EFFECTIVE EPOCHS over that source's data (budget/tokens — the
+    repetition count a low-resource source suffers as alpha drops;
+    >1 means the source repeats within one epoch, the overfitting
+    signal that bounds how low alpha can go). alpha=100 is
+    proportional sampling (epochs equal across sources), alpha=25 is
+    aggressive flattening.
+
+    Plan: ONE corpus scan to a source-cardinality aggregate; the four
+    powers are computed per source (sqrt compositions), the
+    normalizers are one scalar-broadcast aggregate, and the sweep
+    explodes a 4-element struct array over the tiny per-source
+    relation — rows = sources x 4."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count("text")).alias("total_tokens"),
+    )
+    t = F.col("total_tokens").cast("double")
+    s = F.sqrt(t)
+    q = F.sqrt(s)
+    pows = {25: q, 50: s, 75: s * q, 100: t}
+    per2 = per.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        *[pows[a].alias(f"p{a}") for a in MIX_SWEEP_ALPHAS],
+    )
+    tot = per2.agg(
+        *[F.sum(f"p{a}").alias(f"z{a}") for a in MIX_SWEEP_ALPHAS]
+    )
+    sweep = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(a).alias("alpha_pct"),
+                    F.round(F.col(f"p{a}") / F.col(f"z{a}"), 6).alias(
+                        "w"
+                    ),
+                )
+                for a in MIX_SWEEP_ALPHAS
+            ]
+        )
+    ).alias("x")
+    picked = per2.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "total_tokens", sweep
+    )
+    w = F.col("x.w")
+    budget = F.floor(w * MIX_TOKEN_BUDGET).cast("long")
+    return picked.select(
+        "source",
+        F.col("x.alpha_pct").alias("alpha_pct"),
+        "n_docs",
+        "total_tokens",
+        w.alias("weight"),
+        budget.alias("budget_tokens"),
+        F.round(budget / F.col("total_tokens").cast("double"), 6).alias(
+            "effective_epochs_q6"
+        ),
+    )
+
+
+def _mixture_sweep_sql() -> str:
+    pows = {
+        25: "sqrt(sqrt(cast(total_tokens AS double)))",
+        50: "sqrt(cast(total_tokens AS double))",
+        75: "sqrt(cast(total_tokens AS double))"
+        " * sqrt(sqrt(cast(total_tokens AS double)))",
+        100: "cast(total_tokens AS double)",
+    }
+    p_cols = ", ".join(f"{pows[a]} AS p{a}" for a in MIX_SWEEP_ALPHAS)
+    # weights are computed BEFORE the alpha cross join: a sum() OVER ()
+    # taken after the x4 fan-out would quadruple every normalizer
+    w_cols = ", ".join(
+        f"round(p{a} / sum(p{a}) OVER (), 6) AS w{a}"
+        for a in MIX_SWEEP_ALPHAS
+    )
+    w_case = " ".join(
+        f"WHEN {a} THEN w{a}" for a in MIX_SWEEP_ALPHAS
+    )
+    alpha_vals = ", ".join(f"({a})" for a in MIX_SWEEP_ALPHAS)
+    return f"""
+WITH per AS (
+  SELECT source,
+         count(*) AS n_docs,
+         cast(sum({T.token_count_sql('text')}) AS bigint) AS total_tokens
+  FROM documents GROUP BY source
+), powed AS (
+  SELECT source, n_docs, total_tokens, {p_cols} FROM per
+), weights AS (
+  SELECT source, n_docs, total_tokens, {w_cols} FROM powed
+), sweep AS (
+  SELECT source, n_docs, total_tokens, a.alpha_pct,
+         CASE a.alpha_pct {w_case} END AS weight
+  FROM weights CROSS JOIN (VALUES {alpha_vals}) AS a(alpha_pct)
+)
+SELECT source, cast(alpha_pct AS int) AS alpha_pct, n_docs,
+       total_tokens, weight,
+       cast(floor(weight * {MIX_TOKEN_BUDGET}) AS bigint)
+         AS budget_tokens,
+       round(floor(weight * {MIX_TOKEN_BUDGET})
+             / cast(total_tokens AS double), 6) AS effective_epochs_q6
+FROM sweep
+"""
 
 
 def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2635,6 +2936,13 @@ QUERIES = [
         "stratified_sample_docs", stratified_sample_docs, STRATIFIED_SAMPLE_SQL
     ),
     QuerySpec("token_pack_bins", token_pack_bins, TOKEN_PACK_SQL),
+    QuerySpec(
+        "packing_waste_curve",
+        packing_waste_curve,
+        _packing_sweep_sql(),
+        "pad-vs-concat packing cost (waste, fragmentation) across "
+        "candidate context lengths",
+    ),
     QuerySpec("contamination_check", contamination_check, _contamination_sql()),
     QuerySpec(
         "sliding_window_chunks", sliding_window_chunks, SLIDING_CHUNK_SQL
@@ -2665,6 +2973,13 @@ QUERIES = [
         _bpe_fertility_sql(),
         "vocab-equity audit: per-language fertility, bytes/token and "
         "byte-fallback OOV rate under the learned merges",
+    ),
+    QuerySpec(
+        "mixture_temperature_sweep",
+        mixture_temperature_sweep,
+        _mixture_sweep_sql(),
+        "per-source sampling weight / budget / effective-epochs table "
+        "across temperature alphas",
     ),
     QuerySpec(
         "dsir_importance_weights",

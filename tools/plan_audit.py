@@ -161,6 +161,10 @@ NESTED_LOOP_OK = {
     # 1-row scalar totals / thresholds cross-joined back
     "brand_affinity_lift",
     "mixture_weights",
+    # r13: same shape as mixture_weights — the 1-row 4-normalizer
+    # totals aggregate cross-joins back onto the source-cardinality
+    # relation; SCALE.md round-13 rationale row
+    "mixture_temperature_sweep",
     "mixture_sample_threshold",
     "q11_important_stock",
     "q22_idle_customers",
