@@ -54,6 +54,7 @@ HEAD = (
     "embedding_dispersion_by_label",
     "packing_waste_curve",
     "hard_negative_mining_stats",
+    "streaming_pii_quarantine",
     # -- r9-stale fillers (registry order) --
     "asof_latest_order",
     "asof_next_order",
@@ -91,7 +92,6 @@ HEAD = (
     "token_pack_bins",
     "sliding_window_chunks",
     "mixture_weights",
-    "bpe_train_merges",
 )
 TAIL = ()
 

@@ -435,9 +435,58 @@ FROM per GROUP BY lang
 """
 
 
+def streaming_pii_quarantine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PII quarantine routing on the document stream
+    (streaming/docs.py): per source, clean vs quarantined docs and
+    per-kind entity counts. Oracle = the plain batch scan, so it
+    matches only if the stream scanned every doc exactly once with
+    identical regex counters."""
+    from goe_spark.streaming.docs import pii_quarantine_counts
+
+    return pii_quarantine_counts(spark, sf_dir)
+
+
+def _streaming_pii_sql() -> str:
+    from goe_spark.queries.pii import (
+        AUGMENTED_TEXT_SQL,
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+        pii_count_sql,
+    )
+
+    e = pii_count_sql("aug", EMAIL_RE)
+    p = pii_count_sql("aug", PHONE_RE)
+    i = pii_count_sql("aug", IPV4_RE)
+    return f"""
+WITH aug AS (
+  SELECT source, {AUGMENTED_TEXT_SQL} AS aug FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       cast(sum(CASE WHEN {e} + {p} + {i} > 0 THEN 1 ELSE 0 END)
+            AS bigint) AS n_quarantined,
+       cast(sum(CASE WHEN {e} + {p} + {i} > 0 THEN 0 ELSE 1 END)
+            AS bigint) AS n_clean,
+       cast(sum({e}) AS bigint) AS n_emails,
+       cast(sum({p}) AS bigint) AS n_phones,
+       cast(sum({i}) AS bigint) AS n_ips
+FROM aug GROUP BY source
+"""
+
+
 QUERIES = [
     QuerySpec(
         "streaming_window_counts", streaming_window_counts, STREAMING_WINDOW_SQL
+    ),
+    QuerySpec(
+        "streaming_pii_quarantine",
+        streaming_pii_quarantine,
+        _streaming_pii_sql(),
+        "PII quarantine routing on the document stream; oracle = "
+        "batch scan",
     ),
     QuerySpec(
         "streaming_cusum_drift",

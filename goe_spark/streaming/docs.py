@@ -86,3 +86,50 @@ def classifier_scored_counts(
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+def pii_quarantine_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII ROUTING at ingest — the quarantine gate a compliant
+    pipeline runs before anything lands in the corpus: each arriving
+    document is scanned for email/phone/IPv4 (the same codegen'd
+    regex counters as queries/pii.py, over the same deterministic
+    augmented-text fixture), and the stream reports per source how
+    many docs routed CLEAN vs QUARANTINE plus the per-kind entity
+    counts the redaction queue will face. Stateless map inside the
+    micro-batch + a running source-cardinality aggregate — the only
+    state Structured Streaming keeps. Complete mode on finite input
+    equals the batch scan (the oracle) iff every doc was scanned
+    exactly once."""
+    from goe_spark.queries.pii import (
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+        augmented_text,
+        pii_count,
+    )
+
+    stream = documents_stream(spark, sf_dir).withColumn(
+        "aug", augmented_text()
+    )
+    e = pii_count("aug", EMAIL_RE)
+    p = pii_count("aug", PHONE_RE)
+    i = pii_count("aug", IPV4_RE)
+    any_pii = (e + p + i) > 0
+    agg = stream.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(any_pii.cast("long")).alias("n_quarantined"),
+        F.sum((~any_pii).cast("long")).alias("n_clean"),
+        F.sum(e).alias("n_emails"),
+        F.sum(p).alias("n_phones"),
+        F.sum(i).alias("n_ips"),
+    )
+    sink = f"pii_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

@@ -590,3 +590,52 @@ def test_streaming_classifier_matches_batch(spark):
         assert (g.n_docs, g.n_keep, g.n_strong, g.sum_logit_milli) == (
             e.n_docs, e.n_keep, e.n_strong, e.sum_logit_milli
         )
+
+
+def test_streaming_pii_quarantine_matches_batch(spark):
+    """Stream-side PII quarantine routing equals the batch scan row
+    for row — same regex counters, every doc scanned exactly once."""
+    from goe_spark.queries.pii import (
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+        augmented_text,
+        pii_count,
+    )
+    from goe_spark.streaming.docs import pii_quarantine_counts
+    from tests.conftest import SF_SMALL
+
+    got = {
+        r.source: r
+        for r in pii_quarantine_counts(spark, SF_SMALL).collect()
+    }
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet").withColumn(
+        "aug", augmented_text()
+    )
+    e = pii_count("aug", EMAIL_RE)
+    p = pii_count("aug", PHONE_RE)
+    i = pii_count("aug", IPV4_RE)
+    any_pii = (e + p + i) > 0
+    exp = {
+        r.source: r
+        for r in d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(any_pii.cast("long")).alias("n_quarantined"),
+            F.sum((~any_pii).cast("long")).alias("n_clean"),
+            F.sum(e).alias("n_emails"),
+            F.sum(p).alias("n_phones"),
+            F.sum(i).alias("n_ips"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exp)
+    for src, g in got.items():
+        x = exp[src]
+        assert (
+            g.n_docs, g.n_quarantined, g.n_clean,
+            g.n_emails, g.n_phones, g.n_ips,
+        ) == (
+            x.n_docs, x.n_quarantined, x.n_clean,
+            x.n_emails, x.n_phones, x.n_ips,
+        )
