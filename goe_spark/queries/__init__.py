@@ -55,6 +55,7 @@ HEAD = (
     "packing_waste_curve",
     "hard_negative_mining_stats",
     "streaming_pii_quarantine",
+    "lsh_param_sweep",
     # -- r9-stale fillers (registry order) --
     "asof_latest_order",
     "asof_next_order",
@@ -91,7 +92,6 @@ HEAD = (
     "stratified_sample_docs",
     "token_pack_bins",
     "sliding_window_chunks",
-    "mixture_weights",
 )
 TAIL = ()
 

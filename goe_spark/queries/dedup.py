@@ -344,6 +344,231 @@ JOIN sigs s2 ON s2.doc_id = id2
 """
 
 
+# (bands, rows) layouts of the K_MINHASH=16 signature the LSH tuning
+# sweep evaluates; all use the full signature (b*r = 16).
+LSH_SWEEP_CONFIGS = ((2, 8), (4, 4), (8, 2), (16, 1))
+# "true" near-dup floor for the sweep's precision/recall: >= 8 of 16
+# signature components agree (est Jaccard >= 0.5)
+LSH_SWEEP_MIN_MATCH = 8
+
+
+def lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH (bands x rows) TUNING TABLE — the S-curve trade every
+    MinHash deployment sets by hand: more bands with fewer rows per
+    band catches lower-similarity pairs (recall up, candidate volume
+    and verification cost up); fewer, deeper bands demand
+    near-identical signatures (precision up, recall down). Per
+    layout of the SAME 16-component signatures: candidate pairs,
+    true pairs among them (>= LSH_SWEEP_MIN_MATCH/16 component
+    agreement), precision
+    and recall per 10k (recall vs the union of true pairs ANY layout
+    surfaced), and the mean component-agreement of candidates. All
+    metrics are integer match counts — no floats anywhere.
+
+    Plan: signatures come from the materialized index (one md5
+    lineage, paid once); each layout re-bands the 16-long arrays
+    map-side and pays one (band, sig) groupBy with the same
+    LSH_BUCKET_CAP bound as minhash_lsh_pairs — candidate volume
+    stays collision-bounded per layout, and the full-signature
+    agreement rides the bucket expansion inline (zero re-joins). The
+    union truth set is pair-table-grain; its 1-row count broadcasts
+    back (the scalar cross-join pattern)."""
+    from goe_spark.operators.minhash import K_MINHASH
+    from goe_spark.operators.minhash_index import (
+        ensure_signature_index,
+        load_signatures,
+    )
+
+    sigs = load_signatures(
+        spark, ensure_signature_index(spark, sf_dir)
+    ).select("doc_id", "mh")
+    cfg_frames = []
+    for b, r in LSH_SWEEP_CONFIGS:
+        band_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.concat_ws(
+                        ":",
+                        F.transform(
+                            F.slice(F.col("mh"), i * r + 1, r),
+                            lambda x: x.cast("string"),
+                        ),
+                    ).alias("sig"),
+                )
+                for i in range(b)
+            ]
+        )
+        bands = sigs.select(
+            F.struct("doc_id", "mh").alias("doc"),
+            F.explode(band_arr).alias("bs"),
+        ).select("doc", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+        grouped = bands.groupBy("band", "sig").agg(
+            F.array_sort(F.collect_set("doc")).alias("docs")
+        )
+        n = F.size("docs")
+        pair_structs = F.flatten(
+            F.transform(
+                F.col("docs"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("docs"), i + 2, n - i - 1),
+                    lambda y: F.struct(
+                        x["doc_id"].alias("id1"),
+                        y["doc_id"].alias("id2"),
+                        F.size(
+                            F.filter(
+                                F.zip_with(
+                                    x["mh"], y["mh"], lambda p, q: p == q
+                                ),
+                                lambda v: v,
+                            )
+                        ).alias("matches"),
+                    ),
+                ),
+            )
+        )
+        pairs = (
+            grouped.where((n >= 2) & (n <= LSH_BUCKET_CAP))
+            .select(F.explode_outer(pair_structs).alias("p"))
+            .select("p.id1", "p.id2", "p.matches")
+            .distinct()
+            .select(
+                F.lit(b).alias("bands"),
+                F.lit(r).alias("rows_per_band"),
+                "id1",
+                "id2",
+                "matches",
+            )
+        )
+        cfg_frames.append(pairs)
+    allp = cfg_frames[0]
+    for f in cfg_frames[1:]:
+        allp = allp.unionAll(f)
+    good = F.col("matches") >= LSH_SWEEP_MIN_MATCH
+    truth = (
+        allp.where(good)
+        .select("id1", "id2")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_truth_pairs"))
+    )
+    per_cfg = allp.groupBy("bands", "rows_per_band").agg(
+        F.count(F.lit(1)).alias("n_candidate_pairs"),
+        F.sum(good.cast("long")).alias("n_good_pairs"),
+        F.sum("matches").alias("sum_matches"),
+    )
+    np = F.col("n_candidate_pairs")
+    return per_cfg.crossJoin(F.broadcast(truth)).select(
+        "bands",
+        "rows_per_band",
+        "n_candidate_pairs",
+        "n_good_pairs",
+        F.when(np > 0, F.floor(F.col("n_good_pairs") * 10000 / np))
+        .cast("long")
+        .alias("precision_per_10k"),
+        "n_truth_pairs",
+        F.when(
+            F.col("n_truth_pairs") > 0,
+            F.floor(
+                F.col("n_good_pairs") * 10000 / F.col("n_truth_pairs")
+            ),
+        )
+        .cast("long")
+        .alias("recall_per_10k"),
+        F.when(
+            np > 0,
+            F.floor(F.col("sum_matches") * 10000 / (np * K_MINHASH)),
+        )
+        .cast("long")
+        .alias("mean_matches_q4"),
+    )
+
+
+def _lsh_sweep_sql() -> str:
+    from goe_spark.operators import minhash as MH
+
+    mh_expr = MH.minhash_signature_sql("sh")
+    matches = (
+        "len(list_filter(list_zip(s1.mh, s2.mh), p -> p[1] = p[2]))"
+    )
+    ctes = [
+        f"shingled AS ({_shingle_hashed_sql()})",
+        f"sigs AS (SELECT doc_id, {mh_expr} AS mh FROM shingled)",
+    ]
+    m_sel = []
+    goods = []
+    for b, r in LSH_SWEEP_CONFIGS:
+        tag = f"b{b}r{r}"
+        slices = " UNION ALL ".join(
+            f"SELECT doc_id, {i} AS band, "
+            f"array_to_string(list_slice(mh, {i * r + 1}, {(i + 1) * r}),"
+            f" ':') AS sig FROM sigs"
+            for i in range(b)
+        )
+        ctes.append(f"bands_{tag} AS ({slices})")
+        ctes.append(
+            f"""ok_{tag} AS (
+  SELECT band, sig FROM bands_{tag} GROUP BY 1, 2
+  HAVING count(*) >= 2 AND count(*) <= {LSH_BUCKET_CAP}
+)"""
+        )
+        ctes.append(
+            f"""pairs_{tag} AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands_{tag} a JOIN bands_{tag} b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  JOIN ok_{tag} ok ON ok.band = a.band AND ok.sig = a.sig
+)"""
+        )
+        ctes.append(
+            f"""scored_{tag} AS (
+  SELECT id1, id2, {matches} AS matches
+  FROM pairs_{tag}
+  JOIN sigs s1 ON s1.doc_id = id1
+  JOIN sigs s2 ON s2.doc_id = id2
+)"""
+        )
+        m_sel.append(
+            f"""SELECT {b} AS bands, {r} AS rows_per_band,
+       count(*) AS n_candidate_pairs,
+       cast(sum(CASE WHEN matches >= {LSH_SWEEP_MIN_MATCH}
+                     THEN 1 ELSE 0 END) AS bigint) AS n_good_pairs,
+       cast(sum(matches) AS bigint) AS sum_matches
+FROM scored_{tag}"""
+        )
+        goods.append(
+            f"SELECT id1, id2 FROM scored_{tag}"
+            f" WHERE matches >= {LSH_SWEEP_MIN_MATCH}"
+        )
+    ctes.append(
+        "truth AS (SELECT count(*) AS n_truth_pairs FROM ("
+        "SELECT DISTINCT id1, id2 FROM ("
+        + " UNION ALL ".join(goods)
+        + ")))"
+    )
+    ctes.append(
+        "per_cfg AS (" + "\nUNION ALL\n".join(m_sel) + ")"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT bands, rows_per_band, n_candidate_pairs, n_good_pairs,
+       cast(CASE WHEN n_candidate_pairs > 0 THEN
+         floor(n_good_pairs * 10000.0 / n_candidate_pairs)
+       END AS bigint) AS precision_per_10k,
+       n_truth_pairs,
+       cast(CASE WHEN n_truth_pairs > 0 THEN
+         floor(n_good_pairs * 10000.0 / n_truth_pairs)
+       END AS bigint) AS recall_per_10k,
+       cast(CASE WHEN n_candidate_pairs > 0 THEN
+         floor(sum_matches * 10000.0
+               / (n_candidate_pairs * {MH.K_MINHASH}))
+       END AS bigint) AS mean_matches_q4
+FROM per_cfg CROSS JOIN truth
+"""
+    )
+
+
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 60-bit signatures over token hashes, all
     pairs with hamming distance <= 3 (Manku et al., WWW'07).
@@ -2719,6 +2944,13 @@ QUERIES = [
     ),
     QuerySpec("ngram_jaccard_pairs", ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
     QuerySpec("minhash_lsh_pairs", minhash_lsh_pairs, _minhash_lsh_sql()),
+    QuerySpec(
+        "lsh_param_sweep",
+        lsh_param_sweep,
+        _lsh_sweep_sql(),
+        "LSH (bands x rows) tuning table: candidates, precision, "
+        "recall and mean agreement per layout",
+    ),
     QuerySpec("simhash_pairs", simhash_pairs, _simhash_sql()),
     QuerySpec(
         "cross_doc_ngram_coverage",

@@ -165,6 +165,9 @@ NESTED_LOOP_OK = {
     # totals aggregate cross-joins back onto the source-cardinality
     # relation; SCALE.md round-13 rationale row
     "mixture_temperature_sweep",
+    # r13: 1-row union-truth count cross-joined onto the 4-row
+    # per-layout metric relation; SCALE.md round-13 rationale row
+    "lsh_param_sweep",
     "mixture_sample_threshold",
     "q11_important_stock",
     "q22_idle_customers",
