@@ -56,6 +56,8 @@ HEAD = (
     "hard_negative_mining_stats",
     "streaming_pii_quarantine",
     "lsh_param_sweep",
+    "dedup_threshold_sensitivity",
+    "perplexity_band_stats",
     # -- r9-stale fillers (registry order) --
     "asof_latest_order",
     "asof_next_order",
@@ -90,8 +92,6 @@ HEAD = (
     "vocab_growth_curve",
     "dedup_keep_best",
     "stratified_sample_docs",
-    "token_pack_bins",
-    "sliding_window_chunks",
 )
 TAIL = ()
 

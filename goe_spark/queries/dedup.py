@@ -569,6 +569,123 @@ FROM per_cfg CROSS JOIN truth
     )
 
 
+# est-Jaccard cutoffs the sensitivity sweep evaluates — exact
+# multiples of 1/16 (the signature grid), so every comparison is an
+# exact double comparison in both engines.
+DEDUP_SENS_THRESHOLDS = (0.5, 0.625, 0.75, 0.875)
+
+
+def dedup_threshold_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-dup THRESHOLD sensitivity — what a curator reads before
+    fixing the dedup cutoff: per candidate est-Jaccard threshold,
+    how many LSH pairs qualify, how many docs are involved, how many
+    docs a pairwise keep-first pass would drop (the max-id side of
+    >= 1 qualifying pair), and the token mass those losers carry.
+    A cliff between two thresholds = a large near-dup family sitting
+    at that similarity; a flat curve = the cutoff barely matters.
+
+    Determinism: est_jaccard values are exact multiples of 1/16
+    (match-count / K), and the sweep thresholds are on the same grid,
+    so comparisons are exact in both engines. Plan: ONE pair
+    generation (the capped LSH job), a 4-element literal explode
+    over the pair table, distinct losers at (threshold, doc) grain,
+    one broadcast-size token join — nothing corpus-scale beyond the
+    signature lineage the index already materializes."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count("text").alias("n_tokens")
+    )
+    sweep = pairs.select(
+        "id1",
+        "id2",
+        "est_jaccard",
+        F.explode(
+            F.array(*[F.lit(t) for t in DEDUP_SENS_THRESHOLDS])
+        ).alias("threshold"),
+    ).where(F.col("est_jaccard") >= F.col("threshold"))
+    per_t = sweep.groupBy("threshold").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    losers = (
+        sweep.select(
+            "threshold", F.greatest("id1", "id2").alias("doc_id")
+        )
+        .distinct()
+        .join(toks, "doc_id")
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_loser_docs"),
+            F.sum("n_tokens").alias("tokens_at_risk"),
+        )
+    )
+    involved = (
+        sweep.select(
+            "threshold", F.explode(F.array("id1", "id2")).alias("doc_id")
+        )
+        .distinct()
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).alias("n_docs_involved"))
+    )
+    return (
+        per_t.join(involved, "threshold", "left")
+        .join(losers, "threshold", "left")
+        .select(
+            F.round("threshold", 3).alias("threshold_q3"),
+            "n_pairs",
+            F.coalesce("n_docs_involved", F.lit(0))
+            .cast("long")
+            .alias("n_docs_involved"),
+            F.coalesce("n_loser_docs", F.lit(0))
+            .cast("long")
+            .alias("n_loser_docs"),
+            F.coalesce("tokens_at_risk", F.lit(0))
+            .cast("long")
+            .alias("tokens_at_risk"),
+        )
+    )
+
+
+def _dedup_sensitivity_sql() -> str:
+    thr = ", ".join(f"({t})" for t in DEDUP_SENS_THRESHOLDS)
+    return f"""
+WITH lsh AS ({_minhash_lsh_sql()}),
+toks AS (
+  SELECT doc_id, {T.token_count_sql('text')} AS n_tokens FROM documents
+), sweep AS (
+  SELECT id1, id2, est_jaccard, t.threshold
+  FROM lsh CROSS JOIN (VALUES {thr}) AS t(threshold)
+  WHERE est_jaccard >= t.threshold
+), per_t AS (
+  SELECT threshold, count(*) AS n_pairs FROM sweep GROUP BY threshold
+), losers AS (
+  SELECT threshold,
+         count(*) AS n_loser_docs,
+         cast(sum(n_tokens) AS bigint) AS tokens_at_risk
+  FROM (SELECT DISTINCT threshold, greatest(id1, id2) AS doc_id
+        FROM sweep)
+  JOIN toks USING (doc_id)
+  GROUP BY threshold
+), involved AS (
+  SELECT threshold, count(*) AS n_docs_involved FROM (
+    SELECT DISTINCT threshold, doc_id FROM (
+      SELECT threshold, id1 AS doc_id FROM sweep
+      UNION ALL SELECT threshold, id2 FROM sweep
+    )
+  ) GROUP BY threshold
+)
+SELECT round(p.threshold, 3) AS threshold_q3,
+       p.n_pairs,
+       cast(coalesce(i.n_docs_involved, 0) AS bigint) AS n_docs_involved,
+       cast(coalesce(l.n_loser_docs, 0) AS bigint) AS n_loser_docs,
+       cast(coalesce(l.tokens_at_risk, 0) AS bigint) AS tokens_at_risk
+FROM per_t p
+LEFT JOIN involved i USING (threshold)
+LEFT JOIN losers l USING (threshold)
+"""
+
+
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 60-bit signatures over token hashes, all
     pairs with hamming distance <= 3 (Manku et al., WWW'07).
@@ -2950,6 +3067,13 @@ QUERIES = [
         _lsh_sweep_sql(),
         "LSH (bands x rows) tuning table: candidates, precision, "
         "recall and mean agreement per layout",
+    ),
+    QuerySpec(
+        "dedup_threshold_sensitivity",
+        dedup_threshold_sensitivity,
+        _dedup_sensitivity_sql(),
+        "near-dup cutoff sensitivity: pairs, losers and token mass "
+        "at risk per est-Jaccard threshold",
     ),
     QuerySpec("simhash_pairs", simhash_pairs, _simhash_sql()),
     QuerySpec(

@@ -591,6 +591,98 @@ FROM per_doc GROUP BY lang
 """
 
 
+def perplexity_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet head/middle/tail split — the canonical LM-perplexity
+    curation move (Wenzek et al. 2020): score every document with the
+    corpus-trained unigram LM (same lineage as
+    unigram_logprob_scores), cut each LANGUAGE at its own logprob
+    terciles, and report per (lang, band) the doc count, token mass,
+    and logprob stats. CCNet keeps head+middle and drops (or
+    down-weights) tail; per-language cutoffs are the equity move — a
+    global cutoff would empty low-resource languages whose absolute
+    logprobs sit lower.
+
+    Plan: one token explode + top-K vocabulary broadcast (the
+    unigram_logprob_scores shape); the tercile thresholds are a
+    lang-cardinality aggregate broadcast back; rollup is
+    (lang x 3)-grain. Exact-percentile thresholds swap to
+    approx_percentile at 100 TB like order_value_percentiles."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", T.tokens("text").alias("toks")
+    )
+    tok = d.select("doc_id", "lang", F.explode("toks").alias("t"))
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    top = counts.orderBy(F.desc("c"), F.asc("t")).limit(LM_VOCAB_TOP_K)
+    total = tok.count()
+    per_doc = (
+        tok.join(F.broadcast(top), "t", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.round(
+                F.avg(F.log(F.coalesce(F.col("c"), F.lit(LM_OOV_PSEUDO))))
+                - F.log(F.lit(float(total))),
+                6,
+            ).alias("logprob"),
+        )
+    )
+    th = per_doc.groupBy("lang").agg(
+        F.round(F.percentile("logprob", F.lit(1.0 / 3)), 6).alias("p33"),
+        F.round(F.percentile("logprob", F.lit(2.0 / 3)), 6).alias("p66"),
+    )
+    j = per_doc.join(F.broadcast(th), "lang")
+    band = (
+        F.when(F.col("logprob") >= F.col("p66"), "head")
+        .when(F.col("logprob") >= F.col("p33"), "middle")
+        .otherwise("tail")
+    )
+    return j.groupBy("lang", band.alias("band")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.round(F.avg("logprob"), 4).alias("avg_logprob"),
+        F.round(F.min("logprob"), 6).alias("min_logprob"),
+        F.round(F.max("logprob"), 6).alias("max_logprob"),
+    )
+
+
+PERPLEXITY_BAND_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({T.tokens_sql('text')}) AS t FROM documents
+), counts AS (
+  SELECT t, count(*) AS c FROM tok GROUP BY t
+), top AS (
+  SELECT t, c FROM counts ORDER BY c DESC, t ASC LIMIT {LM_VOCAB_TOP_K}
+), total AS (
+  SELECT count(*) AS n FROM tok
+), per_doc AS (
+  SELECT tok.doc_id, tok.lang,
+         count(*) AS n_toks,
+         round(avg(ln(coalesce(top.c, {LM_OOV_PSEUDO})))
+               - ln((SELECT n FROM total)), 6) AS logprob
+  FROM tok LEFT JOIN top ON top.t = tok.t
+  GROUP BY tok.doc_id, tok.lang
+), th AS (
+  SELECT lang,
+         round(quantile_cont(logprob, 1.0 / 3), 6) AS p33,
+         round(quantile_cont(logprob, 2.0 / 3), 6) AS p66
+  FROM per_doc GROUP BY lang
+), banded AS (
+  SELECT d.lang, d.n_toks, d.logprob,
+         CASE WHEN d.logprob >= t.p66 THEN 'head'
+              WHEN d.logprob >= t.p33 THEN 'middle'
+              ELSE 'tail' END AS band
+  FROM per_doc d JOIN th t USING (lang)
+)
+SELECT lang, band,
+       count(*) AS n_docs,
+       cast(sum(n_toks) AS bigint) AS n_tokens,
+       round(avg(logprob), 4) AS avg_logprob,
+       round(min(logprob), 6) AS min_logprob,
+       round(max(logprob), 6) AS max_logprob
+FROM banded GROUP BY lang, band
+"""
+
+
 TFIDF_TOP_N = 3
 
 
@@ -2026,6 +2118,13 @@ QUERIES = [
     QuerySpec("term_bigram_pmi", term_bigram_pmi, BIGRAM_PMI_SQL),
     QuerySpec(
         "unigram_logprob_scores", unigram_logprob_scores, UNIGRAM_LM_SQL
+    ),
+    QuerySpec(
+        "perplexity_band_stats",
+        perplexity_band_stats,
+        PERPLEXITY_BAND_SQL,
+        "CCNet head/middle/tail split at per-language logprob "
+        "terciles",
     ),
     QuerySpec(
         "bigram_logprob_scores", bigram_logprob_scores, BIGRAM_LM_SQL
