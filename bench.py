@@ -67,7 +67,12 @@ N_RUNS = max(1, int(os.environ.get("BENCH_RUNS", "3")))
 # with ~40% headroom, so n_degraded should be 0 on a healthy box;
 # degraded queries are listed in the JSON so a reader can discount
 # them.
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1080"))
+# 1500 s: the full 216-query registry costs ~230 s of warm medians
+# (x3 passes + headline warmups + calibration ~= 800 s idle); the
+# round-12 budget of 1080 s left no headroom for a 1.3x-throttled
+# box and demoted the tail — the 90% valve now sits comfortably
+# above the worst measured case instead of inside it.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
 
 # Representative slice of the registry: scan-agg, broadcast star join,
 # fact-fact join + top-k, window, validation algebra, dedup, text,
