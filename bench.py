@@ -303,8 +303,11 @@ def main() -> None:
         elapsed = time.perf_counter() - bench_t0
         # Headline queries keep the frozen warmup+N methodology (the
         # cross-round comparable); the tail runs N bare passes and
-        # relies on median-of-N to discard its cold first pass.
-        warmups = 1 if name in HEADLINE else 0
+        # relies on median-of-N to discard its cold first pass. That
+        # trick needs N >= 3 — at BENCH_RUNS 1 or 2 (or --only spot
+        # checks) the median WOULD be cold-contaminated, so everyone
+        # keeps the warm-up there.
+        warmups = 1 if (name in HEADLINE or n_runs_req < 3) else 0
         n_runs = n_runs_req
         if elapsed > 0.90 * budget_s:
             warmups, n_runs = 0, 1

@@ -456,6 +456,19 @@ def lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(good.cast("long")).alias("n_good_pairs"),
         F.sum("matches").alias("sum_matches"),
     )
+    # A layout with ZERO candidates produces no group — left-join a
+    # layout dim so every layout still gets its row (count 0, NULL
+    # rates), exactly what the oracle's GROUP-BY-less per-layout
+    # aggregates emit over an empty candidate set.
+    layout_dim = spark.createDataFrame(
+        list(LSH_SWEEP_CONFIGS), "bands int, rows_per_band int"
+    )
+    per_cfg = layout_dim.join(
+        per_cfg, ["bands", "rows_per_band"], "left"
+    ).withColumn(
+        "n_candidate_pairs",
+        F.coalesce("n_candidate_pairs", F.lit(0)).cast("long"),
+    )
     np = F.col("n_candidate_pairs")
     return per_cfg.crossJoin(F.broadcast(truth)).select(
         "bands",
@@ -2849,7 +2862,9 @@ def dedup_stage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _stage_overlap_sql() -> str:
     from goe_spark.functions.text import quality_score_sql
     from goe_spark.operators import minhash as MH
+    from goe_spark.queries.profiling import _synth_url_sql
 
+    url_rel = _synth_url_sql()
     toks = r"regexp_split_to_array(trim(text), '\s+')"
     line = (
         f"array_to_string(toks[(i * {LINE_WORDS} + 1):"
@@ -2865,28 +2880,8 @@ WITH RECURSIVE docs0 AS (
   SELECT doc_id, len({toks}) AS n_toks FROM documents
 ), urld AS (
   SELECT doc_id FROM (
-    SELECT doc_id, min(doc_id) OVER (PARTITION BY url) AS keep FROM (
-      SELECT doc_id,
-             'https://' || lower(regexp_extract(raw, '^https://([^/]+)', 1))
-               || regexp_replace(
-                    regexp_extract(raw, '^https://[^/]+([^?#]*)', 1),
-                    '/$', '') AS url
-      FROM (
-        SELECT doc_id,
-               'https://'
-                 || CASE WHEN doc_id % 7 = 0 THEN upper(source)
-                         ELSE source END || '.example.com'
-                 || '/' || lang || '/page-' || (doc_id % 50)
-                 || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
-                 || CASE WHEN doc_id % 3 = 0
-                         THEN '?utm_source=feed&ref=' || doc_id
-                         WHEN doc_id % 3 = 1 THEN '?session=' || doc_id
-                         ELSE '' END
-                 || CASE WHEN doc_id % 5 = 0 THEN '#section-2'
-                         ELSE '' END AS raw
-        FROM documents
-      )
-    )
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY url) AS keep
+    FROM ({url_rel})
   ) WHERE doc_id <> keep
 ), exd AS (
   SELECT doc_id FROM (

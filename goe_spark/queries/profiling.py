@@ -629,8 +629,13 @@ def url_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-URL_DEDUP_SQL = """
-WITH fetches AS (
+def _synth_url_sql() -> str:
+    """DuckDB twin of _synth_url_exprs as a relation text:
+    (doc_id, n_chars, host, raw_url, url) over documents. ONE copy —
+    URL_DEDUP_SQL and queries/dedup.py::_stage_overlap_sql both
+    compose it, so a canonicalization edge-case fix can never leave
+    one oracle on the old rules (round-13 review finding)."""
+    return """
   SELECT doc_id, n_chars,
          lower(regexp_extract(raw, '^https://([^/]+)', 1)) AS host,
          raw AS raw_url,
@@ -653,7 +658,11 @@ WITH fetches AS (
                      ELSE '' END AS raw
     FROM documents
   )
-), per_url AS (
+"""
+
+
+URL_DEDUP_SQL = f"""
+WITH fetches AS ({_synth_url_sql()}), per_url AS (
   SELECT host, url,
          count(*) AS nf,
          count(DISTINCT raw_url) AS nraw,

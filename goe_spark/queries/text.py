@@ -393,6 +393,33 @@ LM_VOCAB_TOP_K = 5_000
 LM_OOV_PSEUDO = 0.5
 
 
+def _unigram_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, n_toks, logprob): the per-document unigram-LM
+    score lineage — ONE copy shared by unigram_logprob_scores and
+    perplexity_band_stats so the smoothing/top-K/rounding rules can
+    never diverge between the report and the band split (round-13
+    review finding). See unigram_logprob_scores for the plan story."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", T.tokens("text").alias("toks")
+    )
+    tok = d.select("doc_id", "lang", F.explode("toks").alias("t"))
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    top = counts.orderBy(F.desc("c"), F.asc("t")).limit(LM_VOCAB_TOP_K)
+    total = tok.count()  # scalar: total corpus tokens
+    return (
+        tok.join(F.broadcast(top), "t", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.round(
+                F.avg(F.log(F.coalesce(F.col("c"), F.lit(LM_OOV_PSEUDO))))
+                - F.log(F.lit(float(total))),
+                6,
+            ).alias("logprob"),
+        )
+    )
+
+
 def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram language-model quality proxy (the KenLM-perplexity
     curation signal, reduced to order-1): per document, the mean
@@ -410,24 +437,7 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg(ln count) - ln(total): both engines compute ln on the same
     integers, immune to p-quotient rounding.
     """
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", T.tokens("text").alias("toks")
-    )
-    tok = d.select("doc_id", "lang", F.explode("toks").alias("t"))
-    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
-    top = counts.orderBy(F.desc("c"), F.asc("t")).limit(LM_VOCAB_TOP_K)
-    total = tok.count()  # scalar: total corpus tokens
-    scored = (
-        tok.join(F.broadcast(top), "t", "left")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.round(
-                F.avg(F.log(F.coalesce(F.col("c"), F.lit(LM_OOV_PSEUDO))))
-                - F.log(F.lit(float(total))),
-                6,
-            ).alias("logprob")
-        )
-    )
+    scored = _unigram_doc_logprob(spark, sf_dir)
     return scored.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("logprob"), 4).alias("avg_logprob"),
@@ -565,8 +575,11 @@ FROM per_doc GROUP BY lang
 """
 
 
-UNIGRAM_LM_SQL = f"""
-WITH tok AS (
+# Shared per-document unigram-LM CTE chain (ends in
+# per_doc(doc_id, lang, n_toks, logprob)) — the DuckDB twin of
+# _unigram_doc_logprob, composed by UNIGRAM_LM_SQL and
+# PERPLEXITY_BAND_SQL so the lineages cannot drift.
+_UNIGRAM_PER_DOC_CTES = f"""tok AS (
   SELECT doc_id, lang, unnest({T.tokens_sql('text')}) AS t FROM documents
 ), counts AS (
   SELECT t, count(*) AS c FROM tok GROUP BY t
@@ -576,11 +589,15 @@ WITH tok AS (
   SELECT count(*) AS n FROM tok
 ), per_doc AS (
   SELECT tok.doc_id, tok.lang,
+         count(*) AS n_toks,
          round(avg(ln(coalesce(top.c, {LM_OOV_PSEUDO})))
                - ln((SELECT n FROM total)), 6) AS logprob
   FROM tok LEFT JOIN top ON top.t = tok.t
   GROUP BY tok.doc_id, tok.lang
-)
+)"""
+
+UNIGRAM_LM_SQL = f"""
+WITH {_UNIGRAM_PER_DOC_CTES}
 SELECT lang,
        count(*)                        AS n_docs,
        round(avg(logprob), 4)          AS avg_logprob,
@@ -607,25 +624,7 @@ def perplexity_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang-cardinality aggregate broadcast back; rollup is
     (lang x 3)-grain. Exact-percentile thresholds swap to
     approx_percentile at 100 TB like order_value_percentiles."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source", T.tokens("text").alias("toks")
-    )
-    tok = d.select("doc_id", "lang", F.explode("toks").alias("t"))
-    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
-    top = counts.orderBy(F.desc("c"), F.asc("t")).limit(LM_VOCAB_TOP_K)
-    total = tok.count()
-    per_doc = (
-        tok.join(F.broadcast(top), "t", "left")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_toks"),
-            F.round(
-                F.avg(F.log(F.coalesce(F.col("c"), F.lit(LM_OOV_PSEUDO))))
-                - F.log(F.lit(float(total))),
-                6,
-            ).alias("logprob"),
-        )
-    )
+    per_doc = _unigram_doc_logprob(spark, sf_dir)
     th = per_doc.groupBy("lang").agg(
         F.round(F.percentile("logprob", F.lit(1.0 / 3)), 6).alias("p33"),
         F.round(F.percentile("logprob", F.lit(2.0 / 3)), 6).alias("p66"),
@@ -646,22 +645,7 @@ def perplexity_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PERPLEXITY_BAND_SQL = f"""
-WITH tok AS (
-  SELECT doc_id, lang, unnest({T.tokens_sql('text')}) AS t FROM documents
-), counts AS (
-  SELECT t, count(*) AS c FROM tok GROUP BY t
-), top AS (
-  SELECT t, c FROM counts ORDER BY c DESC, t ASC LIMIT {LM_VOCAB_TOP_K}
-), total AS (
-  SELECT count(*) AS n FROM tok
-), per_doc AS (
-  SELECT tok.doc_id, tok.lang,
-         count(*) AS n_toks,
-         round(avg(ln(coalesce(top.c, {LM_OOV_PSEUDO})))
-               - ln((SELECT n FROM total)), 6) AS logprob
-  FROM tok LEFT JOIN top ON top.t = tok.t
-  GROUP BY tok.doc_id, tok.lang
-), th AS (
+WITH {_UNIGRAM_PER_DOC_CTES}, th AS (
   SELECT lang,
          round(quantile_cont(logprob, 1.0 / 3), 6) AS p33,
          round(quantile_cont(logprob, 2.0 / 3), 6) AS p66

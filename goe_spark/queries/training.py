@@ -1593,6 +1593,25 @@ def _fold_merge(syms, left: str, right: str):
     )
 
 
+def _bpe_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w, n): the top-{BPE_TRAIN_VOCAB} training vocabulary
+    (frequency desc, word asc tie-break) — ONE copy of the selection
+    rule, shared by the trainer and bpe_fertility_by_language's
+    trained-character inventory so the OOV definition can never
+    diverge from the vocabulary the merges were actually learned on
+    (round-13 review finding)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(T.tokens(F.col("text"))).alias("w")).where(
+        F.length("w") > 0
+    )
+    return (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w").asc())
+        .limit(BPE_TRAIN_VOCAB)
+    )
+
+
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training over the documents corpus:
     {BPE_TRAIN_STEPS} sequential merges learned on the
@@ -1612,17 +1631,9 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration shuffles only the vocabulary-grain pair table. State is
     localCheckpoint'd per iteration to truncate the 6-deep transform
     lineage (a real deployment checkpoints to DFS)."""
-    d = load_table(spark, sf_dir, "documents")
-    words = d.select(F.explode(T.tokens(F.col("text"))).alias("w")).where(
-        F.length("w") > 0
+    state = _bpe_train_vocab(spark, sf_dir).select(
+        "n", F.split("w", "").alias("syms")
     )
-    vocab = (
-        words.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), F.col("w").asc())
-        .limit(BPE_TRAIN_VOCAB)
-    )
-    state = vocab.select("n", F.split("w", "").alias("syms"))
 
     rows = []
     for step in range(1, BPE_TRAIN_STEPS + 1):
@@ -1879,21 +1890,14 @@ def bpe_fertility_by_language(
             bpe_train_merges(spark, sf_dir).collect(), key=lambda r: r.step
         )
     ]
+    top_words = _bpe_train_vocab(spark, sf_dir).select("w").collect()
+    vocab_chars = sorted({c for r in top_words for c in r.w})
+    vlit = F.array(*[F.lit(c) for c in vocab_chars])
+
     d = load_table(spark, sf_dir, "documents")
     words = d.select(
         "lang", F.explode(T.tokens(F.col("text"))).alias("w")
     ).where(F.length("w") > 0)
-    top_words = (
-        words.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), F.col("w").asc())
-        .limit(BPE_TRAIN_VOCAB)
-        .select("w")
-        .collect()
-    )
-    vocab_chars = sorted({c for r in top_words for c in r.w})
-    vlit = F.array(*[F.lit(c) for c in vocab_chars])
-
     wl = words.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("n"))
     syms = F.split("w", "")
     for left, right in merges:
