@@ -57,6 +57,20 @@ def _bucket(tok: Column) -> Column:
     return F.pmod(hash64(tok), F.lit(CLS_DIM)).cast("int")
 
 
+def _weights_array_col(weights_milli: list[int] | None = None) -> Column:
+    """The CLS_DIM weight vector as ONE plan-literal array column,
+    built by parsing a single SQL text — `F.array(*1024 lits)` costs
+    1024 py4j round-trips (~0.5 s of pure driver build time per
+    construction, and the trainer rebuilds the array every epoch);
+    one `F.expr` hands the whole list to the JVM parser in one call.
+    Same Literal array in the plan either way."""
+    if weights_milli is None:
+        weights_milli = classifier_weights_milli()
+    return F.expr(
+        "array(" + ",".join(str(int(x)) for x in weights_milli) + ")"
+    )
+
+
 def classifier_logit_from_tokens(
     toks: Column, weights_milli: list[int] | None = None
 ) -> Column:
@@ -65,16 +79,7 @@ def classifier_logit_from_tokens(
     but accepts any learned vector (the training loop re-broadcasts
     its epoch weights through this exact path, so trained weights feed
     the same scoring fold classifier_scores uses)."""
-    w = F.array(
-        *[
-            F.lit(x)
-            for x in (
-                weights_milli
-                if weights_milli is not None
-                else classifier_weights_milli()
-            )
-        ]
-    )
+    w = _weights_array_col(weights_milli)
     wsum = F.aggregate(
         toks,
         F.lit(0).cast("bigint"),
@@ -134,21 +139,28 @@ def train_classifier_epochs(
     the production-pipeline operator the curation stack needs).
 
     Per epoch (the same iterative discipline as bpe_train_merges,
-    queries/training.py): one corpus pass scores every doc with the
-    CURRENT weight vector (plan-literal broadcast, zero joins), the
-    per-bucket gradient sum(err_milli) over exploded tokens is
-    collected at CLS_DIM grain (<= 1024 rows — the bounded
-    vocabulary-grain argmax pattern, not a data collect), and the
-    driver applies w[j] := clamp(w[j] - floor(grad_j / n_docs)).
-    Loss is squared error through a hard sigmoid, so err = p - y and
-    every quantity is an integer — Spark, Python and the DuckDB
-    oracle agree bit for bit (the two floor-divisions are exact below
-    2^53; at 100 TB promote the gradient sums to decimal(38,0), same
-    plan shape — see SCALE.md).
+    queries/training.py): one pass scores every doc with the CURRENT
+    weight vector (plan-literal broadcast, zero joins) and collects
+    the per-bucket gradient sum(err_milli) TOGETHER with the epoch
+    metrics at CLS_DIM grain (<= 1025 rows — the bounded
+    vocabulary-grain argmax pattern, not a data collect); the driver
+    applies w[j] := clamp(w[j] - floor(grad_j / n_docs)). Loss is
+    squared error through a hard sigmoid, so err = p - y and every
+    quantity is an integer — Spark, Python and the DuckDB oracle
+    agree bit for bit (the two floor-divisions are exact below 2^53;
+    at 100 TB promote the gradient sums to decimal(38,0), same plan
+    shape — see SCALE.md).
 
-    Each epoch's (toks, y, z) frame is localCheckpoint'd so the
-    metrics pass and the gradient pass share one materialization (a
-    real deployment checkpoints to DFS).
+    The token -> feature-bucket hashing (the md5-heavy projection) is
+    computed ONCE into a localCheckpoint'd compact frame
+    (y, array<int> buckets) that every epoch folds over — the r12
+    formulation re-read the corpus and re-hashed every token per
+    epoch, tripling the scan/md5 work, and ran three sequential jobs
+    per epoch (checkpoint + metrics first() + gradient collect) where
+    one groupBy now carries both: a j = -1 marker row aggregates the
+    doc-grain metrics, rows j >= 0 the gradient (a real deployment
+    checkpoints the hashed features to DFS — the classic
+    "featurize once, iterate on the feature table" trainer layout).
 
     Returns (final_weights_milli, per-epoch metric tuples):
     (epoch, n_docs, n_pos, n_correct, sum_abs_err_milli, w_l1_after,
@@ -156,39 +168,67 @@ def train_classifier_epochs(
     forward pass that produced the gradient)."""
     from goe_spark.functions.text import quality_score
 
-    toksed = docs.select(
-        tokens(F.col("text")).alias("toks"),
-        (quality_score("text") >= F.lit(CLS_LABEL_Q))
-        .cast("int")
-        .alias("y"),
-    ).where(F.size("toks") > 0)
+    bucketed = (
+        docs.select(
+            tokens(F.col("text")).alias("toks"),
+            (quality_score("text") >= F.lit(CLS_LABEL_Q))
+            .cast("int")
+            .alias("y"),
+        )
+        .where(F.size("toks") > 0)
+        .select(
+            "y",
+            F.transform(F.col("toks"), _bucket).alias("bkts"),
+        )
+        .localCheckpoint(eager=True)
+    )
     w = [0] * CLS_DIM
     rows: list[tuple] = []
     for epoch in range(1, epochs + 1):
-        scored = toksed.select(
-            "toks",
-            "y",
-            classifier_logit_from_tokens(F.col("toks"), w).alias("z"),
-        ).localCheckpoint(eager=True)
+        warr = _weights_array_col(w)
+        z = (
+            F.lit(CLS_BIAS_MILLI)
+            + F.floor(
+                F.aggregate(
+                    F.col("bkts"),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, j: acc
+                    + F.element_at(warr, j + 1).cast("bigint"),
+                )
+                / F.size("bkts")
+            )
+        ).cast("bigint")
         err = hard_sigmoid_milli(F.col("z")) - 1000 * F.col("y")
-        m = scored.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("y").cast("long").alias("n_pos"),
+        per = (
+            bucketed.select("y", "bkts", z.alias("z"))
+            .select(
+                "y",
+                "z",
+                err.alias("err"),
+                F.explode(
+                    F.concat(F.array(F.lit(-1)), F.col("bkts"))
+                ).alias("j"),
+            )
+        )
+        stats = per.groupBy("j").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("err").cast("long").alias("g"),
+            F.sum("y").cast("long").alias("sy"),
             F.sum(
                 ((F.col("z") >= 0).cast("int") == F.col("y")).cast("long")
-            ).alias("n_correct"),
-            F.sum(F.abs(err)).cast("long").alias("sae"),
-        ).first()
-        n_docs = int(m["n_docs"])
-        grads = {
-            int(r["j"]): int(r["g"])
-            for r in (
-                scored.select(err.alias("err"), F.explode("toks").alias("t"))
-                .groupBy(_bucket(F.col("t")).alias("j"))
-                .agg(F.sum("err").alias("g"))
-                .collect()
-            )
-        }
+            ).alias("sc"),
+            F.sum(F.abs(F.col("err"))).cast("long").alias("sae"),
+        )
+        grads: dict[int, int] = {}
+        n_docs = n_pos = n_correct = sae = 0
+        for r in stats.collect():
+            if int(r["j"]) < 0:
+                n_docs = int(r["cnt"])
+                n_pos = int(r["sy"])
+                n_correct = int(r["sc"])
+                sae = int(r["sae"])
+            else:
+                grads[int(r["j"])] = int(r["g"])
         w = [
             max(-1000, min(1000, w[j] - grads.get(j, 0) // n_docs))
             for j in range(CLS_DIM)
@@ -197,9 +237,9 @@ def train_classifier_epochs(
             (
                 epoch,
                 n_docs,
-                int(m["n_pos"]),
-                int(m["n_correct"]),
-                int(m["sae"]),
+                n_pos,
+                n_correct,
+                sae,
                 sum(abs(x) for x in w),
                 sum((j + 1) * x for j, x in enumerate(w)),
             )

@@ -228,14 +228,22 @@ MAGIC_PREFIXES = (
 )
 
 
-def sniff_format(content) -> "F.Column":
-    """Container format from the payload's magic bytes; 'unknown' when
-    no prefix matches. Pure codegen (hex + startswith chain)."""
-    h = F.upper(F.hex(content))
+def sniff_format_h(h) -> "F.Column":
+    """sniff_format over an ALREADY-BOUND hex column — callers that
+    extract several fields bind ``upper(hex(content))`` once in a
+    projection and feed the attribute here, so the payload is hexed
+    once per row instead of once per consumer (the bind-once
+    discipline of mp4_walk/tiff_entries)."""
     out = F.lit("unknown")
     for prefix, fmt in reversed(MAGIC_PREFIXES):
         out = F.when(h.startswith(prefix), F.lit(fmt)).otherwise(out)
     return out
+
+
+def sniff_format(content) -> "F.Column":
+    """Container format from the payload's magic bytes; 'unknown' when
+    no prefix matches. Pure codegen (hex + startswith chain)."""
+    return sniff_format_h(F.upper(F.hex(content)))
 
 
 def sniff_format_sql(content_expr: str) -> str:
@@ -257,7 +265,12 @@ def nibble_entropy(content) -> "F.Column":
     ln 16). Computed as ln(n) - sum(c_i * ln(c_i)) / n with the 16
     per-digit counts from length arithmetic, so both engines evaluate
     the identical expression tree on the same integers."""
-    h = F.upper(F.hex(content))
+    return nibble_entropy_h(F.upper(F.hex(content)))
+
+
+def nibble_entropy_h(h) -> "F.Column":
+    """nibble_entropy over an already-bound hex column (the
+    expression references the hex 33 times — see sniff_format_h)."""
     n = F.length(h).cast("double")
     terms = []
     for d in _HEX_DIGITS:
@@ -384,6 +397,38 @@ def jpeg_sof_pos(h) -> "F.Column":
         F.sequence(F.lit(1), F.lit(JPEG_WALK_CAP)), init, step
     )
     return F.when(res["sof"] > 0, res["sof"])
+
+
+def image_width_h(h, sof) -> "F.Column":
+    """image_width from ALREADY-BOUND hex + JPEG-SOF-position columns
+    — extracting width and height through the content-taking wrappers
+    runs the bounded SOF segment walk twice per row and hexes the
+    payload four times; binding (h, sof) once halves the walk and
+    shares the hex (the mp4_walk discipline)."""
+    return (
+        F.when(h.startswith(PNG_SIG_HEX), _be_hex_val(F.substring(h, 33, 8)))
+        .when(h.startswith(GIF_SIG_HEX), _be_hex_val(_le_pairs(h, 13, 2)))
+        .when(h.startswith(BMP_SIG_HEX), _be_hex_val(_le_pairs(h, 37, 4)))
+        .when(
+            h.startswith(JPEG_SIG_HEX),
+            _be_hex_val(h.substr(sof + F.lit(14), F.lit(4))),
+        )
+        .otherwise(F.lit(None).cast("int"))
+    )
+
+
+def image_height_h(h, sof) -> "F.Column":
+    """image_height from already-bound hex + SOF-position columns."""
+    return (
+        F.when(h.startswith(PNG_SIG_HEX), _be_hex_val(F.substring(h, 41, 8)))
+        .when(h.startswith(GIF_SIG_HEX), _be_hex_val(_le_pairs(h, 17, 2)))
+        .when(h.startswith(BMP_SIG_HEX), _be_hex_val(_le_pairs(h, 45, 4)))
+        .when(
+            h.startswith(JPEG_SIG_HEX),
+            _be_hex_val(h.substr(sof + F.lit(10), F.lit(4))),
+        )
+        .otherwise(F.lit(None).cast("int"))
+    )
 
 
 def image_width(content) -> "F.Column":
@@ -514,32 +559,51 @@ RIFF_SIG_HEX = "52494646"  # 'RIFF'
 WAVE_FMT_HEX = "57415645666D7420"  # 'WAVEfmt ' at byte 9
 
 
-def is_wav(content) -> "F.Column":
-    h = _hex_of(content)
+def is_wav_h(h) -> "F.Column":
     return h.startswith(RIFF_SIG_HEX) & (
         F.substring(h, 17, 16) == WAVE_FMT_HEX
     )
 
 
-def wav_channels(content) -> "F.Column":
+def is_wav(content) -> "F.Column":
+    return is_wav_h(_hex_of(content))
+
+
+def wav_channels_h(h) -> "F.Column":
     # u16 LE at bytes 23-24 = hex chars 45-48
-    return _be_hex_val(_le_pairs(_hex_of(content), 45, 2))
+    return _be_hex_val(_le_pairs(h, 45, 2))
+
+
+def wav_channels(content) -> "F.Column":
+    return wav_channels_h(_hex_of(content))
+
+
+def wav_sample_rate_h(h) -> "F.Column":
+    # u32 LE at bytes 25-28 = hex chars 49-56
+    return _be_hex_val(_le_pairs(h, 49, 4))
 
 
 def wav_sample_rate(content) -> "F.Column":
-    # u32 LE at bytes 25-28 = hex chars 49-56
-    return _be_hex_val(_le_pairs(_hex_of(content), 49, 4))
+    return wav_sample_rate_h(_hex_of(content))
+
+
+def wav_bits_per_sample_h(h) -> "F.Column":
+    # u16 LE at bytes 35-36 = hex chars 69-72
+    return _be_hex_val(_le_pairs(h, 69, 2))
 
 
 def wav_bits_per_sample(content) -> "F.Column":
-    # u16 LE at bytes 35-36 = hex chars 69-72
-    return _be_hex_val(_le_pairs(_hex_of(content), 69, 2))
+    return wav_bits_per_sample_h(_hex_of(content))
+
+
+def wav_data_size_h(h) -> "F.Column":
+    # u32 LE at bytes 41-44 = hex chars 81-88 (canonical 'data' chunk
+    # directly after the 16-byte fmt chunk)
+    return _be_hex_val(_le_pairs(h, 81, 4))
 
 
 def wav_data_size(content) -> "F.Column":
-    # u32 LE at bytes 41-44 = hex chars 81-88 (canonical 'data' chunk
-    # directly after the 16-byte fmt chunk)
-    return _be_hex_val(_le_pairs(_hex_of(content), 81, 4))
+    return wav_data_size_h(_hex_of(content))
 
 
 def is_wav_sql(content_expr: str) -> str:
@@ -594,7 +658,11 @@ def mp3_frame_pos(content) -> "F.Column":
     """1-based hex-char position of the first MPEG frame header:
     char 1 for a bare stream, or just past the ID3v2 tag (syncsafe
     size at bytes 7-10). NULL when no 0xFFEx sync sits there."""
-    h = _hex_of(content)
+    return mp3_frame_pos_h(_hex_of(content))
+
+
+def mp3_frame_pos_h(h) -> "F.Column":
+    """mp3_frame_pos over an already-bound hex column."""
     syncsafe = (
         _byte_at(h, F.lit(13)) * (1 << 21)
         + _byte_at(h, F.lit(15)) * (1 << 14)
@@ -615,10 +683,18 @@ def _mp3_header_field(content, byte_off: int) -> "F.Column":
     return _byte_at(h, mp3_frame_pos(content) + 2 * byte_off)
 
 
-def mp3_bitrate_kbps(content) -> "F.Column":
-    """MPEG-1 Layer III bitrate from the 4-bit index (header byte 3
-    high nibble); NULL for free-format/invalid indexes or no frame."""
-    idx = F.floor(_mp3_header_field(content, 2) / 16).cast("int")
+def mp3_header_byte_h(h, pos, byte_off: int) -> "F.Column":
+    """Frame-header byte at ``byte_off`` from ALREADY-BOUND hex and
+    frame-pos columns — callers extracting several fields bind both
+    once (the bind-once discipline of mp4_walk): the r12 shape
+    re-ran the ID3-skip walk and re-hexed the payload inside every
+    field extractor."""
+    return _byte_at(h, pos + 2 * byte_off)
+
+
+def mp3_bitrate_from_b3(b3) -> "F.Column":
+    """Bitrate table lookup from a bound header byte 3."""
+    idx = F.floor(b3 / 16).cast("int")
     expr = F.lit(None).cast("int")
     for i, v in enumerate(MP3_BITRATES):
         if v is not None:
@@ -626,9 +702,9 @@ def mp3_bitrate_kbps(content) -> "F.Column":
     return expr
 
 
-def mp3_sample_rate(content) -> "F.Column":
-    """Sample rate from the 2-bit index (byte 3 bits 2-3)."""
-    idx = (F.floor(_mp3_header_field(content, 2) / 4) % 4).cast("int")
+def mp3_sample_rate_from_b3(b3) -> "F.Column":
+    """Sample-rate table lookup from a bound header byte 3."""
+    idx = (F.floor(b3 / 4) % 4).cast("int")
     expr = F.lit(None).cast("int")
     for i, v in enumerate(MP3_SAMPLE_RATES):
         if v is not None:
@@ -636,13 +712,29 @@ def mp3_sample_rate(content) -> "F.Column":
     return expr
 
 
-def mp3_channel_mode(content) -> "F.Column":
-    """Channel mode from byte 4's top 2 bits."""
-    idx = F.floor(_mp3_header_field(content, 3) / 64).cast("int")
+def mp3_channel_mode_from_b4(b4) -> "F.Column":
+    """Channel-mode table lookup from a bound header byte 4."""
+    idx = F.floor(b4 / 64).cast("int")
     expr = F.lit(None).cast("string")
     for i, v in enumerate(MP3_CHANNEL_MODES):
         expr = F.when(idx == i, F.lit(v)).otherwise(expr)
     return expr
+
+
+def mp3_bitrate_kbps(content) -> "F.Column":
+    """MPEG-1 Layer III bitrate from the 4-bit index (header byte 3
+    high nibble); NULL for free-format/invalid indexes or no frame."""
+    return mp3_bitrate_from_b3(_mp3_header_field(content, 2))
+
+
+def mp3_sample_rate(content) -> "F.Column":
+    """Sample rate from the 2-bit index (byte 3 bits 2-3)."""
+    return mp3_sample_rate_from_b3(_mp3_header_field(content, 2))
+
+
+def mp3_channel_mode(content) -> "F.Column":
+    """Channel mode from byte 4's top 2 bits."""
+    return mp3_channel_mode_from_b4(_mp3_header_field(content, 3))
 
 
 def _mp3_pos_sql(content_expr: str) -> str:

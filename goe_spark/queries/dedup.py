@@ -2640,9 +2640,23 @@ def dedup_stage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality is the union of CUT positions — duplicated-mass
     grain, not corpus grain — plus a doc-grain rollup for whole-doc
     residuals; dropped-doc tokens are counted arithmetically
-    (n_toks - n_cut_positions), never exploded. See SCALE.md."""
+    (n_toks - n_cut_positions), never exploded. See SCALE.md.
+
+    The text is read and hashed ONCE: a single combined pass computes
+    every per-doc derived value the seven branches need (md5 token
+    hashes — shared by the SPAN and PARAGRAPH grains, whose shingle
+    hashes are pure arithmetic over them; line-chunk fingerprints;
+    the exact-dedup norm hash; the quality score; n_toks) into one
+    localCheckpoint'd frame of hashes and small ints (never raw
+    text). The r12 formulation ran six independent text passes, each
+    re-tokenizing and re-md5ing the corpus — at any scale the guide's
+    "compute the heavy proxy once, derive everything from it" case
+    (a 100 TB deployment checkpoints this feature table to DFS; plan
+    shape identical). The containment and doc-near-dup branches keep
+    riding the materialized signature index as before."""
     from pyspark.sql.window import Window
 
+    from goe_spark.operators import minhash as MH
     from goe_spark.queries.profiling import _synth_url_exprs
     from goe_spark.queries.training import _cc_labels
 
@@ -2651,30 +2665,57 @@ def dedup_stage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = spread(d, "doc_id")
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    ntoks = docs.select("doc_id", F.size(toks).alias("n_toks"))
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+
+    # ONE combined text pass -> checkpointed per-doc feature frame.
+    n_chunks = F.ceil(F.size(F.col("toks")) / LINE_WORDS).cast("int")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        toks.alias("toks"),
+        hash64(norm).alias("norm_fp"),
+        T.quality_score("text").alias("quality"),
+    )
+    ck = base.select(
+        "doc_id",
+        "lang",
+        "source",
+        "norm_fp",
+        "quality",
+        F.size("toks").alias("n_toks"),
+        MH.token_hashes(F.col("toks")).alias("th"),
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: hash64(
+                F.array_join(
+                    F.slice(F.col("toks"), i * LINE_WORDS + 1, LINE_WORDS),
+                    " ",
+                )
+            ),
+        ).alias("chunk_fps"),
+    ).localCheckpoint(eager=True)
+    ntoks = ck.select("doc_id", "n_toks")
 
     # -- whole-doc drop sets (stage semantics from plans/curation.py)
     _, canon, _ = _synth_url_exprs()
     url_drop = (
-        docs.select("doc_id", "lang", "source")
+        ck.select("doc_id", "lang", "source")
         .withColumn("keep", F.min("doc_id").over(Window.partitionBy(canon)))
         .where(F.col("doc_id") != F.col("keep"))
         .select("doc_id")
     )
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     exact_drop = (
-        docs.select("doc_id", "text")
+        ck.select("doc_id", "norm_fp")
         .withColumn(
             "keep",
-            F.min("doc_id").over(Window.partitionBy(hash64(norm))),
+            F.min("doc_id").over(Window.partitionBy("norm_fp")),
         )
         .where(F.col("doc_id") != F.col("keep"))
         .select("doc_id")
     )
     labels = _cc_labels(spark, sf_dir)
-    quality = docs.select(
-        "doc_id", T.quality_score("text").alias("quality")
-    )
+    quality = ck.select("doc_id", "quality")
     near_drop = (
         labels.join(quality, labels.node == quality.doc_id)
         .select("label", "doc_id", "quality")
@@ -2700,24 +2741,10 @@ def dedup_stage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
     # -- cut-position sets (0-based token positions)
-    tok_df = docs.select("doc_id", toks.alias("toks"))
-    n_chunks = F.ceil(F.size(F.col("toks")) / LINE_WORDS).cast("int")
-    chunks = tok_df.select(
+    chunks = ck.select(
         "doc_id",
-        F.size("toks").alias("nt"),
-        F.posexplode_outer(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: hash64(
-                    F.array_join(
-                        F.slice(
-                            F.col("toks"), i * LINE_WORDS + 1, LINE_WORDS
-                        ),
-                        " ",
-                    )
-                ),
-            )
-        ).alias("pos", "fp"),
+        F.col("n_toks").alias("nt"),
+        F.posexplode_outer("chunk_fps").alias("pos", "fp"),
     ).where(F.col("fp").isNotNull())
     heavy = (
         chunks.groupBy("fp")
@@ -2737,7 +2764,42 @@ def dedup_stage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("i"),
     )
-    sigs = _paragraph_sigs(spark, sf_dir, docs=d)
+    # paragraph signatures from the SHARED token hashes: slicing the
+    # hash array commutes with the element-wise token_hashes map, so
+    # minhash_signature(arith_shingle_hashes(slice(th))) is value-
+    # identical to _paragraph_sigs' recompute-from-text lineage.
+    n_paras = F.ceil(F.col("n_toks") / PARA_WORDS).cast("int")
+    pinst = ck.select(
+        "doc_id",
+        F.explode_outer(
+            F.transform(
+                F.sequence(F.lit(0), n_paras - 1),
+                lambda i: F.struct(
+                    i.cast("int").alias("idx"),
+                    F.slice(
+                        F.col("th"), i * PARA_WORDS + 1, PARA_WORDS
+                    ).alias("pth"),
+                ),
+            )
+        ).alias("p"),
+    ).where(F.col("p").isNotNull())
+    psh = pinst.select(
+        "doc_id",
+        F.col("p.idx").alias("idx"),
+        (F.size(F.col("p.pth")) >= 3).alias("signed"),
+        F.when(
+            F.size(F.col("p.pth")) >= 3,
+            MH.arith_shingle_hashes(F.col("p.pth")),
+        ).alias("sh"),
+    )
+    sigs = psh.select(
+        "doc_id",
+        "idx",
+        "signed",
+        F.when(
+            F.col("sh").isNotNull(), MH.minhash_signature(F.col("sh"))
+        ).alias("mh"),
+    )
     pedges = (
         paragraph_dup_pairs(sigs, PARA_SIM_MIN)
         .select(F.col("pid1").alias("id1"), F.col("pid2").alias("id2"))
@@ -2767,8 +2829,33 @@ def dedup_stage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("i"),
         )
     )
-    span_cut = _span_cuts(d).select(
-        "doc_id", F.explode("cut_idxs").alias("i")
+    # span cuts from the SHARED token hashes (_span_cuts' exact
+    # min_run=1 lineage, minus its private tokenize+md5 pass)
+    sh_df = ck.where(F.size("th") >= 3).select(
+        "doc_id", MH.arith_shingle_hashes(F.col("th")).alias("sh")
+    )
+    occ = sh_df.select(
+        "doc_id", F.posexplode_outer("sh").alias("pos", "g")
+    ).where(F.col("g").isNotNull())
+    dup_g = (
+        occ.groupBy("g")
+        .agg(F.min("doc_id").alias("owner"), F.max("doc_id").alias("mx"))
+        .where(F.col("owner") != F.col("mx"))
+        .select("g", "owner")
+    )
+    # distinct: overlapping grams cover the same position repeatedly;
+    # _span_cuts deduped via its per-doc collect_set, and the
+    # standalone rollup counts ROWS (one per cut position)
+    span_cut = (
+        occ.join(dup_g, "g")
+        .where(F.col("doc_id") != F.col("owner"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + 2)
+            ).alias("i"),
+        )
+        .distinct()
     )
 
     def _tag_doc(df: DataFrame, ord_: int) -> DataFrame:

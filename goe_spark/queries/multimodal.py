@@ -94,20 +94,27 @@ def media_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     PNG/JPEG/GIF payloads.
 
     Plan: single scan, everything codegen (hex/replace/length
-    arithmetic); one kind-cardinality aggregate."""
-    from goe_spark.multimodal.media import nibble_entropy, sniff_format
+    arithmetic); one kind-cardinality aggregate. The payload is hexed
+    ONCE into a bound column; sniff/lead/entropy all read the bound
+    hex (the r12 shape re-hexed the payload ~35x per row across the
+    three extractors)."""
+    from goe_spark.multimodal.media import nibble_entropy_h, sniff_format_h
 
     m = _media(spark, sf_dir)
     c = F.col("content")
+    hx = F.col("hx")
     per = m.select(
         "kind",
         F.length(c).cast("long").alias("n_bytes"),
-        sniff_format(c).alias("fmt"),
-        (
-            F.conv(F.substring(F.upper(F.hex(c)), 1, 2), 16, 10).cast("long")
-            < 128
-        ).alias("ascii_lead"),
-        F.round(nibble_entropy(c), 6).alias("ent"),
+        F.upper(F.hex(c)).alias("hx"),
+    ).select(
+        "kind",
+        "n_bytes",
+        sniff_format_h(hx).alias("fmt"),
+        (F.conv(F.substring(hx, 1, 2), 16, 10).cast("long") < 128).alias(
+            "ascii_lead"
+        ),
+        F.round(nibble_entropy_h(hx), 6).alias("ent"),
     )
     return per.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n_media"),
@@ -271,8 +278,9 @@ def media_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
         GIF_SIG_HEX,
         JPEG_SIG_HEX,
         PNG_SIG_HEX,
-        image_height,
-        image_width,
+        image_height_h,
+        image_width_h,
+        jpeg_sof_pos,
     )
 
     d = load_table(spark, sf_dir, "documents")
@@ -311,10 +319,14 @@ def media_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
     content = F.concat(
         F.unhex(header_hex), F.encode(F.substring("text", 1, 16), "UTF-8")
     )
-    # parse side sees ONLY the binary column
-    media = d.select(F.col("doc_id").alias("media_id"), content.alias("content"))
-    c = F.col("content")
-    hx = F.upper(F.hex(c))
+    # parse side sees ONLY the binary column; the payload hex and the
+    # bounded JPEG SOF walk bind ONCE (the r12 shape hexed 5x and ran
+    # the walk twice — once inside each of width and height)
+    media = d.select(
+        F.upper(F.hex(content)).alias("hx"),
+        F.length(content).cast("long").alias("n_bytes"),
+    )
+    hx = F.col("hx")
     fmt = (
         F.when(hx.startswith(PNG_SIG_HEX), F.lit("png"))
         .when(hx.startswith(GIF_SIG_HEX), F.lit("gif"))
@@ -322,11 +334,17 @@ def media_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(hx.startswith(JPEG_SIG_HEX), F.lit("jpeg"))
         .otherwise(F.lit("unknown"))
     )
+    sof = F.when(hx.startswith(JPEG_SIG_HEX), jpeg_sof_pos(hx))
     per = media.select(
+        "hx",
+        "n_bytes",
         fmt.alias("fmt"),
-        image_width(c).alias("w"),
-        image_height(c).alias("h"),
-        F.length(c).cast("long").alias("n_bytes"),
+        sof.alias("sof"),
+    ).select(
+        "fmt",
+        image_width_h(hx, F.col("sof")).alias("w"),
+        image_height_h(hx, F.col("sof")).alias("h"),
+        "n_bytes",
     )
     return per.groupBy("fmt").agg(
         F.count(F.lit(1)).alias("n_media"),
@@ -438,11 +456,11 @@ def media_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_multimodal.py pins the parsers on a handcrafted real
     WAV header byte string."""
     from goe_spark.multimodal.media import (
-        is_wav,
-        wav_bits_per_sample,
-        wav_channels,
-        wav_data_size,
-        wav_sample_rate,
+        is_wav_h,
+        wav_bits_per_sample_h,
+        wav_channels_h,
+        wav_data_size_h,
+        wav_sample_rate_h,
     )
 
     d = load_table(spark, sf_dir, "documents")
@@ -474,17 +492,26 @@ def media_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     content = F.concat(
         F.unhex(header_hex), F.encode(F.substring("text", 1, 8), "UTF-8")
     )
-    media = d.select(F.col("doc_id").alias("media_id"), content.alias("content"))
-    c = F.col("content")
-    per = media.where(is_wav(c)).select(
-        wav_sample_rate(c).alias("sample_rate"),
-        wav_channels(c).alias("ch"),
-        wav_bits_per_sample(c).alias("bits"),
+    # hex the payload ONCE into a bound column; every field extractor
+    # (and the is_wav gate) reads the bound hex — the r12 shape hexed
+    # the payload 7x per row. ch/bits bind too: the frames formula
+    # reuses them.
+    media = d.select(F.upper(F.hex(content)).alias("hx"))
+    hx = F.col("hx")
+    fields = media.where(is_wav_h(hx)).select(
+        wav_sample_rate_h(hx).alias("sample_rate"),
+        wav_channels_h(hx).alias("ch"),
+        wav_bits_per_sample_h(hx).alias("bits"),
+        wav_data_size_h(hx).alias("dsize"),
+    )
+    per = fields.select(
+        "sample_rate",
+        "ch",
+        "bits",
         # frames = data bytes / (channels * bits/8); exact by
         # construction, floored identically on both engines anyway
         F.floor(
-            wav_data_size(c) * 8
-            / (wav_channels(c) * wav_bits_per_sample(c))
+            F.col("dsize") * 8 / (F.col("ch") * F.col("bits"))
         )
         .cast("long")
         .alias("frames"),
@@ -735,12 +762,16 @@ def media_mp3_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, tag mix, channel-mode mix, exact bitrate stats.
 
     Plan: single scan, all codegen hex arithmetic, one 3-row
-    aggregate; payload bytes never shuffle."""
+    aggregate; payload bytes never shuffle. The payload hex, the
+    ID3-skip frame position and the two header bytes are each bound
+    ONCE (the r12 shape re-hexed the payload and re-ran the syncsafe
+    walk inside every field extractor — ~6x per row)."""
     from goe_spark.multimodal.media import (
-        mp3_bitrate_kbps,
-        mp3_channel_mode,
-        mp3_frame_pos,
-        mp3_sample_rate,
+        mp3_bitrate_from_b3,
+        mp3_channel_mode_from_b4,
+        mp3_frame_pos_h,
+        mp3_header_byte_h,
+        mp3_sample_rate_from_b3,
     )
 
     d = load_table(spark, sf_dir, "documents")
@@ -766,14 +797,24 @@ def media_mp3_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     content = F.concat(
         F.unhex(header_hex), F.encode(F.substring("text", 1, 12), "UTF-8")
     )
-    media = d.select(content.alias("content"))
-    c = F.col("content")
-    per = media.select(
-        mp3_frame_pos(c).alias("pos"),
-        mp3_bitrate_kbps(c).alias("kbps"),
-        mp3_sample_rate(c).alias("sr"),
-        mp3_channel_mode(c).alias("mode"),
-    ).where(F.col("pos").isNotNull())
+    media = d.select(F.upper(F.hex(content)).alias("hx"))
+    hx = F.col("hx")
+    pos = F.col("pos")
+    per = (
+        media.select("hx", mp3_frame_pos_h(hx).alias("pos"))
+        .select(
+            "pos",
+            mp3_header_byte_h(hx, pos, 2).alias("b3"),
+            mp3_header_byte_h(hx, pos, 3).alias("b4"),
+        )
+        .select(
+            "pos",
+            mp3_bitrate_from_b3(F.col("b3")).alias("kbps"),
+            mp3_sample_rate_from_b3(F.col("b3")).alias("sr"),
+            mp3_channel_mode_from_b4(F.col("b4")).alias("mode"),
+        )
+        .where(F.col("pos").isNotNull())
+    )
     return per.groupBy("sr").agg(
         F.count(F.lit(1)).alias("n_files"),
         F.sum((F.col("pos") > 1).cast("long")).alias("n_tagged"),

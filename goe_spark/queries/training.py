@@ -1612,6 +1612,56 @@ def _bpe_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_merge_rows_driver(
+    vocab: list[tuple[str, int]],
+) -> list[tuple]:
+    """The BPE merge loop over an already-collected (word, freq)
+    vocabulary, on the driver: the state is bounded at
+    {BPE_TRAIN_VOCAB} rows by construction (model state, not data —
+    the same class as the trainer's CLS_DIM-grain gradient collect),
+    so iterating it distributedly bought nothing but 3 scheduler
+    round-trips per step (pair-count collect + fold checkpoint +
+    symbols_after agg: 18 sequential jobs for 400 rows, the dominant
+    wall cost of the r12 formulation). Arithmetic is exact integers
+    and string tie-breaks compare identically in Python (code-point
+    order), Spark (UTF-8 byte order — equal by UTF-8 monotonicity)
+    and the DuckDB oracle, so the learned merges are bit-identical
+    to the distributed loop's.
+
+    Returns (step, left, right, merged, pair_freq, symbols_after)
+    tuples, exactly bpe_train_merges' rows."""
+    state = [(int(n), list(w)) for w, n in vocab]
+    rows: list[tuple] = []
+    for step in range(1, BPE_TRAIN_STEPS + 1):
+        pairs: dict[tuple[str, str], int] = {}
+        for n, syms in state:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + n
+        if not pairs:  # vocabulary fully merged — nothing left to learn
+            break
+        (left, right), pf = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merged = left + right
+        new_state = []
+        for n, syms in state:
+            # greedy non-overlapping left-to-right — _fold_merge's
+            # exact semantics (after a merge the new last symbol is
+            # `merged`, so an overlapping second merge cannot fire)
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            new_state.append((n, out))
+        state = new_state
+        symbols_after = sum(n * len(syms) for n, syms in state)
+        rows.append((step, left, right, merged, pf, symbols_after))
+    return rows
+
+
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training over the documents corpus:
     {BPE_TRAIN_STEPS} sequential merges learned on the
@@ -1627,49 +1677,17 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-defined — so the DuckDB oracle (the same loop unrolled as
     {BPE_TRAIN_STEPS} CTE blocks) replays it bit-for-bit.
 
-    Scale: the corpus contributes one wordcount shuffle; every loop
-    iteration shuffles only the vocabulary-grain pair table. State is
-    localCheckpoint'd per iteration to truncate the 6-deep transform
-    lineage (a real deployment checkpoints to DFS)."""
-    state = _bpe_train_vocab(spark, sf_dir).select(
-        "n", F.split("w", "").alias("syms")
-    )
-
-    rows = []
-    for step in range(1, BPE_TRAIN_STEPS + 1):
-        syms = F.col("syms")
-        pair_structs = F.transform(
-            F.sequence(F.lit(1), F.size(syms) - 1),
-            lambda i: F.struct(
-                F.element_at(syms, i).alias("left"),
-                F.element_at(syms, i + 1).alias("right"),
-            ),
-        )
-        top = (
-            state.where(F.size(syms) >= 2)
-            .select("n", F.explode(pair_structs).alias("p"))
-            .groupBy("p.left", "p.right")
-            .agg(F.sum("n").alias("pf"))
-            .orderBy(
-                F.col("pf").desc(), F.col("left").asc(), F.col("right").asc()
-            )
-            .limit(1)
-            .collect()
-        )
-        if not top:  # vocabulary fully merged — nothing left to learn
-            break
-        left, right, pf = top[0].left, top[0].right, int(top[0].pf)
-        state = state.select(
-            "n", _fold_merge(F.col("syms"), left, right).alias("syms")
-        ).localCheckpoint(eager=True)
-        symbols_after = int(
-            state.agg(
-                F.sum(F.col("n") * F.size("syms")).alias("s")
-            ).first()["s"]
-        )
-        rows.append((step, left, right, left + right, pf, symbols_after))
+    Scale: the corpus contributes ONE wordcount shuffle (+ top-k);
+    the merge loop then runs on the driver over the collected
+    {BPE_TRAIN_VOCAB}-row vocabulary — bounded model state, see
+    _bpe_merge_rows_driver (a real deployment trains its tokenizer
+    exactly this way: distributed wordcount, in-memory merge loop)."""
+    vocab = [
+        (r["w"], int(r["n"]))
+        for r in _bpe_train_vocab(spark, sf_dir).collect()
+    ]
     return spark.createDataFrame(
-        rows,
+        _bpe_merge_rows_driver(vocab),
         "step int, left string, right string, merged string, "
         "pair_freq long, symbols_after long",
     )
@@ -1791,11 +1809,18 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     {BPE_TRAIN_STEPS} nested array folds over the per-language
     wordcount table (vocabulary grain; at the corpus grain the same
     fold applies per token with the identical broadcast merge list).
-    One wordcount shuffle + one lang-cardinality rollup."""
+    One wordcount shuffle + one lang-cardinality rollup; the merge
+    loop itself is the driver-side bounded-state pass of
+    _bpe_merge_rows_driver (one vocabulary collect, no per-step
+    jobs)."""
+    vocab = [
+        (r["w"], int(r["n"]))
+        for r in _bpe_train_vocab(spark, sf_dir).collect()
+    ]
     merges = [
-        (r.left, r.right)
-        for r in sorted(
-            bpe_train_merges(spark, sf_dir).collect(), key=lambda r: r.step
+        (left, right)
+        for _step, left, right, _m, _pf, _sa in _bpe_merge_rows_driver(
+            vocab
         )
     ]
     d = load_table(spark, sf_dir, "documents")
@@ -1883,15 +1908,22 @@ def bpe_fertility_by_language(
     the 6-deep merge fold binds to ONE column alias (the fold-
     inlining discipline of bpe_encode_stats) and every other metric
     derives from the word string itself; final rollup is
-    lang-cardinality."""
+    lang-cardinality. The training vocabulary is collected ONCE
+    (bounded at {BPE_TRAIN_VOCAB} rows) and feeds both the
+    driver-side merge loop (_bpe_merge_rows_driver) and the trained
+    character inventory — the r12 formulation ran the full iterative
+    trainer plus a second vocabulary job for the inventory."""
+    vocab = [
+        (r["w"], int(r["n"]))
+        for r in _bpe_train_vocab(spark, sf_dir).collect()
+    ]
     merges = [
-        (r.left, r.right)
-        for r in sorted(
-            bpe_train_merges(spark, sf_dir).collect(), key=lambda r: r.step
+        (left, right)
+        for _step, left, right, _m, _pf, _sa in _bpe_merge_rows_driver(
+            vocab
         )
     ]
-    top_words = _bpe_train_vocab(spark, sf_dir).select("w").collect()
-    vocab_chars = sorted({c for r in top_words for c in r.w})
+    vocab_chars = sorted({c for w, _n in vocab for c in w})
     vlit = F.array(*[F.lit(c) for c in vocab_chars])
 
     d = load_table(spark, sf_dir, "documents")
