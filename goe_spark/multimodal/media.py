@@ -1126,36 +1126,52 @@ def _nibble_at(h, pos: int) -> "F.Column":
     return F.conv(F.substring(h, pos, 1), 16, 10).cast("int")
 
 
-def is_flac(content) -> "F.Column":
-    """Magic + first-block-is-STREAMINFO (type bits 0, with or
-    without the last-metadata-block flag)."""
-    h = _hex_of(content)
+def is_flac_h(h) -> "F.Column":
+    """is_flac over an already-bound hex column (the bind-once
+    discipline of the WAV/MP3/TIFF parsers)."""
     return h.startswith(FLAC_SIG_HEX) & F.substring(h, 9, 2).isin(
         "00", "80"
     )
 
 
+def is_flac(content) -> "F.Column":
+    """Magic + first-block-is-STREAMINFO (type bits 0, with or
+    without the last-metadata-block flag)."""
+    return is_flac_h(_hex_of(content))
+
+
+def flac_sample_rate_h(h) -> "F.Column":
+    return F.conv(F.substring(h, 37, 5), 16, 10).cast("int")
+
+
 def flac_sample_rate(content) -> "F.Column":
-    return F.conv(F.substring(_hex_of(content), 37, 5), 16, 10).cast("int")
+    return flac_sample_rate_h(_hex_of(content))
+
+
+def flac_channels_h(h) -> "F.Column":
+    return F.floor(_nibble_at(h, 42) / 2).cast("int") + 1
 
 
 def flac_channels(content) -> "F.Column":
-    return (
-        F.floor(_nibble_at(_hex_of(content), 42) / 2).cast("int") + 1
-    )
+    return flac_channels_h(_hex_of(content))
 
 
-def flac_bits_per_sample(content) -> "F.Column":
-    h = _hex_of(content)
+def flac_bits_per_sample_h(h) -> "F.Column":
     return (
         F.pmod(_nibble_at(h, 42), F.lit(2)) * 16 + _nibble_at(h, 43) + 1
     ).cast("int")
 
 
+def flac_bits_per_sample(content) -> "F.Column":
+    return flac_bits_per_sample_h(_hex_of(content))
+
+
+def flac_total_samples_h(h) -> "F.Column":
+    return F.conv(F.substring(h, 44, 9), 16, 10).cast("long")
+
+
 def flac_total_samples(content) -> "F.Column":
-    return F.conv(F.substring(_hex_of(content), 44, 9), 16, 10).cast(
-        "long"
-    )
+    return flac_total_samples_h(_hex_of(content))
 
 
 def is_flac_sql(content_expr: str) -> str:
@@ -1211,14 +1227,18 @@ _TAG_LENGTH = 257
 _TYPE_LONG = 4
 
 
-def tiff_endian(content) -> "F.Column":
-    """'II' / 'MM' / NULL."""
-    h = _hex_of(content)
+def tiff_endian_h(h) -> "F.Column":
+    """tiff_endian over an already-bound hex column."""
     return (
         F.when(h.startswith(TIFF_LE_SIG_HEX), F.lit("II"))
         .when(h.startswith(TIFF_BE_SIG_HEX), F.lit("MM"))
         .otherwise(F.lit(None).cast("string"))
     )
+
+
+def tiff_endian(content) -> "F.Column":
+    """'II' / 'MM' / NULL."""
+    return tiff_endian_h(_hex_of(content))
 
 
 def _u16_end(h, char_pos, le) -> "F.Column":
@@ -1241,7 +1261,17 @@ def tiff_entries(content) -> "F.Column":
     once and extract with tiff_tag_from_entries — the scan expression
     is large (per-entry endian-switched u16/u32 chains), and building
     it once per tag doubles codegen compile time."""
-    h = _hex_of(content)
+    return tiff_entries_h(_hex_of(content))
+
+
+def tiff_entries_h(h) -> "F.Column":
+    """tiff_entries over an already-bound hex column: the entry scan
+    references the hex ~50 times (per entry per field); feeding it a
+    bound attribute instead of the hex-of-payload expression keeps
+    the payload synthesis/hex out of every reference when the
+    projection is too large for whole-stage codegen (interpreted
+    mode evaluates expression trees without common-subexpression
+    elimination)."""
     le = h.startswith(TIFF_LE_SIG_HEX)
     is_tiff = le | h.startswith(TIFF_BE_SIG_HEX)
     ifd_off = _u32_end(h, F.lit(9), le)  # bytes 5-8

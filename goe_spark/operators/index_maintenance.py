@@ -139,6 +139,37 @@ def evict_keys(
     return n
 
 
+# Reader-plan cache for index base relations (the catalog.load_table
+# discipline): spark.read.parquet + the tombstone/override isdir
+# probes cost 150 ms - 1.9 s per call, and index consumers
+# (LSH pairs, containment, probes, kNN family) re-load per query.
+# The DataFrame is a lazy plan — every execution still scans the
+# index files; the key fingerprints the WHOLE index directory
+# (parquet + meta + side stores, mtime/size), so any append, evict,
+# upsert or rebuild invalidates the entry.
+_INDEX_DF_CACHE: dict[tuple, DataFrame] = {}
+
+
+def cached_index_frame(
+    spark: SparkSession, index_dir: str, subdir: str, key_column: str
+) -> DataFrame:
+    """Tombstone/override-applied view of ``index_dir/subdir``,
+    plan-cached per (session, dir state)."""
+    from goe_spark.catalog import _path_fingerprint
+
+    key = (spark, index_dir, subdir, _path_fingerprint(index_dir))
+    df = _INDEX_DF_CACHE.get(key)
+    if df is None:
+        df = apply_tombstones(
+            spark,
+            index_dir,
+            spark.read.parquet(os.path.join(index_dir, subdir)),
+            key_column,
+        )
+        _INDEX_DF_CACHE[key] = df
+    return df
+
+
 def apply_tombstones(
     spark: SparkSession, index_dir: str, df: DataFrame, key_column: str
 ) -> DataFrame:

@@ -321,20 +321,33 @@ def ensure_index(
     return index_dir
 
 
+def load_centroids(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The persisted centroid table, plan-cached per (session, dir
+    state) — quantizer state, no tombstones by construction (evict/
+    upsert keep the BUILD's quantizer; see index_maintenance). The
+    same reader-plan-reuse discipline as load_assigned."""
+    from goe_spark.operators.index_maintenance import _INDEX_DF_CACHE
+
+    from goe_spark.catalog import _path_fingerprint
+
+    cdir = os.path.join(index_dir, "centroids")
+    key = (spark, index_dir, "centroids", _path_fingerprint(cdir))
+    df = _INDEX_DF_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(cdir)
+        _INDEX_DF_CACHE[key] = df
+    return df
+
+
 def load_assigned(spark: SparkSession, index_dir: str) -> DataFrame:
     """The index's assignment table with delete tombstones applied
     (operators/index_maintenance) — the ONE reader every indexed
     consumer (IVF probe, IVF-PQ probe, IVF-cell kNN graph) goes
     through, so an evicted vector disappears from all of them at
     once."""
-    from goe_spark.operators.index_maintenance import apply_tombstones
+    from goe_spark.operators.index_maintenance import cached_index_frame
 
-    return apply_tombstones(
-        spark,
-        index_dir,
-        spark.read.parquet(os.path.join(index_dir, "assigned")),
-        "vec_id",
-    )
+    return cached_index_frame(spark, index_dir, "assigned", "vec_id")
 
 
 def ivf_topk_indexed(
@@ -352,7 +365,7 @@ def ivf_topk_indexed(
     turns the cell restriction into a static IN-list partition
     filter, so the assigned/ scan prunes at file-listing time — no
     dynamic-pruning dependency."""
-    cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    cents = load_centroids(spark, index_dir)
     queries = _query_vectors(emb, n_queries)
     probes = probe_cells(queries, cents, nprobe)
     cells = sorted({int(r["cell"]) for r in probes.collect()})

@@ -339,10 +339,11 @@ def ivf_pq_topk_indexed(
     from goe_spark.operators.ivf import (
         index_codebooks,
         load_assigned,
+        load_centroids,
         probe_cells,
     )
 
-    cents = spark.read.parquet(_os.path.join(index_dir, "centroids"))
+    cents = load_centroids(spark, index_dir)
     queries = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qvec"),

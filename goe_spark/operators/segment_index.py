@@ -113,14 +113,9 @@ def ensure_segment_index(spark: SparkSession, sf_dir: str) -> str:
 
 
 def load_segments(spark: SparkSession, index_dir: str) -> DataFrame:
-    from goe_spark.operators.index_maintenance import apply_tombstones
+    from goe_spark.operators.index_maintenance import cached_index_frame
 
-    return apply_tombstones(
-        spark,
-        index_dir,
-        spark.read.parquet(os.path.join(index_dir, "segments")),
-        "doc_id",
-    )
+    return cached_index_frame(spark, index_dir, "segments", "doc_id")
 
 
 def append_segments(

@@ -1010,24 +1010,29 @@ def media_mp4_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     content_hex = F.when(
         did % 2 == 0, F.concat(ftyp_hex, moov_hex, mdat_hex)
     ).otherwise(F.concat(ftyp_hex, free_top, mdat_hex, moov_hex))
-    media = d.select(F.unhex(content_hex).alias("content"))
+    # bind the payload, then its hex: the walker references the hex
+    # ~10x per fold step and the parses ~10x each — as a bound
+    # attribute each reference is free even when the projection is
+    # too large for whole-stage codegen (no CSE in interpreted mode)
+    media = d.select(F.unhex(content_hex).alias("content")).select(
+        F.upper(F.hex(F.col("content"))).alias("hx")
+    )
 
     # The walker fold runs ONCE per row behind the inline() Generate
     # barrier — projection collapse would otherwise duplicate it into
     # every parse column (nested per-level find() folds measured
     # 10 ms/row); the parses below are plain substr/conv over the
     # emitted position columns.
-    h = F.upper(F.hex(F.col("content")))
-    located = media.select(F.col("content"), F.inline(F.array(mp4_walk(h))))
-    hh = F.upper(F.hex(F.col("content")))
+    hx = F.col("hx")
+    located = media.select(hx, F.inline(F.array(mp4_walk(hx))))
     mvhd_p = F.col("mvhd_pos")
     tkhd_p = F.col("tkhd_pos")
     per = located.select(
-        mp4_timescale(hh, mvhd_p).alias("p_ts"),
-        mp4_duration_units(hh, mvhd_p).alias("p_du"),
-        mp4_mvhd_version(hh, mvhd_p).alias("p_v"),
-        mp4_track_width(hh, tkhd_p).alias("p_w"),
-        mp4_track_height(hh, tkhd_p).alias("p_h"),
+        mp4_timescale(hx, mvhd_p).alias("p_ts"),
+        mp4_duration_units(hx, mvhd_p).alias("p_du"),
+        mp4_mvhd_version(hx, mvhd_p).alias("p_v"),
+        mp4_track_width(hx, tkhd_p).alias("p_w"),
+        mp4_track_height(hx, tkhd_p).alias("p_h"),
         (F.col("moov_pos") > 33).cast("long").alias("trailing"),
     ).where(F.col("p_ts").isNotNull())
     dur_ms = F.floor(F.col("p_du") * 1000 / F.col("p_ts")).cast("bigint")
@@ -1171,11 +1176,11 @@ def media_flac_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: single scan, all codegen (hex/substr/conv nibble
     arithmetic), one 5-row aggregate; payload bytes never shuffle."""
     from goe_spark.multimodal.media import (
-        flac_bits_per_sample,
-        flac_channels,
-        flac_sample_rate,
-        flac_total_samples,
-        is_flac,
+        flac_bits_per_sample_h,
+        flac_channels_h,
+        flac_sample_rate_h,
+        flac_total_samples_h,
+        is_flac_h,
     )
 
     d = load_table(spark, sf_dir, "documents")
@@ -1214,13 +1219,15 @@ def media_flac_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.encode(F.substring("text", 1, 8), "UTF-8"),
         )
     )
-    media = d.select(content.alias("content"))
-    c = F.col("content")
-    per = media.where(is_flac(c)).select(
-        flac_sample_rate(c).alias("sample_rate"),
-        flac_channels(c).alias("ch"),
-        flac_bits_per_sample(c).alias("bps"),
-        flac_total_samples(c).alias("samples"),
+    # bind the payload hex ONCE; gate and extractors read the bound
+    # column (the r12 shape hexed the payload 5x per row)
+    media = d.select(F.upper(F.hex(content)).alias("hx"))
+    hx = F.col("hx")
+    per = media.where(is_flac_h(hx)).select(
+        flac_sample_rate_h(hx).alias("sample_rate"),
+        flac_channels_h(hx).alias("ch"),
+        flac_bits_per_sample_h(hx).alias("bps"),
+        flac_total_samples_h(hx).alias("samples"),
     )
     return per.groupBy("sample_rate").agg(
         F.count(F.lit(1)).alias("n_files"),
@@ -1301,8 +1308,8 @@ def media_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goe_spark.multimodal.media import (
         _TAG_LENGTH,
         _TAG_WIDTH,
-        tiff_endian,
-        tiff_entries,
+        tiff_endian_h,
+        tiff_entries_h,
         tiff_tag_from_entries,
     )
 
@@ -1350,14 +1357,19 @@ def media_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.encode(F.substring("text", 1, 8), "UTF-8"),
         )
     )
-    media = d.select(content.alias("content"))
-    c = F.col("content")
-    # bind the entry scan ONCE (it is the expensive expression), then
-    # extract both tags from the bound column
+    # bind the payload, then its hex, then the entry scan — three
+    # stacked projections so neither the synthesis nor the hex is
+    # re-evaluated inside the ~50-reference IFD walk (r12 bound only
+    # the entry scan; the hex-of-synthesized-payload expression still
+    # repeated under it)
+    media = d.select(content.alias("content")).select(
+        F.upper(F.hex(F.col("content"))).alias("hx")
+    )
+    hx = F.col("hx")
     per = (
         media.select(
-            tiff_endian(c).alias("endian"),
-            tiff_entries(c).alias("ents"),
+            tiff_endian_h(hx).alias("endian"),
+            tiff_entries_h(hx).alias("ents"),
         )
         .select(
             "endian",

@@ -661,11 +661,25 @@ def embedding_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus shuffle at all."""
     import os
 
-    from goe_spark.operators.ivf import ensure_index
+    from goe_spark.operators.index_maintenance import _INDEX_DF_CACHE
+    from goe_spark.operators.ivf import (
+        ensure_index,
+        load_centroids,
+    )
 
     index_dir = ensure_index(spark, sf_dir)
-    cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
-    assigned = spark.read.parquet(os.path.join(index_dir, "assigned"))
+    cents = load_centroids(spark, index_dir)
+    # RAW assigned read (no tombstone view): this audits the BUILD,
+    # exactly what the oracle replays. Plan-cached like the other
+    # index readers.
+    from goe_spark.catalog import _path_fingerprint
+
+    apath = os.path.join(index_dir, "assigned")
+    akey = (spark, index_dir, "assigned_raw", _path_fingerprint(apath))
+    assigned = _INDEX_DF_CACHE.get(akey)
+    if assigned is None:
+        assigned = spark.read.parquet(apath)
+        _INDEX_DF_CACHE[akey] = assigned
     cos = F.round(
         _dot(F.col("embedding"), F.col("cvec"))
         / F.sqrt(F.col("vnorm2") * F.col("cnorm2")),

@@ -2710,6 +2710,36 @@ PR_ITERS = 10
 PR_TOP_K = 20
 
 
+def _pagerank_driver(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """The identical fixed-point integer PageRank over a COLLECTED
+    (id1, id2) pair list — every quantity is int64 arithmetic with
+    order-insensitive sums, so the driver loop is bit-equal to the
+    distributed formulation and to the DuckDB oracle's unrolled CTEs.
+    Bounded by CC_DRIVER_EDGE_CAP exactly like _cc_labels_driver."""
+    sym: list[tuple[int, int]] = []
+    for r in edges.collect():
+        sym.append((r.id1, r.id2))
+        sym.append((r.id2, r.id1))
+    deg: dict[int, int] = {}
+    for s, _d in sym:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(deg)
+    base = 15 * PR_SCALE // (100 * n)
+    pr = {node: PR_SCALE // n for node in deg}
+    for _ in range(PR_ITERS):
+        insum: dict[int, int] = {}
+        for s, d in sym:
+            insum[d] = insum.get(d, 0) + pr[s] // deg[s]
+        pr = {
+            node: base + 85 * insum.get(node, 0) // 100 for node in deg
+        }
+    top = sorted(pr.items(), key=lambda kv: (-kv[1], kv[0]))[:PR_TOP_K]
+    return spark.createDataFrame(
+        [(node, rank, deg[node]) for node, rank in top],
+        "doc_id long, pr_q12 long, degree long",
+    )
+
+
 def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the near-dup pair graph — which
     documents sit at the CENTER of duplication neighborhoods (the
@@ -2727,7 +2757,12 @@ def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     order cannot produce different hashes — the standard float
     PageRank would diverge in the last ulp.
 
-    Plan: the SYMMETRIC edge list and the degree table are
+    Plan: below CC_DRIVER_EDGE_CAP the collected pair list runs the
+    loop on the driver (the _cc_labels discipline — identical integer
+    arithmetic, so the result is bit-equal to the distributed loop;
+    10 distributed iterations over a few-thousand-edge graph were
+    pure scheduler latency, ~3 s of the r12 bench median). Above the
+    cap: the SYMMETRIC edge list and the degree table are
     localCheckpoint'd once (round-10 verdict: the earlier shape
     checkpointed only the raw pairs, so all 10 iteration jobs
     re-ran the union + degree aggregation); each iteration is then
@@ -2736,6 +2771,8 @@ def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: top-20 by rank (ties broken by doc_id — a deterministic
     SET, so LIMIT agrees cross-engine)."""
     edges = minhash_lsh_pairs(spark, sf_dir).select("id1", "id2")
+    if edges.count() <= CC_DRIVER_EDGE_CAP:
+        return _pagerank_driver(spark, edges)
     sym = (
         edges.union(
             edges.select(
