@@ -28,6 +28,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from goe_spark.streaming.tuning import stream_state_partitions
+
 DOCS_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -77,14 +79,16 @@ def classifier_scored_counts(
         )
     )
     sink = f"cls_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state-store partition count is captured at start(); see streaming/tuning.py
+    with stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 
@@ -124,12 +128,14 @@ def pii_quarantine_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(i).alias("n_ips"),
     )
     sink = f"pii_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state-store partition count is captured at start(); see streaming/tuning.py
+    with stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)

@@ -36,6 +36,8 @@ from goe_spark.queries.timeseries import (
 )
 from goe_spark.streaming.events import events_stream
 
+from goe_spark.streaming.tuning import stream_state_partitions
+
 DRIFT_SCHEMA = StructType(
     [
         StructField("event_type", StringType()),
@@ -144,14 +146,16 @@ def drift_summary_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"drift_{uuid.uuid4().hex[:8]}"
-    q = (
-        summaries.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state-store partition count is captured at start(); see streaming/tuning.py
+    with stream_state_partitions(spark):
+        q = (
+            summaries.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     t = spark.table(sink)
     w = Window.partitionBy("event_type").orderBy(F.col("n_events").desc())
     return (

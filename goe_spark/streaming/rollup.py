@@ -44,6 +44,8 @@ from goe_spark.streaming.ingest import (
     read_streamed_table,
 )
 
+from goe_spark.streaming.tuning import stream_state_partitions
+
 # Rollup grain and measures. sum_value is decimal(20,2): the fixture's
 # value column carries at most 2 decimals, so partial sums and their
 # merge are EXACT — merged results equal a direct aggregate
@@ -154,12 +156,14 @@ def stream_rollup_events(
     (availableNow; unbounded on a live cluster) and return the merged
     rollup. Re-running with the same checkpoint writes nothing."""
     sink = make_rollup_sink(rollup_dir, checkpoint_dir, metadata_dir)
-    q = (
-        events_stream(spark, sf_dir)
-        .writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state-store partition count is captured at start(); see streaming/tuning.py
+    with stream_state_partitions(spark):
+        q = (
+            events_stream(spark, sf_dir)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return read_rollup(spark, rollup_dir)
