@@ -1284,6 +1284,12 @@ def _knn_graph_rollup(emb: DataFrame) -> DataFrame:
     the IVF quantizer's cells (knn_graph_ivf_stats)."""
     from pyspark.sql.window import Window
 
+    # NOTE: this stays the two-sided self-join deliberately — the
+    # group-local collect_list expansion (the _labeled_cell_pairs
+    # shape) was tried in the r13 optimization round and REGRESSED
+    # here (knn_graph_ivf_stats 1.24 -> 2.38 s): the IVF grain has
+    # only ~8 cells, so concentrating each bucket's n^2 cosine work
+    # into one task starves the cores the join shape keeps busy.
     cells = sub_bucketed_cells(emb)
     a = cells.select(
         "label",
@@ -1699,36 +1705,42 @@ def _labeled_cell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             _norm2(F.col("embedding")).alias("nrm"),
         )
     )
-    a = g.select(
-        "cell",
-        "sub",
-        F.col("vec_id").alias("src"),
-        F.col("label").alias("slabel"),
-        F.col("embedding").alias("avec"),
-        F.col("nrm").alias("anrm"),
+    # Group-local ordered-pair expansion (the minhash_lsh_pairs
+    # shape): ONE (cell, sub) groupBy replaces the r12 self-join's
+    # two exchanges + duplicated `g` lineage. Buckets are
+    # EMB_CELL_CAP-bounded by the sub-bucketing above, so the
+    # collected struct list stays a few hundred rows; the cosine is
+    # the identical round(dot/sqrt, 6) expression inline.
+    grouped = g.groupBy("cell", "sub").agg(
+        F.collect_list(
+            F.struct("vec_id", "label", "embedding", "nrm")
+        ).alias("ds")
     )
-    b = g.select(
-        "cell",
-        "sub",
-        F.col("vec_id").alias("dst"),
-        F.col("label").alias("dlabel"),
-        F.col("embedding").alias("bvec"),
-        F.col("nrm").alias("bnrm"),
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x: F.transform(
+                F.filter(
+                    F.col("ds"), lambda y: y["vec_id"] != x["vec_id"]
+                ),
+                lambda y: F.struct(
+                    x["vec_id"].alias("src"),
+                    x["label"].alias("slabel"),
+                    y["vec_id"].alias("dst"),
+                    y["label"].alias("dlabel"),
+                    F.round(
+                        _dot(x["embedding"], y["embedding"])
+                        / F.sqrt(x["nrm"] * y["nrm"]),
+                        6,
+                    ).alias("cosine"),
+                ),
+            ),
+        )
     )
     return (
-        a.join(b, ["cell", "sub"])
-        .where(F.col("src") != F.col("dst"))
-        .select(
-            "src",
-            "slabel",
-            "dst",
-            "dlabel",
-            F.round(
-                _dot(F.col("avec"), F.col("bvec"))
-                / F.sqrt(F.col("anrm") * F.col("bnrm")),
-                6,
-            ).alias("cosine"),
-        )
+        grouped.where(F.size("ds") >= 2)
+        .select(F.explode_outer(pair_structs).alias("p"))
+        .select("p.src", "p.slabel", "p.dst", "p.dlabel", "p.cosine")
     )
 
 
