@@ -162,18 +162,19 @@ def minhash_signature_sql(expr: str) -> str:
 
 
 def band_structs(mh: Column) -> Column:
-    """Array of (band, signature-string) structs for LSH bucketing."""
+    """Array of (band, signature) structs for LSH bucketing. The
+    signature is the RAW slice of the minhash array: it is only ever
+    a grouping/join key (Spark hashes and compares array<long>
+    natively), and the r12 ":"-joined string form built a ~40-char
+    string per band per doc purely to be hashed — pure map-side CPU
+    plus ~40 vs 32 shuffle bytes. Grouping by the slice is injective
+    either way, so every consumer's buckets (and the DuckDB oracle's
+    string-keyed buckets) are identical sets."""
     return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.concat_ws(
-                    ":",
-                    F.transform(
-                        F.slice(mh, b * LSH_ROWS + 1, LSH_ROWS),
-                        lambda x: x.cast("string"),
-                    ),
-                ).alias("sig"),
+                F.slice(mh, b * LSH_ROWS + 1, LSH_ROWS).alias("sig"),
             )
             for b in range(LSH_BANDS)
         ]

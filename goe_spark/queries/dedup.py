@@ -384,17 +384,15 @@ def lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "mh")
     cfg_frames = []
     for b, r in LSH_SWEEP_CONFIGS:
+        # the band signature is ONLY a grouping key, so group on the
+        # raw signature slice (array grouping keys hash/compare
+        # natively) instead of building a ":"-joined string per band
+        # per doc — injective either way, same groups, same output
         band_arr = F.array(
             *[
                 F.struct(
                     F.lit(i).alias("band"),
-                    F.concat_ws(
-                        ":",
-                        F.transform(
-                            F.slice(F.col("mh"), i * r + 1, r),
-                            lambda x: x.cast("string"),
-                        ),
-                    ).alias("sig"),
+                    F.slice(F.col("mh"), i * r + 1, r).alias("sig"),
                 )
                 for i in range(b)
             ]
