@@ -366,13 +366,13 @@ def lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics are integer match counts — no floats anywhere.
 
     Plan: signatures come from the materialized index (one md5
-    lineage, paid once); each layout re-bands the 16-long arrays
-    map-side and pays one (band, sig) groupBy with the same
-    LSH_BUCKET_CAP bound as minhash_lsh_pairs — candidate volume
-    stays collision-bounded per layout, and the full-signature
-    agreement rides the bucket expansion inline (zero re-joins). The
-    union truth set is pair-table-grain; its 1-row count broadcasts
-    back (the scalar cross-join pattern)."""
+    lineage, paid once); ALL layouts re-band the 16-long arrays
+    map-side in one tagged explode and share ONE (layout, band, sig)
+    groupBy with the same LSH_BUCKET_CAP bound as minhash_lsh_pairs —
+    candidate volume stays collision-bounded per layout, and the
+    full-signature agreement rides the bucket expansion inline (zero
+    re-joins). The union truth set is pair-table-grain; its 1-row
+    count broadcasts back (the scalar cross-join pattern)."""
     from goe_spark.operators.minhash import K_MINHASH
     from goe_spark.operators.minhash_index import (
         ensure_signature_index,
@@ -382,66 +382,71 @@ def lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = load_signatures(
         spark, ensure_signature_index(spark, sf_dir)
     ).select("doc_id", "mh")
-    cfg_frames = []
-    for b, r in LSH_SWEEP_CONFIGS:
-        # the band signature is ONLY a grouping key, so group on the
-        # raw signature slice (array grouping keys hash/compare
-        # natively) instead of building a ":"-joined string per band
-        # per doc — injective either way, same groups, same output
-        band_arr = F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.slice(F.col("mh"), i * r + 1, r).alias("sig"),
-                )
-                for i in range(b)
-            ]
-        )
-        bands = sigs.select(
-            F.struct("doc_id", "mh").alias("doc"),
-            F.explode(band_arr).alias("bs"),
-        ).select("doc", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-        grouped = bands.groupBy("band", "sig").agg(
-            F.array_sort(F.collect_set("doc")).alias("docs")
-        )
-        n = F.size("docs")
-        pair_structs = F.flatten(
-            F.transform(
-                F.col("docs"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("docs"), i + 2, n - i - 1),
-                    lambda y: F.struct(
-                        x["doc_id"].alias("id1"),
-                        y["doc_id"].alias("id2"),
-                        F.size(
-                            F.filter(
-                                F.zip_with(
-                                    x["mh"], y["mh"], lambda p, q: p == q
-                                ),
-                                lambda v: v,
-                            )
-                        ).alias("matches"),
-                    ),
-                ),
-            )
-        )
-        pairs = (
-            grouped.where((n >= 2) & (n <= LSH_BUCKET_CAP))
-            .select(F.explode_outer(pair_structs).alias("p"))
-            .select("p.id1", "p.id2", "p.matches")
-            .distinct()
-            .select(
+    # ALL four layouts ride ONE tagged explode + ONE (layout, band,
+    # sig) groupBy + ONE distinct instead of four independent
+    # explode/shuffle chains over the same signature frame: the layout
+    # columns join the grouping key, so per-layout buckets (and the
+    # pairs expanded from them) are exactly the sets the per-config
+    # chains produced — same rows, 4 index scans and 12 shuffles
+    # collapsed to 1 and 3. The band signature is ONLY a grouping key,
+    # so group on the raw signature slice (array grouping keys
+    # hash/compare natively; injective either way).
+    band_arr = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("bands"),
                 F.lit(r).alias("rows_per_band"),
-                "id1",
-                "id2",
-                "matches",
+                F.lit(i).alias("band"),
+                F.slice(F.col("mh"), i * r + 1, r).alias("sig"),
             )
+            for b, r in LSH_SWEEP_CONFIGS
+            for i in range(b)
+        ]
+    )
+    bands = sigs.select(
+        F.struct("doc_id", "mh").alias("doc"),
+        F.explode(band_arr).alias("bs"),
+    ).select(
+        "doc",
+        F.col("bs.bands").alias("bands"),
+        F.col("bs.rows_per_band").alias("rows_per_band"),
+        F.col("bs.band").alias("band"),
+        F.col("bs.sig").alias("sig"),
+    )
+    grouped = bands.groupBy("bands", "rows_per_band", "band", "sig").agg(
+        F.array_sort(F.collect_set("doc")).alias("docs")
+    )
+    n = F.size("docs")
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, n - i - 1),
+                lambda y: F.struct(
+                    x["doc_id"].alias("id1"),
+                    y["doc_id"].alias("id2"),
+                    F.size(
+                        F.filter(
+                            F.zip_with(
+                                x["mh"], y["mh"], lambda p, q: p == q
+                            ),
+                            lambda v: v,
+                        )
+                    ).alias("matches"),
+                ),
+            ),
         )
-        cfg_frames.append(pairs)
-    allp = cfg_frames[0]
-    for f in cfg_frames[1:]:
-        allp = allp.unionAll(f)
+    )
+    allp = (
+        grouped.where((n >= 2) & (n <= LSH_BUCKET_CAP))
+        .select(
+            "bands",
+            "rows_per_band",
+            F.explode_outer(pair_structs).alias("p"),
+        )
+        .select("bands", "rows_per_band", "p.id1", "p.id2", "p.matches")
+        .distinct()
+    )
     good = F.col("matches") >= LSH_SWEEP_MIN_MATCH
     truth = (
         allp.where(good)
@@ -793,18 +798,17 @@ def cross_doc_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape (verified via .explain): shingles are the 8-byte
     arithmetic hashes from operators.minhash — no n-gram strings ever
-    shuffle. The doc-frequency side is planned as its OWN
-    column-pruned scan (text only) whose aggregate output broadcasts
-    into the coverage join at report SF; at corpus scale AQE keeps it
-    a hash join on the two g-partitioned exchanges and splits
-    stop-gram skew. The shingle hashing therefore runs twice (once
-    per scan) — the deliberate price of rejecting the single-pass
-    window formulation (count over partition by gram), whose
-    WindowExec buffers an entire stop-gram partition in one task; on
-    a real 100 TB run the gram table would be staged once with the
-    repo's offload machinery and both consumers would read the
-    materialization. The per-doc and per-source rollups shuffle doc-
-    and source-cardinality rows respectively.
+    shuffle. The gram-hash frame is checkpointed so the tokenize+md5
+    shingle pass runs ONCE and both consumers (the doc-frequency
+    aggregate and the coverage join probe) read the materialization —
+    the staged-gram-table layout a real 100 TB run would use, rather
+    than the single-pass window formulation (count over partition by
+    gram), whose WindowExec buffers an entire stop-gram partition in
+    one task. At report SF the aggregate output broadcasts into the
+    coverage join; at corpus scale AQE plans it as a hash join over
+    gram-hash exchanges and splits stop-gram skew.
+    The per-doc and per-source rollups shuffle doc- and
+    source-cardinality rows respectively.
 
     The >= 50% "high-coverage" flag compares 2*n_dup >= n_grams in
     integer arithmetic so both engines agree without a float
@@ -817,7 +821,16 @@ def cross_doc_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.explode(F.array_distinct("sh")).alias("g"),
         )
-        .repartition("g")
+        # Both consumers (the doc-frequency aggregate and the coverage
+        # join probe) read the SAME gram rows; without the checkpoint
+        # each is planned as its own scan and the tokenize+md5 shingle
+        # pass runs twice. Checkpointing the 3-column hash frame
+        # (8-byte gram hashes + ids, never text) halves the heavy
+        # pass; the doc-frequency aggregate then exchanges only these
+        # hash rows and broadcasts back. Per-invocation only — cleared
+        # between bench queries; at 100 TB this is the staged gram
+        # table the docstring already prescribes.
+        .localCheckpoint(eager=True)
     )
     gram_docs = grams.groupBy("g").agg(F.count(F.lit(1)).alias("nd"))
     per_doc = (

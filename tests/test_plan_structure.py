@@ -437,15 +437,20 @@ def test_cross_doc_coverage_no_string_shuffle_no_window(spark):
     """The cross-doc duplicated-span metric shuffles 8-byte gram
     hashes, never gram strings, and uses the join formulation (not a
     per-gram window, whose WindowExec would buffer a stop-gram
-    partition in one task). Both the frequency and probe sides carry
-    an explicit g-hash exchange for skew-splittable joins at scale."""
+    partition in one task). The gram-hash frame is checkpointed
+    (r13): ONE tokenize+md5 pass feeds both the frequency aggregate
+    and the coverage probe as ExistingRDD scans — no explicit
+    repartition survives and no documents scan appears twice."""
     from goe_spark.queries.dedup import cross_doc_ngram_coverage
 
     plan = _plan(cross_doc_ngram_coverage(spark, SF_SMALL), "simple")
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "concat_ws" not in plan  # grams stay arithmetic hashes
-    assert plan.count("REPARTITION_BY_COL") == 2  # g-partitioned sides
+    # both consumers read the checkpointed gram frame, not re-planned
+    # shingle scans (the pre-r13 shape tokenized the corpus twice)
+    assert plan.count("ExistingRDD") >= 2
+    assert plan.count("REPARTITION_BY_COL") == 0
 
 
 def test_top_duplicate_ngrams_takeordered_single_exchange(spark):
