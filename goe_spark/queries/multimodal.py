@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from goe_spark.catalog import load_table
+from goe_spark.catalog import load_table, spread
 from goe_spark.multimodal import (
     attach_media,
     decode_media_features,
@@ -100,7 +100,9 @@ def media_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     three extractors)."""
     from goe_spark.multimodal.media import nibble_entropy_h, sniff_format_h
 
-    m = _media(spark, sf_dir)
+    # hex + entropy over the full payload is the heaviest per-row
+    # media parse; spread it off the single-file scan's one task
+    m = attach_media(spread(load_table(spark, sf_dir, "documents"), "doc_id"))
     c = F.col("content")
     hx = F.col("hx")
     per = m.select(
@@ -283,6 +285,10 @@ def media_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
         jpeg_sof_pos,
     )
 
+    # NOTE on spread(): measured r13 — these header parses finish in
+    # <~1 s serial at sf0.1; an explicit spread exchange costs more
+    # (extra AQE stage round) than the parallelism buys. Only the
+    # >1.5 s-serial parses (mp4, payload entropy) spread.
     d = load_table(spark, sf_dir, "documents")
     w = (1 + F.col("doc_id") % 1280).cast("int")
     h = (1 + F.col("doc_id") % 720).cast("int")
@@ -463,6 +469,10 @@ def media_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         wav_sample_rate_h,
     )
 
+    # NOTE on spread(): measured r13 — these header parses finish in
+    # <~1 s serial at sf0.1; an explicit spread exchange costs more
+    # (extra AQE stage round) than the parallelism buys. Only the
+    # >1.5 s-serial parses (mp4, payload entropy) spread.
     d = load_table(spark, sf_dir, "documents")
     ch = (1 + F.col("doc_id") % 2).cast("int")
     rate = (
@@ -622,6 +632,10 @@ def media_audio_duration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         wav_sample_rate,
     )
 
+    # NOTE on spread(): measured r13 — these header parses finish in
+    # <~1 s serial at sf0.1; an explicit spread exchange costs more
+    # (extra AQE stage round) than the parallelism buys. Only the
+    # >1.5 s-serial parses (mp4, payload entropy) spread.
     d = load_table(spark, sf_dir, "documents")
     ch = (1 + F.col("doc_id") % 2).cast("int")
     rate = (
@@ -774,6 +788,10 @@ def media_mp3_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         mp3_sample_rate_from_b3,
     )
 
+    # NOTE on spread(): measured r13 — these header parses finish in
+    # <~1 s serial at sf0.1; an explicit spread exchange costs more
+    # (extra AQE stage round) than the parallelism buys. Only the
+    # >1.5 s-serial parses (mp4, payload entropy) spread.
     d = load_table(spark, sf_dir, "documents")
     br_idx = (1 + F.col("doc_id") % 14).cast("int")
     sr_idx = (F.col("doc_id") % 3).cast("int")
@@ -1183,6 +1201,10 @@ def media_flac_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         is_flac_h,
     )
 
+    # NOTE on spread(): measured r13 — these header parses finish in
+    # <~1 s serial at sf0.1; an explicit spread exchange costs more
+    # (extra AQE stage round) than the parallelism buys. Only the
+    # >1.5 s-serial parses (mp4, payload entropy) spread.
     d = load_table(spark, sf_dir, "documents")
     did = F.col("doc_id")
     rate = (
@@ -1313,6 +1335,10 @@ def media_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiff_tag_from_entries,
     )
 
+    # NOTE on spread(): measured r13 — these header parses finish in
+    # <~1 s serial at sf0.1; an explicit spread exchange costs more
+    # (extra AQE stage round) than the parallelism buys. Only the
+    # >1.5 s-serial parses (mp4, payload entropy) spread.
     d = load_table(spark, sf_dir, "documents")
     did = F.col("doc_id")
     w = (1 + did % 4000).cast("long")

@@ -128,8 +128,15 @@ def cast_probe_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o_orderstatus is alphabetic so its int cast corrupts 100% — the
     probe must report that, mirroring the reference's fatal check.
+
+    The stringify + 3x try_cast per row is CPU-bound expression work;
+    on a single-file orders scan it ran as ONE task (guide §2.2) —
+    spread parallelizes it (shuffling the 3 narrow native columns,
+    pre-stringify), a no-op on a many-file table.
     """
-    o = load_table(spark, sf_dir, "orders")
+    from goe_spark.catalog import spread
+
+    o = spread(load_table(spark, sf_dir, "orders"), "o_orderkey")
     staged = o.select(
         F.col("o_totalprice").cast("string").alias("s_totalprice"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("s_orderdate"),
