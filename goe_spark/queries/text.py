@@ -472,25 +472,37 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the corpus-sized position explode joins ONLY against
     broadcast vocab tables (bigram top-K, unigram top-K twice), then
     aggregates map-side to doc grain — the explode itself never
-    shuffles. Counting passes are the same map-side-combined
-    explode+groupBy shape the unigram LM uses."""
+    shuffles. The position frame is tokenized ONCE into a
+    localCheckpoint (the r12 shape re-tokenized the corpus four
+    times: unigram vocab, bigram vocab, the total count, and the
+    scored pass); the existing total-count action materializes it.
+    At 100 TB the same featurize-once layout checkpoints the position
+    frame to DFS — plan shape identical."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", T.tokens("text").alias("toks")
     )
     toks = F.col("toks")
-    pos = d.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks)),
-                lambda i: F.struct(
-                    F.when(i > 1, F.element_at(toks, i - 1)).alias("prev"),
-                    F.element_at(toks, i).alias("cur"),
-                ),
-            )
-        ).alias("p"),
-    ).select("doc_id", "lang", "p.prev", "p.cur")
+    pos = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks)),
+                    lambda i: F.struct(
+                        F.when(i > 1, F.element_at(toks, i - 1)).alias(
+                            "prev"
+                        ),
+                        F.element_at(toks, i).alias("cur"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "lang", "p.prev", "p.cur")
+        # localCheckpoint (not persist): ContextCleaner releases the
+        # blocks when the driver reference is GC'd (round-7 ADVICE)
+        .localCheckpoint(eager=False)
+    )
     uni = (
         pos.groupBy(F.col("cur").alias("t"))
         .agg(F.count(F.lit(1)).alias("c"))
@@ -504,7 +516,7 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bc"), F.asc("prev"), F.asc("cur"))
         .limit(LM_BIGRAM_TOP_K)
     )
-    total = pos.count()  # scalar: total corpus tokens
+    total = pos.count()  # materializes the checkpoint; total tokens
     up = F.broadcast(
         uni.select(F.col("t").alias("prev"), F.col("c").alias("pc"))
     )
