@@ -128,6 +128,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Expression memo: a Column is an immutable, unresolved expression
+# tree — a pure plan object holding no data and bound to no session,
+# only to the process-wide py4j gateway. Building a large tree (the
+# media synthesis + header parsers run to hundreds of Column ops)
+# costs one py4j round-trip PER op — 0.3-1.4 s of driver time per
+# query call at bench load. Build once per SparkContext and reuse,
+# prepared-statement style: what is reused is the unresolved plan
+# fragment, never data. Keyed on the context OBJECT so a restarted
+# JVM rebuilds and id-reuse can never serve a stale gateway ref.
+_EXPR_MEMO: dict = {}
+
+
+def memo_exprs(name: str, builder):
+    """Return builder()'s Column structure, memoized per (name, active
+    SparkContext). builder must be pure: literals + F.col references
+    only, no DataFrame or session capture."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    key = (name, sc)
+    out = _EXPR_MEMO.get(key)
+    if out is None:
+        out = builder()
+        _EXPR_MEMO[key] = out
+    return out
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

@@ -924,7 +924,46 @@ def media_mp4_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: single scan, three bounded codegen folds (top/moov/trak
     sibling chains, MP4_WALK_CAP each), one 3-row aggregate; payload
     bytes never shuffle. At 100 TB: header-only parse per file —
-    width is the content column read, pruned everywhere else."""
+    width is the content column read, pruned everywhere else. The
+    synthesis + walker expression stack is built once per JVM via
+    memo_exprs (pure expression reuse; the py4j construction was
+    ~1.3 s of driver time per call at bench load)."""
+    from goe_spark.catalog import memo_exprs, spread
+
+    # the synthesis + walker fold is CPU-bound interpreted work; a
+    # single-split documents scan would serialize it onto one task
+    # (measured 5 s at sf0.1) — spread parallelizes it across cores
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+
+    def _build():
+        return _mp4_expr_stack()
+
+    s_content, s_hex, s_locate, s_per, key_col, s_agg = memo_exprs(
+        "media_mp4_stats", _build
+    )
+    # bind the payload, then its hex: the walker references the hex
+    # ~10x per fold step and the parses ~10x each — as a bound
+    # attribute each reference is free even when the projection is
+    # too large for whole-stage codegen (no CSE in interpreted mode).
+    # The walker fold runs ONCE per row behind the inline() Generate
+    # barrier — projection collapse would otherwise duplicate it into
+    # every parse column (nested per-level find() folds measured
+    # 10 ms/row); the parses are plain substr/conv over the emitted
+    # position columns.
+    per = (
+        d.select(*s_content)
+        .select(*s_hex)
+        .select(*s_locate)
+        .select(*s_per)
+        .where(F.col("p_ts").isNotNull())
+    )
+    return per.groupBy(key_col).agg(*s_agg)
+
+
+def _mp4_expr_stack():
+    """The media_mp4_stats expression stack (synthesis, hex bind,
+    walker, parses, aggregate) — pure Columns, memoized by the query
+    via memo_exprs."""
     from goe_spark.multimodal.media import (
         mp4_duration_units,
         mp4_mvhd_version,
@@ -934,12 +973,6 @@ def media_mp4_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         mp4_walk,
     )
 
-    from goe_spark.catalog import spread
-
-    # the synthesis + walker fold is CPU-bound interpreted work; a
-    # single-split documents scan would serialize it onto one task
-    # (measured 5 s at sf0.1) — spread parallelizes it across cores
-    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     did = F.col("doc_id")
     ts = (
         F.when(did % 3 == 0, 600)
@@ -1028,43 +1061,35 @@ def media_mp4_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     content_hex = F.when(
         did % 2 == 0, F.concat(ftyp_hex, moov_hex, mdat_hex)
     ).otherwise(F.concat(ftyp_hex, free_top, mdat_hex, moov_hex))
-    # bind the payload, then its hex: the walker references the hex
-    # ~10x per fold step and the parses ~10x each — as a bound
-    # attribute each reference is free even when the projection is
-    # too large for whole-stage codegen (no CSE in interpreted mode)
-    media = d.select(F.unhex(content_hex).alias("content")).select(
-        F.upper(F.hex(F.col("content"))).alias("hx")
-    )
-
-    # The walker fold runs ONCE per row behind the inline() Generate
-    # barrier — projection collapse would otherwise duplicate it into
-    # every parse column (nested per-level find() folds measured
-    # 10 ms/row); the parses below are plain substr/conv over the
-    # emitted position columns.
     hx = F.col("hx")
-    located = media.select(hx, F.inline(F.array(mp4_walk(hx))))
     mvhd_p = F.col("mvhd_pos")
     tkhd_p = F.col("tkhd_pos")
-    per = located.select(
-        mp4_timescale(hx, mvhd_p).alias("p_ts"),
-        mp4_duration_units(hx, mvhd_p).alias("p_du"),
-        mp4_mvhd_version(hx, mvhd_p).alias("p_v"),
-        mp4_track_width(hx, tkhd_p).alias("p_w"),
-        mp4_track_height(hx, tkhd_p).alias("p_h"),
-        (F.col("moov_pos") > 33).cast("long").alias("trailing"),
-    ).where(F.col("p_ts").isNotNull())
     dur_ms = F.floor(F.col("p_du") * 1000 / F.col("p_ts")).cast("bigint")
-    return per.groupBy(F.col("p_ts").alias("timescale")).agg(
-        F.count(F.lit(1)).alias("n_files"),
-        F.sum("p_v").cast("bigint").alias("n_v1_mvhd"),
-        F.sum("trailing").alias("n_moov_trailing"),
-        F.sum(dur_ms).alias("sum_duration_ms"),
-        F.min(dur_ms).alias("min_duration_ms"),
-        F.max(dur_ms).alias("max_duration_ms"),
-        F.sum("p_w").cast("bigint").alias("sum_width_px"),
-        F.min("p_w").alias("min_width_px"),
-        F.max("p_w").alias("max_width_px"),
-        F.sum("p_h").cast("bigint").alias("sum_height_px"),
+    return (
+        [F.unhex(content_hex).alias("content")],
+        [F.upper(F.hex(F.col("content"))).alias("hx")],
+        [hx, F.inline(F.array(mp4_walk(hx)))],
+        [
+            mp4_timescale(hx, mvhd_p).alias("p_ts"),
+            mp4_duration_units(hx, mvhd_p).alias("p_du"),
+            mp4_mvhd_version(hx, mvhd_p).alias("p_v"),
+            mp4_track_width(hx, tkhd_p).alias("p_w"),
+            mp4_track_height(hx, tkhd_p).alias("p_h"),
+            (F.col("moov_pos") > 33).cast("long").alias("trailing"),
+        ],
+        F.col("p_ts").alias("timescale"),
+        [
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("p_v").cast("bigint").alias("n_v1_mvhd"),
+            F.sum("trailing").alias("n_moov_trailing"),
+            F.sum(dur_ms).alias("sum_duration_ms"),
+            F.min(dur_ms).alias("min_duration_ms"),
+            F.max(dur_ms).alias("max_duration_ms"),
+            F.sum("p_w").cast("bigint").alias("sum_width_px"),
+            F.min("p_w").alias("min_width_px"),
+            F.max("p_w").alias("max_width_px"),
+            F.sum("p_h").cast("bigint").alias("sum_height_px"),
+        ],
     )
 
 
@@ -1326,94 +1351,124 @@ def media_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     files, max dimensions, exact pixel mass, large-image count.
 
     Plan: single scan, all codegen, one 2-row aggregate; payload
-    bytes never shuffle."""
-    from goe_spark.multimodal.media import (
-        _TAG_LENGTH,
-        _TAG_WIDTH,
-        tiff_endian_h,
-        tiff_entries_h,
-        tiff_tag_from_entries,
-    )
+    bytes never shuffle. The ~hundreds-of-Column-op synthesis + IFD
+    walk stack is built once per JVM via memo_exprs (pure expression
+    reuse — py4j round-trips were 1.0-1.4 s of driver time per
+    call)."""
+    from goe_spark.catalog import memo_exprs
 
     # NOTE on spread(): measured r13 — these header parses finish in
     # <~1 s serial at sf0.1; an explicit spread exchange costs more
     # (extra AQE stage round) than the parallelism buys. Only the
     # >1.5 s-serial parses (mp4, payload entropy) spread.
     d = load_table(spark, sf_dir, "documents")
-    did = F.col("doc_id")
-    w = (1 + did % 4000).cast("long")
-    h = (1 + did % 3000).cast("long")
-    ifd_off = F.when(did % 3 == 0, 8).otherwise(20).cast("long")
 
-    def u16(v, le):
-        be = F.lpad(F.hex(v), 4, "0")
-        return _u16le_hex(v) if le else be
-
-    def u32(v, le):
-        be = F.lpad(F.hex(v), 8, "0")
-        return _u32le_hex(v) if le else be
-
-    def entry(tag, typ, val, le):
-        return F.concat(
-            u16(F.lit(tag).cast("long"), le),
-            u16(F.lit(typ).cast("long"), le),
-            u32(F.lit(1).cast("long"), le),
-            u32(val, le),
+    def _build():
+        from goe_spark.multimodal.media import (
+            _TAG_LENGTH,
+            _TAG_WIDTH,
+            tiff_endian_h,
+            tiff_entries_h,
+            tiff_tag_from_entries,
         )
 
-    def build(le: bool):
-        sig = "49492A00" if le else "4D4D002A"
-        return F.concat(
-            F.lit(sig),
-            u32(ifd_off, le),
-            F.when(did % 3 == 0, F.lit("")).otherwise(F.lit("00" * 12)),
-            u16(F.lit(4).cast("long"), le),
-            entry(254, 4, F.lit(0).cast("long"), le),   # NewSubfileType
-            entry(256, 4, w, le),                       # ImageWidth
-            entry(257, 4, h, le),                       # ImageLength
-            entry(259, 4, F.lit(1).cast("long"), le),   # Compression
-            u32(F.lit(0).cast("long"), le),             # next IFD: none
+        did = F.col("doc_id")
+        w = (1 + did % 4000).cast("long")
+        h = (1 + did % 3000).cast("long")
+        ifd_off = F.when(did % 3 == 0, 8).otherwise(20).cast("long")
+
+        def u16(v, le):
+            be = F.lpad(F.hex(v), 4, "0")
+            return _u16le_hex(v) if le else be
+
+        def u32(v, le):
+            be = F.lpad(F.hex(v), 8, "0")
+            return _u32le_hex(v) if le else be
+
+        def entry(tag, typ, val, le):
+            return F.concat(
+                u16(F.lit(tag).cast("long"), le),
+                u16(F.lit(typ).cast("long"), le),
+                u32(F.lit(1).cast("long"), le),
+                u32(val, le),
+            )
+
+        def build(le: bool):
+            sig = "49492A00" if le else "4D4D002A"
+            return F.concat(
+                F.lit(sig),
+                u32(ifd_off, le),
+                F.when(did % 3 == 0, F.lit("")).otherwise(
+                    F.lit("00" * 12)
+                ),
+                u16(F.lit(4).cast("long"), le),
+                entry(254, 4, F.lit(0).cast("long"), le),  # NewSubfile
+                entry(256, 4, w, le),                      # ImageWidth
+                entry(257, 4, h, le),                      # ImageLength
+                entry(259, 4, F.lit(1).cast("long"), le),  # Compression
+                u32(F.lit(0).cast("long"), le),            # next IFD: 0
+            )
+
+        header_hex = F.when(did % 2 == 0, build(True)).otherwise(
+            build(False)
         )
-    header_hex = F.when(did % 2 == 0, build(True)).otherwise(build(False))
-    content = F.when(
-        did % 7 == 0, F.encode("text", "UTF-8")
-    ).otherwise(
-        F.concat(
-            F.unhex(header_hex),
-            F.encode(F.substring("text", 1, 8), "UTF-8"),
+        content = F.when(
+            did % 7 == 0, F.encode("text", "UTF-8")
+        ).otherwise(
+            F.concat(
+                F.unhex(header_hex),
+                F.encode(F.substring("text", 1, 8), "UTF-8"),
+            )
         )
+        hx = F.col("hx")
+        return (
+            [content.alias("content")],
+            [F.upper(F.hex(F.col("content"))).alias("hx")],
+            [
+                tiff_endian_h(hx).alias("endian"),
+                tiff_entries_h(hx).alias("ents"),
+            ],
+            [
+                F.col("endian"),
+                tiff_tag_from_entries(F.col("ents"), _TAG_WIDTH).alias(
+                    "w"
+                ),
+                tiff_tag_from_entries(F.col("ents"), _TAG_LENGTH).alias(
+                    "h"
+                ),
+            ],
+            [
+                F.count(F.lit(1)).alias("n_files"),
+                F.max("w").alias("max_w"),
+                F.max("h").alias("max_h"),
+                F.sum(F.col("w").cast("long") * F.col("h")).alias(
+                    "total_pixels"
+                ),
+                F.sum(
+                    (
+                        (F.col("w").cast("long") * F.col("h"))
+                        > 4_000_000
+                    ).cast("long")
+                ).alias("n_large"),
+            ],
+        )
+
+    s_content, s_hex, s_walk, s_tags, s_agg = memo_exprs(
+        "media_tiff_stats", _build
     )
-    # bind the payload, then its hex, then the entry scan — three
-    # stacked projections so neither the synthesis nor the hex is
+    # bind the payload, then its hex, then the entry scan — stacked
+    # projections so neither the synthesis nor the hex is
     # re-evaluated inside the ~50-reference IFD walk (r12 bound only
     # the entry scan; the hex-of-synthesized-payload expression still
     # repeated under it)
-    media = d.select(content.alias("content")).select(
-        F.upper(F.hex(F.col("content"))).alias("hx")
-    )
-    hx = F.col("hx")
     per = (
-        media.select(
-            tiff_endian_h(hx).alias("endian"),
-            tiff_entries_h(hx).alias("ents"),
-        )
-        .select(
-            "endian",
-            tiff_tag_from_entries(F.col("ents"), _TAG_WIDTH).alias("w"),
-            tiff_tag_from_entries(F.col("ents"), _TAG_LENGTH).alias("h"),
-        )
+        d.select(*s_content)
+        .select(*s_hex)
+        .select(*s_walk)
+        .select(*s_tags)
         .where(F.col("endian").isNotNull())
     )
-    return per.groupBy("endian").agg(
-        F.count(F.lit(1)).alias("n_files"),
-        F.max("w").alias("max_w"),
-        F.max("h").alias("max_h"),
-        F.sum(F.col("w").cast("long") * F.col("h")).alias("total_pixels"),
-        F.sum(
-            ((F.col("w").cast("long") * F.col("h")) > 4_000_000)
-            .cast("long")
-        ).alias("n_large"),
-    )
+    return per.groupBy("endian").agg(*s_agg)
 
 
 def _media_tiff_sql() -> str:
