@@ -1002,6 +1002,14 @@ def _span_cuts(d: DataFrame, min_run: int = 1) -> DataFrame:
     # md5-in-Filter hazard) — outer adds no predicate, and empty sh
     # cannot occur past the size(toks) >= 3 guard; the g-isnotnull
     # the joins need is a cheap filter on the GENERATED attribute.
+    # NOTE: occ feeds both the gram-stats aggregate and the probe
+    # side of the fan-out join, so the corpus tokenizes twice — a
+    # localCheckpoint here was MEASURED (r13) and REVERTED: writing
+    # the corpus-position rows to the block manager costs more than
+    # the saved pass, because the aggregate branch otherwise runs
+    # map-side partial aggregation directly on the explode output
+    # without ever materializing the exploded rows (bench +0.7 s per
+    # span query with the checkpoint).
     occ = sh_df.select(
         "doc_id", F.posexplode_outer("sh").alias("pos", "g")
     ).where(F.col("g").isNotNull())

@@ -153,3 +153,41 @@ def test_stream_state_partitions_scopes_and_restores(spark):
         with stream_state_partitions(spark):
             raise RuntimeError("boom")
     assert spark.conf.get("spark.sql.shuffle.partitions") == old
+
+
+def test_memo_exprs_reuses_per_name_and_context(spark):
+    """memo_exprs must return the SAME object for repeated (name,
+    context) calls without re-invoking the builder, and distinct
+    objects for distinct names."""
+    from goe_spark.catalog import memo_exprs
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return [F.lit(1).alias("one")]
+
+    a = memo_exprs("test-memo-a", build)
+    b = memo_exprs("test-memo-a", build)
+    assert a is b and calls["n"] == 1
+    c = memo_exprs("test-memo-b", build)
+    assert c is not a and calls["n"] == 2
+
+
+def test_memoized_media_queries_build_stable_plans(spark):
+    """The mp4/tiff expression memo is plan-level reuse only: two
+    invocations must produce identical analyzed plans (and the first
+    call after the memo warms must match the cold call)."""
+    from goe_spark.queries.multimodal import (
+        media_mp4_stats,
+        media_tiff_stats,
+    )
+
+    import re
+
+    def norm(df):
+        s = df._jdf.queryExecution().analyzed().toString()
+        return re.sub(r"#\d+", "#", s)  # exprIds are per-invocation
+
+    for fn in (media_mp4_stats, media_tiff_stats):
+        assert norm(fn(spark, SF_SMALL)) == norm(fn(spark, SF_SMALL))
