@@ -152,6 +152,20 @@ def minhash_signature(hashes: Column) -> Column:
     )
 
 
+def minhash_signature_named(name: str) -> Column:
+    """minhash_signature over a BOUND column reference, memoized per
+    (column name, SparkContext) — the catalog.memo_exprs discipline:
+    the K array_min/transform lambdas cost ~0.13 s of py4j round-trips
+    to build, paid once per JVM instead of once per query call. The
+    Column is an immutable unresolved tree, safe to reuse across
+    frames that expose ``name``."""
+    from goe_spark.catalog import memo_exprs
+
+    return memo_exprs(
+        f"minhash.signature:{name}", lambda: minhash_signature(F.col(name))
+    )
+
+
 def minhash_signature_sql(expr: str) -> str:
     mins = [
         f"list_min(list_transform({expr}, "
@@ -239,6 +253,19 @@ def simhash_signature(token_hashes: Column) -> Column:
     low = _vote_bits(token_hashes, SIMHASH_HALF, 0)
     high = _vote_bits(th2, SIMHASH_HALF, SIMHASH_HALF)
     return (low + high).cast("long")
+
+
+def simhash_signature_named(name: str) -> Column:
+    """simhash_signature over a BOUND column reference, memoized per
+    (column name, SparkContext): the 60 per-bit aggregate HOFs cost
+    ~0.95 s of py4j construction per call — by far the largest
+    expression-build term in the repo (measured r13); memoization
+    makes it once per JVM."""
+    from goe_spark.catalog import memo_exprs
+
+    return memo_exprs(
+        f"minhash.simhash:{name}", lambda: simhash_signature(F.col(name))
+    )
 
 
 def simhash_signature_sql(hashes_expr: str) -> str:

@@ -65,26 +65,39 @@ def signature_frame(docs: DataFrame) -> DataFrame:
     is bit-identical to the raw-array form. v3 adds the 60-bit
     SimHash (from the same token-hash lineage simhash_pairs uses:
     docs with >= 3 tokens, the shared shingle-ability filter)."""
-    from goe_spark.catalog import spread
-    from goe_spark.functions import text as T
-    from goe_spark.operators import minhash as MH
+    from goe_spark.catalog import memo_exprs, spread
 
+    # The full expression stack (tokenize -> token hashes -> distinct
+    # shingles + simhash -> minhash) costs ~1.2 s of py4j Column
+    # construction per call (the 60 simhash vote aggregates dominate,
+    # measured r13); every Column below is a pure unresolved tree over
+    # fixed column names, so build once per JVM (catalog.memo_exprs —
+    # the media-parser discipline).
+    def _stack():
+        from goe_spark.functions import text as T
+        from goe_spark.operators import minhash as MH
+
+        toks = T.tokens("text")
+        return (
+            F.size(toks) >= 3,
+            MH.token_hashes(toks),
+            F.array_distinct(MH.arith_shingle_hashes(F.col("th"))),
+            MH.simhash_signature(F.col("th")),
+            MH.minhash_signature(F.col("shd")),
+        )
+
+    guard, th_c, shd_c, sim_c, mh_c = memo_exprs(
+        "minhash_index.signature_stack", _stack
+    )
     # spread: signature codegen must not inherit a 1-split scan
     d = spread(docs.select("doc_id", "text"), "doc_id")
-    toks = T.tokens("text")
-    th_frame = d.select(
-        "doc_id", MH.token_hashes(toks).alias("th")
-    ).where(F.size(toks) >= 3)
+    th_frame = d.select("doc_id", th_c.alias("th")).where(guard)
     sh = th_frame.select(
         "doc_id",
-        F.array_distinct(
-            MH.arith_shingle_hashes(F.col("th"))
-        ).alias("shd"),
-        MH.simhash_signature(F.col("th")).alias("sim"),
+        shd_c.alias("shd"),
+        sim_c.alias("sim"),
     )
-    return sh.select(
-        "doc_id", "shd", MH.minhash_signature(F.col("shd")).alias("mh"), "sim"
-    )
+    return sh.select("doc_id", "shd", mh_c.alias("mh"), "sim")
 
 
 def build_signature_index(

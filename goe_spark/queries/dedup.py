@@ -283,7 +283,7 @@ def minhash_lsh_pairs(
         )
     else:
         sigs = _shingle_hashed(spark, sf_dir, docs).select(
-            "doc_id", MH.minhash_signature(F.col("sh")).alias("mh")
+            "doc_id", MH.minhash_signature_named("sh").alias("mh")
         )
     bands = sigs.select(
         F.struct("doc_id", "mh").alias("doc"),
@@ -2257,7 +2257,7 @@ def _paragraph_sigs(
         "idx",
         "signed",
         F.when(
-            F.col("sh").isNotNull(), MH.minhash_signature(F.col("sh"))
+            F.col("sh").isNotNull(), MH.minhash_signature_named("sh")
         ).alias("mh"),
     )
 
@@ -2816,7 +2816,7 @@ def dedup_stage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "idx",
         "signed",
         F.when(
-            F.col("sh").isNotNull(), MH.minhash_signature(F.col("sh"))
+            F.col("sh").isNotNull(), MH.minhash_signature_named("sh")
         ).alias("mh"),
     )
     pedges = (
