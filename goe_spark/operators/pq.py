@@ -40,10 +40,13 @@ Pipeline:
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from goe_spark.catalog import memo_exprs, spread
 from goe_spark.functions.hashing import hash64
 from goe_spark.operators.vector import dot as _dot
 from goe_spark.operators.vector import norm2 as _norm2
@@ -91,6 +94,37 @@ def sample_codebooks(emb: DataFrame) -> list[list[list[float]]]:
     if key:
         _BOOK_CACHE[key] = books
     return books
+
+
+def _books_digest(books: list[list[list[float]]]) -> str:
+    """Content fingerprint of a codebook set — the memo key for the
+    encode/ADC expression stacks. Keying on VALUES (repr of the exact
+    float grid) instead of the source path means a rebuilt/appended
+    index whose persisted codebooks changed can never be served a
+    stale expression tree, while the common case (same codebooks,
+    repeated bench runs) reuses the parsed stack."""
+    return hashlib.md5(repr(books).encode()).hexdigest()
+
+
+def _encode_expr(books: list[list[list[float]]]) -> Column:
+    """encode_codes("embedding", books), memoized per (codebook
+    values, SparkContext): the stack parses ~1 KB of literal
+    codebooks per subspace and costs a measurable fraction of a
+    second per call the py4j/parse way (guide §1.2 driver-side cost;
+    the mp4/tiff memo discipline)."""
+    return memo_exprs(
+        f"pq:encode:embedding:{_books_digest(books)}",
+        lambda: encode_codes("embedding", books),
+    )
+
+
+def _adc_expr(books: list[list[list[float]]]) -> Column:
+    """adc_dist("qvec", "codes", books), memoized like
+    _encode_expr."""
+    return memo_exprs(
+        f"pq:adc:qvec:codes:{_books_digest(books)}",
+        lambda: adc_dist("qvec", "codes", books),
+    )
 
 
 def _lit_codebook_sql(book_m: list[list[float]]) -> str:
@@ -168,9 +202,13 @@ def pq_topk(
     once — ivf.ensure_index shape — and rescores via a point join on
     the shortlist."""
     books = sample_codebooks(emb)
-    cand = emb.select(
+    # spread(): the single-file fixture scan yields ONE split and the
+    # encode (M_SUB*K_CODE rounded folds per vector — the dominant
+    # exec cost, measured serial at sf0.1) inherits it; a many-file
+    # 100 TB table already splits and spread is a no-op (guide §2.2).
+    cand = spread(emb, "vec_id").select(
         "vec_id",
-        encode_codes("embedding", books).alias("codes"),
+        _encode_expr(books).alias("codes"),
     )
     qry = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"),
@@ -189,7 +227,7 @@ def pq_topk(
         .select(
             "qid",
             "vec_id",
-            adc_dist("qvec", "codes", books).alias("ad"),
+            _adc_expr(books).alias("ad"),
         )
     )
     w_short = Window.partitionBy("qid").orderBy(
@@ -259,7 +297,7 @@ def ivf_pq_topk(
     cents = IVF.centroids(emb).cache()
     assigned = IVF.assign_cells(emb, cents)
     cand_codes = assigned.select(
-        "vec_id", "cell", encode_codes("embedding", books).alias("codes")
+        "vec_id", "cell", _encode_expr(books).alias("codes")
     )
     queries = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"),
@@ -275,7 +313,7 @@ def ivf_pq_topk(
         .select(
             "qid",
             "vec_id",
-            adc_dist("qvec", "codes", books).alias("ad"),
+            _adc_expr(books).alias("ad"),
         )
     )
     w_short = Window.partitionBy("qid").orderBy(
@@ -366,7 +404,7 @@ def ivf_pq_topk_indexed(
         cand_codes = assigned.select(
             "vec_id",
             "cell",
-            encode_codes("embedding", books).alias("codes"),
+            _encode_expr(books).alias("codes"),
         )
     scored = (
         cand_codes.join(F.broadcast(probes), "cell")
@@ -375,7 +413,7 @@ def ivf_pq_topk_indexed(
         .select(
             "qid",
             "vec_id",
-            adc_dist("qvec", "codes", books).alias("ad"),
+            _adc_expr(books).alias("ad"),
         )
     )
     w_short = Window.partitionBy("qid").orderBy(

@@ -1973,35 +1973,51 @@ def _power_iterate(base: DataFrame) -> tuple[list[int], list[tuple], int]:
     """Run PI_ITERS exact fixed-point power-iteration rounds over a
     frame with a quantized `q` array column; returns (final
     eigenvector milli-ints, per-iteration metric tuples, trace).
-    See embedding_power_iteration for the exactness contract."""
+    See embedding_power_iteration for the exactness contract.
+
+    ONE distributed pass (r13): the corpus only ever enters the
+    iteration through w_j = Σ_rows q_j·(q·v), and integer
+    distributivity regroups that EXACTLY as Σ_k G_jk·v_k where
+    G = Σ_rows q qᵀ is the dim×dim integer Gram/second-moment matrix
+    — so G is aggregated once (upper triangle, dim·(dim+1)/2 = 2080
+    groups at EMB_DIM=64, map-side partial aggregation), collected at
+    matrix grain, and every iteration plus the trace (Σ_j G_jj) runs
+    on the driver with exact Python ints. Replaces the r12 shape of
+    one trace job + one corpus pass PER iteration (5 sequential jobs
+    over the same data) with a single job; bit-identical rows because
+    every regrouped sum is integer arithmetic in both layouts, and
+    the driver's arbitrary-precision ints only widen the headroom the
+    Spark bigint path had."""
     import math
 
-    spark = base.sparkSession
-    trace_row = base.select(
-        F.explode("q").alias("qv")
-    ).agg(F.sum(F.col("qv") * F.col("qv")).alias("tr")).first()
-    trace = int(trace_row["tr"])
-
     dim = EMB_DIM
+    qd = base.select(F.posexplode("q").alias("j", "qj"), "q")
+    g_rows = (
+        qd.select(
+            "j",
+            "qj",
+            F.posexplode(
+                F.slice(F.col("q"), F.col("j") + 1, F.lit(dim))
+            ).alias("k0", "qk"),
+        )
+        .groupBy("j", "k0")
+        .agg(F.sum(F.col("qj") * F.col("qk")).alias("g"))
+        .collect()
+    )
+    G = [[0] * dim for _ in range(dim)]
+    for r in g_rows:
+        j = int(r["j"])
+        k = j + int(r["k0"])
+        G[j][k] = int(r["g"])
+        G[k][j] = int(r["g"])
+    trace = sum(G[j][j] for j in range(dim))
+
     v = [PI_Q] * dim
     rows: list[tuple] = []
     for it in range(1, PI_ITERS + 1):
-        vlit = F.array(*[F.lit(x) for x in v])
-        s = F.aggregate(
-            F.zip_with(F.col("q"), vlit, lambda a, b: a * b),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-        w_rows = (
-            base.select("q", s.alias("s"))
-            .select(F.col("s"), F.posexplode("q").alias("dim", "qv"))
-            .groupBy("dim")
-            .agg(F.sum(F.col("s") * F.col("qv")).alias("w"))
-            .collect()
-        )
-        w = [0] * dim
-        for r in w_rows:
-            w[int(r["dim"])] = int(r["w"])
+        w = [
+            sum(G[j][k] * v[k] for k in range(dim)) for j in range(dim)
+        ]
         r_num = sum(vj * wj for vj, wj in zip(v, w))      # exact int
         r_den = sum(vj * vj for vj in v)                  # exact int
         n2 = sum(wj * wj for wj in w)                     # exact int
@@ -2037,19 +2053,20 @@ def embedding_power_iteration(
 
     Exactness: components quantize to the {PI_Q} grid; Mv is computed
     WITHOUT materializing M — per row s = q·v (int fold), then
-    w_j = sum(s * q_j), an integer sum collected at DIMENSION grain
-    (64 rows — the bounded vocabulary-grain pattern of
-    classifier_train_epochs); v renormalizes on the driver with ONE
-    double sqrt/division per component (norm² summed exactly in
-    integers first, so no float accumulation order exists), matching
-    the DuckDB oracle's unrolled-iteration CTEs bit for bit. Integer
-    magnitudes stay under 2^53 through sf10; a 1e9-vector corpus
-    promotes w to decimal(38,0), same plan shape (SCALE.md).
+    w_j = sum(s * q_j) = Σ_k G_jk v_k for the integer Gram matrix
+    G = Σ q qᵀ (exact regrouping — integer distributivity); v
+    renormalizes on the driver with ONE double sqrt/division per
+    component (norm² summed exactly in integers first, so no float
+    accumulation order exists), matching the DuckDB oracle's
+    unrolled-iteration CTEs bit for bit. Integer magnitudes stay
+    under 2^53 through sf10; a 1e9-vector corpus promotes G to
+    decimal(38,0), same plan shape (SCALE.md).
 
-    Plan: ONE corpus pass per iteration (v rides the plan as a
-    literal array, zero joins); posexplode (dim, s*q) rides map-side
-    partial aggregation so the shuffle carries 64 x n_partitions
-    partial rows, never the corpus."""
+    Plan (r13): ONE corpus pass total — the Gram upper triangle
+    aggregates map-side into 2080 groups and collects at matrix
+    grain; every iteration and the trace then run on the driver over
+    G (the bounded-model-state pattern of bpe_train_merges), so the
+    r12 shape of one corpus job per iteration is gone."""
     base = _quantized_embeddings(spark, sf_dir).select("q")
     v, rows, _ = _power_iterate(base)
     return spark.createDataFrame(
@@ -2148,8 +2165,10 @@ def embedding_anisotropy_by_label(
     double division, floored to ppm, so both engines compute the
     identical integer. Rollup is label-cardinality.
 
-    Plan: 4 training passes (dimension-grain collects) + one scoring
-    pass with the eigenvector as a plan literal; zero joins."""
+    Plan (r13): ONE Gram-matrix training pass (matrix-grain collect;
+    iterations replay on the driver — see _power_iterate) + one
+    scoring pass with the eigenvector as a plan literal; zero
+    joins."""
     base = _quantized_embeddings(spark, sf_dir)
     v, _, _ = _power_iterate(base.select("q"))
     vlit = F.array(*[F.lit(x) for x in v])

@@ -201,9 +201,16 @@ def audience_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("type_a") < F.col("type_b"),
         )
     )
+    # Exact control on DISTINCT (event_type, user_id) pairs (r13):
+    # the raw-event self-join fans out events-per-user² per user
+    # (~67² at sf0.1 ⇒ ~3.3M joined rows) only for countDistinct to
+    # collapse them again; deduping first bounds the fanout at
+    # types-per-user² (≤ T² = 25) while producing the identical
+    # (type_a, type_b, user) set, so exact_overlap is unchanged.
+    tu = e.distinct()
     exact = (
-        e.alias("x")
-        .join(e.alias("y"), F.expr("x.user_id = y.user_id"))
+        tu.alias("x")
+        .join(tu.alias("y"), F.expr("x.user_id = y.user_id"))
         .where(F.expr("x.event_type < y.event_type"))
         .groupBy(
             F.col("x.event_type").alias("type_a"),
