@@ -183,6 +183,25 @@ def spread(df: DataFrame, key: str) -> DataFrame:
     return df
 
 
+def pin_cpu_stage(df: DataFrame, *keys: str) -> DataFrame:
+    """Pin the partition count of a CPU-heavy, byte-light stage.
+
+    AQE's partition coalescing is BYTE-based: a post-shuffle stage
+    holding a few MB of collected groups gets folded into one or two
+    partitions even when the work per row (group-local pair
+    expansion, array_intersect verification, per-pair dot products)
+    is thousands of times the row's size — measured in round 13 as a
+    single 1.7 s task behind a 551 KB exchange. A user-specified
+    repartition is exempt from coalescing, so this hash-repartitions
+    on ``keys`` into 4x defaultParallelism slots: the group/pair key
+    count scales with the data (never with the core count), so every
+    slot fills at scale while a local run simply spreads its groups
+    across the cores. The exchange it adds carries only the already-
+    aggregated rows — KBs, not the corpus."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target, *keys)
+
+
 def _scan_partitions_estimate(df: DataFrame) -> int:
     """Estimated partition count of ``df``'s scan — the input to
     spread's under-split decision. For a file-backed frame (every

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from goe_spark.catalog import load_table, spread
+from goe_spark.catalog import load_table, pin_cpu_stage, spread
 from goe_spark.functions import text as T
 from goe_spark.functions.hashing import hash64, hash64_sql
 from goe_spark.queries import QuerySpec
@@ -1376,8 +1376,6 @@ def minhash_probe_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure function of the text, so the indexed result is bit-identical
     to the recompute-everything DuckDB oracle.
     """
-    from pyspark.sql.window import Window
-
     from goe_spark.operators import minhash as MH
     from goe_spark.operators.minhash_index import (
         ensure_signature_index,
@@ -1388,8 +1386,17 @@ def minhash_probe_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_new = F.col("doc_id") % NEW_DOC_MOD == 0
     idx_dir = ensure_signature_index(spark, sf_dir)
     idx_sigs = load_signatures(spark, idx_dir).where(~is_new)
-    new_sigs = signature_frame(
-        load_table(spark, sf_dir, "documents").where(is_new)
+    # The new-batch signature lineage feeds BOTH the occupancy union
+    # and the candidate join; without a checkpoint Spark evaluates the
+    # whole tokenize->md5->minhash chain (and scans documents) once
+    # per consumer. One eager localCheckpoint of the O(batch) frame
+    # (doc_id + 128-long signature) computes it exactly once — at
+    # 100 TB the increment batch is the small side, so pinning it is
+    # the standard "featurize the batch once" layout.
+    new_sigs = (
+        signature_frame(load_table(spark, sf_dir, "documents").where(is_new))
+        .select("doc_id", "mh")
+        .localCheckpoint(eager=True)
     )
 
     def bands_of(sigs: DataFrame) -> DataFrame:
@@ -1444,18 +1451,26 @@ def minhash_probe_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .where(F.col("est_jaccard") >= PROBE_MIN_AGREEMENT)
     )
-    w = Window.partitionBy("new_id").orderBy(
-        F.col("est_jaccard").desc(), F.col("match_id").asc()
-    )
-    ranked = cands.withColumn("rn", F.row_number().over(w))
-    return ranked.groupBy(F.col("new_id").alias("doc_id")).agg(
-        F.count(F.lit(1)).alias("n_matches"),
-        F.max(F.when(F.col("rn") == 1, F.col("match_id"))).alias(
-            "best_match_id"
-        ),
-        F.max(F.when(F.col("rn") == 1, F.col("est_jaccard"))).alias(
-            "best_est_jaccard"
-        ),
+    # Best match via ONE aggregate instead of a window + rn==1 scan:
+    # max(struct(est, -match_id)) realizes exactly the window's
+    # (est DESC, match_id ASC) ranking head (doubles here are rounded
+    # agreement fractions, never NaN), dropping the extra Exchange +
+    # Sort the row_number stage cost.
+    best = F.max(
+        F.struct(
+            F.col("est_jaccard").alias("est"),
+            (-F.col("match_id")).alias("neg_id"),
+        )
+    ).alias("b")
+    return (
+        cands.groupBy(F.col("new_id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_matches"), best)
+        .select(
+            "doc_id",
+            "n_matches",
+            (-F.col("b.neg_id")).alias("best_match_id"),
+            F.col("b.est").alias("best_est_jaccard"),
+        )
     )
 
 
@@ -2074,14 +2089,32 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # that; counting is a map-side-partial aggregate, and only
     # cap-bounded lists are ever collected. Both aggregates hash on
     # `sh`, so the second reuses the first's exchange.
+    # pin_cpu_stage below the count: AQE re-plans the posts><rare_sh
+    # join as a broadcast of POSTS and then reuses THIS exchange's
+    # partitioning for everything downstream (collect_set + pair
+    # expansion), so if it byte-coalesces here the whole expansion
+    # serializes onto 2 cores (measured). Pinning the count exchange
+    # pins the downstream CPU stages whichever build side AQE picks.
+    # Partial-agg loss is immaterial: rare-shingle keys are
+    # distinct-heavy, so count partials barely shrink the rows.
     rare_sh = (
-        posts.groupBy("sh")
+        pin_cpu_stage(posts, "sh")
+        .groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
         .where((F.col("df") >= 2) & (F.col("df") <= CONTAINMENT_DF_CAP))
         .select("sh")
     )
+    # Both CPU walls below are byte-light, so AQE coalesces them onto
+    # 1-2 cores without the pins (measured: expansion 1.5 s on 2
+    # tasks, verify 11 s of array_intersect CPU on 8): pin the
+    # posting-list expansion and the per-pair verify stages. The
+    # expansion pin sits BELOW the groupBy — its hash partitioning
+    # satisfies the aggregate's clustering, so it REPLACES the
+    # coalescable exchange instead of adding one (a pin above the
+    # aggregate gets collapsed into the (id1, id2) repartition by the
+    # optimizer's redundant-repartition rule — verified in the plan).
     rare = (
-        posts.join(rare_sh, "sh")
+        pin_cpu_stage(posts.join(rare_sh, "sh"), "sh")
         .groupBy("sh")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
     )
@@ -2095,19 +2128,39 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # pin_cpu_stage BEFORE distinct: the pinned hash partitioning on
+    # (id1, id2) already satisfies the distinct's clustering, so the
+    # dedup agg adds no exchange of its own and the verify inherits
+    # the pinned slot count instead of AQE's byte-coalesced 8.
     cands = (
-        rare.select(F.explode_outer(pair_structs).alias("p"))
-        .select("p.id1", "p.id2")
+        pin_cpu_stage(
+            rare.select(F.explode_outer(pair_structs).alias("p")).select(
+                "p.id1", "p.id2"
+            ),
+            "id1",
+            "id2",
+        )
         .distinct()
     )
+    # Explicit broadcast of the DOC side (|docs| rows of shingle
+    # arrays): size estimates otherwise pick the PAIR side (~1M rows
+    # here) as the build side, collecting it to the driver and
+    # running the whole array_intersect verify inside the doc scan's
+    # single-file stage — one task (measured: the verify wall). With
+    # the doc side built, the pinned pair partitions stream and the
+    # verify spreads across the cores.
     scored = cands.join(
-        shingled.select(
-            F.col("doc_id").alias("id1"), F.col("shd").alias("shd1")
+        F.broadcast(
+            shingled.select(
+                F.col("doc_id").alias("id1"), F.col("shd").alias("shd1")
+            )
         ),
         "id1",
     ).join(
-        shingled.select(
-            F.col("doc_id").alias("id2"), F.col("shd").alias("shd2")
+        F.broadcast(
+            shingled.select(
+                F.col("doc_id").alias("id2"), F.col("shd").alias("shd2")
+            )
         ),
         "id2",
     )
@@ -2400,9 +2453,17 @@ def paragraph_probe_new_docs(
     is_new = F.col("doc_id") % NEW_DOC_MOD == 0
     idx_dir = ensure_paragraph_index(spark, sf_dir)
     idx_sigs = load_paragraphs(spark, idx_dir).where(~is_new)
+    # The batch's paragraph-signature lineage feeds THREE consumers
+    # (occupancy union, candidate join, the final per-doc rollup);
+    # uncheckpointed, Spark re-runs the tokenize->md5->minhash chain
+    # and the documents scan once per consumer. One eager
+    # localCheckpoint of the O(batch) frame computes it exactly once
+    # (the minhash_probe_new_docs discipline).
     new_all = _paragraph_sigs(
         spark, sf_dir, docs=load_table(spark, sf_dir, "documents").where(is_new)
-    )
+    ).select(
+        "doc_id", "idx", "n_paras", "signed", "mh"
+    ).localCheckpoint(eager=True)
 
     def bands_of(sigs: DataFrame, pid_name: str, mh_name: str) -> DataFrame:
         keyed = sigs.where(F.col("signed")).select(

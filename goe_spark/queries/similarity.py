@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from goe_spark.catalog import load_table
+from goe_spark.catalog import load_table, pin_cpu_stage
 from goe_spark.queries import QuerySpec
 
 N_QUERIES = 5
@@ -1669,14 +1669,24 @@ FROM gram GROUP BY i
 """
 
 
-def _labeled_cell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(src, slabel, dst, dlabel, cosine): all ordered candidate
-    pairs inside each (IVF cell, sub-bucket), labels joined at vector
-    grain — the shared kNN-candidate construction of
-    knn_label_agreement and hard_negative_mining_stats. Cell fan-out
-    is bounded by EMB_CELL_CAP sub-bucketing exactly like
-    knn_graph_ivf_stats; the quantizer assignment comes from the
-    materialized index."""
+def _labeled_cell_neighbours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, slabel, nbrs): per vector, its ordered candidate list
+    inside its (IVF cell, sub-bucket) — an array of
+    struct(cosine, dst, dlabel) sorted by (cosine DESC, dst ASC) —
+    the shared kNN-candidate construction of knn_label_agreement and
+    hard_negative_mining_stats. Cell fan-out is bounded by
+    EMB_CELL_CAP sub-bucketing exactly like knn_graph_ivf_stats; the
+    quantizer assignment comes from the materialized index.
+
+    The sort happens GROUP-LOCALLY in the same task that already
+    expands the bucket's candidate pairs, so the per-src ranking both
+    consumers need costs zero extra shuffles: the r12 shape exploded
+    ~215k pair rows only to re-shuffle them through a
+    row_number window and a per-src groupBy. The comparator spells
+    out (cosine DESC, dst ASC) with SQL comparisons — the exact total
+    order the window used (cosines are rounded fractions; the fixture
+    has no NaN/zero-norm vectors, pinned by the green ANSI qcos
+    cast)."""
     from goe_spark.functions.hashing import hash64
     from goe_spark.operators.ivf import ensure_index, load_assigned
 
@@ -1716,31 +1726,50 @@ def _labeled_cell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct("vec_id", "label", "embedding", "nrm")
         ).alias("ds")
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ds"),
-            lambda x: F.transform(
-                F.filter(
-                    F.col("ds"), lambda y: y["vec_id"] != x["vec_id"]
-                ),
-                lambda y: F.struct(
-                    x["vec_id"].alias("src"),
-                    x["label"].alias("slabel"),
-                    y["vec_id"].alias("dst"),
-                    y["label"].alias("dlabel"),
-                    F.round(
-                        _dot(x["embedding"], y["embedding"])
-                        / F.sqrt(x["nrm"] * y["nrm"]),
-                        6,
-                    ).alias("cosine"),
-                ),
-            ),
+    # The expansion below is tiny in BYTES (a few hundred KB of
+    # collected structs) but huge in CPU (|bucket|^2 64-dim dots), so
+    # AQE's byte-based coalescing folds the post-groupBy stage into
+    # ONE partition and serializes all of it onto one core (measured:
+    # a single 1.7 s task). pin_cpu_stage exempts it from coalescing.
+    grouped = pin_cpu_stage(grouped, "cell", "sub")
+
+    def _cmp(lhs: Column, rhs: Column) -> Column:
+        return (
+            F.when(lhs["cosine"] > rhs["cosine"], F.lit(-1))
+            .when(lhs["cosine"] < rhs["cosine"], F.lit(1))
+            .when(lhs["dst"] < rhs["dst"], F.lit(-1))
+            .when(lhs["dst"] > rhs["dst"], F.lit(1))
+            .otherwise(F.lit(0))
         )
+
+    src_structs = F.transform(
+        F.col("ds"),
+        lambda x: F.struct(
+            x["vec_id"].alias("src"),
+            x["label"].alias("slabel"),
+            F.array_sort(
+                F.transform(
+                    F.filter(
+                        F.col("ds"), lambda y: y["vec_id"] != x["vec_id"]
+                    ),
+                    lambda y: F.struct(
+                        F.round(
+                            _dot(x["embedding"], y["embedding"])
+                            / F.sqrt(x["nrm"] * y["nrm"]),
+                            6,
+                        ).alias("cosine"),
+                        y["vec_id"].alias("dst"),
+                        y["label"].alias("dlabel"),
+                    ),
+                ),
+                _cmp,
+            ).alias("nbrs"),
+        ),
     )
     return (
         grouped.where(F.size("ds") >= 2)
-        .select(F.explode_outer(pair_structs).alias("p"))
-        .select("p.src", "p.slabel", "p.dst", "p.dlabel", "p.cosine")
+        .select(F.explode_outer(src_structs).alias("p"))
+        .select("p.src", "p.slabel", "p.nbrs")
     )
 
 
@@ -1762,18 +1791,21 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     at vector grain; the rollup is label-cardinality. The DuckDB
     oracle replays the quantizer through the SAME _ivf_assigned_ctes
     chain as ann_ivf_topk."""
-    from pyspark.sql.window import Window
-
-    scored = _labeled_cell_pairs(spark, sf_dir)
-    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
-    nn = scored.withColumn("rk", F.row_number().over(w)).where(
-        F.col("rk") <= KNN_GRAPH_K
-    )
-    per_vec = nn.groupBy("src", "slabel").agg(
-        F.count(F.lit(1)).alias("k_actual"),
-        F.sum((F.col("slabel") == F.col("dlabel")).cast("long")).alias(
-            "agree"
-        ),
+    nb = _labeled_cell_neighbours(spark, sf_dir)
+    # top-K is a slice of the group-locally sorted candidate array —
+    # the r12 window (Exchange + Sort over ~215k pair rows) and the
+    # per-src groupBy collapse into map-side array ops on one row per
+    # vector.
+    topk = F.slice(F.col("nbrs"), 1, KNN_GRAPH_K)
+    per_vec = nb.select(
+        "src",
+        "slabel",
+        F.size(topk).cast("long").alias("k_actual"),
+        F.size(
+            F.filter(topk, lambda n: n["dlabel"] == F.col("slabel"))
+        )
+        .cast("long")
+        .alias("agree"),
     )
     return per_vec.groupBy(F.col("slabel").alias("label")).agg(
         F.count(F.lit(1)).alias("n_vecs"),
@@ -1864,20 +1896,44 @@ def hard_negative_mining_stats(
     knn_label_agreement (_labeled_cell_pairs — one shared
     construction, two audits); one per-anchor aggregate, one
     label-grain rollup."""
-    from pyspark.sql.window import Window
+    nb = _labeled_cell_neighbours(spark, sf_dir)
 
-    scored = _labeled_cell_pairs(spark, sf_dir)
-    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
-    qcos = F.floor(F.col("cosine") * 1e6 + 0.5).cast("long")
-    same = F.col("slabel") == F.col("dlabel")
-    ranked = scored.withColumn("rk", F.row_number().over(w))
-    per_src = ranked.groupBy("src", "slabel").agg(
-        F.max(F.when(same, qcos)).alias("best_pos_q"),
-        F.max(F.when(~same, qcos)).alias("best_neg_q"),
-        F.min(F.when(~same, F.col("rk"))).alias("first_neg_rank"),
-        F.sum((~same & (F.col("rk") <= KNN_GRAPH_K)).cast("long")).alias(
-            "hard_in_topk"
+    def _qcos(n: Column) -> Column:
+        return F.floor(n["cosine"] * 1e6 + 0.5).cast("long")
+
+    def _same(n: Column) -> Column:
+        return n["dlabel"] == F.col("slabel")
+
+    # All per-anchor stats are array folds over the group-locally
+    # sorted candidate list (r12: window rank + per-src groupBy over
+    # ~215k exploded pair rows). The candidate array arrives sorted
+    # (cosine DESC, dst ASC), so rank = 1-based array index.
+    neg_ranks = F.filter(
+        F.transform(
+            F.col("nbrs"), lambda n, i: F.when(~_same(n), i + 1)
         ),
+        lambda v: v.isNotNull(),
+    )
+    per_src = nb.select(
+        "src",
+        "slabel",
+        F.array_max(
+            F.transform(F.filter(F.col("nbrs"), _same), _qcos)
+        ).alias("best_pos_q"),
+        F.array_max(
+            F.transform(
+                F.filter(F.col("nbrs"), lambda n: ~_same(n)), _qcos
+            )
+        ).alias("best_neg_q"),
+        F.get(neg_ranks, 0).alias("first_neg_rank"),
+        F.size(
+            F.filter(
+                F.slice(F.col("nbrs"), 1, KNN_GRAPH_K),
+                lambda n: ~_same(n),
+            )
+        )
+        .cast("long")
+        .alias("hard_in_topk"),
     )
     both = F.col("best_pos_q").isNotNull() & F.col(
         "best_neg_q"
@@ -2257,26 +2313,38 @@ def embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     table joined to itself (bounded by the label count, whitelisted
     in tools/plan_audit.py with a SCALE.md row) — the corpus is
     touched exactly once."""
+    from goe_spark.catalog import memo_exprs
     from goe_spark.operators.ivf import CENT_DEC, DIM
     from goe_spark.operators.vector import dot, norm2
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "label", "embedding"
     )
-    sums = emb.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(F.element_at("embedding", i + 1).cast(CENT_DEC)).alias(
-                f"s{i}"
-            )
-            for i in range(DIM)
+    # The {DIM}-wide decimal-sum aggregate + centroid array are ~200
+    # py4j Column constructions per call; both are pure literal/col
+    # trees over fixed names, so build once per JVM (the media-parser
+    # memo discipline; DIM/CENT_DEC are module constants).
+    agg_exprs = memo_exprs(
+        "centroid_shift.sums",
+        lambda: [
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(
+                    F.element_at("embedding", i + 1).cast(CENT_DEC)
+                ).alias(f"s{i}")
+                for i in range(DIM)
+            ],
         ],
     )
-    cvec = F.array(
-        *[
-            (F.col(f"s{i}").cast("double") / F.col("n"))
-            for i in range(DIM)
-        ]
+    sums = emb.groupBy("label").agg(*agg_exprs)
+    cvec = memo_exprs(
+        "centroid_shift.cvec",
+        lambda: F.array(
+            *[
+                (F.col(f"s{i}").cast("double") / F.col("n"))
+                for i in range(DIM)
+            ]
+        ),
     )
     cents = sums.select(
         "label", F.col("n"), cvec.alias("cvec")
