@@ -2844,42 +2844,19 @@ def dedup_stage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("i"),
     )
-    # paragraph signatures from the SHARED token hashes: slicing the
-    # hash array commutes with the element-wise token_hashes map, so
-    # minhash_signature(arith_shingle_hashes(slice(th))) is value-
-    # identical to _paragraph_sigs' recompute-from-text lineage.
-    n_paras = F.ceil(F.col("n_toks") / PARA_WORDS).cast("int")
-    pinst = ck.select(
-        "doc_id",
-        F.explode_outer(
-            F.transform(
-                F.sequence(F.lit(0), n_paras - 1),
-                lambda i: F.struct(
-                    i.cast("int").alias("idx"),
-                    F.slice(
-                        F.col("th"), i * PARA_WORDS + 1, PARA_WORDS
-                    ).alias("pth"),
-                ),
-            )
-        ).alias("p"),
-    ).where(F.col("p").isNotNull())
-    psh = pinst.select(
-        "doc_id",
-        F.col("p.idx").alias("idx"),
-        (F.size(F.col("p.pth")) >= 3).alias("signed"),
-        F.when(
-            F.size(F.col("p.pth")) >= 3,
-            MH.arith_shingle_hashes(F.col("p.pth")),
-        ).alias("sh"),
+    # paragraph signatures from the MATERIALIZED paragraph index —
+    # the same bit-identical _paragraph_sigs lineage, persisted once
+    # per source fingerprint (paragraph_dedup_stats' discipline).
+    # paragraph_dup_pairs references its input 2-3x internally, so
+    # recomputing the 128-hash minhash stack from ck's token hashes
+    # ran the stack per reference (measured: three ~3 s 68-task
+    # stages); the index read is a plan-cached parquet scan instead.
+    from goe_spark.operators.paragraph_index import (
+        ensure_paragraph_index,
+        load_paragraphs,
     )
-    sigs = psh.select(
-        "doc_id",
-        "idx",
-        "signed",
-        F.when(
-            F.col("sh").isNotNull(), MH.minhash_signature_named("sh")
-        ).alias("mh"),
-    )
+
+    sigs = load_paragraphs(spark, ensure_paragraph_index(spark, sf_dir))
     pedges = (
         paragraph_dup_pairs(sigs, PARA_SIM_MIN)
         .select(F.col("pid1").alias("id1"), F.col("pid2").alias("id2"))
