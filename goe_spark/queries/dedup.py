@@ -446,6 +446,12 @@ def lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("bands", "rows_per_band", "p.id1", "p.id2", "p.matches")
         .distinct()
+        # truth AND per_cfg both consume the deduped pair set; only
+        # the signature EXCHANGE is reused across consumers, so the
+        # bucket agg + pair expansion + distinct ran twice (measured:
+        # two ~0.9 s stages re-reading the 14 MB band exchange). The
+        # checkpoint materializes the ~per-layout pair rows once.
+        .localCheckpoint(eager=False)
     )
     good = F.col("matches") >= LSH_SWEEP_MIN_MATCH
     truth = (
@@ -993,8 +999,23 @@ def _span_cuts(d: DataFrame, min_run: int = 1) -> DataFrame:
         .where(F.size("toks") >= 3)
         .select("doc_id", MH.token_hashes(F.col("toks")).alias("th"))
     )
-    sh_df = th_df.select(
-        "doc_id", MH.arith_shingle_hashes(F.col("th")).alias("sh")
+    # DOC-grain checkpoint of the gram-hash arrays: occ feeds both
+    # the gram-stats aggregate and the probe side of the fan-out
+    # join, so without a barrier the md5 token hashing runs once per
+    # branch (measured: two ~11 s-CPU stages per span query). A
+    # checkpoint of the exploded corpus-POSITION rows was measured
+    # (r13) and REVERTED (+0.7 s: materializing 1.5M rows cost more
+    # than the saved pass); checkpointing BEFORE the explode stores
+    # one array row per doc — the same bytes the md5 pass reads —
+    # and both branches still explode lazily, so the aggregate
+    # branch keeps its map-side partial aggregation on never-
+    # materialized rows. Lazy (eager=False): the first action
+    # materializes it; no extra job.
+    sh_df = (
+        th_df.select(
+            "doc_id", MH.arith_shingle_hashes(F.col("th")).alias("sh")
+        )
+        .localCheckpoint(eager=False)
     )
     # posexplode_OUTER: the non-outer Generate injects an implicit
     # size(sh) > 0 predicate that projection collapse inlines as a
@@ -1002,14 +1023,6 @@ def _span_cuts(d: DataFrame, min_run: int = 1) -> DataFrame:
     # md5-in-Filter hazard) — outer adds no predicate, and empty sh
     # cannot occur past the size(toks) >= 3 guard; the g-isnotnull
     # the joins need is a cheap filter on the GENERATED attribute.
-    # NOTE: occ feeds both the gram-stats aggregate and the probe
-    # side of the fan-out join, so the corpus tokenizes twice — a
-    # localCheckpoint here was MEASURED (r13) and REVERTED: writing
-    # the corpus-position rows to the block manager costs more than
-    # the saved pass, because the aggregate branch otherwise runs
-    # map-side partial aggregation directly on the explode output
-    # without ever materializing the exploded rows (bench +0.7 s per
-    # span query with the checkpoint).
     occ = sh_df.select(
         "doc_id", F.posexplode_outer("sh").alias("pos", "g")
     ).where(F.col("g").isNotNull())

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from goe_spark.catalog import load_table
+from goe_spark.catalog import load_table, pin_cpu_stage
 from goe_spark.queries import QuerySpec
 
 # lgConfigK = 12 -> 4 KiB registers, ~1.6% relative standard error —
@@ -291,6 +291,14 @@ def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (day, key) relation — measured ~25% faster than exploding the
     # raw events, and the gap widens with depth.
     per_key = ev.groupBy("day", "key").agg(F.count(F.lit(1)).alias("kn"))
+    # The (day, key) relation is a few hundred KB, so AQE coalesces
+    # the post-groupBy stage to ONE task — which then pays the
+    # x{CMS_DEPTH} explode plus one md5 bucket hash per exploded row
+    # serially (measured: a 0.8 s single-task stage). Pin the CPU
+    # stage on "key" alone: pinning on (day, key) is byte-identical
+    # to the groupBy's own hash partitioning and the planner removes
+    # it as redundant, handing the stage back to AQE's coalescer.
+    per_key = pin_cpu_stage(per_key, "key")
     daily = (
         per_key.select("day", "key", "kn", depth)
         .withColumn("bucket", _cms_bucket(F.col("depth"), F.col("key")))
