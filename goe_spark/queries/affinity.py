@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from goe_spark.catalog import load_table
+from goe_spark.catalog import load_table, spread
 from goe_spark.queries import QuerySpec
 
 # Keep the output to co-occurrences with enough support to be stable.
@@ -28,16 +28,29 @@ def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(brand_a, brand_b, n_both, lift): orders containing both brands
     and the lift n_both * N / (n_a * n_b), for pairs co-occurring in
     at least {MIN_PAIR_ORDERS} orders."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
+    # spread: the single-file lineitem scan yields 3 splits, so the
+    # join + basket collect_set map ran on 3 cores (0.76 s measured);
+    # a no-op on any many-file table.
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        ),
+        "l_orderkey",
     )
     part = F.broadcast(
         load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     )
+    # Lazy checkpoint: three branches (totals, pairs, singles) read
+    # the baskets; with only exchange-level reuse the collect_set
+    # aggregate re-ran per branch once spread()'s exchange became the
+    # shared node. The checkpoint holds ~|orders| brand arrays and
+    # keeps the 32-way partitioning, so the pair explode below also
+    # escapes AQE's byte-based coalescing (measured: 5 tasks).
     baskets = (
         li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("p_brand")).alias("brands"))
+        .localCheckpoint(eager=False)
     )
     # Basket total folded in as a 1-row broadcast aggregate, NOT an
     # eager count() — building the DataFrame must not run a fact-sized
