@@ -2934,16 +2934,28 @@ def dedup_stage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _tag_pos(df: DataFrame, ord_: int) -> DataFrame:
         return df.select("doc_id", "i", F.lit(ord_).alias("ord"))
 
+    # Lazy checkpoints: `drops` is consumed twice (drop_min and the
+    # standalone rollup) and `cuts` three times (pos_min feeds two
+    # consumers, plus the standalone rollup). Exchange reuse alone
+    # does NOT cover the post-exchange machinery, so without the
+    # barriers the containment verify (~1M array_intersect pairs, the
+    # most expensive stage of the whole audit) and the line/para/span
+    # cut branches re-ran once per consumer (measured: the verify
+    # stage at 41 s CPU ≈ 2x its standalone cost; three 68-task
+    # span-join stages). Both frames are duplicated-mass grain —
+    # doc-ids and cut positions, a few MB — never corpus grain.
     drops = (
         _tag_doc(url_drop, 1)
         .unionAll(_tag_doc(exact_drop, 3))
         .unionAll(_tag_doc(near_drop, 4))
         .unionAll(_tag_doc(cont_drop, 7))
+        .localCheckpoint(eager=False)
     )
     cuts = (
         _tag_pos(line_cut, 2)
         .unionAll(_tag_pos(para_cut, 5))
         .unionAll(_tag_pos(span_cut, 6))
+        .localCheckpoint(eager=False)
     )
     drop_min = drops.groupBy("doc_id").agg(F.min("ord").alias("drop_ord"))
     pos_min = cuts.groupBy("doc_id", "i").agg(
