@@ -1287,9 +1287,13 @@ def _knn_graph_rollup(emb: DataFrame) -> DataFrame:
     # NOTE: this stays the two-sided self-join deliberately — the
     # group-local collect_list expansion (the _labeled_cell_pairs
     # shape) was tried in the r13 optimization round and REGRESSED
-    # here (knn_graph_ivf_stats 1.24 -> 2.38 s): the IVF grain has
-    # only ~8 cells, so concentrating each bucket's n^2 cosine work
-    # into one task starves the cores the join shape keeps busy.
+    # here (knn_graph_ivf_stats 1.24 -> 2.38 s), and RE-TESTED in the
+    # same round with the AQE-coalesce fix (pin_cpu_stage) plus a
+    # group-local comparator top-k: still a regression (A/B at equal
+    # throttle: 2.85/1.64 -> 3.75/3.72 s). The broadcast self-join +
+    # native window sort beats per-element comparator array_sorts for
+    # this full-graph shape; _labeled_cell_neighbours wins only where
+    # it also deletes a pair-grain window AND per-src aggregates.
     cells = sub_bucketed_cells(emb)
     a = cells.select(
         "label",

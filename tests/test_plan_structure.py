@@ -391,13 +391,20 @@ def test_histogram_no_prescan(spark):
 def test_brand_affinity_no_fact_self_join(spark):
     """Pair emission is order-local: the lineitem fact joins only the
     broadcast part dim — never itself. One fact shuffle (the basket
-    groupBy); marginals attach as broadcasts."""
+    groupBy); marginals attach as broadcasts. The basket frame is
+    locally checkpointed (r13: its three consumers re-ran the
+    collect_set aggregate), which truncates the visible lineage to a
+    Scan ExistingRDD — the part-dim broadcast join happens inside the
+    checkpointed subtree (pinned by the checkpoint scan), so the
+    visible plan carries the 2 marginal broadcasts and no other
+    join."""
     from goe_spark.queries.affinity import brand_affinity_lift
 
     plan = _plan(brand_affinity_lift(spark, SF_SMALL), "simple")
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastHashJoin") >= 3  # part dim + 2 marginals
+    assert "Scan ExistingRDD" in plan  # checkpointed basket base
+    assert plan.count("BroadcastHashJoin") >= 2  # the 2 marginals
 
 
 def test_rfm_customer_grain_windows_no_joins(spark):
