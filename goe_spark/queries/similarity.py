@@ -1719,6 +1719,19 @@ def _labeled_cell_neighbours(spark: SparkSession, sf_dir: str) -> DataFrame:
             _norm2(F.col("embedding")).alias("nrm"),
         )
     )
+    # The expansion below is tiny in BYTES (a few hundred KB of
+    # collected structs) but huge in CPU (|bucket|^2 64-dim dots), so
+    # AQE's byte-based coalescing folds the post-groupBy stage into
+    # ONE partition and serializes all of it onto one core (measured:
+    # a single 1.5 s task). The pin must sit BELOW the groupBy — the
+    # user repartition's hash partitioning satisfies the aggregate's
+    # clustering, so it REPLACES the coalescable ENSURE_REQUIREMENTS
+    # exchange; r13 pinned ABOVE the groupBy on the aggregate's own
+    # keys and the optimizer's redundant-repartition rule silently
+    # removed it (the r13 placement-rule-2 case, visible in
+    # plans/r13/knn_label_agreement_after.txt: Exchange (22) stayed
+    # ENSURE_REQUIREMENTS and AQE ran the expansion on one task).
+    g = pin_cpu_stage(g, "cell", "sub")
     # Group-local ordered-pair expansion (the minhash_lsh_pairs
     # shape): ONE (cell, sub) groupBy replaces the r12 self-join's
     # two exchanges + duplicated `g` lineage. Buckets are
@@ -1730,12 +1743,6 @@ def _labeled_cell_neighbours(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct("vec_id", "label", "embedding", "nrm")
         ).alias("ds")
     )
-    # The expansion below is tiny in BYTES (a few hundred KB of
-    # collected structs) but huge in CPU (|bucket|^2 64-dim dots), so
-    # AQE's byte-based coalescing folds the post-groupBy stage into
-    # ONE partition and serializes all of it onto one core (measured:
-    # a single 1.7 s task). pin_cpu_stage exempts it from coalescing.
-    grouped = pin_cpu_stage(grouped, "cell", "sub")
 
     def _cmp(lhs: Column, rhs: Column) -> Column:
         return (
