@@ -1402,14 +1402,17 @@ def minhash_probe_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The new-batch signature lineage feeds BOTH the occupancy union
     # and the candidate join; without a checkpoint Spark evaluates the
     # whole tokenize->md5->minhash chain (and scans documents) once
-    # per consumer. One eager localCheckpoint of the O(batch) frame
-    # (doc_id + 128-long signature) computes it exactly once — at
-    # 100 TB the increment batch is the small side, so pinning it is
-    # the standard "featurize the batch once" layout.
+    # per consumer. One LAZY localCheckpoint of the O(batch) frame
+    # (doc_id + 128-long signature) computes it exactly once,
+    # materialized by the first consumer inside the query's single
+    # action — the eager form paid an extra blocking job round per
+    # call (the paragraph-probe regression's root cause). At 100 TB
+    # the increment batch is the small side, so pinning it is the
+    # standard "featurize the batch once" layout.
     new_sigs = (
         signature_frame(load_table(spark, sf_dir, "documents").where(is_new))
         .select("doc_id", "mh")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def bands_of(sigs: DataFrame) -> DataFrame:
@@ -2469,14 +2472,19 @@ def paragraph_probe_new_docs(
     # The batch's paragraph-signature lineage feeds THREE consumers
     # (occupancy union, candidate join, the final per-doc rollup);
     # uncheckpointed, Spark re-runs the tokenize->md5->minhash chain
-    # and the documents scan once per consumer. One eager
-    # localCheckpoint of the O(batch) frame computes it exactly once
-    # (the minhash_probe_new_docs discipline).
+    # and the documents scan once per consumer. One LAZY
+    # localCheckpoint of the O(batch) frame computes it exactly once,
+    # materialized by the first consumer inside the query's single
+    # action — the r13 EAGER variant added a blocking driver job
+    # round before the action that cost more than the recomputation
+    # it saved at this batch size (driver-measured 0.63x regression,
+    # the round's one red; the drops/cuts checkpoints of
+    # dedup_stage_overlap already use the lazy form).
     new_all = _paragraph_sigs(
         spark, sf_dir, docs=load_table(spark, sf_dir, "documents").where(is_new)
     ).select(
         "doc_id", "idx", "n_paras", "signed", "mh"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     def bands_of(sigs: DataFrame, pid_name: str, mh_name: str) -> DataFrame:
         keyed = sigs.where(F.col("signed")).select(
