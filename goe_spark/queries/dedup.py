@@ -391,49 +391,59 @@ def lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collapsed to 1 and 3. The band signature is ONLY a grouping key,
     # so group on the raw signature slice (array grouping keys
     # hash/compare natively; injective either way).
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("bands"),
-                F.lit(r).alias("rows_per_band"),
-                F.lit(i).alias("band"),
-                F.slice(F.col("mh"), i * r + 1, r).alias("sig"),
-            )
-            for b, r in LSH_SWEEP_CONFIGS
-            for i in range(b)
-        ]
+    #
+    # Shuffle IDS, not signatures (guide §2.3 "shuffle keys and
+    # metadata instead of payloads"): the r13 shape carried the full
+    # minhash array through the band exchange as a struct payload so
+    # `matches` could be computed inline — 14 MB written at sf0.1 and
+    # a full signature per band row at any scale. The band rows now
+    # carry doc_id only (the exchange drops to ~2 MB); the
+    # full-signature agreement is scored ONCE per unique candidate
+    # pair by joining the deduped pair ids back to the signature
+    # frame (no broadcast hint — the planner picks SMJ at scale), and
+    # per-layout rows re-attach the score by (id1, id2). Same pairs,
+    # same integer match counts, same output (oracle-verified).
+    # the 30-struct tagged-band array is ~150 py4j round-trips to
+    # build (measured 1.4 s of driver time per call) and is a pure
+    # function of literals + col("mh") — memoize it per SparkContext
+    # (the catalog.memo_exprs discipline the media stacks use).
+    from goe_spark.catalog import memo_exprs
+
+    band_arr = memo_exprs(
+        "lsh_sweep_band_arr",
+        lambda: F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("bands"),
+                    F.lit(r).alias("rows_per_band"),
+                    F.lit(i).alias("band"),
+                    F.slice(F.col("mh"), i * r + 1, r).alias("sig"),
+                )
+                for b, r in LSH_SWEEP_CONFIGS
+                for i in range(b)
+            ]
+        ),
     )
     bands = sigs.select(
-        F.struct("doc_id", "mh").alias("doc"),
+        "doc_id",
         F.explode(band_arr).alias("bs"),
     ).select(
-        "doc",
+        "doc_id",
         F.col("bs.bands").alias("bands"),
         F.col("bs.rows_per_band").alias("rows_per_band"),
         F.col("bs.band").alias("band"),
         F.col("bs.sig").alias("sig"),
     )
     grouped = bands.groupBy("bands", "rows_per_band", "band", "sig").agg(
-        F.array_sort(F.collect_set("doc")).alias("docs")
+        F.array_sort(F.collect_set("doc_id")).alias("ids")
     )
-    n = F.size("docs")
+    n = F.size("ids")
     pair_structs = F.flatten(
         F.transform(
-            F.col("docs"),
+            F.col("ids"),
             lambda x, i: F.transform(
-                F.slice(F.col("docs"), i + 2, n - i - 1),
-                lambda y: F.struct(
-                    x["doc_id"].alias("id1"),
-                    y["doc_id"].alias("id2"),
-                    F.size(
-                        F.filter(
-                            F.zip_with(
-                                x["mh"], y["mh"], lambda p, q: p == q
-                            ),
-                            lambda v: v,
-                        )
-                    ).alias("matches"),
-                ),
+                F.slice(F.col("ids"), i + 2, n - i - 1),
+                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
             ),
         )
     )
@@ -444,26 +454,62 @@ def lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rows_per_band",
             F.explode_outer(pair_structs).alias("p"),
         )
-        .select("bands", "rows_per_band", "p.id1", "p.id2", "p.matches")
+        .select("bands", "rows_per_band", "p.id1", "p.id2")
         .distinct()
-        # truth AND per_cfg both consume the deduped pair set; only
-        # the signature EXCHANGE is reused across consumers, so the
-        # bucket agg + pair expansion + distinct ran twice (measured:
-        # two ~0.9 s stages re-reading the 14 MB band exchange). The
-        # checkpoint materializes the ~per-layout pair rows once.
+        # the per-layout pair set feeds BOTH the unique-pair scoring
+        # join and the per-layout rollup; the checkpoint materializes
+        # the bucket agg + pair expansion + distinct once (the r13
+        # lesson: exchange reuse alone re-ran the post-exchange
+        # machinery per consumer).
         .localCheckpoint(eager=False)
     )
-    good = F.col("matches") >= LSH_SWEEP_MIN_MATCH
-    truth = (
-        allp.where(good)
-        .select("id1", "id2")
+    # score each UNIQUE pair once (the r13 shape re-scored a pair per
+    # layout it appeared in); `matches` is a pure function of the two
+    # signatures, so re-attaching by (id1, id2) is exact.
+    scored = (
+        allp.select("id1", "id2")
         .distinct()
-        .agg(F.count(F.lit(1)).alias("n_truth_pairs"))
+        .join(
+            sigs.select(
+                F.col("doc_id").alias("id1"), F.col("mh").alias("mh1")
+            ),
+            "id1",
+        )
+        .join(
+            sigs.select(
+                F.col("doc_id").alias("id2"), F.col("mh").alias("mh2")
+            ),
+            "id2",
+        )
+        .select(
+            "id1",
+            "id2",
+            F.size(
+                F.filter(
+                    F.zip_with(
+                        F.col("mh1"), F.col("mh2"), lambda p, q: p == q
+                    ),
+                    lambda v: v,
+                )
+            ).alias("matches"),
+        )
+        # NOT checkpointed: both consumers re-run only the cheap
+        # sig-join over allp's checkpointed blocks (~0.3 s exec),
+        # while a checkpoint costs a full plan-compile round on the
+        # driver (~1 s/call, measured) — the opposite trade from allp.
     )
-    per_cfg = allp.groupBy("bands", "rows_per_band").agg(
-        F.count(F.lit(1)).alias("n_candidate_pairs"),
-        F.sum(good.cast("long")).alias("n_good_pairs"),
-        F.sum("matches").alias("sum_matches"),
+    good = F.col("matches") >= LSH_SWEEP_MIN_MATCH
+    truth = scored.where(good).agg(
+        F.count(F.lit(1)).alias("n_truth_pairs")
+    )
+    per_cfg = (
+        allp.join(scored, ["id1", "id2"])
+        .groupBy("bands", "rows_per_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidate_pairs"),
+            F.sum(good.cast("long")).alias("n_good_pairs"),
+            F.sum("matches").alias("sum_matches"),
+        )
     )
     # A layout with ZERO candidates produces no group — left-join a
     # layout dim so every layout still gets its row (count 0, NULL
