@@ -170,6 +170,26 @@ def cached_index_frame(
     return df
 
 
+def cached_index_frame_raw(
+    spark: SparkSession, index_dir: str, subdir: str
+) -> DataFrame:
+    """``index_dir/subdir`` WITHOUT the tombstone/override maintenance
+    view — the build output exactly as written from the source text.
+    For recompute-audit consumers (dedup_stage_overlap) that must see
+    the source-derived rows even when evict/upsert state exists for
+    the same index: the maintained view would silently diverge from a
+    recompute-from-text oracle. Plan-cached like cached_index_frame."""
+    from goe_spark.catalog import _path_fingerprint
+
+    sub = os.path.join(index_dir, subdir)
+    key = (spark, index_dir, subdir, "raw", _path_fingerprint(sub))
+    df = _INDEX_DF_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(sub)
+        _INDEX_DF_CACHE[key] = df
+    return df
+
+
 def apply_tombstones(
     spark: SparkSession, index_dir: str, df: DataFrame, key_column: str
 ) -> DataFrame:

@@ -104,6 +104,18 @@ def load_paragraphs(spark: SparkSession, index_dir: str) -> DataFrame:
     return cached_index_frame(spark, index_dir, "paragraphs", "doc_id")
 
 
+def load_paragraphs_raw(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The paragraphs base relation WITHOUT tombstone/override
+    maintenance state — what a fresh build wrote from the source
+    text. For recompute-from-text audits only; regular consumers
+    want load_paragraphs."""
+    from goe_spark.operators.index_maintenance import (
+        cached_index_frame_raw,
+    )
+
+    return cached_index_frame_raw(spark, index_dir, "paragraphs")
+
+
 def append_paragraphs(
     spark: SparkSession, index_dir: str, new_docs: DataFrame
 ) -> int:

@@ -2841,8 +2841,53 @@ def dedup_stage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         ).alias("chunk_fps"),
-    ).localCheckpoint(eager=True)
+        # LAZY: every consumer lives inside the final action, so the
+        # first one materializes the pass there — the r13 eager form
+        # paid a separate blocking driver job round first.
+    ).localCheckpoint(eager=False)
     ntoks = ck.select("doc_id", "n_toks")
+
+    # The two CC label tables are the audit's only BUILD-TIME Spark
+    # work (each runs the LSH pair generation and collects the edge
+    # list for the driver union-find); they are independent of each
+    # other and of every lazy branch built below, so they run
+    # CONCURRENTLY from a driver thread pool (guide §2.6 "overlap
+    # independent jobs") while the main thread keeps building the
+    # lazy DSL. r13 ran them back to back — two full sequential job
+    # chains on an otherwise idle box, and the main reason the audit
+    # was FASTER on 8 cores than 32 (nothing overlapped).
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    from goe_spark.operators.paragraph_index import (
+        ensure_paragraph_index,
+        load_paragraphs_raw,
+    )
+
+    def _near_labels() -> DataFrame:
+        return _cc_labels(spark, sf_dir)
+
+    def _para_labels() -> DataFrame:
+        # RAW index read (no tombstone/override view): this audit's
+        # oracle recomputes from text, and the maintained view would
+        # silently diverge if evict/upsert state existed for the same
+        # sf_dir. The raw base is what the fingerprint-fresh build
+        # wrote from the source text — bit-identical to recompute.
+        sigs = load_paragraphs_raw(
+            spark, ensure_paragraph_index(spark, sf_dir)
+        )
+        pedges = (
+            paragraph_dup_pairs(sigs, PARA_SIM_MIN)
+            .select(F.col("pid1").alias("id1"), F.col("pid2").alias("id2"))
+            # lazy: _cc_labels' cap probe is the first consumer
+            .localCheckpoint(eager=False)
+        )
+        return _cc_labels(spark, sf_dir, edges=pedges)
+
+    pool = ThreadPoolExecutor(max_workers=4)
+    f_near = pool.submit(inheritable_thread_target(_near_labels))
+    f_para = pool.submit(inheritable_thread_target(_para_labels))
 
     # -- whole-doc drop sets (stage semantics from plans/curation.py)
     _, canon, _ = _synth_url_exprs()
@@ -2859,22 +2904,6 @@ def dedup_stage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").over(Window.partitionBy("norm_fp")),
         )
         .where(F.col("doc_id") != F.col("keep"))
-        .select("doc_id")
-    )
-    labels = _cc_labels(spark, sf_dir)
-    quality = ck.select("doc_id", "quality")
-    near_drop = (
-        labels.join(quality, labels.node == quality.doc_id)
-        .select("label", "doc_id", "quality")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("label").orderBy(
-                    F.col("quality").desc(), F.col("doc_id").asc()
-                )
-            ),
-        )
-        .where(F.col("rn") > 1)
         .select("doc_id")
     )
     cpairs = shingle_containment_pairs(spark, sf_dir).where(
@@ -2911,48 +2940,6 @@ def dedup_stage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("i"),
     )
-    # paragraph signatures from the MATERIALIZED paragraph index —
-    # the same bit-identical _paragraph_sigs lineage, persisted once
-    # per source fingerprint (paragraph_dedup_stats' discipline).
-    # paragraph_dup_pairs references its input 2-3x internally, so
-    # recomputing the 128-hash minhash stack from ck's token hashes
-    # ran the stack per reference (measured: three ~3 s 68-task
-    # stages); the index read is a plan-cached parquet scan instead.
-    from goe_spark.operators.paragraph_index import (
-        ensure_paragraph_index,
-        load_paragraphs,
-    )
-
-    sigs = load_paragraphs(spark, ensure_paragraph_index(spark, sf_dir))
-    pedges = (
-        paragraph_dup_pairs(sigs, PARA_SIM_MIN)
-        .select(F.col("pid1").alias("id1"), F.col("pid2").alias("id2"))
-        .localCheckpoint(eager=True)
-    )
-    plabels = _cc_labels(spark, sf_dir, edges=pedges)
-    para_cut = (
-        plabels.where(F.col("node") != F.col("label"))
-        .select(
-            F.expr(f"node div {PARA_KEY_BASE}").cast("long").alias("doc_id"),
-            F.pmod(F.col("node"), F.lit(PARA_KEY_BASE))
-            .cast("int")
-            .alias("idx"),
-        )
-        .join(ntoks, "doc_id")
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(
-                    F.col("idx") * PARA_WORDS,
-                    F.least(
-                        F.col("idx") * PARA_WORDS + PARA_WORDS,
-                        F.col("n_toks"),
-                    )
-                    - 1,
-                )
-            ).alias("i"),
-        )
-    )
     # span cuts from the SHARED token hashes (_span_cuts' exact
     # min_run=1 lineage, minus its private tokenize+md5 pass)
     sh_df = ck.where(F.size("th") >= 3).select(
@@ -2982,6 +2969,52 @@ def dedup_stage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
+    # paragraph signatures come from the MATERIALIZED paragraph index
+    # (read raw, recompute-audit semantics — see _para_labels above);
+    # paragraph_dup_pairs references its input 2-3x internally, so
+    # recomputing the 128-hash minhash stack from ck's token hashes
+    # ran the stack per reference (measured: three ~3 s 68-task
+    # stages); the index read is a plan-cached parquet scan instead.
+    labels = f_near.result()
+    plabels = f_para.result()
+    quality = ck.select("doc_id", "quality")
+    near_drop = (
+        labels.join(quality, labels.node == quality.doc_id)
+        .select("label", "doc_id", "quality")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("label").orderBy(
+                    F.col("quality").desc(), F.col("doc_id").asc()
+                )
+            ),
+        )
+        .where(F.col("rn") > 1)
+        .select("doc_id")
+    )
+    para_cut = (
+        plabels.where(F.col("node") != F.col("label"))
+        .select(
+            F.expr(f"node div {PARA_KEY_BASE}").cast("long").alias("doc_id"),
+            F.pmod(F.col("node"), F.lit(PARA_KEY_BASE))
+            .cast("int")
+            .alias("idx"),
+        )
+        .join(ntoks, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("idx") * PARA_WORDS,
+                    F.least(
+                        F.col("idx") * PARA_WORDS + PARA_WORDS,
+                        F.col("n_toks"),
+                    )
+                    - 1,
+                )
+            ).alias("i"),
+        )
+    )
     def _tag_doc(df: DataFrame, ord_: int) -> DataFrame:
         return df.select("doc_id", F.lit(ord_).alias("ord"))
 
@@ -2998,19 +3031,36 @@ def dedup_stage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage at 41 s CPU ≈ 2x its standalone cost; three 68-task
     # span-join stages). Both frames are duplicated-mass grain —
     # doc-ids and cut positions, a few MB — never corpus grain.
-    drops = (
+    #
+    # The checkpoint CALL itself compiles the frame's full plan on
+    # the driver (measured 3.5 s for drops — it embeds the whole
+    # containment lineage — and 1.7 s for cuts); the two compiles are
+    # independent, so they run concurrently on the pool instead of
+    # back to back on the main thread.
+    drops_u = (
         _tag_doc(url_drop, 1)
         .unionAll(_tag_doc(exact_drop, 3))
         .unionAll(_tag_doc(near_drop, 4))
         .unionAll(_tag_doc(cont_drop, 7))
-        .localCheckpoint(eager=False)
     )
-    cuts = (
+    cuts_u = (
         _tag_pos(line_cut, 2)
         .unionAll(_tag_pos(para_cut, 5))
         .unionAll(_tag_pos(span_cut, 6))
-        .localCheckpoint(eager=False)
     )
+    f_drops = pool.submit(
+        inheritable_thread_target(
+            lambda: drops_u.localCheckpoint(eager=False)
+        )
+    )
+    f_cuts = pool.submit(
+        inheritable_thread_target(
+            lambda: cuts_u.localCheckpoint(eager=False)
+        )
+    )
+    drops = f_drops.result()
+    cuts = f_cuts.result()
+    pool.shutdown(wait=False)
     drop_min = drops.groupBy("doc_id").agg(F.min("ord").alias("drop_ord"))
     pos_min = cuts.groupBy("doc_id", "i").agg(
         F.min("ord").alias("scrub_ord")

@@ -69,6 +69,13 @@ def _cc_labels_driver(spark: SparkSession, edges: DataFrame) -> DataFrame:
     Output is identical to the distributed loop (label = component min
     node) regardless of union order, pinned by
     tests/test_training_ops.py::test_driver_and_distributed_cc_agree."""
+    return _cc_labels_driver_rows(spark, edges.collect())
+
+
+def _cc_labels_driver_rows(spark: SparkSession, rows) -> DataFrame:
+    """_cc_labels_driver over an already-collected edge row list —
+    lets _cc_labels reuse its cap-probe collect instead of paying a
+    second count job (rows carry .id1/.id2)."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -79,7 +86,7 @@ def _cc_labels_driver(spark: SparkSession, edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for r in edges.collect():
+    for r in rows:
         a, b = r.id1, r.id2
         parent.setdefault(a, a)
         parent.setdefault(b, b)
@@ -115,11 +122,20 @@ def _cc_labels(
             .select("id1", "id2")
             # The pair generator is itself a multi-stage job;
             # checkpoint so the CC loop's 2xITERS references don't
-            # replay it every round.
-            .localCheckpoint(eager=True)
+            # replay it every round. LAZY: the cap probe below is the
+            # first consumer and materializes the blocks it touches —
+            # an eager checkpoint paid a separate blocking job first.
+            .localCheckpoint(eager=False)
         )
-    if edges.count() <= CC_DRIVER_EDGE_CAP:
-        return _cc_labels_driver(spark, edges)
+    # ONE action instead of count-then-collect: collect at most
+    # CAP + 1 rows — if the limit returns <= CAP rows it IS the
+    # complete edge set (drive the union-find over it); a truncated
+    # CAP + 1 result means the old count() > CAP branch, so fall
+    # through to the distributed loop. Never collects more than
+    # CAP + 1 rows, so the driver-memory bound is unchanged.
+    probe = edges.limit(CC_DRIVER_EDGE_CAP + 1).collect()
+    if len(probe) <= CC_DRIVER_EDGE_CAP:
+        return _cc_labels_driver_rows(spark, probe)
     sym = edges.union(
         edges.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
     )
