@@ -1218,6 +1218,30 @@ def media_flac_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: single scan, all codegen (hex/substr/conv nibble
     arithmetic), one 5-row aggregate; payload bytes never shuffle."""
+    from goe_spark.catalog import memo_exprs
+
+    # NOTE on spread(): measured r13 — these header parses finish in
+    # <~1 s serial at sf0.1; an explicit spread exchange costs more
+    # (extra AQE stage round) than the parallelism buys. Only the
+    # >1.5 s-serial parses (mp4, payload entropy) spread.
+    d = load_table(spark, sf_dir, "documents")
+    # synthesis + parser stack built once per JVM (the mp4/tiff
+    # memo_exprs discipline — pure Columns, hundreds of py4j
+    # round-trips per call otherwise)
+    s_hex, s_gate, s_per, s_agg = memo_exprs(
+        "media_flac_stats", _flac_expr_stack
+    )
+    # bind the payload hex ONCE; gate and extractors read the bound
+    # column (the r12 shape hexed the payload 5x per row)
+    media = d.select(s_hex)
+    per = media.where(s_gate).select(*s_per)
+    return per.groupBy("sample_rate").agg(*s_agg)
+
+
+def _flac_expr_stack():
+    """The media_flac_stats expression stack (synthesis, hex bind,
+    gate, parses, aggregates) — pure Columns, memoized per
+    SparkContext via memo_exprs."""
     from goe_spark.multimodal.media import (
         flac_bits_per_sample_h,
         flac_channels_h,
@@ -1226,11 +1250,6 @@ def media_flac_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         is_flac_h,
     )
 
-    # NOTE on spread(): measured r13 — these header parses finish in
-    # <~1 s serial at sf0.1; an explicit spread exchange costs more
-    # (extra AQE stage round) than the parallelism buys. Only the
-    # >1.5 s-serial parses (mp4, payload entropy) spread.
-    d = load_table(spark, sf_dir, "documents")
     did = F.col("doc_id")
     rate = (
         F.when(did % 5 == 0, 8000)
@@ -1266,17 +1285,14 @@ def media_flac_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.encode(F.substring("text", 1, 8), "UTF-8"),
         )
     )
-    # bind the payload hex ONCE; gate and extractors read the bound
-    # column (the r12 shape hexed the payload 5x per row)
-    media = d.select(F.upper(F.hex(content)).alias("hx"))
     hx = F.col("hx")
-    per = media.where(is_flac_h(hx)).select(
+    s_per = (
         flac_sample_rate_h(hx).alias("sample_rate"),
         flac_channels_h(hx).alias("ch"),
         flac_bits_per_sample_h(hx).alias("bps"),
         flac_total_samples_h(hx).alias("samples"),
     )
-    return per.groupBy("sample_rate").agg(
+    s_agg = (
         F.count(F.lit(1)).alias("n_files"),
         F.sum((F.col("ch") == 2).cast("long")).alias("n_stereo"),
         F.sum((F.col("bps") == 24).cast("long")).alias("n_24bit"),
@@ -1285,6 +1301,12 @@ def media_flac_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("samples") * 1000.0 / F.col("sample_rate"))
             .cast("long")
         ).alias("total_duration_ms"),
+    )
+    return (
+        F.upper(F.hex(content)).alias("hx"),
+        is_flac_h(hx),
+        s_per,
+        s_agg,
     )
 
 

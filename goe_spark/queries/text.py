@@ -79,18 +79,53 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic tie-break (score desc, lang asc); 'und' if all
     scores are zero. The marker lists are tiny so this is a pure
     map-side expression."""
-    d = load_table(spark, sf_dir, "documents")
-    scores = T.lang_scores("text")
-    # argmax via greatest + chained when (deterministic tie-break by
-    # lang name order because we check in sorted order).
-    best = F.greatest(*[scores[lang] for lang in sorted(scores)])
+    from goe_spark.catalog import spread
+    from goe_spark.functions.text import LANG_MARKERS, _isin_pred
+
+    # spread: the single-file documents scan yields ONE split and the
+    # marker-overlap scoring inherits it (serial stage); the
+    # repartition is a no-op on any many-file table (100 TB case).
+    d = spread(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        ),
+        "doc_id",
+    )
+    # Bind-once discipline (the media-parser shape): tokenize ONCE
+    # into a bound column, score each language from the bound tokens,
+    # then take argmax over the bound scores. The r13 shape inlined
+    # tokens(text) into every one of the 5 scores, and each score
+    # into greatest() plus the 5-arm when-chain — dozens of split()
+    # evaluations per row once the projection falls out of codegen
+    # CSE. Values are identical; only the binding changes.
+    toked = d.select("lang", T.tokens("text").alias("toks"))
+    langs = sorted(LANG_MARKERS)
+    scored = toked.select(
+        "lang",
+        *[
+            F.size(
+                F.filter(F.col("toks"), _isin_pred(LANG_MARKERS[lang]))
+            )
+            .cast("long")
+            .alias(f"s_{lang}")
+            for lang in langs
+        ],
+    )
+    with_best = scored.select(
+        "lang",
+        *[f"s_{lang}" for lang in langs],
+        F.greatest(*[F.col(f"s_{lang}") for lang in langs]).alias("best"),
+    )
+    # argmax via chained when over the BOUND scores (deterministic
+    # tie-break by lang name order because we check in sorted order).
     pred = F.lit("und")
-    for lang in sorted(scores, reverse=True):
+    for lang in reversed(langs):
         pred = F.when(
-            (best > 0) & (scores[lang] == best), F.lit(lang)
+            (F.col("best") > 0) & (F.col(f"s_{lang}") == F.col("best")),
+            F.lit(lang),
         ).otherwise(pred)
     return (
-        d.select("lang", pred.alias("pred_lang"))
+        with_best.select("lang", pred.alias("pred_lang"))
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -976,8 +1011,22 @@ def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded-global window, whitelisted in tools/plan_audit.py)."""
     from pyspark.sql.window import Window
 
-    d = load_table(spark, sf_dir, "documents")
-    tok = d.select(F.explode(T.tokens("text")).alias("t"))
+    from goe_spark.catalog import spread
+
+    # spread: the tokenize + explode + partial count is the corpus
+    # pass and the single-file scan would run it on ONE task (no-op
+    # on a many-file table). explode_OUTER + null drop, not plain
+    # explode: explode makes Catalyst infer `size(tokens) > 0` and
+    # push it below the parallelizing repartition, inlining the
+    # tokenize into a single-task filter (the documented
+    # cross_lang_shingle_leakage gotcha).
+    d = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
+    tok = d.select(F.explode_outer(T.tokens("text")).alias("t")).where(
+        F.col("t").isNotNull()
+    )
     counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
     total = counts.agg(
         F.sum("c").alias("total_mass"),
@@ -1101,20 +1150,38 @@ def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     a hash-only aggregate joined back by fingerprint; the final
     rollup is 10 bins. Same shuffle discipline as dedup_exact —
     fingerprints move, text never does."""
-    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    from goe_spark.catalog import spread as _spread
+
+    # spread: the quality/fingerprint/token-count expressions are the
+    # CPU wall and the single-file scan would run them on ONE task
+    # (no-op on a many-file table).
+    d = _spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     docs = d.select(
         T.quality_score("text").alias("q"),
         hash64(norm).alias("fp"),
         T.token_count("text").alias("n_tokens"),
     )
-    spread = docs.groupBy("fp").agg(F.count(F.lit(1)).alias("n_occ"))
-    binned = docs.join(spread, "fp").select(
+    # fingerprint spread via a WINDOW count over fp instead of the r13
+    # groupBy + self-join: the join re-ran the quality/hash/token
+    # expressions once per exchange (the two consumers shuffle
+    # different projections, so exchange reuse never applied) — the
+    # window computes n_occ in the single fp exchange (guide §2.4
+    # "two operations keyed the same way share one exchange").
+    # Identical n_occ per row; fp partitions are fingerprint-value
+    # grain (bounded by duplicate-group size), never corpus grain.
+    n_occ = F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    binned = docs.select(
         F.least(F.lit(9), F.floor(F.col("q") * 10))
         .cast("int")
         .alias("q_bin"),
         "n_tokens",
-        (F.col("n_occ") > 1).cast("long").alias("is_dup"),
+        (n_occ > 1).cast("long").alias("is_dup"),
     )
     return binned.groupBy("q_bin").agg(
         F.count(F.lit(1)).alias("n_docs"),
