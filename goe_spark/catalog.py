@@ -193,11 +193,23 @@ def pin_cpu_stage(df: DataFrame, *keys: str) -> DataFrame:
     is thousands of times the row's size — measured in round 13 as a
     single 1.7 s task behind a 551 KB exchange. A user-specified
     repartition is exempt from coalescing, so this hash-repartitions
-    on ``keys`` into 4x defaultParallelism slots: the group/pair key
-    count scales with the data (never with the core count), so every
-    slot fills at scale while a local run simply spreads its groups
-    across the cores. The exchange it adds carries only the already-
-    aggregated rows — KBs, not the corpus."""
+    on ``keys`` into exactly defaultParallelism slots — one per core,
+    the measured r13/r14 configuration (a 4x multiplier was
+    considered and rejected: the pinned stages are single-wave CPU
+    work, so more slots only adds scheduling rounds). The group/pair
+    key count scales with the data (never with the core count), so
+    every slot fills at scale while a local run simply spreads its
+    groups across the cores. The exchange it adds carries only the
+    already-aggregated rows — KBs, not the corpus.
+
+    Deliberately NOT condition-gated on the child's partition count
+    (unlike spread): the child is a post-shuffle relation, so probing
+    its partitioning costs a full RDD-graph conversion (measured
+    54-170 ms of driver time per call) — more than the no-op exchange
+    it would skip — and when the child is already wide the optimizer
+    collapses an adjacent redundant repartition anyway. Placement
+    rules (r13 §15): pin BELOW the aggregate whose clustering it
+    satisfies, never above it on the aggregate's own keys."""
     target = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(target, *keys)
 

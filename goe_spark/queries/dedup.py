@@ -2204,23 +2204,34 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # Explicit broadcast of the DOC side (|docs| rows of shingle
-    # arrays): size estimates otherwise pick the PAIR side (~1M rows
-    # here) as the build side, collecting it to the driver and
-    # running the whole array_intersect verify inside the doc scan's
-    # single-file stage — one task (measured: the verify wall). With
-    # the doc side built, the pinned pair partitions stream and the
-    # verify spreads across the cores.
+    # Explicit broadcast of the DOC side: size estimates otherwise
+    # pick the PAIR side (~1M rows here) as the build side, collecting
+    # it to the driver and running the whole array_intersect verify
+    # inside the doc scan's single-file stage — one task (measured:
+    # the verify wall). With the doc side built, the pinned pair
+    # partitions stream and the verify spreads across the cores.
+    #
+    # The broadcast side is RESTRICTED to candidate docs first (semi-
+    # join against the rare posting lists): every doc in any candidate
+    # pair shares >= 1 rare shingle by construction, so the semi-join
+    # loses nothing, and the broadcast is CANDIDATE-set grain — at
+    # most CONTAINMENT_DF_CAP docs per rare shingle — instead of the
+    # full corpus-grain index, which at 100 TB would blow Spark's
+    # 8 GB broadcast cap (and contradict SCALE.md's bound for this
+    # query). Locally the semi-join rides the already-shuffled rare
+    # posting exchange (ReusedExchange).
+    cand_ids = posts.join(rare_sh, "sh").select("doc_id").distinct()
+    bounded = shingled.join(cand_ids, "doc_id", "semi")
     scored = cands.join(
         F.broadcast(
-            shingled.select(
+            bounded.select(
                 F.col("doc_id").alias("id1"), F.col("shd").alias("shd1")
             )
         ),
         "id1",
     ).join(
         F.broadcast(
-            shingled.select(
+            bounded.select(
                 F.col("doc_id").alias("id2"), F.col("shd").alias("shd2")
             )
         ),
