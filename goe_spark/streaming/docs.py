@@ -92,6 +92,25 @@ def classifier_scored_counts(
     return spark.table(sink)
 
 
+def _spread_doc_stream(
+    spark: SparkSession, stream: DataFrame, sf_dir: str
+) -> DataFrame:
+    """Parallelize CPU-heavy map work over a SINGLE-FILE document
+    stream: the file-stream source never splits inside a file, so the
+    fixture's one-parquet table arrives as ONE input partition and
+    every per-row expression (the PII regex counters: measured ~2.5 s
+    serial at sf0.1) runs on one core before the tiny state
+    aggregate. Repartition by doc_id across the cores in that case
+    only — a multi-file directory source (the 100 TB shape, where
+    each micro-batch already holds many file splits) passes through
+    untouched, so no text bytes are ever shuffled at scale."""
+    if os.path.isdir(os.path.join(sf_dir, "documents.parquet")):
+        return stream
+    return stream.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+
+
 def pii_quarantine_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII ROUTING at ingest — the quarantine gate a compliant
     pipeline runs before anything lands in the corpus: each arriving
@@ -112,9 +131,9 @@ def pii_quarantine_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         pii_count,
     )
 
-    stream = documents_stream(spark, sf_dir).withColumn(
-        "aug", augmented_text()
-    )
+    stream = _spread_doc_stream(
+        spark, documents_stream(spark, sf_dir), sf_dir
+    ).withColumn("aug", augmented_text())
     e = pii_count("aug", EMAIL_RE)
     p = pii_count("aug", PHONE_RE)
     i = pii_count("aug", IPV4_RE)
