@@ -177,8 +177,20 @@ def build_bloom_manifest_partitioned(
     of partitions indexed. Each partition's build is independent, so
     an incremental pipeline rebuilds only partitions it rewrote."""
     dirs = partition_dirs(path)
-    for d in dirs:
+    # Each partition's build is one small independent Spark job
+    # writing its own manifest file; overlap them from a driver
+    # thread pool (guide §2.6) instead of running a month-partitioned
+    # table's dozens of tiny actions back to back — same discipline
+    # as zorder_partitioned_table.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    def _one(d: str) -> None:
         build_bloom_manifest(spark, os.path.join(path, d), cols)
+
+    with ThreadPoolExecutor(max_workers=max(1, min(4, len(dirs)))) as tp:
+        list(tp.map(inheritable_thread_target(_one), dirs))
     return len(dirs)
 
 

@@ -207,10 +207,21 @@ def test_partitioned_zorder_preserves_layout_and_prunes(
 
     target, src, _ = offloaded_orders
     before = spark.read.parquet(target).count()
+    part_dirs_before = sorted(
+        d for d in os.listdir(target) if d.startswith("goe_part_key=")
+    )
     rep = zorder_partitioned_table(
         spark, target, ["o_custkey", "o_totalprice"], n_files=4
     )
-    assert rep.partitions_rewritten > 0
+    # the pooled rewrite (r14: partitions rewritten from a driver
+    # thread pool) must cover EVERY partition exactly once and leave
+    # one fresh manifest per partition — the report counters are
+    # aggregated across threads
+    assert rep.partitions_rewritten == len(part_dirs_before)
+    from goe_spark.plans.zorder import _mpath
+
+    for d in part_dirs_before:
+        assert os.path.exists(_mpath(os.path.join(target, d)))
     part_dirs = [d for d in os.listdir(target) if d.startswith("goe_part_key=")]
     assert part_dirs  # layout intact
     back = spark.read.option("basePath", target).parquet(target)
