@@ -190,7 +190,7 @@ def build_bloom_manifest_partitioned(
         build_bloom_manifest(spark, os.path.join(path, d), cols)
 
     with ThreadPoolExecutor(max_workers=max(1, min(4, len(dirs)))) as tp:
-        list(tp.map(inheritable_thread_target(_one), dirs))
+        list(tp.map(inheritable_thread_target(spark)(_one), dirs))
     return len(dirs)
 
 

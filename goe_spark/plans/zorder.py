@@ -419,7 +419,7 @@ def zorder_partitioned_table(
     workers = max(1, min(4, len(part_dirs)))
     with ThreadPoolExecutor(max_workers=workers) as tp:
         for n_after in tp.map(
-            inheritable_thread_target(_rewrite_one), part_dirs
+            inheritable_thread_target(spark)(_rewrite_one), part_dirs
         ):
             report.files_after += n_after
             report.partitions_rewritten += 1

@@ -2897,8 +2897,8 @@ def dedup_stage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _cc_labels(spark, sf_dir, edges=pedges)
 
     pool = ThreadPoolExecutor(max_workers=4)
-    f_near = pool.submit(inheritable_thread_target(_near_labels))
-    f_para = pool.submit(inheritable_thread_target(_para_labels))
+    f_near = pool.submit(inheritable_thread_target(spark)(_near_labels))
+    f_para = pool.submit(inheritable_thread_target(spark)(_para_labels))
 
     # -- whole-doc drop sets (stage semantics from plans/curation.py)
     _, canon, _ = _synth_url_exprs()
@@ -3060,12 +3060,12 @@ def dedup_stage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(_tag_pos(span_cut, 6))
     )
     f_drops = pool.submit(
-        inheritable_thread_target(
+        inheritable_thread_target(spark)(
             lambda: drops_u.localCheckpoint(eager=False)
         )
     )
     f_cuts = pool.submit(
-        inheritable_thread_target(
+        inheritable_thread_target(spark)(
             lambda: cuts_u.localCheckpoint(eager=False)
         )
     )
