@@ -22,6 +22,16 @@ _DEFAULT_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE's coalescing floor. The engine's hot stages are expression-
+    # dense and byte-light (collected group arrays, candidate pairs,
+    # hash keys), so the stock 1 MB floor folds real CPU stages onto
+    # 1-2 cores (r13 §15 measured a 1.7 s single task behind a 551 KB
+    # exchange). Env-overridable for A/B; scale-safe either way —
+    # at volume the 64 MB advisory target dominates and the floor
+    # only governs small stages.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": os.environ.get(
+        "GOE_AQE_MIN_PARTITION_SIZE", "1m"
+    ),
     # Deterministic timestamp semantics (matches DuckDB oracle).
     "spark.sql.session.timeZone": "UTC",
     # Arrow for any pandas_udf / toPandas path.
